@@ -1,0 +1,36 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the TESTDATA star schema (TESTDATA.md).
+  *
+  * All reads go through `spark.read.parquet` so Catalyst's vectorized
+  * parquet reader, predicate pushdown, and column pruning apply. At
+  * 100 TB the same call works against a partitioned directory tree —
+  * nothing here assumes single-file inputs.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * rejects by default. Read it as a long (legacy conf) and convert to a
+    * microsecond TimestampType with exact integer division (`DIV`, not `/`:
+    * epoch-nanos exceed 2^53 so double division would lose precision).
+    * The generator emits µs-precision values, so the truncation is lossless. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

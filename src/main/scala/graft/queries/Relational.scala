@@ -1,0 +1,604 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** Relational query inventory Q01-Q25 (SURVEY.md §2.9).
+  *
+  * Each entry pairs an idiomatic DataFrame builder with the exact ANSI SQL
+  * the DuckDB oracle runs over the same parquet tables. Conventions:
+  *  - total ORDER BY with unique tiebreakers, no nullable sort keys;
+  *  - doubles wrapped in round(_, 2|4) on BOTH sides;
+  *  - timestamps rendered as UTC strings (`date_format` / `strftime`);
+  *  - DuckDB results CAST to the Spark output types (year() is BIGINT in
+  *    DuckDB but INT in Spark, sum(int) is HUGEINT vs LONG, …).
+  *
+  * Scale notes are inline per query: what Catalyst picks at sf0.01 and
+  * what the same plan does on a 1000-executor 100 TB cluster.
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String)  = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cst(s: SparkSession, d: String) = Tables.customer(s, d)
+
+  /** Q01 — scan + project + filter. Predicate and projection both reach the
+    * parquet scan (PushedFilters / ReadSchema); at 100 TB this is a pure
+    * narrow map stage, no shuffle except the final sort. */
+  val q01 = QueryDef(
+    "q01_scan_filter",
+    (s, d) =>
+      li(s, d)
+        .filter(col("l_quantity") > 30)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_quantity"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+            round(l_extendedprice, 2) AS price
+            FROM lineitem WHERE l_quantity > 30
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Q02 — TPC-H Q1-style hash aggregate. Partial (map-side) aggregation
+    * then a 6-group shuffle: the classic scale-friendly agg shape. */
+  val q02 = QueryDef(
+    "q02_agg",
+    (s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          // 4 dp, not 2: price(2dp)·(1−disc(2dp)) is exactly 4-decimal, so
+          // its sum sits ON the half-cent boundary often enough that Spark's
+          // HALF_UP and DuckDB's scaled-nearbyint round(_,2) disagree.
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity), 2) AS sum_qty,
+            round(sum(l_extendedprice), 2) AS sum_base_price,
+            round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+            round(avg(l_quantity), 4) AS avg_qty,
+            round(avg(l_extendedprice), 4) AS avg_price,
+            count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Q03 — inner equi-join orders ⋈ customer. Both sides large at scale →
+    * shuffle hash / sort-merge on the key; AQE re-plans from runtime stats. */
+  val q03 = QueryDef(
+    "q03_join_inner",
+    (s, d) => {
+      val o = ord(s, d); val c = cst(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+            count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Q04 — broadcast join fact ⋈ dim. Explicit broadcast(part): the dim is
+    * bounded (2k rows at sf0.01, still tiny at 100 TB) so the join is
+    * shuffle-free on the fact side. */
+  val q04 = QueryDef(
+    "q04_join_broadcast",
+    (s, d) => {
+      val l = li(s, d); val p = Tables.part(s, d)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"), "inner")
+        .groupBy("p_brand")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+            count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand"""))
+
+  /** Q05 — multi-way join over the dimension chain; both dims broadcast so
+    * the fact table is never shuffled. */
+  val q05 = QueryDef(
+    "q05_join_multiway",
+    (s, d) => {
+      val c = cst(s, d); val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(avg(col("c_acctbal")), 4).as("avg_bal"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name, count(*) AS n_customers,
+            round(avg(c_acctbal), 4) AS avg_bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name"""))
+
+  /** Q06 — left outer join keeping zero-order customers; count(o_orderkey)
+    * counts only matched rows, mirroring SQL COUNT(col). */
+  val q06 = QueryDef(
+    "q06_join_left_outer",
+    (s, d) => {
+      val c = cst(s, d); val o = ord(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  /** Q07 — left semi join (EXISTS). Semi joins ship no payload columns from
+    * the right side — cheapest existence check at scale. */
+  val q07 = QueryDef(
+    "q07_join_semi",
+    (s, d) => {
+      val c = cst(s, d); val o = ord(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey"""))
+
+  /** Q08 — left anti join (NOT EXISTS): parts never ordered. */
+  val q08 = QueryDef(
+    "q08_join_anti",
+    (s, d) => {
+      val p = Tables.part(s, d); val l = li(s, d)
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, p_name FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+            ORDER BY p_partkey"""))
+
+  /** Q09 — full outer join of two pre-aggregated sides. Aggregating BEFORE
+    * the join shrinks both inputs to |nations| rows — the decorrelated
+    * shape that survives any scale. */
+  val q09 = QueryDef(
+    "q09_join_full_outer",
+    (s, d) => {
+      val sa = Tables.supplier(s, d).groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"))
+      val ca = cst(s, d).groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      sa.join(ca, sa("s_nationkey") === ca("c_nationkey"), "full_outer")
+        .select(
+          coalesce(sa("s_nationkey"), ca("c_nationkey")).as("nationkey"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+        .orderBy("nationkey")
+    },
+    Some("""SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+            coalesce(n_supp, 0) AS n_supp, coalesce(n_cust, 0) AS n_cust
+            FROM (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+            FULL OUTER JOIN
+                 (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+            ON s_nationkey = c_nationkey
+            ORDER BY nationkey"""))
+
+  /** Q10 — bounded range (theta) self-join on events: same user, successor
+    * events within 1 hour. The equi conjunct (user_id) keys the shuffle, so
+    * this stays a sort-merge join with a range residual — not a cartesian.
+    * At 100 TB: partition by user_id, optionally bucket by time to tighten. */
+  val q10 = QueryDef(
+    "q10_join_range",
+    (s, d) => {
+      val e = Tables.events(s, d).select("user_id", "ts")
+      val a = e.select(col("user_id").as("a_uid"), col("ts").as("a_ts"))
+      val b = e.select(col("user_id").as("b_uid"), col("ts").as("b_ts"))
+      a.join(b,
+          col("a_uid") === col("b_uid") &&
+          col("a_ts") < col("b_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("a_uid").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT a.user_id, count(*) AS n_pairs
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.ts < b.ts
+             AND b.ts <= a.ts + INTERVAL 1 HOUR
+            GROUP BY a.user_id ORDER BY a.user_id"""))
+
+  /** Q11 — distinct counts. Exact here (oracle parity); the Profile utility
+    * offers approx_count_distinct for the 100 TB path. */
+  val q11 = QueryDef(
+    "q11_count_distinct",
+    (s, d) =>
+      ord(s, d).agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_rows")),
+    Some("""SELECT count(DISTINCT o_custkey) AS n_cust,
+            count(DISTINCT o_orderpriority) AS n_prio,
+            count(*) AS n_rows FROM orders"""))
+
+  /** Q12 — cube (superset of rollup/grouping sets) over nation × segment
+    * with grouping_id. NULL group cells coalesced to 'ALL' so sort keys
+    * stay non-null. */
+  val q12 = QueryDef(
+    "q12_cube",
+    (s, d) => {
+      // Via the spark.sql entry point (EP-SQL, SURVEY §3): the Dataset API's
+      // ambiguous-self-join heuristic misfires on cube() output columns.
+      cst(s, d).createOrReplaceTempView("g_customer")
+      Tables.nation(s, d).createOrReplaceTempView("g_nation")
+      s.sql("""SELECT coalesce(n_name, 'ALL') AS nation,
+                      coalesce(c_mktsegment, 'ALL') AS segment,
+                      CAST(grouping_id(n_name, c_mktsegment) AS BIGINT) AS gid,
+                      count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+               FROM g_customer JOIN g_nation ON c_nationkey = n_nationkey
+               GROUP BY CUBE (n_name, c_mktsegment)
+               ORDER BY gid, nation, segment""")
+    },
+    Some("""SELECT coalesce(n_name, 'ALL') AS nation,
+            coalesce(c_mktsegment, 'ALL') AS segment,
+            CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid,
+            count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY CUBE (n_name, c_mktsegment)
+            ORDER BY gid, nation, segment"""))
+
+  /** Q13 — window ranking: top-3 orders per customer. row_number gets the
+    * unique tiebreaker; rank/dense_rank rank by price alone (both
+    * deterministic). Per-key windows partition cleanly at scale. */
+  val q13 = QueryDef(
+    "q13_window_rank",
+    (s, d) => {
+      val byPriceTb = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc)
+      ord(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          row_number().over(byPriceTb).as("rn"),
+          rank().over(byPrice).as("rnk"),
+          dense_rank().over(byPrice).as("drnk"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT * FROM (
+              SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+                CAST(row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
+                CAST(rank() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC) AS INTEGER) AS rnk,
+                CAST(dense_rank() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC) AS INTEGER) AS drnk
+              FROM orders)
+            WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  /** Q14 — window analytics: lag/lead + running sum per user over event
+    * time. Same accumulation order both engines (ts, event_id) so the
+    * running double sum matches exactly. */
+  val q14 = QueryDef(
+    "q14_window_analytic",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(
+          col("user_id"), col("event_id"),
+          round(col("value"), 2).as("v"),
+          round(lag(col("value"), 1).over(w), 2).as("prev_v"),
+          round(lead(col("value"), 1).over(w), 2).as("next_v"),
+          round(sum(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+            .as("run_sum"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id, round(value, 2) AS v,
+            round(lag(value, 1) OVER w, 2) AS prev_v,
+            round(lead(value, 1) OVER w, 2) AS next_v,
+            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, event_id"""))
+
+  /** Q15 — global top-k: Catalyst plans TakeOrderedAndProject (per-partition
+    * top-k + driver merge of k·P rows), never a full global sort. */
+  val q15 = QueryDef(
+    "q15_topk",
+    (s, d) =>
+      ord(s, d)
+        .select(
+          col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(10),
+    Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price,
+            strftime(o_orderdate, '%Y-%m-%d') AS odate
+            FROM orders
+            ORDER BY round(o_totalprice, 2) DESC, o_orderkey LIMIT 10"""))
+
+  /** Q16 — set operators over key projections, folded into one lazy plan
+    * (4 aggregate branches unioned; no driver-side counts). */
+  val q16 = QueryDef(
+    "q16_setops",
+    (s, d) => {
+      val c = cst(s, d).select(col("c_nationkey").as("k"))
+      val sp = Tables.supplier(s, d).select(col("s_nationkey").as("k"))
+      def n(df: DataFrame, op: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      n(c.unionAll(sp), "union_all")
+        .unionAll(n(c.union(sp).distinct(), "union_distinct"))
+        .unionAll(n(c.intersect(sp), "intersect"))
+        .unionAll(n(c.except(sp), "except"))
+        .orderBy("op")
+    },
+    Some("""SELECT 'union_all' AS op, count(*) AS n FROM
+              (SELECT c_nationkey AS k FROM customer
+               UNION ALL SELECT s_nationkey FROM supplier)
+            UNION ALL SELECT 'union_distinct', count(*) FROM
+              (SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+            UNION ALL SELECT 'intersect', count(*) FROM
+              (SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+            UNION ALL SELECT 'except', count(*) FROM
+              (SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+            ORDER BY op"""))
+
+  /** Q17 — string function battery; all codegen'd built-ins, no UDFs. */
+  val q17 = QueryDef(
+    "q17_string_funcs",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          substring(col("p_name"), 1, 5).as("sub5"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          col("p_name").like("%al%").as("has_al"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          length(col("p_name")).as("name_len"),
+          lpad(col("p_brand"), 12, "*").as("brand_pad"),
+          split(col("p_type"), " ").getItem(0).as("type_head"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, upper(p_name) AS up, substr(p_name, 1, 5) AS sub5,
+            concat_ws('-', p_brand, p_type) AS brand_type,
+            p_name LIKE '%al%' AS has_al,
+            regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+            CAST(length(p_name) AS INTEGER) AS name_len,
+            lpad(p_brand, 12, '*') AS brand_pad,
+            string_split(p_type, ' ')[1] AS type_head
+            FROM part ORDER BY p_partkey"""))
+
+  /** Q18 — date/time function battery; timestamps exported as UTC strings. */
+  val q18 = QueryDef(
+    "q18_datetime_funcs",
+    (s, d) =>
+      ord(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_start"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).as("days_since"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+            CAST(year(o_orderdate) AS INTEGER) AS y,
+            CAST(month(o_orderdate) AS INTEGER) AS m,
+            strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+            CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                 AS INTEGER) AS days_since,
+            CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+            strftime(o_orderdate, '%Y-%m-%d') AS odate
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** Q19 — math + conditional battery (CASE WHEN, round/abs/ceil/floor/pow,
+    * modulo, greatest/least). */
+  val q19 = QueryDef(
+    "q19_math_conditional",
+    (s, d) =>
+      li(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_discount") > 0.05, "high").otherwise("low").as("disc_band"),
+          // round at 4 dp: the product of two 2-dp decimals is exactly 4-dp,
+          // so rounding it at 2 dp lands on the .xx5 boundary where Spark
+          // (HALF_UP on shortest-repr) and DuckDB (scaled nearbyint) differ.
+          round(col("l_extendedprice") * (lit(1) + col("l_tax")), 4).as("gross"),
+          round(abs(col("l_discount") - lit(0.05)), 4).as("disc_dev"),
+          ceil(col("l_quantity")).as("qty_ceil"),
+          floor(col("l_quantity")).as("qty_floor"),
+          round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
+          (col("l_linenumber") % 3).as("ln_mod"),
+          round(greatest(col("l_quantity"), col("l_extendedprice") / lit(100)), 4)
+            .as("gmax"),
+          round(least(col("l_quantity"), col("l_extendedprice") / lit(100)), 4)
+            .as("lmin"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+            CASE WHEN l_discount > 0.05 THEN 'high' ELSE 'low' END AS disc_band,
+            round(l_extendedprice * (1 + l_tax), 4) AS gross,
+            round(abs(l_discount - 0.05), 4) AS disc_dev,
+            CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+            CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+            round(pow(l_quantity, 2), 4) AS qty_sq,
+            l_linenumber % 3 AS ln_mod,
+            round(greatest(l_quantity, l_extendedprice / 100), 4) AS gmax,
+            round(least(l_quantity, l_extendedprice / 100), 4) AS lmin
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Q20 — HAVING against a scalar subquery (global avg), decorrelated in
+    * the DataFrame API as a broadcast cross-join of the 1-row aggregate. */
+  val q20 = QueryDef(
+    "q20_having_scalar_subquery",
+    (s, d) => {
+      val c = cst(s, d)
+      val global = c.agg(avg(col("c_acctbal")).as("gavg"))
+      c.groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("c_acctbal")), 4).as("avg_bal"),
+          avg(col("c_acctbal")).as("_raw_avg"))
+        .crossJoin(broadcast(global))
+        .filter(col("_raw_avg") > col("gavg"))
+        .select("c_mktsegment", "n", "avg_bal")
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+            FROM customer GROUP BY c_mktsegment
+            HAVING avg(c_acctbal) > (SELECT avg(c_acctbal) FROM customer)
+            ORDER BY c_mktsegment"""))
+
+  /** Q21 — IN-subquery: orders from top-decile-balance customers, as a semi
+    * join against an ntile(10) window. Note: global ntile implies a single
+    * ordered partition — at 100 TB replace with approx_percentile threshold. */
+  val q21 = QueryDef(
+    "q21_in_subquery",
+    (s, d) => {
+      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val top = cst(s, d)
+        .select(col("c_custkey"), ntile(10).over(w).as("decile"))
+        .filter(col("decile") === 1)
+        .select("c_custkey")
+      val o = ord(s, d)
+      o.join(top, o("o_custkey") === top("c_custkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+            round(sum(o_totalprice), 2) AS revenue
+            FROM orders WHERE o_custkey IN (
+              SELECT c_custkey FROM (
+                SELECT c_custkey, ntile(10) OVER
+                  (ORDER BY c_acctbal DESC, c_custkey) AS decile
+                FROM customer)
+              WHERE decile = 1)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Q22 — correlated scalar subquery (each customer's max-price orders),
+    * decorrelated to a per-key window max — one shuffle instead of a
+    * subquery per row. */
+  val q22 = QueryDef(
+    "q22_correlated_subquery",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+      ord(s, d)
+        .withColumn("max_price", max(col("o_totalprice")).over(w))
+        .filter(col("o_totalprice") === col("max_price"))
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+            FROM orders o
+            WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  /** Q23 — JSON extraction over events.props. */
+  val q23 = QueryDef(
+    "q23_json",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id, event_type,
+            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+            FROM events ORDER BY event_id"""))
+
+  /** Q23b — array ops over embeddings via higher-order functions. The fold
+    * (`aggregate`) runs left-to-right on both engines (0.0 seed), so the
+    * double sums match exactly. */
+  val q23b = QueryDef(
+    "q23b_array_funcs",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("emb", col("embedding").cast("array<double>"))
+      e.select(
+          col("vec_id"),
+          size(col("emb")).as("dim"),
+          round(element_at(col("emb"), 1), 4).as("e0"),
+          round(array_max(col("emb")), 4).as("emax"),
+          round(
+            aggregate(col("emb"), lit(0.0), (acc, x) => acc + x), 4).as("esum"))
+        .orderBy("vec_id")
+    },
+    Some("""SELECT vec_id,
+            CAST(len(embedding) AS INTEGER) AS dim,
+            round(CAST(embedding AS DOUBLE[])[1], 4) AS e0,
+            round(list_max(CAST(embedding AS DOUBLE[])), 4) AS emax,
+            round(list_reduce(list_prepend(0.0, CAST(embedding AS DOUBLE[])),
+                              (a, b) -> a + b), 4) AS esum
+            FROM embeddings ORDER BY vec_id"""))
+
+  private val liCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate")
+
+  /** Q24 — single-pass profile: per-column null + exact distinct counts in
+    * ONE aggregate over lineitem (the A2 idiom done right: the reference ran
+    * 2 shuffles × N columns). At 100 TB swap countDistinct for
+    * approx_count_distinct (see graft.ops.Profile). */
+  val q24 = QueryDef(
+    "q24_profile",
+    (s, d) => {
+      val aggs = liCols.flatMap(c => Seq(
+        sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"distinct_$c")))
+      li(s, d).agg(count(lit(1)).as("n_rows"), aggs: _*)
+    },
+    Some {
+      val per = liCols.map(c =>
+        s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_$c,
+            count(DISTINCT $c) AS distinct_$c""").mkString(",\n")
+      s"SELECT count(*) AS n_rows,\n$per\nFROM lineitem"
+    })
+
+  /** Q25 — Pearson correlations in one aggregate pass (A3/A4 parity: the
+    * reference ran O(n²) separate full-scan corr jobs). */
+  val q25 = QueryDef(
+    "q25_corr",
+    (s, d) =>
+      li(s, d).agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qty_price"),
+        round(corr(col("l_extendedprice"), col("l_discount")), 4)
+          .as("corr_price_disc"),
+        round(corr(col("l_quantity"), col("l_discount")), 4)
+          .as("corr_qty_disc")),
+    Some("""SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+            round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
+            round(corr(l_quantity, l_discount), 4) AS corr_qty_disc
+            FROM lineitem"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25)
+}
