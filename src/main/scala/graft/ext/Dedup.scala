@@ -1,0 +1,206 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+
+import graft.core.Tables
+import graft.queries.QueryDef
+
+/** Deduplication operators over `documents` / `embeddings` (the
+  * training-data-pipeline surface): exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale shapes:
+  *  - exact dedup: one hash aggregate on the dedup key — the cheapest
+  *    possible shuffle, AQE-coalesced;
+  *  - MinHash/SimHash/LSH: candidate generation via hashing so the
+  *    pairwise comparison never touches the full n² space — the 100 TB
+  *    path. The n-gram-Jaccard and cosine all-pairs forms are the exact
+  *    small-scale baselines the approximate paths are validated against
+  *    in tests (bounded inputs only).
+  */
+object Dedup {
+
+  /** d01 — exact dedup by content hash-aggregate. The canonical survivor
+    * is min(doc_id): deterministic, unlike dropDuplicates' arbitrary-row
+    * semantics (which the library still exposes via [[exactDropDuplicates]]). */
+  val exact: QueryDef = QueryDef(
+    "d01_dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select("canonical_id", "n_copies")
+        .orderBy("canonical_id"),
+    Some("""SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY canonical_id"""))
+
+  /** Plain `dropDuplicates` form (arbitrary survivor — used where survivor
+    * identity doesn't matter; not oracle-comparable for that reason). */
+  def exactDropDuplicates(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Word 3-gram shingle array for a text column (empty-safe). */
+  def shingleExpr(textCol: String): String =
+    s"transform(sequence(0, greatest(size(split($textCol, ' ')) - 3, 0)), " +
+      s"i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, 3)))"
+
+  /** d02 — MinHash+LSH fuzzy dedup: shingle → binary hashed term vector →
+    * MinHash signatures → LSH band-bucket candidate join with exact
+    * Jaccard distance on candidates only. Seeded, deterministic; no SQL
+    * oracle (hash-family dependent) → rows-only check. */
+  val minhash: QueryDef = QueryDef(
+    "d02_dedup_minhash",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("shingles", expr(shingleExpr("text")))
+      val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+        .setNumFeatures(1 << 18).setBinary(true)
+      val vecs = tf.transform(docs).select("doc_id", "features")
+      val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42)
+      val model = mh.fit(vecs)
+      model.approxSimilarityJoin(vecs, vecs, 0.99, "jaccard_dist")
+        .select(
+          col("datasetA.doc_id").as("a_id"),
+          col("datasetB.doc_id").as("b_id"),
+          col("jaccard_dist"))
+        .filter(col("a_id") < col("b_id"))
+        .orderBy("a_id", "b_id")
+    },
+    None)
+
+  /** 64-bit SimHash per document: xxhash64 each token, per-bit ±1 votes,
+    * sign-pack into a long. One explode + one aggregate — linear at scale. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val hashed = toks.select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val voteCols = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val votes = hashed.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val packed = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    votes.select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** d03 — SimHash near-dup pairs under a Hamming radius. The pair join is
+    * exact all-pairs here (bounded fixture); the scale path blocks on
+    * simhash bands (e.g. 4×16-bit chunks) before comparing. */
+  val simhashPairs: QueryDef = QueryDef(
+    "d03_dedup_simhash",
+    (s, d) => {
+      val sh = simhash(Tables.documents(s, d))
+      val a = sh.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+      val b = sh.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)"))
+        .filter(col("hamming") <= 16)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    },
+    None)
+
+  /** d04 — word-3-gram Jaccard near-dup via shingle inverted index:
+    * explode distinct shingles, self-join on shingle (equi — shuffles on
+    * the shingle key, never materializes n² pairs), count intersections,
+    * Jaccard = |∩| / (|A|+|B|−|∩|). Unrounded: both engines do the same
+    * int→double division. */
+  val ngramJaccard: QueryDef = {
+    val theta = 0.20
+    QueryDef(
+      "d04_dedup_ngram_jaccard",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), explode(expr(shingleExpr("text"))).as("sh"))
+          .distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val a = sh.select(col("doc_id").as("a_id"), col("sh"))
+        val b = sh.select(col("doc_id").as("b_id"), col("sh"))
+        val inter = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+        val sa = sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a"))
+        val sb = sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b"))
+        inter.join(sa, "a_id").join(sb, "b_id")
+          .withColumn("jaccard",
+            col("n_inter").cast("double") /
+              (col("n_a") + col("n_b") - col("n_inter")))
+          .filter(col("jaccard") >= theta)
+          .select("a_id", "b_id", "jaccard")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               sh AS (
+                 SELECT DISTINCT doc_id, array_to_string(t[i + 1:i + 3], ' ') AS sh
+                 FROM toks, unnest(range(0, greatest(len(t) - 2, 1))) AS u(i)),
+               sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+               inter AS (
+                 SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+               SELECT a_id, b_id,
+                 CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+               FROM inter
+               JOIN sizes sa ON sa.doc_id = a_id
+               JOIN sizes sb ON sb.doc_id = b_id
+               WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= $theta
+               ORDER BY a_id, b_id"""))
+  }
+
+  /** Sequential left-fold dot product / squared norm as expression text —
+    * the SAME accumulation order DuckDB's mirrored list_reduce uses, so
+    * doubles match bit-for-bit. */
+  def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+  def norm2Expr(a: String): String =
+    s"aggregate($a, 0D, (acc, x) -> acc + x * x)"
+
+  /** d05 — embedding-cosine near-dup pairs. All-pairs exact at fixture
+    * scale; the LSH-bucketed scale path is s02 (Similarity). */
+  val embeddingCosine: QueryDef = {
+    val theta = 0.40
+    QueryDef(
+      "d05_dedup_embedding",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        val a = e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"))
+        val b = e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"))
+        a.join(b, col("a_id") < col("b_id"))
+          .withColumn("cos_sim",
+            expr(s"${dotExpr("a_emb", "b_emb")} / " +
+              s"(sqrt(${norm2Expr("a_emb")}) * sqrt(${norm2Expr("b_emb")}))"))
+          .filter(col("cos_sim") >= theta)
+          .select("a_id", "b_id", "cos_sim")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH e AS (
+                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+               p AS (
+                 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   list_reduce(list_prepend(0.0,
+                     list_transform(range(1, len(a.emb) + 1),
+                                    i -> a.emb[i] * b.emb[i])),
+                     (x, y) -> x + y) AS dot,
+                   list_reduce(list_prepend(0.0,
+                     list_transform(range(1, len(a.emb) + 1),
+                                    i -> a.emb[i] * a.emb[i])),
+                     (x, y) -> x + y) AS na,
+                   list_reduce(list_prepend(0.0,
+                     list_transform(range(1, len(b.emb) + 1),
+                                    i -> b.emb[i] * b.emb[i])),
+                     (x, y) -> x + y) AS nb
+                 FROM e a JOIN e b ON a.vec_id < b.vec_id)
+               SELECT a_id, b_id, dot / (sqrt(na) * sqrt(nb)) AS cos_sim
+               FROM p WHERE dot / (sqrt(na) * sqrt(nb)) >= $theta
+               ORDER BY a_id, b_id"""))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(exact, minhash, simhashPairs, ngramJaccard, embeddingCosine)
+}

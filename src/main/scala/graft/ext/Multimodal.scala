@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.QueryDef
+
+/** Multimodal column handling: media as opaque `binary` columns with
+  * typed metadata structs, plus a feature-extraction stage whose actual
+  * codec is STUBBED (no image/audio libs in this container) behind a
+  * deterministic fake — the Spark-side plumbing (schema, batch shape,
+  * partition-parallel decode) is real.
+  *
+  * At 100 TB: blobs stay columnar in parquet, metadata predicates prune
+  * row groups before any decode; the decode stage is a narrow
+  * mapPartitions (no shuffle), sized by `spark.sql.files.maxPartitionBytes`.
+  */
+object Multimodal {
+
+  /** A decoded-media feature row (what a real image decoder would emit). */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int, mean_luma: Double)
+
+  /** Assemble the multimodal frame: blob (binary) + metadata struct. */
+  def mediaFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      col("text").cast("binary").as("blob"),
+      struct(
+        col("lang").as("lang"),
+        col("source").as("source"),
+        col("n_chars").as("n_chars")).as("meta"))
+
+  /** STUB decoder — deterministic fake standing in for a real image/audio
+    * codec (none available in this container). Runs partition-parallel
+    * over the binary column exactly as a real decoder would; only the
+    * body of `decodeOne` is fake. */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeOne(id, bytes) })
+  }
+
+  /** Fake decode: byte-derived dimensions + "luma". Deterministic in the
+    * blob content so tests and the oracle can mirror it. */
+  private def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val n = bytes.length
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+    MediaFeatures(
+      doc_id = id,
+      n_bytes = n,
+      width = (acc % 640).toInt,
+      height = ((acc / 640) % 480).toInt,
+      mean_luma = (acc % 256).toDouble / 255.0)
+  }
+
+  /** m01 — metadata + content digest over the binary column: the
+    * fully-oracle-able slice (md5 over identical UTF-8 bytes). */
+  val metaDigest: QueryDef = QueryDef(
+    "m01_multimodal_digest",
+    (s, d) =>
+      mediaFrame(s, d).select(
+        col("doc_id"),
+        length(col("blob")).as("n_bytes"),
+        md5(col("blob")).as("digest"),
+        col("meta.lang").as("lang"),
+        col("meta.n_chars").as("n_chars"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
+            md5(text) AS digest, lang, n_chars
+            FROM documents ORDER BY doc_id"""))
+
+  /** m02 — the decode stage through mapPartitions (typed batch shape).
+    * The rolling-hash "decode" is mirrored in SQL so even the stub is
+    * oracle-checked. */
+  val decode: QueryDef = QueryDef(
+    "m02_multimodal_decode",
+    (s, d) => decodeFeatures(mediaFrame(s, d)).toDF().orderBy("doc_id"),
+    Some("""WITH h AS (
+              SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(text) + 1),
+                                   i -> CAST(ascii(text[i]) AS BIGINT))),
+                  (acc, ch) -> (acc * 31 + ch) % 1000000007) AS acc
+              FROM documents)
+            SELECT doc_id, n_bytes,
+              CAST(acc % 640 AS INTEGER) AS width,
+              CAST((acc // 640) % 480 AS INTEGER) AS height,
+              CAST(acc % 256 AS DOUBLE) / 255.0 AS mean_luma
+            FROM h ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(metaDigest, decode)
+}

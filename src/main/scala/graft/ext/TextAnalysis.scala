@@ -1,0 +1,157 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.QueryDef
+
+/** Text-analysis operators over the `documents` table (SURVEY §2.9
+  * extended surface): language ID, quality scoring, token counting,
+  * deterministic document fingerprinting.
+  *
+  * Design rules for oracle parity:
+  *  - the scoring lexicons/formulae are generated ONCE in Scala and
+  *    rendered into both the Spark expression and the DuckDB SQL, so the
+  *    two sides cannot drift;
+  *  - ratios of integers are left UNROUNDED: both engines perform the
+  *    same IEEE double division on the same ints, so results are
+  *    bit-identical (rounding could only introduce half-even/half-up
+  *    divergence);
+  *  - everything is a narrow per-row projection — no shuffle, scales
+  *    linearly at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Per-language marker-word lexicons (sorted langs = deterministic
+    * argmax tie-break order). A tiny stopword-hit heuristic, not a real
+    * model — the point is the distributed plumbing and the mirrored
+    * deterministic scoring. */
+  private val lexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "有"))
+
+  private val langs = lexicons.map(_._1)
+
+  /** Argmax over hit counts with ties broken by lang order; identical
+    * CASE text on both engines. */
+  private val predCase: String = {
+    val arms = langs.init.zipWithIndex.map { case (l, i) =>
+      val geAll = langs.drop(i + 1).map(r => s"h_$l >= h_$r").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }
+    s"CASE ${arms.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  /** t01 — n-gram/stopword language ID. */
+  val langId: QueryDef = {
+    val sparkHits = lexicons.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString(", ")
+      s"size(filter(split(text, ' '), t -> array_contains(array($arr), t))) AS h_$l"
+    }
+    val duckHits = lexicons.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains([$arr], t))) AS INTEGER) AS h_$l"
+    }
+    QueryDef(
+      "t01_lang_id",
+      (s, d) =>
+        Tables.documents(s, d)
+          .selectExpr(Seq("doc_id", "lang") ++ sparkHits: _*)
+          .selectExpr(Seq("doc_id", "lang", s"$predCase AS pred_lang") ++
+            langs.map(l => s"h_$l"): _*)
+          .withColumn("is_correct", col("pred_lang") === col("lang"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, $predCase AS pred_lang,
+               ${langs.map(l => s"h_$l").mkString(", ")},
+               pred_lang = lang AS is_correct
+               FROM (SELECT doc_id, lang, ${duckHits.mkString(", ")}
+                     FROM documents)
+               ORDER BY doc_id"""))
+  }
+
+  private val stopWords = Seq("the", "a", "and", "of", "in", "to", "is")
+  private val punctClass = "[.,!?;:]"
+
+  /** t02 — quality scoring: length, punctuation ratio, stopword ratio,
+    * average token length. */
+  val quality: QueryDef = {
+    val stopArr = stopWords.map(w => s"'$w'").mkString(", ")
+    QueryDef(
+      "t02_quality_score",
+      (s, d) =>
+        Tables.documents(s, d)
+          .selectExpr(
+            "doc_id",
+            "length(text) AS n_chars_txt",
+            raw"size(split(trim(text), '\\s+')) AS n_tokens",
+            s"length(text) - length(regexp_replace(text, '$punctClass', '')) AS n_punct",
+            s"size(filter(split(text, ' '), t -> array_contains(array($stopArr), t))) AS n_stop")
+          .selectExpr(
+            "doc_id", "n_chars_txt", "n_tokens", "n_punct", "n_stop",
+            "CAST(n_punct AS DOUBLE) / n_chars_txt AS punct_ratio",
+            "CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio",
+            "CAST(n_chars_txt - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_token_len")
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, n_chars_txt, n_tokens, n_punct, n_stop,
+               CAST(n_punct AS DOUBLE) / n_chars_txt AS punct_ratio,
+               CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+               CAST(n_chars_txt - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_token_len
+               FROM (SELECT doc_id,
+                 CAST(length(text) AS INTEGER) AS n_chars_txt,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+                 CAST(length(text) - length(regexp_replace(text, '$punctClass', '', 'g')) AS INTEGER) AS n_punct,
+                 CAST(len(list_filter(string_split(text, ' '), t -> list_contains([$stopArr], t))) AS INTEGER) AS n_stop
+                 FROM documents)
+               ORDER BY doc_id"""))
+  }
+
+  /** t03 — token counting: whitespace tokens + a BPE-ish regex
+    * tokenization (lowercase runs / capitalized runs / digit runs /
+    * single punctuation). */
+  val tokenCount: QueryDef = {
+    // literal-space class, NOT \s: Spark's SQL string literals process
+    // backslash escapes ('\s' → 's') while DuckDB's don't, so \s inside a
+    // shared pattern string silently diverges between the two engines.
+    val pat = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]"
+    QueryDef(
+      "t03_token_count",
+      (s, d) =>
+        Tables.documents(s, d)
+          .selectExpr(
+            "doc_id",
+            raw"size(split(trim(text), '\\s+')) AS n_ws_tokens",
+            s"size(regexp_extract_all(text, '$pat', 0)) AS n_re_tokens",
+            "length(text) AS n_chars_txt")
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '$pat', 0)) AS INTEGER) AS n_re_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars_txt
+               FROM documents ORDER BY doc_id"""))
+  }
+
+  /** t04 — document fingerprint: rolling polynomial hash
+    * acc ← (31·acc + codepoint) mod 1e9+7, folded left-to-right over the
+    * characters on both engines (mod keeps the accumulator < 2^35 so the
+    * DuckDB BIGINT never overflows and the Spark long math is exact). */
+  val fingerprint: QueryDef = QueryDef(
+    "t04_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .selectExpr(
+          "doc_id",
+          "aggregate(split(text, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007) AS fp")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+            list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, length(text) + 1),
+                               i -> CAST(ascii(text[i]) AS BIGINT))),
+              (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fp
+            FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint)
+}

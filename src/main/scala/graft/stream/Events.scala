@@ -1,0 +1,133 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.Tables
+import graft.queries.QueryDef
+
+/** Event-time windowing over the `events` table.
+  *
+  * The window TRANSFORMS are defined once on a plain DataFrame and used
+  * from two entry points:
+  *  - batch (the oracle-checked queries below — `window()` /
+  *    `session_window()` work identically on bounded frames);
+  *  - Structured Streaming (`readStream` → same transform → `writeStream`
+  *    with a watermark), exercised in the test suite via MemoryStream.
+  * This is exactly Spark's unified-batch/stream contract, so the batch
+  * oracle ALSO validates the streaming aggregation logic.
+  */
+object Events {
+
+  // ---- transforms (shared batch/stream) ----
+
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  def session(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("s_start"),
+        col("user_id"), col("n"), col("sum_value"))
+
+  // ---- streaming entry points (tested with MemoryStream) ----
+
+  /** Streaming tumbling-window aggregation with late-data handling:
+    * events later than the watermark are dropped, window state is evicted
+    * once the watermark passes the window end. */
+  def tumblingStream(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    tumbling(events.withWatermark("ts", watermark))
+
+  /** Streaming dedup within the watermark horizon. */
+  def dedupStream(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class RunningState(n: Long, sum: Double)
+  final case class UserRunning(user_id: Long, n: Long, sum_value: Double)
+
+  /** Custom per-key running state via mapGroupsWithState (update mode):
+    * the worked example of arbitrary stateful processing. */
+  def runningTotals(events: Dataset[(Long, Double)]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[RunningState]) =>
+          val prev = state.getOption.getOrElse(RunningState(0L, 0.0))
+          val (dn, ds) = rows.foldLeft((0L, 0.0)) {
+            case ((n, sm), (_, v)) => (n + 1, sm + v)
+          }
+          val next = RunningState(prev.n + dn, prev.sum + ds)
+          state.update(next)
+          UserRunning(uid, next.n, next.sum)
+      }
+  }
+
+  // ---- oracle-checked batch queries ----
+
+  /** st01 — tumbling 1h windows. Spark window starts are epoch-aligned,
+    * so DuckDB's date_trunc('hour') mirrors them exactly. */
+  val tumblingQ: QueryDef = QueryDef(
+    "st01_window_tumbling",
+    (s, d) => tumbling(Tables.events(s, d)).orderBy("w_start", "event_type"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+            event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""))
+
+  /** st02 — sliding 1h/30m windows: each event belongs to 2 windows; the
+    * oracle unnests the two candidate starts. */
+  val slidingQ: QueryDef = QueryDef(
+    "st02_window_sliding",
+    (s, d) => sliding(Tables.events(s, d)).orderBy("w_start", "event_type"),
+    Some("""WITH w AS (
+              SELECT event_type, value,
+                unnest([to_timestamp(floor(epoch(ts) / 1800) * 1800),
+                        to_timestamp(floor(epoch(ts) / 1800) * 1800
+                                     - 1800)]) AS w_start
+              FROM events)
+            SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+              count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM w GROUP BY 1, 2 ORDER BY w_start, event_type"""))
+
+  /** st03 — session windows (10-minute gap) per user; the oracle uses the
+    * classic gaps-and-islands rewrite (new session when the gap from the
+    * previous event is >= the timeout, matching session_window's
+    * half-open [ts, ts+gap) merge rule). */
+  val sessionQ: QueryDef = QueryDef(
+    "st03_window_session",
+    (s, d) => session(Tables.events(s, d)).orderBy("user_id", "s_start"),
+    Some("""WITH x AS (
+              SELECT user_id, ts, value,
+                CASE WHEN ts >= lag(ts) OVER w + INTERVAL 10 MINUTE
+                       OR lag(ts) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            g AS (
+              SELECT user_id, ts, value,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+              FROM x)
+            SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start, user_id,
+              count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM g GROUP BY user_id, sid ORDER BY user_id, s_start"""))
+
+  val all: Seq[QueryDef] = Seq(tumblingQ, slidingQ, sessionQ)
+}
