@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.queries.{QueryDef, Relational}
+import graft.queries.{Extensions, MlQueries, QueryDef, Relational}
 import graft.stream.Events
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,7 +16,7 @@ object SparkEntry {
   /** Every registered capability, in declaration order. */
   def registry: Seq[QueryDef] =
     Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
-      Multimodal.all ++ Events.all
+      Multimodal.all ++ Events.all ++ Extensions.all ++ MlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,82 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** HyperLogLog distinct-count sketch as a typed `Aggregator` — the
+  * engine's worked example of the custom-UDAF extension point.
+  *
+  * Why not just `approx_count_distinct`? That built-in is the right call
+  * inside one query (and Profile.approx uses it). This Aggregator exists
+  * for the 100 TB profiling case the built-in can't cover: the BUFFER
+  * (register array) is the value — mergeable across datasets, days, and
+  * pipeline stages, so per-partition sketches can be stored and unioned
+  * later without rescanning (reduce = merge = max per register).
+  *
+  * Fixed p=12 (4096 registers, ~1.6% relative error), splitmix64 hashing —
+  * fully deterministic.
+  */
+object DistinctSketch {
+
+  final val P = 12
+  final val M = 1 << P // registers
+
+  /** splitmix64 — deterministic 64-bit avalanche hash. */
+  def hash64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def emptyBuffer: Array[Byte] = new Array[Byte](M)
+
+  def update(buf: Array[Byte], value: Long): Array[Byte] = {
+    val h = hash64(value)
+    val idx = (h >>> (64 - P)).toInt
+    val rank = (java.lang.Long.numberOfLeadingZeros(h << P | (1L << (P - 1))) + 1)
+      .toByte
+    if (rank > buf(idx)) buf(idx) = rank
+    buf
+  }
+
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  /** Standard HLL estimate with small-range (linear counting) correction. */
+  def estimate(buf: Array[Byte]): Long = {
+    val alpha = 0.7213 / (1 + 1.079 / M)
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      sum += 1.0 / (1L << buf(i))
+      if (buf(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * M * M / sum
+    val est =
+      if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
+      else raw
+    math.round(est)
+  }
+
+  /** Typed Aggregator over a long key column. */
+  val agg: Aggregator[Long, Array[Byte], Long] =
+    new Aggregator[Long, Array[Byte], Long] {
+      override def zero: Array[Byte] = emptyBuffer
+      override def reduce(b: Array[Byte], a: Long): Array[Byte] = update(b, a)
+      override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+        DistinctSketch.merge(a, b)
+      override def finish(b: Array[Byte]): Long = estimate(b)
+      override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+      override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+
+  /** DataFrame-usable UDAF column: `distinctSketch(col("x"))`. */
+  def distinctSketch(c: Column): Column = udaf(agg).apply(c)
+}

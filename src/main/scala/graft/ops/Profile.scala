@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiling — the reference's A2 idiom
+  * (`Main.scala:133,190-206`: `groupBy(c).count().groupBy(c).count().count()`
+  * per column = 2 shuffles × N columns) collapsed into a single aggregate
+  * over all columns at once.
+  *
+  * `exact` is the oracle-parity form (multi-`countDistinct` plans one
+  * Expand + one aggregate — a single scan). `approx` is the 100 TB form:
+  * HLL++ `approx_count_distinct` needs no Expand and no per-column
+  * distinct shuffle at all.
+  */
+object Profile {
+
+  private def nullCount(c: String): Column =
+    sum(col(c).isNull.cast("long")).as(s"nulls_$c")
+
+  /** Exact per-column null + distinct counts, single pass. */
+  def exact(df: DataFrame): DataFrame = {
+    val aggs = df.columns.toSeq.flatMap(c =>
+      Seq(nullCount(c), countDistinct(col(c)).as(s"distinct_$c")))
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Approximate profile: same shape, sketch-based distinct counts. */
+  def approx(df: DataFrame, rsd: Double = 0.02): DataFrame = {
+    val aggs = df.columns.toSeq.flatMap(c =>
+      Seq(nullCount(c), approx_count_distinct(col(c), rsd).as(s"distinct_$c")))
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Columns that are all-null or constant (distinct ≤ 1 ignoring nulls) —
+    * the reference's drop-candidate rule (`Main.scala:190-206`), computed
+    * from ONE profile row instead of 2N jobs. */
+  def constantColumns(df: DataFrame): Seq[String] = {
+    val row = exact(df).collect()(0)
+    df.columns.toSeq.filter { c =>
+      row.getAs[Long](s"distinct_$c") <= 1L
+    }
+  }
+}

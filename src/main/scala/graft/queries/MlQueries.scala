@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature._
+import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** ML pipeline surface (SURVEY §2.7, ML1-ML13) exercised over the
+  * TESTDATA tables so the driver can run it per-round: indexer → OHE →
+  * assembler → normalizer → selector → LR under CV. Metrics are
+  * model-dependent reals → rows-only check here; tolerance-based golden
+  * assertions (and the full flight-parity app) live in the test suite.
+  */
+object MlQueries {
+
+  /** ml01 — regression of order value from customer/date features through
+    * the full feature pipeline + 3-fold CV LinearRegression. */
+  val lrOrders: QueryDef = QueryDef(
+    "ml01_lr_pipeline",
+    (s, d) => {
+      import s.implicits._
+      val df = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(
+          col("o_totalprice").as("label"),
+          month(col("o_orderdate")).cast("double").as("o_month"),
+          col("c_acctbal"),
+          col("o_orderpriority"), col("c_mktsegment"))
+
+      val stages = Seq(
+        new StringIndexer()
+          .setInputCols(Array("o_orderpriority", "c_mktsegment"))
+          .setOutputCols(Array("prioIdx", "segIdx"))
+          .setHandleInvalid("keep"),
+        new OneHotEncoder().setInputCols(Array("prioIdx", "segIdx"))
+          .setOutputCols(Array("prioCat", "segCat")),
+        new VectorAssembler()
+          .setInputCols(Array("o_month", "c_acctbal", "prioCat", "segCat"))
+          .setOutputCol("rawFeatures"),
+        new Normalizer().setInputCol("rawFeatures").setOutputCol("normFeatures")
+          .setP(1.0),
+        new UnivariateFeatureSelector()
+          .setFeatureType("continuous").setLabelType("continuous")
+          .setSelectionMode("fdr").setSelectionThreshold(0.5)
+          .setFeaturesCol("normFeatures").setLabelCol("label")
+          .setOutputCol("features"))
+      val prepped = new Pipeline().setStages(stages.toArray)
+        .fit(df).transform(df).select("label", "features")
+
+      val Array(tr, te) = prepped.randomSplit(Array(0.7, 0.3), 10)
+      val lr = new LinearRegression()
+      val grid = new ParamGridBuilder()
+        .addGrid(lr.regParam, Array(0.01))
+        .addGrid(lr.elasticNetParam, Array(0.25))
+        .addGrid(lr.maxIter, Array(10)).build()
+      val rmseEval = new RegressionEvaluator().setMetricName("rmse")
+      val cv = new CrossValidator().setEstimator(lr)
+        .setEstimatorParamMaps(grid).setEvaluator(rmseEval)
+        .setNumFolds(3).setSeed(10)
+      val pred = cv.fit(tr).transform(te)
+      val r2Eval = new RegressionEvaluator().setMetricName("r2")
+      Seq((
+        "LinearRegression",
+        rmseEval.evaluate(pred),
+        r2Eval.evaluate(pred),
+        tr.count(), te.count()))
+        .toDF("model", "rmse", "r2", "n_train", "n_test")
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(lrOrders)
+}

@@ -568,12 +568,7 @@ object Relational {
     * approx_count_distinct (see graft.ops.Profile). */
   val q24 = QueryDef(
     "q24_profile",
-    (s, d) => {
-      val aggs = liCols.flatMap(c => Seq(
-        sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
-        countDistinct(col(c)).as(s"distinct_$c")))
-      li(s, d).agg(count(lit(1)).as("n_rows"), aggs: _*)
-    },
+    (s, d) => graft.ops.Profile.exact(li(s, d)),
     Some {
       val per = liCols.map(c =>
         s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_$c,

@@ -1,0 +1,41 @@
+package graft.expr
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DistinctSketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("estimate within 5% of exact at 10k distinct") {
+    val est = DistinctSketch.estimate(
+      (1L to 10000L).foldLeft(DistinctSketch.emptyBuffer)(DistinctSketch.update))
+    assert(math.abs(est - 10000) < 500, s"est=$est")
+  }
+
+  test("merge(sketch(A), sketch(B)) == sketch(A ∪ B) — mergeability") {
+    val a = (1L to 5000L).foldLeft(DistinctSketch.emptyBuffer)(DistinctSketch.update)
+    val b = (2500L to 8000L).foldLeft(DistinctSketch.emptyBuffer)(DistinctSketch.update)
+    val union = (1L to 8000L).foldLeft(DistinctSketch.emptyBuffer)(DistinctSketch.update)
+    assert(DistinctSketch.merge(a, b).toSeq == union.toSeq)
+  }
+
+  test("duplicates don't change the sketch (idempotent updates)") {
+    val once = (1L to 100L).foldLeft(DistinctSketch.emptyBuffer)(DistinctSketch.update)
+    val thrice = (1 to 3).foldLeft(DistinctSketch.emptyBuffer) { (buf, _) =>
+      (1L to 100L).foldLeft(buf)(DistinctSketch.update)
+    }
+    assert(once.toSeq == thrice.toSeq)
+  }
+
+  test("UDAF over a DataFrame tracks countDistinct") {
+    val df = (1L to 20000L).map(i => i % 3000).toDF("k")
+    val row = df.agg(
+      DistinctSketch.distinctSketch(col("k")).as("est"),
+      countDistinct(col("k")).as("exact")).collect()(0)
+    val (est, exact) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(est - exact).toDouble / exact < 0.05, s"est=$est exact=$exact")
+  }
+}

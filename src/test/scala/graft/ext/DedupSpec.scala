@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Planted-duplicate tests: each dedup operator must find a constructed
+  * near-dup pair and must NOT pair unrelated docs. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  val nearDup = base.replace("sigma", "sigmoid") // one-token edit
+  val unrelated = "one two three four five six seven eight nine ten " +
+    "eleven twelve thirteen fourteen fifteen sixteen"
+
+  lazy val docs = Seq(
+    (0L, base), (1L, base), (2L, nearDup), (3L, unrelated))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under min-id survivor") {
+    val r = docs.groupBy("text")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n"))
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(r(0L) == 2) // doc 0 and 1 merged
+    assert(r(2L) == 1 && r(3L) == 1)
+  }
+
+  test("3-gram shingles of a 20-token doc number 18") {
+    val n = docs.filter(col("doc_id") === 0)
+      .selectExpr(s"size(${Dedup.shingleExpr("text")}) AS n")
+      .collect()(0).getInt(0)
+    assert(n == 18)
+  }
+
+  test("ngram-jaccard pairs exact dup at 1.0 and near-dup high, unrelated absent") {
+    val sh = docs.select(col("doc_id"), explode(expr(Dedup.shingleExpr("text"))).as("sh")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh"))
+    val inter = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+    val sa = sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a"))
+    val sb = sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b"))
+    val jac = inter.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("j", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")))
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("j")).toMap
+    assert(jac((0L, 1L)) == 1.0)
+    assert(jac((0L, 2L)) > 0.5 && jac((0L, 2L)) < 1.0)
+    assert(!jac.contains((0L, 3L)) && !jac.contains((1L, 3L)))
+  }
+
+  test("simhash: identical docs distance 0, near-dup close, unrelated far") {
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) == 0)
+    assert(ham(sh(0L), sh(2L)) < 16)
+    assert(ham(sh(0L), sh(3L)) > ham(sh(0L), sh(2L)))
+  }
+
+  test("embedding cosine: planted parallel vectors pair up") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 1.0f, 0.0f)),
+      (2L, Array(-1.0f, 0.5f, 0.0f, 0.7f))).toDF("vec_id", "embedding")
+    e.createOrReplaceTempView("tmp_emb")
+    val a = e.select(col("vec_id").as("a_id"),
+      col("embedding").cast("array<double>").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"),
+      col("embedding").cast("array<double>").as("b_emb"))
+    val cos = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("c", expr(s"${Dedup.dotExpr("a_emb", "b_emb")} / " +
+        s"(sqrt(${Dedup.norm2Expr("a_emb")}) * sqrt(${Dedup.norm2Expr("b_emb")}))"))
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("c")).toMap
+    assert(cos((0L, 1L)) > 0.99)
+    assert(cos((0L, 2L)) < 0.1)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fingerprint is the documented rolling hash and is deterministic") {
+    def rollingHash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "x"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("tmp_docs")
+    val got = df.selectExpr("doc_id",
+      "aggregate(split(text, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007) AS fp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == rollingHash("hello world"))
+    assert(got(1L) == got(2L))
+    assert(got(3L) == 'x'.toInt)
+  }
+
+  test("NA replacement is idempotent (reference P8 net semantics)") {
+    val df = Seq(("NA", "1"), ("5", "NA"), ("7", "8")).toDF("a", "b")
+    val once = df.na.replace(df.columns, Map("NA" -> null))
+    val twice = once.na.replace(df.columns, Map("NA" -> null))
+    assert(once.collect().toSeq == twice.collect().toSeq)
+    assert(once.filter("a IS NULL").count() == 1)
+  }
+
+  test("unknown-category fill matches reference value set") {
+    val vals = Seq("Unknow", "None", "", " ", null, "keepme")
+    val df = vals.map(Tuple1(_)).toDF("c")
+    val out = df.na.fill("unknown", Seq("c"))
+      .na.replace(Seq("c"), Map("Unknow" -> "unknown", "None" -> "unknown",
+        "" -> "unknown", " " -> "unknown"))
+      .collect().map(_.getString(0))
+    assert(out.count(_ == "unknown") == 5)
+    assert(out.contains("keepme"))
+  }
+}

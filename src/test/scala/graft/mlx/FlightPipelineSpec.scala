@@ -1,0 +1,118 @@
+package graft.mlx
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Golden end-to-end for the flight-parity app on the mini fixtures
+  * (FIXTURES.md §4) + a seeded synthetic set for model training. */
+class FlightPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val flights = FlightPipeline.readStringly(spark, TestSpark.res("flights_mini.csv"))
+  lazy val planes = FlightPipeline.readStringly(spark, TestSpark.res("plane_mini.csv"))
+
+  test("fixture loads with the 29-column flight header") {
+    assert(flights.columns.length == 29)
+    assert(flights.columns.contains("DayofMonth")) // exact lowercase 'of'
+  }
+
+  test("S3 divergence: loadMany unions (documented intent, not the overwrite bug)") {
+    val p = TestSpark.res("flights_mini.csv")
+    assert(FlightPipeline.loadMany(spark, Seq(p, p)).count() == 2 * flights.count())
+  }
+
+  test("plane cleaning: tailnum-only and issue_date=None rows removed") {
+    val cleaned = FlightPipeline.cleanPlanes(planes)
+    val kept = cleaned.select("tailnum").collect().map(_.getString(0)).toSet
+    assert(!kept.contains("N300")) // issue_date None
+    assert(!kept.contains("N400")) // tailnum-only row
+    assert(kept.contains("N100") && kept.contains("N500"))
+    assert(!cleaned.columns.contains("year") && !cleaned.columns.contains("status"))
+  }
+
+  test("golden counts through cleaning (label NA, cancelled, forbidden cols)") {
+    val cleaned = FlightPipeline.clean(flights, planes)
+    // 47 rows - 3 NA-label - 2 cancelled = 42 pre-join; join keeps rows whose
+    // tail is in {N100,N200,N500} (cleaned dim).
+    val expectedTails = Set("N100", "N200", "N500")
+    val preJoin = flights
+      .filter(col("ArrDelay").isNotNull && col("ArrDelay") =!= "NA")
+      .filter(col("Cancelled").cast("int") === 0)
+    assert(preJoin.count() == 42)
+    val expected = preJoin.filter(col("TailNum").isin(expectedTails.toSeq: _*)).count()
+    assert(cleaned.count() == expected)
+    FlightPipeline.forbidden.foreach(c => assert(!cleaned.columns.contains(c)))
+    assert(!cleaned.columns.contains("Cancelled"))
+    FlightPipeline.idCols.foreach(c => assert(!cleaned.columns.contains(c)))
+  }
+
+  test("engineer: PlaneAge clamped >= 0, day-part labels, imputation fills NA") {
+    val df = FlightPipeline.engineer(FlightPipeline.clean(flights, planes))
+    assert(df.columns.contains("PlaneAge"))
+    assert(df.filter(col("PlaneAge") < 0).count() == 0)
+    // N200 issue year 2005 > flight Year 2000 → clamped to exactly 0
+    assert(df.filter(col("PlaneAge") === 0).count() > 0)
+    val dps = df.select("DepTime").distinct().collect().map(_.getString(0)).toSet
+    assert(dps.subsetOf(Set("lateNight", "earlyMorning", "lateMorning",
+      "earlyAfternoon", "lateAfternoon", "earlyEvening", "lateEvening",
+      "earlyNight", "unknown")))
+    // mean imputation leaves no nulls in numeric cols
+    FlightPipeline.meanImputeCols.filter(df.columns.contains).foreach { c =>
+      assert(df.filter(col(c).isNull).count() == 0, s"nulls left in $c")
+    }
+  }
+
+  /** Seeded synthetic flights with a learnable signal
+    * (ArrDelay ≈ f(DepDelay)) for model-training smoke. */
+  private def syntheticFlights(n: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val names = Seq(
+      "Year", "Month", "DayofMonth", "DayOfWeek", "DepTime", "CRSDepTime",
+      "ArrTime", "CRSArrTime", "UniqueCarrier", "FlightNum", "TailNum",
+      "ActualElapsedTime", "CRSElapsedTime", "AirTime", "ArrDelay",
+      "DepDelay", "Origin", "Dest", "Distance", "TaxiIn", "TaxiOut",
+      "Cancelled", "CancellationCode", "Diverted", "CarrierDelay",
+      "WeatherDelay", "NASDelay", "SecurityDelay", "LateAircraftDelay")
+    val schema = StructType(names.map(StructField(_, StringType)))
+    val rnd = new scala.util.Random(10)
+    val tails = Seq("N100", "N200", "N500")
+    val rows = (1 to n).map { i =>
+      val depDelay = rnd.nextInt(120) - 20
+      val arrDelay = depDelay + rnd.nextInt(21) - 10
+      Row("2000", (1 + i % 12).toString, (1 + i % 28).toString,
+        (1 + i % 7).toString, (600 + (i * 83) % 1700).toString,
+        (600 + (i * 83) % 1700).toString, "NA",
+        (700 + (i * 59) % 1700).toString,
+        Seq("AA", "UA", "DL")(i % 3), i.toString, tails(i % 3),
+        "NA", (90 + i % 60).toString, "NA",
+        arrDelay.toString, depDelay.toString,
+        Seq("JFK", "ORD", "SFO")(i % 3), Seq("LAX", "BOS", "MIA")(i % 3),
+        (300 + (i * 37) % 2500).toString, "NA", (5 + i % 15).toString,
+        "0", "", "0", "NA", "NA", "NA", "NA", "NA")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+  }
+
+  test("full run: 6 model×selector rows, finite metrics, linear signal learned") {
+    val out = FlightPipeline.run(syntheticFlights(400), planes, folds = 2)
+      .collect()
+    assert(out.length == 6)
+    val byKey = out.map(r =>
+      (r.getAs[String]("model"), r.getAs[String]("selector")) ->
+        ((r.getAs[Double]("rmse"), r.getAs[Double]("r2")))).toMap
+    byKey.values.foreach { case (rmse, r2) =>
+      assert(!rmse.isNaN && rmse > 0 && rmse < 200)
+      assert(!r2.isNaN)
+    }
+    // ArrDelay ≈ DepDelay + U(-10,10): every model must capture most of
+    // the variance (reference's models all reached R² ≥ 0.7, Report §8).
+    val (lrRmse, lrR2) = byKey(("LinearRegression", "fdr"))
+    assert(lrR2 > 0.6, s"LR r2=$lrR2 rmse=$lrRmse")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** True Structured Streaming behavior: micro-batch windows, watermark
+  * late-data drop, watermark dedup, and custom mapGroupsWithState —
+  * driven deterministically through MemoryStream. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+  private def tsH(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  test("tumbling stream aggregates by event-time window and drops late data") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = Events.tumblingStream(events, "10 minutes")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append").start()
+
+    // batch 1: two events in the 10:00 window, one in 11:00
+    in.addData((1L, tsH(10, 5), "click", 1.0), (2L, tsH(10, 40), "click", 2.0),
+      (3L, tsH(11, 5), "click", 4.0))
+    q.processAllAvailable()
+    // batch 2: advance watermark far past 10:xx (12:30), then a LATE event
+    // back in the 10:00 window — must be dropped.
+    in.addData((4L, tsH(12, 30), "click", 8.0))
+    q.processAllAvailable()
+    in.addData((5L, tsH(10, 50), "click", 100.0)) // late
+    in.addData((6L, tsH(13, 30), "click", 16.0))  // closes 12:xx
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("tumbling_out")
+      .select("w_start", "n", "sum_value").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows("2024-01-01 10:00:00") == ((2L, 3.0)),
+      s"late event must not appear: $rows")
+    assert(rows("2024-01-01 11:00:00") == ((1L, 4.0)))
+  }
+
+  test("dropDuplicatesWithinWatermark removes repeated event_ids") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = Events.dedupStream(events, "30 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    in.addData((1L, ts(0), "a", 1.0), (1L, ts(1), "a", 1.0),
+      (2L, ts(2), "b", 2.0), (1L, ts(3), "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("mapGroupsWithState keeps running totals across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val q = Events.runningTotals(in.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    in.addData((7L, 1.0), (7L, 2.0), (8L, 5.0))
+    q.processAllAvailable()
+    in.addData((7L, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("state_out")
+      .groupBy("user_id").agg(max("n").as("n"), max("sum_value").as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(last(7L) == ((3L, 7.0)))
+    assert(last(8L) == ((1L, 5.0)))
+  }
+
+  test("batch session window merges events within gap, splits at gap") {
+    val df = Seq(
+      (1L, ts(0), 1.0), (1L, ts(5), 2.0),   // session A (gap 5 < 10)
+      (1L, ts(30), 4.0),                    // session B (gap 25)
+      (2L, ts(0), 8.0))
+      .toDF("user_id", "ts", "value")
+      .withColumn("event_id", col("user_id"))
+      .withColumn("event_type", lit("x"))
+    val rows = Events.session(df).collect()
+      .map(r => (r.getLong(1), r.getString(0)) -> r.getLong(2)).toMap
+    assert(rows((1L, "2024-01-01 10:00:00")) == 2L)
+    assert(rows((1L, "2024-01-01 10:30:00")) == 1L)
+    assert(rows((2L, "2024-01-01 10:00:00")) == 1L)
+  }
+}
