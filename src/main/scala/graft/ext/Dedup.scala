@@ -160,44 +160,54 @@ object Dedup {
   def norm2Expr(a: String): String =
     s"aggregate($a, 0D, (acc, x) -> acc + x * x)"
 
+  /** Unit-normalized double embedding column: the norm fold runs ONCE per
+    * row (not per pair), so the all-pairs stage is a single codegen'd dot
+    * product per pair. Same op order as the DuckDB mirror → bit-identical. */
+  def normalized(s: SparkSession, d: String, idAs: String, vecAs: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(expr(norm2Expr("emb"))))
+      .select(col("vec_id").as(idAs),
+        expr("transform(emb, x -> x / nrm)").as(vecAs))
+
+  /** Matching DuckDB CTEs (`e` raw → `u` unit-normalized). */
+  val normalizedSql: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       n AS (SELECT vec_id, emb,
+               sqrt(list_reduce(list_prepend(0.0,
+                 list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i])),
+                 (x, y) -> x + y)) AS nrm
+             FROM e),
+       u AS (SELECT vec_id, list_transform(emb, x -> x / nrm) AS u FROM n)"""
+
+  /** Pairwise dot of unit vectors, identical fold order both engines. */
+  val pairDotSql: String =
+    """list_reduce(list_prepend(0.0,
+         list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i])),
+         (x, y) -> x + y)"""
+
   /** d05 — embedding-cosine near-dup pairs. All-pairs exact at fixture
-    * scale; the LSH-bucketed scale path is s02 (Similarity). */
+    * scale (the pair stage is one codegen'd ArrayDot per pair); the
+    * LSH-bucketed scale path is s02 (Similarity). */
   val embeddingCosine: QueryDef = {
     val theta = 0.40
     QueryDef(
       "d05_dedup_embedding",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-        val a = e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"))
-        val b = e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"))
+        graft.expr.ArrayDot.register(s)
+        val a = normalized(s, d, "a_id", "a_u")
+        val b = normalized(s, d, "b_id", "b_u")
         a.join(b, col("a_id") < col("b_id"))
-          .withColumn("cos_sim",
-            expr(s"${dotExpr("a_emb", "b_emb")} / " +
-              s"(sqrt(${norm2Expr("a_emb")}) * sqrt(${norm2Expr("b_emb")}))"))
+          .withColumn("cos_sim", expr("array_dot(a_u, b_u)"))
           .filter(col("cos_sim") >= theta)
           .select("a_id", "b_id", "cos_sim")
           .orderBy("a_id", "b_id")
       },
-      Some(s"""WITH e AS (
-                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      Some(s"""WITH $normalizedSql,
                p AS (
-                 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                   list_reduce(list_prepend(0.0,
-                     list_transform(range(1, len(a.emb) + 1),
-                                    i -> a.emb[i] * b.emb[i])),
-                     (x, y) -> x + y) AS dot,
-                   list_reduce(list_prepend(0.0,
-                     list_transform(range(1, len(a.emb) + 1),
-                                    i -> a.emb[i] * a.emb[i])),
-                     (x, y) -> x + y) AS na,
-                   list_reduce(list_prepend(0.0,
-                     list_transform(range(1, len(b.emb) + 1),
-                                    i -> b.emb[i] * b.emb[i])),
-                     (x, y) -> x + y) AS nb
-                 FROM e a JOIN e b ON a.vec_id < b.vec_id)
-               SELECT a_id, b_id, dot / (sqrt(na) * sqrt(nb)) AS cos_sim
-               FROM p WHERE dot / (sqrt(na) * sqrt(nb)) >= $theta
+                 SELECT a.vec_id AS a_id, b.vec_id AS b_id, $pairDotSql AS cos_sim
+                 FROM u a JOIN u b ON a.vec_id < b.vec_id)
+               SELECT a_id, b_id, cos_sim FROM p WHERE cos_sim >= $theta
                ORDER BY a_id, b_id"""))
   }
 

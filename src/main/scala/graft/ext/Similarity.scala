@@ -25,39 +25,23 @@ object Similarity {
     QueryDef(
       "s01_cosine_topk",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-        val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-        val c = e.select(col("vec_id").as("n_id"), col("emb").as("n_emb"))
+        graft.expr.ArrayDot.register(s)
+        val q = Dedup.normalized(s, d, "q_id", "q_u").filter(col("q_id") < 10)
+        val c = Dedup.normalized(s, d, "n_id", "n_u")
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos_sim").desc, col("n_id"))
         broadcast(q).join(c, col("q_id") =!= col("n_id"))
-          .withColumn("cos_sim",
-            expr(s"${Dedup.dotExpr("q_emb", "n_emb")} / " +
-              s"(sqrt(${Dedup.norm2Expr("q_emb")}) * sqrt(${Dedup.norm2Expr("n_emb")}))"))
+          .withColumn("cos_sim", expr("array_dot(q_u, n_u)"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= k)
           .select("q_id", "n_id", "cos_sim", "rn")
           .orderBy("q_id", "rn")
       },
-      Some(s"""WITH e AS (
-                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      Some(s"""WITH ${Dedup.normalizedSql},
                p AS (
-                 SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-                   list_reduce(list_prepend(0.0,
-                     list_transform(range(1, len(q.emb) + 1),
-                                    i -> q.emb[i] * c.emb[i])),
-                     (x, y) -> x + y)
-                   / (sqrt(list_reduce(list_prepend(0.0,
-                        list_transform(range(1, len(q.emb) + 1),
-                                       i -> q.emb[i] * q.emb[i])),
-                        (x, y) -> x + y))
-                      * sqrt(list_reduce(list_prepend(0.0,
-                          list_transform(range(1, len(c.emb) + 1),
-                                         i -> c.emb[i] * c.emb[i])),
-                          (x, y) -> x + y))) AS cos_sim
-                 FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+                 SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                   ${Dedup.pairDotSql} AS cos_sim
+                 FROM u a JOIN u b ON a.vec_id < 10 AND b.vec_id != a.vec_id),
                r AS (
                  SELECT q_id, n_id, cos_sim,
                    CAST(row_number() OVER (PARTITION BY q_id

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ext.{Dedup, Similarity}
+
+/** Executable plan audit — the 100 TB discipline checks (SURVEY §4.3 /
+  * builder prompt): filters and projections reach the parquet scan,
+  * bounded dims broadcast, aggregates have a map-side partial phase, the
+  * range join is an equi-keyed sort-merge (never a cartesian), and hot
+  * paths stay inside WholeStageCodegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: predicate and projection pushed to the parquet scan") {
+    val p = plan(Relational.q01.build(spark, sf))
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,30"), p)
+    // pruned read schema — only the 4 referenced columns
+    assert(p.contains("l_extendedprice") && !p.contains("l_shipdate"), p)
+  }
+
+  test("q02: hash aggregate has a map-side partial phase") {
+    val p = plan(Relational.q02.build(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q04/q05: bounded dims are broadcast, fact side never shuffles for the join") {
+    assert(plan(Relational.q04.build(spark, sf)).contains("BroadcastHashJoin"))
+    val p5 = plan(Relational.q05.build(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p5).size >= 2, p5)
+    assert(!p5.contains("SortMergeJoin"), p5)
+  }
+
+  test("q07/q08: existence joins plan as semi/anti hash joins") {
+    assert(plan(Relational.q07.build(spark, sf)).contains("LeftSemi"))
+    assert(plan(Relational.q08.build(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("q10: range join keys on the equi conjunct (no cartesian/nested-loop)") {
+    val p = plan(Relational.q10.build(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // equi-keyed join with the range as residual: SMJ/SHJ at scale, BHJ
+    // when one side fits the broadcast threshold (as at sf0.001).
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q15: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan(Relational.q15.build(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  /** Codegen stars only appear once AQE has finalized the plan — run the
+    * query, then read the executed plan. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+  }
+
+  test("scan+filter+project chains run inside WholeStageCodegen") {
+    // simple mode marks codegen'd operators with a '*(n)' star
+    val p = finalPlan(Relational.q19.build(spark, sf))
+    assert(p.contains("*("), p)
+  }
+
+  test("e01: the custom DayPart expression stays codegen'd (no fallback)") {
+    val p = finalPlan(Extensions.daypart.build(spark, sf))
+    // the aggregate fed by the day_part projection carries a codegen star
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("HashAggregate")), p)
+  }
+
+  test("s01: query side broadcasts; corpus side is never shuffled") {
+    val p = plan(Similarity.cosineTopK.build(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d01: exact dedup is a single hash aggregate, no join") {
+    val p = plan(Dedup.exact.build(spark, sf))
+    assert(p.contains("HashAggregate") && !p.contains("Join"), p)
+  }
+}
