@@ -76,5 +76,60 @@ object Similarity {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(cosineTopK, annLsh)
+  /** s03 — IVF (inverted-file) approximate nearest neighbors: a seeded
+    * KMeans coarse quantizer buckets the corpus; each query probes only
+    * its `nprobe` nearest centroids' buckets. At 100 TB the scan fraction
+    * is ~nprobe/k of the corpus instead of all of it, and the bucket join
+    * is an equi shuffle on cluster id. Centroids are model state
+    * (bounded, broadcast). Rows-only check (kmeans init is
+    * engine-specific even when seeded). */
+  val annIvf: QueryDef = {
+    val k = 16; val nprobe = 4; val topK = 5
+    QueryDef(
+      "s03_ann_ivf",
+      (s, d) => {
+        graft.expr.ArrayDot.register(s)
+        import s.implicits._
+        val vecs = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            array_to_vector(col("embedding").cast("array<double>")).as("features"))
+        val model = new org.apache.spark.ml.clustering.KMeans()
+          .setK(k).setSeed(42).setMaxIter(5)
+          .setFeaturesCol("features").setPredictionCol("cluster")
+          .fit(vecs)
+        val assigned = model.transform(vecs)
+          .select(col("vec_id"), col("cluster"))
+          .join(Dedup.normalized(s, d, "n_id", "n_u"),
+            col("vec_id") === col("n_id"))
+          .select("n_id", "cluster", "n_u")
+
+        // bounded centroid table → probe set per query via broadcast
+        val centroids = model.clusterCenters.zipWithIndex
+          .map { case (c, i) => (i, c.toArray) }.toSeq
+          .toDF("cluster", "centroid")
+        val queries = Dedup.normalized(s, d, "q_id", "q_u")
+          .filter(col("q_id") < 10)
+        val byDist = Window.partitionBy(col("q_id"))
+          .orderBy(col("cdist"), col("cluster"))
+        val probes = queries.crossJoin(broadcast(centroids))
+          .withColumn("cdist", expr(
+            "aggregate(zip_with(q_u, centroid, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
+          .withColumn("crn", row_number().over(byDist))
+          .filter(col("crn") <= nprobe)
+          .select("q_id", "q_u", "cluster")
+
+        val byCos = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("n_id"))
+        probes.join(assigned, Seq("cluster"))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("cos_sim", expr("array_dot(q_u, n_u)"))
+          .withColumn("rn", row_number().over(byCos))
+          .filter(col("rn") <= topK)
+          .select("q_id", "n_id", "cos_sim", "rn")
+          .orderBy("q_id", "rn")
+      },
+      None)
+  }
+
+  val all: Seq[QueryDef] = Seq(cosineTopK, annLsh, annIvf)
 }

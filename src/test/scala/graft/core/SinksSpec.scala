@@ -1,0 +1,38 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fingerprint is partitioning/order insensitive") {
+    val a = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "v")
+    val b = a.repartition(7).sortWithinPartitions("v")
+    assert(Sinks.fingerprint(a) == Sinks.fingerprint(b.orderBy($"k".desc)))
+  }
+
+  test("fingerprint distinguishes differing relations and multiplicities") {
+    val a = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    val b = Seq((1, "x"), (2, "z")).toDF("k", "v")
+    val dup = Seq((1, "x"), (2, "y"), (2, "y")).toDF("k", "v")
+    assert(Sinks.fingerprint(a) != Sinks.fingerprint(b))
+    assert(Sinks.fingerprint(a) != Sinks.fingerprint(dup))
+  }
+
+  test("null hashes differently from the string 'null'") {
+    val a = Seq(Tuple1(Option.empty[String])).toDF("v")
+    val b = Seq(Tuple1(Option("null"))).toDF("v")
+    assert(Sinks.fingerprint(a) != Sinks.fingerprint(b))
+  }
+
+  test("writeParquet round-trips deterministically") {
+    val dir = java.nio.file.Files.createTempDirectory("sinks").toString
+    val df = Seq((3, "c"), (1, "a"), (2, "b")).toDF("k", "v")
+    Sinks.writeParquet(df, s"$dir/out", Seq("k"))
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 90% of rows on one hot key — the shape salting exists for.
+  lazy val skewed = ((1 to 900).map(i => ("hot", i.toDouble)) ++
+    (1 to 100).map(i => (s"k$i", i.toDouble))).toDF("key", "v")
+  lazy val dim = (Seq("hot") ++ (1 to 100).map(i => s"k$i"))
+    .zipWithIndex.map { case (k, i) => (k, i) }.toDF("key", "attr")
+
+  test("saltedJoin result equals the plain inner join") {
+    val plain = skewed.join(dim, Seq("key"))
+      .groupBy("key").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val salted = Skew.saltedJoin(skewed, dim, "key", saltFactor = 4)
+      .groupBy("key").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("saltedJoin spreads the hot key over multiple salt partitions") {
+    val salted = skewed.withColumn("__salt",
+      (rand(42L) * 4).cast("int"))
+    val spread = salted.filter($"key" === "hot")
+      .select("__salt").distinct().count()
+    assert(spread > 1, s"hot key landed in $spread salt buckets")
+  }
+
+  test("saltedSum equals plain sum") {
+    val plain = skewed.groupBy("key").agg(sum("v").as("sum_v"))
+    val salted = Skew.saltedSum(skewed, "key", "v", saltFactor = 4)
+    val joined = plain.as("p").join(salted.as("s"), Seq("key"))
+      .select(abs($"p.sum_v" - $"s.sum_v").as("d")).agg(max("d"))
+      .collect()(0).getDouble(0)
+    assert(joined < 1e-9)
+  }
+
+  test("keyHistogram surfaces the hot key first") {
+    val top = Skew.keyHistogram(skewed, "key", 1).collect()(0)
+    assert(top.getString(0) == "hot" && top.getLong(1) == 900)
+  }
+}
