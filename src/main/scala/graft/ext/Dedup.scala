@@ -59,9 +59,9 @@ object Dedup {
         .setNumFeatures(1 << 18).setBinary(true)
       val vecs = tf.transform(docs).select("doc_id", "features")
       val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(8).setSeed(42)
+        .setNumHashTables(4).setSeed(42)
       val model = mh.fit(vecs)
-      model.approxSimilarityJoin(vecs, vecs, 0.99, "jaccard_dist")
+      model.approxSimilarityJoin(vecs, vecs, 0.95, "jaccard_dist")
         .select(
           col("datasetA.doc_id").as("a_id"),
           col("datasetB.doc_id").as("b_id"),

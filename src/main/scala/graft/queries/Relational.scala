@@ -519,17 +519,23 @@ object Relational {
                                   WHERE o2.o_custkey = o.o_custkey)
             ORDER BY o_custkey, o_orderkey"""))
 
-  /** Q23 — JSON extraction over events.props. */
+  /** Q23 — JSON extraction over events.props, via both the path extractor
+    * and a parsed MapType (`from_json`) — the two must agree. */
   val q23 = QueryDef(
     "q23_json",
     (s, d) =>
       Tables.events(s, d)
         .select(
           col("event_id"), col("event_type"),
-          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+          element_at(
+            from_json(col("props"),
+              org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")),
+            "k").as("k_map"))
         .orderBy("event_id"),
     Some("""SELECT event_id, event_type,
-            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_map
             FROM events ORDER BY event_id"""))
 
   /** Q23b — array ops over embeddings via higher-order functions. The fold
@@ -593,7 +599,70 @@ object Relational {
             round(corr(l_quantity, l_discount), 4) AS corr_qty_disc
             FROM lineitem"""))
 
+  /** Q26 — pivot (cross-tab): order counts per segment × status. Spark's
+    * pivot leaves missing cells null → na.fill(0) to match the FILTER'd
+    * counts in the oracle. Explicit pivot values keep the schema static
+    * (required for determinism and at-scale planning). */
+  val q26 = QueryDef(
+    "q26_pivot",
+    (s, d) => {
+      val o = ord(s, d); val c = cst(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+            count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+            count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+            count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Q27 — generator surface (UDTF-shaped, SURVEY §2.8): posexplode of
+    * tokenized part names; DuckDB mirrors with UNNEST WITH ORDINALITY
+    * (1-based → pos+1). */
+  val q27 = QueryDef(
+    "q27_explode",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+        .select(col("p_partkey"), (col("pos") + 1).as("pos"), col("word"))
+        .orderBy("p_partkey", "pos"),
+    Some("""WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+            SELECT p_partkey, CAST(i AS INTEGER) AS pos, w[i] AS word
+            FROM t, unnest(range(1, len(w) + 1)) AS u(i)
+            ORDER BY p_partkey, pos"""))
+
+  /** Q28 — exact interpolated percentiles + dispersion stats per segment
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, both linear
+    * interpolation over a full sort). */
+  val q28 = QueryDef(
+    "q28_percentile_stats",
+    (s, d) =>
+      cst(s, d).groupBy("c_mktsegment")
+        .agg(
+          round(expr("percentile(c_acctbal, 0.5)"), 4).as("median_bal"),
+          round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_bal"),
+          round(stddev_samp(col("c_acctbal")), 4).as("sd_bal"),
+          round(var_samp(col("c_acctbal")), 4).as("var_bal"),
+          round(min(col("c_acctbal")), 2).as("min_bal"),
+          round(max(col("c_acctbal")), 2).as("max_bal"))
+        .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment,
+            round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+            round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+            round(stddev_samp(c_acctbal), 4) AS sd_bal,
+            round(var_samp(c_acctbal), 4) AS var_bal,
+            round(min(c_acctbal), 2) AS min_bal,
+            round(max(c_acctbal), 2) AS max_bal
+            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25)
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26, q27,
+    q28)
 }

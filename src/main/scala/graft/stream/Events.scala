@@ -47,7 +47,33 @@ object Events {
           .as("s_start"),
         col("user_id"), col("n"), col("sum_value"))
 
-  // ---- streaming entry points (tested with MemoryStream) ----
+  // ---- streaming entry points (tested with MemoryStream + file source) ----
+
+  /** File-source streaming read of an events parquet directory — the
+    * production readStream shape. Same TIMESTAMP(NANOS) handling as
+    * Tables.events (schema pins ts to long, then exact DIV conversion);
+    * `maxFilesPerTrigger=1` gives deterministic micro-batches in tests. */
+  def readEventsStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   /** Streaming tumbling-window aggregation with late-data handling:
     * events later than the watermark are dropped, window state is evicted

@@ -20,6 +20,17 @@ class FlightPipelineSpec extends AnyFunSuite {
     assert(flights.columns.contains("DayofMonth")) // exact lowercase 'of'
   }
 
+  test("typed schema read: NA sentinels parse to null in int columns") {
+    val typed = FlightSchema.readFlights(spark, TestSpark.res("flights_mini.csv"))
+    assert(typed.schema("ArrDelay").dataType.typeName == "integer")
+    // stringly rows with ArrDelay="NA" become null under the typed read
+    val naAsNull = typed.filter(col("ArrDelay").isNull).count()
+    val naStrings = flights.filter(col("ArrDelay") === "NA").count()
+    assert(naAsNull == naStrings && naStrings == 3)
+    // a numeric filter now pushes down on a typed column
+    assert(typed.filter(col("ArrDelay") > 0).count() > 0)
+  }
+
   test("S3 divergence: loadMany unions (documented intent, not the overwrite bug)") {
     val p = TestSpark.res("flights_mini.csv")
     assert(FlightPipeline.loadMany(spark, Seq(p, p)).count() == 2 * flights.count())

@@ -81,6 +81,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(8L) == ((1L, 5.0)))
   }
 
+  test("file-source stream over real events parquet equals the batch result") {
+    // unified batch/stream contract: the same tumbling() transform over
+    // readStream(sf0.001 events) must reproduce the batch answer exactly.
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    // copy the parquet file into a stream-source directory
+    val src = java.nio.file.Paths.get(s"${graft.TestSpark.sf0001}/events.parquet")
+    java.nio.file.Files.copy(src,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val q = Events.tumbling(Events.readEventsStream(spark, dir))
+      .writeStream.format("memory").queryName("file_stream_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("file_stream_out")
+    val batch = Events.tumbling(
+      graft.core.Tables.events(spark, graft.TestSpark.sf0001))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("batch session window merges events within gap, splits at gap") {
     val df = Seq(
       (1L, ts(0), 1.0), (1L, ts(5), 2.0),   // session A (gap 5 < 10)
