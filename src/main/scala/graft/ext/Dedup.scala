@@ -88,9 +88,33 @@ object Dedup {
     votes.select(col("doc_id"), packed.as("simhash"))
   }
 
+  /** Banded SimHash near-dup candidates — the 100 TB path: each 64-bit
+    * signature splits into 4×16-bit bands; only pairs colliding on at
+    * least one band bucket are compared (equi shuffle on (band, value),
+    * never all-pairs). Guaranteed recall for hamming ≤ 3 (pigeonhole);
+    * approximate above. Output ⊆ the exact all-pairs result. */
+  def simhashBandedPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = simhash(docs)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, " +
+          "shiftright(simhash, b * 16) & 65535 AS bv))")).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = bands.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"),
+      col("band"), col("bv"))
+    val b = bands.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"),
+      col("band"), col("bv"))
+    a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
+      .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
   /** d03 — SimHash near-dup pairs under a Hamming radius. The pair join is
-    * exact all-pairs here (bounded fixture); the scale path blocks on
-    * simhash bands (e.g. 4×16-bit chunks) before comparing. */
+    * exact all-pairs here (bounded fixture); [[simhashBandedPairs]] is the
+    * banded scale path (subset semantics, tested against this). */
   val simhashPairs: QueryDef = QueryDef(
     "d03_dedup_simhash",
     (s, d) => {

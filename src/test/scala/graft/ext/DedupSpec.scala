@@ -65,6 +65,21 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sh(0L), sh(3L)) > ham(sh(0L), sh(2L)))
   }
 
+  test("banded simhash: finds the near-dup pair and is a subset of all-pairs") {
+    val banded = Dedup.simhashBandedPairs(docs, 16).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // identical docs (hamming 0) and the 1-token edit must collide on a band
+    assert(banded.contains((0L, 1L)))
+    assert(banded.contains((0L, 2L)))
+    // subset of the exact all-pairs result at the same radius
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 16
+    } yield (a, b)).toSet
+    assert(banded.subsetOf(exact))
+  }
+
   test("embedding cosine: planted parallel vectors pair up") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)),

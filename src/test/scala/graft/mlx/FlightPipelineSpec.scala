@@ -31,6 +31,19 @@ class FlightPipelineSpec extends AnyFunSuite {
     assert(typed.filter(col("ArrDelay") > 0).count() > 0)
   }
 
+  test("SQL-string predicates (reference F1 form) match the Column form") {
+    // the reference filters via SQL text parsed by Catalyst
+    // (Main.scala:104,113); both entry points must agree.
+    val sqlForm = flights
+      .filter("ArrDelay is NOT NULL AND ArrDelay NOT LIKE 'NA'")
+      .filter("Cancelled == 0")
+    val colForm = flights
+      .filter(col("ArrDelay").isNotNull && col("ArrDelay") =!= "NA")
+      .filter(col("Cancelled").cast("int") === 0)
+    assert(sqlForm.count() == colForm.count())
+    assert(sqlForm.exceptAll(colForm).isEmpty)
+  }
+
   test("S3 divergence: loadMany unions (documented intent, not the overwrite bug)") {
     val p = TestSpark.res("flights_mini.csv")
     assert(FlightPipeline.loadMany(spark, Seq(p, p)).count() == 2 * flights.count())
