@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
-/** HyperLogLog distinct-count sketch as a typed `Aggregator` — the
+/** HyperLogLog distinct-count sketch (Flajolet, Fusy, Gandouet, Meunier,
+  * "HyperLogLog: the analysis of a near-optimal cardinality estimation
+  * algorithm", AofA 2007) as a typed `Aggregator` — the
   * engine's worked example of the custom-UDAF extension point.
   *
   * Why not just `approx_count_distinct`? That built-in is the right call

@@ -46,7 +46,8 @@ object Dedup {
     s"transform(sequence(0, greatest(size(split($textCol, ' ')) - 3, 0)), " +
       s"i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, 3)))"
 
-  /** d02 — MinHash+LSH fuzzy dedup: shingle → binary hashed term vector →
+  /** d02 — MinHash+LSH fuzzy dedup (Broder, "On the resemblance and
+    * containment of documents", SEQUENCES 1997): shingle → binary hashed term vector →
     * MinHash signatures → LSH band-bucket candidate join with exact
     * Jaccard distance on candidates only. Seeded, deterministic; no SQL
     * oracle (hash-family dependent) → rows-only check. */
@@ -71,7 +72,8 @@ object Dedup {
     },
     None)
 
-  /** 64-bit SimHash per document: xxhash64 each token, per-bit ±1 votes,
+  /** 64-bit SimHash (Charikar, "Similarity estimation techniques from
+    * rounding algorithms", STOC 2002) per document: xxhash64 each token, per-bit ±1 votes,
     * sign-pack into a long. One explode + one aggregate — linear at scale. */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),

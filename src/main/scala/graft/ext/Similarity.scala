@@ -76,7 +76,9 @@ object Similarity {
     },
     None)
 
-  /** s03 — IVF (inverted-file) approximate nearest neighbors: a seeded
+  /** s03 — IVF (inverted-file) approximate nearest neighbors (coarse
+    * quantization as in Jégou, Douze, Schmid, "Product quantization for
+    * nearest neighbor search", TPAMI 2011): a seeded
     * KMeans coarse quantizer buckets the corpus; each query probes only
     * its `nprobe` nearest centroids' buckets. At 100 TB the scan fraction
     * is ~nprobe/k of the corpus instead of all of it, and the bucket join

@@ -661,8 +661,49 @@ object Relational {
             round(max(c_acctbal), 2) AS max_bal
             FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Q29 — as-of (point-in-time) join, composed from built-ins (option
+    * (a) of the custom-operator ladder — no custom SparkPlan needed):
+    * for each `error` event, the most recent `click` by the same user at
+    * or before it, via a conditional last-value window with IGNORE NULLS.
+    * One shuffle on user_id; at 100 TB this beats any non-equi join
+    * formulation (which would range-explode). */
+  val q29 = QueryDef(
+    "q29_asof_join",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("click_ts",
+          last(when(col("event_type") === "click", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error")
+        .select(
+          col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("error_ts"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_click_ts"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("click_ts")))
+            .as("gap_s"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+            strftime(ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+            strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS asof_click_ts,
+            CAST(floor(epoch(ts)) AS BIGINT)
+              - CAST(floor(epoch(click_ts)) AS BIGINT) AS gap_s
+            FROM (
+              SELECT user_id, event_id, ts, event_type,
+                last_value(CASE WHEN event_type = 'click' THEN ts END
+                           IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS click_ts
+              FROM events)
+            WHERE event_type = 'error'
+            ORDER BY user_id, event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26, q27,
-    q28)
+    q28, q29)
 }
