@@ -89,6 +89,49 @@ object Events {
   final case class RunningState(n: Long, sum: Double)
   final case class UserRunning(user_id: Long, n: Long, sum_value: Double)
 
+  final case class SessionState(startMs: Long, endMs: Long, n: Long, sum: Double)
+  final case class SessionOut(
+      user_id: Long, start_ms: Long, end_ms: Long, n: Long, sum_value: Double)
+
+  /** Custom sessionization via flatMapGroupsWithState with EVENT-TIME
+    * timeout: a session closes (and is emitted, append-mode) only when
+    * the watermark passes its gap horizon — the state store evicts
+    * closed sessions, so state is bounded by the number of OPEN sessions
+    * regardless of stream length (the 100 TB streaming invariant).
+    * Input: (user_id, ts, value) rows already carrying a watermark. */
+  def sessionizeStream(
+      events: Dataset[(Long, java.sql.Timestamp, Double)],
+      gap: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.startMs, s.endMs, s.n, s.sum))
+          } else {
+            val evs = rows.toVector
+            val lo = evs.map(_._2.getTime).min
+            val hi = evs.map(_._2.getTime).max
+            val (dn, ds) = (evs.size.toLong, evs.map(_._3).sum)
+            val merged = state.getOption match {
+              case Some(p) => SessionState(math.min(p.startMs, lo),
+                math.max(p.endMs, hi), p.n + dn, p.sum + ds)
+              case None => SessionState(lo, hi, dn, ds)
+            }
+            state.update(merged)
+            state.setTimeoutTimestamp(merged.endMs + gapMillis)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Custom per-key running state via mapGroupsWithState (update mode):
     * the worked example of arbitrary stateful processing. */
   def runningTotals(events: Dataset[(Long, Double)]): Dataset[UserRunning] = {

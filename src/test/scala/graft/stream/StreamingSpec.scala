@@ -81,6 +81,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(8L) == ((1L, 5.0)))
   }
 
+  test("flatMapGroupsWithState sessionizer closes sessions at the event-time timeout") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val withWm = in.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "1 second")
+    val sessions = Events.sessionizeStream(
+      withWm.as[(Long, Timestamp, Double)], "10 minutes")
+    val q = sessions.toDF()
+      .writeStream.format("memory").queryName("sessionize_out")
+      .outputMode("append").start()
+    // user 7: two events 5 min apart (one session)
+    in.addData((7L, ts(0), 1.0), (7L, ts(5), 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sessionize_out").count() == 0) // still open
+    // another user far in the future pushes the watermark past the gap
+    in.addData((8L, tsH(12, 0), 5.0))
+    q.processAllAvailable()
+    in.addData((8L, tsH(13, 0), 1.0)) // one more batch so the timeout fires
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessionize_out")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("sum_value")))).toMap
+    assert(rows(7L) == ((2L, 3.0)), s"got $rows")
+  }
+
   test("file-source stream over real events parquet equals the batch result") {
     // unified batch/stream contract: the same tumbling() transform over
     // readStream(sf0.001 events) must reproduce the batch answer exactly.
