@@ -5,11 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Bench harness (BASELINE.md §2): wall-clock per query at
   * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
   *
-  * Methodology: per query, up to SPARK_GRAFT_BENCH_RUNS runs (default 3,
-  * median recorded) on a warm JVM; queries whose first run exceeds 5 s
-  * (model training) are recorded from that single run to keep round time
-  * bounded. The same harness records the baseline, so comparisons are
-  * self-consistent.
+  * Methodology: per query the first run is an untimed WARMUP (codegen
+  * compile + first-touch file reads land there), then the median of
+  * SPARK_GRAFT_BENCH_RUNS timed runs (default 3) is recorded. Queries
+  * whose warmup exceeds 5 s (model training) record that single cold run
+  * to keep round time bounded. The same harness records the baseline, so
+  * comparisons are self-consistent.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,12 +34,12 @@ object Bench {
     // Deterministic order; registry order groups related queries so the
     // first touch of each table is paid inside its own family.
     val results = SparkEntry.registry.map { q =>
-      val first = once(q.build)
+      val warmup = once(q.build)
       val t =
-        if (first < 0 || first > 5.0 || runs <= 1) first
+        if (warmup < 0 || warmup > 5.0 || runs < 1) warmup
         else {
-          val all = (first +: (2 to runs).map(_ => once(q.build))).sorted
-          all(all.length / 2)
+          val timed = (1 to runs).map(_ => once(q.build)).sorted
+          timed(timed.length / 2)
         }
       q.name -> t
     }
