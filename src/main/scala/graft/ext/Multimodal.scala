@@ -94,5 +94,44 @@ object Multimodal {
               CAST(acc % 256 AS DOUBLE) / 255.0 AS mean_luma
             FROM h ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(metaDigest, decode)
+  /** m03 — resize + frame-sample over the decoded features: pure integer
+    * arithmetic on the (stub-)decoded dimensions, so the whole media
+    * transform chain (decode → resize → sample) is oracle-checked even
+    * though the codec itself is fake. Resize fits into a 224×224 box
+    * preserving aspect; frame-sample takes every k-th frame index. */
+  val resizeSample: QueryDef = QueryDef(
+    "m03_multimodal_resize_sample",
+    (s, d) => {
+      val feats = decodeFeatures(mediaFrame(s, d)).toDF()
+      feats.selectExpr(
+        "doc_id", "width", "height",
+        // scale = 224 / max(width, height), target dims floor'd, min 1
+        "greatest(CAST(floor(width * 224.0 / greatest(width, height, 1)) AS INT), 1) AS out_w",
+        "greatest(CAST(floor(height * 224.0 / greatest(width, height, 1)) AS INT), 1) AS out_h",
+        // fake frame count from bytes; sample every 7th frame index
+        "CAST(n_bytes % 120 + 1 AS INT) AS n_frames",
+        "size(sequence(0, n_bytes % 120, 7)) AS n_sampled")
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (
+              SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(text) + 1),
+                                   i -> CAST(ascii(text[i]) AS BIGINT))),
+                  (acc, ch) -> (acc * 31 + ch) % 1000000007) AS acc
+              FROM documents),
+            f AS (
+              SELECT doc_id, n_bytes,
+                CAST(acc % 640 AS INTEGER) AS width,
+                CAST((acc // 640) % 480 AS INTEGER) AS height
+              FROM h)
+            SELECT doc_id, width, height,
+              greatest(CAST(floor(width * 224.0 / greatest(width, height, 1)) AS INTEGER), 1) AS out_w,
+              greatest(CAST(floor(height * 224.0 / greatest(width, height, 1)) AS INTEGER), 1) AS out_h,
+              CAST(n_bytes % 120 + 1 AS INTEGER) AS n_frames,
+              CAST(len(range(0, n_bytes % 120 + 1, 7)) AS INTEGER) AS n_sampled
+            FROM f ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(metaDigest, decode, resizeSample)
 }

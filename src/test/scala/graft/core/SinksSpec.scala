@@ -28,6 +28,18 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.fingerprint(a) != Sinks.fingerprint(b))
   }
 
+  test("loaders read partitioned directory layouts (the 100 TB shape)") {
+    // split lineitem into a multi-file directory and read it back through
+    // the same spark.read.parquet call Tables uses
+    val dir = java.nio.file.Files.createTempDirectory("parts").toString
+    val li = spark.read.parquet(s"${graft.TestSpark.sf0001}/lineitem.parquet")
+    li.repartition(5).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val back = Tables.table(spark, dir, "lineitem")
+    assert(back.inputFiles.length == 5)
+    assert(back.count() == li.count())
+    assert(Sinks.fingerprint(back) == Sinks.fingerprint(li))
+  }
+
   test("writeParquet round-trips deterministically") {
     val dir = java.nio.file.Files.createTempDirectory("sinks").toString
     val df = Seq((3, "c"), (1, "a"), (2, "b")).toDF("k", "v")
