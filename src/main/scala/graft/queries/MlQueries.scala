@@ -52,7 +52,10 @@ object MlQueries {
       val prepped = new Pipeline().setStages(stages.toArray)
         .fit(df).transform(df).select("label", "features")
 
+      // cache: CV re-executes its input lineage once per fold×fit — without
+      // this the join + feature pipeline recompute 4×.
       val Array(tr, te) = prepped.randomSplit(Array(0.7, 0.3), 10)
+      tr.cache(); te.cache()
       val lr = new LinearRegression()
       val grid = new ParamGridBuilder()
         .addGrid(lr.regParam, Array(0.01))
@@ -64,12 +67,14 @@ object MlQueries {
         .setNumFolds(3).setSeed(10)
       val pred = cv.fit(tr).transform(te)
       val r2Eval = new RegressionEvaluator().setMetricName("r2")
-      Seq((
+      val out = Seq((
         "LinearRegression",
         rmseEval.evaluate(pred),
         r2Eval.evaluate(pred),
         tr.count(), te.count()))
         .toDF("model", "rmse", "r2", "n_train", "n_test")
+      tr.unpersist(); te.unpersist()
+      out
     },
     None)
 

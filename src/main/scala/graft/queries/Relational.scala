@@ -702,8 +702,33 @@ object Relational {
             WHERE event_type = 'error'
             ORDER BY user_id, event_id"""))
 
+  /** Q30 — null-handling battery: coalesce / nullif / ifnull / null-safe
+    * equality over the plane-shaped sentinel patterns (CancellationCode
+    * analog: empty strings vs nulls). */
+  val q30 = QueryDef(
+    "q30_null_funcs",
+    (s, d) =>
+      ord(s, d)
+        .select(
+          col("o_orderkey"),
+          // nullif: P status → null, then coalesce back
+          expr("nullif(o_orderstatus, 'P')").as("status_np"),
+          expr("coalesce(nullif(o_orderstatus, 'P'), 'PENDING')").as("status_filled"),
+          expr("ifnull(nullif(o_orderpriority, '1-URGENT'), 'URGENT!')").as("prio_sub"),
+          // null-safe equality: <=> never returns null
+          (col("o_orderstatus") <=> lit("O")).as("is_open"),
+          isnull(expr("nullif(o_orderstatus, 'F')")).as("was_f"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+            nullif(o_orderstatus, 'P') AS status_np,
+            coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+            ifnull(nullif(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio_sub,
+            o_orderstatus IS NOT DISTINCT FROM 'O' AS is_open,
+            nullif(o_orderstatus, 'F') IS NULL AS was_f
+            FROM orders ORDER BY o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26, q27,
-    q28, q29)
+    q28, q29, q30)
 }

@@ -81,6 +81,28 @@ object Events {
   def tumblingStream(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
     tumbling(events.withWatermark("ts", watermark))
 
+  /** Stream-stream interval join: each error event joined to same-user
+    * click events from the preceding hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so Spark can
+    * evict state once the watermark passes the interval — the only
+    * state-bounded way to join two streams at 100 TB/day rates. */
+  def clickErrorJoin(
+      clicks: DataFrame, errors: DataFrame,
+      watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_uid"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val e = errors.withWatermark("ts", watermark)
+      .select(col("user_id").as("e_uid"), col("ts").as("error_ts"),
+        col("event_id").as("error_id"))
+    e.join(c,
+      col("e_uid") === col("c_uid") &&
+        col("click_ts") <= col("error_ts") &&
+        col("click_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("e_uid").as("user_id"), col("error_id"),
+        col("click_ts"), col("error_ts"), col("click_value"))
+  }
+
   /** Streaming dedup within the watermark horizon. */
   def dedupStream(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -46,6 +46,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(topk.toSeq == full.toSeq)
   }
 
+  test("seeded sampling is deterministic and approximately sized (M4)") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val s1 = o.sample(withReplacement = false, 0.3, seed = 10)
+    val s2 = o.sample(withReplacement = false, 0.3, seed = 10)
+    assert(s1.count() == s2.count())
+    assert(graft.core.Sinks.fingerprint(s1) == graft.core.Sinks.fingerprint(s2))
+    val frac = s1.count().toDouble / o.count()
+    assert(frac > 0.2 && frac < 0.4, s"frac=$frac")
+    // randomSplit partitions are disjoint and cover the input
+    val Array(a, b) = o.randomSplit(Array(0.7, 0.3), 10)
+    assert(a.count() + b.count() == o.count())
+  }
+
   test("entry() flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -63,6 +63,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("stream-stream interval join pairs errors with preceding clicks only") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String, Double)]
+    val errors = MemoryStream[(Long, Timestamp, String, Double)]
+    def df(m: MemoryStream[(Long, Timestamp, String, Double)]) =
+      m.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = Events.clickErrorJoin(
+      df(clicks).withColumn("user_id", col("event_id") % 10),
+      df(errors).withColumn("user_id", col("event_id") % 10))
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    // user 1: click at 10:00 and 10:30; error at 10:40 → joins BOTH clicks
+    // user 2: click at 10:00 only; error at 11:30 → outside 1h, no join
+    clicks.addData((1L, tsH(10, 0), "click", 1.0), (1L, tsH(10, 30), "click", 2.0),
+      (2L, tsH(10, 0), "click", 3.0))
+    errors.addData((11L, tsH(10, 40), "error", 0.0), (12L, tsH(11, 30), "error", 0.0))
+    q.processAllAvailable()
+    // push both watermarks forward so joined rows emit in append mode
+    clicks.addData((3L, tsH(14, 0), "click", 9.0))
+    errors.addData((13L, tsH(14, 0), "error", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssjoin_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("error_id"),
+        r.getAs[Double]("click_value")))
+    assert(rows.count(_._2 == 11L) == 2, rows.mkString(","))
+    assert(rows.forall(_._2 != 12L), rows.mkString(","))
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
