@@ -153,5 +153,32 @@ object TextAnalysis {
               (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fp
             FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint)
+  /** t05 — classic text-featurization chain: Tokenizer → StopWordsRemover →
+    * HashingTF → IDF. The tf-idf vector norm is a deterministic per-doc
+    * scalar given the fitted IDF model; rows-only check (hash-bucketed
+    * term space is engine-specific). One fit job + one narrow transform —
+    * linear at scale, IDF model broadcast. */
+  val tfidf: QueryDef = QueryDef(
+    "t05_tfidf",
+    (s, d) => {
+      import org.apache.spark.ml.feature.{HashingTF, IDF, StopWordsRemover, Tokenizer}
+      val docs = Tables.documents(s, d)
+      val tok = new Tokenizer().setInputCol("text").setOutputCol("toks")
+      val stop = new StopWordsRemover().setInputCol("toks").setOutputCol("kept")
+      val tf = new HashingTF().setInputCol("kept").setOutputCol("tf")
+        .setNumFeatures(1 << 16)
+      val tfed = tf.transform(stop.transform(tok.transform(docs)))
+      val idf = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tfed)
+      import org.apache.spark.ml.linalg.Vector
+      val normUdf = org.apache.spark.sql.functions.udf(
+        (v: Vector) => math.sqrt(v.toArray.map(x => x * x).sum))
+      idf.transform(tfed)
+        .select(col("doc_id"),
+          expr("size(kept)").as("n_kept_tokens"),
+          round(normUdf(col("tfidf")), 4).as("tfidf_norm"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint, tfidf)
 }

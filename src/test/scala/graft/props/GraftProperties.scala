@@ -1,0 +1,66 @@
+package graft.props
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.expr.{DayPart, DistinctSketch}
+
+/** Pure-function property checks (SURVEY §5.2), run by sbt's native
+  * ScalaCheck framework — no Spark session needed. */
+object GraftProperties extends Properties("graft") {
+
+  private val bucketOrder = Seq("lateNight", "earlyMorning", "lateMorning",
+    "earlyAfternoon", "lateAfternoon", "earlyEvening", "lateEvening",
+    "earlyNight")
+
+  property("daypart.totalOnRange") =
+    forAll(Gen.choose(0, 2400)) { h => DayPart.label(h).nonEmpty }
+
+  property("daypart.emptyOutsideRange") =
+    forAll(Gen.oneOf(Gen.choose(Int.MinValue, -1), Gen.choose(2401, Int.MaxValue))) {
+      h => DayPart.label(h).isEmpty
+    }
+
+  property("daypart.orderPreserving") =
+    forAll(Gen.choose(0, 2400), Gen.choose(0, 2400)) { (a, b) =>
+      val (la, lb) = (DayPart.label(a), DayPart.label(b))
+      a > b || bucketOrder.indexOf(la) <= bucketOrder.indexOf(lb)
+    }
+
+  property("sketch.mergeCommutative") =
+    forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (xs, ys) =>
+      def sk(vs: Seq[Long]) =
+        vs.foldLeft(DistinctSketch.emptyBuffer)(DistinctSketch.update)
+      DistinctSketch.merge(sk(xs), sk(ys)).toSeq ==
+        DistinctSketch.merge(sk(ys), sk(xs)).toSeq
+    }
+
+  property("sketch.mergeIsUnion") =
+    forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (xs, ys) =>
+      def sk(vs: Seq[Long]) =
+        vs.foldLeft(DistinctSketch.emptyBuffer)(DistinctSketch.update)
+      DistinctSketch.merge(sk(xs), sk(ys)).toSeq == sk(xs ++ ys).toSeq
+    }
+
+  property("sketch.duplicateInsensitive") =
+    forAll(Gen.nonEmptyListOf(Gen.long)) { xs =>
+      def sk(vs: Seq[Long]) =
+        vs.foldLeft(DistinctSketch.emptyBuffer)(DistinctSketch.update)
+      sk(xs).toSeq == sk(xs ++ xs).toSeq
+    }
+
+  property("hash64.deterministicAndSpreading") =
+    forAll(Gen.long) { x =>
+      DistinctSketch.hash64(x) == DistinctSketch.hash64(x) &&
+        (x == 0L || DistinctSketch.hash64(x) != x)
+    }
+
+  // jaccard arithmetic invariants (the d04 formula on arbitrary set sizes)
+  property("jaccard.bounds") =
+    forAll(Gen.choose(0, 1000), Gen.choose(1, 1000), Gen.choose(1, 1000)) {
+      (interRaw, na, nb) =>
+        val inter = math.min(interRaw, math.min(na, nb))
+        val j = inter.toDouble / (na + nb - inter)
+        j >= 0.0 && j <= 1.0 && (inter != na || na != nb || j == 1.0)
+    }
+}
