@@ -81,4 +81,10 @@ object DistinctSketch {
 
   /** DataFrame-usable UDAF column: `distinctSketch(col("x"))`. */
   def distinctSketch(c: Column): Column = udaf(agg).apply(c)
+
+  /** Same sketch over ANY column type: pre-hash to long with xxhash64
+    * (cast through string so equal values of any type collide). The
+    * estimate semantics match count(DISTINCT cast(c as string)). */
+  def distinctSketchAny(c: Column): Column =
+    udaf(agg).apply(org.apache.spark.sql.functions.xxhash64(c.cast("string")))
 }

@@ -727,8 +727,55 @@ object Relational {
             nullif(o_orderstatus, 'F') IS NULL AS was_f
             FROM orders ORDER BY o_orderkey"""))
 
+  /** Q31 — collection aggregation: per-region sorted distinct segment
+    * list (collect_set → array_sort → array_join: deterministic, unlike
+    * raw collect order) and per-region segment count. */
+  val q31 = QueryDef(
+    "q31_collect_agg",
+    (s, d) => {
+      val c = cst(s, d); val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          array_join(array_sort(collect_set(col("c_mktsegment"))), ",")
+            .as("segments"),
+          countDistinct(col("c_mktsegment")).as("n_segments"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name,
+            array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+            count(DISTINCT c_mktsegment) AS n_segments
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name"""))
+
+  /** Q32 — time-range rolling window: per-user 1-hour trailing event sum
+    * via RANGE frame over epoch seconds (value-based frames are the
+    * event-time analog of rowsBetween; both engines use the same frame
+    * semantics over the same integer key). */
+  val q32 = QueryDef(
+    "q32_rolling_range_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("epoch_s", unix_timestamp(col("ts")))
+        .select(
+          col("user_id"), col("event_id"),
+          round(sum(col("value")).over(
+            Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
+              .rangeBetween(-3600L, 0L)), 4).as("rolling_1h"))
+        .orderBy("user_id", "event_id"),
+    Some("""SELECT user_id, event_id,
+            round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_s
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
+              AS rolling_1h
+            FROM (SELECT user_id, event_id, value,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
+            ORDER BY user_id, event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26, q27,
-    q28, q29, q30)
+    q28, q29, q30, q31, q32)
 }

@@ -30,6 +30,15 @@ class DistinctSketchSpec extends AnyFunSuite {
     assert(once.toSeq == thrice.toSeq)
   }
 
+  test("distinctSketchAny works over string columns") {
+    val df = (1 to 5000).map(i => s"user_${i % 700}").toDF("s")
+    val row = df.agg(
+      DistinctSketch.distinctSketchAny(col("s")).as("est"),
+      countDistinct(col("s")).as("exact")).collect()(0)
+    val (est, exact) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(est - exact).toDouble / exact < 0.06, s"est=$est exact=$exact")
+  }
+
   test("UDAF over a DataFrame tracks countDistinct") {
     val df = (1L to 20000L).map(i => i % 3000).toDF("k")
     val row = df.agg(
