@@ -38,8 +38,11 @@ object Bench {
       val t =
         if (warmup < 0 || warmup > 5.0 || runs < 1) warmup
         else {
-          val timed = (1 to runs).map(_ => once(q.build)).sorted
-          timed(timed.length / 2)
+          // a run that fails after a clean warmup marks the query failed
+          // rather than polluting (or hiding inside) the median
+          val timed = (1 to runs).map(_ => once(q.build))
+          if (timed.exists(_ < 0)) -1.0
+          else { val s = timed.sorted; s(s.length / 2) }
         }
       q.name -> t
     }

@@ -43,13 +43,20 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => decodeOne(id, bytes) })
   }
 
-  /** Fake decode: byte-derived dimensions + "luma". Deterministic in the
-    * blob content so tests and the oracle can mirror it. */
+  /** Fake decode: content-derived dimensions + "luma". The rolling hash
+    * folds UNICODE CODEPOINTS of the UTF-8-decoded payload (not raw
+    * bytes) so the DuckDB oracle's per-character ascii() fold matches for
+    * ALL text, not just ASCII. Deterministic in the blob content. */
   private def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val n = bytes.length
+    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     var acc = 0L
     var i = 0
-    while (i < n) { acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
     MediaFeatures(
       doc_id = id,
       n_bytes = n,

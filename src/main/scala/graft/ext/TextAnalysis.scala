@@ -136,7 +136,11 @@ object TextAnalysis {
   /** t04 — document fingerprint: rolling polynomial hash
     * acc ← (31·acc + codepoint) mod 1e9+7, folded left-to-right over the
     * characters on both engines (mod keeps the accumulator < 2^35 so the
-    * DuckDB BIGINT never overflows and the Spark long math is exact). */
+    * DuckDB BIGINT never overflows and the Spark long math is exact).
+    * Scope: ASCII text (the documents fixture) — Spark's split('')/ascii
+    * walks UTF-16 chars while DuckDB walks codepoints, so astral-plane
+    * input would diverge; Multimodal.decodeOne shows the codepoint-exact
+    * variant. */
   val fingerprint: QueryDef = QueryDef(
     "t04_fingerprint",
     (s, d) =>

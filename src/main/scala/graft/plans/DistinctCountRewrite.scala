@@ -61,7 +61,9 @@ object DistinctCountRewrite extends Rule[LogicalPlan] {
     val hasNull = AggregateExpression(
       Max(CaseWhen(Seq((IsNull(c), Literal(1L))), Literal(0L))),
       Complete, isDistinct = false)
-    Add(distinct, hasNull)
+    // Coalesce: over an EMPTY relation Max is NULL while the original
+    // count(*)-over-groupBy returns 0 — the rewrite must preserve that.
+    Coalesce(Seq(Add(distinct, hasNull), Literal(0L)))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -77,12 +79,13 @@ object DistinctCountRewrite extends Rule[LogicalPlan] {
 
     // R2: the rewritten distinct aggregate still sitting on a pure
     // group-count of the same column — peel the inner aggregate.
-    case agg @ Aggregate(Nil, Seq(Alias(add: Add, name)), PureGroupCount(g, child), _)
-        if distinctCountOf(add).exists(_.semanticEquals(g)) =>
+    case agg @ Aggregate(Nil, Seq(Alias(e, _)), PureGroupCount(g, child), _)
+        if distinctCountOf(e).exists(_.semanticEquals(g)) =>
       agg.copy(child = child)
   }
 
   private def distinctCountOf(e: Expression): Option[Attribute] = e match {
+    case Coalesce(Seq(inner, Literal(0L, _))) => distinctCountOf(inner)
     case Add(AggregateExpression(Count(Seq(a: Attribute)), _, true, _, _), _, _) =>
       Some(a)
     case _ => None

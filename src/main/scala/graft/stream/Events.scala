@@ -125,9 +125,14 @@ object Events {
       events: Dataset[(Long, java.sql.Timestamp, Double)],
       gap: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
-    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    // months have no fixed millisecond length — reject rather than
+    // silently treating "1 month" as 0 ms.
+    require(iv.months == 0, s"session gap must be day-scale or smaller: $gap")
+    val gapMillis = iv.days * 86400000L + iv.microseconds / 1000L
+    require(gapMillis > 0, s"session gap must be positive: $gap")
+
     events.groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -138,18 +143,27 @@ object Events {
             state.remove()
             Iterator(SessionOut(uid, s.startMs, s.endMs, s.n, s.sum))
           } else {
-            val evs = rows.toVector
-            val lo = evs.map(_._2.getTime).min
-            val hi = evs.map(_._2.getTime).max
-            val (dn, ds) = (evs.size.toLong, evs.map(_._3).sum)
-            val merged = state.getOption match {
-              case Some(p) => SessionState(math.min(p.startMs, lo),
-                math.max(p.endMs, hi), p.n + dn, p.sum + ds)
-              case None => SessionState(lo, hi, dn, ds)
+            // Split the batch (merged with carried state) on event-time
+            // gaps >= gapMillis — one micro-batch can span several
+            // sessions (session_window semantics). All but the last
+            // session are closed by construction and emit immediately;
+            // the last stays in state under an event-time timeout.
+            val evs = rows.toVector.sortBy(_._2.getTime)
+            val segments = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+            var cur = state.getOption.orNull
+            evs.foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              if (cur == null) cur = SessionState(t, t, 1L, v)
+              else if (t >= cur.endMs + gapMillis) {
+                segments += cur
+                cur = SessionState(t, t, 1L, v)
+              } else cur = SessionState(math.min(cur.startMs, t),
+                math.max(cur.endMs, t), cur.n + 1, cur.sum + v)
             }
-            state.update(merged)
-            state.setTimeoutTimestamp(merged.endMs + gapMillis)
-            Iterator.empty
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.endMs + gapMillis)
+            segments.iterator.map(s =>
+              SessionOut(uid, s.startMs, s.endMs, s.n, s.sum))
           }
       }
   }

@@ -22,6 +22,21 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.fingerprint(a) != Sinks.fingerprint(dup))
   }
 
+  test("fingerprint is total on the empty relation") {
+    val empty = Seq.empty[(Int, String)].toDF("k", "v")
+    assert(Sinks.fingerprint(empty) == Sinks.fingerprint(empty))
+    assert(Sinks.fingerprint(empty) !=
+      Sinks.fingerprint(Seq((1, "x")).toDF("k", "v")))
+  }
+
+  test("even-multiplicity rows do not cancel (sum-based, not xor)") {
+    // {X,X,Y} vs {Z,Z,Y}: same cardinality, duplicated rows differ —
+    // an xor fingerprint would collide with certainty
+    val a = Seq((1, "x"), (1, "x"), (9, "y")).toDF("k", "v")
+    val b = Seq((2, "z"), (2, "z"), (9, "y")).toDF("k", "v")
+    assert(Sinks.fingerprint(a) != Sinks.fingerprint(b))
+  }
+
   test("null hashes differently from the string 'null'") {
     val a = Seq(Tuple1(Option.empty[String])).toDF("v")
     val b = Seq(Tuple1(Option("null"))).toDF("v")

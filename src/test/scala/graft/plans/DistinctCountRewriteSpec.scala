@@ -48,6 +48,14 @@ class DistinctCountRewriteSpec extends AnyFunSuite {
       s"expected 1 Aggregate after rewrite:\n${plan.queryExecution.optimizedPlan}")
   }
 
+  test("rewrite returns 0 (not null) on an empty relation") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("c")
+    assert(idiom(empty, "c") == 0L)
+    val withNullOnly = Seq(Option.empty[String]).toDF("c")
+    assert(idiom(withNullOnly, "c") == 1L) // the null group counts
+  }
+
   test("rule does not fire on legitimate two-level aggregates") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")

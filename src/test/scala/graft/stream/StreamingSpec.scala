@@ -120,20 +120,28 @@ class StreamingSpec extends AnyFunSuite {
     val q = sessions.toDF()
       .writeStream.format("memory").queryName("sessionize_out")
       .outputMode("append").start()
-    // user 7: two events 5 min apart (one session)
-    in.addData((7L, ts(0), 1.0), (7L, ts(5), 2.0))
+    // user 7, ONE batch spanning two sessions: events at 10:00/10:05,
+    // then a 25-min gap to 10:30 — the first session must close and emit
+    // immediately (within-batch gap split), the second stays open.
+    in.addData((7L, ts(0), 1.0), (7L, ts(5), 2.0), (7L, ts(30), 4.0))
     q.processAllAvailable()
-    assert(spark.table("sessionize_out").count() == 0) // still open
+    val early = spark.table("sessionize_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"),
+        r.getAs[Double]("sum_value")))
+    assert(early.toSeq == Seq((7L, 2L, 3.0)), early.mkString(","))
     // another user far in the future pushes the watermark past the gap
     in.addData((8L, tsH(12, 0), 5.0))
     q.processAllAvailable()
     in.addData((8L, tsH(13, 0), 1.0)) // one more batch so the timeout fires
     q.processAllAvailable()
     q.stop()
-    val rows = spark.table("sessionize_out")
-      .collect().map(r => r.getAs[Long]("user_id") ->
-        ((r.getAs[Long]("n"), r.getAs[Double]("sum_value")))).toMap
-    assert(rows(7L) == ((2L, 3.0)), s"got $rows")
+    val user7 = spark.table("sessionize_out").collect()
+      .filter(_.getAs[Long]("user_id") == 7L)
+      .map(r => (r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+      .sortBy(_._1)
+    // both sessions now emitted: the in-batch-closed (n=2) and the
+    // timeout-closed (n=1)
+    assert(user7.toSeq == Seq((1L, 4.0), (2L, 3.0)), user7.mkString(","))
   }
 
   test("file-source stream over real events parquet equals the batch result") {
