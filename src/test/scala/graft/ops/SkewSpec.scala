@@ -40,6 +40,30 @@ class SkewSpec extends AnyFunSuite {
     assert(joined < 1e-9)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime") {
+    // The complementary path to manual salting: shrink AQE's skew
+    // thresholds so the hot partition qualifies, and verify the executed
+    // plan marks the join as skew-handled.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = skewed.select($"key", $"v",
+        concat_ws("", Seq.fill(40)(lit("pad")): _*).as("pad"))
+      val joined = big.join(dim, Seq("key"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(2000))
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("keyHistogram surfaces the hot key first") {
     val top = Skew.keyHistogram(skewed, "key", 1).collect()(0)
     assert(top.getString(0) == "hot" && top.getLong(1) == 900)
