@@ -184,5 +184,24 @@ object TextAnalysis {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(langId, quality, tokenCount, fingerprint, tfidf)
+  /** t06 — corpus token-frequency table: explode tokens, global counts,
+    * top-20 with deterministic tiebreak — the Zipf-profile op every
+    * corpus pipeline starts with. Explode → hash-agg → top-k: at 100 TB
+    * this is partial-aggregated per partition and TakeOrdered'd, never a
+    * full sort. */
+  val tokenFreq: QueryDef = QueryDef(
+    "t06_token_freq",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20),
+    Some("""SELECT token, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token ORDER BY n DESC, token LIMIT 20"""))
+
+  val all: Seq[QueryDef] =
+    Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq)
 }

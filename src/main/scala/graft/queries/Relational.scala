@@ -774,8 +774,48 @@ object Relational {
                     CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
             ORDER BY user_id, event_id"""))
 
+  /** Q33 — multiset (ALL) set operators: unlike q16's distinct forms,
+    * EXCEPT ALL / INTERSECT ALL preserve multiplicities. */
+  val q33 = QueryDef(
+    "q33_setops_all",
+    (s, d) => {
+      val c = cst(s, d).select(col("c_nationkey").as("k"))
+      val sp = Tables.supplier(s, d).select(col("s_nationkey").as("k"))
+      def n(df: DataFrame, op: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      n(c.exceptAll(sp), "except_all")
+        .unionAll(n(c.intersectAll(sp), "intersect_all"))
+        .orderBy("op")
+    },
+    Some("""SELECT 'except_all' AS op, count(*) AS n FROM
+              (SELECT c_nationkey AS k FROM customer
+               EXCEPT ALL SELECT s_nationkey FROM supplier)
+            UNION ALL SELECT 'intersect_all', count(*) FROM
+              (SELECT c_nationkey FROM customer
+               INTERSECT ALL SELECT s_nationkey FROM supplier)
+            ORDER BY op"""))
+
+  /** Q34 — histogram binning: fixed-width value buckets with counts and
+    * bounds — the profiling distribution op (floor-based binning is
+    * identical integer math on both engines). */
+  val q34 = QueryDef(
+    "q34_histogram",
+    (s, d) =>
+      ord(s, d)
+        .withColumn("bucket", floor(col("o_totalprice") / 50000).cast("int"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy("bucket"),
+    Some("""SELECT CAST(floor(o_totalprice / 50000) AS INTEGER) AS bucket,
+            count(*) AS n, round(min(o_totalprice), 2) AS lo,
+            round(max(o_totalprice), 2) AS hi
+            FROM orders GROUP BY 1 ORDER BY bucket"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32)
+    q28, q29, q30, q31, q32, q33, q34)
 }
