@@ -261,6 +261,43 @@ object Relational {
             GROUP BY CUBE (n_name, c_mktsegment)
             ORDER BY gid, nation, segment"""))
 
+  /** Q12b — rollup and explicit GROUPING SETS (the other two §2.9-Q12
+    * grouping forms; cube is q12), via the SQL entry point. */
+  val q12b = QueryDef(
+    "q12b_rollup_gsets",
+    (s, d) => {
+      cst(s, d).createOrReplaceTempView("g_customer")
+      Tables.nation(s, d).createOrReplaceTempView("g_nation")
+      s.sql("""SELECT 'rollup' AS form, coalesce(n_name, 'ALL') AS nation,
+                      coalesce(c_mktsegment, 'ALL') AS segment,
+                      CAST(grouping_id(n_name, c_mktsegment) AS BIGINT) AS gid,
+                      count(*) AS n
+               FROM g_customer JOIN g_nation ON c_nationkey = n_nationkey
+               GROUP BY ROLLUP (n_name, c_mktsegment)
+               UNION ALL
+               SELECT 'gsets', coalesce(n_name, 'ALL'),
+                      coalesce(c_mktsegment, 'ALL'),
+                      CAST(grouping_id(n_name, c_mktsegment) AS BIGINT),
+                      count(*)
+               FROM g_customer JOIN g_nation ON c_nationkey = n_nationkey
+               GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+               ORDER BY form, gid, nation, segment""")
+    },
+    Some("""SELECT 'rollup' AS form, coalesce(n_name, 'ALL') AS nation,
+                   coalesce(c_mktsegment, 'ALL') AS segment,
+                   CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid,
+                   count(*) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP (n_name, c_mktsegment)
+            UNION ALL
+            SELECT 'gsets', coalesce(n_name, 'ALL'),
+                   coalesce(c_mktsegment, 'ALL'),
+                   CAST(GROUPING(n_name, c_mktsegment) AS BIGINT),
+                   count(*)
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+            ORDER BY form, gid, nation, segment"""))
+
   /** Q13 — window ranking: top-3 orders per customer. row_number gets the
     * unique tiebreaker; rank/dense_rank rank by price alone (both
     * deterministic). Per-key windows partition cleanly at scale. */
@@ -815,7 +852,7 @@ object Relational {
             FROM orders GROUP BY 1 ORDER BY bucket"""))
 
   val all: Seq[QueryDef] = Seq(
-    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34)
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q12b, q13,
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26,
+    q27, q28, q29, q30, q31, q32, q33, q34)
 }
