@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 
@@ -70,6 +71,75 @@ object Dedup {
         .filter(col("a_id") < col("b_id"))
         .orderBy("a_id", "b_id")
     },
+    None)
+
+  /** Engine-native MinHash+LSH — the same Broder scheme as d02 but
+    * expressed entirely in Catalyst expressions instead of spark.ml's
+    * 2^18-dim sparse vectors: 16 xxhash64 min-signatures per doc, banded
+    * 4×4 for candidates (equi join on (band, value)), exact Jaccard via
+    * array_intersect on the candidate pairs only. Same shape at 100 TB:
+    * linear signature pass + equi shuffle, never all-pairs. */
+  def minhashNativePairs(
+      docs: DataFrame,
+      maxJaccardDist: Double,
+      maxBucketSize: Int = 64): DataFrame = {
+    val shingled = docs
+      .select(col("doc_id"),
+        expr(s"array_distinct(${shingleExpr("text")})").as("sh"))
+    // 16 min-signatures via ONE explode + hash-aggregate (partial-agg,
+    // whole-stage codegen) — NOT nested array lambdas: a
+    // transform-inside-transform signature gets inlined per reference by
+    // CollapseProject into enormous generated code and evaluates the
+    // inner fold repeatedly.
+    val sigCols = (0 until 16).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"sig_$i"))
+    val sigs = shingled
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until 4).map(r => col(s"sig_${b * 4 + r}")): _*).as("bv"))
+        .as(s"b$b"))
+    val bands = sigs
+      .select(col("doc_id"), array(bandCols: _*).as("bands"))
+      .select(col("doc_id"), explode(col("bands")).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+
+    // Mega-bucket cap (standard LSH hygiene): on homogeneous corpora the
+    // globally-minimal shingles dominate the min-signatures, collapsing
+    // most docs into a few buckets whose pairing is quadratic noise. A
+    // bucket with > maxBucketSize docs carries ~no similarity signal
+    // (P[same band] for near-dups is per-PAIR, and true near-dups also
+    // meet in small buckets) — drop it rather than pair it. NOT silent:
+    // the cap is a parameter and the effect is tested.
+    val w = Window.partitionBy(col("band"), col("bv"))
+    val kept = bands.withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+
+    // ids-only candidate generation; shingle arrays re-join AFTER distinct
+    val a = kept.select(col("doc_id").as("a_id"), col("band"), col("bv"))
+    val b = kept.select(col("doc_id").as("b_id"), col("band"), col("bv"))
+    val cand = a.join(b, Seq("band", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sa = shingled.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val sb = shingled.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("n_inter", expr("size(array_intersect(a_sh, b_sh))"))
+      .withColumn("jaccard_dist", expr(
+        "1.0 - CAST(n_inter AS DOUBLE) / (size(a_sh) + size(b_sh) - n_inter)"))
+      .filter(col("jaccard_dist") < maxJaccardDist)
+      .select("a_id", "b_id", "jaccard_dist")
+  }
+
+  /** d06 — the native-expression MinHash path as a registered query
+    * (rows-only: hash-family specific, like d02). */
+  val minhashNative: QueryDef = QueryDef(
+    "d06_dedup_minhash_native",
+    (s, d) => minhashNativePairs(Tables.documents(s, d), 0.95)
+      .orderBy("a_id", "b_id"),
     None)
 
   /** 64-bit SimHash (Charikar, "Similarity estimation techniques from
@@ -238,5 +308,6 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] =
-    Seq(exact, minhash, simhashPairs, ngramJaccard, embeddingCosine)
+    Seq(exact, minhash, minhashNative, simhashPairs, ngramJaccard,
+      embeddingCosine)
 }

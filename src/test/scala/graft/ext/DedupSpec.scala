@@ -65,6 +65,18 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sh(0L), sh(3L)) > ham(sh(0L), sh(2L)))
   }
 
+  test("native minhash finds exact and near dups with correct jaccard values") {
+    val pairs = Dedup.minhashNativePairs(docs, 0.95).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("jaccard_dist")).toMap
+    // identical docs always collide on every band; distance exactly 0
+    assert(pairs((0L, 1L)) == 0.0, pairs.mkString(","))
+    // near-dup: if banding surfaced it, its exact distance must be right
+    pairs.get((0L, 2L)).foreach(dj => assert(dj > 0.0 && dj < 0.5))
+    // unrelated docs share no shingle: never a candidate with dist < 0.95
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("banded simhash: finds the near-dup pair and is a subset of all-pairs") {
     val banded = Dedup.simhashBandedPairs(docs, 16).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
