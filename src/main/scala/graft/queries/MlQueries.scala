@@ -78,5 +78,47 @@ object MlQueries {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(lrOrders)
+  /** ml02 — tree regressors (DTR/RFR) on the same feature pipeline,
+    * single fit each (the CV form is exercised by the flight app):
+    * completes the driver-visible model-family coverage. */
+  val treeOrders: QueryDef = QueryDef(
+    "ml02_tree_regressors",
+    (s, d) => {
+      import org.apache.spark.ml.regression.{DecisionTreeRegressor, RandomForestRegressor}
+      import s.implicits._
+      val df = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(
+          col("o_totalprice").as("label"),
+          month(col("o_orderdate")).cast("double").as("o_month"),
+          col("c_acctbal"), col("o_orderpriority"), col("c_mktsegment"))
+      val stages = Seq(
+        new StringIndexer()
+          .setInputCols(Array("o_orderpriority", "c_mktsegment"))
+          .setOutputCols(Array("prioIdx", "segIdx"))
+          .setHandleInvalid("keep"),
+        new VectorAssembler()
+          .setInputCols(Array("o_month", "c_acctbal", "prioIdx", "segIdx"))
+          .setOutputCol("features"))
+      val prepped = new Pipeline().setStages(stages.toArray)
+        .fit(df).transform(df).select("label", "features")
+      val Array(tr, te) = prepped.randomSplit(Array(0.7, 0.3), 10)
+      tr.cache(); te.cache()
+      val rmseEval = new RegressionEvaluator().setMetricName("rmse")
+      val r2Eval = new RegressionEvaluator().setMetricName("r2")
+      val models = Seq(
+        "DecisionTreeRegressor" ->
+          new DecisionTreeRegressor().setSeed(10).fit(tr),
+        "RandomForestRegressor" ->
+          new RandomForestRegressor().setSeed(10).setNumTrees(10).fit(tr))
+      val out = models.map { case (name, m) =>
+        val pred = m.transform(te)
+        (name, rmseEval.evaluate(pred), r2Eval.evaluate(pred))
+      }.toDF("model", "rmse", "r2").orderBy("model")
+      tr.unpersist(); te.unpersist()
+      out
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(lrOrders, treeOrders)
 }
