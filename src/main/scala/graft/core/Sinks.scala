@@ -52,6 +52,15 @@ object Sinks {
     df.orderBy(sortCols.map(col): _*).coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Hive-style partitioned parquet write (e.g. by date column): at
+    * 100 TB this is THE layout lever — a filter on the partition column
+    * prunes entire directories before any IO (PartitionFilters in the
+    * scan, asserted in SinksSpec). */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*).parquet(path)
+
   /** Bucketed managed-table write: co-locates rows by hash(key) into a
     * fixed bucket count so joins/aggregations between tables bucketed on
     * the same key plan WITHOUT a shuffle exchange — the pre-partitioning

@@ -55,6 +55,30 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.fingerprint(back) == Sinks.fingerprint(li))
   }
 
+  test("partitioned layout prunes directories at the scan (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("partw").toString
+    val ev = graft.core.Tables.events(spark, graft.TestSpark.sf0001)
+      .withColumn("day", org.apache.spark.sql.functions.to_date($"ts"))
+    Sinks.writePartitioned(ev, s"$dir/events_by_day", Seq("day"))
+    val back = spark.read.parquet(s"$dir/events_by_day")
+    val oneDay = back.filter($"day" ===
+      org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("2024-01-02")))
+    oneDay.collect()
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(800))
+    assert(plan.contains("day#") || plan.contains("isnotnull(day"), plan.take(800))
+    // pruning actually reduced the files touched (scan metric, not
+    // inputFiles — that lists the whole unfiltered relation)
+    val scans = oneDay.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.metrics("numFiles").value < back.inputFiles.length,
+      s"read ${scans.head.metrics("numFiles").value} of ${back.inputFiles.length}")
+    assert(oneDay.count() == ev.filter($"ts".cast("date") ===
+      java.sql.Date.valueOf("2024-01-02")).count())
+  }
+
   test("writeParquet round-trips deterministically") {
     val dir = java.nio.file.Files.createTempDirectory("sinks").toString
     val df = Seq((3, "c"), (1, "a"), (2, "b")).toDF("k", "v")
