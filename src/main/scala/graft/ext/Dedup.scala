@@ -83,9 +83,13 @@ object Dedup {
       docs: DataFrame,
       maxJaccardDist: Double,
       maxBucketSize: Int = 64): DataFrame = {
+    // cached: the shingle pass feeds the signature aggregate AND both
+    // sides of the final candidate join — uncached it would rescan the
+    // corpus (the most expensive linear pass) three times.
     val shingled = docs
       .select(col("doc_id"),
         expr(s"array_distinct(${shingleExpr("text")})").as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 16 min-signatures via ONE explode + hash-aggregate (partial-agg,
     // whole-stage codegen) — NOT nested array lambdas: a
     // transform-inside-transform signature gets inlined per reference by
@@ -97,6 +101,7 @@ object Dedup {
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
+    val sigNames = (0 until 16).map(i => s"sig_$i")
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         xxhash64((0 until 4).map(r => col(s"sig_${b * 4 + r}")): _*).as("bv"))
@@ -108,22 +113,37 @@ object Dedup {
 
     // Mega-bucket cap (standard LSH hygiene): on homogeneous corpora the
     // globally-minimal shingles dominate the min-signatures, collapsing
-    // most docs into a few buckets whose pairing is quadratic noise. A
-    // bucket with > maxBucketSize docs carries ~no similarity signal
-    // (P[same band] for near-dups is per-PAIR, and true near-dups also
-    // meet in small buckets) — drop it rather than pair it. NOT silent:
-    // the cap is a parameter and the effect is tested.
-    val w = Window.partitionBy(col("band"), col("bv"))
-    val kept = bands.withColumn("bsz", count(lit(1)).over(w))
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
+    // most docs into a few buckets whose pairing is quadratic noise.
+    // Computed as a partial-aggregated groupBy count + broadcast anti
+    // join — NOT an unordered window, which would buffer each mega-bucket
+    // in one task just to discard it.
+    val bigBuckets = bands.groupBy("band", "bv")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select("band", "bv")
+    val kept = bands.join(broadcast(bigBuckets), Seq("band", "bv"), "left_anti")
 
-    // ids-only candidate generation; shingle arrays re-join AFTER distinct
+    // The cap would also drop duplicate CLUSTERS bigger than the cap
+    // (identical docs share every band — their only buckets ARE the mega
+    // ones). Recover them linearly: group identical full signatures and
+    // pair each member with the min-id representative (n−1 pairs per
+    // cluster, transitively complete, never n²/2).
+    val dupReps = sigs.groupBy(sigNames.map(col): _*)
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(sigNames.map(col) :+ col("rep"): _*)
+    val dupClusters = sigs.join(dupReps, sigNames)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+
+    // ids-only banded candidates; shingle arrays re-join AFTER distinct
     val a = kept.select(col("doc_id").as("a_id"), col("band"), col("bv"))
     val b = kept.select(col("doc_id").as("b_id"), col("band"), col("bv"))
     val cand = a.join(b, Seq("band", "bv"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id")
+      .union(dupClusters)
+      .distinct()
     val sa = shingled.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val sb = shingled.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     cand.join(sa, "a_id").join(sb, "b_id")

@@ -17,26 +17,35 @@ import graft.core.Tables
   */
 object MlQueries {
 
+  /** Shared labeled-features frame: orders ⋈ customer with the label and
+    * the raw numeric/categorical feature columns (used by ml01 and ml02
+    * so the two can't drift). */
+  private def orderFeatures(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("o_totalprice").as("label"),
+        month(col("o_orderdate")).cast("double").as("o_month"),
+        col("c_acctbal"),
+        col("o_orderpriority"), col("c_mktsegment"))
+
+  /** Shared categorical indexer stage. */
+  private def indexerStage() = new StringIndexer()
+    .setInputCols(Array("o_orderpriority", "c_mktsegment"))
+    .setOutputCols(Array("prioIdx", "segIdx"))
+    .setHandleInvalid("keep")
+
   /** ml01 — regression of order value from customer/date features through
     * the full feature pipeline + 3-fold CV LinearRegression. */
   val lrOrders: QueryDef = QueryDef(
     "ml01_lr_pipeline",
     (s, d) => {
       import s.implicits._
-      val df = Tables.orders(s, d)
-        .join(Tables.customer(s, d),
-          col("o_custkey") === col("c_custkey"))
-        .select(
-          col("o_totalprice").as("label"),
-          month(col("o_orderdate")).cast("double").as("o_month"),
-          col("c_acctbal"),
-          col("o_orderpriority"), col("c_mktsegment"))
+      val df = orderFeatures(s, d)
 
       val stages = Seq(
-        new StringIndexer()
-          .setInputCols(Array("o_orderpriority", "c_mktsegment"))
-          .setOutputCols(Array("prioIdx", "segIdx"))
-          .setHandleInvalid("keep"),
+        indexerStage(),
         new OneHotEncoder().setInputCols(Array("prioIdx", "segIdx"))
           .setOutputCols(Array("prioCat", "segCat")),
         new VectorAssembler()
@@ -86,17 +95,9 @@ object MlQueries {
     (s, d) => {
       import org.apache.spark.ml.regression.{DecisionTreeRegressor, RandomForestRegressor}
       import s.implicits._
-      val df = Tables.orders(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .select(
-          col("o_totalprice").as("label"),
-          month(col("o_orderdate")).cast("double").as("o_month"),
-          col("c_acctbal"), col("o_orderpriority"), col("c_mktsegment"))
+      val df = orderFeatures(s, d)
       val stages = Seq(
-        new StringIndexer()
-          .setInputCols(Array("o_orderpriority", "c_mktsegment"))
-          .setOutputCols(Array("prioIdx", "segIdx"))
-          .setHandleInvalid("keep"),
+        indexerStage(),
         new VectorAssembler()
           .setInputCols(Array("o_month", "c_acctbal", "prioIdx", "segIdx"))
           .setOutputCol("features"))

@@ -64,15 +64,14 @@ class SinksSpec extends AnyFunSuite {
     val oneDay = back.filter($"day" ===
       org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("2024-01-02")))
     oneDay.collect()
-    val plan = oneDay.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: ["), plan.take(800))
-    assert(plan.contains("day#") || plan.contains("isnotnull(day"), plan.take(800))
-    // pruning actually reduced the files touched (scan metric, not
-    // inputFiles — that lists the whole unfiltered relation)
+    // assert on the scan's actual partition filters, not the plan string
+    // (the string always prints a "PartitionFilters: [...]" section)
     val scans = oneDay.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.nonEmpty,
+      scans.head.toString.take(500))
     assert(scans.head.metrics("numFiles").value < back.inputFiles.length,
       s"read ${scans.head.metrics("numFiles").value} of ${back.inputFiles.length}")
     assert(oneDay.count() == ev.filter($"ts".cast("date") ===
