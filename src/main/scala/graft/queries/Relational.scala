@@ -851,8 +851,59 @@ object Relational {
             round(max(o_totalprice), 2) AS hi
             FROM orders GROUP BY 1 ORDER BY bucket"""))
 
+  /** Q35 — edit-distance fuzzy matching: near-identical part names within
+    * a brand block (blocking keeps the pair space linear in block count —
+    * the record-linkage shape; unit-cost levenshtein is identical on both
+    * engines). */
+  val q35 = QueryDef(
+    "q35_fuzzy_levenshtein",
+    (s, d) => {
+      val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_name")
+      val a = p.select(col("p_brand"), col("p_partkey").as("a_id"),
+        col("p_name").as("a_name"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("b_id"),
+        col("p_name").as("b_name"))
+      a.join(b, Seq("p_brand")).filter(col("a_id") < col("b_id"))
+        .withColumn("lev", levenshtein(col("a_name"), col("b_name")))
+        .filter(col("lev") <= 3 && col("a_name") =!= col("b_name"))
+        .select("p_brand", "a_id", "b_id", "lev")
+        .orderBy("p_brand", "a_id", "b_id")
+    },
+    Some("""SELECT a.p_brand, a.p_partkey AS a_id, b.p_partkey AS b_id,
+            CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS lev
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
+              AND a.p_name != b.p_name
+            ORDER BY a.p_brand, a_id, b_id"""))
+
+  /** Q36 — extended datetime arithmetic: month addition with end-of-month
+    * clamping, last_day, quarter, ISO week, day-of-week (Spark's Sunday=1
+    * convention mapped to DuckDB's Sunday=0 by subtracting 1). */
+  val q36 = QueryDef(
+    "q36_datetime_extra",
+    (s, d) =>
+      ord(s, d)
+        .select(
+          col("o_orderkey"),
+          date_format(add_months(col("o_orderdate"), 1), "yyyy-MM-dd")
+            .as("plus_month"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_end"),
+          quarter(col("o_orderdate")).as("q"),
+          weekofyear(col("o_orderdate")).as("iso_week"),
+          (dayofweek(col("o_orderdate")) - 1).as("dow"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+            strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS plus_month,
+            strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+            CAST(quarter(o_orderdate) AS INTEGER) AS q,
+            CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+            CAST(dayofweek(o_orderdate) AS INTEGER) AS dow
+            FROM orders ORDER BY o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q12b, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33, q34)
+    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
 }
