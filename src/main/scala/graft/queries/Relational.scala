@@ -902,8 +902,32 @@ object Relational {
             CAST(dayofweek(o_orderdate) AS INTEGER) AS dow
             FROM orders ORDER BY o_orderkey"""))
 
+  /** Q37 — error-safe casting + FILTER-clause conditional aggregation
+    * (ANSI-mode-safe data cleaning: try_cast nulls instead of throwing;
+    * same syntax both engines via the SQL entry point). */
+  val q37 = QueryDef(
+    "q37_trycast_filter_agg",
+    (s, d) => {
+      ord(s, d).createOrReplaceTempView("g_orders")
+      s.sql("""SELECT
+                 count(*) AS n,
+                 count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+                 count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+                 count(try_cast(o_orderpriority AS INT)) AS n_prio_numeric,
+                 count(try_cast(substring(o_orderpriority, 1, 1) AS INT))
+                   AS n_prio_digit
+               FROM g_orders""")
+    },
+    Some("""SELECT count(*) AS n,
+            count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+            count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+            count(try_cast(o_orderpriority AS INTEGER)) AS n_prio_numeric,
+            count(try_cast(substring(o_orderpriority, 1, 1) AS INTEGER))
+              AS n_prio_digit
+            FROM orders"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q12b, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
+    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
 }
