@@ -53,5 +53,27 @@ object Extensions {
     (s, d) => Profile.approx(Tables.lineitem(s, d)),
     None)
 
-  val all: Seq[QueryDef] = Seq(daypart, sketch, approxProfile)
+  /** e04 — the custom TopKPerKey PHYSICAL operator (LogicalPlan +
+    * Strategy + bounded-heap exec, graft.plans.TopKPerKey), oracle-checked
+    * against the window row_number semantics it replaces: proof that the
+    * whole-operator extension point computes exactly the declared
+    * semantics. */
+  val topkOperator: QueryDef = QueryDef(
+    "e04_topk_custom_operator",
+    (s, d) =>
+      graft.plans.TopKPerKey.topKPerKey(
+          Tables.orders(s, d), Seq("o_custkey"), "o_totalprice",
+          "o_orderkey", 3)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_custkey", "o_orderkey"),
+    Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn <= 3 ORDER BY o_custkey, o_orderkey"""))
+
+  val all: Seq[QueryDef] = Seq(daypart, sketch, approxProfile, topkOperator)
 }

@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The custom physical operator must agree exactly with the window-
+  * function formulation and must plan through TopKPerKeyExec with a
+  * Catalyst-inserted shuffle on the group key. */
+class TopKPerKeySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+
+  private def viaWindow(k: Int) = {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  test("matches the window row_number formulation exactly") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val custom = TopKPerKey.topKPerKey(
+      o, Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+    val expected = viaWindow(3)
+    assert(custom.count() == expected.count())
+    assert(custom.exceptAll(expected).isEmpty &&
+      expected.exceptAll(custom).isEmpty)
+  }
+
+  test("plans through TopKPerKeyExec with a key-clustered exchange") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val custom = TopKPerKey.topKPerKey(
+      o, Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+    custom.collect()
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(600)) // nodeName strips "Exec"
+    assert(plan.contains("hashpartitioning(o_custkey"), plan.take(600))
+    // and crucially: NO Sort or Window operator anywhere
+    assert(!plan.contains("WindowExec") && !plan.contains("Sort "), plan.take(600))
+  }
+
+  test("k larger than any group returns everything") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val all = TopKPerKey.topKPerKey(
+      o, Seq("o_custkey"), "o_totalprice", "o_orderkey", 1000000)
+    assert(all.count() == o.count())
+  }
+
+  test("ties at the boundary resolve by the tiebreak column") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10.0, 100L), (1L, 10.0, 101L), (1L, 10.0, 102L), (1L, 5.0, 99L))
+      .toDF("k", "v", "tie")
+    val got = TopKPerKey.topKPerKey(df, Seq("k"), "v", "tie", 2)
+      .collect().map(_.getLong(2)).sorted
+    assert(got.toSeq == Seq(100L, 101L))
+  }
+}
