@@ -58,29 +58,42 @@ case class TopKPerKeyExec(
         val ti = schema.indexWhere(_.exprId == tieCol.exprId)
         (r: InternalRow) => (r.getDouble(oi), r.getLong(ti))
       }
-      // max-heap on (−value, tie): poll() removes the WORST kept row, so
-      // the heap always holds the k best (highest value, lowest tie).
-      implicit val ord: Ordering[((Double, Long), UnsafeRow)] =
-        Ordering.by { case ((v, t), _) => (-v, t) }
+      // All comparisons use java.lang.Double.compare — the TOTAL order
+      // Spark's desc sort uses (NaN greatest) — so NaN rows rank exactly
+      // as the window-function formulation ranks them. heap.head is the
+      // WORST kept row (smallest value; among equals, largest tie).
+      implicit val worstFirst: Ordering[((Double, Long), UnsafeRow)] =
+        new Ordering[((Double, Long), UnsafeRow)] {
+          override def compare(x: ((Double, Long), UnsafeRow),
+              y: ((Double, Long), UnsafeRow)): Int = {
+            val c = java.lang.Double.compare(y._1._1, x._1._1)
+            if (c != 0) c else java.lang.Long.compare(x._1._2, y._1._2)
+          }
+        }
+      def beats(v: (Double, Long), worst: (Double, Long)): Boolean = {
+        val c = java.lang.Double.compare(v._1, worst._1)
+        c > 0 || (c == 0 && v._2 < worst._2)
+      }
       val heaps =
         mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[((Double, Long), UnsafeRow)]]
       iter.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[((Double, Long), UnsafeRow)])
+        val key = keyProj(row) // reused projection row; copy only on miss
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[((Double, Long), UnsafeRow)]
+            heaps.put(key.copy(), h)
+            h
+        }
         val v = valueOrd(row)
         if (heap.size < k) heap.enqueue((v, row.asInstanceOf[UnsafeRow].copy()))
-        else {
-          val worst = heap.head._1
-          // keep if better: higher value, or equal value with lower tie
-          if (v._1 > worst._1 || (v._1 == worst._1 && v._2 < worst._2)) {
-            heap.dequeue()
-            heap.enqueue((v, row.asInstanceOf[UnsafeRow].copy()))
-          }
+        else if (beats(v, heap.head._1)) {
+          heap.dequeue()
+          heap.enqueue((v, row.asInstanceOf[UnsafeRow].copy()))
         }
       }
       heaps.iterator.flatMap { case (_, heap) =>
-        heap.toSeq.sortBy { case ((v, t), _) => (-v, t) }.map(_._2)
+        heap.toSeq.sortWith((a, b) => beats(a._1, b._1)).map(_._2)
       }
     }, preservesPartitioning = true)
   }
@@ -99,19 +112,34 @@ object TopKPerKeyStrategy extends Strategy {
 
 object TopKPerKey {
   /** Public API: top-k rows per key by `orderCol` DESC (ties broken by
-    * `tieCol` ASC; orderCol must be double, tieCol long). Registers the
-    * strategy on first use. */
+    * `tieCol` ASC; orderCol must be a NON-NULL double and tieCol a
+    * NON-NULL long — getDouble/getLong on a null cell is undefined, so
+    * callers with nullable columns must filter or coalesce first; the
+    * window-form equivalent would sort those rows last anyway).
+    * Registers the strategy on first use. */
   def topKPerKey(df: DataFrame, groupCols: Seq[String], orderCol: String,
       tieCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     val plan = df.queryExecution.analyzed
-    def attr(n: String): Attribute = plan.output
-      .find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"no column $n"))
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(n: String): Attribute =
+      plan.output.filter(a => resolver(a.name, n)) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(s"no column $n")
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column $n: ${many.mkString(", ")}")
+      }
+    val o = attr(orderCol); val t = attr(tieCol)
+    require(o.dataType == org.apache.spark.sql.types.DoubleType,
+      s"orderCol must be DOUBLE, got ${o.dataType.sql} — cast first " +
+        "(getDouble on other types would silently reinterpret bits)")
+    require(t.dataType == org.apache.spark.sql.types.LongType,
+      s"tieCol must be BIGINT, got ${t.dataType.sql}")
     GraftSqlBridge.ofRows(spark,
-      TopKPerKey(groupCols.map(attr), attr(orderCol), attr(tieCol), k, plan))
+      TopKPerKey(groupCols.map(attr), o, t, k, plan))
   }
 }

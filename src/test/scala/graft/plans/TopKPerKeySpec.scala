@@ -49,6 +49,35 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(all.count() == o.count())
   }
 
+  test("NaN ranks greatest, matching Spark's desc-sort total order") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0, 1L), (1L, Double.NaN, 2L), (1L, 7.0, 3L))
+      .toDF("k", "v", "tie")
+    val got = TopKPerKey.topKPerKey(df, Seq("k"), "v", "tie", 1)
+      .collect().map(_.getLong(2))
+    // window form: desc sort puts NaN first
+    val w = Window.partitionBy(col("k")).orderBy(col("v").desc, col("tie"))
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).collect().map(_.getLong(2))
+    assert(got.toSeq == expected.toSeq && got.toSeq == Seq(2L))
+  }
+
+  test("rejects wrong types, unknown/ambiguous columns, and k <= 0") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0, 2L)).toDF("k", "v", "tie")
+    intercept[IllegalArgumentException] {
+      TopKPerKey.topKPerKey(df, Seq("k"), "tie", "tie", 1) // long orderCol
+    }
+    intercept[IllegalArgumentException] {
+      TopKPerKey.topKPerKey(df, Seq("k"), "nope", "tie", 1)
+    }
+    intercept[IllegalArgumentException] {
+      TopKPerKey.topKPerKey(df, Seq("k"), "v", "tie", 0)
+    }
+    // case-insensitive resolution (Spark default resolver)
+    assert(TopKPerKey.topKPerKey(df, Seq("K"), "V", "TIE", 1).count() == 1)
+  }
+
   test("ties at the boundary resolve by the tiebreak column") {
     import spark.implicits._
     val df = Seq(
