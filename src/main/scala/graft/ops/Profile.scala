@@ -32,6 +32,16 @@ object Profile {
     df.agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
+  /** Approximate profile of every TESTDATA table in one call — the
+    * warehouse-sweep entry point (one job per table, sketch-based, no
+    * exact-distinct Expand). */
+  def profileTables(spark: org.apache.spark.sql.SparkSession, dir: String,
+      tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+        "part", "orders", "lineitem", "documents", "embeddings"))
+      : Map[String, DataFrame] =
+    tables.map(t =>
+      t -> approx(graft.core.Tables.table(spark, dir, t))).toMap
+
   /** Columns that are all-null or constant (distinct ≤ 1 ignoring nulls) —
     * the reference's drop-candidate rule (`Main.scala:190-206`), computed
     * from ONE profile row instead of 2N jobs. */

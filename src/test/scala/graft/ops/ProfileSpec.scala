@@ -28,6 +28,14 @@ class ProfileSpec extends AnyFunSuite {
     assert(Profile.constantColumns(df).toSet == Set("const", "allnull", "c2"))
   }
 
+  test("profileTables sweeps every table with sane row counts") {
+    val profiles = Profile.profileTables(spark, TestSpark.sf0001,
+      Seq("region", "nation", "customer"))
+    assert(profiles.keySet == Set("region", "nation", "customer"))
+    assert(profiles("region").collect()(0).getAs[Long]("n_rows") == 5)
+    assert(profiles("nation").collect()(0).getAs[Long]("n_rows") == 25)
+  }
+
   test("aggregate invariant: sum of group counts equals total rows") {
     val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
     val total = li.count()

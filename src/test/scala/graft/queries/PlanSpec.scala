@@ -80,6 +80,18 @@ class PlanSpec extends AnyFunSuite {
       l.contains("*(") && l.contains("HashAggregate")), p)
   }
 
+  test("filters push through the deterministic day_part projection to the scan") {
+    // the reference marked its UDFs nondeterministic, BLOCKING pushdown
+    // (SURVEY §4.2); the native expression must not.
+    graft.expr.DayPart.register(spark)
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("dp", org.apache.spark.sql.functions.expr(
+        "day_part(CAST(l_linenumber * 100 AS INT))"))
+      .filter(org.apache.spark.sql.functions.col("l_quantity") > 30)
+    val p = plan(df)
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,30"), p)
+  }
+
   test("s01: query side broadcasts; corpus side is never shuffled") {
     val p = plan(Similarity.cosineTopK.build(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin"), p)
