@@ -234,5 +234,26 @@ object Events {
               count(*) AS n, round(sum(value), 4) AS sum_value
             FROM g GROUP BY user_id, sid ORDER BY user_id, s_start"""))
 
-  val all: Seq[QueryDef] = Seq(tumblingQ, slidingQ, sessionQ)
+  /** st04 — per-window distinct-user cardinality: exact here (oracle
+    * parity); the streaming/100 TB form swaps countDistinct for
+    * approx_count_distinct (sketch state merges across triggers). */
+  val windowDistinctQ: QueryDef = QueryDef(
+    "st04_window_distinct",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("n"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("n_users"), col("n_types"), col("n"))
+        .orderBy("w_start"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+            count(DISTINCT user_id) AS n_users,
+            count(DISTINCT event_type) AS n_types, count(*) AS n
+            FROM events GROUP BY 1 ORDER BY w_start"""))
+
+  val all: Seq[QueryDef] = Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ)
 }

@@ -49,6 +49,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("2024-01-01 11:00:00") == ((1L, 4.0)))
   }
 
+  test("update output mode re-emits a window when late-but-valid data refines it") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = Events.tumblingStream(events, "2 hours") // generous watermark
+      .writeStream.format("memory").queryName("update_out")
+      .outputMode("update").start()
+    in.addData((1L, tsH(10, 5), "click", 1.0))
+    q.processAllAvailable()
+    // same window, second batch: within watermark → the 10:00 row is
+    // emitted AGAIN with the refined aggregate (update semantics)
+    in.addData((2L, tsH(10, 40), "click", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val emits = spark.table("update_out")
+      .filter(col("w_start") === "2024-01-01 10:00:00")
+      .select("n", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(emits.toSeq == Seq((1L, 1.0), (2L, 3.0)), emits.mkString(","))
+  }
+
   test("dropDuplicatesWithinWatermark removes repeated event_ids") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String, Double)]
