@@ -176,6 +176,25 @@ object FlightPipeline {
     df.drop(Seq("CRSDepTime", "CRSElapsedTime")
       .filter(df.columns.contains): _*)
 
+  /** Engine-mode generalization of P6: compute the pairwise correlation
+    * matrix in ONE pass and drop the lexicographically-later column of
+    * every pair with |r| above the threshold — the data-driven version of
+    * the reference's hardcoded conclusion (same outcome on its data). */
+  def dropCorrelatedAuto(df: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val numCols = df.schema.fields
+      .filter(f => Seq("integer", "long", "double", "float")
+        .contains(f.dataType.typeName))
+      .map(_.name).filterNot(_ == label).toSeq.sorted
+    if (numCols.size < 2) df
+    else {
+      val corrs = correlations(df, numCols)
+      val toDrop = corrs.collect {
+        case ((a, b), r) if math.abs(r) > threshold => Seq(a, b).max
+      }.toSet
+      df.drop(toDrop.toSeq.sorted: _*)
+    }
+  }
+
   /** ML2-ML6 — indexer → OHE → assembler → L1 normalizer pipeline. */
   def featurize(df: DataFrame): DataFrame = {
     val catCols = df.schema.fields

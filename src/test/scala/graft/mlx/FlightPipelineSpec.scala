@@ -90,6 +90,18 @@ class FlightPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dropCorrelatedAuto finds and drops near-duplicate numeric columns") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 200).map { _ =>
+      val x = rnd.nextDouble() * 100
+      (x, x * 2 + rnd.nextDouble() * 0.01, rnd.nextDouble() * 100)
+    }.toDF("a", "b_dup_of_a", "c_indep")
+    val pruned = FlightPipeline.dropCorrelatedAuto(df, 0.95)
+    // b sorts after a → b dropped; independent column kept
+    assert(pruned.columns.toSeq == Seq("a", "c_indep"))
+  }
+
   /** Seeded synthetic flights with a learnable signal
     * (ArrDelay ≈ f(DepDelay)) for model-training smoke. */
   private def syntheticFlights(n: Int): DataFrame = {

@@ -185,6 +185,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("built-in session_window works in true streaming mode with a watermark") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+      .withColumn("user_id", col("event_id") % 10)
+      .withWatermark("ts", "1 minute")
+    val q = Events.session(events, "10 minutes")
+      .writeStream.format("memory").queryName("builtin_session_out")
+      .outputMode("append").start()
+    // user 1: one session of two events; then far-future events close it
+    in.addData((1L, ts(0), "click", 1.0), (1L, ts(5), "click", 2.0))
+    q.processAllAvailable()
+    in.addData((2L, tsH(12, 0), "click", 5.0))
+    q.processAllAvailable()
+    in.addData((3L, tsH(13, 0), "click", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("builtin_session_out")
+      .filter(col("user_id") === 1L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(("2024-01-01 10:00:00", 2L, 3.0)),
+      rows.mkString(","))
+  }
+
   test("batch session window merges events within gap, splits at gap") {
     val df = Seq(
       (1L, ts(0), 1.0), (1L, ts(5), 2.0),   // session A (gap 5 < 10)
