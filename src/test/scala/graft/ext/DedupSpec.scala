@@ -29,6 +29,12 @@ class DedupSpec extends AnyFunSuite {
     assert(r(2L) == 1 && r(3L) == 1)
   }
 
+  test("exactDropDuplicates keeps one row per key (arbitrary survivor)") {
+    val out = Dedup.exactDropDuplicates(docs, Seq("text"))
+    assert(out.count() == 3) // base (0/1 merged), nearDup, unrelated
+    assert(out.select("text").distinct().count() == 3)
+  }
+
   test("3-gram shingles of a 20-token doc number 18") {
     val n = docs.filter(col("doc_id") === 0)
       .selectExpr(s"size(${Dedup.shingleExpr("text")}) AS n")

@@ -113,6 +113,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(_._2 != 12L), rows.mkString(","))
   }
 
+  test("left-outer stream-stream join emits unmatched errors after the watermark closes") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String, Double)]
+    val errors = MemoryStream[(Long, Timestamp, String, Double)]
+    def df(m: MemoryStream[(Long, Timestamp, String, Double)]) =
+      m.toDF().toDF("event_id", "ts", "event_type", "value")
+        .withColumn("user_id", col("event_id") % 10)
+    val c = df(clicks).withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_uid"), col("ts").as("click_ts"))
+    val e = df(errors).withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("e_uid"), col("ts").as("error_ts"),
+        col("event_id").as("error_id"))
+    val joined = e.join(c,
+      col("e_uid") === col("c_uid") &&
+        col("click_ts") <= col("error_ts") &&
+        col("click_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("lojoin_out")
+      .outputMode("append").start()
+    // user 1 error has a click; user 2 error has none
+    clicks.addData((1L, tsH(10, 0), "click", 1.0))
+    errors.addData((11L, tsH(10, 30), "error", 0.0), (12L, tsH(10, 30), "error", 0.0))
+    q.processAllAvailable()
+    // advance both watermarks far past the join horizon → the unmatched
+    // error must be emitted with a null click side
+    clicks.addData((3L, tsH(14, 0), "click", 9.0))
+    errors.addData((13L, tsH(14, 0), "error", 9.0))
+    q.processAllAvailable()
+    clicks.addData((4L, tsH(16, 0), "click", 9.0))
+    errors.addData((14L, tsH(16, 0), "error", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("lojoin_out").collect()
+      .map(r => r.getAs[Long]("error_id") -> r.isNullAt(r.fieldIndex("click_ts")))
+      .toMap
+    assert(rows.get(11L).contains(false), s"matched error wrong: $rows")
+    assert(rows.get(12L).contains(true), s"unmatched error not emitted null: $rows")
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
