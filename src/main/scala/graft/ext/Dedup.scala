@@ -327,7 +327,61 @@ object Dedup {
                ORDER BY a_id, b_id"""))
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: turns pairwise matches into dedup GROUPS (every member
+    * labeled with the smallest doc_id reachable through the match graph —
+    * the step every dedup pipeline needs between "pairs" and "keep one
+    * per group"). Converges in O(graph diameter) join rounds; near-dup
+    * graphs are short-diameter in practice, so `maxIter` bounds work. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts the min label among itself and its neighbors
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "n_label"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("n_label")).as("n_label"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("n_label"), col("label")))
+            .as("label"))
+        .cache()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** d07 — dedup groups: exact-Jaccard near-dup pairs (d04 semantics)
+    * collapsed into components with a canonical min-id label. Rows-only
+    * (depends on the rows-only pair-generation path at scale; here it
+    * feeds from the oracle-checked d04 pairs). */
+  val components: QueryDef = QueryDef(
+    "d07_dedup_components",
+    (s, d) => {
+      val pairs = ngramJaccard.build(s, d).select("a_id", "b_id")
+      connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("component")
+    },
+    None)
+
   val all: Seq[QueryDef] =
     Seq(exact, minhash, minhashNative, simhashPairs, ngramJaccard,
-      embeddingCosine)
+      embeddingCosine, components)
 }

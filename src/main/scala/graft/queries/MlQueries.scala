@@ -121,5 +121,28 @@ object MlQueries {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(lrOrders, treeOrders)
+  /** ml03 — seeded KMeans clustering over embeddings: deterministic
+    * cluster-size histogram (rows-only: centroid init is
+    * engine-specific). */
+  val kmeansClusters: QueryDef = QueryDef(
+    "ml03_kmeans_clusters",
+    (s, d) => {
+      import org.apache.spark.ml.functions.array_to_vector
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          array_to_vector(col("embedding").cast("array<double>"))
+            .as("features"))
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(8).setSeed(42).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("cluster")
+        .fit(vecs)
+      model.transform(vecs)
+        .groupBy("cluster")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .orderBy("cluster")
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(lrOrders, treeOrders, kmeansClusters)
 }

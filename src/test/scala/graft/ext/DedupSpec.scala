@@ -101,6 +101,16 @@ class DedupSpec extends AnyFunSuite {
     assert(banded.subsetOf(exact))
   }
 
+  test("connectedComponents labels a chain and keeps separate groups apart") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (one component) and isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+  }
+
   test("embedding cosine: planted parallel vectors pair up") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
