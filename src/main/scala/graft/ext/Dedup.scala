@@ -363,6 +363,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // silent non-convergence would mean silently WRONG groups (a real
+    // component reported split) — fail loudly instead.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — graph " +
+        s"diameter exceeds maxIter; raise maxIter")
     labels.withColumnRenamed("label", "component")
   }
 

@@ -181,16 +181,22 @@ object FlightPipeline {
     * every pair with |r| above the threshold — the data-driven version of
     * the reference's hardcoded conclusion (same outcome on its data). */
   def dropCorrelatedAuto(df: DataFrame, threshold: Double = 0.9): DataFrame = {
+    // NumericType matches featurize's "not string" feature detection —
+    // the two stages of the pipeline must agree on what is numeric.
     val numCols = df.schema.fields
-      .filter(f => Seq("integer", "long", "double", "float")
-        .contains(f.dataType.typeName))
+      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       .map(_.name).filterNot(_ == label).toSeq.sorted
     if (numCols.size < 2) df
     else {
       val corrs = correlations(df, numCols)
-      val toDrop = corrs.collect {
-        case ((a, b), r) if math.abs(r) > threshold => Seq(a, b).max
-      }.toSet
+      // greedy: skip a pair when its earlier member is already dropped —
+      // otherwise b~a, c~b (c independent of a) would drop BOTH b and c.
+      val toDrop = scala.collection.mutable.Set.empty[String]
+      corrs.toSeq.sortBy { case ((a, b), _) => (a, b) }.foreach {
+        case ((a, b), r) =>
+          if (math.abs(r) > threshold && !toDrop(a) && !toDrop(b))
+            toDrop += Seq(a, b).max
+      }
       df.drop(toDrop.toSeq.sorted: _*)
     }
   }

@@ -121,9 +121,10 @@ object MlQueries {
     },
     None)
 
-  /** ml03 — seeded KMeans clustering over embeddings: deterministic
-    * cluster-size histogram (rows-only: centroid init is
-    * engine-specific). */
+  /** ml03 — seeded KMeans clustering over embeddings (rows-only:
+    * centroid init is engine-specific, and k-means|| seeding + double
+    * accumulation depend on input partitioning, so the histogram is
+    * stable only for a fixed partition layout). */
   val kmeansClusters: QueryDef = QueryDef(
     "ml03_kmeans_clusters",
     (s, d) => {

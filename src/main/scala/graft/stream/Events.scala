@@ -88,7 +88,8 @@ object Events {
     * state-bounded way to join two streams at 100 TB/day rates. */
   def clickErrorJoin(
       clicks: DataFrame, errors: DataFrame,
-      watermark: String = "30 minutes"): DataFrame = {
+      watermark: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("user_id").as("c_uid"), col("ts").as("click_ts"),
         col("value").as("click_value"))
@@ -98,7 +99,8 @@ object Events {
     e.join(c,
       col("e_uid") === col("c_uid") &&
         col("click_ts") <= col("error_ts") &&
-        col("click_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR"))
+        col("click_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(col("e_uid").as("user_id"), col("error_id"),
         col("click_ts"), col("error_ts"), col("click_value"))
   }

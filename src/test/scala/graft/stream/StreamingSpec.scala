@@ -120,16 +120,9 @@ class StreamingSpec extends AnyFunSuite {
     def df(m: MemoryStream[(Long, Timestamp, String, Double)]) =
       m.toDF().toDF("event_id", "ts", "event_type", "value")
         .withColumn("user_id", col("event_id") % 10)
-    val c = df(clicks).withWatermark("ts", "10 minutes")
-      .select(col("user_id").as("c_uid"), col("ts").as("click_ts"))
-    val e = df(errors).withWatermark("ts", "10 minutes")
-      .select(col("user_id").as("e_uid"), col("ts").as("error_ts"),
-        col("event_id").as("error_id"))
-    val joined = e.join(c,
-      col("e_uid") === col("c_uid") &&
-        col("click_ts") <= col("error_ts") &&
-        col("click_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR"),
-      "left_outer")
+    // through the library entry point, not a re-implementation
+    val joined = Events.clickErrorJoin(df(clicks), df(errors),
+      watermark = "10 minutes", joinType = "left_outer")
     val q = joined.writeStream.format("memory").queryName("lojoin_out")
       .outputMode("append").start()
     // user 1 error has a click; user 2 error has none
