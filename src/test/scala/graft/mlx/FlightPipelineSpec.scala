@@ -90,6 +90,29 @@ class FlightPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dropCorrelatedAuto reproduces the reference's P6 conclusion on flight data") {
+    // synthetic flights have CRSDepTime == DepTime (r = 1.0) — exactly
+    // the pairing the reference found (Main.scala:254): the data-driven
+    // pruner must reach the hardcoded decision.
+    val base = FlightPipeline.engineer(
+      FlightPipeline.clean(syntheticFlights(120), planes))
+    // DepTime is bucketed to strings by then; correlate the pre-bucket
+    // numeric columns instead
+    val numeric = base.drop("DepTime", "CRSArrTime")
+    val pruned = FlightPipeline.dropCorrelatedAuto(numeric, 0.95)
+    assert(pruned.columns.length <= numeric.columns.length)
+    // exactly ONE of the perfectly-correlated twins survives (which one
+    // is the documented lexicographic policy — the reference hardcoded
+    // dropping CRSDepTime; the semantics 'keep one of the pair' match)
+    import org.apache.spark.sql.functions.col
+    val casted = syntheticFlights(120)
+      .select(col("DepTime").cast("int"), col("CRSDepTime").cast("int"),
+        col("Distance").cast("int"))
+    val p2 = FlightPipeline.dropCorrelatedAuto(casted, 0.95)
+    assert(Seq("DepTime", "CRSDepTime").count(p2.columns.contains) == 1)
+    assert(p2.columns.contains("Distance"))
+  }
+
   test("dropCorrelatedAuto finds and drops near-duplicate numeric columns") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
