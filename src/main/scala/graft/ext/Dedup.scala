@@ -42,6 +42,31 @@ object Dedup {
   def exactDropDuplicates(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
+  /** d08 — hash-keyed exact dedup: group on a 64-bit content fingerprint
+    * instead of the full text — the at-scale d01 (shuffling 8-byte keys,
+    * not document bodies; collision odds ~n²/2^61 under the mod-prime
+    * rolling hash). Same mirrored hash as t04, so fully oracle-checked. */
+  val exactByFingerprint: QueryDef = QueryDef(
+    "d08_dedup_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .selectExpr("doc_id",
+          "aggregate(split(text, ''), 0L, (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007) AS fp")
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select("canonical_id", "n_copies")
+        .orderBy("canonical_id"),
+    Some("""WITH f AS (
+              SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(text) + 1),
+                                   i -> CAST(ascii(text[i]) AS BIGINT))),
+                  (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fp
+              FROM documents)
+            SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+            FROM f GROUP BY fp ORDER BY canonical_id"""))
+
   /** Word 3-gram shingle array for a text column (empty-safe). */
   def shingleExpr(textCol: String): String =
     s"transform(sequence(0, greatest(size(split($textCol, ' ')) - 3, 0)), " +
@@ -387,6 +412,6 @@ object Dedup {
     None)
 
   val all: Seq[QueryDef] =
-    Seq(exact, minhash, minhashNative, simhashPairs, ngramJaccard,
-      embeddingCosine, components)
+    Seq(exact, exactByFingerprint, minhash, minhashNative, simhashPairs,
+      ngramJaccard, embeddingCosine, components)
 }
