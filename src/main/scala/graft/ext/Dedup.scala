@@ -103,11 +103,17 @@ object Dedup {
     * 2^18-dim sparse vectors: 16 xxhash64 min-signatures per doc, banded
     * 4×4 for candidates (equi join on (band, value)), exact Jaccard via
     * array_intersect on the candidate pairs only. Same shape at 100 TB:
-    * linear signature pass + equi shuffle, never all-pairs. */
+    * linear signature pass + equi shuffle, never all-pairs.
+    *
+    * `eager = true` materializes the (small) pair list via localCheckpoint
+    * and releases the shingle cache before returning — the long-lived-
+    * session form (repeated lazy invocations would otherwise accumulate
+    * cache entries for the corpus-sized shingle pass). */
   def minhashNativePairs(
       docs: DataFrame,
       maxJaccardDist: Double,
-      maxBucketSize: Int = 64): DataFrame = {
+      maxBucketSize: Int = 64,
+      eager: Boolean = false): DataFrame = {
     // cached: the shingle pass feeds the signature aggregate AND both
     // sides of the final candidate join — uncached it would rescan the
     // corpus (the most expensive linear pass) three times.
@@ -171,19 +177,28 @@ object Dedup {
       .distinct()
     val sa = shingled.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val sb = shingled.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    cand.join(sa, "a_id").join(sb, "b_id")
+    val out = cand.join(sa, "a_id").join(sb, "b_id")
       .withColumn("n_inter", expr("size(array_intersect(a_sh, b_sh))"))
       .withColumn("jaccard_dist", expr(
         "1.0 - CAST(n_inter AS DOUBLE) / (size(a_sh) + size(b_sh) - n_inter)"))
       .filter(col("jaccard_dist") < maxJaccardDist)
       .select("a_id", "b_id", "jaccard_dist")
+    if (!eager) out
+    else {
+      // pair list is candidate-bounded (small); materialize it so the
+      // corpus-scale shingle cache can be dropped immediately
+      val materialized = out.localCheckpoint()
+      shingled.unpersist()
+      materialized
+    }
   }
 
   /** d06 — the native-expression MinHash path as a registered query
-    * (rows-only: hash-family specific, like d02). */
+    * (rows-only: hash-family specific, like d02). Eager so repeated
+    * invocations (bench warm-up + timed runs) don't leak cache entries. */
   val minhashNative: QueryDef = QueryDef(
     "d06_dedup_minhash_native",
-    (s, d) => minhashNativePairs(Tables.documents(s, d), 0.95)
+    (s, d) => minhashNativePairs(Tables.documents(s, d), 0.95, eager = true)
       .orderBy("a_id", "b_id"),
     None)
 
@@ -246,13 +261,39 @@ object Dedup {
     },
     None)
 
+  /** Jaccard threshold shared by d04 (pair list) and d07 (components). */
+  val ngramTheta = 0.20
+
+  /** Shared DuckDB CTE chain producing near-dup `pairs(a_id, b_id,
+    * jaccard)` under word-3-gram Jaccard ≥ theta — the SQL mirror of
+    * [[ngramJaccard]]'s plan, reused by the d07 oracle. */
+  def ngramPairSql(theta: Double): String =
+    s"""toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i + 1:i + 3], ' ') AS sh
+          FROM toks, unnest(range(0, greatest(len(t) - 2, 1))) AS u(i)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT a_id, b_id,
+            CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = a_id
+          JOIN sizes sb ON sb.doc_id = b_id
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+            >= $theta)"""
+
   /** d04 — word-3-gram Jaccard near-dup via shingle inverted index:
     * explode distinct shingles, self-join on shingle (equi — shuffles on
     * the shingle key, never materializes n² pairs), count intersections,
     * Jaccard = |∩| / (|A|+|B|−|∩|). Unrounded: both engines do the same
     * int→double division. */
   val ngramJaccard: QueryDef = {
-    val theta = 0.20
+    val theta = ngramTheta
     QueryDef(
       "d04_dedup_ngram_jaccard",
       (s, d) => {
@@ -274,23 +315,8 @@ object Dedup {
           .select("a_id", "b_id", "jaccard")
           .orderBy("a_id", "b_id")
       },
-      Some(s"""WITH toks AS (
-                 SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-               sh AS (
-                 SELECT DISTINCT doc_id, array_to_string(t[i + 1:i + 3], ' ') AS sh
-                 FROM toks, unnest(range(0, greatest(len(t) - 2, 1))) AS u(i)),
-               sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-               inter AS (
-                 SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
-                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2)
-               SELECT a_id, b_id,
-                 CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
-               FROM inter
-               JOIN sizes sa ON sa.doc_id = a_id
-               JOIN sizes sb ON sb.doc_id = b_id
-               WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= $theta
-               ORDER BY a_id, b_id"""))
+      Some(s"""WITH ${ngramPairSql(theta)}
+               SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id"""))
   }
 
   /** Sequential left-fold dot product / squared norm as expression text —
@@ -352,54 +378,113 @@ object Dedup {
                ORDER BY a_id, b_id"""))
   }
 
-  /** Connected components over near-dup pairs by iterative min-label
-    * propagation: turns pairwise matches into dedup GROUPS (every member
-    * labeled with the smallest doc_id reachable through the match graph —
-    * the step every dedup pipeline needs between "pairs" and "keep one
-    * per group"). Converges in O(graph diameter) join rounds; near-dup
-    * graphs are short-diameter in practice, so `maxIter` bounds work. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // undirected edge list, both directions
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+  /** Connected components over near-dup pairs — turns pairwise matches
+    * into dedup GROUPS (every member labeled with the smallest doc_id
+    * reachable through the match graph — the step every dedup pipeline
+    * needs between "pairs" and "keep one per group").
+    *
+    * Algorithm: alternating large-star / small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC 2014)
+    * — converges in O(log² n) rounds vs O(diameter) for naive min-label
+    * propagation, and each round is a pure edge-set rewrite:
+    *
+    *  - large-star: every node links its LARGER neighbors to the minimum
+    *    of its neighborhood (incl. itself);
+    *  - small-star: every node links itself and its smaller neighbors to
+    *    the minimum of its smaller neighbors.
+    *
+    * Both steps preserve connectivity; the fixpoint is a star per
+    * component centered on its minimum id, which IS the label assignment.
+    *
+    * Scale discipline (the 100 TB iterative-job rules):
+    *  - ONE materialization job per round: the new edge set is
+    *    `localCheckpoint`ed (truncating lineage so plan depth stays
+    *    constant no matter how many rounds run), and convergence is an
+    *    order-independent (count, hash-sum) fingerprint computed over the
+    *    already-materialized blocks — a trivial second job, not a full
+    *    `labels ⋈ next` equality join;
+    *  - the input pair plan (often an expensive candidate join) is
+    *    materialized exactly once up front;
+    *  - the returned labels frame carries no cache entries — nothing for
+    *    callers to unpersist (checkpointed RDDs are GC-reclaimed). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // materialize the (possibly expensive) pair plan once; nodes and
+    // edges both derive from it
+    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
+    val nodes = p.select(col("a_id").as("id"))
+      .union(p.select(col("b_id").as("id"))).distinct()
+      .localCheckpoint()
+    // canonical directed edges hi → lo; self-loops dropped
+    var edges = p
+      .select(greatest(col("a_id"), col("b_id")).as("u"),
+        least(col("a_id"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+
+    // order-independent edge-set fingerprint over materialized blocks
+    // (bit_xor, not sum: ANSI mode makes a hash sum throw on overflow;
+    // xor is overflow-free and collision-safe enough alongside the count
+    // because the edge set is distinct)
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy("u").agg(min(col("v")).as("mv"))
+      und.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mv"), col("u")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is hi → lo, so every out-neighbor is a smaller neighbor
+      val mins = e.groupBy("u").agg(min(col("v")).as("mv"))
+      val j = e.join(mins, "u")
+      j.select(col("v").as("u"), col("mv").as("v"))
+        .union(j.select(col("u"), col("mv").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var fp = fingerprint(edges)
     var iter = 0
-    var converged = false
+    var converged = fp._1 == 0L // no edges: every node is its own star
     while (iter < maxIter && !converged) {
-      // each node adopts the min label among itself and its neighbors
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("label", "n_label"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("n_label")).as("n_label"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("label"), coalesce(col("n_label"), col("label")))
-            .as("label"))
-        .cache()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      edges = next
       iter += 1
     }
-    edges.unpersist()
     // silent non-convergence would mean silently WRONG groups (a real
     // component reported split) — fail loudly instead.
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds — graph " +
-        s"diameter exceeds maxIter; raise maxIter")
-    labels.withColumnRenamed("label", "component")
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "pathological structure; raise maxIter")
+    // star sanity: at the fixpoint no node may be both a link source and
+    // a link target (targets are component roots). Cheap on the converged
+    // edge set; a violation means the contraction stalled short of stars.
+    if (!edges.select("u").intersect(edges.select("v")).isEmpty)
+      throw new IllegalStateException(
+        "connectedComponents fixpoint is not a star forest — stalled " +
+          "contraction; please report")
+    nodes.join(
+      edges.withColumnRenamed("u", "id").withColumnRenamed("v", "component"),
+      Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** d07 — dedup groups: exact-Jaccard near-dup pairs (d04 semantics)
-    * collapsed into components with a canonical min-id label. Rows-only
-    * (depends on the rows-only pair-generation path at scale; here it
-    * feeds from the oracle-checked d04 pairs). */
+    * collapsed into components with a canonical min-id label.
+    * Oracle-exact: the DuckDB mirror recomputes the same pair list and
+    * takes its transitive closure with a recursive CTE (min reachable id
+    * per node — deterministic, no hashing involved). */
   val components: QueryDef = QueryDef(
     "d07_dedup_components",
     (s, d) => {
@@ -409,9 +494,32 @@ object Dedup {
         .agg(count(lit(1)).as("n_members"))
         .orderBy("component")
     },
+    Some(s"""WITH RECURSIVE ${ngramPairSql(ngramTheta)},
+             edges AS (
+               SELECT a_id AS src, b_id AS dst FROM pairs
+               UNION
+               SELECT b_id AS src, a_id AS dst FROM pairs),
+             reach(id, r) AS (
+               SELECT src, src FROM edges
+               UNION
+               SELECT e.src, reach.r FROM edges e
+               JOIN reach ON reach.id = e.dst),
+             labels AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+             SELECT component, count(*) AS n_members
+             FROM labels GROUP BY component ORDER BY component"""))
+
+  /** d09 — the banded-SimHash scale path as its own registered query.
+    * maxHamming = 3 is the pigeonhole-exact radius for 4×16-bit bands
+    * (3 differing bits can dirty at most 3 of the 4 bands), so at this
+    * radius the banded output EQUALS the all-pairs result — asserted in
+    * DedupSpec — while the plan stays an equi shuffle on (band, value). */
+  val simhashBanded: QueryDef = QueryDef(
+    "d09_dedup_simhash_banded",
+    (s, d) => simhashBandedPairs(Tables.documents(s, d), 3)
+      .orderBy("a_id", "b_id"),
     None)
 
   val all: Seq[QueryDef] =
     Seq(exact, exactByFingerprint, minhash, minhashNative, simhashPairs,
-      ngramJaccard, embeddingCosine, components)
+      ngramJaccard, embeddingCosine, components, simhashBanded)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -506,17 +506,60 @@ object Relational {
             HAVING avg(c_acctbal) > (SELECT avg(c_acctbal) FROM customer)
             ORDER BY c_mktsegment"""))
 
-  /** Q21 — IN-subquery: orders from top-decile-balance customers, as a semi
-    * join against an ntile(10) window. Note: global ntile implies a single
-    * ordered partition — at 100 TB replace with approx_percentile threshold. */
+  /** Q21 — IN-subquery: orders from top-decile-balance customers. The
+    * oracle states the decile as a global ntile(10) window; a global
+    * window means ONE ordered partition holding every customer — a
+    * scale-killer — so the registered plan computes the IDENTICAL
+    * decile-1 set by exact distributed selection of the k-th
+    * (balance desc, custkey asc) order statistic:
+    *
+    *  1. per-dollar histogram — bucket count is bounded by the balance
+    *     DOMAIN (~11k dollar values), not the row count, so the collect
+    *     stays O(domain) at any scale;
+    *  2. exact value counts inside the single boundary bucket (≤ a few
+    *     hundred distinct doubles per dollar);
+    *  3. decile-1 = everyone strictly above the boundary value, plus the
+    *     first (k − above) boundary-value customers by custkey — ntile's
+    *     tie order.
+    *
+    * Three bounded driver actions; every distributed step is a narrow
+    * partial-aggregate or pushed-filter scan. */
   val q21 = QueryDef(
     "q21_in_subquery",
     (s, d) => {
-      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-      val top = cst(s, d)
-        .select(col("c_custkey"), ntile(10).over(w).as("decile"))
-        .filter(col("decile") === 1)
-        .select("c_custkey")
+      val c = cst(s, d).select("c_custkey", "c_acctbal")
+      val n = c.count()
+      val k = n / 10 + (if (n % 10 > 0) 1L else 0L) // ntile bucket-1 size
+      val top =
+        if (k == 0L) c.filter(lit(false)).select("c_custkey")
+        else {
+          val hist = c
+            .groupBy(floor(col("c_acctbal")).cast("long").as("b"))
+            .agg(count(lit(1)).as("cnt"))
+            .orderBy(col("b").desc)
+            .collect()
+          var above = 0L
+          var i = 0
+          while (above + hist(i).getLong(1) < k) {
+            above += hist(i).getLong(1); i += 1
+          }
+          val bstar = hist(i).getLong(0)
+          val inBucket = c
+            .filter(floor(col("c_acctbal")).cast("long") === bstar)
+            .groupBy("c_acctbal").agg(count(lit(1)).as("cnt"))
+            .orderBy(col("c_acctbal").desc)
+            .collect()
+          var j = 0
+          while (above + inBucket(j).getLong(1) < k) {
+            above += inBucket(j).getLong(1); j += 1
+          }
+          val t = inBucket(j).getDouble(0) // k-th row's balance
+          val need = (k - above).toInt     // boundary ties taken by custkey
+          c.filter(col("c_acctbal") > t).select("c_custkey")
+            .union(
+              c.filter(col("c_acctbal") === t)
+                .orderBy("c_custkey").limit(need).select("c_custkey"))
+        }
       val o = ord(s, d)
       o.join(top, o("o_custkey") === top("c_custkey"), "left_semi")
         .groupBy("o_orderpriority")
@@ -852,21 +895,38 @@ object Relational {
             FROM orders GROUP BY 1 ORDER BY bucket"""))
 
   /** Q35 — edit-distance fuzzy matching: near-identical part names within
-    * a brand block (blocking keeps the pair space linear in block count —
-    * the record-linkage shape; unit-cost levenshtein is identical on both
-    * engines). */
+    * a brand (the record-linkage shape; unit-cost levenshtein is identical
+    * on both engines).
+    *
+    * Scale plan: the lev predicate depends only on the NAME VALUES, whose
+    * distinct count is vocabulary-bounded — so levenshtein runs over
+    * distinct ordered name pairs (a length-difference ≤ 3 prefilter ahead
+    * of it), CONSTANT work as the table grows, and the row-level expansion
+    * back is a broadcast of the tiny qualifying name-pair list plus an
+    * equi join on (brand, name). Brand-only row blocking — the naive plan
+    * — is quadratic per brand in ROWS; per-row levenshtein cost here is
+    * zero. The only nested-loop join left runs on the deduped name domain,
+    * never on rows. (With an unbounded name domain you'd re-block the
+    * name-pair stage itself — e.g. by length band — but its input is the
+    * distinct values either way.) */
   val q35 = QueryDef(
     "q35_fuzzy_levenshtein",
     (s, d) => {
       val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_name")
+      val names = p.select(col("p_name").as("n1")).distinct()
+      val namePairs = names.crossJoin(broadcast(names.select(col("n1").as("n2"))))
+        .filter(col("n1") =!= col("n2"))
+        .filter(abs(length(col("n1")) - length(col("n2"))) <= 3)
+        .withColumn("lev", levenshtein(col("n1"), col("n2")))
+        .filter(col("lev") <= 3)
       val a = p.select(col("p_brand"), col("p_partkey").as("a_id"),
-        col("p_name").as("a_name"))
+        col("p_name").as("n1"))
       val b = p.select(col("p_brand"), col("p_partkey").as("b_id"),
-        col("p_name").as("b_name"))
-      a.join(b, Seq("p_brand")).filter(col("a_id") < col("b_id"))
-        .withColumn("lev", levenshtein(col("a_name"), col("b_name")))
-        .filter(col("lev") <= 3 && col("a_name") =!= col("b_name"))
-        .select("p_brand", "a_id", "b_id", "lev")
+        col("p_name").as("n2"))
+      a.join(broadcast(namePairs), Seq("n1"))
+        .join(b, Seq("p_brand", "n2"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("p_brand"), col("a_id"), col("b_id"), col("lev"))
         .orderBy("p_brand", "a_id", "b_id")
     },
     Some("""SELECT a.p_brand, a.p_partkey AS a_id, b.p_partkey AS b_id,

@@ -111,6 +111,73 @@ class DedupSpec extends AnyFunSuite {
     assert(comp(10L) == 10L && comp(11L) == 10L)
   }
 
+  test("connectedComponents contracts a long chain (multi-round star contraction)") {
+    import spark.implicits._
+    // a 40-node path has diameter 39: naive propagation would need 39
+    // rounds; star contraction needs O(log n) and must still be exact
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component"))
+    assert(comp.length == 40)
+    assert(comp.forall(_._2 == 0L), comp.mkString(","))
+  }
+
+  test("connectedComponents matches driver union-find on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val truth = nodes.map(x => x -> find(x)).toMap
+      // min-reachable-id labels: re-root each union-find class at its min
+      val minOfClass = truth.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+      val expected = truth.map { case (x, r) => x -> minOfClass(r) }
+      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id")).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
+
+  test("connectedComponents plan depth stays bounded as rounds grow (checkpoint discipline)") {
+    import spark.implicits._
+    def depth(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      if (p.children.isEmpty) 1 else 1 + p.children.map(depth).max
+    def chain(n: Long) =
+      (0L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // a 10× longer chain needs more contraction rounds, but localCheckpoint
+    // truncates lineage each round — the returned plan must not deepen
+    val short = depth(Dedup.connectedComponents(chain(4))
+      .queryExecution.optimizedPlan)
+    val long = depth(Dedup.connectedComponents(chain(40))
+      .queryExecution.optimizedPlan)
+    assert(long <= short + 1, s"plan depth grew with rounds: $short -> $long")
+  }
+
+  test("banded simhash at hamming ≤ 3 equals all-pairs exactly (pigeonhole recall)") {
+    // 3 differing bits can dirty at most 3 of the 4 16-bit bands, so one
+    // band always collides: the d09 banded path is EXACT at this radius
+    val banded = Dedup.simhashBandedPairs(docs, 3).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+    } yield (a, b)).toSet
+    assert(banded == exact)
+  }
+
   test("embedding cosine: planted parallel vectors pair up") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)),

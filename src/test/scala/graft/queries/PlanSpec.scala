@@ -97,6 +97,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q21: scale plan has no window and no single-partition exchange") {
+    val p = plan(Relational.q21.build(spark, sf))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q35: row-level joins are broadcast equi joins; no cartesian on rows") {
+    val p = plan(Relational.q35.build(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // the name-pair list broadcasts into equi joins over the part rows;
+    // the only nested loop allowed is the vocab² name-domain cross join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("d01: exact dedup is a single hash aggregate, no join") {
     val p = plan(Dedup.exact.build(spark, sf))
     assert(p.contains("HashAggregate") && !p.contains("Join"), p)
