@@ -15,8 +15,14 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // default to the host's real parallelism: a fixed local[32] on a
+    // smaller machine oversubscribes and skews recorded baselines
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // optional comma-separated query-name filter for focused runs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,7 +39,9 @@ object Bench {
 
     // Deterministic order; registry order groups related queries so the
     // first touch of each table is paid inside its own family.
-    val results = SparkEntry.registry.map { q =>
+    val selected = SparkEntry.registry
+      .filter(q => only.forall(_.contains(q.name)))
+    val results = selected.map { q =>
       val warmup = once(q.build)
       val t =
         if (warmup < 0 || warmup > 5.0 || runs < 1) warmup
@@ -49,7 +57,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout for humans AND a structured file for the driver: the stdout
+    // line sits amid sbt/Spark noise and has been lost to log truncation
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    println(line)
     spark.stop()
   }
 }

@@ -224,20 +224,38 @@ object FlightPipeline {
       .select(col(label).cast("double").as(label), col("normFeatures"))
   }
 
+  /** ML13 — the selection surface the reference prints in its report
+    * (Main.scala:419-431: selected-feature counts before/after FDR vs
+    * FWE). `nInputFeatures` mirrors the reference's driver-side
+    * `SparseVector.size` idiom (Main.scala:482). */
+  final case class SelectInfo(
+      df: DataFrame, nInputFeatures: Int, nSelectedFeatures: Int)
+
   /** ML7 — FDR / FWE univariate (F-regression) selectors, threshold .05
-    * (Main.scala:400-431). */
-  def select(df: DataFrame, mode: String): DataFrame = {
+    * (Main.scala:400-431), with the fitted model's selection counts. */
+  def selectWithInfo(df: DataFrame, mode: String): SelectInfo = {
     val sel = new UnivariateFeatureSelector()
       .setFeatureType("continuous").setLabelType("continuous")
       .setSelectionMode(mode).setSelectionThreshold(0.05)
       .setFeaturesCol("normFeatures").setLabelCol(label)
       .setOutputCol("selectedFeatures")
-    sel.fit(df).transform(df).select(
+    val model = sel.fit(df)
+    val out = model.transform(df).select(
       col(label), col("selectedFeatures").as("feat"))
+    val nIn = df.select("normFeatures").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0).size
+    SelectInfo(out, nIn, model.selectedFeatures.length)
   }
 
+  def select(df: DataFrame, mode: String): DataFrame =
+    selectWithInfo(df, mode).df
+
+  /** `bestParams` is ML13's `bestModel.extractParamMap()` rendered as a
+    * sorted, deterministic string; `nFeatures` is the fitted model's
+    * feature-vector width (the coefficient-vector size for LR). */
   final case class ModelResult(
-      model: String, selector: String, rmse: Double, r2: Double)
+      model: String, selector: String, rmse: Double, r2: Double,
+      bestParams: String, nFeatures: Int)
 
   /** ML8-ML13 — LR (grid) / DTR / RFR under 5-fold CV, RMSE+R², 70/30
     * split seed 10 (Main.scala:434-435,470-474). `folds`/`fast` shrink
@@ -269,8 +287,18 @@ object FlightPipeline {
       val cv = new CrossValidator().setEstimator(est)
         .setEstimatorParamMaps(grid).setEvaluator(rmseEval)
         .setNumFolds(folds).setSeed(10)
-      val pred = cv.fit(tr).transform(te)
-      ModelResult(name, selector, rmseEval.evaluate(pred), r2Eval.evaluate(pred))
+      val cvModel = cv.fit(tr)
+      val pred = cvModel.transform(te)
+      val best = cvModel.bestModel
+      val bestParams = best.extractParamMap().toSeq
+        .sortBy(_.param.name)
+        .map(p => s"${p.param.name}=${p.value}").mkString(";")
+      val nFeat = best match {
+        case m: org.apache.spark.ml.PredictionModel[_, _] => m.numFeatures
+        case _ => -1
+      }
+      ModelResult(name, selector, rmseEval.evaluate(pred),
+        r2Eval.evaluate(pred), bestParams, nFeat)
     }
     tr.unpersist(); te.unpersist()
     out

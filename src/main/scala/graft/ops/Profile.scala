@@ -42,13 +42,20 @@ object Profile {
     tables.map(t =>
       t -> approx(graft.core.Tables.table(spark, dir, t))).toMap
 
-  /** Columns that are all-null or constant (distinct ≤ 1 ignoring nulls) —
-    * the reference's drop-candidate rule (`Main.scala:190-206`), computed
-    * from ONE profile row instead of 2N jobs. */
+  /** Columns that are all-null or constant — the reference's
+    * drop-candidate rule (`Main.scala:190-206`: its per-column
+    * `groupBy(c).count()` counts the NULL group as a value), computed from
+    * ONE profile row instead of 2N jobs. NULL-inclusive on purpose:
+    * `countDistinct` ignores nulls, so a value-plus-missing column
+    * (1 non-null distinct + nulls) is NOT constant and must be kept —
+    * treating it as droppable would silently discard an informative
+    * column after the NA→null replace. */
   def constantColumns(df: DataFrame): Seq[String] = {
     val row = exact(df).collect()(0)
     df.columns.toSeq.filter { c =>
-      row.getAs[Long](s"distinct_$c") <= 1L
+      val withNull =
+        if (row.getAs[Long](s"nulls_$c") > 0L) 1L else 0L
+      row.getAs[Long](s"distinct_$c") + withNull <= 1L
     }
   }
 }

@@ -120,6 +120,9 @@ object TopKPerKey {
   def topKPerKey(df: DataFrame, groupCols: Seq[String], orderCol: String,
       tieCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty — an empty grouping would reach " +
+        "ClusteredDistribution(Nil) and fail with an opaque planner assert")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =

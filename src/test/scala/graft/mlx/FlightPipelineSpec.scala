@@ -49,6 +49,28 @@ class FlightPipelineSpec extends AnyFunSuite {
     assert(FlightPipeline.loadMany(spark, Seq(p, p)).count() == 2 * flights.count())
   }
 
+  test("S3 at reference scale: 3-file load with a column-order permutation unions by NAME") {
+    // the reference loops over arbitrarily many year files (Main.scala:51-77);
+    // year files have drifted column ORDER historically — positional union
+    // would silently scramble values, unionByName must not
+    val dir = java.nio.file.Files.createTempDirectory("graft-multifile").toFile
+    def write(name: String, text: String): String = {
+      val f = new java.io.File(dir, name)
+      val w = new java.io.PrintWriter(f)
+      try w.write(text) finally w.close()
+      f.getAbsolutePath
+    }
+    val p1 = write("y1.csv", "A,B,C\n1,2,3\n4,5,6\n")
+    val p2 = write("y2.csv", "A,B,C\n7,8,9\n")
+    val p3 = write("y3.csv", "C,A,B\n30,10,20\n") // permuted column order
+    val df = FlightPipeline.loadMany(spark, Seq(p1, p2, p3))
+    assert(df.count() == 4)
+    val r = df.filter(col("A") === "10").collect()
+    assert(r.length == 1, "permuted file row lost")
+    assert(r(0).getAs[String]("B") == "20" && r(0).getAs[String]("C") == "30",
+      "values not aligned by column name")
+  }
+
   test("plane cleaning: tailnum-only and issue_date=None rows removed") {
     val cleaned = FlightPipeline.cleanPlanes(planes)
     val kept = cleaned.select("tailnum").collect().map(_.getString(0)).toSet
@@ -156,6 +178,33 @@ class FlightPipelineSpec extends AnyFunSuite {
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4), schema)
+  }
+
+  test("ML13 introspection: selector feature counts and bestModel params surfaced") {
+    val base = FlightPipeline.dropCorrelated(FlightPipeline.engineer(
+      FlightPipeline.clean(syntheticFlights(400), planes)))
+    val feats = FlightPipeline.featurize(base).cache()
+    val fdr = FlightPipeline.selectWithInfo(feats, "fdr")
+    val fwe = FlightPipeline.selectWithInfo(feats, "fwe")
+    info(s"input=${fdr.nInputFeatures} fdr=${fdr.nSelectedFeatures} " +
+      s"fwe=${fwe.nSelectedFeatures}")
+    // the reference's report numbers: same input width, FWE at least as
+    // conservative as FDR, both non-trivial
+    assert(fdr.nInputFeatures == fwe.nInputFeatures)
+    assert(fdr.nInputFeatures > 0)
+    assert(fwe.nSelectedFeatures <= fdr.nSelectedFeatures)
+    assert(fdr.nSelectedFeatures <= fdr.nInputFeatures)
+    assert(fwe.nSelectedFeatures > 0)
+    val res = FlightPipeline.train(fdr.df, "fdr", folds = 2)
+    val lr = res.find(_.model == "LinearRegression").get
+    // ML13: bestModel.extractParamMap surfaced (grid values visible)
+    assert(lr.bestParams.contains("regParam=0.01"), lr.bestParams)
+    assert(lr.bestParams.contains("elasticNetParam=0.25"), lr.bestParams)
+    // coefficient-vector size == selector output width, for every model
+    res.foreach(r =>
+      assert(r.nFeatures == fdr.nSelectedFeatures,
+        s"${r.model}: ${r.nFeatures} != ${fdr.nSelectedFeatures}"))
+    feats.unpersist()
   }
 
   test("full run: 6 model×selector rows, finite metrics, linear signal learned") {

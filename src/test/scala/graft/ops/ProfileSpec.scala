@@ -28,6 +28,14 @@ class ProfileSpec extends AnyFunSuite {
     assert(Profile.constantColumns(df).toSet == Set("const", "allnull", "c2"))
   }
 
+  test("constantColumns keeps a value-plus-missing column (null counts as a value)") {
+    // one non-null distinct + nulls = 2 reference-style values: informative
+    val df = Seq(
+      (Some("v"), "k"), (None, "k"), (Some("v"), "k"))
+      .toDF("valueOrMissing", "const")
+    assert(Profile.constantColumns(df) == Seq("const"))
+  }
+
   test("profileTables sweeps every table with sane row counts") {
     val profiles = Profile.profileTables(spark, TestSpark.sf0001,
       Seq("region", "nation", "customer"))
