@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{Extensions, MlQueries, QueryDef, Relational}
 import graft.stream.Events
 
@@ -16,7 +16,8 @@ object SparkEntry {
   /** Every registered capability, in declaration order. */
   def registry: Seq[QueryDef] =
     Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
-      Multimodal.all ++ Events.all ++ Extensions.all ++ MlQueries.all
+      Multimodal.all ++ Events.all ++ Extensions.all ++ MlQueries.all ++
+      Curation.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

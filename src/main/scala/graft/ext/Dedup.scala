@@ -519,7 +519,111 @@ object Dedup {
       .orderBy("a_id", "b_id"),
     None)
 
+  /** d10 — ORACLE-EXACT MinHash LSH. d02/d06 are rows-only because their
+    * hash family (spark.ml seeds / xxhash64) has no DuckDB counterpart;
+    * this variant keys the Broder scheme on md5, which both engines
+    * compute identically: H_k(sh) = int60(md5(k ":" sh)) via Spark's
+    * `conv(substring(md5(..), 2, 15), 16, 10)` and DuckDB's equivalent
+    * hex-digit fold (verified bit-equal). 8 signatures, banded 2×4; band
+    * key is the comma-joined signature slice (pure string equality on
+    * both engines); candidates from the band equi-join only — never
+    * all-pairs — then exact Jaccard on candidates. The whole chain,
+    * banding included, is mirrored in SQL, so the driver hash-checks the
+    * complete LSH pipeline, not just a pair count. */
+  /** Core of d10: md5-keyed MinHash pairs over an arbitrary documents
+    * frame. Eagerly materialized (the pair list is candidate-bounded) so
+    * the corpus-scale shingle cache never outlives the call. */
+  def minhashMd5Pairs(
+      docs: DataFrame,
+      numHashes: Int = 8,
+      bandRows: Int = 4,
+      theta: Double = 0.5): DataFrame = {
+    require(numHashes % bandRows == 0, "bands must tile the signature")
+    val shingled = docs
+      .select(col("doc_id"),
+        expr(s"array_distinct(${shingleExpr("text")})").as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigCols = (0 until numHashes).map(k =>
+      min(expr("CAST(conv(substring(md5(concat('" + k + ":', s)), 2, 15)" +
+        ", 16, 10) AS BIGINT)")).as(s"sig_$k"))
+    val sigs = shingled
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until numHashes / bandRows).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",",
+          (0 until bandRows).map(r => col(s"sig_${b * bandRows + r}")): _*)
+          .as("bv")).as(s"b$b")
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bv"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band"), col("bv"))
+    val cand = a.join(b, Seq("band", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sa = shingled.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val sb = shingled.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val out = cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("n_inter", expr("size(array_intersect(a_sh, b_sh))"))
+      .withColumn("jaccard", expr(
+        "CAST(n_inter AS DOUBLE) / (size(a_sh) + size(b_sh) - n_inter)"))
+      .filter(col("jaccard") >= theta)
+      .select("a_id", "b_id", "jaccard")
+      .localCheckpoint()
+    shingled.unpersist()
+    out
+  }
+
+  val minhashMd5: QueryDef = {
+    val K = 8; val bandRows = 4; val theta = 0.5
+    QueryDef(
+      "d10_dedup_minhash_md5",
+      (s, d) => minhashMd5Pairs(Tables.documents(s, d), K, bandRows, theta)
+        .orderBy("a_id", "b_id"),
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               sh AS (
+                 SELECT DISTINCT doc_id, array_to_string(t[i + 1:i + 3], ' ') AS sh
+                 FROM toks, unnest(range(0, greatest(len(t) - 2, 1))) AS u(i)),
+               hx AS (
+                 SELECT doc_id, sh, k,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(2, 17),
+                       i -> CAST(strpos('0123456789abcdef',
+                         substring(md5(CAST(k AS VARCHAR) || ':' || sh), i, 1))
+                         - 1 AS BIGINT))),
+                     (a, d) -> a * 16 + d) AS h
+                 FROM sh, unnest(range(0, $K)) AS tk(k)),
+               sigs AS (SELECT doc_id, k, min(h) AS sig FROM hx GROUP BY 1, 2),
+               bands AS (
+                 SELECT doc_id, k // $bandRows AS band,
+                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY k) AS bv
+                 FROM sigs GROUP BY 1, 2),
+               cand AS (
+                 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+               sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+               inter AS (
+                 SELECT c.a_id, c.b_id, count(*) AS n_inter
+                 FROM cand c
+                 JOIN sh a ON a.doc_id = c.a_id
+                 JOIN sh b ON b.doc_id = c.b_id AND b.sh = a.sh
+                 GROUP BY 1, 2)
+               SELECT a_id, b_id,
+                 CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+               FROM inter
+               JOIN sizes sa ON sa.doc_id = a_id
+               JOIN sizes sb ON sb.doc_id = b_id
+               WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+                 >= $theta
+               ORDER BY a_id, b_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(exact, exactByFingerprint, minhash, minhashNative, simhashPairs,
-      ngramJaccard, embeddingCosine, components, simhashBanded)
+      ngramJaccard, embeddingCosine, components, simhashBanded, minhashMd5)
 }

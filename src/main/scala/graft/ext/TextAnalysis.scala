@@ -184,6 +184,63 @@ object TextAnalysis {
     },
     None)
 
+  /** t07 — exact-vocabulary TF-IDF, the oracle-checkable sibling of t05.
+    * t05's HashingTF buckets are engine-specific, so it can only get a
+    * rows-only check; this variant keeps the real vocabulary and defines
+    *   tfidf(doc, term) = tf · n_docs / df
+    * (a linear IDF: one exact IEEE division, no ln/log — transcendental
+    * functions are not correctly-rounded and could diverge between JVM
+    * and C libm in the last ulp, which would break the hash-exact gate).
+    * Output is the top-5 terms per doc by tfidf (ties broken by token),
+    * one row per (doc, term) — no floating-point SUMs whose accumulation
+    * order could differ between engines.
+    *
+    * Scale: tokenize → one hash agg for tf, a second (much smaller) agg
+    * for df over the (doc, term) pairs, a broadcast 1-row corpus count,
+    * an equi-join on term (broadcastable when the dictionary is bounded),
+    * and a per-doc bounded window. No global sort, no all-pairs. */
+  val tfidfExact: QueryDef = {
+    val tfidfExpr = "CAST(tf * n_docs AS DOUBLE) / df"
+    QueryDef(
+      "t07_tfidf_exact",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy("doc_id", "token")
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("token"))
+        tf.join(df, "token")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("tfidf", expr(tfidfExpr))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("doc_id", "token", "tf", "df", "tfidf")
+          .orderBy("doc_id", "token")
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents
+               ), tf AS (
+                 SELECT doc_id, token, count(*) AS tf
+                 FROM toks WHERE token <> '' GROUP BY 1, 2
+               ), df AS (
+                 SELECT token, count(*) AS df FROM tf GROUP BY 1
+               ), n AS (SELECT count(*) AS n_docs FROM documents)
+               SELECT doc_id, token, tf, df, tfidf FROM (
+                 SELECT t.doc_id, t.token, t.tf, f.df,
+                        $tfidfExpr AS tfidf,
+                        row_number() OVER (PARTITION BY t.doc_id
+                          ORDER BY $tfidfExpr DESC, t.token) AS rn
+                 FROM tf t JOIN df f USING (token) CROSS JOIN n
+               ) WHERE rn <= 5 ORDER BY doc_id, token"""))
+  }
+
   /** t06 — corpus token-frequency table: explode tokens, global counts,
     * top-20 with deterministic tiebreak — the Zipf-profile op every
     * corpus pipeline starts with. Explode → hash-agg → top-k: at 100 TB
@@ -203,5 +260,5 @@ object TextAnalysis {
             GROUP BY token ORDER BY n DESC, token LIMIT 20"""))
 
   val all: Seq[QueryDef] =
-    Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq)
+    Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact)
 }

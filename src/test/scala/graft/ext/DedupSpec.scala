@@ -178,6 +178,29 @@ class DedupSpec extends AnyFunSuite {
     assert(banded == exact)
   }
 
+  test("md5 minhash (d10): identical docs at jaccard 1.0, unrelated absent") {
+    val pairs = Dedup.minhashMd5Pairs(docs).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("jaccard")).toMap
+    // identical docs share every signature, collide on every band
+    assert(pairs((0L, 1L)) == 1.0, pairs.mkString(","))
+    // unrelated docs share no shingle: a chance band collision is
+    // impossible (bands are min-signature slices over disjoint sets with
+    // md5 values — equality would need 4 simultaneous 60-bit collisions)
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((2L, 3L)))
+    // the near-dup (18/20 shingles ≈ jaccard 0.64) is surfaced when its
+    // bands collide; when present its jaccard must be the exact ratio
+    pairs.get((0L, 2L)).foreach { j =>
+      assert(j > 0.5 && j < 1.0, s"jaccard=$j")
+    }
+  }
+
+  test("md5 hash family is deterministic across invocations (no seed state)") {
+    val a = Dedup.minhashMd5Pairs(docs).collect().toSeq.sortBy(_.toString)
+    val b = Dedup.minhashMd5Pairs(docs).collect().toSeq.sortBy(_.toString)
+    assert(a == b)
+  }
+
   test("embedding cosine: planted parallel vectors pair up") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)),

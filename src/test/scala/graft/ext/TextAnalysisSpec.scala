@@ -22,6 +22,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L) == 'x'.toInt)
   }
 
+  test("t07 exact TF-IDF: linear-idf identity, top-5 bound, independent df") {
+    import org.apache.spark.sql.functions._
+    val sf = graft.TestSpark.sf0001
+    val out = TextAnalysis.tfidfExact.build(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = docs.count()
+    // tfidf must be EXACTLY (tf·n_docs)/df — one integer product, one
+    // IEEE division, bit-for-bit (this is what makes the DuckDB oracle
+    // hash-exact)
+    out.foreach { r =>
+      val tf = r.getAs[Long]("tf"); val dfc = r.getAs[Long]("df")
+      assert(r.getAs[Double]("tfidf") == (tf * n).toDouble / dfc)
+    }
+    val perDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(perDoc.values.forall(_.length <= 5))
+    assert(perDoc.size > 1)
+    // independently recompute df for one emitted (doc, token) row
+    val r0 = out.head
+    val tok = r0.getAs[String]("token")
+    val indep = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") === tok).select("doc_id").distinct().count()
+    assert(r0.getAs[Long]("df") == indep)
+  }
+
   test("NA replacement is idempotent (reference P8 net semantics)") {
     val df = Seq(("NA", "1"), ("5", "NA"), ("7", "8")).toDF("a", "b")
     val once = df.na.replace(df.columns, Map("NA" -> null))
