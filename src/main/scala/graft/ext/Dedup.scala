@@ -522,14 +522,34 @@ object Dedup {
   /** d10 — ORACLE-EXACT MinHash LSH. d02/d06 are rows-only because their
     * hash family (spark.ml seeds / xxhash64) has no DuckDB counterpart;
     * this variant keys the Broder scheme on md5, which both engines
-    * compute identically: H_k(sh) = int60(md5(k ":" sh)) via Spark's
-    * `conv(substring(md5(..), 2, 15), 16, 10)` and DuckDB's equivalent
-    * hex-digit fold (verified bit-equal). 8 signatures, banded 2×4; band
+    * compute identically: one md5 per shingle split into two integer
+    * halves (Spark `conv(substring(md5(..)..), 16, 10)` ≡ DuckDB
+    * hex-digit fold, verified bit-equal), expanded to 8 hashes by the
+    * Carter-Wegman family h_k = a + k·b. 8 signatures, banded 2×4; band
     * key is the comma-joined signature slice (pure string equality on
     * both engines); candidates from the band equi-join only — never
     * all-pairs — then exact Jaccard on candidates. The whole chain,
     * banding included, is mirrored in SQL, so the driver hash-checks the
     * complete LSH pipeline, not just a pair count. */
+  /** Portable 60-bit integer hash — the piece that makes d10/d11
+    * oracle-exact: md5 hex chars 2-16 parsed as an integer. Both sides
+    * verified bit-equal (md5('abc') → 370089762377648 on each). */
+  def sparkMd5Int60(arg: String): String =
+    s"CAST(conv(substring(md5($arg), 2, 15), 16, 10) AS BIGINT)"
+
+  /** DuckDB mirror of [[sparkMd5Int60]]: hex-digit fold (DuckDB has no
+    * hex-to-int conv built-in). */
+  def duckMd5Int60(arg: String): String = duckMd5IntSlice(arg, 2, 15)
+
+  /** Hex-digit fold over md5 chars [from, from+len) — the general form
+    * behind [[duckMd5Int60]] and d10's second (56-bit) hash half. */
+  def duckMd5IntSlice(arg: String, from: Int, len: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range($from, ${from + len}),
+            i -> CAST(strpos('0123456789abcdef',
+              substring(md5($arg), i, 1)) - 1 AS BIGINT))),
+          (a, d) -> a * 16 + d)"""
+
   /** Core of d10: md5-keyed MinHash pairs over an arbitrary documents
     * frame. Eagerly materialized (the pair list is candidate-bounded) so
     * the corpus-scale shingle cache never outlives the call. */
@@ -543,11 +563,18 @@ object Dedup {
       .select(col("doc_id"),
         expr(s"array_distinct(${shingleExpr("text")})").as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE md5 per shingle, then the Carter-Wegman 2-universal family
+    // h_k = a + k·b over its two halves (a: 60 bits from hex chars 2-16,
+    // b: 56 bits from chars 17-30) — no overflow (7·2^56 + 2^60 < 2^63),
+    // no per-k rehash, and pure arithmetic for the SQL mirror.
     val sigCols = (0 until numHashes).map(k =>
-      min(expr("CAST(conv(substring(md5(concat('" + k + ":', s)), 2, 15)" +
-        ", 16, 10) AS BIGINT)")).as(s"sig_$k"))
+      min(expr(s"ha + $k * hb")).as(s"sig_$k"))
     val sigs = shingled
       .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"),
+        expr(sparkMd5Int60("s")).as("ha"),
+        expr("CAST(conv(substring(md5(s), 17, 14), 16, 10) AS BIGINT)")
+          .as("hb"))
       .groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until numHashes / bandRows).map { b =>
@@ -589,15 +616,14 @@ object Dedup {
                  SELECT DISTINCT doc_id, array_to_string(t[i + 1:i + 3], ' ') AS sh
                  FROM toks, unnest(range(0, greatest(len(t) - 2, 1))) AS u(i)),
                hx AS (
-                 SELECT doc_id, sh, k,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT),
-                     list_transform(range(2, 17),
-                       i -> CAST(strpos('0123456789abcdef',
-                         substring(md5(CAST(k AS VARCHAR) || ':' || sh), i, 1))
-                         - 1 AS BIGINT))),
-                     (a, d) -> a * 16 + d) AS h
-                 FROM sh, unnest(range(0, $K)) AS tk(k)),
-               sigs AS (SELECT doc_id, k, min(h) AS sig FROM hx GROUP BY 1, 2),
+                 SELECT doc_id, sh,
+                   ${duckMd5Int60("sh")} AS ha,
+                   ${duckMd5IntSlice("sh", 17, 14)} AS hb
+                 FROM sh),
+               sigs AS (
+                 SELECT doc_id, k, min(ha + k * hb) AS sig
+                 FROM hx, unnest(range(0, $K)) AS tk(k)
+                 GROUP BY 1, 2),
                bands AS (
                  SELECT doc_id, k // $bandRows AS band,
                    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY k) AS bv
@@ -623,7 +649,83 @@ object Dedup {
                ORDER BY a_id, b_id"""))
   }
 
+  /** 60-bit SimHash over the md5 token hash — the oracle-portable
+    * sibling of [[simhash]] (which uses xxhash64, engine-specific).
+    * Same Charikar scheme: per-token hash, per-bit ±1 votes, sign-pack. */
+  def simhashMd5(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), expr(sparkMd5Int60("tok")).as("h"))
+    val voteCols = (0 until 60).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val votes = hashed.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val packed = (0 until 60).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    votes.select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** d11 — ORACLE-EXACT banded SimHash near-dup pairs: [[simhashMd5]]
+    * signatures split into 4×15-bit bands (pigeonhole-exact at hamming
+    * ≤ 3, like d09), candidates from the band equi-join only, and the
+    * ENTIRE chain — 60 per-bit vote aggregates, sign-packing, banding,
+    * hamming filter — mirrored in DuckDB SQL. d03/d09 stay as the
+    * engine-native xxhash64 fast paths; this is the verification twin. */
+  val simhashMd5Banded: QueryDef = {
+    val maxHamming = 3
+    QueryDef(
+      "d11_dedup_simhash_md5",
+      (s, d) => {
+        val sh = simhashMd5(Tables.documents(s, d))
+        val bands = sh.select(col("doc_id"), col("simhash"),
+          explode(expr(
+            "transform(sequence(0, 3), b -> struct(b AS band, " +
+              "shiftright(simhash, b * 15) & 32767 AS bv))")).as("bb"))
+          .select(col("doc_id"), col("simhash"),
+            col("bb.band").as("band"), col("bb.bv").as("bv"))
+        val a = bands.select(col("doc_id").as("a_id"),
+          col("simhash").as("a_sh"), col("band"), col("bv"))
+        val b = bands.select(col("doc_id").as("b_id"),
+          col("simhash").as("b_sh"), col("band"), col("bv"))
+        a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id", "a_sh", "b_sh").distinct()
+          .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)"))
+          .filter(col("hamming") <= maxHamming)
+          .select("a_id", "b_id", "hamming")
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        val votes = (0 until 60).map(i =>
+          s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(", ")
+        val pack = (0 until 60).map(i =>
+          s"CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            hx AS (SELECT doc_id, ${duckMd5Int60("tok")} AS h FROM toks),
+            votes AS (SELECT doc_id, $votes FROM hx GROUP BY 1),
+            sigs AS (SELECT doc_id, CAST($pack AS BIGINT) AS sh FROM votes),
+            bands AS (
+              SELECT doc_id, sh, k AS band, (sh >> (k * 15)) & 32767 AS bv
+              FROM sigs, unnest(range(0, 4)) AS tk(k)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                a.sh AS a_sh, b.sh AS b_sh
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+            SELECT a_id, b_id,
+              CAST(bit_count(xor(a_sh, b_sh)) AS INTEGER) AS hamming
+            FROM cand WHERE bit_count(xor(a_sh, b_sh)) <= $maxHamming
+            ORDER BY a_id, b_id"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(exact, exactByFingerprint, minhash, minhashNative, simhashPairs,
-      ngramJaccard, embeddingCosine, components, simhashBanded, minhashMd5)
+      ngramJaccard, embeddingCosine, components, simhashBanded, minhashMd5,
+      simhashMd5Banded)
 }

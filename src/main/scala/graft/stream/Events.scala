@@ -257,5 +257,37 @@ object Events {
             count(DISTINCT event_type) AS n_types, count(*) AS n
             FROM events GROUP BY 1 ORDER BY w_start"""))
 
-  val all: Seq[QueryDef] = Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ)
+  /** st05 — the stream-stream interval join ([[clickErrorJoin]]) run in
+    * batch mode over the events table and oracle-checked: same library
+    * code, same join predicate (user equi-key + 1-hour lookback band),
+    * mirrored as a DuckDB interval self-join. In streaming mode the
+    * watermark bounds each side's buffered state to the hour band; here
+    * the watermark is a no-op and the plan is the q10-style range join
+    * shuffling on the user-key equi conjunct. click_value passes through
+    * unrounded — both engines read the identical parquet doubles. */
+  val intervalJoinQ: QueryDef = QueryDef(
+    "st05_stream_interval_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      clickErrorJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "error"))
+        .select(col("user_id"), col("error_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format(col("error_ts"), "yyyy-MM-dd HH:mm:ss").as("error_ts"),
+          col("click_value"))
+        .orderBy("error_id", "click_ts", "click_value")
+    },
+    Some("""SELECT c.user_id, e.event_id AS error_id,
+            strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+            strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+            c.value AS click_value
+            FROM events e JOIN events c
+              ON c.event_type = 'click' AND e.event_type = 'error'
+              AND c.user_id = e.user_id
+              AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR
+            ORDER BY error_id, click_ts, click_value"""))
+
+  val all: Seq[QueryDef] =
+    Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ)
 }

@@ -201,6 +201,35 @@ class DedupSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("md5 simhash (d11): identical docs at hamming 0; equals all-pairs at radius 3") {
+    val sh = Dedup.simhashMd5(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical docs: identical signature
+    assert(sh(0L) == sh(1L))
+    // banded result (the registered query's core) vs exact all-pairs at
+    // the pigeonhole-exact radius: 3 flipped bits can dirty at most 3 of
+    // the 4×15-bit bands, so one band must collide — banded == exact
+    val exact = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+    } yield (a, b)).toSet
+    // build the banded pairs over the planted docs via the same plan
+    // shape the QueryDef uses (signatures → 4×15 bands → equi join)
+    val bands = Dedup.simhashMd5(docs).selectExpr("doc_id", "simhash",
+      "explode(transform(sequence(0, 3), b -> struct(b AS band, " +
+        "shiftright(simhash, b * 15) & 32767 AS bv))) AS bb")
+      .selectExpr("doc_id", "simhash", "bb.band AS band", "bb.bv AS bv")
+    val a = bands.selectExpr("doc_id AS a_id", "simhash AS a_sh", "band", "bv")
+    val b = bands.selectExpr("doc_id AS b_id", "simhash AS b_sh", "band", "bv")
+    val banded = a.join(b, Seq("band", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
+      .filter(expr("bit_count(a_sh ^ b_sh)") <= 3)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(banded == exact)
+    assert(banded.contains((0L, 1L)))
+  }
+
   test("embedding cosine: planted parallel vectors pair up") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)),

@@ -241,6 +241,21 @@ class StreamingSpec extends AnyFunSuite {
       rows.mkString(","))
   }
 
+  test("st05 batch interval join: every pair inside the 1h lookback band") {
+    val out = Events.intervalJoinQ.build(spark, graft.TestSpark.sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    out.foreach { r =>
+      val c = java.time.LocalDateTime.parse(r.getAs[String]("click_ts"), fmt)
+      val e = java.time.LocalDateTime.parse(r.getAs[String]("error_ts"), fmt)
+      assert(!c.isAfter(e), s"click after error: $r")
+      assert(!c.isBefore(e.minusHours(1).minusSeconds(1)),
+        s"click outside 1h band: $r")
+    }
+  }
+
   test("batch session window merges events within gap, splits at gap") {
     val df = Seq(
       (1L, ts(0), 1.0), (1L, ts(5), 2.0),   // session A (gap 5 < 10)
