@@ -133,5 +133,75 @@ object Similarity {
       None)
   }
 
-  val all: Seq[QueryDef] = Seq(cosineTopK, annLsh, annIvf)
+  /** s04 — ORACLE-EXACT hyperplane-LSH ANN (the sign-random-projection
+    * of Charikar 2002, as s02 is rows-only because spark.ml's projection
+    * vectors are engine-private). The ±1 projection matrix is generated
+    * ONCE here from a pinned seed and rendered as literals into BOTH the
+    * Spark expression and the DuckDB SQL, so the two sides cannot drift;
+    * bucket = 8 sign bits of dot(emb, plane_p). Candidates come from the
+    * bucket equi-join only (the bounded query set broadcast against
+    * same-bucket corpus rows — the 100 TB shape), scored with the same
+    * sequential double fold both engines use bit-identically. */
+  val annHyperplane: QueryDef = {
+    val planes = 8; val dims = 64; val seed = 20260812
+    val rnd = new scala.util.Random(seed)
+    val signs: Seq[Seq[Boolean]] =
+      Seq.fill(planes)(Seq.fill(dims)(rnd.nextBoolean()))
+    def sparkArr(p: Int) = signs(p)
+      .map(v => if (v) "1.0D" else "-1.0D").mkString("array(", ", ", ")")
+    def duckArr(p: Int) = signs(p)
+      .map(v => if (v) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val sparkBucket = (0 until planes).map(p =>
+      s"(CASE WHEN aggregate(zip_with(emb, ${sparkArr(p)}, (x, y) -> x * y)" +
+        s", 0D, (acc, v) -> acc + v) > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    val duckBucket = (0 until planes).map(p =>
+      s"(CASE WHEN list_reduce(list_prepend(0.0, list_transform(" +
+        s"range(1, ${dims + 1}), i -> emb[i] * (${duckArr(p)})[i]))" +
+        s", (x, y) -> x + y) > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    QueryDef(
+      "s04_ann_hyperplane",
+      (s, d) => {
+        graft.expr.ArrayDot.register(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+          .withColumn("bucket", expr(sparkBucket))
+        val withU = e
+          .withColumn("nrm", sqrt(expr(Dedup.norm2Expr("emb"))))
+          .select(col("vec_id"), col("bucket"),
+            expr("transform(emb, x -> x / nrm)").as("u"))
+        val q = withU.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("bucket"), col("u").as("q_u"))
+        val c = withU
+          .select(col("vec_id").as("n_id"), col("bucket"), col("u").as("n_u"))
+        broadcast(q).join(c, Seq("bucket"))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("cos_sim", expr("array_dot(q_u, n_u)"))
+          .select("q_id", "n_id", "cos_sim")
+          .orderBy("q_id", "n_id")
+      },
+      Some(s"""WITH e AS (
+                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+               bk AS (SELECT vec_id, emb, $duckBucket AS bucket FROM e),
+               n AS (
+                 SELECT vec_id, bucket, emb,
+                   sqrt(list_reduce(list_prepend(0.0,
+                     list_transform(range(1, len(emb) + 1),
+                       i -> emb[i] * emb[i])),
+                     (x, y) -> x + y)) AS nrm
+                 FROM bk),
+               u AS (SELECT vec_id, bucket,
+                       list_transform(emb, x -> x / nrm) AS u
+                     FROM n)
+               SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                 ${Dedup.pairDotSql} AS cos_sim
+               FROM u a JOIN u b
+                 ON a.bucket = b.bucket AND a.vec_id < 10
+                 AND b.vec_id != a.vec_id
+               ORDER BY q_id, n_id"""))
+  }
+
+  val all: Seq[QueryDef] = Seq(cosineTopK, annLsh, annIvf, annHyperplane)
 }

@@ -33,6 +33,23 @@ class RecallSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"native minhash recall=$recall") // observed 0.93
   }
 
+  test("hyperplane ANN (s04): candidates nonempty, cosine exact, d05 near-dups recalled") {
+    val rows = Similarity.annHyperplane.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // planted near-identical embedding pairs (d05, cos >= 0.995 among
+    // the query set) must land in the same 8-bit bucket — near-parallel
+    // vectors only split when a hyperplane cuts their tiny angle
+    val d05 = Dedup.embeddingCosine.build(spark, sf).collect()
+      .filter(r => r.getAs[Double]("cos_sim") >= 0.995)
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .filter { case (a, b) => a < 10 || b < 10 }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = d05.count { case (a, b) =>
+      got.contains((a, b)) || got.contains((b, a)) }
+    assert(d05.isEmpty || recalled.toDouble / d05.size >= 0.9,
+      s"near-dup recall ${recalled}/${d05.size}")
+  }
+
   test("spark.ml MinHash recalls 100% of exact jaccard>=0.2 pairs here") {
     val exact = Dedup.ngramJaccard.build(spark, sf).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet

@@ -115,4 +115,18 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Dedup.exact.build(spark, sf))
     assert(p.contains("HashAggregate") && !p.contains("Join"), p)
   }
+
+  test("d11: banded simhash candidates come from equi joins, never all-pairs") {
+    val p = plan(Dedup.simhashMd5Banded.build(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("s04: hyperplane ANN joins on the bucket key with a broadcast query side") {
+    val p = plan(Similarity.annHyperplane.build(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
