@@ -154,7 +154,62 @@ object Curation {
     Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_l_quantity
             FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  /** x06 — incremental dedup: the arriving batch (here: the upper half
+    * of doc_ids) is admitted only if its content fingerprint is absent
+    * from the existing corpus (lower half) AND it is the min-id survivor
+    * within the batch itself. This is the steady-state form of d01/d08 —
+    * at 100 TB the "existing" side is a compact fingerprint index (8-byte
+    * keys, no bodies), the batch side is small, and the plan is one
+    * anti equi-join plus one batch-local aggregate. */
+  val incrementalDedup: QueryDef = QueryDef(
+    "x06_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), expr("md5(text)").as("fp"))
+      val mid = 250L // sf-independent midpoint of the 0-based doc_id space
+      val existing = docs.filter(col("doc_id") < mid).select("fp").distinct()
+      val batch = docs.filter(col("doc_id") >= mid)
+      batch
+        .join(existing, Seq("fp"), "left_anti")
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("admitted_id"),
+          count(lit(1)).as("n_batch_copies"))
+        .select("admitted_id", "n_batch_copies")
+        .orderBy("admitted_id")
+    },
+    Some("""WITH docs AS (SELECT doc_id, md5(text) AS fp FROM documents),
+            existing AS (
+              SELECT DISTINCT fp FROM docs WHERE doc_id < 250),
+            batch AS (SELECT * FROM docs WHERE doc_id >= 250)
+            SELECT min(doc_id) AS admitted_id, count(*) AS n_batch_copies
+            FROM batch WHERE fp NOT IN (SELECT fp FROM existing)
+            GROUP BY fp ORDER BY admitted_id"""))
+
+  /** x07 — reproducible train/eval split by content-independent hash:
+    * md5(doc_id) < threshold ⇒ eval (~12.5%), else train. Unlike
+    * `randomSplit(seed)`, membership is a pure row function —
+    * partitioning, cluster size, and engine cannot change it, which is
+    * what makes 100 TB experiment reruns comparable. Reported as
+    * per-split doc/token totals. */
+  val hashSplit: QueryDef = QueryDef(
+    "x07_hash_split",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          expr("CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) " +
+            "IN ('0', '1') THEN 'eval' ELSE 'train' END").as("split"),
+          expr(raw"size(split(trim(text), '\\s+'))").as("n_tokens"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("split"),
+    Some("""SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        IN ('0', '1') THEN 'eval' ELSE 'train' END AS split,
+            count(*) AS n_docs,
+            CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+              AS total_tokens
+            FROM documents GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
-      saltedAgg)
+      saltedAgg, incrementalDedup, hashSplit)
 }

@@ -67,6 +67,37 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("x06 incremental dedup admits exactly the batch fps absent from the corpus") {
+    val out = Curation.incrementalDedup.build(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "md5(text) AS fp").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val existingFps = docs.filter(_._1 < 250).map(_._2).toSet
+    val batch = docs.filter(_._1 >= 250)
+    val admitted = out.map(_.getAs[Long]("admitted_id")).toSet
+    // no admitted doc's fingerprint may exist in the corpus
+    val fpById = docs.toMap
+    assert(admitted.forall(id => !existingFps.contains(fpById(id))))
+    // completeness: every batch fp not in the corpus has exactly one survivor
+    val newFps = batch.filter(d => !existingFps.contains(d._2))
+    assert(admitted.size == newFps.map(_._2).distinct.length)
+    // survivor is the min id of its batch duplicate group
+    assert(out.forall { r =>
+      val fp = fpById(r.getAs[Long]("admitted_id"))
+      r.getAs[Long]("admitted_id") ==
+        batch.filter(_._2 == fp).map(_._1).min
+    })
+  }
+
+  test("x07 hash split partitions the corpus near 2/16 eval") {
+    val out = Curation.hashSplit.build(spark, sf).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.values.sum == total)
+    val evalFrac = out.getOrElse("eval", 0L).toDouble / total
+    assert(evalFrac > 0.04 && evalFrac < 0.25, s"eval fraction $evalFrac")
+  }
+
   test("x04 shard assignment covers every doc exactly once") {
     val out = Curation.shardHash.build(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_docs")).sum
