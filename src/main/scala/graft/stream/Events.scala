@@ -288,6 +288,27 @@ object Events {
               AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR
             ORDER BY error_id, click_ts, click_value"""))
 
+  /** st06 — watermark dedup's batch twin: one survivor per event_id
+    * (earliest ts, then min user_id for full determinism), mirroring
+    * what [[dedupStream]] converges to once the watermark passes. The
+    * streaming form is spec-tested with MemoryStream; this registered
+    * batch form gives the op an oracle. One hash aggregate on the
+    * event_id key — d01's shape on the stream's key space. */
+  val dedupBatchQ: QueryDef = QueryDef(
+    "st06_dedup_by_event_id",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_id")
+        .agg(
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          min(col("user_id")).as("user_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+            min(user_id) AS user_id, count(*) AS n_copies
+            FROM events GROUP BY event_id ORDER BY event_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ)
+    Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
+      dedupBatchQ)
 }

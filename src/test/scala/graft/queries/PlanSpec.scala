@@ -129,4 +129,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("x02/t07: ranked-limit windows get the map-side WindowGroupLimit pushdown") {
+    // the property that makes per-key top-k survive 100 TB: each map task
+    // keeps only k rows per key BEFORE the shuffle, so the exchange moves
+    // O(partitions·k) rows per key, not the whole stratum
+    val px = plan(graft.ext.Curation.sampleStratifiedHash.build(spark, sf))
+    assert("WindowGroupLimit".r.findAllIn(px).size >= 2, px)
+    val pt = plan(graft.ext.TextAnalysis.tfidfExact.build(spark, sf))
+    assert("WindowGroupLimit".r.findAllIn(pt).size >= 2, pt)
+  }
 }
