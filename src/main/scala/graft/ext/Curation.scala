@@ -28,6 +28,13 @@ import graft.queries.QueryDef
   */
 object Curation {
 
+  /** Whitespace token count, one definition per dialect (used by x03,
+    * x04, x07 — these two strings are a load-bearing cross-engine pair;
+    * edit them together or hash-exactness silently breaks). */
+  private val sparkTokCount = raw"size(split(trim(text), '\\s+'))"
+  private val duckTokCount =
+    """CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)"""
+
   /** x01 — entity-consistent deterministic sampling: keep every lineitem
     * of the ~5.1% of orders whose md5(l_orderkey) falls under the
     * threshold ('00'..'0c' of 256 two-hex-char prefixes = 13/256).
@@ -88,14 +95,17 @@ object Curation {
     * keep only the exact-dedup survivor (min doc_id per identical text).
     * Text is dropped BEFORE the dedup shuffle: only (doc_id, fingerprint,
     * metrics) move, the d08 discipline. punct_ratio is one exact IEEE
-    * division, identical on both engines. */
+    * division, identical on both engines. Scope: ASCII text (the
+    * documents fixture) — like t04, Spark's length() counts UTF-16 units
+    * while DuckDB's counts codepoints, so astral-plane input would
+    * diverge at the ratio gate. */
   val corpusCuration: QueryDef = QueryDef(
     "x03_corpus_curation",
     (s, d) => {
       val metered = Tables.documents(s, d).select(
         col("doc_id"),
         expr("md5(text)").as("fp"),
-        expr(raw"size(split(trim(text), '\\s+'))").as("n_tokens"),
+        expr(sparkTokCount).as("n_tokens"),
         expr("CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '')) AS DOUBLE) / length(text)")
           .as("punct_ratio"))
       val w = Window.partitionBy("fp")
@@ -108,7 +118,7 @@ object Curation {
     },
     Some(s"""SELECT doc_id, n_tokens, punct_ratio
              FROM (SELECT doc_id,
-                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+                     $duckTokCount AS n_tokens,
                      CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
                        / length(text) AS punct_ratio,
                      min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
@@ -127,14 +137,14 @@ object Curation {
       Tables.documents(s, d)
         .select(
           expr("substring(md5(CAST(doc_id AS STRING)), 1, 1)").as("shard"),
-          expr(raw"size(split(trim(text), '\\s+'))").as("n_tokens"))
+          expr(sparkTokCount).as("n_tokens"))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
         .orderBy("shard"),
-    Some("""SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
-            count(*) AS n_docs,
-            CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
-            FROM documents GROUP BY 1 ORDER BY 1"""))
+    Some(s"""SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             count(*) AS n_docs,
+             CAST(sum($duckTokCount) AS BIGINT) AS total_tokens
+             FROM documents GROUP BY 1 ORDER BY 1"""))
 
   /** x05 — salted two-phase aggregation as a registered, oracle-checked
     * query: `ops.Skew.saltedSum` fans the hot grouping keys over
@@ -154,21 +164,26 @@ object Curation {
     Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_l_quantity
             FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
-  /** x06 — incremental dedup: the arriving batch (here: the upper half
-    * of doc_ids) is admitted only if its content fingerprint is absent
-    * from the existing corpus (lower half) AND it is the min-id survivor
-    * within the batch itself. This is the steady-state form of d01/d08 —
-    * at 100 TB the "existing" side is a compact fingerprint index (8-byte
-    * keys, no bodies), the batch side is small, and the plan is one
-    * anti equi-join plus one batch-local aggregate. */
+  /** x06 — incremental dedup: an arriving batch (the fixture-pinned
+    * first 250 doc_ids — a constant-size batch at every sf, while the
+    * "existing" corpus doc_id ≥ 250 grows with sf: 250 rows at sf0.01,
+    * 4 750 at sf0.1 — the steady-state shape) is admitted only if its
+    * content fingerprint is absent from the existing corpus AND it is
+    * the min-id survivor within the batch itself. This is d01/d08's
+    * steady-state form — at 100 TB the "existing" side is a compact
+    * fingerprint index (8-byte keys, no bodies), and the plan is one
+    * anti equi-join plus one batch-local aggregate. The mirror uses
+    * NOT EXISTS, not NOT IN: NOT IN's three-valued NULL semantics would
+    * diverge from the anti-join if a fingerprint were ever NULL. */
   val incrementalDedup: QueryDef = QueryDef(
     "x06_incremental_dedup",
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), expr("md5(text)").as("fp"))
-      val mid = 250L // sf-independent midpoint of the 0-based doc_id space
-      val existing = docs.filter(col("doc_id") < mid).select("fp").distinct()
-      val batch = docs.filter(col("doc_id") >= mid)
+      val batchMax = 250L // fixture-pinned batch: doc_ids [0, 250)
+      val existing = docs.filter(col("doc_id") >= batchMax)
+        .select("fp").distinct()
+      val batch = docs.filter(col("doc_id") < batchMax)
       batch
         .join(existing, Seq("fp"), "left_anti")
         .groupBy("fp")
@@ -178,11 +193,11 @@ object Curation {
         .orderBy("admitted_id")
     },
     Some("""WITH docs AS (SELECT doc_id, md5(text) AS fp FROM documents),
-            existing AS (
-              SELECT DISTINCT fp FROM docs WHERE doc_id < 250),
-            batch AS (SELECT * FROM docs WHERE doc_id >= 250)
+            batch AS (SELECT * FROM docs WHERE doc_id < 250)
             SELECT min(doc_id) AS admitted_id, count(*) AS n_batch_copies
-            FROM batch WHERE fp NOT IN (SELECT fp FROM existing)
+            FROM batch b
+            WHERE NOT EXISTS (
+              SELECT 1 FROM docs e WHERE e.doc_id >= 250 AND e.fp = b.fp)
             GROUP BY fp ORDER BY admitted_id"""))
 
   /** x07 — reproducible train/eval split by content-independent hash:
@@ -198,16 +213,15 @@ object Curation {
         .select(
           expr("CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) " +
             "IN ('0', '1') THEN 'eval' ELSE 'train' END").as("split"),
-          expr(raw"size(split(trim(text), '\\s+'))").as("n_tokens"))
+          expr(sparkTokCount).as("n_tokens"))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
         .orderBy("split"),
-    Some("""SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                        IN ('0', '1') THEN 'eval' ELSE 'train' END AS split,
-            count(*) AS n_docs,
-            CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
-              AS total_tokens
-            FROM documents GROUP BY 1 ORDER BY 1"""))
+    Some(s"""SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('0', '1') THEN 'eval' ELSE 'train' END AS split,
+             count(*) AS n_docs,
+             CAST(sum($duckTokCount) AS BIGINT) AS total_tokens
+             FROM documents GROUP BY 1 ORDER BY 1"""))
 
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,

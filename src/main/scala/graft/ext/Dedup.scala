@@ -327,25 +327,39 @@ object Dedup {
   def norm2Expr(a: String): String =
     s"aggregate($a, 0D, (acc, x) -> acc + x * x)"
 
-  /** Unit-normalized double embedding column: the norm fold runs ONCE per
-    * row (not per pair), so the all-pairs stage is a single codegen'd dot
-    * product per pair. Same op order as the DuckDB mirror → bit-identical. */
-  def normalized(s: SparkSession, d: String, idAs: String, vecAs: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("nrm", sqrt(expr(norm2Expr("emb"))))
-      .select(col("vec_id").as(idAs),
-        expr("transform(emb, x -> x / nrm)").as(vecAs))
+  /** Unit-normalization over an `emb` (array<double>) column, carrying
+    * `keep` through: the norm fold runs ONCE per row (not per pair), so
+    * downstream pair stages are a single codegen'd dot product each.
+    * The fold order is the load-bearing cross-engine contract — this is
+    * the ONE Spark-side definition (s01/d05/s04 all come through here);
+    * [[unitNormSql]] is its one DuckDB mirror. */
+  def unitized(df: DataFrame, keep: Seq[Column], uAs: String): DataFrame =
+    df.withColumn("nrm", sqrt(expr(norm2Expr("emb"))))
+      .select(keep :+ expr("transform(emb, x -> x / nrm)").as(uAs): _*)
 
-  /** Matching DuckDB CTEs (`e` raw → `u` unit-normalized). */
-  val normalizedSql: String =
-    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       n AS (SELECT vec_id, emb,
+  /** Unit-normalized double embedding column. */
+  def normalized(s: SparkSession, d: String, idAs: String, vecAs: String): DataFrame =
+    unitized(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+      Seq(col("vec_id").as(idAs)), vecAs)
+
+  /** DuckDB `n`/`u` CTE pair: unit-normalize `emb` from CTE `src`,
+    * carrying `extraCols` (", col" list or "") — the single mirror of
+    * [[unitized]]'s fold order. */
+  def unitNormSql(src: String, extraCols: String): String =
+    s"""n AS (SELECT vec_id$extraCols, emb,
                sqrt(list_reduce(list_prepend(0.0,
                  list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i])),
                  (x, y) -> x + y)) AS nrm
-             FROM e),
-       u AS (SELECT vec_id, list_transform(emb, x -> x / nrm) AS u FROM n)"""
+             FROM $src),
+       u AS (SELECT vec_id$extraCols, list_transform(emb, x -> x / nrm) AS u
+             FROM n)"""
+
+  /** Matching DuckDB CTEs (`e` raw → `u` unit-normalized). */
+  val normalizedSql: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       ${unitNormSql("e", "")}"""
 
   /** Pairwise dot of unit vectors, identical fold order both engines. */
   val pairDotSql: String =
@@ -519,18 +533,6 @@ object Dedup {
       .orderBy("a_id", "b_id"),
     None)
 
-  /** d10 — ORACLE-EXACT MinHash LSH. d02/d06 are rows-only because their
-    * hash family (spark.ml seeds / xxhash64) has no DuckDB counterpart;
-    * this variant keys the Broder scheme on md5, which both engines
-    * compute identically: one md5 per shingle split into two integer
-    * halves (Spark `conv(substring(md5(..)..), 16, 10)` ≡ DuckDB
-    * hex-digit fold, verified bit-equal), expanded to 8 hashes by the
-    * Carter-Wegman family h_k = a + k·b. 8 signatures, banded 2×4; band
-    * key is the comma-joined signature slice (pure string equality on
-    * both engines); candidates from the band equi-join only — never
-    * all-pairs — then exact Jaccard on candidates. The whole chain,
-    * banding included, is mirrored in SQL, so the driver hash-checks the
-    * complete LSH pipeline, not just a pair count. */
   /** Portable 60-bit integer hash — the piece that makes d10/d11
     * oracle-exact: md5 hex chars 2-16 parsed as an integer. Both sides
     * verified bit-equal (md5('abc') → 370089762377648 on each). */
@@ -551,13 +553,19 @@ object Dedup {
           (a, d) -> a * 16 + d)"""
 
   /** Core of d10: md5-keyed MinHash pairs over an arbitrary documents
-    * frame. Eagerly materialized (the pair list is candidate-bounded) so
-    * the corpus-scale shingle cache never outlives the call. */
+    * frame, with the same mega-bucket hygiene as d06: buckets larger
+    * than maxBucketSize are dropped (their pairing is quadratic noise)
+    * and duplicate clusters — whose only buckets ARE the mega ones — are
+    * recovered linearly via identical-full-signature grouping (n−1 pairs
+    * per cluster, never n²/2). Eagerly materialized (the pair list is
+    * candidate-bounded) so the corpus-scale shingle cache never outlives
+    * the call. */
   def minhashMd5Pairs(
       docs: DataFrame,
       numHashes: Int = 8,
       bandRows: Int = 4,
-      theta: Double = 0.5): DataFrame = {
+      theta: Double = 0.5,
+      maxBucketSize: Int = 64): DataFrame = {
     require(numHashes % bandRows == 0, "bands must tile the signature")
     val shingled = docs
       .select(col("doc_id"),
@@ -586,11 +594,28 @@ object Dedup {
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bv"))
-    val b = bands.select(col("doc_id").as("b_id"), col("band"), col("bv"))
+    val bigBuckets = bands.groupBy("band", "bv")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select("band", "bv")
+    val kept = bands.join(broadcast(bigBuckets), Seq("band", "bv"), "left_anti")
+    // duplicate-cluster recovery (see d06): identical docs share every
+    // band, so the cap would orphan clusters bigger than it
+    val sigNames = (0 until numHashes).map(i => s"sig_$i")
+    val dupReps = sigs.groupBy(sigNames.map(col): _*)
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(sigNames.map(col) :+ col("rep"): _*)
+    val dupClusters = sigs.join(dupReps, sigNames)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+    val a = kept.select(col("doc_id").as("a_id"), col("band"), col("bv"))
+    val b = kept.select(col("doc_id").as("b_id"), col("band"), col("bv"))
     val cand = a.join(b, Seq("band", "bv"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id")
+      .union(dupClusters)
+      .distinct()
     val sa = shingled.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val sb = shingled.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     val out = cand.join(sa, "a_id").join(sb, "b_id")
@@ -604,11 +629,24 @@ object Dedup {
     out
   }
 
+  /** d10 — ORACLE-EXACT MinHash LSH. d02/d06 are rows-only because
+    * their hash family (spark.ml seeds / xxhash64) has no DuckDB
+    * counterpart; this variant keys the Broder scheme on md5, which
+    * both engines compute identically: one md5 per shingle split into
+    * two integer halves (Spark `conv(substring(md5..), 16, 10)` ≡
+    * DuckDB hex-digit fold, verified bit-equal), expanded to 8 hashes
+    * by the Carter-Wegman family h_k = a + k·b. 8 signatures, banded
+    * 2×4; band key is the comma-joined signature slice (pure string
+    * equality on both engines); candidates from the band equi-join only
+    * — never all-pairs, with the d06 mega-bucket cap and dup-cluster
+    * recovery — then exact Jaccard on candidates. The whole chain, cap
+    * included, is mirrored in SQL, so the driver hash-checks the
+    * complete LSH pipeline, not just a pair count. */
   val minhashMd5: QueryDef = {
-    val K = 8; val bandRows = 4; val theta = 0.5
+    val K = 8; val bandRows = 4; val theta = 0.5; val cap = 64
     QueryDef(
       "d10_dedup_minhash_md5",
-      (s, d) => minhashMd5Pairs(Tables.documents(s, d), K, bandRows, theta)
+      (s, d) => minhashMd5Pairs(Tables.documents(s, d), K, bandRows, theta, cap)
         .orderBy("a_id", "b_id"),
       Some(s"""WITH toks AS (
                  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -628,10 +666,29 @@ object Dedup {
                  SELECT doc_id, k // $bandRows AS band,
                    string_agg(CAST(sig AS VARCHAR), ',' ORDER BY k) AS bv
                  FROM sigs GROUP BY 1, 2),
+               bsz AS (SELECT band, bv, count(*) AS n
+                       FROM bands GROUP BY 1, 2),
+               kept AS (SELECT bands.* FROM bands
+                        JOIN bsz USING (band, bv) WHERE bsz.n <= $cap),
+               fullsig AS (
+                 SELECT doc_id,
+                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY k) AS fs
+                 FROM sigs GROUP BY 1),
+               dupreps AS (
+                 SELECT fs, min(doc_id) AS rep FROM fullsig
+                 GROUP BY 1 HAVING count(*) > 1),
+               dpairs AS (
+                 SELECT r.rep AS a_id, f.doc_id AS b_id
+                 FROM dupreps r JOIN fullsig f
+                   ON f.fs = r.fs AND f.doc_id <> r.rep),
                cand AS (
-                 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                 FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+                 SELECT DISTINCT a_id, b_id FROM (
+                   SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                   FROM kept a JOIN kept b
+                     ON a.band = b.band AND a.bv = b.bv
+                     AND a.doc_id < b.doc_id
+                   UNION ALL
+                   SELECT a_id, b_id FROM dpairs)),
                sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
                inter AS (
                  SELECT c.a_id, c.b_id, count(*) AS n_inter
@@ -667,6 +724,28 @@ object Dedup {
     votes.select(col("doc_id"), packed.as("simhash"))
   }
 
+  /** Banded candidate pairs over [[simhashMd5]] signatures: 4×15-bit
+    * bands, equi-join candidates, hamming filter. The ONE implementation
+    * both the registered d11 query and its spec assert on. */
+  def simhashMd5BandedPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = simhashMd5(docs)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, " +
+          "shiftright(simhash, b * 15) & 32767 AS bv))")).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = bands.select(col("doc_id").as("a_id"),
+      col("simhash").as("a_sh"), col("band"), col("bv"))
+    val b = bands.select(col("doc_id").as("b_id"),
+      col("simhash").as("b_sh"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
+      .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
   /** d11 — ORACLE-EXACT banded SimHash near-dup pairs: [[simhashMd5]]
     * signatures split into 4×15-bit bands (pigeonhole-exact at hamming
     * ≤ 3, like d09), candidates from the band equi-join only, and the
@@ -677,25 +756,8 @@ object Dedup {
     val maxHamming = 3
     QueryDef(
       "d11_dedup_simhash_md5",
-      (s, d) => {
-        val sh = simhashMd5(Tables.documents(s, d))
-        val bands = sh.select(col("doc_id"), col("simhash"),
-          explode(expr(
-            "transform(sequence(0, 3), b -> struct(b AS band, " +
-              "shiftright(simhash, b * 15) & 32767 AS bv))")).as("bb"))
-          .select(col("doc_id"), col("simhash"),
-            col("bb.band").as("band"), col("bb.bv").as("bv"))
-        val a = bands.select(col("doc_id").as("a_id"),
-          col("simhash").as("a_sh"), col("band"), col("bv"))
-        val b = bands.select(col("doc_id").as("b_id"),
-          col("simhash").as("b_sh"), col("band"), col("bv"))
-        a.join(b, Seq("band", "bv")).filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id", "a_sh", "b_sh").distinct()
-          .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)"))
-          .filter(col("hamming") <= maxHamming)
-          .select("a_id", "b_id", "hamming")
-          .orderBy("a_id", "b_id")
-      },
+      (s, d) => simhashMd5BandedPairs(Tables.documents(s, d), maxHamming)
+        .orderBy("a_id", "b_id"),
       Some {
         val votes = (0 until 60).map(i =>
           s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")

@@ -167,10 +167,7 @@ object Similarity {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
           .withColumn("bucket", expr(sparkBucket))
-        val withU = e
-          .withColumn("nrm", sqrt(expr(Dedup.norm2Expr("emb"))))
-          .select(col("vec_id"), col("bucket"),
-            expr("transform(emb, x -> x / nrm)").as("u"))
+        val withU = Dedup.unitized(e, Seq(col("vec_id"), col("bucket")), "u")
         val q = withU.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("bucket"), col("u").as("q_u"))
         val c = withU
@@ -185,16 +182,7 @@ object Similarity {
                  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                  FROM embeddings),
                bk AS (SELECT vec_id, emb, $duckBucket AS bucket FROM e),
-               n AS (
-                 SELECT vec_id, bucket, emb,
-                   sqrt(list_reduce(list_prepend(0.0,
-                     list_transform(range(1, len(emb) + 1),
-                       i -> emb[i] * emb[i])),
-                     (x, y) -> x + y)) AS nrm
-                 FROM bk),
-               u AS (SELECT vec_id, bucket,
-                       list_transform(emb, x -> x / nrm) AS u
-                     FROM n)
+               ${Dedup.unitNormSql("bk", ", bucket")}
                SELECT a.vec_id AS q_id, b.vec_id AS n_id,
                  ${Dedup.pairDotSql} AS cos_sim
                FROM u a JOIN u b

@@ -288,25 +288,47 @@ object Events {
               AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR
             ORDER BY error_id, click_ts, click_value"""))
 
-  /** st06 — watermark dedup's batch twin: one survivor per event_id
-    * (earliest ts, then min user_id for full determinism), mirroring
-    * what [[dedupStream]] converges to once the watermark passes. The
-    * streaming form is spec-tested with MemoryStream; this registered
-    * batch form gives the op an oracle. One hash aggregate on the
-    * event_id key — d01's shape on the stream's key space. */
+  /** Batch dedup with SURVIVOR-ROW semantics: for each event_id, the
+    * earliest-ts row (min user_id among exact-ts ties — a total,
+    * deterministic rule, unlike min_by whose tie-break is arbitrary on
+    * both engines). Two phases, both scale-shaped: a hash agg for the
+    * min ts per key, then an equi-join back restricted to that ts.
+    * Unlike independent min(ts)+min(user_id) aggregates, the output
+    * (ts, user_id) pair is always a row that actually existed. */
+  def dedupBatch(events: DataFrame): DataFrame = {
+    val firsts = events.groupBy(col("event_id").as("e_id"))
+      .agg(min(col("ts")).as("first_ts"), count(lit(1)).as("n_copies"))
+    events
+      .join(firsts,
+        col("event_id") === col("e_id") && col("ts") === col("first_ts"))
+      .groupBy("event_id")
+      .agg(
+        date_format(first(col("first_ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("first_ts"),
+        min(col("user_id")).as("user_id"),
+        first(col("n_copies")).as("n_copies"))
+  }
+
+  /** st06 — watermark dedup's batch twin: one survivor row per event_id
+    * ([[dedupBatch]]), the steady state [[dedupStream]]
+    * (dropDuplicatesWithinWatermark) converges to once the watermark
+    * passes — with the survivor pinned to earliest-ts/min-user rather
+    * than dropDuplicates' arbitrary first-seen row, so the result is
+    * deterministic and oracle-checkable. Planted-duplicate semantics are
+    * spec-tested (the fixture itself has unique event_ids). */
   val dedupBatchQ: QueryDef = QueryDef(
     "st06_dedup_by_event_id",
-    (s, d) =>
-      Tables.events(s, d)
-        .groupBy("event_id")
-        .agg(
-          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
-          min(col("user_id")).as("user_id"),
-          count(lit(1)).as("n_copies"))
-        .orderBy("event_id"),
-    Some("""SELECT event_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
-            min(user_id) AS user_id, count(*) AS n_copies
-            FROM events GROUP BY event_id ORDER BY event_id"""))
+    (s, d) => dedupBatch(Tables.events(s, d)).orderBy("event_id"),
+    Some("""WITH firsts AS (
+              SELECT event_id AS e_id, min(ts) AS first_ts,
+                count(*) AS n_copies
+              FROM events GROUP BY 1)
+            SELECT event_id,
+              strftime(min(f.first_ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+              min(user_id) AS user_id, min(f.n_copies) AS n_copies
+            FROM events e JOIN firsts f
+              ON e.event_id = f.e_id AND e.ts = f.first_ts
+            GROUP BY event_id ORDER BY event_id"""))
 
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,

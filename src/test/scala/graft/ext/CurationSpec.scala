@@ -72,8 +72,8 @@ class CurationSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .selectExpr("doc_id", "md5(text) AS fp").collect()
       .map(r => r.getLong(0) -> r.getString(1))
-    val existingFps = docs.filter(_._1 < 250).map(_._2).toSet
-    val batch = docs.filter(_._1 >= 250)
+    val existingFps = docs.filter(_._1 >= 250).map(_._2).toSet
+    val batch = docs.filter(_._1 < 250)
     val admitted = out.map(_.getAs[Long]("admitted_id")).toSet
     // no admitted doc's fingerprint may exist in the corpus
     val fpById = docs.toMap

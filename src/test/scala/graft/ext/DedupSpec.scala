@@ -213,18 +213,8 @@ class DedupSpec extends AnyFunSuite {
       a <- sh.keys; b <- sh.keys if a < b
       if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
     } yield (a, b)).toSet
-    // build the banded pairs over the planted docs via the same plan
-    // shape the QueryDef uses (signatures → 4×15 bands → equi join)
-    val bands = Dedup.simhashMd5(docs).selectExpr("doc_id", "simhash",
-      "explode(transform(sequence(0, 3), b -> struct(b AS band, " +
-        "shiftright(simhash, b * 15) & 32767 AS bv))) AS bb")
-      .selectExpr("doc_id", "simhash", "bb.band AS band", "bb.bv AS bv")
-    val a = bands.selectExpr("doc_id AS a_id", "simhash AS a_sh", "band", "bv")
-    val b = bands.selectExpr("doc_id AS b_id", "simhash AS b_sh", "band", "bv")
-    val banded = a.join(b, Seq("band", "bv"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
-      .filter(expr("bit_count(a_sh ^ b_sh)") <= 3)
+    // the PRODUCTION banding path (shared by the registered d11 query)
+    val banded = Dedup.simhashMd5BandedPairs(docs, 3)
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
     assert(banded == exact)
     assert(banded.contains((0L, 1L)))

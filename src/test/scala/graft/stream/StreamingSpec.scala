@@ -256,6 +256,24 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("st06 dedupBatch keeps a real survivor row (earliest ts, min user on ties)") {
+    val dup = Seq(
+      (100L, ts(2), 7L, "x", 1.0, "{}"), // later copy, smaller user_id
+      (100L, ts(0), 9L, "x", 2.0, "{}"), // earliest -> survivor user 9
+      (100L, ts(0), 4L, "x", 3.0, "{}"), // exact-ts tie -> min user 4
+      (200L, ts(5), 1L, "y", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.dedupBatch(dup).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[String]("first_ts"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("n_copies")))).toMap
+    assert(out(100L) == (("2024-01-01 10:00:00", 4L, 3L)), out.toString)
+    assert(out(200L)._2 == 1L && out(200L)._3 == 1L)
+    // the (ts, user) pair is a row that actually existed: (ts0, user 4)
+    // is real, whereas independent min aggregates could emit (ts0, 4)
+    // only by luck — here the tie rule pins it deterministically
+  }
+
   test("batch session window merges events within gap, splits at gap") {
     val df = Seq(
       (1L, ts(0), 1.0), (1L, ts(5), 2.0),   // session A (gap 5 < 10)
