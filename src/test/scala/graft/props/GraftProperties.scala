@@ -55,6 +55,19 @@ object GraftProperties extends Properties("graft") {
         (x == 0L || DistinctSketch.hash64(x) != x)
     }
 
+  // d10's Carter-Wegman family h_k = a + k·b over md5 halves: with
+  // a < 2^60 and b < 2^56 the sum never overflows a signed 64-bit long
+  // for any k in the family (7·2^56 + 2^60 < 2^63) — the bound the
+  // oracle-exact MinHash arithmetic depends on
+  property("minhashMd5.carterWegmanNoOverflow") =
+    forAll(
+      Gen.choose(0L, (1L << 60) - 1),
+      Gen.choose(0L, (1L << 56) - 1),
+      Gen.choose(0, 7)) { (a, b, k) =>
+      val h = a + k * b
+      h >= a && h >= 0L
+    }
+
   // jaccard arithmetic invariants (the d04 formula on arbitrary set sizes)
   property("jaccard.bounds") =
     forAll(Gen.choose(0, 1000), Gen.choose(1, 1000), Gen.choose(1, 1000)) {
