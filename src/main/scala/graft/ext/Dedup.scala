@@ -577,6 +577,11 @@ object Dedup {
     // no per-k rehash, and pure arithmetic for the SQL mirror.
     val sigCols = (0 until numHashes).map(k =>
       min(expr(s"ha + $k * hb")).as(s"sig_$k"))
+    // cached: sigs feeds THREE branches (banding, dup-rep aggregate, and
+    // the dup-cluster join) — uncached, each branch would re-run the
+    // md5+conv hash pass over the whole shingle set. One row per doc ×
+    // numHashes longs, so the cache is corpus-count-sized, not
+    // corpus-sized.
     val sigs = shingled
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"),
@@ -585,6 +590,7 @@ object Dedup {
           .as("hb"))
       .groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until numHashes / bandRows).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",",
@@ -626,6 +632,7 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
       .localCheckpoint()
     shingled.unpersist()
+    sigs.unpersist()
     out
   }
 
