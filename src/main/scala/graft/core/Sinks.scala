@@ -71,4 +71,23 @@ object Sinks {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  /** Small-files compaction — the maintenance job every long-lived
+    * 100 TB table needs: streaming/incremental writers leave thousands
+    * of KB-sized files whose per-file open/footer cost dominates scans.
+    * Rewrites a parquet directory into ceil(bytes / targetBytes) files
+    * using the optimizer's size estimate. Round-robin repartition (not
+    * coalesce: coalesce(n) merges existing partitions without a
+    * shuffle, inheriting their skew — fine for mild reduction, wrong
+    * for thousands→few). Returns the target file count. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val df = spark.read.parquet(inDir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = ((bytes + targetBytes - 1) / targetBytes)
+      .max(BigInt(1)).min(BigInt(10000)).toInt
+    df.repartition(parts).write.mode("overwrite").parquet(outDir)
+    parts
+  }
 }

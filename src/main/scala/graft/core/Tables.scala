@@ -33,4 +33,13 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Schema-evolution read: a long-lived 100 TB table accumulates files
+    * written under different schema versions (columns added over time).
+    * `mergeSchema` unions the footers' schemas — missing columns read as
+    * null — instead of silently projecting through whichever file's
+    * footer Spark samples first. Costs one footer read per file, so it
+    * is an explicit opt-in, not the default scan path. */
+  def mergedParquet(s: SparkSession, paths: String*): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(paths: _*)
 }

@@ -85,4 +85,34 @@ class SinksSpec extends AnyFunSuite {
     val back = spark.read.parquet(s"$dir/out")
     assert(back.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
   }
+
+  test("compactParquet collapses a many-small-files dir, content identical") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val li = spark.read.parquet(s"${graft.TestSpark.sf0001}/lineitem.parquet")
+    li.repartition(50).write.parquet(s"$dir/small")
+    val fragmented = spark.read.parquet(s"$dir/small")
+    assert(fragmented.inputFiles.length == 50)
+    val parts = Sinks.compactParquet(spark, s"$dir/small", s"$dir/compacted")
+    val back = spark.read.parquet(s"$dir/compacted")
+    assert(back.inputFiles.length == parts && parts < 50,
+      s"parts=$parts files=${back.inputFiles.length}")
+    // content unchanged (order-insensitive fingerprint + count)
+    assert(back.count() == li.count())
+    assert(Sinks.fingerprint(back.select(li.columns.head, li.columns.tail: _*)) ==
+      Sinks.fingerprint(li))
+  }
+
+  test("mergedParquet unions drifted schemas; missing columns read as null") {
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/t/f1")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2_added_later")
+      .write.parquet(s"$dir/t/f2")
+    val merged = graft.core.Tables
+      .mergedParquet(spark, s"$dir/t/f1", s"$dir/t/f2")
+    assert(merged.columns.toSet == Set("id", "v1", "v2_added_later"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v2_added_later")))
+    assert(rows(1).getDouble(rows(1).fieldIndex("v2_added_later")) == 9.5)
+  }
 }
