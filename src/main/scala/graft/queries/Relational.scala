@@ -986,8 +986,62 @@ object Relational {
               AS n_prio_digit
             FROM orders"""))
 
+  /** Q38 — LATERAL correlated table subquery (top-2 customers per
+    * nation): the SQL form of a dependent per-row subplan with its own
+    * ORDER BY/LIMIT. Catalyst decorrelates it (DecorrelateInnerQuery)
+    * into a ranked join rather than executing per-nation loops — the
+    * same shape q13 reaches through the Window API. */
+  val q38 = QueryDef(
+    "q38_lateral_topn",
+    (s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("g_nation")
+      cst(s, d).createOrReplaceTempView("g_customer")
+      s.sql("""SELECT n_name, c_name, round(c_acctbal, 2) AS bal
+               FROM g_nation,
+               LATERAL (SELECT c_name, c_acctbal FROM g_customer
+                        WHERE c_nationkey = n_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+               ORDER BY n_name, bal DESC, c_name""")
+    },
+    Some("""SELECT n_name, c_name, round(c_acctbal, 2) AS bal
+            FROM nation,
+            LATERAL (SELECT c_name, c_acctbal FROM customer
+                     WHERE c_nationkey = n_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+            ORDER BY n_name, bal DESC, c_name"""))
+
+  /** Q39 — IGNORE NULLS window (last-observation-carried-forward): per
+    * user, each event carries the value of the most recent preceding
+    * 'purchase' — the canonical time-series gap fill. Partitioned by
+    * user (parallel), unique (ts, event_id) tiebreak; value doubles
+    * pass through from the same parquet on both engines. Syntax note:
+    * Spark puts IGNORE NULLS after the call, DuckDB inside it. */
+  val q39 = QueryDef(
+    "q39_window_ignore_nulls",
+    (s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("g_events")
+      s.sql("""SELECT event_id,
+                 last_value(pv) IGNORE NULLS OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_purchase_value
+               FROM (SELECT event_id, user_id, ts,
+                       CASE WHEN event_type = 'purchase' THEN value END AS pv
+                     FROM g_events)
+               ORDER BY event_id""")
+    },
+    Some("""SELECT event_id,
+              last_value(pv IGNORE NULLS) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS last_purchase_value
+            FROM (SELECT event_id, user_id, ts,
+                    CASE WHEN event_type = 'purchase' THEN value END AS pv
+                  FROM events)
+            ORDER BY event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q12b, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }

@@ -130,6 +130,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q38: LATERAL decorrelates to a ranked join, not per-row subplans") {
+    val p = plan(Relational.q38.build(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // the decorrelated shape ranks customers per nation then joins —
+    // a bounded WindowGroupLimit'd window, not N executions of the
+    // inner query
+    assert(p.contains("WindowGroupLimit") || p.contains("Join"), p)
+  }
+
+  test("q39: LOCF window partitions by user — no single-partition exchange") {
+    val p = plan(Relational.q39.build(spark, sf))
+    assert(!p.contains("Exchange SinglePartition, ENSURE"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("x02/t07: ranked-limit windows get the map-side WindowGroupLimit pushdown") {
     // the property that makes per-key top-k survive 100 TB: each map task
     // keeps only k rows per key BEFORE the shuffle, so the exchange moves
