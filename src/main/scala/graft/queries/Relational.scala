@@ -1040,8 +1040,75 @@ object Relational {
                   FROM events)
             ORDER BY event_id"""))
 
+  /** Q40 — UNPIVOT (q26 pivot's inverse): melt a wide per-flag
+    * aggregate into (key, metric, value) long form — the reshape every
+    * metrics table needs before generic downstream processing. Metric
+    * columns are unified to DOUBLE on both engines. */
+  val q40 = QueryDef(
+    "q40_unpivot",
+    (s, d) => {
+      li(s, d).createOrReplaceTempView("g_lineitem")
+      s.sql("""WITH wide AS (
+                 SELECT l_returnflag,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   CAST(count(*) AS DOUBLE) AS n_rows
+                 FROM g_lineitem GROUP BY 1)
+               SELECT l_returnflag, metric, v
+               FROM wide UNPIVOT (v FOR metric IN (sum_qty, sum_price, n_rows))
+               ORDER BY l_returnflag, metric""")
+    },
+    Some("""WITH wide AS (
+              SELECT l_returnflag,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_price,
+                CAST(count(*) AS DOUBLE) AS n_rows
+              FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, metric, v
+            FROM wide UNPIVOT (v FOR metric IN (sum_qty, sum_price, n_rows))
+            ORDER BY l_returnflag, metric"""))
+
+  /** Q41 — recursive CTE (new in Spark 4): a month date-spine from the
+    * data's own min/max (bounds carried THROUGH the recursion — no
+    * subquery in the recursive member) left-joined back so empty months
+    * appear as zero — the warehouse calendar-fill pattern a bare
+    * GROUP BY month cannot produce. ~80 iterations here, under Spark's
+    * default recursion limit; the per-step state is one row. */
+  val q41 = QueryDef(
+    "q41_recursive_cte",
+    (s, d) => {
+      ord(s, d).createOrReplaceTempView("g_orders")
+      s.sql("""WITH RECURSIVE b AS (
+                 SELECT date_trunc('month', min(o_orderdate)) AS mn,
+                        date_trunc('month', max(o_orderdate)) AS mx
+                 FROM g_orders),
+               spine(m, mx) AS (
+                 SELECT mn, mx FROM b
+                 UNION ALL
+                 SELECT m + INTERVAL 1 MONTH, mx FROM spine WHERE m < mx)
+               SELECT date_format(m, 'yyyy-MM') AS month,
+                      count(o_orderkey) AS n_orders
+               FROM spine LEFT JOIN g_orders
+                 ON date_trunc('month', o_orderdate) = m
+               GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""WITH RECURSIVE b AS (
+              SELECT date_trunc('month', min(o_orderdate)) AS mn,
+                     date_trunc('month', max(o_orderdate)) AS mx
+              FROM orders),
+            spine(m, mx) AS (
+              SELECT mn, mx FROM b
+              UNION ALL
+              SELECT m + INTERVAL 1 MONTH, mx FROM spine WHERE m < mx)
+            SELECT strftime(m, '%Y-%m') AS month,
+                   count(o_orderkey) AS n_orders
+            FROM spine LEFT JOIN orders
+              ON date_trunc('month', o_orderdate) = m
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q12b, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
+    q41)
 }
