@@ -793,8 +793,55 @@ object Dedup {
       })
   }
 
+  /** d12 — cross-document repeated-span detection (the exact-substring
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022 — boilerplate/memorized spans recur
+    * VERBATIM across documents even when whole-doc similarity is low):
+    * 32-token windows at stride 16, md5-fingerprinted, grouped; a span
+    * seen in >1 distinct doc is reported with its document and
+    * occurrence counts. Oracle-exact (md5 + counting on both engines).
+    *
+    * Scale: ~tokens/16 windows per doc, fingerprints (not span text)
+    * shuffle to ONE hash aggregate — d08's discipline applied to spans.
+    * Docs shorter than a window contribute their whole text as one
+    * span (the negative-index DIV/floor-div engine difference is
+    * clamped away by greatest(…, 0) before use). */
+  /** Core of d12 over an arbitrary documents frame. */
+  def repeatedSpans(docs: DataFrame, window: Int = 32,
+      stride: Int = 16): DataFrame =
+    docs
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, greatest((size(split(text, ' ')) - $window) DIV $stride, 0)), " +
+          s"w -> md5(concat_ws(' ', slice(split(text, ' '), w * $stride + 1, $window))))"))
+        .as("fp"))
+      .groupBy("fp")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+
+  val substringSpans: QueryDef = {
+    val W = 32; val S = 16
+    QueryDef(
+      "d12_substring_spans",
+      (s, d) => repeatedSpans(Tables.documents(s, d), W, S).orderBy("fp"),
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               spans AS (
+                 SELECT doc_id,
+                   md5(array_to_string(t[i * $S + 1 : i * $S + $W], ' ')) AS fp
+                 FROM toks,
+                   unnest(range(0, greatest((len(t) - $W) // $S, 0) + 1)) AS u(i))
+               SELECT fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+                 min(doc_id) AS first_doc
+               FROM spans GROUP BY fp
+               HAVING count(DISTINCT doc_id) > 1
+               ORDER BY fp"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(exact, exactByFingerprint, minhash, minhashNative, simhashPairs,
       ngramJaccard, embeddingCosine, components, simhashBanded, minhashMd5,
-      simhashMd5Banded)
+      simhashMd5Banded, substringSpans)
 }

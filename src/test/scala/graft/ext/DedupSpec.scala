@@ -220,6 +220,28 @@ class DedupSpec extends AnyFunSuite {
     assert(banded.contains((0L, 1L)))
   }
 
+  test("d12 repeated spans: shared boilerplate prefix detected, unrelated not") {
+    val boiler = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val spanDocs = Seq(
+      (0L, boiler + " alpha beta gamma delta"),
+      (1L, boiler + " one two three four"),
+      (2L, "totally different words with no overlap at all here now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(spanDocs).collect()
+    // the aligned first window (tokens 1-32) is identical in docs 0,1
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == 2L)
+      assert(r.getAs[Long]("first_doc") == 0L)
+    }
+    // short doc (< window) falls back to one whole-text span; identical
+    // short docs are still caught
+    val shortDocs = Seq((0L, "tiny doc"), (1L, "tiny doc"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val s2 = Dedup.repeatedSpans(shortDocs).collect()
+    assert(s2.length == 1 && s2.head.getAs[Long]("n_docs") == 2L)
+  }
+
   test("embedding cosine: planted parallel vectors pair up") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
