@@ -806,13 +806,18 @@ object Dedup {
     * Docs shorter than a window contribute their whole text as one
     * span (the negative-index DIV/floor-div engine difference is
     * clamped away by greatest(…, 0) before use). */
-  /** Core of d12 over an arbitrary documents frame. */
+  /** Core of d12 over an arbitrary documents frame. The token array is
+    * projected ONCE per row before the window transform — referencing
+    * `split(text)` inside the lambda would be inlined per element by
+    * CollapseProject and re-tokenize the document for every window
+    * (the same trap documented at the d06 signature aggregate). */
   def repeatedSpans(docs: DataFrame, window: Int = 32,
       stride: Int = 16): DataFrame =
     docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, greatest((size(split(text, ' ')) - $window) DIV $stride, 0)), " +
-          s"w -> md5(concat_ws(' ', slice(split(text, ' '), w * $stride + 1, $window))))"))
+        s"transform(sequence(0, greatest((size(t) - $window) DIV $stride, 0)), " +
+          s"w -> md5(concat_ws(' ', slice(t, w * $stride + 1, $window))))"))
         .as("fp"))
       .groupBy("fp")
       .agg(
