@@ -83,6 +83,10 @@ object Sinks {
   def compactParquet(spark: org.apache.spark.sql.SparkSession,
       inDir: String, outDir: String,
       targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    require(new java.io.File(inDir).getCanonicalPath !=
+      new java.io.File(outDir).getCanonicalPath,
+      "outDir must differ from inDir: overwrite would delete the source mid-read")
     val df = spark.read.parquet(inDir)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val parts = ((bytes + targetBytes - 1) / targetBytes)

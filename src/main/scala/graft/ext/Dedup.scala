@@ -793,26 +793,21 @@ object Dedup {
       })
   }
 
-  /** d12 — cross-document repeated-span detection (the exact-substring
-    * dedup of Lee et al., "Deduplicating Training Data Makes Language
-    * Models Better", ACL 2022 — boilerplate/memorized spans recur
-    * VERBATIM across documents even when whole-doc similarity is low):
-    * 32-token windows at stride 16, md5-fingerprinted, grouped; a span
-    * seen in >1 distinct doc is reported with its document and
-    * occurrence counts. Oracle-exact (md5 + counting on both engines).
-    *
-    * Scale: ~tokens/16 windows per doc, fingerprints (not span text)
-    * shuffle to ONE hash aggregate — d08's discipline applied to spans.
-    * Docs shorter than a window contribute their whole text as one
-    * span (the negative-index DIV/floor-div engine difference is
-    * clamped away by greatest(…, 0) before use). */
   /** Core of d12 over an arbitrary documents frame. The token array is
     * projected ONCE per row before the window transform — referencing
     * `split(text)` inside the lambda would be inlined per element by
     * CollapseProject and re-tokenize the document for every window
-    * (the same trap documented at the d06 signature aggregate). */
+    * (the same trap documented at the d06 signature aggregate).
+    *
+    * stride = 1 (the default, and what d12 registers) fingerprints
+    * EVERY window: any verbatim shared span of ≥ `window` tokens
+    * contains at least one identical full window in each doc, so
+    * recall is exact regardless of where the span sits. A larger
+    * stride is the cheaper sampled variant — it only catches spans
+    * whose windows align mod stride, missing ~(stride−1)/stride of
+    * arbitrary-offset overlaps. */
   def repeatedSpans(docs: DataFrame, window: Int = 32,
-      stride: Int = 16): DataFrame =
+      stride: Int = 1): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(expr(
@@ -826,8 +821,23 @@ object Dedup {
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") > 1)
 
+  /** d12 — cross-document repeated-span detection (the exact-substring
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022 — boilerplate/memorized spans recur
+    * VERBATIM across documents even when whole-doc similarity is low):
+    * EVERY 32-token window (stride 1) md5-fingerprinted and grouped; a
+    * span seen in >1 distinct doc is reported with its document and
+    * occurrence counts. Stride 1 makes recall exact for shared spans of
+    * ≥ 32 tokens at ANY offset (see [[repeatedSpans]]); oracle-exact
+    * (md5 + counting on both engines).
+    *
+    * Scale: ~one window per token, but fingerprints (not span text)
+    * shuffle into ONE hash aggregate — d08's discipline applied to
+    * spans. Docs shorter than a window contribute their whole text as
+    * one span (the negative-index DIV/floor-div engine difference is
+    * clamped away by greatest(…, 0) before use). */
   val substringSpans: QueryDef = {
-    val W = 32; val S = 16
+    val W = 32; val S = 1
     QueryDef(
       "d12_substring_spans",
       (s, d) => repeatedSpans(Tables.documents(s, d), W, S).orderBy("fp"),

@@ -228,12 +228,22 @@ class DedupSpec extends AnyFunSuite {
       (2L, "totally different words with no overlap at all here now"))
       .toDF("doc_id", "text")
     val out = Dedup.repeatedSpans(spanDocs).collect()
-    // the aligned first window (tokens 1-32) is identical in docs 0,1
+    // the shared 40-token prefix yields 40-32+1 = 9 shared windows
     assert(out.nonEmpty)
     out.foreach { r =>
       assert(r.getAs[Long]("n_docs") == 2L)
       assert(r.getAs[Long]("first_doc") == 0L)
     }
+    // UNALIGNED spans must be caught too (stride 1 recall guarantee):
+    // doc 1 shifts the shared block by a one-token prefix
+    val shifted = Seq(
+      (0L, boiler + " alpha beta gamma delta"),
+      (1L, "PREFIX " + boiler + " one two three"),
+      (2L, "totally different words with no overlap at all here now"))
+      .toDF("doc_id", "text")
+    val outShifted = Dedup.repeatedSpans(shifted).collect()
+    assert(outShifted.nonEmpty, "offset-shifted shared span missed")
+    assert(outShifted.forall(_.getAs[Long]("n_docs") == 2L))
     // short doc (< window) falls back to one whole-text span; identical
     // short docs are still caught
     val shortDocs = Seq((0L, "tiny doc"), (1L, "tiny doc"), (2L, "other"))

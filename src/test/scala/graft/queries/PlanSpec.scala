@@ -130,13 +130,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q38: LATERAL decorrelates to a ranked join, not per-row subplans") {
+  test("q38: LATERAL decorrelates to a ranked equi-join, not per-row subplans") {
     val p = plan(Relational.q38.build(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
-    // the decorrelated shape ranks customers per nation then joins —
-    // a bounded WindowGroupLimit'd window, not N executions of the
-    // inner query
-    assert(p.contains("WindowGroupLimit") || p.contains("Join"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the decorrelated shape ranks customers once in a Window and
+    // equi-joins nations against the ranked rows — not N executions
+    // of the inner ORDER BY/LIMIT subquery
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
   }
 
   test("q39: LOCF window partitions by user — no single-partition exchange") {
