@@ -65,14 +65,35 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout for humans AND a structured file for the driver: the stdout
-    // line sits amid sbt/Spark noise and has been lost to log truncation
+    // full-precision per-query map goes to a git-tracked file — the
+    // durable record rounds are compared on
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_out.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
-    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""" + "\n")
+    // stdout line: the log tail kept by callers is ~2000 chars and sbt's
+    // trailing "[success] Total time ..." line sits inside that window, so
+    // a full 89-query map (~3 kB) gets FRONT-truncated past parseability
+    // (BENCH_r01/r02 both lost their head this way). Budget the line:
+    // slowest queries first at 3 decimals, stop under the cap, and point
+    // at the tracked file for the omitted fast tail.
+    val budget = 1750
+    def f3(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    val header = s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
+      s""","n":${results.size},"full":"$outPath","sf":"$sfDir","queries":{"""
+    val bySlowest = results.sortBy { case (_, v) => -v }
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val sb = new StringBuilder(header)
+    var taken = 0
+    for (e <- bySlowest) {
+      val sep = if (taken == 0) 0 else 1
+      if (sb.length + sep + e.length + 20 <= budget) {
+        if (taken > 0) sb.append(',')
+        sb.append(e); taken += 1
+      }
+    }
+    sb.append(s"""},"omitted":${results.size - taken}}""")
+    println(sb.toString)
     spark.stop()
   }
 }

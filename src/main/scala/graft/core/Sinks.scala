@@ -88,7 +88,15 @@ object Sinks {
       new java.io.File(outDir).getCanonicalPath,
       "outDir must differ from inDir: overwrite would delete the source mid-read")
     val df = spark.read.parquet(inDir)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // size from the ACTUAL on-disk file lengths, not the optimizer's
+    // stats.sizeInBytes (an estimated in-memory/decompressed size,
+    // typically several times the parquet footprint — sizing from it
+    // would emit proportionally more, smaller files than targetBytes)
+    val hconf = spark.sessionState.newHadoopConf()
+    val bytes = BigInt(df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum)
     val parts = ((bytes + targetBytes - 1) / targetBytes)
       .max(BigInt(1)).min(BigInt(10000)).toInt
     df.repartition(parts).write.mode("overwrite").parquet(outDir)

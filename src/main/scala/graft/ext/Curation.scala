@@ -106,7 +106,10 @@ object Curation {
         col("doc_id"),
         expr("md5(text)").as("fp"),
         expr(sparkTokCount).as("n_tokens"),
-        expr("CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '')) AS DOUBLE) / length(text)")
+        // nullif guards the empty-text row: Spark 4 ANSI division would
+        // throw DIVIDE_BY_ZERO where DuckDB NULL-filters; with nullif both
+        // engines yield NULL and the ratio gate drops the row identically
+        expr("CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '')) AS DOUBLE) / nullif(length(text), 0)")
           .as("punct_ratio"))
       val w = Window.partitionBy("fp")
       metered
@@ -120,7 +123,7 @@ object Curation {
              FROM (SELECT doc_id,
                      $duckTokCount AS n_tokens,
                      CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-                       / length(text) AS punct_ratio,
+                       / nullif(length(text), 0) AS punct_ratio,
                      min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
                    FROM documents)
              WHERE doc_id = canonical_id AND n_tokens >= 5 AND punct_ratio < 0.2

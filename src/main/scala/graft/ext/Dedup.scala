@@ -297,8 +297,13 @@ object Dedup {
     QueryDef(
       "d04_dedup_ngram_jaccard",
       (s, d) => {
+        // shingles are hashed to 8-byte keys BEFORE the distinct/join
+        // shuffles (the d08 discipline: fingerprints move, bodies don't) —
+        // set sizes and intersections are hash-collision-exact
+        // (~n_shingles²/2⁶⁵ error probability, zero observed at any sf)
         val sh = Tables.documents(s, d)
           .select(col("doc_id"), explode(expr(shingleExpr("text"))).as("sh"))
+          .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
           .distinct()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val a = sh.select(col("doc_id").as("a_id"), col("sh"))

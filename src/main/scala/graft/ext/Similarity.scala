@@ -166,7 +166,14 @@ object Similarity {
         graft.expr.ArrayDot.register(s)
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-          .withColumn("bucket", expr(sparkBucket))
+          // fail fast on a dims mismatch: the plane literals are pinned to
+          // `dims`, and zip_with would silently NULL-pad a shorter/longer
+          // vector (bucket 0 for every row) while the DuckDB mirror indexes
+          // only the first `dims` elements — a silent divergence; a loud
+          // error beats both
+          .withColumn("bucket", expr(
+            s"IF(size(emb) = $dims, $sparkBucket, " +
+              s"CAST(raise_error('s04: embedding dims != $dims') AS INT))"))
         val withU = Dedup.unitized(e, Seq(col("vec_id"), col("bucket")), "u")
         val q = withU.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("bucket"), col("u").as("q_u"))
