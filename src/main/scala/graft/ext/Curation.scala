@@ -226,7 +226,87 @@ object Curation {
              CAST(sum($duckTokCount) AS BIGINT) AS total_tokens
              FROM documents GROUP BY 1 ORDER BY 1"""))
 
+  /** x08 — n-gram repetition ratio (the Gopher/MassiveText-style
+    * repetitiousness quality signal: Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    * §A.1.1): fraction of word-3-grams that are duplicates of an earlier
+    * 3-gram in the SAME document. Pure per-row array arithmetic — no
+    * shuffle, no join; at 100 TB it is a map-only pass fused into
+    * whatever scan already reads `text`. Integer/integer division is one
+    * exact IEEE op, identical on both engines. */
+  val repetitionRatio: QueryDef = QueryDef(
+    "x08_repetition_ratio",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr(Dedup.shingleExpr("text")).as("sh"))
+        .select(col("doc_id"),
+          size(col("sh")).as("n_grams"),
+          size(array_distinct(col("sh"))).as("n_distinct"))
+        .withColumn("rep_ratio",
+          (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            sh AS (
+              SELECT doc_id, array_to_string(t[i + 1:i + 3], ' ') AS sh
+              FROM toks, unnest(range(0, greatest(len(t) - 2, 1))) AS u(i)),
+            agg AS (
+              SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams,
+                CAST(count(DISTINCT sh) AS INTEGER) AS n_distinct
+              FROM sh GROUP BY 1)
+            SELECT doc_id, n_grams, n_distinct,
+              CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS rep_ratio
+            FROM agg ORDER BY doc_id"""))
+
+  /** x09 — corpus-driven boilerplate removal (the C4-style cleaning
+    * pass, Raffel et al. 2020 §2.2, applied at token granularity since
+    * the fixture has no line structure): tokens appearing in more than
+    * 75% of documents are induced as boilerplate and stripped from every
+    * document, which is then reassembled in original token order.
+    *
+    * Scale shape: one distinct+agg for document frequency (vocabulary-
+    * sized output — small), the DF table joined back BROADCAST as an
+    * anti-join (the corpus is never shuffled for the filter), and one
+    * final per-doc aggregation whose sort key is the in-document
+    * position. Documents consisting entirely of boilerplate disappear —
+    * same rule both engines. */
+  val boilerplateRemoval: QueryDef = QueryDef(
+    "x09_boilerplate_removal",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val dfreq = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val bw = dfreq.crossJoin(broadcast(nDocs))
+        .filter(col("df") > col("n_docs") * 0.75)
+        .select("tok")
+      toks.join(broadcast(bw), Seq("tok"), "left_anti")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          expr("array_join(transform(array_sort(collect_list(struct(pos, tok)))" +
+            ", s -> s.tok), ' ')").as("clean_text"))
+        .select("doc_id", "n_kept", "clean_text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, i AS pos, t[i] AS tok
+              FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                   unnest(range(1, len(t) + 1)) AS u(i)),
+            dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df
+                      FROM toks GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            bw AS (SELECT tok FROM dfreq, n WHERE df > n_docs * 0.75)
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM toks WHERE tok NOT IN (SELECT tok FROM bw)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
-      saltedAgg, incrementalDedup, hashSplit)
+      saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
+      boilerplateRemoval)
 }

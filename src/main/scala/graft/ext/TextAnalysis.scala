@@ -259,6 +259,61 @@ object TextAnalysis {
             FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
             GROUP BY token ORDER BY n DESC, token LIMIT 20"""))
 
+  /** PII patterns shared by [[redactPii]] and the t08 mirror: simple
+    * character-class regexes only (no backreferences, no lookaround), the
+    * syntax subset Java regex and DuckDB's RE2 interpret identically. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9-]{5,}[0-9]"
+
+  /** PII redaction: emails then phones (email FIRST — its local/domain
+    * digits would otherwise feed the phone pattern). Per-row projection,
+    * shuffle-free, codegen'd — the scrubbing pass every corpus makes
+    * before training. */
+  def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(c, lit(emailRe), lit("<EMAIL>")),
+      lit(phoneRe), lit("<PHONE>"))
+
+  /** t08 — PII redaction, oracle-exact. The documents fixture carries no
+    * PII by construction, so the registered query plants a deterministic
+    * contact trailer (derived from doc_id — NOT random) on every row and
+    * then scrubs it; the op under test is the redaction expression, which
+    * the spec additionally exercises on realistic standalone strings. */
+  val piiRedact: QueryDef = {
+    val dirtySpark =
+      "concat(text, ' contact user', CAST(doc_id AS STRING), " +
+        "'@mail.example.com or +1-202-555-', " +
+        "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+    val dirtyDuck =
+      "concat(text, ' contact user', CAST(doc_id AS VARCHAR), " +
+        "'@mail.example.com or +1-202-555-', " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+    QueryDef(
+      "t08_pii_redact",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), expr(dirtySpark).as("dirty"))
+          .select(
+            col("doc_id"),
+            redactPii(col("dirty")).as("clean"),
+            regexp_count(col("dirty"), lit(emailRe)).as("n_emails"),
+            regexp_count(
+              regexp_replace(col("dirty"), lit(emailRe), lit("<EMAIL>")),
+              lit(phoneRe)).as("n_phones"))
+          .orderBy("doc_id"),
+      Some(s"""WITH dirty AS (SELECT doc_id, $dirtyDuck AS dirty FROM documents)
+               SELECT doc_id,
+                 regexp_replace(regexp_replace(dirty, '$emailRe', '<EMAIL>', 'g'),
+                   '$phoneRe', '<PHONE>', 'g') AS clean,
+                 CAST(len(regexp_extract_all(dirty, '$emailRe')) AS INTEGER)
+                   AS n_emails,
+                 CAST(len(regexp_extract_all(
+                   regexp_replace(dirty, '$emailRe', '<EMAIL>', 'g'),
+                   '$phoneRe')) AS INTEGER) AS n_phones
+               FROM dirty ORDER BY doc_id"""))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact)
+    Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
+      piiRedact)
 }

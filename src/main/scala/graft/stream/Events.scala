@@ -288,6 +288,28 @@ object Events {
               AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR
             ORDER BY error_id, click_ts, click_value"""))
 
+  /** Stream-static enrichment join: the event stream joined to bounded
+    * dimension tables (customer → nation), then aggregated per
+    * (nation, event_type). The dims are `broadcast()` — a stream-static
+    * join never shuffles the stream side and re-reads the static side per
+    * micro-batch, which is THE pattern for enriching a 100 TB/day stream
+    * with reference data. The value sum goes through exact integer cents
+    * (`value` is 2-decimal by contract) so the result is independent of
+    * double accumulation order — portable across engines AND across
+    * micro-batch boundaries (a plain double sum could differ between the
+    * streaming and batch runs of the same data). */
+  def enrich(events: DataFrame, customers: DataFrame,
+      nations: DataFrame): DataFrame =
+    events
+      .join(broadcast(customers.select(col("c_custkey"), col("c_nationkey"))),
+        col("user_id") === col("c_custkey"))
+      .join(broadcast(nations.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(expr("CAST(round(value * 100) AS BIGINT)")) / 100.0)
+          .as("sum_value"))
+
   /** Batch dedup with SURVIVOR-ROW semantics: for each event_id, the
     * earliest-ts row (min user_id among exact-ts ties — a total,
     * deterministic rule, unlike min_by whose tie-break is arbitrary on
@@ -330,7 +352,24 @@ object Events {
               ON e.event_id = f.e_id AND e.ts = f.first_ts
             GROUP BY event_id ORDER BY event_id"""))
 
+  /** st07 — [[enrich]]'s batch twin, oracle-checked: same library code,
+    * same broadcast-dim plan (the streaming run in StreamingSpec asserts
+    * result equality with this batch form). Integer-cents summation makes
+    * the double output exact, so no rounding tolerance is involved. */
+  val enrichQ: QueryDef = QueryDef(
+    "st07_stream_static_enrich",
+    (s, d) =>
+      enrich(Tables.events(s, d), Tables.customer(s, d), Tables.nation(s, d))
+        .orderBy("n_name", "event_type"),
+    Some("""SELECT n_name, event_type, count(*) AS n,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+              AS sum_value
+            FROM events e
+            JOIN customer c ON e.user_id = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
-      dedupBatchQ)
+      dedupBatchQ, enrichQ)
 }
