@@ -78,7 +78,11 @@ object Bench {
     // slowest queries first at 3 decimals, stop under the cap, and point
     // at the tracked file for the omitted fast tail.
     val budget = 1750
-    def f3(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // on comma-decimal locales would print "1,234" and corrupt the JSON
+    def f3(v: Double) =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val header = s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
       s""","n":${results.size},"full":"$outPath","sf":"$sfDir","queries":{"""
     val bySlowest = results.sortBy { case (_, v) => -v }

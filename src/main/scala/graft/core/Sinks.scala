@@ -93,10 +93,18 @@ object Sinks {
     // typically several times the parquet footprint — sizing from it
     // would emit proportionally more, smaller files than targetBytes)
     val hconf = spark.sessionState.newHadoopConf()
-    val bytes = BigInt(df.inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(hconf).getFileStatus(p).getLen
-    }.sum)
+    // one listStatus per parent directory, not one getFileStatus RPC per
+    // file — on object stores with thousands of files the per-file form
+    // serializes thousands of driver round-trips before the job starts
+    val inputs = df.inputFiles.map(f => new org.apache.hadoop.fs.Path(f))
+    val wanted = inputs.map(_.toUri.getPath).toSet
+    val bytes = inputs.groupBy(_.getParent).iterator.map {
+      case (parent, _) =>
+        val fs = parent.getFileSystem(hconf)
+        fs.listStatus(parent).iterator
+          .filter(st => wanted.contains(st.getPath.toUri.getPath))
+          .map(st => BigInt(st.getLen)).foldLeft(BigInt(0))(_ + _)
+    }.foldLeft(BigInt(0))(_ + _)
     val parts = ((bytes + targetBytes - 1) / targetBytes)
       .max(BigInt(1)).min(BigInt(10000)).toInt
     df.repartition(parts).write.mode("overwrite").parquet(outDir)

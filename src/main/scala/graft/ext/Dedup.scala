@@ -300,7 +300,13 @@ object Dedup {
         // shingles are hashed to 8-byte keys BEFORE the distinct/join
         // shuffles (the d08 discipline: fingerprints move, bodies don't) —
         // set sizes and intersections are hash-collision-exact
-        // (~n_shingles²/2⁶⁵ error probability, zero observed at any sf)
+        // (~n_shingles²/2⁶⁵ error probability, zero observed at any sf).
+        // The oracle deliberately stays on RAW shingles: DuckDB cannot
+        // compute xxhash64, and hashing there with its own hash() would
+        // collapse a DIFFERENT collision set — same mismatch risk, less
+        // interpretable. A collision thus surfaces as a hard oracle diff
+        // (the honest signal); the portable-md5 twins (d10/d11) are the
+        // shared-hash verification path.
         val sh = Tables.documents(s, d)
           .select(col("doc_id"), explode(expr(shingleExpr("text"))).as("sh"))
           .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
