@@ -305,8 +305,137 @@ object Curation {
             FROM toks WHERE tok NOT IN (SELECT tok FROM bw)
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Word n-gram array expression (generalizes Dedup.shingleExpr's
+    * 3-gram form); docs shorter than n yield ONE truncated gram — their
+    * full text — so whole-document matches on short docs still register.
+    * Convention shared with the DuckDB mirror (`t[i+1:i+n]` over
+    * `range(0, greatest(len(t) - (n-1), 1))`). */
+  private def ngramExpr(textCol: String, n: Int): String =
+    s"transform(sequence(0, greatest(size(split($textCol, ' ')) - $n, 0)), " +
+      s"i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n)))"
+
+  /** x10 — benchmark decontamination (the GPT-3-style n-gram overlap
+    * filter: Brown et al., "Language Models are Few-Shot Learners", 2020,
+    * §C): flag every training document sharing at least one word
+    * 13-gram with the held-out eval split. The eval/train split is x07's
+    * rule (first md5 hex digit of doc_id in {0,1} → eval), so the two
+    * operators compose into one pipeline: split, then decontaminate the
+    * train side against the eval side.
+    *
+    * Scale shape: the eval set is benchmark-sized (a fixed, small
+    * fraction), so its distinct 13-gram set is BROADCAST and the corpus
+    * side stays a map-only scan + semi-join — the 100 TB train split is
+    * never shuffled. Grams are xxhash64'd to 8-byte keys before the
+    * broadcast (the d08 discipline); the oracle joins raw grams, so a
+    * 64-bit collision would surface as a hard oracle diff (~n²/2⁶⁵,
+    * zero observed — same documented trade as d04). */
+  val decontaminate: QueryDef = {
+    val n = 13
+    QueryDef(
+      "x10_decontaminate",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("substring(md5(CAST(doc_id AS STRING)), 1, 1)").as("hx"),
+            explode(expr(ngramExpr("text", n))).as("g"))
+          .select(col("doc_id"), col("hx"), xxhash64(col("g")).as("g"))
+        val evalGrams = grams.filter(col("hx").isin("0", "1"))
+          .select("g").distinct()
+        val trainGrams = grams.filter(!col("hx").isin("0", "1"))
+          .select("doc_id", "g").distinct()
+        trainGrams.join(broadcast(evalGrams), Seq("g"), "left_semi")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_contam_grams"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx,
+                        string_split(text, ' ') AS t
+                 FROM documents),
+               grams AS (
+                 SELECT DISTINCT doc_id, hx,
+                        array_to_string(t[i + 1:i + $n], ' ') AS g
+                 FROM toks,
+                      unnest(range(0, greatest(len(t) - ${n - 1}, 1))) AS u(i)),
+               ev AS (SELECT DISTINCT g FROM grams WHERE hx IN ('0', '1')),
+               tr AS (SELECT doc_id, g FROM grams WHERE hx NOT IN ('0', '1'))
+               SELECT doc_id, count(*) AS n_contam_grams
+               FROM tr WHERE g IN (SELECT g FROM ev)
+               GROUP BY 1 ORDER BY 1"""))
+  }
+
+  /** x11 — sequence packing by token budget (the pre-tokenization
+    * chunking step of LLM training: concatenate documents in stable
+    * doc_id order, cut every `binTokens` tokens, report per-bin
+    * composition). The interesting part at 100 TB is the global prefix
+    * sum: a naive `sum() OVER (ORDER BY doc_id)` plans an Exchange
+    * SinglePartition over the whole corpus (the q21 anti-pattern). This
+    * is the classic two-phase scan instead:
+    *
+    *  1. bucket docs by fixed id ranges; cumulative sums WITHIN each
+    *     bucket are parallel windows (partitioned by bucket);
+    *  2. per-bucket token totals — a `buckets`-row relation — get an
+    *     exclusive running total in a single-partition window that
+    *     touches exactly `buckets` rows, never the corpus, and is then
+    *     broadcast back as each bucket's offset.
+    *
+    * cum_before = bucket offset + within-bucket cumsum − own tokens;
+    * bin = cum_before DIV binTokens. Long addition is associative, so
+    * the result is independent of bucketing — the oracle mirrors it with
+    * the naive single window, which is exactly the point: same answer,
+    * scalable plan. One bounded 1-row collect derives the id span. */
+  val packSequences: QueryDef = {
+    val binTokens = 2048L
+    val buckets = 32
+    QueryDef(
+      "x11_pack_sequences",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), expr(sparkTokCount).cast("long").as("n_tokens"))
+        val maxId = docs.agg(max("doc_id")).head.getLong(0)
+        val width = math.max(maxId / buckets + 1, 1L)
+        val bucketed = docs.withColumn("bucket",
+          expr(s"CAST(doc_id DIV $width AS INT)"))
+        val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val within = bucketed.withColumn("cum_in", sum("n_tokens").over(inBucket))
+        val overBuckets = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = bucketed.groupBy("bucket")
+          .agg(sum("n_tokens").as("btok"))
+          .withColumn("offset",
+            coalesce(sum("btok").over(overBuckets), lit(0L)))
+          .select("bucket", "offset")
+        within.join(broadcast(offsets), "bucket")
+          .withColumn("cum_before",
+            col("offset") + col("cum_in") - col("n_tokens"))
+          .withColumn("bin", expr(s"cum_before DIV $binTokens"))
+          .groupBy("bin")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("bin_tokens"),
+            min("doc_id").as("first_doc"),
+            max("doc_id").as("last_doc"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH d AS (
+                 SELECT doc_id, CAST($duckTokCount AS BIGINT) AS n_tokens
+                 FROM documents),
+               c AS (
+                 SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cum_before
+                 FROM d)
+               SELECT CAST(cum_before // $binTokens AS BIGINT) AS bin,
+                 count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
+               FROM c GROUP BY 1 ORDER BY 1"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
-      boilerplateRemoval)
+      boilerplateRemoval, decontaminate, packSequences)
 }

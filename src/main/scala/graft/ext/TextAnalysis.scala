@@ -313,7 +313,56 @@ object TextAnalysis {
                FROM dirty ORDER BY doc_id"""))
   }
 
+  /** t09 — hapax (corpus-unique token) ratio per document: the fraction
+    * of a document's distinct tokens that appear in NO other document.
+    * A high hapax ratio flags gibberish/OCR noise (made-up tokens), a
+    * near-zero one flags boilerplate — the corpus-level complement to
+    * t02's within-document quality signals.
+    *
+    * Scale shape: distinct (doc, token) pairs → one corpus shuffle keyed
+    * by token producing the vocabulary-sized `(token, df, only_doc)`
+    * aggregate; hapax tokens carry their unique owner in `min(doc_id)`,
+    * so attribution needs NO join back to the corpus — just a
+    * vocabulary-sized regroup by owner and a per-doc equi-join of two
+    * doc-count-sized relations. */
+  val hapaxRatio: QueryDef = QueryDef(
+    "t09_hapax_ratio",
+    (s, d) => {
+      val dt = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val dfreq = dt.groupBy("tok")
+        .agg(count(lit(1)).as("df"), min("doc_id").as("only_doc"))
+      val hap = dfreq.filter(col("df") === 1)
+        .groupBy(col("only_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_hapax"))
+      val per = dt.groupBy("doc_id").agg(count(lit(1)).as("n_distinct"))
+      per.join(hap, Seq("doc_id"), "left")
+        .withColumn("n_hapax", coalesce(col("n_hapax"), lit(0L)))
+        .withColumn("hapax_ratio",
+          col("n_hapax").cast("double") / col("n_distinct"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH dt AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents)),
+            dfreq AS (
+              SELECT tok, count(*) AS df, min(doc_id) AS only_doc
+              FROM dt GROUP BY 1),
+            hap AS (
+              SELECT only_doc AS doc_id, count(*) AS n_hapax
+              FROM dfreq WHERE df = 1 GROUP BY 1),
+            per AS (
+              SELECT doc_id, count(*) AS n_distinct FROM dt GROUP BY 1)
+            SELECT p.doc_id, p.n_distinct,
+              coalesce(h.n_hapax, 0) AS n_hapax,
+              CAST(coalesce(h.n_hapax, 0) AS DOUBLE) / p.n_distinct
+                AS hapax_ratio
+            FROM per p LEFT JOIN hap h USING (doc_id)
+            ORDER BY p.doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
-      piiRedact)
+      piiRedact, hapaxRatio)
 }

@@ -98,6 +98,74 @@ class CurationSpec extends AnyFunSuite {
     assert(evalFrac > 0.04 && evalFrac < 0.25, s"eval fraction $evalFrac")
   }
 
+  test("x10 decontamination equals the raw-gram recompute and stays in-split") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.decontaminate.build(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_contam_grams"))
+      .toMap
+    // recompute WITHOUT the xxhash64 shortcut: raw 13-gram strings
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val gramSql = "transform(sequence(0, greatest(size(split(text, ' ')) - 13, 0)), " +
+      "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 13)))"
+    val grams = docs.select(col("doc_id"),
+      expr("substring(md5(CAST(doc_id AS STRING)), 1, 1)").as("hx"),
+      explode(expr(gramSql)).as("g"))
+    val ev = grams.filter(col("hx").isin("0", "1")).select("g").distinct()
+    val raw = grams.filter(!col("hx").isin("0", "1"))
+      .select("doc_id", "g").distinct()
+      .join(ev, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    assert(out == raw, s"hashed/raw divergence: $out vs $raw")
+    // every flagged doc is on the train side of x07's split rule
+    assert(out.keySet.forall { id =>
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 1)
+      hx != "0" && hx != "1"
+    })
+  }
+
+  test("x11 two-phase packing equals the naive global prefix sum") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val out = Curation.packSequences.build(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("bin_tokens"))).toSeq.sortBy(_._1)
+    // naive single-window reference (fine at spec scale, the anti-pattern
+    // at 100 TB — equality here proves bucketing does not change results)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        expr(raw"size(split(trim(text), '\\s+'))").cast("long").as("n_tokens"))
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("bin", expr("cum_before DIV 2048"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("bin_tokens"))).toSeq.sortBy(_._1)
+    assert(out == naive)
+    // conservation: bins partition the corpus
+    assert(out.map(_._2).sum == docs.count())
+    val totalTokens = docs.agg(sum("n_tokens")).head.getLong(0)
+    assert(out.map(_._3).sum == totalTokens)
+    // bins are contiguous from 0
+    assert(out.map(_._1) == (0L until out.length).toSeq)
+  }
+
+  test("x11 corpus-side window is bucket-partitioned, never single-partition") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val p = Curation.packSequences.build(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the doc-level cumulative sum shuffles by bucket (parallel windows)
+    assert(p.contains("hashpartitioning(bucket"), p)
+    // exactly one SinglePartition exchange survives: the `buckets`-row
+    // offsets relation — the corpus never funnels through one partition
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p)
+  }
+
   test("x04 shard assignment covers every doc exactly once") {
     val out = Curation.shardHash.build(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_docs")).sum

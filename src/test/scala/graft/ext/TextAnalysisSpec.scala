@@ -48,6 +48,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r0.getAs[Long]("df") == indep)
   }
 
+  test("t09 hapax attribution conserves the df=1 token count") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val out = TextAnalysis.hapaxRatio.build(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // direct corpus-side count of tokens with document frequency 1
+    val dfreq = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val nHapaxTotal = dfreq.filter(col("df") === 1).count()
+    assert(out.map(_.getAs[Long]("n_hapax")).sum == nHapaxTotal)
+    // per-row invariants: 0 <= n_hapax <= n_distinct, exact ratio
+    assert(out.forall { r =>
+      val h = r.getAs[Long]("n_hapax"); val d = r.getAs[Long]("n_distinct")
+      h >= 0 && h <= d &&
+        r.getAs[Double]("hapax_ratio") == h.toDouble / d
+    })
+    // one row per document
+    assert(out.length == docs.count())
+  }
+
   test("NA replacement is idempotent (reference P8 net semantics)") {
     val df = Seq(("NA", "1"), ("5", "NA"), ("7", "8")).toDF("a", "b")
     val once = df.na.replace(df.columns, Map("NA" -> null))
