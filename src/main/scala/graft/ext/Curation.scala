@@ -434,8 +434,70 @@ object Curation {
                FROM c GROUP BY 1 ORDER BY 1"""))
   }
 
+  /** x12 — the end-to-end fuzzy-dedup pass every LLM corpus gets
+    * between crawl and training: near-dup pairs (d04's word-3-gram
+    * Jaccard) → connected components (d07's large-star/small-star
+    * contraction) → keep ONE representative per cluster (the min-id
+    * member) → per-source cleaned-corpus accounting. The three stages
+    * exist as separately-verified operators; this registers their
+    * composition so the driver checks the pipeline seam, not just the
+    * parts.
+    *
+    * Scale shape: the removal list is cluster-membership-bounded (dup
+    * members only — a small fraction of any real corpus), so the final
+    * filter is a BROADCAST anti-flag over the corpus scan; the corpus
+    * is never shuffled after the pair stage. Oracle: DuckDB recomputes
+    * pairs, takes the transitive closure with a recursive CTE, and
+    * mirrors the survivor rule. */
+  val fuzzyDedupPipeline: QueryDef = QueryDef(
+    "x12_fuzzy_dedup_pipeline",
+    (s, d) => {
+      val pairs = Dedup.ngramJaccard.build(s, d).select("a_id", "b_id")
+      val removed = Dedup.connectedComponents(pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"), lit(1).as("rm"))
+      val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        expr(sparkTokCount).cast("long").as("n_tokens"))
+      toks.join(broadcast(removed), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("rm").isNull, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rm").isNull, col("n_tokens")).otherwise(0L))
+            .as("kept_tokens"))
+        .withColumn("n_removed", col("n_docs") - col("n_kept"))
+        .select("source", "n_docs", "n_kept", "n_removed", "kept_tokens")
+        .orderBy("source")
+    },
+    Some(s"""WITH RECURSIVE ${Dedup.ngramPairSql(Dedup.ngramTheta)},
+             edges AS (
+               SELECT a_id AS src, b_id AS dst FROM pairs
+               UNION
+               SELECT b_id AS src, a_id AS dst FROM pairs),
+             reach(id, r) AS (
+               SELECT src, src FROM edges
+               UNION
+               SELECT e.src, reach.r FROM edges e
+               JOIN reach ON reach.id = e.dst),
+             labels AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+             removed AS (SELECT id AS doc_id FROM labels WHERE id <> component),
+             tok AS (
+               SELECT doc_id, source, CAST($duckTokCount AS BIGINT) AS n_tokens
+               FROM documents),
+             sel AS (
+               SELECT t.source, t.n_tokens, r.doc_id IS NOT NULL AS rm
+               FROM tok t LEFT JOIN removed r USING (doc_id))
+             SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN NOT rm THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(count(*) - sum(CASE WHEN NOT rm THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_removed,
+               CAST(sum(CASE WHEN NOT rm THEN n_tokens ELSE 0 END) AS BIGINT)
+                 AS kept_tokens
+             FROM sel GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
-      boilerplateRemoval, decontaminate, packSequences)
+      boilerplateRemoval, decontaminate, packSequences, fuzzyDedupPipeline)
 }

@@ -369,6 +369,26 @@ object Events {
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Exactly-once file sink for foreachBatch (the standard Structured
+    * Streaming idempotent-replay pattern): each micro-batch lands in its
+    * own `batch_id=N` partition directory with dynamic partition
+    * OVERWRITE, so a replayed batch — Spark re-delivers the SAME batchId
+    * after a failure — rewrites its own partition instead of appending
+    * duplicates. Readers see `basePath/batch_id=*` as one table; end-to-
+    * end semantics upgrade from at-least-once to exactly-once with no
+    * transaction log, on any filesystem with atomic directory rename.
+    *
+    * Usage: `ds.writeStream.foreachBatch(idempotentBatchWriter(dir) _)`.
+    * Factored as a plain (DataFrame, Long) function so the replay path
+    * is directly testable without a harness failure injection. */
+  def idempotentBatchWriter(baseDir: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      // per-write option, not session conf: only the partitions present
+      // in THIS batch are replaced; other batches' directories survive
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(baseDir)
+
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
       dedupBatchQ, enrichQ)

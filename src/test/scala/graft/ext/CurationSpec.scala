@@ -166,6 +166,23 @@ class CurationSpec extends AnyFunSuite {
     assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p)
   }
 
+  test("x12 pipeline keeps exactly one survivor per near-dup cluster") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.fuzzyDedupPipeline.build(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // corpus-wide conservation
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(out.forall(r =>
+      r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed") ==
+        r.getAs[Long]("n_docs")))
+    // removal count == sum over components of (size - 1)
+    val labels = graft.ext.Dedup.connectedComponents(
+      graft.ext.Dedup.ngramJaccard.build(spark, sf).select("a_id", "b_id"))
+    val expectRemoved = labels.groupBy("component").count()
+      .agg(sum(col("count") - 1)).head.getLong(0)
+    assert(out.map(_.getAs[Long]("n_removed")).sum == expectRemoved)
+  }
+
   test("x04 shard assignment covers every doc exactly once") {
     val out = Curation.shardHash.build(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_docs")).sum

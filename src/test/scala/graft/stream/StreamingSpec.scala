@@ -274,6 +274,36 @@ class StreamingSpec extends AnyFunSuite {
     // only by luck — here the tie rule pins it deterministically
   }
 
+  test("st08 foreachBatch sink is idempotent under batch replay") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("st08_sink").toString + "/out"
+    val in = MemoryStream[(Long, String, Double)]
+    val q = in.toDF().toDF("event_id", "event_type", "value")
+      .writeStream
+      .foreachBatch(Events.idempotentBatchWriter(dir) _)
+      .start()
+    in.addData((1L, "click", 1.0), (2L, "error", 2.0))
+    q.processAllAvailable()
+    in.addData((3L, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val table = () => spark.read.parquet(dir)
+    assert(table().count() == 3)
+    val fpBefore = graft.core.Sinks.fingerprint(table())
+    // simulate the failure-recovery path: the harness re-delivers batch 0
+    // with the SAME batchId — an append sink would now hold duplicates
+    Events.idempotentBatchWriter(dir)(
+      Seq((1L, "click", 1.0), (2L, "error", 2.0))
+        .toDF("event_id", "event_type", "value"), 0L)
+    assert(table().count() == 3, "replayed batch duplicated rows")
+    assert(graft.core.Sinks.fingerprint(table()) == fpBefore)
+    // a genuinely NEW batch still lands
+    Events.idempotentBatchWriter(dir)(
+      Seq((4L, "click", 4.0)).toDF("event_id", "event_type", "value"), 2L)
+    assert(table().count() == 4)
+  }
+
   test("batch session window merges events within gap, splits at gap") {
     val df = Seq(
       (1L, ts(0), 1.0), (1L, ts(5), 2.0),   // session A (gap 5 < 10)
