@@ -1106,9 +1106,47 @@ object Relational {
               ON date_trunc('month', o_orderdate) = m
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Q42 — the SQL front-end as a first-class surface: TPC-H Q3
+    * (shipping-priority revenue) submitted as ONE ANSI text that runs
+    * verbatim on both engines — same joins, same fixed-point revenue —
+    * over registered temp views. Catalyst plans it exactly like the
+    * DataFrame forms (broadcast customer dim, partial aggs); the revenue
+    * sum is 4-dp fixed-point (extendedprice and discount are 2-dp, so
+    * the product is exactly 4-decimal — scaled-long addition is
+    * order-independent where double summation is not). */
+  val q42 = {
+    val text = """SELECT l_orderkey,
+                    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                      * 10000) AS BIGINT)) AS BIGINT)
+                      / CAST(10000 AS DOUBLE) AS revenue,
+                    %s AS odate
+                  FROM customer
+                  JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  WHERE c_mktsegment = 'BUILDING'
+                    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                    AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+                  GROUP BY l_orderkey, o_orderdate
+                  ORDER BY revenue DESC, l_orderkey
+                  LIMIT 10"""
+    QueryDef(
+      "q42_sql_tpch_q3",
+      (s, d) => {
+        cst(s, d).createOrReplaceTempView("g42_customer")
+        ord(s, d).createOrReplaceTempView("g42_orders")
+        li(s, d).createOrReplaceTempView("g42_lineitem")
+        s.sql(text
+          .replace(" customer", " g42_customer")
+          .replace(" orders ", " g42_orders ")
+          .replace(" lineitem ", " g42_lineitem ")
+          .format("date_format(o_orderdate, 'yyyy-MM-dd')"))
+      },
+      Some(text.format("strftime(o_orderdate, '%Y-%m-%d')")))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q12b, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41)
+    q41, q42)
 }

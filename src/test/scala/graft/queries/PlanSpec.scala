@@ -103,6 +103,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("q42: SQL-text plan matches the DataFrame discipline (broadcast dims, top-k sort)") {
+    val p = plan(Relational.q42.build(spark, sf))
+    // Catalyst plans the ANSI text like the DataFrame forms: bounded
+    // dims broadcast, the LIMIT 10 plans TakeOrderedAndProject
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q35: row-level joins are broadcast equi joins; no cartesian on rows") {
     val p = plan(Relational.q35.build(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
