@@ -496,8 +496,81 @@ object Curation {
                  AS kept_tokens
              FROM sel GROUP BY 1 ORDER BY 1"""))
 
+  /** x13 — batch MERGE / upsert (the SCD-1 "corpus refresh" between
+    * snapshot N and N+1, done as a plain full-outer join + coalesce —
+    * the parquet-era form of `MERGE INTO` that needs no transactional
+    * catalog): a deterministic changes feed (md5-selected ~6% of orders
+    * repriced, plus the same rows re-keyed as brand-new inserts) merged
+    * into the snapshot; changed rows win, unmatched snapshot rows pass
+    * through, unmatched changes insert.
+    *
+    * Money stays in integer CENTS end to end ((cents*11) DIV 10 — pure
+    * long arithmetic, identical on both engines) and only the final
+    * per-group sum is rendered as a double — the fixed-point discipline
+    * float reprice-then-round cannot guarantee across engines.
+    *
+    * Scale shape: one equi full-outer shuffle on the merge key — the
+    * minimum any engine pays; at a real refresh the changes side is a
+    * fraction of the snapshot, so AQE typically picks a broadcast/
+    * shuffled-hash plan on that side. Output is priority-bounded. */
+  val upsertMerge: QueryDef = QueryDef(
+    "x13_upsert_merge",
+    (s, d) => {
+      val snap = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val upd = snap
+        .filter(expr("substring(md5(CAST(o_orderkey AS STRING)), 1, 2) < '10'"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("(cents * 11) DIV 10").as("cents"))
+      val ins = upd.select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+        col("o_orderpriority"), col("cents"))
+      val changes = upd.union(ins)
+      snap.as("s")
+        .join(changes.as("c"), Seq("o_orderkey"), "full_outer")
+        .select(
+          coalesce(col("c.o_orderpriority"), col("s.o_orderpriority")).as("pri"),
+          coalesce(col("c.cents"), col("s.cents")).as("cents"),
+          (col("s.cents").isNotNull && col("c.cents").isNotNull).as("updated"),
+          col("s.cents").isNull.as("inserted"))
+        .groupBy("pri")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("updated"), 1L).otherwise(0L)).as("n_updated"),
+          sum(when(col("inserted"), 1L).otherwise(0L)).as("n_inserted"),
+          (sum("cents") / expr("CAST(100 AS DOUBLE)")).as("total_value"))
+        .orderBy("pri")
+    },
+    Some("""WITH snap AS (
+              SELECT o_orderkey, o_orderpriority,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+            upd AS (
+              SELECT o_orderkey, o_orderpriority, (cents * 11) // 10 AS cents
+              FROM snap
+              WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '10'),
+            changes AS (
+              SELECT * FROM upd
+              UNION ALL
+              SELECT o_orderkey + 100000000, o_orderpriority, cents FROM upd),
+            merged AS (
+              SELECT
+                coalesce(c.o_orderpriority, s.o_orderpriority) AS pri,
+                coalesce(c.cents, s.cents) AS cents,
+                (s.cents IS NOT NULL AND c.cents IS NOT NULL) AS updated,
+                s.cents IS NULL AS inserted
+              FROM snap s FULL OUTER JOIN changes c USING (o_orderkey))
+            SELECT pri, count(*) AS n_rows,
+              CAST(sum(CASE WHEN updated THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_updated,
+              CAST(sum(CASE WHEN inserted THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_inserted,
+              CAST(sum(cents) AS BIGINT) / CAST(100 AS DOUBLE) AS total_value
+            FROM merged GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
-      boilerplateRemoval, decontaminate, packSequences, fuzzyDedupPipeline)
+      boilerplateRemoval, decontaminate, packSequences, fuzzyDedupPipeline,
+      upsertMerge)
 }

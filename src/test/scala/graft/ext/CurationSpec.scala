@@ -183,6 +183,28 @@ class CurationSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_removed")).sum == expectRemoved)
   }
 
+  test("x13 upsert merge: updates override, inserts add, pass-through conserved") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.upsertMerge.build(spark, sf).collect()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val nSnap = orders.count()
+    val nChanged = orders.filter(
+      expr("substring(md5(CAST(o_orderkey AS STRING)), 1, 2) < '10'")).count()
+    // every snapshot row survives; every insert adds exactly one row
+    assert(out.map(_.getAs[Long]("n_rows")).sum == nSnap + nChanged)
+    assert(out.map(_.getAs[Long]("n_updated")).sum == nChanged)
+    assert(out.map(_.getAs[Long]("n_inserted")).sum == nChanged)
+    // value effect: repriced rows carry (cents*11) DIV 10 exactly
+    val baseCents = orders.select(
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"),
+      expr("substring(md5(CAST(o_orderkey AS STRING)), 1, 2) < '10'").as("ch"))
+    val expect = baseCents.agg(
+      sum(when(col("ch"), expr("2 * ((c * 11) DIV 10)")).otherwise(col("c"))))
+      .head.getLong(0)
+    val got = Math.round(out.map(_.getAs[Double]("total_value")).sum * 100)
+    assert(got == expect, s"cent totals: got $got expect $expect")
+  }
+
   test("x04 shard assignment covers every doc exactly once") {
     val out = Curation.shardHash.build(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_docs")).sum
