@@ -198,5 +198,68 @@ object Similarity {
                ORDER BY q_id, n_id"""))
   }
 
-  val all: Seq[QueryDef] = Seq(cosineTopK, annLsh, annIvf, annHyperplane)
+  /** s05 — int8 scalar-quantized cosine top-k (the memory-bound ANN
+    * path: a 100 TB float corpus is 25 TB at int8, and integer dot
+    * products vectorize wider than float ones — the standard first step
+    * before PQ, e.g. Jégou et al., "Product quantization for nearest
+    * neighbor search", TPAMI 2011 §III.A). Unit-normalize, quantize each
+    * component to round(u·127), score by INTEGER dot product — exact
+    * long arithmetic end to end, so unlike the float-scoring s02/s03
+    * this approximate index is ORACLE-EXACT: ranking, ties, and scores
+    * all hash-check against DuckDB.
+    *
+    * Same scale shape as s01: bounded query set broadcast, corpus never
+    * shuffled, per-query top-k via a ranking window (WindowGroupLimit
+    * prunes map-side). The spec measures recall@5 against exact s01. */
+  val annInt8: QueryDef = {
+    val k = 5
+    val quantExpr = "transform(%s, x -> CAST(round(x * 127) AS BIGINT))"
+    val dotExpr =
+      """aggregate(zip_with(q_q, n_q, (x, y) -> x * y),
+         CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
+    QueryDef(
+      "s05_ann_int8",
+      (s, d) => {
+        val q = Dedup.normalized(s, d, "q_id", "q_u")
+          .filter(col("q_id") < 10)
+          .select(col("q_id"), expr(quantExpr.format("q_u")).as("q_q"))
+        val c = Dedup.normalized(s, d, "n_id", "n_u")
+          .select(col("n_id"), expr(quantExpr.format("n_u")).as("n_q"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("q_dot").desc, col("n_id"))
+        broadcast(q).join(c, col("q_id") =!= col("n_id"))
+          .withColumn("q_dot", expr(dotExpr))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .withColumn("approx_cos",
+            expr("CAST(q_dot AS DOUBLE) / CAST(16129 AS DOUBLE)"))
+          .select("q_id", "n_id", "q_dot", "approx_cos", "rn")
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH ${Dedup.normalizedSql},
+               q AS (
+                 SELECT vec_id,
+                   list_transform(u, x -> CAST(round(x * 127) AS BIGINT)) AS qv
+                 FROM u),
+               p AS (
+                 SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, len(a.qv) + 1),
+                       i -> a.qv[i] * b.qv[i])),
+                     (x, y) -> x + y) AS q_dot
+                 FROM q a JOIN q b ON a.vec_id < 10 AND b.vec_id != a.vec_id),
+               r AS (
+                 SELECT q_id, n_id, q_dot,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY q_dot DESC, n_id) AS INTEGER) AS rn
+                 FROM p)
+               SELECT q_id, n_id, q_dot,
+                 CAST(q_dot AS DOUBLE) / CAST(16129 AS DOUBLE) AS approx_cos,
+                 rn
+               FROM r WHERE rn <= $k
+               ORDER BY q_id, rn"""))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(cosineTopK, annLsh, annIvf, annHyperplane, annInt8)
 }
