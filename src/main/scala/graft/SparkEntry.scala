@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{Extensions, MlQueries, QueryDef, Relational}
 import graft.stream.Events
 
@@ -17,7 +17,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
       Multimodal.all ++ Events.all ++ Extensions.all ++ MlQueries.all ++
-      Curation.all
+      Curation.all ++ Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -568,9 +568,65 @@ object Curation {
               CAST(sum(cents) AS BIGINT) / CAST(100 AS DOUBLE) AS total_value
             FROM merged GROUP BY 1 ORDER BY 1"""))
 
+  /** x14 — weighted corpus mixing (the training-mixture step: each
+    * source gets a sampling weight — upweight books, downweight crawl —
+    * and the mixture is drawn reproducibly). Weights are generated ONCE
+    * in Scala and rendered into BOTH the Spark expression and the DuckDB
+    * SQL (the TextAnalysis lexicon discipline), and membership is
+    * md5-threshold per document, so the draw is a pure per-row filter:
+    * no sampler state, no shuffle, identical on any engine, partitioning
+    * or cluster size — and STABLE under weight changes (raising a
+    * source's weight only ADDS documents, it never resamples the ones
+    * already in, because a doc's hash does not move).
+    *
+    * Scale shape: filter + one source-keyed agg; the weight CASE is a
+    * literal expression evaluated inside the scan's codegen stage. */
+  val mixtureWeights: QueryDef = {
+    // srcN -> weight in {1.0, 0.75, 0.5, 0.25} by N mod 4 (deterministic,
+    // derivable by a reader; any literal map works the same way)
+    val weights: Seq[(String, Double)] = (0 until 20)
+      .map(n => s"src$n" -> Seq(1.0, 0.75, 0.5, 0.25)(n % 4))
+    def hexThr(w: Double): String =
+      if (w >= 1.0) "zz" else f"${(w * 256).toInt}%02x"
+    val thrCase = weights.map { case (s, w) =>
+      s"WHEN source = '$s' THEN '${hexThr(w)}'"
+    }.mkString("CASE ", " ", " ELSE '00' END")
+    val wCase = weights.map { case (s, w) =>
+      s"WHEN source = '$s' THEN CAST($w AS DOUBLE)"
+    }.mkString("CASE ", " ", " ELSE CAST(0 AS DOUBLE) END")
+    QueryDef(
+      "x14_mixture_weights",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("source"),
+            expr(sparkTokCount).cast("long").as("n_tokens"),
+            expr(s"substring(md5(CAST(doc_id AS STRING)), 1, 2) < ($thrCase)")
+              .as("kept"),
+            expr(wCase).as("weight"))
+          .groupBy("source", "weight")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+              .as("kept_tokens"))
+          .orderBy("source"),
+      Some(s"""WITH d AS (
+                 SELECT source, CAST($duckTokCount AS BIGINT) AS n_tokens,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                     < ($thrCase) AS kept,
+                   $wCase AS weight
+                 FROM documents)
+               SELECT source, weight, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+                   AS kept_tokens
+               FROM d GROUP BY 1, 2 ORDER BY 1"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
       boilerplateRemoval, decontaminate, packSequences, fuzzyDedupPipeline,
-      upsertMerge)
+      upsertMerge, mixtureWeights)
 }

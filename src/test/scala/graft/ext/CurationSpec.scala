@@ -205,6 +205,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expect, s"cent totals: got $got expect $expect")
   }
 
+  test("x14 mixture draw matches each source's declared weight") {
+    val out = Curation.mixtureWeights.build(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      val frac = r.getAs[Long]("n_kept").toDouble / r.getAs[Long]("n_docs")
+      // binomial(25, w) at sf0.001 — wide band, but w=1.0 is exact
+      if (w >= 1.0) assert(frac == 1.0, s"${r.getAs[String]("source")}: $frac")
+      else assert(math.abs(frac - w) < 0.35,
+        s"${r.getAs[String]("source")}: kept $frac vs weight $w")
+    }
+    // declared weights present: srcN -> {1.0,.75,.5,.25} by N mod 4
+    assert(out.map(_.getAs[Double]("weight")).toSet ==
+      Set(1.0, 0.75, 0.5, 0.25))
+  }
+
+  test("g01 pagerank is deterministic, floored by the damping term, supplier-topped") {
+    val a = Graph.pagerank.build(spark, sf).collect()
+    val b = Graph.pagerank.build(spark, sf).collect()
+    assert(a.toSeq == b.toSeq) // bit-identical across runs
+    assert(a.forall(_.getAs[Long]("score") >= 150000000L))
+    // suppliers aggregate the scores of many parts (deg ~80 vs ~4), so
+    // the centrality ranking must put a supplier first
+    assert(a.head.getAs[String]("kind") == "supplier", a.head.toString)
+  }
+
   test("x04 shard assignment covers every doc exactly once") {
     val out = Curation.shardHash.build(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_docs")).sum
