@@ -103,6 +103,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("runtime bloom filter prunes the fact scan when a selective dim join can't broadcast") {
+    // the 100 TB case: a filtered dim too big to broadcast still cuts
+    // the fact-side shuffle via an AQE-injected bloom filter. Thresholds
+    // forced so the sf0.001 fixture exercises the same plan rewrite.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sfDir = sf
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = plan(li.join(o, li("l_orderkey") === o("o_orderkey")))
+      assert(p.contains("bloom_filter_agg"), p.take(2000))
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("q42: SQL-text plan matches the DataFrame discipline (broadcast dims, top-k sort)") {
     val p = plan(Relational.q42.build(spark, sf))
     // Catalyst plans the ANSI text like the DataFrame forms: bounded
