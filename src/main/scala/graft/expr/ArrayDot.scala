@@ -67,6 +67,9 @@ case class ArrayDot(left: Expression, right: Expression)
 object ArrayDot {
   /** Register `array_dot(a, b)` for use from expr()/spark.sql. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "internal")
+    // idempotent — see DayPart.register: avoids a replacement WARN per call
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("array_dot")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "internal")
 }

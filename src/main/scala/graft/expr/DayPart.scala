@@ -55,8 +55,13 @@ object DayPart {
   /** Register `day_part(int)` as a SQL function in the session, making the
     * expression usable from `expr(...)` / `spark.sql(...)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "day_part", exprs => DayPart(exprs.head), "internal")
+    // idempotent: every query builder calls register, and
+    // createOrReplaceTempFunction logs a replacement WARN per repeat —
+    // 100 registered queries would spam the caller's captured log tail
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("day_part")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "day_part", exprs => DayPart(exprs.head), "internal")
 
   /** The same semantics as ANSI CASE text (for oracle SQL parity). */
   def caseSql(col: String): String =
