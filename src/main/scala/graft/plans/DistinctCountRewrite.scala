@@ -96,6 +96,12 @@ object DistinctCountRewrite extends Rule[LogicalPlan] {
   * {{{ SparkSession.builder().withExtensions(new GraftExtensions) }}}
   * or `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DistinctCountRewrite)
+    // the custom physical operator rides the same single entry point, so
+    // `spark.sql.extensions=graft.plans.GraftExtensions` wires the WHOLE
+    // engine extension surface (TopKPerKey.install stays as the
+    // per-session alternative)
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }

@@ -12,4 +12,14 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(spark.asInstanceOf[
       org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Test-only views of what an extensions hook registered (the build*
+    * methods are private[sql]); lets specs assert the
+    * `spark.sql.extensions` wiring without constructing a fresh session. */
+  def registeredRules(e: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]] =
+    e.buildOptimizerRules(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+  def registeredStrategies(e: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    e.buildPlannerStrategies(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
 }

@@ -56,6 +56,17 @@ class DistinctCountRewriteSpec extends AnyFunSuite {
     assert(idiom(withNullOnly, "c") == 1L) // the null group counts
   }
 
+  test("GraftExtensions wires BOTH the rule and the physical strategy") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(e)
+    val rules = org.apache.spark.sql.graft.GraftSqlBridge
+      .registeredRules(e, spark)
+    assert(rules.contains(DistinctCountRewrite), rules.toString)
+    val strategies = org.apache.spark.sql.graft.GraftSqlBridge
+      .registeredStrategies(e, spark)
+    assert(strategies.contains(TopKPerKeyStrategy), strategies.toString)
+  }
+
   test("rule does not fire on legitimate two-level aggregates") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
