@@ -392,7 +392,9 @@ object Curation {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), expr(sparkTokCount).cast("long").as("n_tokens"))
-        val maxId = docs.agg(max("doc_id")).head.getLong(0)
+        // bounded 1-row collect; null on an empty corpus → any width works
+        val maxId = Option(docs.agg(max("doc_id")).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
         val width = math.max(maxId / buckets + 1, 1L)
         val bucketed = docs.withColumn("bucket",
           expr(s"CAST(doc_id DIV $width AS INT)"))
