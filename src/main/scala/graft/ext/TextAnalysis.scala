@@ -362,7 +362,48 @@ object TextAnalysis {
             FROM per p LEFT JOIN hap h USING (doc_id)
             ORDER BY p.doc_id"""))
 
+  /** t10 — corpus-commonness score: the mean corpus document-frequency
+    * of a document's distinct word-3-grams. The third leg of the
+    * quality battery — x08 measures WITHIN-doc repetition, t09 corpus
+    * UNIQUENESS (gibberish flag), t10 corpus COMMONNESS (boilerplate /
+    * template flag: docs built from grams that appear everywhere score
+    * high). Integer sum over integer DFs, one final IEEE division —
+    * oracle-exact.
+    *
+    * Scale shape: two gram-keyed corpus shuffles (DF aggregate +
+    * join-back — the join-back is irreducible here because the score is
+    * a mean over each doc's OWN grams' DFs) and one doc-keyed
+    * aggregate; the DF relation is vocabulary-sized. */
+  def gramCommonnessOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(${Dedup.shingleExpr("text")})"))
+          .as("sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("df").as("sum_df"))
+      .withColumn("mean_df",
+        col("sum_df").cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+  }
+
+  val gramCommonness: QueryDef = QueryDef(
+    "t10_gram_commonness",
+    (s, d) => gramCommonnessOf(Tables.documents(s, d)),
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i + 1:i + 3], ' ') AS sh
+              FROM toks, unnest(range(0, greatest(len(t) - 2, 1))) AS u(i)),
+            dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+            SELECT doc_id, count(*) AS n_grams,
+              CAST(sum(df) AS BIGINT) AS sum_df,
+              CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
+            FROM sh JOIN dfreq USING (sh)
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
-      piiRedact, hapaxRatio)
+      piiRedact, hapaxRatio, gramCommonness)
 }

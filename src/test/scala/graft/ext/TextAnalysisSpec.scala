@@ -69,6 +69,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.length == docs.count())
   }
 
+  test("t10 commonness: exact means on planted dup/near-dup/unrelated docs") {
+    // 20-token base => 18 shingles; near-dup edits token 18 => the 3
+    // shingles covering it differ; unrelated shares nothing.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = base.replace("sigma", "sigmoid")
+    val unrelated = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val docs = Seq((0L, base), (1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gramCommonnessOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Double]("mean_df"))).toMap
+    // base docs: 15 shingles shared by 3 docs + 3 shared by the 2 copies
+    assert(out(0L) == ((18L, (15 * 3 + 3 * 2) / 18.0)))
+    assert(out(1L) == out(0L)) // identical texts score identically
+    // near-dup: 15 shared with both copies + 3 unique
+    assert(out(2L) == ((18L, (15 * 3 + 3 * 1) / 18.0)))
+    // unrelated 16-token doc: 14 shingles, all df=1 => floor of 1.0
+    assert(out(3L) == ((14L, 1.0)))
+    // floor + ordering: commonness ranks dup copies above near-dup above unique
+    assert(out(0L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2)
+  }
+
   test("NA replacement is idempotent (reference P8 net semantics)") {
     val df = Seq(("NA", "1"), ("5", "NA"), ("7", "8")).toDF("a", "b")
     val once = df.na.replace(df.columns, Map("NA" -> null))
