@@ -89,5 +89,98 @@ object Graph {
           LIMIT 20"""
     })
 
-  val all: Seq[QueryDef] = Seq(pagerank)
+  /** g02 — per-node triangle counts over the part co-occurrence graph,
+    * top-20 by participation.
+    *
+    * Graph construction is LINEAR, not quadratic: within each order the
+    * distinct parts are sorted and only ADJACENT pairs become edges (one
+    * lag window per order), so a 10 000-line order contributes 9 999
+    * edges, never 50M pairs.
+    *
+    * Counting uses degree orientation (Suri & Vassilvitskii, "Counting
+    * triangles and the curse of the last reducer", WWW 2011): each edge
+    * points from its lower-(degree, id) endpoint to the higher, every
+    * wedge is generated at its lowest-rank node, and a triangle is
+    * counted exactly once — wedge fan-out per node is bounded by
+    * out-degree ≤ O(√m), which is what keeps the hub nodes from
+    * exploding the join at 100 TB. Pure integer arithmetic throughout —
+    * oracle-exact.
+    */
+  /** Degree-oriented per-node triangle counts over an undirected edge
+    * list (columns u, v; no self-loops; each undirected edge once). */
+  def triangleCounts(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // orient every edge from lower (deg, id) rank to higher
+    val oriented = edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(expr("struct(du, u) < struct(dv, v)"), col("u")).otherwise(col("v")).as("a"),
+        when(expr("struct(du, u) < struct(dv, v)"), col("v")).otherwise(col("u")).as("b"),
+        when(expr("struct(du, u) < struct(dv, v)"), col("dv")).otherwise(col("du")).as("db"))
+    // wedges at the lowest-rank node, (p, q) ordered by rank
+    val w1 = oriented.select(col("a"), col("b").as("x"), col("db").as("dx"))
+    val w2 = oriented.select(col("a"), col("b").as("y"), col("db").as("dy"))
+    val wedges = w1.join(w2, "a")
+      .filter(expr("struct(dx, x) < struct(dy, y)"))
+      .select(col("a"), col("x").as("p"), col("y").as("q"))
+    val tri = wedges.join(
+      oriented.select(col("a").as("p"), col("b").as("q")), Seq("p", "q"))
+    tri.select(explode(array(col("a"), col("p"), col("q"))).as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("triangles"))
+  }
+
+  val triangles: QueryDef = QueryDef(
+    "g02_triangle_count",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val parts = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      // adjacent-in-sorted-order pairs: u < v by construction
+      val edges = parts
+        .withColumn("u", lag("pk", 1).over(
+          Window.partitionBy("ok").orderBy("pk")))
+        .filter(col("u").isNotNull)
+        .select(col("u"), col("pk").as("v"))
+        .distinct()
+      triangleCounts(edges)
+        .orderBy(col("triangles").desc, col("node_id"))
+        .limit(20)
+    },
+    Some("""WITH parts AS (
+              SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            lagged AS (
+              SELECT lag(pk) OVER (PARTITION BY ok ORDER BY pk) AS u, pk AS v
+              FROM parts),
+            edges AS (
+              SELECT DISTINCT u, v FROM lagged WHERE u IS NOT NULL),
+            deg AS (
+              SELECT n, count(*) AS deg FROM (
+                SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+              GROUP BY 1),
+            oriented AS (
+              SELECT CASE WHEN (du.deg, u) < (dv.deg, v) THEN u ELSE v END AS a,
+                     CASE WHEN (du.deg, u) < (dv.deg, v) THEN v ELSE u END AS b,
+                     CASE WHEN (du.deg, u) < (dv.deg, v) THEN dv.deg ELSE du.deg END AS db
+              FROM edges
+              JOIN deg du ON du.n = edges.u
+              JOIN deg dv ON dv.n = edges.v),
+            wedges AS (
+              SELECT w1.a, w1.b AS p, w2.b AS q
+              FROM oriented w1 JOIN oriented w2 USING (a)
+              WHERE (w1.db, w1.b) < (w2.db, w2.b)),
+            tri AS (
+              SELECT w.a, w.p, w.q
+              FROM wedges w JOIN oriented o ON o.a = w.p AND o.b = w.q)
+            SELECT node_id, count(*) AS triangles FROM (
+              SELECT a AS node_id FROM tri
+              UNION ALL SELECT p FROM tri
+              UNION ALL SELECT q FROM tri)
+            GROUP BY 1 ORDER BY triangles DESC, node_id
+            LIMIT 20"""))
+
+  val all: Seq[QueryDef] = Seq(pagerank, triangles)
 }

@@ -403,7 +403,62 @@ object TextAnalysis {
             FROM sh JOIN dfreq USING (sh)
             GROUP BY 1 ORDER BY 1"""))
 
+  /** t11 — corpus-bigram fluency score: the mean conditional probability
+    * P(w₂|w₁) of a document's word transitions under the corpus's own
+    * bigram model. The perplexity-style fluency filter of a training
+    * pipeline, WITHOUT the log: ln() is not bit-portable across engines,
+    * and float sums are order-dependent — so each transition probability
+    * is FIXED-POINT (×10⁹, integer DIV), the per-doc sum is a long (any
+    * order), and the single final mean division is IEEE — oracle-exact.
+    * Shuffled-word gibberish scores low, template/natural text high.
+    *
+    * Scale shape: bigram instances are a LINEAR explode; corpus model =
+    * two vocabulary-keyed aggregates; scoring = one join-back on the
+    * bigram key (irreducible — each doc is scored under the GLOBAL
+    * model) + one doc-keyed aggregate. The model relation is
+    * bigram-vocabulary-sized, not corpus-sized. */
+  def bigramFluencyOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
+          .as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val model = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .withColumn("cu", sum("cb").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w1")))
+      .withColumn("p_fp", expr("(cb * 1000000000L) DIV cu"))
+    bg.join(model.select("w1", "w2", "p_fp"), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_fp").as("sum_p"))
+      .withColumn("fluency",
+        col("sum_p").cast("double") / col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  val bigramFluency: QueryDef = QueryDef(
+    "t11_bigram_fluency",
+    (s, d) => bigramFluencyOf(Tables.documents(s, d)),
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            bg AS (
+              SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+              FROM toks, unnest(range(0, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2),
+            model AS (
+              SELECT w1, w2,
+                (count(*) * 1000000000)
+                  // (CAST(sum(count(*)) OVER (PARTITION BY w1) AS BIGINT)) AS p_fp
+              FROM bg GROUP BY 1, 2)
+            SELECT doc_id, count(*) AS n_bigrams,
+              CAST(sum(p_fp) AS BIGINT) AS sum_p,
+              CAST(sum(p_fp) AS DOUBLE) / count(*) AS fluency
+            FROM bg JOIN model USING (w1, w2)
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
-      piiRedact, hapaxRatio, gramCommonness)
+      piiRedact, hapaxRatio, gramCommonness, bigramFluency)
 }

@@ -75,5 +75,56 @@ object Extensions {
                   FROM orders)
             WHERE rn <= 3 ORDER BY o_custkey, o_orderkey"""))
 
-  val all: Seq[QueryDef] = Seq(daypart, sketch, approxProfile, topkOperator)
+  /** e05 — KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et
+    * al., "Counting distinct elements in a data stream", RANDOM 2002),
+    * the ORACLE-EXACT counterpart of e02's HLL: the sketch is the k
+    * smallest portable md5 hashes, so — unlike HLL register state — both
+    * engines compute bit-identical estimates. est = (k−1)·2⁶⁰/h₍ₖ₎ when
+    * ≥k distinct hashes exist, else the exact count; all factors are
+    * exactly-rounded doubles and the one division is IEEE, so the DOUBLE
+    * output hash-matches.
+    *
+    * Scale shape: per column one hash projection + partial-top-k
+    * (TakeOrdered — map-side k-row heaps, never a global sort) and one
+    * scalar distinct-count for the side-by-side comparison. k rows reach
+    * the driver per column regardless of input size; sketches from
+    * disjoint partitions of a 100 TB table union by re-taking the k
+    * smallest (mergeability is what the spec's union law asserts). */
+  val kmvSketch: QueryDef = {
+    val K = 64
+    def sparkOne(df: org.apache.spark.sql.DataFrame, c: String) = {
+      val topk = df
+        .select(expr(graft.ext.Dedup.sparkMd5Int60(s"CAST($c AS STRING)")).as("h"))
+        .distinct()
+        .orderBy("h").limit(K)
+      val est = topk.agg(count(lit(1)).as("m"), max("h").as("hk"))
+        .select(
+          when(col("m") < K, col("m").cast("double"))
+            .otherwise(expr(
+              s"${K - 1}e0 * CAST(1152921504606846976 AS DOUBLE) / CAST(hk AS DOUBLE)"))
+            .as("kmv_est"))
+      val exact = df.agg(countDistinct(col(c)).as("exact"))
+      est.crossJoin(exact).select(lit(c).as("col_name"), col("kmv_est"), col("exact"))
+    }
+    def duckOne(c: String) =
+      s"""SELECT '$c' AS col_name,
+            (SELECT CASE WHEN count(*) < $K THEN CAST(count(*) AS DOUBLE)
+                    ELSE ${K - 1}e0 * CAST(1152921504606846976 AS DOUBLE)
+                         / CAST(max(h) AS DOUBLE) END
+             FROM (SELECT DISTINCT ${graft.ext.Dedup.duckMd5Int60(s"CAST($c AS VARCHAR)")} AS h
+                   FROM orders ORDER BY 1 LIMIT $K)) AS kmv_est,
+            (SELECT count(DISTINCT $c) FROM orders) AS exact"""
+    QueryDef(
+      "e05_kmv_distinct",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        sparkOne(o, "o_custkey")
+          .union(sparkOne(o, "o_orderpriority"))
+          .orderBy("col_name")
+      },
+      Some(Seq("o_custkey", "o_orderpriority").map(duckOne)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
+  }
+
+  val all: Seq[QueryDef] = Seq(daypart, sketch, approxProfile, topkOperator, kmvSketch)
 }

@@ -47,4 +47,30 @@ class DistinctSketchSpec extends AnyFunSuite {
     val (est, exact) = (row.getLong(0), row.getLong(1))
     assert(math.abs(est - exact).toDouble / exact < 0.05, s"est=$est exact=$exact")
   }
+
+  test("e05 KMV: error bound on the estimated path, exact below k") {
+    val out = graft.queries.Extensions.kmvSketch
+      .build(spark, graft.TestSpark.sf0001).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Double]("kmv_est"), r.getAs[Long]("exact"))).toMap
+    // o_orderpriority has 5 distinct values < k=64 -> exact path
+    val (pEst, pExact) = out("o_orderpriority")
+    assert(pEst == pExact.toDouble, s"below-k path must be exact: $pEst vs $pExact")
+    // o_custkey (>k distinct): KMV std error is ~1/sqrt(k) = 12.5%
+    val (cEst, cExact) = out("o_custkey")
+    assert(math.abs(cEst - cExact) / cExact < 0.4, s"est=$cEst exact=$cExact")
+  }
+
+  test("e05 KMV merge law: k-min of unioned k-min sketches == k-min of union") {
+    // the property that makes KMV a distributed sketch: taking the k
+    // smallest of each partition's k smallest equals the global k smallest
+    val k = 16
+    val a = (1L to 400L).map(x => x * 2654435761L % 1000003L)
+    val b = (401L to 800L).map(x => x * 2654435761L % 1000003L)
+    val skA = a.distinct.sorted.take(k)
+    val skB = b.distinct.sorted.take(k)
+    val merged = (skA ++ skB).distinct.sorted.take(k)
+    val global = (a ++ b).distinct.sorted.take(k)
+    assert(merged == global)
+  }
 }

@@ -231,6 +231,26 @@ class CurationSpec extends AnyFunSuite {
     assert(a.head.getAs[String]("kind") == "supplier", a.head.toString)
   }
 
+  test("g02 triangle counts: K4 plus pendant path, each triangle once") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + path 4-5-6 (none)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val out = Graph.triangleCounts(edges).collect()
+      .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("triangles")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // total triangles = sum/3 = 4
+    assert(out.values.sum == 12L)
+  }
+
+  test("g02 on the fixture: deterministic and every count positive") {
+    val a = Graph.triangles.build(spark, sf).collect()
+    val b = Graph.triangles.build(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(_.getAs[Long]("triangles") > 0))
+  }
+
   test("x04 shard assignment covers every doc exactly once") {
     val out = Curation.shardHash.build(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_docs")).sum

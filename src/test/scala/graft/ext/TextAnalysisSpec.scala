@@ -93,6 +93,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(0L)._2 > out(2L)._2 && out(2L)._2 > out(3L)._2)
   }
 
+  test("t11 fluency: exact fixed-point means; repetition outscores novelty") {
+    // model over both docs: c(a,b)=4, c(b,a)=2, c(b,c)=1; c(a·)=4, c(b·)=3
+    // p_fp(a,b)=1e9, p_fp(b,a)=2e9 DIV 3, p_fp(b,c)=1e9 DIV 3
+    val docs = Seq((0L, "a b a b a b"), (1L, "a b c"), (2L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramFluencyOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_p"),
+          r.getAs[Double]("fluency"))).toMap
+    val pba = 2000000000L / 3  // 666666666
+    val pbc = 1000000000L / 3  // 333333333
+    assert(out(0L) == ((5L, 3L * 1000000000L + 2 * pba,
+      (3L * 1000000000L + 2 * pba) / 5.0)))
+    assert(out(1L) == ((2L, 1000000000L + pbc, (1000000000L + pbc) / 2.0)))
+    assert(!out.contains(2L)) // single-token doc has no transitions
+    assert(out(0L)._3 > out(1L)._3) // repeated transitions score higher
+  }
+
   test("NA replacement is idempotent (reference P8 net semantics)") {
     val df = Seq(("NA", "1"), ("5", "NA"), ("7", "8")).toDF("a", "b")
     val once = df.na.replace(df.columns, Map("NA" -> null))
