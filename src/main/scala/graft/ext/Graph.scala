@@ -107,8 +107,17 @@ object Graph {
     * oracle-exact.
     */
   /** Degree-oriented per-node triangle counts over an undirected edge
-    * list (columns u, v; no self-loops; each undirected edge once). */
-  def triangleCounts(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    * list (columns u, v; no self-loops; each undirected edge once).
+    *
+    * The edge list feeds three consumers (two degree legs + the orient
+    * join) and the oriented list three more (both wedge legs + the
+    * closing join) — Spark does not CSE across DataFrame reuse, so both
+    * are persisted for the duration of the count; the result is
+    * localCheckpoint()ed (eager, lineage cut) before they unpersist.
+    * Both caches are edge-count-sized projections, never corpus-sized. */
+  def triangleCounts(edgesIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = edgesIn.persist(lvl)
     val deg = edges.select(col("u").as("n"))
       .union(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -120,6 +129,7 @@ object Graph {
         when(expr("struct(du, u) < struct(dv, v)"), col("u")).otherwise(col("v")).as("a"),
         when(expr("struct(du, u) < struct(dv, v)"), col("v")).otherwise(col("u")).as("b"),
         when(expr("struct(du, u) < struct(dv, v)"), col("dv")).otherwise(col("du")).as("db"))
+      .persist(lvl)
     // wedges at the lowest-rank node, (p, q) ordered by rank
     val w1 = oriented.select(col("a"), col("b").as("x"), col("db").as("dx"))
     val w2 = oriented.select(col("a"), col("b").as("y"), col("db").as("dy"))
@@ -128,8 +138,13 @@ object Graph {
       .select(col("a"), col("x").as("p"), col("y").as("q"))
     val tri = wedges.join(
       oriented.select(col("a").as("p"), col("b").as("q")), Seq("p", "q"))
-    tri.select(explode(array(col("a"), col("p"), col("q"))).as("node_id"))
+    val counts = tri
+      .select(explode(array(col("a"), col("p"), col("q"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("triangles"))
+      .localCheckpoint()
+    edges.unpersist()
+    oriented.unpersist()
+    counts
   }
 
   val triangles: QueryDef = QueryDef(

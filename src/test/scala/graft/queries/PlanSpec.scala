@@ -189,4 +189,23 @@ class PlanSpec extends AnyFunSuite {
     val pt = plan(graft.ext.TextAnalysis.tfidfExact.build(spark, sf))
     assert("WindowGroupLimit".r.findAllIn(pt).size >= 2, pt)
   }
+
+  test("e05: the k-min sketch plans TakeOrdered heaps, never a global sort") {
+    val p = plan(Extensions.kmvSketch.build(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // no full sort of the hash column — only the final 2-row output sort
+    assert(!p.contains("Sort [h"), p)
+  }
+
+  test("t10/t11: corpus-model join-backs are equi joins, no all-pairs") {
+    for (q <- Seq(graft.ext.TextAnalysis.gramCommonness,
+        graft.ext.TextAnalysis.bigramFluency)) {
+      val p = plan(q.build(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"${q.name}\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"${q.name}\n$p")
+    }
+    // t11's model window partitions by w1 — never a global window
+    val p11 = plan(graft.ext.TextAnalysis.bigramFluency.build(spark, sf))
+    assert(!p11.contains("Exchange SinglePartition, [plan_id"), p11)
+  }
 }
