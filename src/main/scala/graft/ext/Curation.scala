@@ -626,9 +626,61 @@ object Curation {
                FROM d GROUP BY 1, 2 ORDER BY 1"""))
   }
 
+  /** x15 — data-driven length-outlier filter: drop documents outside the
+    * corpus's exact [p1, p99] band of `n_chars`. The thresholds are
+    * EXACT discrete percentiles — smallest value whose cumulative count
+    * covers ⌈p·N⌉ — computed with pure integer predicates (`cum·100 ≥
+    * p·total`), so both engines agree bit-for-bit where interpolating
+    * `percentile()` floats would not.
+    *
+    * Scale shape (the x11 two-phase discipline): phase 1 reduces the
+    * corpus to a VALUE HISTOGRAM (one hash agg, domain-sized — distinct
+    * lengths, not rows); the cumulative window runs over that histogram
+    * only, and its single partition is bounded by the value domain, not
+    * the corpus. Phase 2 broadcasts the 1-row threshold pair back as a
+    * per-row filter. No corpus-sized sort anywhere. */
+  val quantileOutlierFilter: QueryDef = QueryDef(
+    "x15_quantile_outlier_filter",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val thr = hist
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("total", sum("c").over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .agg(
+          min(when(expr("cum * 100 >= total"), col("n_chars"))).as("lo"),
+          min(when(expr("cum * 100 >= 99 * total"), col("n_chars"))).as("hi"))
+      docs.crossJoin(broadcast(thr))
+        .filter(col("n_chars").between(col("lo"), col("hi")))
+        .groupBy("source", "lo", "hi")
+        .agg(count(lit(1)).as("n_kept"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("source")
+    },
+    Some("""WITH hist AS (
+              SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
+            cum AS (
+              SELECT n_chars,
+                CAST(sum(c) OVER (ORDER BY n_chars
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                CAST(sum(c) OVER () AS BIGINT) AS total
+              FROM hist),
+            thr AS (
+              SELECT min(CASE WHEN cum * 100 >= total THEN n_chars END) AS lo,
+                     min(CASE WHEN cum * 100 >= 99 * total THEN n_chars END) AS hi
+              FROM cum)
+            SELECT source, lo, hi, count(*) AS n_kept,
+              min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM documents, thr
+            WHERE n_chars BETWEEN lo AND hi
+            GROUP BY 1, 2, 3 ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
       boilerplateRemoval, decontaminate, packSequences, fuzzyDedupPipeline,
-      upsertMerge, mixtureWeights)
+      upsertMerge, mixtureWeights, quantileOutlierFilter)
 }

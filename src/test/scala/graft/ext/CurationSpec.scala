@@ -251,6 +251,25 @@ class CurationSpec extends AnyFunSuite {
     assert(a.forall(_.getAs[Long]("triangles") > 0))
   }
 
+  test("x15 thresholds are the exact discrete p1/p99 on the fixture") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.quantileOutlierFilter.build(spark, sf).collect()
+    assert(out.nonEmpty)
+    val (lo, hi) = (out.head.getAs[Long]("lo"), out.head.getAs[Long]("hi"))
+    // recompute the definition directly: smallest value whose cumulative
+    // count reaches ceil(p * N)
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select("n_chars").collect().map(_.getLong(0)).sorted
+    val n = lens.length
+    def pct(p: Int) = lens((p * n + 99) / 100 - 1) // value at rank ceil(p*n/100)
+    assert(lo == pct(1), s"lo=$lo expected ${pct(1)}")
+    assert(hi == pct(99), s"hi=$hi expected ${pct(99)}")
+    // every kept row is inside the band and the band is non-degenerate
+    assert(out.forall(r => r.getAs[Long]("min_chars") >= lo &&
+      r.getAs[Long]("max_chars") <= hi))
+    assert(lo < hi)
+  }
+
   test("x04 shard assignment covers every doc exactly once") {
     val out = Curation.shardHash.build(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_docs")).sum
