@@ -678,9 +678,36 @@ object Curation {
             WHERE n_chars BETWEEN lo AND hi
             GROUP BY 1, 2, 3 ORDER BY source"""))
 
+  /** x16 — salted equi-join (the join-side companion of x05's salted
+    * aggregation): the skewed fact side draws a seeded salt, the
+    * medium dim side replicates saltFactor×, each hot key fans out over
+    * saltFactor reducers, and the salt drops before output — inner-join
+    * semantics are IDENTICAL to the plain join, which is exactly what
+    * the oracle checks (the DuckDB mirror is the unsalted join; any
+    * divergence means the salting broke semantics). For bounded dims
+    * Spark would broadcast anyway; salting is the tool for the
+    * medium-dim shuffled-hash case AQE's sort-merge skew split can't
+    * fix. */
+  val saltedJoinQ: QueryDef = QueryDef(
+    "x16_salted_join",
+    (s, d) => {
+      val dim = Tables.part(s, d)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.ops.Skew.saltedJoin(
+          Tables.lineitem(s, d).select("l_partkey", "l_quantity"),
+          dim, "l_partkey", saltFactor = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
       boilerplateRemoval, decontaminate, packSequences, fuzzyDedupPipeline,
-      upsertMerge, mixtureWeights, quantileOutlierFilter)
+      upsertMerge, mixtureWeights, quantileOutlierFilter, saltedJoinQ)
 }
