@@ -140,5 +140,66 @@ object Multimodal {
               CAST(len(range(0, n_bytes % 120 + 1, 7)) AS INTEGER) AS n_sampled
             FROM f ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(metaDigest, decode, resizeSample)
+  /** m04 — the full multimodal RETRIEVAL chain: blob → embedding →
+    * top-k neighbor search, end-to-end oracle-exact. The "embedding
+    * model" is the stub stage (8 int8-range dims from the blob's md5 via
+    * the d10 Carter-Wegman family h_k = ha + k·hb — a real encoder would
+    * replace only that projection); scoring is s05's integer-dot
+    * discipline (BIGINT products, order-independent sums).
+    *
+    * Scale shape: the bounded query set (3 probe blobs) broadcasts; the
+    * corpus embeds in place and is never shuffled — each task scores its
+    * partition and the per-query top-5 resolves with a rank-limit window
+    * (WindowGroupLimit map-side prune). s01's shape with a multimodal
+    * front end. */
+  val embedTopk: QueryDef = {
+    val dims = 8
+    val sparkEmbed =
+      s"transform(sequence(0, ${dims - 1}), k -> CAST((ha + k * hb) % 255 AS BIGINT) - 127)"
+    QueryDef(
+      "m04_multimodal_embed_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val feats = mediaFrame(s, d)
+          .select(col("doc_id"),
+            expr(Dedup.sparkMd5Int60("CAST(blob AS STRING)")).as("ha"),
+            expr("CAST(conv(substring(md5(CAST(blob AS STRING)), 17, 14), 16, 10) AS BIGINT)")
+              .as("hb"))
+          .select(col("doc_id"), expr(sparkEmbed).as("f"))
+        val probes = feats.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("q_id"), col("f").as("qf"))
+        val scored = feats.crossJoin(broadcast(probes))
+          .select(col("q_id"), col("doc_id"),
+            expr("aggregate(zip_with(qf, f, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+              .as("dot"))
+        scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("dot").desc, col("doc_id"))))
+          .filter(col("rn") <= 5).drop("rn")
+          .orderBy("q_id", "doc_id")
+      },
+      Some(s"""WITH f AS (
+                 SELECT doc_id,
+                   list_transform(range(0, $dims),
+                     k -> CAST((ha + k * hb) % 255 AS BIGINT) - 127) AS f
+                 FROM (SELECT doc_id,
+                         ${Dedup.duckMd5Int60("text")} AS ha,
+                         ${Dedup.duckMd5IntSlice("text", 17, 14)} AS hb
+                       FROM documents)),
+               scored AS (
+                 SELECT q.doc_id AS q_id, c.doc_id,
+                   list_reduce(
+                     list_transform(range(1, $dims + 1), i -> q.f[i] * c.f[i]),
+                     (a, v) -> a + v) AS dot
+                 FROM f c, (SELECT * FROM f WHERE doc_id < 3) q),
+               ranked AS (
+                 SELECT q_id, doc_id, dot,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY dot DESC, doc_id) AS rn
+                 FROM scored)
+               SELECT q_id, doc_id, CAST(dot AS BIGINT) AS dot
+               FROM ranked WHERE rn <= 5 ORDER BY q_id, doc_id"""))
+  }
+
+  val all: Seq[QueryDef] = Seq(metaDigest, decode, resizeSample, embedTopk)
 }

@@ -389,7 +389,71 @@ object Events {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(baseDir)
 
+  /** st08 — per-window KMV distinct-user estimate, side by side with the
+    * exact count: st04's 100 TB form made ORACLE-EXACT. Where st04's
+    * `countDistinct` shuffles every (window, user) pair, the sketch
+    * keeps only the k smallest portable md5 hashes PER WINDOW — the
+    * rank-limit window gets Spark 4's WindowGroupLimit map-side prune,
+    * so each map task forwards ≤k hash rows per window, the same
+    * bounded-state shape a streaming trigger would keep. Estimate
+    * arithmetic is e05's: (k−1)·2⁶⁰/h₍ₖ₎ above k, exact below — both
+    * engines bit-identical. k=8 keeps both code paths exercised on the
+    * fixture (≈38% σ at k=8; production would use k=256+). */
+  val windowSketchQ: QueryDef = {
+    val K = 8
+    QueryDef(
+      "st08_window_kmv_distinct",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+        val h = ev.select(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+              .as("w_start"),
+            expr(graft.ext.Dedup.sparkMd5Int60("CAST(user_id AS STRING)")).as("h"))
+          .distinct()
+        val kmin = h
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("w_start").orderBy("h")))
+          .filter(col("rn") <= K)
+          .groupBy("w_start")
+          .agg(count(lit(1)).as("m"), max("h").as("hk"))
+          .select(col("w_start"),
+            when(col("m") < K, col("m").cast("double"))
+              .otherwise(expr(
+                s"${K - 1}e0 * CAST(1152921504606846976 AS DOUBLE) / CAST(hk AS DOUBLE)"))
+              .as("kmv_users"))
+        val exact = ev.groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+              .as("w_start"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        kmin.join(exact, "w_start").orderBy("w_start")
+      },
+      Some(s"""WITH h AS (
+                 SELECT DISTINCT strftime(date_trunc('hour', ts),
+                          '%Y-%m-%d %H:%M:%S') AS w_start,
+                   ${graft.ext.Dedup.duckMd5Int60("CAST(user_id AS VARCHAR)")} AS h
+                 FROM events),
+               r AS (
+                 SELECT w_start, h,
+                   row_number() OVER (PARTITION BY w_start ORDER BY h) AS rn
+                 FROM h),
+               k AS (
+                 SELECT w_start, count(*) AS m, max(h) AS hk
+                 FROM r WHERE rn <= $K GROUP BY 1),
+               e AS (
+                 SELECT strftime(date_trunc('hour', ts),
+                          '%Y-%m-%d %H:%M:%S') AS w_start,
+                   count(DISTINCT user_id) AS exact_users
+                 FROM events GROUP BY 1)
+               SELECT k.w_start,
+                 CASE WHEN m < $K THEN CAST(m AS DOUBLE)
+                      ELSE ${K - 1}e0 * CAST(1152921504606846976 AS DOUBLE)
+                           / CAST(hk AS DOUBLE) END AS kmv_users,
+                 exact_users
+               FROM k JOIN e USING (w_start) ORDER BY w_start"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
-      dedupBatchQ, enrichQ)
+      dedupBatchQ, enrichQ, windowSketchQ)
 }

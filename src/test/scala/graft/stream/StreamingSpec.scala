@@ -304,6 +304,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(table().count() == 4)
   }
 
+  test("custom HLL Aggregator merges across micro-batches == batch result") {
+    // the extension-point x streaming composition: the DistinctSketch
+    // UDAF's merge() runs between trigger-local partials and the state
+    // store — the final estimate must equal one batch pass over the union
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val events = in.toDF().toDF("user_id", "ts")
+    val q = events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.expr.DistinctSketch.distinctSketch(col("user_id")).as("est"))
+      .writeStream.format("memory").queryName("sketch_out")
+      .outputMode("complete").start()
+    // three micro-batches, overlapping users within the same hour window
+    in.addData((1L to 400L).map(u => (u, tsH(10, 5))): _*)
+    q.processAllAvailable()
+    in.addData((201L to 600L).map(u => (u, tsH(10, 25))): _*)
+    q.processAllAvailable()
+    in.addData((1L to 100L).map(u => (u, tsH(10, 55))): _*) // all dups
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sketch_out").collect()
+      .map(r => r.getLong(1)).head
+    val batch = (1L to 600L).map(u => (u, tsH(10, 5)))
+      .toDF("user_id", "ts")
+      .agg(graft.expr.DistinctSketch.distinctSketch(col("user_id")))
+      .collect().head.getLong(0)
+    assert(streamed == batch,
+      s"incremental merge diverged: streamed=$streamed batch=$batch")
+    assert(math.abs(streamed - 600.0) / 600.0 < 0.1, s"est=$streamed")
+  }
+
   test("batch session window merges events within gap, splits at gap") {
     val df = Seq(
       (1L, ts(0), 1.0), (1L, ts(5), 2.0),   // session A (gap 5 < 10)
