@@ -208,4 +208,17 @@ class PlanSpec extends AnyFunSuite {
     val p11 = plan(graft.ext.TextAnalysis.bigramFluency.build(spark, sf))
     assert(!p11.contains("Exchange SinglePartition, [plan_id"), p11)
   }
+
+  test("st08: per-window k-min rank gets the WindowGroupLimit map-side prune") {
+    val p = plan(graft.stream.Events.windowSketchQ.build(spark, sf))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("m04: probe side broadcasts; corpus embeds in place, never shuffled") {
+    val p = plan(graft.ext.Multimodal.embedTopk.build(spark, sf))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // top-5-per-probe rank window is map-side pruned too
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
