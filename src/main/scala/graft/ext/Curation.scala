@@ -705,9 +705,63 @@ object Curation {
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY 1 ORDER BY 1"""))
 
+  /** x17 — data-driven budget rebalancing: cap every source at 1/20 of
+    * the GLOBAL char budget (x14's declared-weight mixing with the
+    * weights computed FROM the data). Keep fraction per source is
+    * `min(1, target/actual)` — one IEEE division of two exact longs —
+    * and row membership is the reproducible md5-threshold draw:
+    * `hash60(doc_id)/2⁶⁰ < f`, identical on any engine or partitioning
+    * (both sides compute the same double rounding of the same 60-bit
+    * integer). Oversized sources are downsampled toward the cap in
+    * expectation; small sources pass through whole (f = 1 exactly).
+    *
+    * Scale shape: phase 1 one source-keyed aggregate (+ one global sum
+    * broadcast back over the ~20-row relation); phase 2 a pure per-row
+    * filter. No corpus-sized shuffle; the draw never tears an entity
+    * (doc-keyed hash). */
+  val budgetRebalance: QueryDef = QueryDef(
+    "x17_budget_rebalance",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val actual = docs.groupBy("source").agg(sum("n_chars").as("actual"))
+        .withColumn("total", sum("actual").over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("f", least(lit(1.0),
+          expr("CAST(total DIV 20 AS DOUBLE) / CAST(actual AS DOUBLE)")))
+      docs.join(broadcast(actual.select("source", "f")), "source")
+        .withColumn("kept", expr(
+          s"CAST(${Dedup.sparkMd5Int60("CAST(doc_id AS STRING)")} AS DOUBLE)" +
+            " / CAST(1152921504606846976 AS DOUBLE) < f"))
+        .groupBy("source", "f")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+        .orderBy("source")
+    },
+    Some(s"""WITH a AS (
+               SELECT source, CAST(sum(n_chars) AS BIGINT) AS actual
+               FROM documents GROUP BY 1),
+             f AS (
+               SELECT source,
+                 least(1.0,
+                   CAST(CAST(sum(actual) OVER () AS BIGINT) // 20 AS DOUBLE)
+                     / CAST(actual AS DOUBLE)) AS f
+               FROM a),
+             k AS (
+               SELECT d.source, f.f, d.n_chars,
+                 CAST(${Dedup.duckMd5Int60("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+                   / CAST(1152921504606846976 AS DOUBLE) < f.f AS kept
+               FROM documents d JOIN f USING (source))
+             SELECT source, f, count(*) AS n_docs,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
+                 AS kept_chars
+             FROM k GROUP BY 1, 2 ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
       boilerplateRemoval, decontaminate, packSequences, fuzzyDedupPipeline,
-      upsertMerge, mixtureWeights, quantileOutlierFilter, saltedJoinQ)
+      upsertMerge, mixtureWeights, quantileOutlierFilter, saltedJoinQ,
+      budgetRebalance)
 }

@@ -270,6 +270,23 @@ class CurationSpec extends AnyFunSuite {
     assert(lo < hi)
   }
 
+  test("x17 rebalance: under-cap sources pass whole, over-cap downsample") {
+    val out = Curation.budgetRebalance.build(spark, sf).collect()
+    assert(out.length > 1)
+    val whole = out.filter(_.getAs[Double]("f") >= 1.0)
+    val capped = out.filter(_.getAs[Double]("f") < 1.0)
+    // f = 1 exactly => every doc kept (no hash draw can exceed 1)
+    whole.foreach { r =>
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs"), r.toString)
+    }
+    // the draw is a subset and deterministic across runs
+    capped.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+    val again = Curation.budgetRebalance.build(spark, sf).collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("x04 shard assignment covers every doc exactly once") {
     val out = Curation.shardHash.build(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_docs")).sum
