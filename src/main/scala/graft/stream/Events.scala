@@ -453,7 +453,93 @@ object Events {
                FROM k JOIN e USING (w_start) ORDER BY w_start"""))
   }
 
+  /** st09 — ordered funnel analysis (view → click → purchase): how many
+    * users complete each step IN ORDER, where step k counts only events
+    * at-or-after the user's step-(k−1) completion time. The standard
+    * product-analytics funnel, computed in k user-keyed phases: each
+    * step is one conditional min aggregate plus one equi join-back on
+    * the user key — never a per-user sort or collect. All comparisons
+    * are on exact integer microsecond timestamps — oracle-exact. */
+  def funnelOf(ev: DataFrame): DataFrame = {
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.join(s1, "user_id")
+      .filter(col("event_type") === "click" && col("ts") >= col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.join(s2, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") >= col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    s1.agg(count(lit(1)).as("n_view")).crossJoin(
+        s2.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  val funnelQ: QueryDef = QueryDef(
+    "st09_funnel_steps",
+    (s, d) => funnelOf(
+      Tables.events(s, d).select("user_id", "event_type", "ts")),
+    Some("""WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (
+              SELECT e.user_id, min(ts) AS t2
+              FROM events e JOIN s1 USING (user_id)
+              WHERE event_type = 'click' AND ts >= t1 GROUP BY 1),
+            s3 AS (
+              SELECT e.user_id, min(ts) AS t3
+              FROM events e JOIN s2 USING (user_id)
+              WHERE event_type = 'purchase' AND ts >= t2 GROUP BY 1)
+            SELECT (SELECT count(*) FROM s1) AS n_view,
+                   (SELECT count(*) FROM s2) AS n_view_click,
+                   (SELECT count(*) FROM s3) AS n_view_click_purchase"""))
+
+  /** st10 — cohort retention: of the users active in hour H, how many
+    * are also active in hour H+1 / H+24. One distinct (user, hour)
+    * reduction (activity matrix — user-hour-sized, much smaller than the
+    * event log), then self-equi-joins shifted by the lag; counts are
+    * integers — oracle-exact. The classic DAU-retention triangle at
+    * hourly grain. */
+  val retentionQ: QueryDef = QueryDef(
+    "st10_cohort_retention",
+    (s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+            .cast("long").as("h"))
+        .distinct()
+      val nxt = act.select(col("user_id"), (col("h") - 1).as("h"))
+        .distinct().withColumnRenamed("user_id", "u1")
+      val day = act.select(col("user_id"), (col("h") - 24).as("h"))
+        .distinct().withColumnRenamed("user_id", "u24")
+      act
+        .join(nxt, act("user_id") === nxt("u1") && act("h") === nxt("h"), "left")
+        .join(day, act("user_id") === day("u24") && act("h") === day("h"), "left")
+        .groupBy(act("h"))
+        .agg(count(lit(1)).as("n_active"),
+          count(col("u1")).as("n_retained_1h"),
+          count(col("u24")).as("n_retained_24h"))
+        .select(
+          from_unixtime(col("h") * 3600, "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n_active"), col("n_retained_1h"), col("n_retained_24h"))
+        .orderBy("hour")
+    },
+    Some("""WITH act AS (
+              SELECT DISTINCT user_id,
+                CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS h
+              FROM events)
+            SELECT strftime(to_timestamp(a.h * 3600), '%Y-%m-%d %H:%M:%S')
+                     AS hour,
+              count(*) AS n_active,
+              CAST(sum(CASE WHEN n1.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained_1h,
+              CAST(sum(CASE WHEN n24.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained_24h
+            FROM act a
+            LEFT JOIN act n1 ON n1.user_id = a.user_id AND n1.h = a.h + 1
+            LEFT JOIN act n24 ON n24.user_id = a.user_id AND n24.h = a.h + 24
+            GROUP BY 1 ORDER BY hour"""))
+
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
-      dedupBatchQ, enrichQ, windowSketchQ)
+      dedupBatchQ, enrichQ, windowSketchQ, funnelQ, retentionQ)
 }

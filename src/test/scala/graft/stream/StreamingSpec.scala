@@ -335,6 +335,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(streamed - 600.0) / 600.0 < 0.1, s"est=$streamed")
   }
 
+  test("st09 funnel counts only IN-ORDER completions") {
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", ts(0)), (1L, "click", ts(5)), (1L, "purchase", ts(10)),
+      // user 2: click BEFORE first view — must not reach step 2
+      (2L, "click", ts(0)), (2L, "view", ts(5)), (2L, "purchase", ts(10)),
+      // user 3: view only
+      (3L, "view", ts(0)),
+      // user 4: no view at all — not even step 1
+      (4L, "click", ts(0)), (4L, "purchase", ts(5)))
+      .toDF("user_id", "event_type", "ts")
+    val r = Events.funnelOf(ev).collect().head
+    assert(r.getAs[Long]("n_view") == 3L)
+    assert(r.getAs[Long]("n_view_click") == 1L, r.toString)
+    assert(r.getAs[Long]("n_view_click_purchase") == 1L, r.toString)
+  }
+
   test("batch session window merges events within gap, splits at gap") {
     val df = Seq(
       (1L, ts(0), 1.0), (1L, ts(5), 2.0),   // session A (gap 5 < 10)
