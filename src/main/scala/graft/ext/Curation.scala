@@ -758,10 +758,121 @@ object Curation {
                  AS kept_chars
              FROM k GROUP BY 1, 2 ORDER BY source"""))
 
+  /** x18 — Bloom-prefiltered decontamination: x10's exact n-gram
+    * overlap with a Bloom filter inserted between the corpus scan and
+    * the shuffle. x10 already broadcasts the eval grams for the confirm
+    * join; what still scales with the CORPUS there is the
+    * `(doc_id, gram)` distinct — every train gram is shuffled once just
+    * to be deduplicated. Here the train side is first filtered through a
+    * broadcast Bloom of the eval grams (1% fpp, built with Spark's
+    * distributed `stat.bloomFilter` tree-aggregate), so only grams that
+    * MIGHT be contaminated — a benchmark-sized trickle, not the corpus —
+    * reach the distinct+semi-join. False positives are then removed by
+    * the same exact broadcast semi-join as x10, so the output is
+    * bit-identical to x10's and shares its oracle.
+    *
+    * This is the hand-built form of the runtime bloom join Spark injects
+    * under AQE (asserted in PlanSpec for q-joins); building it
+    * explicitly decouples it from join-planning heuristics — at 100 TB
+    * you always want this filter, not only when the optimizer's
+    * row-count estimate happens to cross a threshold. The prefilter UDF
+    * sits outside the correctness path (any fpp still yields exact
+    * output). */
+  val decontaminateBloom: QueryDef = {
+    val n = 13
+    QueryDef(
+      "x18_decontaminate_bloom",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("substring(md5(CAST(doc_id AS STRING)), 1, 1)").as("hx"),
+            explode(expr(ngramExpr("text", n))).as("g"))
+          .select(col("doc_id"), col("hx"), xxhash64(col("g")).as("g"))
+        val evalGrams = grams.filter(col("hx").isin("0", "1"))
+          .select("g").distinct().localCheckpoint()
+        // exact distinct count sizes the filter; eval split is
+        // benchmark-sized, so this extra action touches a sliver of data
+        val nEval = math.max(evalGrams.count(), 1L)
+        val bloom = evalGrams.stat.bloomFilter("g", nEval, 0.01)
+        val bc = s.sparkContext.broadcast(bloom)
+        val mightContain = udf((g: Long) => bc.value.mightContainLong(g))
+        grams.filter(!col("hx").isin("0", "1"))
+          .filter(mightContain(col("g")))
+          .select("doc_id", "g").distinct()
+          .join(broadcast(evalGrams), Seq("g"), "left_semi")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_contam_grams"))
+          .orderBy("doc_id")
+      },
+      // exact x10 semantics → same oracle text
+      decontaminate.sql)
+  }
+
+  /** x19 — leakage-safe train/eval split: x07's reproducible hash split
+    * made near-dup-aware. Splitting doc-by-doc lets two near-duplicate
+    * documents straddle the boundary — the eval twin then "leaks" into
+    * training and eval scores inflate (the failure x10 detects after the
+    * fact; this op prevents it at split time). Every near-dup cluster
+    * (d04 Jaccard pairs → connected components) is assigned WHOLE: the
+    * split hash is taken on the cluster root (min reachable doc_id, the
+    * CC label; singletons hash their own id), so cluster membership —
+    * not partitioning or engine — decides the side.
+    *
+    * Scale shape: the pair join + CC loop is d04/d07's (inverted shingle
+    * index, star contraction, checkpointed rounds); the label frame only
+    * holds docs that HAVE a near-dup (a small fraction of a deduped-ish
+    * corpus), and the final split is a pure per-row hash — no
+    * corpus-wide shuffle beyond the label equi-join, which AQE plans as
+    * broadcast when labels are small. */
+  val leakageSafeSplit: QueryDef = QueryDef(
+    "x19_leakage_safe_split",
+    (s, d) => {
+      val pairs = Dedup.ngramJaccard.build(s, d).select("a_id", "b_id")
+      val labels = Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), expr(sparkTokCount).cast("long").as("n_tokens"))
+      docs.join(labels, Seq("doc_id"), "left")
+        .withColumn("root", coalesce(col("component"), col("doc_id")))
+        .withColumn("split",
+          expr("CASE WHEN substring(md5(CAST(root AS STRING)), 1, 1) " +
+            "IN ('0', '1') THEN 'eval' ELSE 'train' END"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("component").isNotNull, 1L).otherwise(0L))
+            .as("n_clustered"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("split")
+    },
+    Some(s"""WITH RECURSIVE ${Dedup.ngramPairSql(Dedup.ngramTheta)},
+             edges AS (
+               SELECT a_id AS src, b_id AS dst FROM pairs
+               UNION
+               SELECT b_id AS src, a_id AS dst FROM pairs),
+             reach(id, r) AS (
+               SELECT src, src FROM edges
+               UNION
+               SELECT e.src, reach.r FROM edges e
+               JOIN reach ON reach.id = e.dst),
+             labels AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+             lab AS (
+               SELECT d.doc_id, coalesce(l.component, d.doc_id) AS root,
+                      l.component IS NOT NULL AS clustered,
+                      CAST($duckTokCount AS BIGINT) AS n_tokens
+               FROM documents d LEFT JOIN labels l ON l.id = d.doc_id)
+             SELECT CASE WHEN substring(md5(CAST(root AS VARCHAR)), 1, 1)
+                         IN ('0', '1') THEN 'eval' ELSE 'train' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clustered,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+             FROM lab GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
       boilerplateRemoval, decontaminate, packSequences, fuzzyDedupPipeline,
       upsertMerge, mixtureWeights, quantileOutlierFilter, saltedJoinQ,
-      budgetRebalance)
+      budgetRebalance, decontaminateBloom, leakageSafeSplit)
 }

@@ -1144,9 +1144,55 @@ object Relational {
       Some(text.format("strftime(o_orderdate, '%Y-%m-%d')")))
   }
 
+  /** Q43 — TPC-H Q5 (local-supplier volume) through the same SQL
+    * front-end as q42: the full 6-table snowflake (region → nation →
+    * supplier ⋈ customer ⋈ orders ⋈ lineitem) with the co-nation
+    * residual `c_nationkey = s_nationkey` on the lineitem⋈supplier
+    * join. Scale shape: region/nation/supplier are bounded dims →
+    * Catalyst broadcasts them, so the only big shuffle is
+    * orders⋈lineitem on orderkey; revenue is the same 4-dp fixed-point
+    * scaled-long sum as q42 (order-independent addition). */
+  val q43 = {
+    val text = """SELECT n_name,
+                    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                      * 10000) AS BIGINT)) AS BIGINT)
+                      / CAST(10000 AS DOUBLE) AS revenue,
+                    count(*) AS n_items
+                  FROM customer
+                  JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                    AND c_nationkey = s_nationkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+                  WHERE r_name IN ('ASIA', 'EUROPE')
+                    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                    AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+                  GROUP BY n_name
+                  ORDER BY revenue DESC, n_name"""
+    QueryDef(
+      "q43_sql_tpch_q5",
+      (s, d) => {
+        cst(s, d).createOrReplaceTempView("g43_customer")
+        ord(s, d).createOrReplaceTempView("g43_orders")
+        li(s, d).createOrReplaceTempView("g43_lineitem")
+        Tables.supplier(s, d).createOrReplaceTempView("g43_supplier")
+        Tables.nation(s, d).createOrReplaceTempView("g43_nation")
+        Tables.region(s, d).createOrReplaceTempView("g43_region")
+        s.sql(text
+          .replace(" customer", " g43_customer")
+          .replace(" orders ", " g43_orders ")
+          .replace(" lineitem ", " g43_lineitem ")
+          .replace(" supplier ", " g43_supplier ")
+          .replace(" nation ", " g43_nation ")
+          .replace(" region ", " g43_region "))
+      },
+      Some(text))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q12b, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42)
+    q41, q42, q43)
 }

@@ -287,6 +287,50 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("x18 bloom-prefiltered decontamination is bit-identical to x10") {
+    val exact = Curation.decontaminate.build(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_contam_grams"))
+      .toMap
+    val bloomed = Curation.decontaminateBloom.build(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_contam_grams"))
+      .toMap
+    assert(exact.nonEmpty, "fixture has no contamination — spec is vacuous")
+    assert(bloomed == exact)
+  }
+
+  test("x19 split never tears a near-dup pair and conserves the corpus") {
+    def side(root: Long): String = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(root.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 1)
+      if (hx == "0" || hx == "1") "eval" else "train"
+    }
+    // engine-side per-doc assignment, recomputed the same way x19 does
+    val pairs = Dedup.ngramJaccard.build(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs — spec is vacuous")
+    val labels = Dedup.connectedComponents(
+        Dedup.ngramJaccard.build(spark, sf).select("a_id", "b_id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component"))
+      .toMap
+    def docSide(id: Long): String = side(labels.getOrElse(id, id))
+    // no pair straddles the split
+    pairs.foreach { case (a, b) =>
+      assert(docSide(a) == docSide(b), s"pair ($a, $b) straddles the split")
+    }
+    // the naive per-doc rule WOULD have torn at least one pair (i.e. the
+    // operator actually changes assignments, not vacuously equal to x07)
+    assert(pairs.exists { case (a, b) => side(a) != side(b) },
+      "fixture never exercises the leakage case")
+    // conservation: split totals cover every document exactly once
+    val out = Curation.leakageSafeSplit.build(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    assert(total == spark.read.parquet(s"$sf/documents.parquet").count())
+    val clustered = out.map(_.getAs[Long]("n_clustered")).sum
+    assert(clustered == labels.size)
+  }
+
   test("x04 shard assignment covers every doc exactly once") {
     val out = Curation.shardHash.build(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_docs")).sum
