@@ -126,5 +126,43 @@ object Extensions {
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
   }
 
-  val all: Seq[QueryDef] = Seq(daypart, sketch, approxProfile, topkOperator, kmvSketch)
+  /** e06 — exact heavy hitters through a bounded-state sketch: the
+    * Misra–Gries `Aggregator` (graft.expr.HeavyHitters, K=200 counters)
+    * finds CANDIDATE tokens in one pass with O(K) state per partition,
+    * then one group-by restricted to the candidate set confirms exact
+    * counts and keeps tokens above 1% of the corpus. The MG
+    * undercount bound (≤ N/(K+1) < N/100) guarantees no true heavy
+    * hitter is missed, so the output is EXACT and oracle-checkable
+    * against the plain GROUP BY ... HAVING — while at 100 TB the
+    * group-by state is K tokens, not the open vocabulary.
+    *
+    * Same tokenization as t06 (split on single space). The threshold
+    * joins in as a 1-row broadcast, not a driver constant. */
+  val heavyHitters: QueryDef = QueryDef(
+    "e06_heavy_hitters",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val summary = toks.agg(
+        graft.expr.HeavyHitters.candidates(col("tok")).as("cands"),
+        count(lit(1)).as("n_total"))
+      toks.join(broadcast(summary))
+        .filter(array_contains(col("cands"), col("tok")))
+        .groupBy("tok", "n_total")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") * 100 > col("n_total"))
+        .select("tok", "n")
+        .orderBy(col("n").desc, col("tok"))
+    },
+    Some("""WITH toks AS (
+              SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+            n AS (SELECT count(*) AS n_total FROM toks)
+            SELECT tok, count(*) AS n
+            FROM toks, n
+            GROUP BY tok, n_total
+            HAVING count(*) * 100 > n_total
+            ORDER BY n DESC, tok"""))
+
+  val all: Seq[QueryDef] =
+    Seq(daypart, sketch, approxProfile, topkOperator, kmvSketch, heavyHitters)
 }

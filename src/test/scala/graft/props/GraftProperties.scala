@@ -68,6 +68,29 @@ object GraftProperties extends Properties("graft") {
       h >= a && h >= 0L
     }
 
+  // Misra-Gries guarantee (the e06 correctness backbone): after ANY
+  // split of the stream into two summaries merged back together, every
+  // item with true count > N/(K+1) is still a candidate
+  property("heavyHitters.noFalseNegativesUnderMerge") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(0, 30).map(i => s"w$i")),
+      Gen.choose(0, 1000)) { (xs, cutRaw) =>
+      import graft.expr.HeavyHitters
+      // k=5 << 31 distinct values, so decrement-all and the merge cut
+      // both fire; the MG bound must hold regardless of the split point
+      val k = 5
+      val cut = cutRaw % (xs.size + 1)
+      val (l, r) = xs.splitAt(cut)
+      def sk(vs: Seq[String]) =
+        vs.foldLeft(HeavyHitters.agg.zero)((b, v) => HeavyHitters.update(b, v, k))
+      val merged = HeavyHitters.merge(sk(l), sk(r), k).keySet
+      val n = xs.size.toDouble
+      val truth = xs.groupBy(identity).view.mapValues(_.size)
+      truth.forall { case (key, c) =>
+        c <= n / (k + 1) || merged.contains(key)
+      }
+    }
+
   // jaccard arithmetic invariants (the d04 formula on arbitrary set sizes)
   property("jaccard.bounds") =
     forAll(Gen.choose(0, 1000), Gen.choose(1, 1000), Gen.choose(1, 1000)) {
