@@ -458,7 +458,70 @@ object TextAnalysis {
             FROM bg JOIN model USING (w1, w2)
             GROUP BY 1 ORDER BY 1"""))
 
+  /** t12 — encoding-quality signal (the mojibake / control-char gate a
+    * web-scraped corpus runs before training): per source, how many
+    * documents carry U+FFFD replacement characters (a decoder already
+    * gave up), C0 control characters (binary bleed-through), or the
+    * UTF-8-read-as-Latin-1 mojibake marker 'Ã' (U+00C3). The fixture is
+    * clean by construction, so — t08's pattern — a deterministic
+    * md5-selected ~25% of docs get a planted dirty trailer built from
+    * `chr()` codepoints (identical on both engines), and the op under
+    * test is the counting expressions: single-codepoint counts via
+    * length-difference of replace(), the control CLASS via
+    * regexp_replace with a character-class both Java regex and RE2 read
+    * identically. Pure per-row projection + one source-keyed agg — at
+    * 100 TB a map-side pass fused into the scan. */
+  val encodingQuality: QueryDef = {
+    // chr(195)='Ã' chr(169)='©' chr(7)=BEL — all < 256 so Spark's
+    // mod-256 chr() and DuckDB's codepoint chr() agree; U+FFFD is out
+    // of chr()'s shared range and rides as a string literal instead
+    val repl = "'�'"
+    def dirty(textExpr: String, hexFn: String) =
+      s"CASE WHEN substring(md5($hexFn), 1, 1) < '4' " +
+        s"THEN concat($textExpr, ' caf', chr(195), chr(169), $repl, chr(7)) " +
+        s"ELSE $textExpr END"
+    // C0 class [\x01-\x08\x0B\x0C\x0E-\x1F] assembled from chr() — a
+    // backslash escape inside a SQL string literal parses differently
+    // in Spark (Hive-style unescaping) vs DuckDB (none), so the class
+    // uses no backslash at all; concat of literals constant-folds
+    val ctrlClass = "concat('[', chr(1), '-', chr(8), chr(11), chr(12), " +
+      "chr(14), '-', chr(31), ']')"
+    def counts(d: String) = Seq(
+      s"length($d) - length(replace($d, $repl, '')) AS n_repl",
+      s"length($d) - length(regexp_replace($d, $ctrlClass, '')) AS n_ctrl",
+      s"length($d) - length(replace($d, chr(195), '')) AS n_moji")
+    QueryDef(
+      "t12_encoding_quality",
+      (s, d) => {
+        val dirtyCol = dirty("text", "CAST(doc_id AS STRING)")
+        Tables.documents(s, d)
+          .selectExpr(Seq("doc_id", "source") ++ counts(dirtyCol): _*)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("n_repl") + col("n_ctrl") + col("n_moji") > 0, 1L)
+              .otherwise(0L)).as("n_dirty"),
+            sum("n_repl").as("sum_repl"),
+            sum("n_ctrl").as("sum_ctrl"),
+            sum("n_moji").as("sum_moji"))
+          .orderBy("source")
+      },
+      Some({
+        val dirtyCol = dirty("text", "CAST(doc_id AS VARCHAR)")
+        s"""WITH per_doc AS (
+              SELECT doc_id, source, ${counts(dirtyCol).mkString(", ")}
+              FROM documents)
+            SELECT source, count(*) AS n_docs,
+              CAST(sum(CASE WHEN n_repl + n_ctrl + n_moji > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty,
+              CAST(sum(n_repl) AS BIGINT) AS sum_repl,
+              CAST(sum(n_ctrl) AS BIGINT) AS sum_ctrl,
+              CAST(sum(n_moji) AS BIGINT) AS sum_moji
+            FROM per_doc GROUP BY 1 ORDER BY 1"""
+      }))
+  }
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
-      piiRedact, hapaxRatio, gramCommonness, bigramFluency)
+      piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality)
 }

@@ -331,6 +331,41 @@ object Events {
         first(col("n_copies")).as("n_copies"))
   }
 
+  /** st11 — the LEFT-OUTER stream-stream join's batch twin: st05's
+    * interval join with unmatched errors RETAINED (null click columns) —
+    * the "error with no click in the preceding hour" alerting shape. In
+    * streaming mode the outer side can only emit once the watermark
+    * closes the band (the StreamingSpec left-outer test drives exactly
+    * that); in batch the watermark is a no-op and the plan is the same
+    * q10-style range join, now left_outer. A `matched` flag renders the
+    * null-ness as a typed column; null click fields stay null through
+    * date_format on both engines. */
+  val streamLeftJoinQ: QueryDef = QueryDef(
+    "st11_stream_left_outer_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      clickErrorJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "error"),
+        joinType = "left_outer")
+        .select(col("user_id"), col("error_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format(col("error_ts"), "yyyy-MM-dd HH:mm:ss").as("error_ts"),
+          col("click_value"),
+          col("click_ts").isNotNull.as("matched"))
+        .orderBy("error_id", "click_ts", "click_value")
+    },
+    Some("""SELECT e.user_id, e.event_id AS error_id,
+            strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+            strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+            c.value AS click_value,
+            c.ts IS NOT NULL AS matched
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON c.user_id = e.user_id
+              AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR
+            ORDER BY error_id, click_ts, click_value"""))
+
   /** st06 — watermark dedup's batch twin: one survivor row per event_id
     * ([[dedupBatch]]), the steady state [[dedupStream]]
     * (dropDuplicatesWithinWatermark) converges to once the watermark
@@ -541,5 +576,6 @@ object Events {
 
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
-      dedupBatchQ, enrichQ, windowSketchQ, funnelQ, retentionQ)
+      streamLeftJoinQ, dedupBatchQ, enrichQ, windowSketchQ, funnelQ,
+      retentionQ)
 }

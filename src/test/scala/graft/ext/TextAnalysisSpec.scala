@@ -111,6 +111,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(0L)._3 > out(1L)._3) // repeated transitions score higher
   }
 
+  test("t12 encoding gate: planted dirt counted exactly, clean docs untouched") {
+    val sf = graft.TestSpark.sf0001
+    val out = TextAnalysis.encodingQuality.build(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the plant rule: first md5 hex digit of doc_id < '4' (~25%)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source",
+        "substring(md5(CAST(doc_id AS STRING)), 1, 1) < '4' AS dirty")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr("CAST(dirty AS LONG)")).as("n_dirty"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val expected = docs(r.getAs[String]("source"))
+      // trailer plants exactly one U+FFFD, one BEL, one 'Ã' per dirty doc
+      assert(r.getAs[Long]("n_dirty") == expected, r.toString)
+      assert(r.getAs[Long]("sum_repl") == expected, r.toString)
+      assert(r.getAs[Long]("sum_ctrl") == expected, r.toString)
+      assert(r.getAs[Long]("sum_moji") == expected, r.toString)
+    }
+  }
+
   test("NA replacement is idempotent (reference P8 net semantics)") {
     val df = Seq(("NA", "1"), ("5", "NA"), ("7", "8")).toDF("a", "b")
     val once = df.na.replace(df.columns, Map("NA" -> null))
