@@ -201,5 +201,71 @@ object Multimodal {
                FROM ranked WHERE rn <= 5 ORDER BY q_id, doc_id"""))
   }
 
-  val all: Seq[QueryDef] = Seq(metaDigest, decode, resizeSample, embedTopk)
+  /** m05 — perceptual-hash near-dup detection over the binary column:
+    * blob → decode stub → 60-bit perceptual signature → banded Hamming
+    * candidate join. The signature stands in for an image pHash (DCT
+    * low-frequency bits); the stub computes d11's md5-family SimHash
+    * over the DECODED payload, which preserves the property a real
+    * pHash has and an avalanche digest (m01) does not: near-identical
+    * content → small Hamming distance. Banding (4×15 bits) makes the
+    * search an equi-join — the pigeonhole bound keeps recall exact at
+    * Hamming ≤ 3 — and each pair carries its side's source metadata to
+    * show typed meta rides the multimodal pipeline end to end.
+    *
+    * Scale shape: decode is a narrow per-row cast (a real codec would
+    * be the same mapPartitions stage as m02); the only shuffles are the
+    * band equi-join on 8-byte keys and the two bounded meta lookups. */
+  val phashNearDup: QueryDef = {
+    val maxHamming = 3
+    QueryDef(
+      "m05_multimodal_phash_neardup",
+      (s, d) => {
+        val media = mediaFrame(s, d)
+        val decoded = media.select(col("doc_id"),
+          col("blob").cast("string").as("text"))
+        val meta = media.select(col("doc_id"), col("meta.source").as("source"))
+        Dedup.simhashMd5BandedPairs(decoded, maxHamming)
+          .join(meta.select(col("doc_id").as("a_id"), col("source").as("a_source")),
+            "a_id")
+          .join(meta.select(col("doc_id").as("b_id"), col("source").as("b_source")),
+            "b_id")
+          .select("a_id", "b_id", "hamming", "a_source", "b_source")
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        val votes = (0 until 60).map(i =>
+          s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(", ")
+        val pack = (0 until 60).map(i =>
+          s"CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            hx AS (SELECT doc_id, ${Dedup.duckMd5Int60("tok")} AS h FROM toks),
+            votes AS (SELECT doc_id, $votes FROM hx GROUP BY 1),
+            sigs AS (SELECT doc_id, CAST($pack AS BIGINT) AS sh FROM votes),
+            bands AS (
+              SELECT doc_id, sh, k AS band, (sh >> (k * 15)) & 32767 AS bv
+              FROM sigs, unnest(range(0, 4)) AS tk(k)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                a.sh AS a_sh, b.sh AS b_sh
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+            pairs AS (
+              SELECT a_id, b_id,
+                CAST(bit_count(xor(a_sh, b_sh)) AS INTEGER) AS hamming
+              FROM cand WHERE bit_count(xor(a_sh, b_sh)) <= $maxHamming)
+            SELECT a_id, b_id, hamming, da.source AS a_source,
+              db.source AS b_source
+            FROM pairs
+            JOIN documents da ON da.doc_id = a_id
+            JOIN documents db ON db.doc_id = b_id
+            ORDER BY a_id, b_id"""
+      })
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(metaDigest, decode, resizeSample, embedTopk, phashNearDup)
 }
