@@ -197,5 +197,91 @@ object Graph {
             GROUP BY 1 ORDER BY triangles DESC, node_id
             LIMIT 20"""))
 
-  val all: Seq[QueryDef] = Seq(pagerank, triangles)
+  /** Core of g03: `rounds` synchronous peel iterations toward the
+    * k-core (Seidman, "Network structure and minimum degree", Social
+    * Networks 1983; distributed peel as in Montresor et al., IEEE
+    * TPDS 2013): each round drops nodes with degree < k over the
+    * SURVIVING edge set, then keeps edges whose both endpoints
+    * survived. The peel is monotone (edge set only shrinks), so after
+    * convergence extra rounds are no-ops; a FIXED round count keeps the
+    * computation engine-mirrorable round for round (the g01 discipline)
+    * and the spec asserts the fixture converges within them. Each round
+    * is one degree aggregate + two semi-joins, `localCheckpoint`ed so
+    * lineage depth stays constant (d07's iterative-job rule). */
+  def kcoreDegrees(edgesIn: org.apache.spark.sql.DataFrame, k: Int,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    var edges = edgesIn.select(col("u"), col("v")).localCheckpoint()
+    def und(e: org.apache.spark.sql.DataFrame) =
+      e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+    (1 to rounds).foreach { _ =>
+      val keep = und(edges).groupBy("n").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("n")
+      edges = edges
+        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .select("u", "v").localCheckpoint()
+    }
+    und(edges).groupBy("n").agg(count(lit(1)).as("deg"))
+  }
+
+  /** g03 — k-core decomposition (k=3, 4 unrolled peel rounds) of the
+    * g02 co-occurrence graph: the standard "dense cohesive subgraph"
+    * filter (spam/bot rings in link graphs, well-connected entity hubs).
+    * Output: top-20 surviving nodes by within-core degree. The DuckDB
+    * oracle unrolls the same rounds as CTEs — both engines compute the
+    * identical monotone sequence, so equality holds even before
+    * convergence, and the spec proves convergence on the fixture. */
+  val kcore: QueryDef = {
+    val K = 3
+    val Rounds = 4
+    QueryDef(
+      "g03_kcore",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val parts = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = parts
+          .withColumn("u", lag("pk", 1).over(
+            Window.partitionBy("ok").orderBy("pk")))
+          .filter(col("u").isNotNull)
+          .select(col("u"), col("pk").as("v"))
+          .distinct()
+        kcoreDegrees(edges, K, Rounds)
+          .select(col("n").as("node_id"), col("deg"))
+          .orderBy(col("deg").desc, col("node_id"))
+          .limit(20)
+      },
+      Some {
+        // MATERIALIZED: each round references the previous edge set
+        // multiple times — left inlined, the evaluator would re-derive
+        // e_{r-1} per reference and the work grows exponentially in r
+        val roundCtes = (1 to Rounds).map { r =>
+          val prev = if (r == 1) "e_0" else s"e_${r - 1}"
+          s"""deg_$r AS MATERIALIZED (
+                SELECT n, count(*) AS deg FROM (
+                  SELECT u AS n FROM $prev UNION ALL SELECT v FROM $prev)
+                GROUP BY 1),
+              keep_$r AS MATERIALIZED (SELECT n FROM deg_$r WHERE deg >= $K),
+              e_$r AS MATERIALIZED (
+                SELECT u, v FROM $prev
+                JOIN keep_$r ku ON ku.n = u
+                JOIN keep_$r kv ON kv.n = v)"""
+        }.mkString(",\n")
+        s"""WITH parts AS (
+              SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            lagged AS (
+              SELECT lag(pk) OVER (PARTITION BY ok ORDER BY pk) AS u, pk AS v
+              FROM parts),
+            e_0 AS MATERIALIZED (
+              SELECT DISTINCT u, v FROM lagged WHERE u IS NOT NULL),
+            $roundCtes
+            SELECT n AS node_id, count(*) AS deg FROM (
+              SELECT u AS n FROM e_$Rounds UNION ALL SELECT v FROM e_$Rounds)
+            GROUP BY 1 ORDER BY deg DESC, node_id
+            LIMIT 20"""
+      })
+  }
+
+  val all: Seq[QueryDef] = Seq(pagerank, triangles, kcore)
 }

@@ -521,7 +521,49 @@ object TextAnalysis {
       }))
   }
 
+  /** t13 — Unicode NFC canonicalization (UAX #15) through the engine's
+    * native `nfc_normalize` Expression (graft.expr.NfcNormalize —
+    * codegen'd, no UDF): the pass that must run BEFORE any byte-defined
+    * dedup/fingerprint stage, because composed (é = U+00E9) and
+    * decomposed (e + U+0301) spellings hash apart while rendering
+    * identically. The fixture is ASCII-clean, so t08's planting pattern
+    * applies: a deterministic md5-selected ~25% of docs get a trailer
+    * ending in a decomposed e-acute (the combining mark rides as a
+    * shared string literal — it is outside chr()'s Spark/DuckDB common
+    * range), and the op under test is normalize-then-measure: docs
+    * changed by NFC and codepoints saved, per source. DuckDB's
+    * `nfc_normalize` implements the same algorithm → oracle-exact.
+    * Pure per-row projection + one bounded agg: map-only at 100 TB. */
+  val nfcCanonicalize: QueryDef = {
+    val combining = "\u0301"
+    def dirty(hexFn: String) =
+      s"CASE WHEN substring(md5($hexFn), 1, 1) < '4' " +
+        s"THEN concat(text, ' cafe', '$combining') ELSE text END"
+    def agg(nfcFn: String => String, d: String) = {
+      val n = nfcFn(d)
+      s"""WITH per_doc AS (
+            SELECT source, length($d) AS len_raw, length($n) AS len_nfc,
+                   $d <> $n AS changed
+            FROM documents)
+          SELECT source, count(*) AS n_docs,
+            CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_denorm,
+            CAST(sum(len_raw - len_nfc) AS BIGINT) AS chars_saved
+          FROM per_doc GROUP BY 1 ORDER BY 1"""
+    }
+    QueryDef(
+      "t13_nfc_canonicalize",
+      (s, d) => {
+        graft.expr.NfcNormalize.register(s)
+        s.sql(agg(x => s"nfc_normalize($x)",
+            dirty("CAST(doc_id AS STRING)"))
+          .replace("FROM documents", s"FROM parquet.`$d/documents.parquet`"))
+      },
+      Some(agg(x => s"nfc_normalize($x)", dirty("CAST(doc_id AS VARCHAR)"))))
+  }
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
-      piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality)
+      piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
+      nfcCanonicalize)
 }

@@ -244,6 +244,33 @@ class CurationSpec extends AnyFunSuite {
     assert(out.values.sum == 12L)
   }
 
+  test("g03 k-core peels pendants, keeps K4, and reaches a fixpoint") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (the 3-core) + pendant path 4-5-6 (peels away)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val core = Graph.kcoreDegrees(edges, 3, 4).collect()
+      .map(r => r.getAs[Long]("n") -> r.getAs[Long]("deg")).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // registered rounds reach the fixpoint on the fixture: one more
+    // round changes nothing
+    val at4 = Graph.kcore.build(spark, sf).collect().toSeq
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val parts = li.selectExpr("l_orderkey AS ok", "l_partkey AS pk").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ok").orderBy("pk")
+    val fixtureEdges = parts
+      .withColumn("u", org.apache.spark.sql.functions.lag("pk", 1).over(w))
+      .filter("u IS NOT NULL").selectExpr("u", "pk AS v").distinct()
+    val at5 = Graph.kcoreDegrees(fixtureEdges, 3, 5)
+      .selectExpr("n AS node_id", "deg")
+      .orderBy(org.apache.spark.sql.functions.col("deg").desc,
+        org.apache.spark.sql.functions.col("node_id"))
+      .limit(20).collect().toSeq
+    assert(at4 == at5, "k-core did not converge within the unrolled rounds")
+  }
+
   test("g02 on the fixture: deterministic and every count positive") {
     val a = Graph.triangles.build(spark, sf).collect()
     val b = Graph.triangles.build(spark, sf).collect()

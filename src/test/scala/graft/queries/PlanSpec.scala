@@ -135,6 +135,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q43: all five snowflake dims broadcast; one agg exchange; no cartesian") {
+    val p = plan(Relational.q43.build(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // region, nation, supplier, customer all build broadcast sides —
+    // the only SortMergeJoin/shuffle permitted is orders⋈lineitem
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+    assert(!p.contains("SinglePartition") || p.contains("TakeOrdered"), p)
+  }
+
+  test("e06: candidate summary broadcasts; confirm pass is a partial agg") {
+    val p = plan(Extensions.heavyHitters.build(spark, sf))
+    // the 1-row (candidates, n_total) summary joins in via broadcast —
+    // the corpus-side tokens are filtered map-side, never cross-shuffled
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
+  test("g03: the peel loop's plan depth stays bounded (checkpointed rounds)") {
+    // after 4 checkpointed rounds the plan must hang off scanned
+    // checkpoint RDDs, not re-derive lineitem — same discipline as d07
+    val df = graft.ext.Graph.kcore.build(spark, sf)
+    val p = plan(df)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
+  }
+
   test("q35: row-level joins are broadcast equi joins; no cartesian on rows") {
     val p = plan(Relational.q35.build(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
