@@ -1190,9 +1190,86 @@ object Relational {
       Some(text))
   }
 
+  /** Q44 — the distribution-rank battery (percent_rank, cume_dist,
+    * partitioned ntile, nth_value): the remaining ANSI window functions
+    * q13/q14 don't cover. All windows PARTITION BY the bounded priority
+    * key — per-partition sorts, never the q21 single-partition
+    * anti-pattern — and order by a UNIQUE (totalprice, orderkey) pair,
+    * which makes percent_rank/cume_dist exact integer ratios (one IEEE
+    * division, engine-identical) and pins ntile/nth_value bucket edges
+    * deterministically. */
+  val q44 = QueryDef(
+    "q44_window_distribution",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      ord(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(
+          col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(4).over(w).as("quartile"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey,
+              round(o_totalprice, 2) AS price,
+              percent_rank() OVER w AS pct_rank,
+              cume_dist() OVER w AS cume,
+              CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+              nth_value(o_orderkey, 2) OVER w AS second_key
+            FROM orders
+            WHERE o_orderstatus = 'F'
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderpriority, o_orderkey"""))
+
+  /** Q45 — NOT IN under ANSI three-valued logic (the classic silent-
+    * wrong-answer trap, and Spark's null-aware anti join): the same
+    * NOT IN predicate evaluated against a null-free subquery (normal
+    * anti-join count) and a null-TAINTED one (one NULL makes `x NOT IN
+    * (…)` never true → count 0), plus the NOT EXISTS form that ignores
+    * the null and keeps the anti semantics. Both engines implement the
+    * same ANSI rule; Spark plans the tainted form as a null-aware anti
+    * join (single-column NAAJ broadcast). Three bounded scalar counts
+    * cross-joined into one row — each side is one aggregate over an
+    * anti/semi join, no unbounded output. */
+  val q45 = {
+    val text = """WITH urgent AS (
+                    SELECT o_orderkey, o_orderstatus FROM orders
+                    WHERE o_orderpriority = '1-URGENT'),
+                  tainted AS (
+                    SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                           ELSE o_orderkey END AS k
+                    FROM urgent),
+                  a AS (SELECT count(*) AS n_not_in_clean FROM lineitem
+                        WHERE l_orderkey NOT IN
+                          (SELECT o_orderkey FROM urgent)),
+                  b AS (SELECT count(*) AS n_not_in_tainted FROM lineitem
+                        WHERE l_orderkey NOT IN (SELECT k FROM tainted)),
+                  c AS (SELECT count(*) AS n_not_exists FROM lineitem
+                        WHERE NOT EXISTS (SELECT 1 FROM tainted
+                                          WHERE k = l_orderkey))
+                  SELECT n_not_in_clean, n_not_in_tainted, n_not_exists
+                  FROM a, b, c"""
+    QueryDef(
+      "q45_not_in_null_semantics",
+      (s, d) => {
+        ord(s, d).createOrReplaceTempView("g45_orders")
+        li(s, d).createOrReplaceTempView("g45_lineitem")
+        s.sql(text
+          .replace(" orders\n", " g45_orders\n")
+          .replace(" lineitem\n", " g45_lineitem\n")
+          .replace(" lineitem ", " g45_lineitem "))
+      },
+      Some(text))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q12b, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43)
+    q41, q42, q43, q44, q45)
 }

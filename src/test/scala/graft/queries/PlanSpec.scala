@@ -161,6 +161,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Scan parquet"), p)
   }
 
+  test("q44: distribution windows partition by the bounded key — no global window") {
+    val p = plan(Relational.q44.build(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q45: tainted NOT IN plans as a single-column null-aware anti join") {
+    val df = Relational.q45.build(spark, sf)
+    // the flag doesn't print in formatted explain — inspect the node
+    val naaj = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.isNullAwareAntiJoin => j
+    }
+    assert(naaj.nonEmpty, df.queryExecution.sparkPlan.toString)
+    assert(!plan(df).contains("CartesianProduct"))
+  }
+
   test("q35: row-level joins are broadcast equi joins; no cartesian on rows") {
     val p = plan(Relational.q35.build(spark, sf))
     assert(!p.contains("CartesianProduct"), p)

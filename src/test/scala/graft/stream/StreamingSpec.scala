@@ -366,4 +366,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows((1L, "2024-01-01 10:30:00")) == 1L)
     assert(rows((2L, "2024-01-01 10:00:00")) == 1L)
   }
+
+  test("RocksDB state store: same windowed result as the default provider") {
+    // at 100 TB/day the aggregation state outgrows executor heaps — the
+    // RocksDB provider spills state to local disk with changelog
+    // checkpointing. The library code must be provider-agnostic: the
+    // same tumblingStream run under RocksDB must produce byte-identical
+    // windows to the default HDFSBackedStateStoreProvider run above.
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Timestamp, String, Double)]
+      val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+      val q = Events.tumblingStream(events, "10 minutes")
+        .writeStream.format("memory").queryName("rocksdb_out")
+        .outputMode("append").start()
+      in.addData((1L, tsH(10, 5), "click", 1.0), (2L, tsH(10, 40), "click", 2.0),
+        (3L, tsH(11, 5), "click", 4.0))
+      q.processAllAvailable()
+      in.addData((4L, tsH(12, 30), "click", 8.0))
+      q.processAllAvailable()
+      in.addData((5L, tsH(10, 50), "click", 100.0)) // late — must drop
+      in.addData((6L, tsH(13, 30), "click", 16.0))
+      q.processAllAvailable()
+      // the provider must actually be RocksDB, not a silent fallback:
+      // its custom state metrics are rocksdb-prefixed
+      val metrics = q.lastProgress.stateOperators
+        .flatMap(_.customMetrics.keySet.toArray.map(_.toString))
+      q.stop()
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"state metrics carry no rocksdb marker: ${metrics.mkString(",")}")
+      val rows = spark.table("rocksdb_out")
+        .select("w_start", "n", "sum_value").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(rows("2024-01-01 10:00:00") == ((2L, 3.0)),
+        s"late event must not appear: $rows")
+      assert(rows("2024-01-01 11:00:00") == ((1L, 4.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
