@@ -869,10 +869,124 @@ object Curation {
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens
              FROM lab GROUP BY 1 ORDER BY 1"""))
 
+  /** x20 — INCREMENTAL fuzzy dedup: x06's stored-index pattern upgraded
+    * from exact fingerprints to MinHash LSH. Production shape: the
+    * corpus keeps a persisted BAND INDEX table (band, band-value,
+    * doc_id — d10's md5 Carter-Wegman family, 8 sigs banded 2×4); each
+    * arriving batch is shingled/hashed ALONE, probes the index with one
+    * equi-join, and only the candidates get the exact-Jaccard confirm.
+    * History is never re-paired against itself — the n² of the corpus
+    * happens zero times, and per batch the cost is batch-size × index
+    * lookup. Here both sides derive from the fixture in-query (batch =
+    * first md5 hex digit of doc_id < '2', ~1/8), exactly how x06 stages
+    * its corpus index; the oracle mirrors the full chain, so the
+    * band-key arithmetic, the index join, and the confirm are all
+    * hash-checked. No mega-bucket cap: identical docs share every band,
+    * so exact dups surface through the band join itself (the cap +
+    * recovery trade is d10's; an operational index would cap and keep a
+    * dup-cluster sidecar the same way). */
+  val incrementalFuzzy: QueryDef = {
+    val K = 8; val bandRows = 4; val theta = 0.5
+    QueryDef(
+      "x20_incremental_fuzzy",
+      (s, d) => {
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val shingled = Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) < '2'")
+              .as("is_new"),
+            expr(s"array_distinct(${Dedup.shingleExpr("text")})").as("sh"))
+          .persist(lvl)
+        val sigCols = (0 until K).map(k =>
+          min(expr(s"ha + $k * hb")).as(s"sig_$k"))
+        val sigs = shingled
+          .select(col("doc_id"), col("is_new"), explode(col("sh")).as("s2"))
+          .select(col("doc_id"), col("is_new"),
+            expr(Dedup.sparkMd5Int60("s2")).as("ha"),
+            expr("CAST(conv(substring(md5(s2), 17, 14), 16, 10) AS BIGINT)")
+              .as("hb"))
+          .groupBy("doc_id", "is_new")
+          .agg(sigCols.head, sigCols.tail: _*)
+        val bandCols = (0 until K / bandRows).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(",",
+              (0 until bandRows).map(r => col(s"sig_${b * bandRows + r}")): _*)
+              .as("bv")).as(s"b$b")
+        }
+        val bands = sigs
+          .select(col("doc_id"), col("is_new"),
+            explode(array(bandCols: _*)).as("bb"))
+          .select(col("doc_id"), col("is_new"),
+            col("bb.band").as("band"), col("bb.bv").as("bv"))
+        val index = bands.filter(!col("is_new"))
+          .select(col("doc_id").as("old_id"), col("band"), col("bv"))
+        val batch = bands.filter(col("is_new"))
+          .select(col("doc_id").as("new_id"), col("band"), col("bv"))
+        val cand = batch.join(index, Seq("band", "bv"))
+          .select("new_id", "old_id").distinct()
+        val sa = shingled.select(col("doc_id").as("new_id"), col("sh").as("a_sh"))
+        val sb = shingled.select(col("doc_id").as("old_id"), col("sh").as("b_sh"))
+        val out = cand.join(sa, "new_id").join(sb, "old_id")
+          .withColumn("n_inter", expr("size(array_intersect(a_sh, b_sh))"))
+          .withColumn("jaccard", expr(
+            "CAST(n_inter AS DOUBLE) / (size(a_sh) + size(b_sh) - n_inter)"))
+          .filter(col("jaccard") >= theta)
+          .select("new_id", "old_id", "jaccard")
+          .orderBy("new_id", "old_id")
+          .localCheckpoint()
+        shingled.unpersist()
+        out
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_new,
+                   string_split(text, ' ') AS t
+                 FROM documents),
+               sh AS (
+                 SELECT DISTINCT doc_id, is_new,
+                   array_to_string(t[i + 1:i + 3], ' ') AS sh
+                 FROM toks, unnest(range(0, greatest(len(t) - 2, 1))) AS u(i)),
+               hx AS (
+                 SELECT doc_id, is_new, sh,
+                   ${Dedup.duckMd5Int60("sh")} AS ha,
+                   ${Dedup.duckMd5IntSlice("sh", 17, 14)} AS hb
+                 FROM sh),
+               sigs AS (
+                 SELECT doc_id, is_new, k, min(ha + k * hb) AS sig
+                 FROM hx, unnest(range(0, $K)) AS tk(k)
+                 GROUP BY 1, 2, 3),
+               bands AS (
+                 SELECT doc_id, is_new, k // $bandRows AS band,
+                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY k) AS bv
+                 FROM sigs GROUP BY 1, 2, 3),
+               cand AS (
+                 SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+                 FROM bands n JOIN bands o
+                   ON n.band = o.band AND n.bv = o.bv
+                 WHERE n.is_new AND NOT o.is_new),
+               sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+               inter AS (
+                 SELECT c.new_id, c.old_id, count(*) AS n_inter
+                 FROM cand c
+                 JOIN sh a ON a.doc_id = c.new_id
+                 JOIN sh b ON b.doc_id = c.old_id AND b.sh = a.sh
+                 GROUP BY 1, 2)
+               SELECT new_id, old_id,
+                 CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+                   AS jaccard
+               FROM inter
+               JOIN sizes sa ON sa.doc_id = new_id
+               JOIN sizes sb ON sb.doc_id = old_id
+               WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+                 >= $theta
+               ORDER BY new_id, old_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
       boilerplateRemoval, decontaminate, packSequences, fuzzyDedupPipeline,
       upsertMerge, mixtureWeights, quantileOutlierFilter, saltedJoinQ,
-      budgetRebalance, decontaminateBloom, leakageSafeSplit)
+      budgetRebalance, decontaminateBloom, leakageSafeSplit,
+      incrementalFuzzy)
 }

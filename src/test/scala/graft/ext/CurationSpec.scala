@@ -358,6 +358,35 @@ class CurationSpec extends AnyFunSuite {
     assert(clustered == labels.size)
   }
 
+  test("x20 incremental fuzzy == mixed pairs of the full uncapped LSH") {
+    def isNew(id: Long): Boolean = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 1)
+      hx == "0" || hx == "1"
+    }
+    val out = Curation.incrementalFuzzy.build(spark, sf).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("old_id"))).toSet
+    assert(out.nonEmpty, "fixture has no cross-split near-dups — vacuous")
+    // every reported pair is batch-vs-index, never batch-internal
+    out.foreach { case (n, o) =>
+      assert(isNew(n) && !isNew(o), s"pair ($n, $o) violates the split")
+    }
+    // equivalence: the full-corpus LSH (cap disabled) restricted to
+    // mixed pairs finds exactly the same set
+    val full = Dedup.minhashMd5Pairs(
+        spark.read.parquet(s"$sf/documents.parquet"),
+        numHashes = 8, bandRows = 4, theta = 0.5,
+        maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .flatMap { case (a, b) =>
+        if (isNew(a) && !isNew(b)) Some((a, b))
+        else if (isNew(b) && !isNew(a)) Some((b, a))
+        else None
+      }.toSet
+    assert(out == full, s"x20=$out vs full-mixed=$full")
+  }
+
   test("x04 shard assignment covers every doc exactly once") {
     val out = Curation.shardHash.build(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_docs")).sum
