@@ -207,6 +207,39 @@ class FlightPipelineSpec extends AnyFunSuite {
     feats.unpersist()
   }
 
+  test("fitted pipeline round-trips through save/load with identical output") {
+    // operational completeness: a 100 TB pipeline fits once and ships
+    // the fitted model to 1000 executors/other jobs via persistence —
+    // the reference refits in-process and cannot. Save → load → same
+    // transform, bit for bit.
+    import org.apache.spark.ml.{Pipeline, PipelineModel}
+    import org.apache.spark.ml.feature.{StringIndexer, OneHotEncoder, VectorAssembler}
+    val base = FlightPipeline.dropCorrelated(FlightPipeline.engineer(
+      FlightPipeline.clean(syntheticFlights(200), planes)))
+    val stages = Seq(
+      new StringIndexer().setInputCols(Array("Origin"))
+        .setOutputCols(Array("carIdx")).setHandleInvalid("keep"),
+      new OneHotEncoder().setInputCols(Array("carIdx"))
+        .setOutputCols(Array("carVec")),
+      new VectorAssembler().setInputCols(Array("carVec", "Distance"))
+        .setOutputCol("features"))
+    val model = new Pipeline().setStages(stages.toArray)
+      .fit(base.withColumn("Distance",
+        org.apache.spark.sql.functions.col("Distance").cast("double")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ml").toString
+    try {
+      model.write.overwrite().save(dir)
+      val loaded = PipelineModel.load(dir)
+      val in = base.withColumn("Distance",
+        org.apache.spark.sql.functions.col("Distance").cast("double"))
+      val a = model.transform(in).select("features").collect().map(_.toString)
+      val b = loaded.transform(in).select("features").collect().map(_.toString)
+      assert(a.toSeq == b.toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("full run: 6 model×selector rows, finite metrics, linear signal learned") {
     val out = FlightPipeline.run(syntheticFlights(400), planes, folds = 2)
       .collect()

@@ -178,6 +178,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan(df).contains("CartesianProduct"))
   }
 
+  test("join-strategy hints are honored (BROADCAST, MERGE, SHUFFLE_HASH)") {
+    // the manual override lever for when the optimizer's stats are
+    // wrong at 100 TB — each hint must actually flip the physical join
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    def joined(hint: String) =
+      plan(o.join(c.hint(hint), o("o_custkey") === c("c_custkey")))
+    assert(joined("broadcast").contains("BroadcastHashJoin"))
+    assert(joined("merge").contains("SortMergeJoin"))
+    assert(joined("shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
   test("q35: row-level joins are broadcast equi joins; no cartesian on rows") {
     val p = plan(Relational.q35.build(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
