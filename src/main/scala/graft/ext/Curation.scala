@@ -982,11 +982,49 @@ object Curation {
                ORDER BY new_id, old_id"""))
   }
 
+  /** x21 — JSONL export → import round trip, content-verified: the
+    * interchange format every corpus pipeline speaks. The corpus is
+    * written as `to_json(struct(*))` text lines and read back with the
+    * EXPLICIT original schema (schema inference over 100 TB is a full
+    * extra scan — never pay it), then per-source counts, char totals,
+    * and an order-independent md5-based content fingerprint (bit_xor of
+    * a 60-bit hash over doc_id:text) are computed FROM THE READ-BACK
+    * ROWS while the oracle computes them from the original parquet —
+    * the comparison proves JSON escaping round-trips every document
+    * byte-exactly, not just that row counts survive. Scale shape: one
+    * narrow write + one narrow read, both parallel over line-split
+    * text; the agg is source-keyed. */
+  val jsonlRoundtrip: QueryDef = QueryDef(
+    "x21_jsonl_roundtrip",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_jsonl_" + d.replaceAll("[^0-9a-zA-Z]", "_")).getAbsolutePath
+      docs.selectExpr("to_json(struct(*)) AS line")
+        .write.mode("overwrite").text(out)
+      s.read.schema(docs.schema).json(out)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          expr("bit_xor(" +
+            Dedup.sparkMd5Int60(
+              "concat(CAST(doc_id AS STRING), ':', text)") + ")")
+            .as("content_fp"))
+        .orderBy("source")
+    },
+    Some(s"""SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor(${Dedup.duckMd5Int60(
+                 "concat(CAST(doc_id AS VARCHAR), ':', text)")}) AS content_fp
+             FROM documents GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
       boilerplateRemoval, decontaminate, packSequences, fuzzyDedupPipeline,
       upsertMerge, mixtureWeights, quantileOutlierFilter, saltedJoinQ,
       budgetRebalance, decontaminateBloom, leakageSafeSplit,
-      incrementalFuzzy)
+      incrementalFuzzy, jsonlRoundtrip)
 }

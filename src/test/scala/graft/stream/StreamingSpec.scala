@@ -217,6 +217,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("Trigger.AvailableNow drains the file source and self-terminates") {
+    // the batch-catchup trigger: process everything currently available
+    // across rate-limited micro-batches, then stop — how a 100 TB
+    // backfill shares code with the live stream without running forever
+    val dir = java.nio.file.Files.createTempDirectory("evavail").toString
+    val src = java.nio.file.Paths.get(s"${graft.TestSpark.sf0001}/events.parquet")
+    java.nio.file.Files.copy(src,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val q = Events.tumbling(Events.readEventsStream(spark, dir))
+      .writeStream.format("memory").queryName("avail_now_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+    val streamed = spark.table("avail_now_out")
+    val batch = Events.tumbling(
+      graft.core.Tables.events(spark, graft.TestSpark.sf0001))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("a fitted ML model scores a live stream identically to batch") {
+    // model-inference-on-stream: fit once (batch), transform the stream —
+    // LinearRegressionModel is pure column math, so it applies to a
+    // streaming frame unchanged and ships to executors like any literal
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.LinearRegression
+    val train = spark.range(0, 200).selectExpr(
+      "CAST(id AS DOUBLE) AS x", "CAST(3 * id + 7 AS DOUBLE) AS label")
+    val assembled = new VectorAssembler().setInputCols(Array("x"))
+      .setOutputCol("features")
+    val model = new LinearRegression().setMaxIter(10)
+      .fit(assembled.transform(train))
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Double]
+    val scored = model.transform(
+      assembled.transform(in.toDF().toDF("x")))
+      .select(col("x"), round(col("prediction"), 6).as("pred"))
+    val q = scored.writeStream.format("memory").queryName("scored_out")
+      .outputMode("append").start()
+    in.addData(1.0, 10.0, 100.0)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("scored_out").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val batch = model.transform(assembled.transform(
+        Seq(1.0, 10.0, 100.0).toDF("x")))
+      .select(col("x"), round(col("prediction"), 6).as("pred"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch)
+    // the model actually learned the line (sanity on the fixture)
+    assert(math.abs(streamed(10.0) - 37.0) < 1.0)
+  }
+
   test("built-in session_window works in true streaming mode with a watermark") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String, Double)]
