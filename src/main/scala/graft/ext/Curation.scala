@@ -1020,11 +1020,57 @@ object Curation {
                  "concat(CAST(doc_id AS VARCHAR), ':', text)")}) AS content_fp
              FROM documents GROUP BY 1 ORDER BY 1"""))
 
+  /** Morton/z-order key over two 16-bit-masked dimensions as pure
+    * div/mod arithmetic — `((x DIV 2^i) % 2) · 2^(2i)` summed over the
+    * 16 bit positions of each dimension. No shift operators (Spark and
+    * DuckDB disagree on them), no UDF: one flat codegen'd integer
+    * expression. `divOp` renders the engine's integer-division token
+    * (Spark `DIV`, DuckDB `//`). */
+  def zorderExpr(x: String, y: String, divOp: String): String = {
+    val terms = (0 until 16).flatMap { i =>
+      val p = 1L << i
+      Seq(
+        s"((($x) $divOp $p) % 2) * ${1L << (2 * i)}",
+        s"((($y) $divOp $p) % 2) * ${1L << (2 * i + 1)}")
+    }
+    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+  }
+
+  /** x22 — z-order layout key (Morton curve: Morton, "A computer
+    * oriented geodetic data base...", IBM 1966; the DataBricks/Iceberg
+    * Z-ORDER BY): the multi-dimensional clustering lever for data
+    * skipping. Sorting a 100 TB fact table by the interleaved key packs
+    * rows close in BOTH dimensions into the same files, so parquet
+    * min/max row-group stats prune 2-D range predicates that a 1-D sort
+    * can only prune on its leading column. Here the key is computed
+    * over (l_partkey, l_suppkey) masked to 16 bits (real tables z-order
+    * a bounded projection — masking is the documented convention), and
+    * the query reports the curve order; SinksSpec's partitioned/compact
+    * writers are where the sorted layout gets written. Bijectivity and
+    * the Morton bit pattern are spec-asserted on an 8×8 grid. */
+  val zorderKey: QueryDef = QueryDef(
+    "x22_zorder_key",
+    (s, d) => {
+      val z = zorderExpr("l_partkey % 65536", "l_suppkey % 65536", "DIV")
+      Tables.lineitem(s, d)
+        .selectExpr("l_partkey", "l_suppkey", s"$z AS zkey")
+        .distinct()
+        .orderBy("zkey", "l_partkey", "l_suppkey")
+        .limit(50)
+    },
+    Some {
+      val z = zorderExpr("l_partkey % 65536", "l_suppkey % 65536", "//")
+      s"""SELECT DISTINCT l_partkey, l_suppkey, $z AS zkey
+          FROM lineitem
+          ORDER BY zkey, l_partkey, l_suppkey
+          LIMIT 50"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
       boilerplateRemoval, decontaminate, packSequences, fuzzyDedupPipeline,
       upsertMerge, mixtureWeights, quantileOutlierFilter, saltedJoinQ,
       budgetRebalance, decontaminateBloom, leakageSafeSplit,
-      incrementalFuzzy, jsonlRoundtrip)
+      incrementalFuzzy, jsonlRoundtrip, zorderKey)
 }

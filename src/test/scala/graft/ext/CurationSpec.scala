@@ -388,6 +388,28 @@ class CurationSpec extends AnyFunSuite {
     assert(out == full, s"x20=$out vs full-mixed=$full")
   }
 
+  test("x22 z-order key is the Morton bijection on the 8x8 grid") {
+    import spark.implicits._
+    val grid = for { x <- 0 until 8; y <- 0 until 8 } yield (x, y)
+    val z = grid.toDF("x", "y")
+      .selectExpr("x", "y", s"${Curation.zorderExpr("x", "y", "DIV")} AS z")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // bijection onto [0, 63]
+    assert(z.values.toSet == (0L until 64L).toSet)
+    // the Morton bit pattern (x bits at even positions)
+    assert(z((0, 0)) == 0L && z((1, 0)) == 1L && z((0, 1)) == 2L)
+    assert(z((1, 1)) == 3L && z((2, 3)) == 14L && z((7, 7)) == 63L)
+    // the layout property: any aligned 4x4 quadrant is one CONTIGUOUS
+    // zkey range (16 consecutive values) — exactly why min/max row-group
+    // stats prune 2-D ranges under a z-sorted layout
+    for (qx <- Seq(0, 4); qy <- Seq(0, 4)) {
+      val vals = (for { x <- qx until qx + 4; y <- qy until qy + 4 }
+        yield z((x, y))).sorted
+      assert(vals == (vals.head to vals.head + 15),
+        s"quadrant ($qx,$qy) not contiguous: $vals")
+    }
+  }
+
   test("x04 shard assignment covers every doc exactly once") {
     val out = Curation.shardHash.build(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_docs")).sum

@@ -237,6 +237,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("watermark EVICTS dedup state — state rows stay bounded across batches") {
+    // the difference between "runs on the laptop" and "runs forever at
+    // 100 TB/day": without eviction, dedup state grows with the stream.
+    // Drive many micro-batches with an advancing watermark and assert
+    // the retained state row count stays bounded by the horizon, not
+    // the total events seen.
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = Events.dedupStream(events, "10 minutes")
+      .writeStream.format("memory").queryName("evict_out")
+      .outputMode("append").start()
+    val totals = (0 until 12).map { b =>
+      // each batch: 10 fresh ids, 40 minutes apart → watermark sweeps
+      // past old state every batch
+      val base = b * 10L
+      in.addData((0 until 10).map(i =>
+        (base + i, tsH(10 + b, i), "click", 1.0)): _*)
+      q.processAllAvailable()
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    }
+    q.stop()
+    assert(spark.table("evict_out").count() == 120) // all unique ids pass
+    // state never accumulates all 120 keys — eviction keeps it at the
+    // horizon (≤ 2 batches' worth with margin)
+    assert(totals.max <= 30, s"state grew: $totals")
+    assert(totals.last <= 30, s"final state unbounded: $totals")
+  }
+
+  test("restart from checkpoint RESUMES aggregation state across queries") {
+    // operational recovery: executor/driver loss at 100 TB is routine —
+    // a restarted query must pick up the offsets AND the window state
+    // from the checkpoint, not recount from zero
+    val srcDir = java.nio.file.Files.createTempDirectory("ckpt-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-loc").toString
+    def nanos(hour: Int, minute: Int): Long =
+      tsH(hour, minute).getTime * 1000000L
+    def writeBatch(name: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("event_id", "ts")
+        .selectExpr("event_id", "ts", "event_id AS user_id",
+          "'click' AS event_type", "1.0 AS value", "'{}' AS props")
+        .coalesce(1).write.mode("append").parquet(s"$srcDir/$name")
+    def run(): Map[String, Long] = {
+      val q = Events.tumbling(Events.readEventsStream(spark, s"$srcDir/*"))
+        .writeStream.format("memory").queryName("ckpt_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table("ckpt_out").collect()
+        .map(r => r.getAs[String]("w_start") -> r.getAs[Long]("n")).toMap
+    }
+    writeBatch("b1", Seq((1L, nanos(10, 5)), (2L, nanos(10, 40))))
+    val first = run()
+    assert(first("2024-01-01 10:00:00") == 2L, first.toString)
+    // "crash": the first query is stopped; new data lands; a NEW query
+    // starts from the SAME checkpoint
+    writeBatch("b2", Seq((3L, nanos(10, 50))))
+    val resumed = run()
+    assert(resumed("2024-01-01 10:00:00") == 3L,
+      s"state reset instead of resumed: $resumed")
+  }
+
   test("a fitted ML model scores a live stream identically to batch") {
     // model-inference-on-stream: fit once (batch), transform the stream —
     // LinearRegressionModel is pure column math, so it applies to a
