@@ -1066,11 +1066,43 @@ object Curation {
           LIMIT 50"""
     })
 
+  /** x23 — k-anonymity suppression (Sweeney, "k-anonymity: a model for
+    * protecting privacy", IJUFKS 2002): before an aggregate over
+    * quasi-identifiers is published or shared as training metadata,
+    * every group smaller than k must be suppressed — small groups
+    * re-identify individuals. Groups of (nation, segment) with ≥ k
+    * members publish as-is; the rest collapse into one '*' bucket that
+    * still accounts for their rows (totals conserve, identities don't
+    * leak). Two bounded aggregates — group counts, then the
+    * suppression re-group; the quasi-identifier domain is small by
+    * definition, so phase 2 never sees corpus-sized data. */
+  val kAnonymity: QueryDef = {
+    val k = 10
+    def sql(strTy: String) =
+      s"""WITH g AS (
+            SELECT c_nationkey, c_mktsegment, count(*) AS n
+            FROM customer GROUP BY 1, 2)
+          SELECT
+            CASE WHEN n >= $k THEN CAST(c_nationkey AS $strTy)
+                 ELSE '*' END AS nation,
+            CASE WHEN n >= $k THEN c_mktsegment ELSE '*' END AS segment,
+            CAST(sum(n) AS BIGINT) AS n_rows,
+            count(*) AS n_source_groups
+          FROM g GROUP BY 1, 2 ORDER BY 1, 2"""
+    QueryDef(
+      "x23_k_anonymity",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("g_x23_customer")
+        s.sql(sql("STRING").replace(" customer ", " g_x23_customer "))
+      },
+      Some(sql("VARCHAR")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
       boilerplateRemoval, decontaminate, packSequences, fuzzyDedupPipeline,
       upsertMerge, mixtureWeights, quantileOutlierFilter, saltedJoinQ,
       budgetRebalance, decontaminateBloom, leakageSafeSplit,
-      incrementalFuzzy, jsonlRoundtrip, zorderKey)
+      incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity)
 }

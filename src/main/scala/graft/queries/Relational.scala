@@ -1267,9 +1267,34 @@ object Relational {
       Some(text))
   }
 
+  /** Q46 — modern ANSI sugar through the SQL front-end: GROUP BY ALL /
+    * ORDER BY ALL (every non-aggregate select item groups; every output
+    * column orders) — one text, both engines, same resolution rules.
+    * The TPC-H Q1 pricing-summary shape with the engine's fixed-point
+    * revenue discipline. */
+  val q46 = {
+    val text = """SELECT l_returnflag, l_linestatus,
+                    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                      AS sum_qty_c,
+                    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                      * 10000) AS BIGINT)) AS BIGINT) AS revenue_4dp,
+                    count(*) AS n
+                  FROM lineitem
+                  WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+                  GROUP BY ALL
+                  ORDER BY ALL"""
+    QueryDef(
+      "q46_sql_group_by_all",
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("g46_lineitem")
+        s.sql(text.replace(" lineitem\n", " g46_lineitem\n"))
+      },
+      Some(text))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q12b, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45)
+    q41, q42, q43, q44, q45, q46)
 }

@@ -410,6 +410,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("x23 k-anonymity: no published group under k, totals conserved") {
+    val k = 10
+    // sf0.01: the sf0.001 customer table has no group reaching k, so
+    // the publish branch would be vacuous there
+    val sf01 = "/root/testdata/sf0.01"
+    val out = Curation.kAnonymity.build(spark, sf01).collect()
+    val cust = spark.read.parquet(s"$sf01/customer.parquet")
+    val published = out.filter(_.getAs[String]("nation") != "*")
+    val star = out.filter(_.getAs[String]("nation") == "*")
+    assert(published.nonEmpty && star.length == 1, "fixture must exercise both")
+    published.foreach(r =>
+      assert(r.getAs[Long]("n_rows") >= k, r.toString))
+    // the star bucket is made ONLY of under-k groups
+    val groups = cust.groupBy("c_nationkey", "c_mktsegment").count()
+      .collect().map(_.getLong(2))
+    val smallRows = groups.filter(_ < k).sum
+    val smallGroups = groups.count(_ < k)
+    assert(star.head.getAs[Long]("n_rows") == smallRows)
+    assert(star.head.getAs[Long]("n_source_groups") == smallGroups)
+    // conservation: suppression hides identity, not rows
+    assert(out.map(_.getAs[Long]("n_rows")).sum == cust.count())
+  }
+
   test("x04 shard assignment covers every doc exactly once") {
     val out = Curation.shardHash.build(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_docs")).sum
