@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1098,11 +1099,70 @@ object Curation {
       Some(sql("VARCHAR")))
   }
 
+  /** Core of x24 over an arbitrary documents frame: fixed-size
+    * token-window chunking with overlap — the RAG/context-window
+    * splitter (chunk size `window` tokens, stride `stride`, so
+    * consecutive chunks share `window - stride` tokens). Chunk starts
+    * are 0, stride, 2·stride, …; the last start is ceil((n-window)/
+    * stride) clamped to ≥ 0, which covers every token (the final chunk
+    * may be shorter). One `split` per row projected BEFORE the
+    * transform (the CollapseProject re-tokenization trap, see d12) and
+    * one `explode` — a narrow, shuffle-free map at any scale.
+    *
+    * The ceil-div is (n - window + stride - 1) DIV stride with a
+    * greatest(…, 0) clamp OUTSIDE the DIV: for short docs the dividend
+    * goes negative, where Spark's DIV truncates toward zero but
+    * DuckDB's // floors — the clamp lands both on 0 before anything
+    * downstream can see the difference. */
+  def chunkByTokens(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && stride <= window, "0 < stride <= window")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), expr(
+        s"""explode(transform(
+              sequence(0, greatest((size(t) - $window + $stride - 1) DIV $stride, 0)),
+              i -> struct(
+                i AS chunk_idx,
+                i * $stride AS start_tok,
+                slice(t, i * $stride + 1, $window) AS ct)))""").as("c"))
+      .select(col("doc_id"),
+        col("c.chunk_idx").cast("long").as("chunk_idx"),
+        col("c.start_tok").cast("long").as("start_tok"),
+        size(col("c.ct")).cast("long").as("n_tok"),
+        concat_ws(" ", col("c.ct")).as("chunk_text"))
+  }
+
+  /** x24 — overlapping token-window chunking (the document splitter in
+    * front of every RAG / embedding / context-packing pipeline; x11
+    * packs whole docs into sequences, this splits docs into bounded
+    * chunks). 32-token chunks, stride 24 (8-token overlap), byte-exact
+    * chunk text carried through with token offsets. Oracle-exact: the
+    * DuckDB mirror slices the same token lists. */
+  val chunkOverlap: QueryDef = {
+    val W = 32; val S = 24
+    QueryDef(
+      "x24_chunk_overlap",
+      (s, d) => chunkByTokens(Tables.documents(s, d), W, S)
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               c AS (
+                 SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(i * $S AS BIGINT) AS start_tok,
+                   t[i * $S + 1 : i * $S + $W] AS ct
+                 FROM toks, unnest(range(0,
+                   greatest((len(t) - $W + $S - 1) // $S, 0) + 1)) AS u(i))
+               SELECT doc_id, chunk_idx, start_tok,
+                 CAST(len(ct) AS BIGINT) AS n_tok,
+                 array_to_string(ct, ' ') AS chunk_text
+               FROM c ORDER BY doc_id, chunk_idx"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
       boilerplateRemoval, decontaminate, packSequences, fuzzyDedupPipeline,
       upsertMerge, mixtureWeights, quantileOutlierFilter, saltedJoinQ,
       budgetRebalance, decontaminateBloom, leakageSafeSplit,
-      incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity)
+      incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity, chunkOverlap)
 }

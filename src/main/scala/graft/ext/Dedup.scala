@@ -866,8 +866,122 @@ object Dedup {
                ORDER BY fp"""))
   }
 
+  /** Core of d13 over an arbitrary unit-normalized embedding frame
+    * (`id`, `u`): SemDeDup-style semantic dedup (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023). Coarse clustering first, pairwise cosine
+    * only WITHIN a cluster, connected components over the above-theta
+    * pairs, keep the minimum id per component.
+    *
+    * The coarse quantizer is the first `kCentroids` corpus vectors by
+    * id — pinned DATA, not engine-seeded model state, which is what
+    * makes the whole chain oracle-expressible where a KMeans quantizer
+    * (s03) cannot be: both engines assign each vector to its
+    * max-dot centroid with the same sequential double fold and the
+    * same (dot DESC, centroid id ASC) tiebreak.
+    *
+    * Scale shape: the centroid set is bounded and broadcast — the
+    * assignment pass is a narrow map over the corpus (no shuffle);
+    * the pair stage is an equi shuffle on cluster id touching only
+    * same-cluster candidates (~n²/k per cluster, the SemDeDup
+    * contract), never the full n²; components via the checkpointed
+    * large-star/small-star contraction (see [[connectedComponents]]). */
+  def semanticDedupLabels(
+      uVecs: DataFrame,
+      kCentroids: Int,
+      theta: Double): DataFrame = {
+    val cents = uVecs.filter(col("id") < kCentroids)
+      .select(col("id").as("c_id"), col("u").as("c_u"))
+    val byDot = Window.partitionBy(col("id"))
+      .orderBy(col("c_dot").desc, col("c_id"))
+    val assigned = uVecs.crossJoin(broadcast(cents))
+      .withColumn("c_dot", expr("array_dot(u, c_u)"))
+      .withColumn("crn", row_number().over(byDot))
+      .filter(col("crn") === 1)
+      .select(col("id"), col("c_id").as("cluster"), col("u"))
+      // assignment feeds both sides of the pair join AND the final
+      // labeling projection — without this the centroid cross-product
+      // would run three times
+      .localCheckpoint()
+    val a = assigned
+      .select(col("id").as("a_id"), col("cluster"), col("u").as("a_u"))
+    val b = assigned
+      .select(col("id").as("b_id"), col("cluster"), col("u").as("b_u"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(expr("array_dot(a_u, b_u)") >= theta)
+      .select("a_id", "b_id")
+    val labels = connectedComponents(pairs)
+    assigned.join(labels, assigned("id") === labels("id"), "left_outer")
+      .select(assigned("id"), col("cluster"),
+        coalesce(col("component"), assigned("id")).as("component"))
+      .withColumn("kept", (col("component") === col("id")).cast("int"))
+  }
+
+  /** d13 — semantic dedup over the embeddings table: every vector
+    * labeled with its coarse cluster, its semantic-dup component, and
+    * whether it survives (kept = it is its component's minimum id).
+    * Oracle-exact end to end: pinned-data centroids, mirrored dot-fold
+    * assignment, and a recursive-CTE transitive closure for the
+    * component labels (d07's idiom) — the driver hash-checks the full
+    * cluster→pairs→components→survivor pipeline. */
+  val semanticDedup: QueryDef = {
+    val kCentroids = 16; val theta = 0.42
+    QueryDef(
+      "d13_semantic_dedup",
+      (s, d) => {
+        graft.expr.ArrayDot.register(s)
+        semanticDedupLabels(
+          normalized(s, d, "id", "u"), kCentroids, theta)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE $normalizedSql,
+               cents AS (
+                 SELECT vec_id AS c_id, u AS c_u FROM u
+                 WHERE vec_id < $kCentroids),
+               ad AS (
+                 SELECT u.vec_id, c.c_id,
+                   list_reduce(list_prepend(0.0,
+                     list_transform(range(1, len(u.u) + 1),
+                       i -> u.u[i] * c.c_u[i])),
+                     (x, y) -> x + y) AS c_dot
+                 FROM u, cents c),
+               asg AS (
+                 SELECT vec_id, c_id AS cluster FROM (
+                   SELECT vec_id, c_id,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY c_dot DESC, c_id) AS crn
+                   FROM ad)
+                 WHERE crn = 1),
+               p AS (
+                 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   $pairDotSql AS cs
+                 FROM u a JOIN u b ON a.vec_id < b.vec_id
+                 JOIN asg sa ON sa.vec_id = a.vec_id
+                 JOIN asg sb ON sb.vec_id = b.vec_id
+                   AND sb.cluster = sa.cluster),
+               pairs AS (SELECT a_id, b_id FROM p WHERE cs >= $theta),
+               edges AS (
+                 SELECT a_id AS src, b_id AS dst FROM pairs
+                 UNION
+                 SELECT b_id AS src, a_id AS dst FROM pairs),
+               reach(id, r) AS (
+                 SELECT src, src FROM edges
+                 UNION
+                 SELECT e.src, reach.r FROM edges e
+                 JOIN reach ON reach.id = e.dst),
+               labels AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+               SELECT asg.vec_id, asg.cluster,
+                 coalesce(l.component, asg.vec_id) AS component,
+                 CAST(coalesce(l.component, asg.vec_id) = asg.vec_id
+                      AS INTEGER) AS kept
+               FROM asg LEFT JOIN labels l ON l.id = asg.vec_id
+               ORDER BY vec_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(exact, exactByFingerprint, minhash, minhashNative, simhashPairs,
       ngramJaccard, embeddingCosine, components, simhashBanded, minhashMd5,
-      simhashMd5Banded, substringSpans)
+      simhashMd5Banded, substringSpans, semanticDedup)
 }

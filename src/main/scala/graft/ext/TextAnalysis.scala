@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -562,8 +563,77 @@ object TextAnalysis {
       Some(agg(x => s"nfc_normalize($x)", dirty("CAST(doc_id AS VARCHAR)"))))
   }
 
+  /** The pinned t14 domain lexicons over the fixture vocabulary
+    * (disjoint on purpose: a token votes for at most one domain). */
+  val domainLexicons: Seq[(String, Seq[String])] = Seq(
+    "compute" -> Seq("scan", "filter", "join", "agg", "group", "sort",
+      "merge", "hash", "query"),
+    "storage" -> Seq("table", "row", "column", "value", "key", "part"),
+    "streaming" -> Seq("stream", "batch", "window", "spark"),
+    "sizing" -> Seq("small", "big", "fast", "slow"))
+
+  /** Core of t14 over an arbitrary documents frame: score each doc
+    * against every lexicon (tokens with repetition hitting the set),
+    * label with the argmax domain — deterministic (score DESC, domain
+    * ASC) tiebreak, 'other' when nothing matches. The argmax never
+    * leaves the row (a lexicon-count array sorted in place, not a
+    * join/window), so classification is one narrow shuffle-free map. */
+  def classifyDomains(docs: DataFrame): DataFrame = {
+    val sparkScored = domainLexicons.map { case (name, kws) =>
+      val arr = kws.map(k => s"'$k'").mkString("array(", ", ", ")")
+      s"""struct(
+            CAST(size(filter(t, w -> array_contains($arr, w))) AS BIGINT)
+              AS score,
+            '$name' AS domain)"""
+    }.mkString("array(", ", ", ")")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), expr(
+        s"""array_sort($sparkScored,
+              (a, b) -> CASE WHEN a.score > b.score THEN -1
+                             WHEN a.score < b.score THEN 1
+                             WHEN a.domain < b.domain THEN -1
+                             WHEN a.domain > b.domain THEN 1
+                             ELSE 0 END)[0]""").as("best"))
+      .select(col("doc_id"),
+        when(col("best.score") > 0, col("best.domain"))
+          .otherwise(lit("other")).as("domain"),
+        col("best.score").as("score"))
+  }
+
+  /** t14 — keyword-lexicon domain/topic classification (the
+    * routing/mixing signal in front of per-domain corpus budgets, as
+    * t01 is for language; see [[classifyDomains]]). The lexicons are
+    * pinned literals rendered into both engines — oracle-exact. */
+  val domainClassify: QueryDef = {
+    val duckValues = domainLexicons.map { case (name, kws) =>
+      val arr = kws.map(k => s"'$k'").mkString("[", ", ", "]")
+      s"('$name', $arr)"
+    }.mkString(", ")
+    QueryDef(
+      "t14_domain_classify",
+      (s, d) => classifyDomains(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               dom(domain, kws) AS (VALUES $duckValues),
+               sc AS (
+                 SELECT doc_id, domain,
+                   CAST(len(list_filter(t, w -> list_contains(kws, w)))
+                        AS BIGINT) AS score
+                 FROM toks, dom),
+               r AS (
+                 SELECT doc_id, domain, score,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, domain) AS rn
+                 FROM sc)
+               SELECT doc_id,
+                 CASE WHEN score > 0 THEN domain ELSE 'other' END AS domain,
+                 score
+               FROM r WHERE rn = 1 ORDER BY doc_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
-      nfcCanonicalize)
+      nfcCanonicalize, domainClassify)
 }

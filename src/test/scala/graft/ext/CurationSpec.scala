@@ -7,6 +7,7 @@ import graft.TestSpark
 
 class CurationSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+  import spark.implicits._
   val sf = TestSpark.sf0001
 
   test("x01 hash sample is entity-closed and near the 13/256 rate") {
@@ -439,5 +440,39 @@ class CurationSpec extends AnyFunSuite {
     assert(total == spark.read.parquet(s"$sf/documents.parquet").count())
     assert(out.map(_.getAs[String]("shard")).distinct.length == out.length)
     assert(out.forall(r => "0123456789abcdef".contains(r.getAs[String]("shard"))))
+  }
+
+  test("x24 chunking: offsets, overlap, and exact reconstruction of the original") {
+    val words = (1 to 80).map(i => s"w$i")
+    val docs = Seq(
+      (0L, words.mkString(" ")), // 80 tokens: chunks at 0/24/48, all full
+      (1L, words.take(33).mkString(" ")), // 33: chunks at 0 (32) and 24 (9)
+      (2L, "a b c")) // shorter than one window: a single short chunk
+      .toDF("doc_id", "text")
+    val out = Curation.chunkByTokens(docs, window = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .groupBy(_.getAs[Long]("doc_id")).view
+      .mapValues(_.map(r => (r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_tok"),
+        r.getAs[String]("chunk_text"))).toSeq).toMap
+
+    assert(out(0L).map(c => (c._1, c._2, c._3)) ==
+      Seq((0L, 0L, 32L), (1L, 24L, 32L), (2L, 48L, 32L)))
+    assert(out(1L).map(c => (c._1, c._2, c._3)) ==
+      Seq((0L, 0L, 32L), (1L, 24L, 9L)))
+    assert(out(2L) == Seq((0L, 0L, 3L, "a b c")))
+
+    // consecutive chunks overlap by exactly window - stride = 8 tokens
+    val c0 = out(0L).map(_._4.split(" ").toSeq)
+    assert(c0(0).takeRight(8) == c0(1).take(8))
+    assert(c0(1).takeRight(8) == c0(2).take(8))
+    // dropping each chunk's overlap prefix (after the first) rebuilds
+    // the document byte-exactly — nothing lost, nothing duplicated
+    for ((id, text) <- Seq(0L -> words.mkString(" "),
+        1L -> words.take(33).mkString(" "), 2L -> "a b c")) {
+      val chunks = out(id).map(_._4.split(" ").toSeq)
+      val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(8))
+      assert(rebuilt.mkString(" ") == text, s"doc $id")
+    }
   }
 }

@@ -271,4 +271,44 @@ class DedupSpec extends AnyFunSuite {
     assert(cos((0L, 1L)) > 0.99)
     assert(cos((0L, 2L)) < 0.1)
   }
+
+  test("d13 semantic dedup: planted near-centroid vector removed, cluster assignment by max dot") {
+    graft.expr.ArrayDot.register(spark)
+    // 2 pinned centroids (ids 0, 1); id 2 nearly parallel to centroid 0
+    // (above theta -> removed into 0's component); ids 3/4 assign to
+    // their nearer centroid but stay below theta -> kept
+    val eps = 1e-3
+    val n2 = math.sqrt(1.0 + eps * eps)
+    val u = Seq(
+      (0L, Array(1.0, 0.0)),
+      (1L, Array(0.0, 1.0)),
+      (2L, Array(1.0 / n2, eps / n2)),
+      (3L, Array(0.8, 0.6)),
+      (4L, Array(0.6, 0.8))).toDF("id", "u")
+    val out = Dedup.semanticDedupLabels(u, kCentroids = 2, theta = 0.9)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Long]("component"),
+          r.getAs[Int]("kept"))))
+      .toMap
+    assert(out(0L) == ((0L, 0L, 1))) // centroid, survives
+    assert(out(2L) == ((0L, 0L, 0))) // semantic dup of 0 -> removed
+    assert(out(3L) == ((0L, 3L, 1))) // cluster 0 (dot .8 > .6), kept
+    assert(out(4L) == ((1L, 4L, 1))) // cluster 1, kept
+    assert(out(1L) == ((1L, 1L, 1)))
+  }
+
+  test("d13 components never straddle coarse clusters and survivors are component minima") {
+    graft.expr.ArrayDot.register(spark)
+    val r = Dedup.semanticDedup.build(spark, TestSpark.sf0001).collect()
+    val byComponent = r.groupBy(_.getAs[Long]("component"))
+    byComponent.foreach { case (comp, rows) =>
+      // one coarse cluster per component (pairs only form within one)
+      assert(rows.map(_.getAs[Long]("cluster")).distinct.length == 1)
+      // exactly the min id is kept
+      assert(rows.filter(_.getAs[Int]("kept") == 1)
+        .map(_.getAs[Long]("vec_id")).toSeq == Seq(comp))
+      assert(rows.map(_.getAs[Long]("vec_id")).min == comp)
+    }
+  }
 }

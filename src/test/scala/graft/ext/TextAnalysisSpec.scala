@@ -151,4 +151,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.count(_ == "unknown") == 5)
     assert(out.contains("keepme"))
   }
+
+  test("t14 domain classify: argmax with repetition, alphabetical tiebreak, 'other' fallback") {
+    val docs = Seq(
+      (0L, "scan join filter novel"), // compute 3
+      (1L, "table table row scan"), // storage 3 beats compute 1
+      (2L, "novel words only here"), // no lexicon hit -> other, score 0
+      (3L, "scan table"), // 1-1 tie -> compute (alphabetical)
+      (4L, "stream stream stream scan scan")) // repetition: streaming 3 > compute 2
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.classifyDomains(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("domain"), r.getAs[Long]("score")))).toMap
+    assert(out(0L) == (("compute", 3L)))
+    assert(out(1L) == (("storage", 3L)))
+    assert(out(2L) == (("other", 0L)))
+    assert(out(3L) == (("compute", 1L)))
+    assert(out(4L) == (("streaming", 3L)))
+  }
+
+  test("t14 lexicons are disjoint (a token votes for at most one domain)") {
+    val all = TextAnalysis.domainLexicons.flatMap(_._2)
+    assert(all.distinct.length == all.length)
+  }
 }
