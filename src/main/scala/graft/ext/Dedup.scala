@@ -595,10 +595,13 @@ object Dedup {
     // corpus-sized.
     val sigs = shingled
       .select(col("doc_id"), explode(col("sh")).as("s"))
+      // ONE md5 evaluation per shingle, both integer halves sliced from
+      // it — don't lean on codegen subexpression elimination for the
+      // hottest expression in the query
+      .select(col("doc_id"), md5(col("s")).as("m"))
       .select(col("doc_id"),
-        expr(sparkMd5Int60("s")).as("ha"),
-        expr("CAST(conv(substring(md5(s), 17, 14), 16, 10) AS BIGINT)")
-          .as("hb"))
+        expr("CAST(conv(substring(m, 2, 15), 16, 10) AS BIGINT)").as("ha"),
+        expr("CAST(conv(substring(m, 17, 14), 16, 10) AS BIGINT)").as("hb"))
       .groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -42,7 +42,10 @@ object MlQueries {
     "ml01_lr_pipeline",
     (s, d) => {
       import s.implicits._
-      val df = orderFeatures(s, d)
+      // cache: each pipeline-stage fit (indexer, selector ANOVA) and the
+      // final transform is its own pass over this frame — uncached, the
+      // orders ⋈ customer join would re-run for every one of them
+      val df = orderFeatures(s, d).cache()
 
       val stages = Seq(
         indexerStage(),
@@ -82,7 +85,7 @@ object MlQueries {
         r2Eval.evaluate(pred),
         tr.count(), te.count()))
         .toDF("model", "rmse", "r2", "n_train", "n_test")
-      tr.unpersist(); te.unpersist()
+      tr.unpersist(); te.unpersist(); df.unpersist()
       out
     },
     None)
@@ -95,7 +98,9 @@ object MlQueries {
     (s, d) => {
       import org.apache.spark.ml.regression.{DecisionTreeRegressor, RandomForestRegressor}
       import s.implicits._
-      val df = orderFeatures(s, d)
+      // cache for the same reason as ml01: indexer fit + transform are
+      // separate passes over the join
+      val df = orderFeatures(s, d).cache()
       val stages = Seq(
         indexerStage(),
         new VectorAssembler()
@@ -116,7 +121,7 @@ object MlQueries {
         val pred = m.transform(te)
         (name, rmseEval.evaluate(pred), r2Eval.evaluate(pred))
       }.toDF("model", "rmse", "r2").orderBy("model")
-      tr.unpersist(); te.unpersist()
+      tr.unpersist(); te.unpersist(); df.unpersist()
       out
     },
     None)
