@@ -276,4 +276,37 @@ class PlanSpec extends AnyFunSuite {
     // top-5-per-probe rank window is map-side pruned too
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("d13: centroids broadcast to the assignment map; pair stage is an equi join on cluster") {
+    graft.expr.ArrayDot.register(spark)
+    val u = Dedup.normalized(spark, sf, "id", "u")
+    // assignment pass: bounded centroid set broadcast, corpus untouched
+    // by any shuffle until the (windowed) per-vector argmax
+    val cents = u.filter(org.apache.spark.sql.functions.col("id") < 16)
+    val pAssign = plan(u.crossJoin(
+      org.apache.spark.sql.functions.broadcast(cents
+        .select(org.apache.spark.sql.functions.col("id").as("c_id"),
+          org.apache.spark.sql.functions.col("u").as("c_u")))))
+    assert(pAssign.contains("BroadcastNestedLoopJoin"), pAssign)
+    // full registered pipeline: candidate pairs only ever join on the
+    // cluster key — no all-pairs nested loop anywhere
+    val p = plan(Dedup.semanticDedup.build(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p) // centroid cross only
+  }
+
+  test("x24: chunking is a narrow map — no join, no aggregate, one generator") {
+    val p = plan(graft.ext.Curation.chunkByTokens(
+      graft.core.Tables.documents(spark, sf), 32, 24))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("t14: classification is shuffle-free — argmax stays in the row") {
+    val p = plan(graft.ext.TextAnalysis.classifyDomains(
+      graft.core.Tables.documents(spark, sf)))
+    assert(!p.contains("Exchange") && !p.contains("Window") &&
+      !p.contains("Join"), p)
+  }
 }
