@@ -889,19 +889,28 @@ object Dedup {
     * same-cluster candidates (~n²/k per cluster, the SemDeDup
     * contract), never the full n²; components via the checkpointed
     * large-star/small-star contraction (see [[connectedComponents]]). */
-  def semanticDedupLabels(
-      uVecs: DataFrame,
-      kCentroids: Int,
-      theta: Double): DataFrame = {
+  /** Coarse-quantizer assignment shared by d13/d14: each (`id`, `u`)
+    * row labeled with its max-dot pinned centroid (the first
+    * `kCentroids` corpus vectors by id), (dot DESC, centroid id ASC)
+    * tiebreak. Centroids broadcast; the corpus never shuffles for the
+    * assignment itself (the per-id argmax window keys on id). */
+  def assignClusters(uVecs: DataFrame, kCentroids: Int): DataFrame = {
     val cents = uVecs.filter(col("id") < kCentroids)
       .select(col("id").as("c_id"), col("u").as("c_u"))
     val byDot = Window.partitionBy(col("id"))
       .orderBy(col("c_dot").desc, col("c_id"))
-    val assigned = uVecs.crossJoin(broadcast(cents))
+    uVecs.crossJoin(broadcast(cents))
       .withColumn("c_dot", expr("array_dot(u, c_u)"))
       .withColumn("crn", row_number().over(byDot))
       .filter(col("crn") === 1)
       .select(col("id"), col("c_id").as("cluster"), col("u"))
+  }
+
+  def semanticDedupLabels(
+      uVecs: DataFrame,
+      kCentroids: Int,
+      theta: Double): DataFrame = {
+    val assigned = assignClusters(uVecs, kCentroids)
       // assignment feeds both sides of the pair join AND the final
       // labeling projection — without this the centroid cross-product
       // would run three times
@@ -983,8 +992,91 @@ object Dedup {
                ORDER BY vec_id"""))
   }
 
+  /** Core of d14 over an arbitrary unit-normalized (`id`, `u`) frame:
+    * rows with id ≡ 4 (mod 5) are the arriving batch, the rest the
+    * static corpus index; every batch row comes back with its minimum-id
+    * above-theta same-cluster corpus match (or -1 / is_new = 1). */
+  def incrementalSemanticAdmission(
+      uVecs: DataFrame,
+      kCentroids: Int,
+      theta: Double): DataFrame = {
+    val asg = assignClusters(uVecs, kCentroids)
+      // feeds the probe side, the corpus side, and the final
+      // projection — one assignment job, three consumers
+      .localCheckpoint()
+    val batch = asg.filter(col("id") % 5 === 4)
+    val corpus = asg.filter(col("id") % 5 =!= 4)
+      .select(col("id").as("m_id"), col("cluster"), col("u").as("m_u"))
+    val matches = batch.join(corpus, Seq("cluster"))
+      .filter(expr("array_dot(u, m_u)") >= theta)
+      .groupBy(col("id")).agg(min(col("m_id")).as("matched_id"))
+    batch.join(matches, Seq("id"), "left_outer")
+      .select(col("id").as("vec_id"), col("cluster"),
+        coalesce(col("matched_id"), lit(-1L)).as("matched_id"),
+        col("matched_id").isNull.cast("int").as("is_new"))
+  }
+
+  /** d14 — INCREMENTAL semantic dedup (x20's admission-control
+    * discipline applied to d13's embedding space): a new batch of
+    * vectors (vec_id ≡ 4 mod 5, ~20% — the arrivals) probes a static
+    * corpus index (the other 80%) and each batch vector is either
+    * flagged as a semantic dup of its minimum-id corpus match or
+    * admitted as new. The corpus NEVER self-pairs — only the batch
+    * side generates candidates, so per-increment cost is
+    * |batch|·(cluster size), not |corpus|².
+    *
+    * Scale shape: the cluster assignment is d13's broadcast-centroid
+    * map; the probe is an equi shuffle on cluster id where the corpus
+    * side is the persisted index (in production: written once,
+    * bucket-partitioned by cluster — x06's fingerprint-index pattern)
+    * and only the small batch side is new work each increment.
+    * Oracle-exact end to end. */
+  val incrementalSemantic: QueryDef = {
+    val kCentroids = 16; val theta = 0.40
+    QueryDef(
+      "d14_incremental_semantic",
+      (s, d) => {
+        graft.expr.ArrayDot.register(s)
+        incrementalSemanticAdmission(
+          normalized(s, d, "id", "u"), kCentroids, theta)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $normalizedSql,
+               cents AS (
+                 SELECT vec_id AS c_id, u AS c_u FROM u
+                 WHERE vec_id < $kCentroids),
+               ad AS (
+                 SELECT u.vec_id, c.c_id,
+                   list_reduce(list_prepend(0.0,
+                     list_transform(range(1, len(u.u) + 1),
+                       i -> u.u[i] * c.c_u[i])),
+                     (x, y) -> x + y) AS c_dot
+                 FROM u, cents c),
+               asg AS (
+                 SELECT vec_id, c_id AS cluster FROM (
+                   SELECT vec_id, c_id,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY c_dot DESC, c_id) AS crn
+                   FROM ad)
+                 WHERE crn = 1),
+               m AS (
+                 SELECT a.vec_id AS bid, b.vec_id AS mid
+                 FROM u a JOIN asg sa ON sa.vec_id = a.vec_id
+                 JOIN u b ON b.vec_id % 5 != 4
+                 JOIN asg sb ON sb.vec_id = b.vec_id
+                   AND sb.cluster = sa.cluster
+                 WHERE a.vec_id % 5 = 4 AND $pairDotSql >= $theta),
+               mm AS (SELECT bid, min(mid) AS matched_id FROM m GROUP BY bid)
+               SELECT sa.vec_id, sa.cluster,
+                 coalesce(mm.matched_id, -1) AS matched_id,
+                 CAST(mm.matched_id IS NULL AS INTEGER) AS is_new
+               FROM asg sa LEFT JOIN mm ON mm.bid = sa.vec_id
+               WHERE sa.vec_id % 5 = 4
+               ORDER BY vec_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(exact, exactByFingerprint, minhash, minhashNative, simhashPairs,
       ngramJaccard, embeddingCosine, components, simhashBanded, minhashMd5,
-      simhashMd5Banded, substringSpans, semanticDedup)
+      simhashMd5Banded, substringSpans, semanticDedup, incrementalSemantic)
 }

@@ -298,6 +298,42 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == ((1L, 1L, 1)))
   }
 
+  test("d14 incremental admission: batch dup matched to min corpus id, novel batch row admitted") {
+    graft.expr.ArrayDot.register(spark)
+    val s2 = math.sqrt(2.0)
+    val u = Seq(
+      (0L, Array(1.0, 0.0)), // centroid/corpus
+      (1L, Array(0.0, 1.0)), // centroid/corpus
+      (2L, Array(0.8, 0.6)), // corpus, cluster 0
+      (3L, Array(0.6, 0.8)), // corpus, cluster 1
+      (4L, Array(0.9999, 0.0141)), // batch: near corpus 0 -> dup
+      (9L, Array(-1.0 / s2, 1.0 / s2))) // batch: matches nothing -> new
+      .toDF("id", "u")
+    val out = Dedup.incrementalSemanticAdmission(u, kCentroids = 2, theta = 0.9)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Long]("matched_id"),
+          r.getAs[Int]("is_new"))))
+      .toMap
+    assert(out.keySet == Set(4L, 9L)) // corpus rows are not re-emitted
+    assert(out(4L) == ((0L, 0L, 0))) // dup of corpus vector 0
+    assert(out(9L) == ((1L, -1L, 1))) // admitted as new
+  }
+
+  test("d14 on the fixture: every match is a d05-grade cosine pair with a corpus row") {
+    graft.expr.ArrayDot.register(spark)
+    val r = Dedup.incrementalSemantic.build(spark, TestSpark.sf0001).collect()
+    // every emitted row is a batch row; matched ids are corpus-side
+    assert(r.forall(_.getAs[Long]("vec_id") % 5 == 4))
+    r.filter(_.getAs[Int]("is_new") == 0).foreach { row =>
+      assert(row.getAs[Long]("matched_id") % 5 != 4)
+      assert(row.getAs[Long]("matched_id") >= 0)
+    }
+    // consistency: is_new == 1 iff matched_id == -1
+    assert(r.forall(row =>
+      (row.getAs[Int]("is_new") == 1) == (row.getAs[Long]("matched_id") == -1L)))
+  }
+
   test("d13 components never straddle coarse clusters and survivors are component minima") {
     graft.expr.ArrayDot.register(spark)
     val r = Dedup.semanticDedup.build(spark, TestSpark.sf0001).collect()

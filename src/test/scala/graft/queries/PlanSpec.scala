@@ -295,6 +295,13 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p) // centroid cross only
   }
 
+  test("d14: probe join is equi-keyed on cluster; only the centroid cross is nested-loop") {
+    graft.expr.ArrayDot.register(spark)
+    val p = plan(Dedup.incrementalSemantic.build(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
   test("x24: chunking is a narrow map — no join, no aggregate, one generator") {
     val p = plan(graft.ext.Curation.chunkByTokens(
       graft.core.Tables.documents(spark, sf), 32, 24))
