@@ -650,6 +650,38 @@ object Dedup {
     out
   }
 
+  /** LSH band keys for an arbitrary documents frame — the index-build /
+    * probe-build step of the incremental fuzzy-dedup pattern (x20's
+    * band index, and its streaming form in StreamingSpec): `numHashes`
+    * md5-keyed Carter-Wegman min-hashes banded `bandRows` per band, one
+    * (doc_id, band, bv) row per document per band. Identical documents
+    * share every band unconditionally, so an index probe on (band, bv)
+    * can never miss an exact dup; near-dups surface with the standard
+    * banded-LSH probability. */
+  def bandKeys(docs: DataFrame, numHashes: Int, bandRows: Int): DataFrame = {
+    require(numHashes % bandRows == 0, "bands must tile the signature")
+    val shingled = docs.select(col("doc_id"),
+      expr(s"array_distinct(${shingleExpr("text")})").as("sh"))
+    val sigCols = (0 until numHashes).map(k =>
+      min(expr(s"ha + $k * hb")).as(s"sig_$k"))
+    val sigs = shingled
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("m"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(m, 2, 15), 16, 10) AS BIGINT)").as("ha"),
+        expr("CAST(conv(substring(m, 17, 14), 16, 10) AS BIGINT)").as("hb"))
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until numHashes / bandRows).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",",
+          (0 until bandRows).map(r => col(s"sig_${b * bandRows + r}")): _*)
+          .as("bv")).as(s"b$b")
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+  }
+
   /** d10 — ORACLE-EXACT MinHash LSH. d02/d06 are rows-only because
     * their hash family (spark.ml seeds / xxhash64) has no DuckDB
     * counterpart; this variant keys the Broder scheme on md5, which

@@ -420,6 +420,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(table().count() == 4)
   }
 
+  test("streaming fuzzy-dedup admission: each trigger probes the band index built by prior triggers") {
+    // the x20 pattern under Structured Streaming: foreachBatch probes a
+    // file-backed LSH band index that GROWS across triggers — matches
+    // only ever pair a new doc with an EARLIER trigger's doc (history
+    // never self-pairs, same-trigger dups don't match each other)
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_fuzzy").toString
+    val indexDir = s"$dir/index"; val outDir = s"$dir/matches"
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi"
+    val other = "one two three four five six seven eight nine ten " +
+      "eleven twelve"
+    def processBatch(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val b = graft.ext.Dedup.bandKeys(batch, 8, 4).localCheckpoint()
+      if (new java.io.File(indexDir).exists()) {
+        val idx = spark.read.parquet(indexDir)
+          .withColumnRenamed("doc_id", "old_id")
+        b.join(idx, Seq("band", "bv"))
+          .select(col("doc_id").as("new_id"), col("old_id")).distinct()
+          .write.mode("append").parquet(outDir)
+      }
+      b.write.mode("append").parquet(indexDir)
+    }
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(processBatch _).start()
+    in.addData((0L, base), (1L, other)) // trigger 0 seeds the index
+    q.processAllAvailable()
+    in.addData((2L, base), (3L, "unseen novel words entirely fresh"))
+    q.processAllAvailable()
+    // 4 dups 0 and 2; 5 dups 3; 6 dups 5 WITHIN this trigger (and 3
+    // transitively through the index)
+    in.addData((4L, base), (5L, "unseen novel words entirely fresh"),
+      (6L, "unseen novel words entirely fresh"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("old_id"))).toSet
+    // every pair crosses triggers backwards; (6,5) must be ABSENT
+    assert(got == Set((2L, 0L), (4L, 0L), (4L, 2L), (5L, 3L), (6L, 3L)))
+    // equivalently: exactly the identical-text pairs with old < new from
+    // a strictly earlier trigger — the batch-mode ground truth
+    val trigger = Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1,
+      4L -> 2, 5L -> 2, 6L -> 2)
+    val texts = Map(0L -> base, 1L -> other, 2L -> base,
+      3L -> "unseen novel words entirely fresh", 4L -> base,
+      5L -> "unseen novel words entirely fresh",
+      6L -> "unseen novel words entirely fresh")
+    val expected = (for {
+      a <- texts.keys; b <- texts.keys
+      if texts(a) == texts(b) && trigger(a) > trigger(b)
+    } yield (a, b)).toSet
+    assert(got == expected)
+  }
+
   test("custom HLL Aggregator merges across micro-batches == batch result") {
     // the extension-point x streaming composition: the DistinctSketch
     // UDAF's merge() runs between trigger-local partials and the state
