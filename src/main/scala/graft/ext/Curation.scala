@@ -1158,11 +1158,70 @@ object Curation {
                FROM c ORDER BY doc_id, chunk_idx"""))
   }
 
+  /** x25 — end-to-end training-manifest pipeline: the quality gate →
+    * chunk → shard → manifest chain a corpus run actually ships.
+    * Language + minimum-length gate, x24's overlapping chunker, x04's
+    * md5 shard routing, then one per-shard manifest row carrying doc /
+    * chunk / token counts and an order-independent 60-bit content
+    * fingerprint over (doc_id, chunk_idx, chunk text) — the artifact a
+    * downstream trainer validates its shard downloads against.
+    *
+    * Scale shape: gate + chunk + fingerprint are one narrow
+    * shuffle-free map pass; the only shuffle is the final 16-group
+    * manifest aggregate (with a map-side partial phase). The whole
+    * chain, fingerprint included, is mirrored in SQL — the driver
+    * hash-checks byte-level chunk content across the full pipeline,
+    * not just counts. */
+  val trainingManifest: QueryDef = {
+    val W = 32; val S = 24; val minTok = 20
+    QueryDef(
+      "x25_training_manifest",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .filter(col("lang").isin("en", "de", "es", "fr"))
+          .filter(size(split(col("text"), " ")) >= minTok)
+        chunkByTokens(docs, W, S)
+          .select(
+            expr("substring(md5(CAST(doc_id AS STRING)), 1, 1)").as("shard"),
+            col("doc_id"), col("n_tok"),
+            expr(graft.ext.Dedup.sparkMd5Int60(
+              "concat_ws(':', doc_id, chunk_idx, chunk_text)")).as("cfp"))
+          .groupBy("shard")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum(col("n_tok")).as("n_tokens"),
+            expr("bit_xor(cfp)").as("content_fp"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH docs AS (
+                 SELECT doc_id, text FROM documents
+                 WHERE lang IN ('en', 'de', 'es', 'fr')
+                   AND len(string_split(text, ' ')) >= $minTok),
+               toks AS (
+                 SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+               c AS (
+                 SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   t[i * $S + 1 : i * $S + $W] AS ct
+                 FROM toks, unnest(range(0,
+                   greatest((len(t) - $W + $S - 1) // $S, 0) + 1)) AS u(i)),
+               ch AS (
+                 SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                   doc_id, CAST(len(ct) AS BIGINT) AS n_tok,
+                   ${graft.ext.Dedup.duckMd5Int60(
+                     "concat_ws(':', doc_id, chunk_idx, array_to_string(ct, ' '))")} AS cfp
+                 FROM c)
+               SELECT shard, count(DISTINCT doc_id) AS n_docs,
+                 count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                 bit_xor(cfp) AS content_fp
+               FROM ch GROUP BY 1 ORDER BY 1"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
       boilerplateRemoval, decontaminate, packSequences, fuzzyDedupPipeline,
       upsertMerge, mixtureWeights, quantileOutlierFilter, saltedJoinQ,
       budgetRebalance, decontaminateBloom, leakageSafeSplit,
-      incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity, chunkOverlap)
+      incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity, chunkOverlap,
+      trainingManifest)
 }

@@ -442,6 +442,24 @@ class CurationSpec extends AnyFunSuite {
     assert(out.forall(r => "0123456789abcdef".contains(r.getAs[String]("shard"))))
   }
 
+  test("x25 manifest: shard totals conserve the gated corpus exactly") {
+    val out = Curation.trainingManifest.build(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang").isin("en", "de", "es", "fr"))
+      .filter(size(split(col("text"), " ")) >= 20)
+    val chunks = Curation.chunkByTokens(docs, 32, 24)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(out.map(_.getAs[Long]("n_chunks")).sum == chunks.count())
+    assert(out.map(_.getAs[Long]("n_tokens")).sum ==
+      chunks.agg(sum(col("n_tok"))).collect()(0).getLong(0))
+    // shard routing matches x04's: first md5 hex digit
+    assert(out.forall(r => "0123456789abcdef".contains(r.getAs[String]("shard"))))
+    // deterministic: a second run fingerprints identically
+    val again = Curation.trainingManifest.build(spark, sf).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(4))).toSeq ==
+      again.map(r => (r.getString(0), r.getLong(4))).toSeq)
+  }
+
   test("x24 chunking: offsets, overlap, and exact reconstruction of the original") {
     val words = (1 to 80).map(i => s"w$i")
     val docs = Seq(

@@ -310,6 +310,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p)
   }
 
+  test("x25: manifest pipeline has no join; gate/chunk/fingerprint stay map-side") {
+    val p = plan(graft.ext.Curation.trainingManifest.build(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate") && p.contains("partial_"), p)
+    assert(p.contains("Generate"), p) // the chunk explode, inline in the scan pass
+  }
+
   test("t14: classification is shuffle-free — argmax stays in the row") {
     val p = plan(graft.ext.TextAnalysis.classifyDomains(
       graft.core.Tables.documents(spark, sf)))
