@@ -1292,9 +1292,46 @@ object Relational {
       Some(text))
   }
 
+  /** Q47 — error-safe `try_*` function battery (q37 covers try_cast;
+    * this adds the arithmetic/collection/datetime family a pipeline
+    * leans on instead of job-killing exceptions at 100 TB): try_divide
+    * NULLs exactly on the zero divisor, try_add NULLs exactly on
+    * BIGINT overflow, try_element_at NULLs exactly out of bounds,
+    * try_to_timestamp NULLs on malformed input. Each count has a
+    * pure-predicate DuckDB mirror (DuckDB errors on overflow instead
+    * of NULLing, so the mirror states the EXACT null condition — which
+    * is the point: the battery pins down precisely when each try_*
+    * form degrades to NULL). Counts only, no float sums — a division's
+    * double sum would be accumulation-order-dependent across engines. */
+  val q47 = QueryDef(
+    "q47_try_funcs",
+    (s, d) => {
+      li(s, d).createOrReplaceTempView("g47_lineitem")
+      s.sql("""SELECT l_returnflag,
+                 count(*) AS n_rows,
+                 count(try_divide(l_extendedprice, l_quantity - 25))
+                   AS n_div_ok,
+                 count(try_add(l_orderkey, 9223372036854775800))
+                   AS n_add_ok,
+                 count(try_element_at(
+                   split(l_linestatus || ',' || l_returnflag, ','),
+                   l_linenumber)) AS n_elem_ok,
+                 count(try_to_timestamp(l_returnflag)) AS n_ts_ok
+               FROM g47_lineitem GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""SELECT l_returnflag,
+            count(*) AS n_rows,
+            count(*) FILTER (WHERE l_quantity <> 25) AS n_div_ok,
+            count(*) FILTER (WHERE l_orderkey <= 7) AS n_add_ok,
+            count(list_extract(
+              string_split(l_linestatus || ',' || l_returnflag, ','),
+              l_linenumber)) AS n_elem_ok,
+            count(try_strptime(l_returnflag, '%Y-%m-%d')) AS n_ts_ok
+            FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q12b, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46)
+    q41, q42, q43, q44, q45, q46, q47)
 }
