@@ -632,8 +632,62 @@ object TextAnalysis {
                FROM r WHERE rn = 1 ORDER BY doc_id"""))
   }
 
+  /** t15 — tokenizer vocabulary induction: the ranked token → id
+    * mapping every tokenizer-training run starts from. Corpus token
+    * counts, the top `vocabSize` by (count DESC, token ASC), contiguous
+    * ids 0..V-1 in that order, plus each token's document frequency and
+    * corpus share in parts-per-million (integer arithmetic — no
+    * cross-engine float sums).
+    *
+    * Scale shape: the corpus-sized work is ONE hash aggregate on token
+    * (map-side partial); the global (count, token) rank then runs over
+    * the VOCABULARY, not the corpus — TakeOrderedAndProject prunes to
+    * the top V per partition before a bounded single-partition
+    * sort-limit, and the id-assigning window touches only those V rows
+    * (documented bounded single-partition step, like x11's bucket-total
+    * prefix). */
+  val vocabBuild: QueryDef = {
+    val vocabSize = 1000
+    QueryDef(
+      "t15_vocab_build",
+      (s, d) => {
+        // ONE corpus pass: the full token aggregate is checkpointed
+        // (vocabulary-sized, << corpus) and feeds both the grand total
+        // and the top-V rank — not two scans of the corpus
+        val countsAll = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+          .localCheckpoint()
+        val totals = countsAll.agg(sum(col("n"))).collect()(0).getLong(0)
+        import org.apache.spark.sql.expressions.Window
+        val byRank = Window.orderBy(col("n").desc, col("token"))
+        countsAll
+          .orderBy(col("n").desc, col("token"))
+          .limit(vocabSize)
+          .withColumn("token_id",
+            (row_number().over(byRank) - 1).cast("long"))
+          .withColumn("ppm", expr(s"CAST(n * 1000000 DIV $totals AS BIGINT)"))
+          .select("token_id", "token", "n", "df", "ppm")
+          .orderBy("token_id")
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+               tot AS (SELECT count(*) AS n_total FROM toks),
+               counts AS (
+                 SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
+                 FROM toks GROUP BY token
+                 ORDER BY n DESC, token LIMIT $vocabSize)
+               SELECT CAST(row_number() OVER (ORDER BY n DESC, token) - 1
+                      AS BIGINT) AS token_id,
+                 token, n, df,
+                 CAST(n * 1000000 // tot.n_total AS BIGINT) AS ppm
+               FROM counts, tot ORDER BY token_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
-      nfcCanonicalize, domainClassify)
+      nfcCanonicalize, domainClassify, vocabBuild)
 }

@@ -174,4 +174,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     val all = TextAnalysis.domainLexicons.flatMap(_._2)
     assert(all.distinct.length == all.length)
   }
+
+  test("t15 vocab: contiguous ids in (count desc, token) order; ppm conserves the corpus") {
+    val r = TextAnalysis.vocabBuild.build(spark, TestSpark.sf0001).collect()
+    assert(r.map(_.getAs[Long]("token_id")).toSeq == r.indices.map(_.toLong))
+    val ranked = r.map(x => (x.getAs[Long]("n"), x.getAs[String]("token")))
+    assert(ranked.sortBy { case (n, t) => (-n, t) }.toSeq == ranked.toSeq)
+    // fixture vocab is under the cap, so the table IS the whole corpus:
+    // truncated ppm sums to within |vocab| of exactly 1e6
+    val ppmSum = r.map(_.getAs[Long]("ppm")).sum
+    assert(ppmSum <= 1000000L && ppmSum > 1000000L - r.length)
+    // df can never exceed n or the doc count
+    val nDocs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet").count()
+    assert(r.forall(x => x.getAs[Long]("df") <= x.getAs[Long]("n") &&
+      x.getAs[Long]("df") <= nDocs))
+  }
 }
