@@ -84,17 +84,24 @@ object Dedup {
         .withColumn("shingles", expr(shingleExpr("text")))
       val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
         .setNumFeatures(1 << 18).setBinary(true)
-      val vecs = tf.transform(docs).select("doc_id", "features")
+      // cache: the 2^18-dim featurization pass feeds the LSH fit AND
+      // both sides of approxSimilarityJoin — uncached, the shingle +
+      // hashing scan re-runs three times (this is the corpus-sized work;
+      // everything after it is candidate-sized)
+      val vecs = tf.transform(docs).select("doc_id", "features").cache()
       val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
         .setNumHashTables(4).setSeed(42)
       val model = mh.fit(vecs)
-      model.approxSimilarityJoin(vecs, vecs, 0.95, "jaccard_dist")
+      val out = model.approxSimilarityJoin(vecs, vecs, 0.95, "jaccard_dist")
         .select(
           col("datasetA.doc_id").as("a_id"),
           col("datasetB.doc_id").as("b_id"),
           col("jaccard_dist"))
         .filter(col("a_id") < col("b_id"))
         .orderBy("a_id", "b_id")
+        .localCheckpoint() // pair-sized; lets the featurization cache go
+      vecs.unpersist()
+      out
     },
     None)
 
