@@ -71,6 +71,44 @@ class ChunkWindowsSpec extends AnyFunSuite {
       err.getMessage.toLowerCase.contains("foldable"), err.getMessage)
   }
 
+  test("seeded sweep: both chunker paths match a plain-Scala reference on random lengths") {
+    // independent reference implementation of the offset rule
+    def reference(tokens: Seq[String], w: Int, s: Int): Seq[(Long, Long, Seq[String])] = {
+      val n = tokens.length
+      val lastStart = math.max(math.ceil((n - w).toDouble / s).toInt, 0)
+      (0 to lastStart).map(i =>
+        (i.toLong, (i * s).toLong, tokens.slice(i * s, i * s + w)))
+    }
+    val rnd = new scala.util.Random(20260813)
+    val lens = Seq(0, 1, 2) ++ Seq.fill(40)(rnd.nextInt(120) + 1)
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val tokensOf = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    for ((w, s) <- Seq((32, 24), (16, 16), (7, 3), (4, 1), (50, 13))) {
+      for (path <- Seq("hof", "generator")) {
+        val out = (if (path == "hof")
+          graft.ext.Curation.chunkByTokens(docs, w, s)
+        else viaGenerator(docs, w, s))
+          .orderBy("doc_id", "chunk_idx").collect()
+          .groupBy(_.getAs[Long]("doc_id")).view
+          .mapValues(_.map(r => (r.getAs[Long]("chunk_idx"),
+            r.getAs[Long]("start_tok"),
+            r.getAs[String]("chunk_text").split(" ", -1).toSeq)).toSeq)
+          .toMap
+        for ((id, toks) <- tokensOf) {
+          val exp = reference(toks, w, s)
+          assert(out(id) == exp, s"path=$path w=$w s=$s doc=$id")
+          // coverage: chunk spans tile [0, n) with no gap
+          val covered = exp.flatMap { case (_, st, ct) =>
+            st.toInt until (st.toInt + ct.length) }.toSet
+          assert(covered == toks.indices.toSet, s"coverage w=$w s=$s doc=$id")
+        }
+      }
+    }
+  }
+
   test("stride > window is rejected") {
     ChunkWindows.register(spark)
     val err = intercept[Exception] {
