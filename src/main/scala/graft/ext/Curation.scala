@@ -1216,6 +1216,55 @@ object Curation {
                FROM ch GROUP BY 1 ORDER BY 1"""))
   }
 
+  /** x26 — corpus snapshot diff/audit: the dataset-versioning
+    * primitive (x13 MERGES a delta in; this AUDITS two versions
+    * against each other — the release-note every corpus version bump
+    * ships with). Two snapshots are derived deterministically from the
+    * fixture (v1 = doc_id % 7 ≠ 3, v2 = doc_id % 5 ≠ 2, and v2 edits
+    * every doc_id % 11 = 0 by appending a revision marker — the
+    * x06/x13/x20 staging style), then every doc in either version is
+    * labeled added / removed / changed / unchanged by comparing md5
+    * content fingerprints through a full-outer join on doc_id.
+    *
+    * Scale shape: fingerprints are computed in the scan pass, so the
+    * full-outer join shuffles (id, 32-byte fp) pairs — never document
+    * bodies (d08's discipline applied to diffing); the join is
+    * equi-keyed on doc_id. Oracle-exact end to end. */
+  val snapshotDiff: QueryDef = QueryDef(
+    "x26_snapshot_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), md5(col("text")).as("fp1"))
+      val v2 = docs.filter(col("doc_id") % 5 =!= 2)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text"))).as("fp2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("fp1").isNull, lit("added"))
+            .when(col("fp2").isNull, lit("removed"))
+            .when(col("fp1") =!= col("fp2"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH v1 AS (
+              SELECT doc_id, md5(text) AS fp1 FROM documents
+              WHERE doc_id % 7 != 3),
+            v2 AS (
+              SELECT doc_id,
+                md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]'
+                         ELSE text END) AS fp2
+              FROM documents WHERE doc_id % 5 != 2)
+            SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+              CASE WHEN v1.doc_id IS NULL THEN 'added'
+                   WHEN v2.doc_id IS NULL THEN 'removed'
+                   WHEN fp1 <> fp2 THEN 'changed'
+                   ELSE 'unchanged' END AS status
+            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+            ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -1223,5 +1272,5 @@ object Curation {
       upsertMerge, mixtureWeights, quantileOutlierFilter, saltedJoinQ,
       budgetRebalance, decontaminateBloom, leakageSafeSplit,
       incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity, chunkOverlap,
-      trainingManifest)
+      trainingManifest, snapshotDiff)
 }

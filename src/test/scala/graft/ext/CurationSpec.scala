@@ -442,6 +442,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out.forall(r => "0123456789abcdef".contains(r.getAs[String]("shard"))))
   }
 
+  test("x26 snapshot diff: statuses partition both versions, planted edits surface as changed") {
+    val out = Curation.snapshotDiff.build(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    val ids = (0L until n)
+    def inV1(id: Long) = id % 7 != 3
+    def inV2(id: Long) = id % 5 != 2
+    // every doc in either version appears exactly once with the right label
+    for (id <- ids if inV1(id) || inV2(id)) {
+      val expected =
+        if (!inV1(id)) "added"
+        else if (!inV2(id)) "removed"
+        else if (id % 11 == 0) "changed"
+        else "unchanged"
+      assert(out(id) == expected, s"doc $id")
+    }
+    assert(out.keySet == ids.filter(id => inV1(id) || inV2(id)).toSet)
+  }
+
   test("x25 manifest: shard totals conserve the gated corpus exactly") {
     val out = Curation.trainingManifest.build(spark, sf).collect()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
