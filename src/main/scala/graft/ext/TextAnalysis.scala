@@ -659,7 +659,11 @@ object TextAnalysis {
           .groupBy("token")
           .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
           .localCheckpoint()
-        val totals = countsAll.agg(sum(col("n"))).collect()(0).getLong(0)
+        // empty-corpus guard (x11's idiom): sum over zero rows is NULL,
+        // and with zero rows the ppm expression never evaluates, so any
+        // positive placeholder divisor is safe
+        val totalsRow = countsAll.agg(sum(col("n"))).collect()(0)
+        val totals = if (totalsRow.isNullAt(0)) 1L else totalsRow.getLong(0)
         import org.apache.spark.sql.expressions.Window
         val byRank = Window.orderBy(col("n").desc, col("token"))
         countsAll
