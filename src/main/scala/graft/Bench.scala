@@ -71,12 +71,20 @@ object Bench {
       "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""" + "\n")
-    // stdout line: the log tail kept by callers is ~2000 chars and sbt's
-    // trailing "[success] Total time ..." line sits inside that window, so
-    // a full 89-query map (~3 kB) gets FRONT-truncated past parseability
-    // (BENCH_r01/r02 both lost their head this way). Budget the line:
-    // slowest queries first at 3 decimals, stop under the cap, and point
-    // at the tracked file for the omitted fast tail.
+    println(renderLine(results, total, outPath, sfDir))
+    spark.stop()
+  }
+
+  /** The one structured stdout line the driver parses. The log tail
+    * kept by callers is ~2000 chars and sbt's trailing "[success] Total
+    * time ..." line sits inside that window, so a full 89-query map
+    * (~3 kB) gets FRONT-truncated past parseability (BENCH_r01/r02 both
+    * lost their head this way). Budget the line: slowest queries first
+    * at 3 decimals, stop under the cap, and point at the tracked file
+    * for the omitted fast tail. Spec-guarded (BenchLineSpec): valid
+    * JSON, under budget, at any registry size. */
+  def renderLine(results: Seq[(String, Double)], total: Double,
+      outPath: String, sfDir: String): String = {
     val budget = 1750
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // on comma-decimal locales would print "1,234" and corrupt the JSON
@@ -97,7 +105,6 @@ object Bench {
       }
     }
     sb.append(s"""},"omitted":${results.size - taken}}""")
-    println(sb.toString)
-    spark.stop()
+    sb.toString
   }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver-parsed bench stdout contract: one line, valid
+  * JSON, under the caller's ~2000-char tail window at ANY registry
+  * size (BENCH_r01-r03 were unparseable for budget/prefix reasons —
+  * this is the regression class). */
+class BenchLineSpec extends AnyFunSuite {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def line(n: Int): String =
+    Bench.renderLine(
+      (1 to n).map(i => (s"q${"%03d".format(i)}_some_long_query_name", i / 100.0)),
+      (1 to n).map(_ / 100.0).sum, "bench_out.json", "/root/testdata/sf0.1")
+
+  test("valid JSON with the contract fields, under budget, at every size") {
+    for (n <- Seq(0, 1, 50, 137, 500)) {
+      val l = line(n)
+      assert(!l.contains("\n"))
+      assert(l.length <= 1800, s"n=$n length=${l.length}")
+      val node = mapper.readTree(l) // throws on malformed JSON
+      assert(node.get("metric").asText() == "total")
+      assert(node.get("n").asInt() == n)
+      assert(node.get("queries").size() + node.get("omitted").asInt() == n)
+    }
+  }
+
+  test("slowest queries survive truncation; omitted ones are the fastest") {
+    val node = mapper.readTree(line(500))
+    val kept = node.get("queries")
+    assert(node.get("omitted").asInt() > 0) // 500 don't fit — some dropped
+    // the slowest query (500/100 = 5.0) must be present
+    assert(kept.has("q500_some_long_query_name"))
+    // every kept value is >= every omitted value (kept = the top slice)
+    val it = kept.elements()
+    var minKept = Double.MaxValue
+    while (it.hasNext) minKept = math.min(minKept, it.next().asDouble())
+    assert(minKept >= (500 - kept.size()) / 100.0)
+  }
+
+  test("negative (failed) timings render as -1, still valid JSON") {
+    val l = Bench.renderLine(Seq(("q1", -1.0), ("q2", 0.5)), 0.5, "o.json", "sf")
+    val node = mapper.readTree(l)
+    assert(node.get("queries").get("q1").asInt() == -1)
+  }
+
+  test("locale independence: no comma-formatted numbers under a comma-decimal locale") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val l = line(3)
+      mapper.readTree(l)
+      assert(!l.matches("""(?s).*\d,\d.*"""), l)
+    } finally java.util.Locale.setDefault(prev)
+  }
+}
