@@ -39,12 +39,68 @@ class BenchLineSpec extends AnyFunSuite {
     assert(minKept >= (500 - kept.size()) / 100.0)
   }
 
+  test("kept set is the contiguous slowest prefix even with mixed name lengths") {
+    // a long-named slow query followed by short-named fast ones: once the
+    // long name doesn't fit, nothing after it may be taken either
+    val results = (1 to 400).map { i =>
+      val name = if (i % 2 == 0) s"q${i}_an_extremely_long_query_name_padding_pad"
+        else s"q$i"
+      (name, i / 100.0)
+    }
+    val node = mapper.readTree(Bench.renderLine(
+      results, results.map(_._2).sum, "o.json", "sf"))
+    val kept = node.get("queries")
+    assert(node.get("omitted").asInt() > 0)
+    // contiguous prefix of the by-slowest ordering: every omitted value
+    // <= every kept value AND the kept set is exactly the top-k of the
+    // sorted sequence (no gaps where a long name was skipped over)
+    val keptNames = {
+      val it = kept.fieldNames(); val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next(); b.result().toSet
+    }
+    val sorted = results.sortBy(-_._2).map(_._1)
+    assert(sorted.take(kept.size()).toSet == keptNames,
+      "kept set is not the contiguous slowest prefix")
+  }
+
+  test("refocused count renders in the line") {
+    val l = Bench.renderLine(Seq(("q1", 1.0)), 1.0, "o.json", "sf", refocused = 3)
+    assert(mapper.readTree(l).get("refocused").asInt() == 3)
+  }
+
+  test("loadBaselines parses timing rows, last occurrence wins, missing file empty") {
+    val f = java.nio.file.Files.createTempFile("baseline", ".md")
+    java.nio.file.Files.writeString(f,
+      """|# header
+         || item | definition |
+         ||---|---|
+         || query set | stuff |
+         |
+         || query | sf | sec/query |
+         ||---|---|---|
+         || q01_scan_filter | 0.1 | 0.32 |
+         || d06_dedup_minhash_native | 0.1 | 1.18 |
+         |
+         |re-record:
+         || d06_dedup_minhash_native | 0.1 | 1.80 |
+         |""".stripMargin)
+    val b = Bench.loadBaselines(f.toString)
+    assert(b == Map("q01_scan_filter" -> 0.32,
+      "d06_dedup_minhash_native" -> 1.80))
+    java.nio.file.Files.delete(f)
+    assert(Bench.loadBaselines("/nonexistent/BASELINE.md").isEmpty)
+  }
+
   test("negative (failed) timings render as -1, still valid JSON") {
     val l = Bench.renderLine(Seq(("q1", -1.0), ("q2", 0.5)), 0.5, "o.json", "sf")
     val node = mapper.readTree(l)
     assert(node.get("queries").get("q1").asInt() == -1)
   }
 
+  // NOTE: mutates the JVM-global default Locale inside try/finally. This
+  // build runs suites sequentially (no Test/parallelExecution override);
+  // if that ever changes, move this test to a dedicated sequential suite
+  // so other locale-sensitive tests can't observe the mutation window.
   test("locale independence: no comma-formatted numbers under a comma-decimal locale") {
     val prev = java.util.Locale.getDefault
     try {
