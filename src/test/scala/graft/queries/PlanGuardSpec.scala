@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Plan-shape regression guard over the WHOLE registry (VERDICT r4 §next).
+  *
+  * PlanSpec asserts load-bearing properties for hand-picked queries; this
+  * spec closes the gap for the other ~120: a regression that introduces a
+  * cartesian product, an unapproved nested-loop join, or an unapproved
+  * global (no-partition) window into ANY registered query fails here
+  * instead of shipping silently.
+  *
+  * The whitelists below are THE enumeration of the documented bounded
+  * cases (VERDICT r4 "What's wrong" audit + PLANS.txt): every entry
+  * carries its boundedness argument. Adding a name to a whitelist is a
+  * reviewable act — the rationale string is mandatory.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+
+  /** Queries whose BroadcastNestedLoopJoin is a documented BOUNDED
+    * broadcast (1-row scalar, bounded query/probe set, vocabulary-domain
+    * pair stage, or a declared all-pairs baseline with a registered
+    * banded twin). */
+  private val nestedLoopBounded: Map[String, String] = Map(
+    "q20_having_scalar_subquery" -> "1-row scalar threshold broadcast",
+    "t07_tfidf_exact" -> "1-row corpus-size scalar broadcast",
+    "x09_boilerplate_removal" -> "1-row corpus-size scalar broadcast",
+    "x15_quantile_outlier_filter" -> "1-row quantile-threshold broadcast",
+    "e05_kmv_distinct" -> "1-row sketch-summary broadcast",
+    "e06_heavy_hitters" -> "1-row candidate-summary broadcast",
+    "st09_funnel_steps" -> "1-row funnel-window scalar broadcast",
+    "s01_cosine_topk" -> "bounded query-vector set broadcast (corpus never shuffles)",
+    "s03_ann_ivf" -> "bounded centroid/query set broadcast",
+    "s05_ann_int8" -> "bounded query-vector set broadcast",
+    "m04_multimodal_embed_topk" -> "bounded probe set broadcast",
+    "q35_fuzzy_levenshtein" -> "name-DOMAIN pair stage, vocabulary-bounded by design",
+    "q45_not_in_null_semantics" -> "ANSI NOT-IN null semantics: Spark's null-aware anti form",
+    "d03_dedup_simhash" -> "documented all-pairs BASELINE; banded twins d09/d11 registered",
+    "d05_dedup_embedding" -> "documented all-pairs BASELINE; bucketed twins s02/s04/s05 registered")
+
+  /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
+    * (never the corpus): the boundedness argument is written at the use
+    * site and repeated here. */
+  private val globalWindowBounded: Map[String, String] = Map(
+    "x11_pack_sequences" -> "32-row bucket-offset frame (two-phase prefix sum), Curation.scala",
+    "x15_quantile_outlier_filter" -> "distinct-length histogram, value-domain bounded, Curation.scala",
+    "t15_vocab_build" -> "1000-row vocabulary rank, TextAnalysis.scala",
+    "x17_budget_rebalance" -> "global sum over the ~20-row per-source aggregate (source-domain bounded), Curation.scala")
+
+  /** name -> physical plan for every registered query. sparkPlan (the
+    * pre-AQE physical plan) carries the concrete join/window nodes; a
+    * build failure fails the guard loudly rather than skipping. */
+  private lazy val plans: Seq[(String, SparkPlan)] =
+    SparkEntry.registry.map { q =>
+      q.name -> q.build(spark, sf).queryExecution.sparkPlan
+    }
+
+  test("no registered query plans a CartesianProduct") {
+    val hits = plans.flatMap { case (n, p) =>
+      p.collect { case c: CartesianProductExec => n }
+    }.distinct
+    assert(hits.isEmpty, s"cartesian products in: ${hits.mkString(", ")}")
+  }
+
+  test("every BroadcastNestedLoopJoin is a whitelisted bounded broadcast") {
+    val hits = plans.flatMap { case (n, p) =>
+      p.collect { case j: BroadcastNestedLoopJoinExec => n }
+    }.distinct
+    val rogue = hits.filterNot(nestedLoopBounded.contains)
+    assert(rogue.isEmpty,
+      s"unapproved nested-loop joins in: ${rogue.mkString(", ")} — " +
+        "either fix the plan or add a boundedness rationale to the whitelist")
+    // prune stale whitelist entries so the enumeration stays honest
+    val stale = nestedLoopBounded.keySet -- hits.toSet
+    assert(stale.isEmpty,
+      s"whitelist entries with no nested loop in the current plan: " +
+        s"${stale.mkString(", ")} — remove them")
+  }
+
+  test("every no-partition Window runs over a whitelisted bounded input") {
+    val hits = plans.flatMap { case (n, p) =>
+      p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => n
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => n
+      }
+    }.distinct
+    val rogue = hits.filterNot(globalWindowBounded.contains)
+    assert(rogue.isEmpty,
+      s"unapproved global windows in: ${rogue.mkString(", ")} — " +
+        "either partition the window or add a boundedness rationale")
+    val stale = globalWindowBounded.keySet -- hits.toSet
+    assert(stale.isEmpty,
+      s"whitelist entries with no global window in the current plan: " +
+        s"${stale.mkString(", ")} — remove them")
+  }
+}
