@@ -690,8 +690,103 @@ object TextAnalysis {
                FROM counts, tot ORDER BY token_id"""))
   }
 
+  /** BPE merge-rule induction (Sennrich, Haddow & Birch, "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016): `rounds`
+    * iterations of count-adjacent-symbol-pairs → merge the most frequent
+    * pair everywhere — the actual tokenizer-TRAINING step of an LLM data
+    * pipeline (t15 stops at the frequency vocabulary).
+    *
+    * Representation: each word is its symbols joined by a DOUBLE space.
+    * Applying merge (l, r) is then one non-overlapping left-to-right
+    * string replace of ` l  r ` with ` lr ` on the `  `-padded word —
+    * the single consumed space on each side restores the double-space
+    * boundary invariant, so consecutive occurrences (`a b a b`) each
+    * merge in one pass and overlapping ones (`a a a`) merge greedily
+    * left-to-right, exactly BPE's semantics — and `replace` behaves
+    * identically in Spark and DuckDB, which is what makes the unrolled-
+    * CTE oracle bit-exact.
+    *
+    * Scale shape: ONE corpus-sized pass (the word-frequency aggregate,
+    * map-side partial); the merge loop runs on the localCheckpointed
+    * top-`vocabSize` word list — vocabulary-bounded, like t15's rank —
+    * with one 1-row driver collect per round (the argmax pair). Pair
+    * ties break by (freq DESC, l ASC, r ASC) in both engines. */
+  def bpeMerges(docs: DataFrame, vocabSize: Int, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // corpus pass: lowercase-alpha word frequencies, deterministic top-V
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(vocabSize)
+      .localCheckpoint()
+    var words = vocab.select(
+      trim(regexp_replace(col("word"), "(.)", "$1  ")).as("sym"), col("n"))
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var exhausted = false
+    for (round <- 1 to rounds if !exhausted) {
+      val best = words
+        .select(expr("arrays_zip(slice(split(sym, '  '), 1, size(split(sym, '  ')) - 1), " +
+          "slice(split(sym, '  '), 2, size(split(sym, '  ')) - 1))").as("ps"), col("n"))
+        .select(explode(col("ps")).as("p"), col("n"))
+        .groupBy(col("p.0").as("l"), col("p.1").as("r"))
+        .agg(sum(col("n")).as("f"))
+        .orderBy(col("f").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (l, r, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((round.toLong, l, r, f))
+        words = words.select(
+          trim(replace(concat(lit("  "), col("sym"), lit("  ")),
+            lit(s" $l  $r "), lit(s" $l$r "))).as("sym"),
+          col("n"))
+      }
+    }
+    merges.result().toDF("round", "left", "right", "freq").orderBy("round")
+  }
+
+  /** t16 — registered BPE induction: top-200 words, 8 merge rounds,
+    * mirrored in DuckDB as an unrolled CTE (one pair-count + argmax +
+    * replace stage per round, the g01/g03 bounded-rounds pattern). */
+  val bpeInduction: QueryDef = {
+    val V = 200
+    val R = 8
+    val w0 =
+      s"""w0 AS (
+            SELECT trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym, n
+            FROM (
+              SELECT token AS word, CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT unnest(string_split(text, ' ')) AS token
+                    FROM documents) t
+              WHERE regexp_matches(token, '^[a-z]+${"$"}')
+              GROUP BY 1 ORDER BY n DESC, word LIMIT $V) v)"""
+    val roundCtes = (1 to R).map { k =>
+      s"""p$k AS (
+            SELECT a[i] AS l, a[i + 1] AS r, n
+            FROM (SELECT string_split(sym, '  ') AS a, n FROM w${k - 1}) s,
+                 UNNEST(generate_series(1, len(a) - 1)) AS t(i)),
+          b$k AS (
+            SELECT l, r, CAST(sum(n) AS BIGINT) AS f
+            FROM p$k GROUP BY 1, 2 ORDER BY f DESC, l, r LIMIT 1),
+          w$k AS (
+            SELECT trim(replace('  ' || sym || '  ',
+                     ' ' || b.l || '  ' || b.r || ' ',
+                     ' ' || b.l || b.r || ' ')) AS sym, n
+            FROM w${k - 1}, b$k b)"""
+    }.mkString(",\n")
+    val union = (1 to R)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS round, l AS \"left\", r AS \"right\", f AS freq FROM b$k")
+      .mkString("\n UNION ALL ")
+    QueryDef(
+      "t16_bpe_induction",
+      (s, d) => bpeMerges(Tables.documents(s, d), V, R),
+      Some(s"WITH $w0,\n$roundCtes\n$union ORDER BY round"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
-      nfcCanonicalize, domainClassify, vocabBuild)
+      nfcCanonicalize, domainClassify, vocabBuild, bpeInduction)
 }
