@@ -1172,27 +1172,35 @@ object Curation {
     * chain, fingerprint included, is mirrored in SQL — the driver
     * hash-checks byte-level chunk content across the full pipeline,
     * not just counts. */
+  /** The x25 gate → chunk → per-shard manifest aggregate over an
+    * arbitrary (doc_id, lang, text) frame — factored out so x27 can run
+    * the SAME pipeline over delta subsets and patch by association:
+    * counts add/subtract, and the XOR content fingerprint composes
+    * (`old ⊕ removed-contribs ⊕ added-contribs`). */
+  def manifestOf(docsIn: DataFrame, w: Int = 32, s: Int = 24,
+      minTok: Int = 20): DataFrame = {
+    val docs = docsIn
+      .filter(col("lang").isin("en", "de", "es", "fr"))
+      .filter(size(split(col("text"), " ")) >= minTok)
+    chunkByTokens(docs, w, s)
+      .select(
+        expr("substring(md5(CAST(doc_id AS STRING)), 1, 1)").as("shard"),
+        col("doc_id"), col("n_tok"),
+        expr(graft.ext.Dedup.sparkMd5Int60(
+          "concat_ws(':', doc_id, chunk_idx, chunk_text)")).as("cfp"))
+      .groupBy("shard")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tok")).as("n_tokens"),
+        expr("bit_xor(cfp)").as("content_fp"))
+  }
+
   val trainingManifest: QueryDef = {
     val W = 32; val S = 24; val minTok = 20
     QueryDef(
       "x25_training_manifest",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-          .filter(col("lang").isin("en", "de", "es", "fr"))
-          .filter(size(split(col("text"), " ")) >= minTok)
-        chunkByTokens(docs, W, S)
-          .select(
-            expr("substring(md5(CAST(doc_id AS STRING)), 1, 1)").as("shard"),
-            col("doc_id"), col("n_tok"),
-            expr(graft.ext.Dedup.sparkMd5Int60(
-              "concat_ws(':', doc_id, chunk_idx, chunk_text)")).as("cfp"))
-          .groupBy("shard")
-          .agg(countDistinct(col("doc_id")).as("n_docs"),
-            count(lit(1)).as("n_chunks"),
-            sum(col("n_tok")).as("n_tokens"),
-            expr("bit_xor(cfp)").as("content_fp"))
-          .orderBy("shard")
-      },
+      (s, d) => manifestOf(Tables.documents(s, d), W, S, minTok)
+        .orderBy("shard"),
       Some(s"""WITH docs AS (
                  SELECT doc_id, text FROM documents
                  WHERE lang IN ('en', 'de', 'es', 'fr')
@@ -1265,6 +1273,113 @@ object Curation {
             FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
             ORDER BY doc_id"""))
 
+  /** x26's two snapshot derivations, shared with x27: v1 = doc_id % 7
+    * ≠ 3; v2 = doc_id % 5 ≠ 2 with every doc_id % 11 = 0 doc edited by
+    * an appended revision marker. */
+  def snapshotV1(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 =!= 3).select("doc_id", "lang", "text")
+  def snapshotV2(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 5 =!= 2)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+
+  /** x27 — incremental manifest refresh: x26's snapshot diff composed
+    * with x25's manifest, the production shape of a corpus version bump
+    * (a 100 TB corpus cannot afford the from-scratch manifest). The
+    * previous (v1) manifest is PATCHED: per shard,
+    * `counts_new = counts_old − counts(removed ∪ changed, v1 text) +
+    * counts(added ∪ changed, v2 text)`, and the order-independent XOR
+    * content fingerprint composes the same way because XOR is its own
+    * inverse. Both delta pipelines run AFTER the quality gate, so a
+    * changed doc that newly fails (or newly passes) the gate nets out
+    * correctly; a shard whose last doc disappears drops its row.
+    *
+    * Scale shape: the refresh touches fingerprint pairs (the diff) and
+    * re-curates ONLY the delta docs — the unchanged bulk of the corpus
+    * is never re-chunked. (The v1 manifest is derived here because a
+    * registered query has no stored state; in production it is the
+    * previous run's stored output.)
+    *
+    * THE ORACLE IS THE FULL REBUILD: the DuckDB mirror computes the
+    * from-scratch x25 manifest of v2, so the driver's hash compare IS
+    * the patched-equals-rebuilt theorem, checked bit-exactly per shard
+    * (x06/x20/d14's equality-to-batch pattern). */
+  val manifestRefresh: QueryDef = {
+    val W = 32; val S = 24; val minTok = 20
+    QueryDef(
+      "x27_manifest_refresh",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val v1 = snapshotV1(docs)
+        val v2 = snapshotV2(docs)
+        // x26's diff on content fingerprints — (id, fp) pairs, not bodies
+        val status = v1.select(col("doc_id"), md5(col("text")).as("fp1"))
+          .join(v2.select(col("doc_id"), md5(col("text")).as("fp2")),
+            Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("fp1").isNull, lit("added"))
+              .when(col("fp2").isNull, lit("removed"))
+              .when(col("fp1") =!= col("fp2"), lit("changed"))
+              .otherwise(lit("unchanged")).as("status"))
+        val oldSide = v1.join(
+          status.filter(col("status").isin("removed", "changed"))
+            .select("doc_id"), "doc_id")
+        val newSide = v2.join(
+          status.filter(col("status").isin("added", "changed"))
+            .select("doc_id"), "doc_id")
+        val prev = manifestOf(v1, W, S, minTok)
+        val neg = manifestOf(oldSide, W, S, minTok)
+          .select(col("shard"), col("n_docs").as("nd_neg"),
+            col("n_chunks").as("nc_neg"), col("n_tokens").as("nt_neg"),
+            col("content_fp").as("fp_neg"))
+        val pos = manifestOf(newSide, W, S, minTok)
+          .select(col("shard"), col("n_docs").as("nd_pos"),
+            col("n_chunks").as("nc_pos"), col("n_tokens").as("nt_pos"),
+            col("content_fp").as("fp_pos"))
+        prev.join(neg, Seq("shard"), "full_outer")
+          .join(pos, Seq("shard"), "full_outer")
+          .select(col("shard"),
+            (coalesce(col("n_docs"), lit(0L)) - coalesce(col("nd_neg"), lit(0L))
+              + coalesce(col("nd_pos"), lit(0L))).as("n_docs"),
+            (coalesce(col("n_chunks"), lit(0L)) - coalesce(col("nc_neg"), lit(0L))
+              + coalesce(col("nc_pos"), lit(0L))).as("n_chunks"),
+            (coalesce(col("n_tokens"), lit(0L)) - coalesce(col("nt_neg"), lit(0L))
+              + coalesce(col("nt_pos"), lit(0L))).as("n_tokens"),
+            (coalesce(col("content_fp"), lit(0L))
+              .bitwiseXOR(coalesce(col("fp_neg"), lit(0L)))
+              .bitwiseXOR(coalesce(col("fp_pos"), lit(0L)))).as("content_fp"))
+          .filter(col("n_chunks") > 0)
+          .orderBy("shard")
+      },
+      Some(s"""WITH docs AS (
+                 SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]'
+                        ELSE text END AS text
+                 FROM documents
+                 WHERE doc_id % 5 != 2
+                   AND lang IN ('en', 'de', 'es', 'fr')),
+               gated AS (
+                 SELECT doc_id, string_split(text, ' ') AS t FROM docs
+                 WHERE len(string_split(text, ' ')) >= $minTok),
+               c AS (
+                 SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   t[i * $S + 1 : i * $S + $W] AS ct
+                 FROM gated, unnest(range(0,
+                   greatest((len(t) - $W + $S - 1) // $S, 0) + 1)) AS u(i)),
+               ch AS (
+                 SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                   doc_id, CAST(len(ct) AS BIGINT) AS n_tok,
+                   ${graft.ext.Dedup.duckMd5Int60(
+                     "concat_ws(':', doc_id, chunk_idx, array_to_string(ct, ' '))")} AS cfp
+                 FROM c)
+               SELECT shard, count(DISTINCT doc_id) AS n_docs,
+                 count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                 bit_xor(cfp) AS content_fp
+               FROM ch GROUP BY 1 ORDER BY 1"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -1272,5 +1387,5 @@ object Curation {
       upsertMerge, mixtureWeights, quantileOutlierFilter, saltedJoinQ,
       budgetRebalance, decontaminateBloom, leakageSafeSplit,
       incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity, chunkOverlap,
-      trainingManifest, snapshotDiff)
+      trainingManifest, snapshotDiff, manifestRefresh)
 }
