@@ -260,6 +260,94 @@ object Similarity {
                ORDER BY q_id, rn"""))
   }
 
+  /** s03b — ORACLE-EXACT IVF twin of s03 (the d02/d10 and t05/t07 twin
+    * pattern: keep the engine-native form, register a bit-exact mirror).
+    * Same inverted-file shape — coarse-quantize the corpus, probe only
+    * the query's `nprobe` nearest cells — but the quantizer is d13's
+    * pinned DATA centroids (the first `kCentroids` corpus vectors by
+    * id) instead of engine-seeded KMeans state, and cell assignment /
+    * probe ranking use the max-dot fold both engines compute
+    * bit-identically with the (dot DESC, centroid id ASC) tiebreak.
+    *
+    * Scale shape identical to s03: bounded centroid set broadcast for
+    * the corpus assignment (narrow map), bounded probe set broadcast
+    * into an equi join on cell id — each query scans ~nprobe/k of the
+    * corpus, and the corpus itself never shuffles. */
+  val annIvfPinned: QueryDef = {
+    val kCentroids = 16; val nprobe = 4; val topK = 5
+    val centDotSql =
+      """list_reduce(list_prepend(0.0,
+           list_transform(range(1, len(u.u) + 1), i -> u.u[i] * c.c_u[i])),
+           (x, y) -> x + y)"""
+    QueryDef(
+      "s03b_ann_ivf_pinned",
+      (s, d) => {
+        graft.expr.ArrayDot.register(s)
+        val u = Dedup.normalized(s, d, "id", "u")
+        // corpus index: one broadcast-centroid assignment, shared by the
+        // probe side (queries are corpus vectors) and the cell scan
+        val assigned = Dedup.assignClusters(u, kCentroids).localCheckpoint()
+        val cents = u.filter(col("id") < kCentroids)
+          .select(col("id").as("c_id"), col("u").as("c_u"))
+        val byDot = Window.partitionBy(col("q_id"))
+          .orderBy(col("c_dot").desc, col("c_id"))
+        val probes = assigned.filter(col("id") < 10)
+          .select(col("id").as("q_id"), col("u").as("q_u"))
+          .crossJoin(broadcast(cents))
+          .withColumn("c_dot", expr("array_dot(q_u, c_u)"))
+          .withColumn("crn", row_number().over(byDot))
+          .filter(col("crn") <= nprobe)
+          .select(col("q_id"), col("q_u"), col("c_id").as("cluster"))
+        val corpus = assigned
+          .select(col("id").as("n_id"), col("cluster"), col("u").as("n_u"))
+        val byCos = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("n_id"))
+        broadcast(probes).join(corpus, Seq("cluster"))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("cos_sim", expr("array_dot(q_u, n_u)"))
+          .withColumn("rn", row_number().over(byCos))
+          .filter(col("rn") <= topK)
+          .select("q_id", "n_id", "cos_sim", "rn")
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH ${Dedup.normalizedSql},
+               cents AS (
+                 SELECT vec_id AS c_id, u AS c_u FROM u
+                 WHERE vec_id < $kCentroids),
+               ad AS (
+                 SELECT u.vec_id, c.c_id, $centDotSql AS c_dot
+                 FROM u, cents c),
+               asg AS (
+                 SELECT vec_id, c_id AS cluster FROM (
+                   SELECT vec_id, c_id,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY c_dot DESC, c_id) AS crn
+                   FROM ad)
+                 WHERE crn = 1),
+               probes AS (
+                 SELECT vec_id AS q_id, c_id AS cluster FROM (
+                   SELECT vec_id, c_id,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY c_dot DESC, c_id) AS crn
+                   FROM ad WHERE vec_id < 10)
+                 WHERE crn <= $nprobe),
+               p AS (
+                 SELECT pr.q_id, b.vec_id AS n_id,
+                   ${Dedup.pairDotSql} AS cos_sim
+                 FROM probes pr
+                 JOIN asg sb ON sb.cluster = pr.cluster
+                   AND sb.vec_id != pr.q_id
+                 JOIN u a ON a.vec_id = pr.q_id
+                 JOIN u b ON b.vec_id = sb.vec_id),
+               r AS (
+                 SELECT q_id, n_id, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rn
+                 FROM p)
+               SELECT q_id, n_id, cos_sim, rn FROM r WHERE rn <= $topK
+               ORDER BY q_id, rn"""))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(cosineTopK, annLsh, annIvf, annHyperplane, annInt8)
+    Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8)
 }

@@ -23,6 +23,27 @@ class RecallSpec extends AnyFunSuite {
     assert(recall >= 0.60, s"ivf recall=$recall")
   }
 
+  test("pinned-centroid IVF (s03b) recalls >= 60% of exact cosine top-5") {
+    val exact = Similarity.cosineTopK.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvfPinned.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // pinned-data centroids are a worse quantizer than KMeans (no
+    // Lloyd refinement), but with nprobe=4/16 the probe set still
+    // covers most neighbors on these fixtures
+    assert(recall >= 0.60, s"pinned ivf recall=$recall")
+    // every reported cosine must agree with the exact scorer where the
+    // pair appears in both (same fold -> identical doubles)
+    val exactScores = Similarity.cosineTopK.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.annIvfPinned.build(spark, sf).collect().foreach { r =>
+      exactScores.get((r.getLong(0), r.getLong(1))).foreach { es =>
+        assert(es == r.getDouble(2), s"score drift on ${(r.getLong(0), r.getLong(1))}")
+      }
+    }
+  }
+
   test("int8-quantized top-5 (s05) recalls >= 90% of exact cosine top-5") {
     val exact = Similarity.cosineTopK.build(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
