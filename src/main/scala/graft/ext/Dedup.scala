@@ -949,21 +949,38 @@ object Dedup {
     * same-cluster candidates (~n²/k per cluster, the SemDeDup
     * contract), never the full n²; components via the checkpointed
     * large-star/small-star contraction (see [[connectedComponents]]). */
-  /** Coarse-quantizer assignment shared by d13/d14: each (`id`, `u`)
-    * row labeled with its max-dot pinned centroid (the first
+  /** Coarse-quantizer assignment shared by d13/d14/s03b: each (`id`,
+    * `u`) row labeled with its max-dot pinned centroid (the first
     * `kCentroids` corpus vectors by id), (dot DESC, centroid id ASC)
-    * tiebreak. Centroids broadcast; the corpus never shuffles for the
-    * assignment itself (the per-id argmax window keys on id). */
+    * tiebreak.
+    *
+    * GENUINELY shuffle-free: the bounded centroid set is collected to
+    * the driver (k rows — the same class of bounded collect as a 1-row
+    * threshold) and rendered as a literal array, so the assignment is a
+    * per-row fold — no k× cross join, no hash exchange on id for a
+    * ranking window (the previous window form shuffled the expanded
+    * corpus k times over). `Double.toString` round-trips exactly
+    * through Spark's literal parser, so the rendered centroids are
+    * bit-identical to the data. Dots are computed once into structs,
+    * then reduced with strict `>` — in ascending c_id order the first
+    * maximum wins, which IS the (dot DESC, c_id ASC) tiebreak. */
   def assignClusters(uVecs: DataFrame, kCentroids: Int): DataFrame = {
     val cents = uVecs.filter(col("id") < kCentroids)
-      .select(col("id").as("c_id"), col("u").as("c_u"))
-    val byDot = Window.partitionBy(col("id"))
-      .orderBy(col("c_dot").desc, col("c_id"))
-    uVecs.crossJoin(broadcast(cents))
-      .withColumn("c_dot", expr("array_dot(u, c_u)"))
-      .withColumn("crn", row_number().over(byDot))
-      .filter(col("crn") === 1)
-      .select(col("id"), col("c_id").as("cluster"), col("u"))
+      .select(col("id"), col("u"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"no centroid vectors with id < $kCentroids")
+    val centArr = cents.map { case (cid, cu) =>
+      s"struct(CAST($cid AS BIGINT) AS c_id, " +
+        cu.map(x => s"${x}D").mkString("array(", ", ", ")") + " AS c_u)"
+    }.mkString("array(", ", ", ")")
+    uVecs.select(col("id"), expr(
+      s"""aggregate(
+            transform($centArr, c -> struct(array_dot(u, c.c_u) AS d, c.c_id AS cid)),
+            struct(CAST('-Infinity' AS DOUBLE) AS d, CAST(-1 AS BIGINT) AS cid),
+            (acc, x) -> IF(x.d > acc.d, x, acc)).cid""").as("cluster"),
+      col("u"))
   }
 
   def semanticDedupLabels(

@@ -651,27 +651,35 @@ object TextAnalysis {
     QueryDef(
       "t15_vocab_build",
       (s, d) => {
-        // ONE corpus pass: the full token aggregate is checkpointed
-        // (vocabulary-sized, << corpus) and feeds both the grand total
-        // and the top-V rank — not two scans of the corpus
+        // ONE corpus pass: the full token aggregate is LAZILY
+        // checkpointed (vocabulary-sized, << corpus) and feeds both the
+        // grand total and the top-V rank — not two scans of the corpus.
+        // Lazy (not eager) so plan-only consumers (PlanDump,
+        // PlanGuardSpec) don't pay a corpus aggregation at DataFrame-
+        // construction time, and the bench times execution, not
+        // construction; the checkpoint still materializes exactly once
+        // when the first action runs.
         val countsAll = Tables.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
           .groupBy("token")
           .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
-          .localCheckpoint()
-        // empty-corpus guard (x11's idiom): sum over zero rows is NULL,
-        // and with zero rows the ppm expression never evaluates, so any
-        // positive placeholder divisor is safe
-        val totalsRow = countsAll.agg(sum(col("n"))).collect()(0)
-        val totals = if (totalsRow.isNullAt(0)) 1L else totalsRow.getLong(0)
+          .localCheckpoint(false)
+        // grand total as a 1-row broadcast (t07/x09's idiom) instead of
+        // a driver collect — the query stays lazily planned end to end.
+        // Empty-corpus guard: sum over zero rows is NULL, and with zero
+        // rows the ppm expression never evaluates, so any positive
+        // placeholder divisor is safe.
+        val totals = countsAll.agg(
+          coalesce(sum(col("n")), lit(1L)).as("tot"))
         import org.apache.spark.sql.expressions.Window
         val byRank = Window.orderBy(col("n").desc, col("token"))
         countsAll
           .orderBy(col("n").desc, col("token"))
           .limit(vocabSize)
+          .crossJoin(broadcast(totals))
           .withColumn("token_id",
             (row_number().over(byRank) - 1).cast("long"))
-          .withColumn("ppm", expr(s"CAST(n * 1000000 DIV $totals AS BIGINT)"))
+          .withColumn("ppm", expr("CAST(n * 1000000 DIV tot AS BIGINT)"))
           .select("token_id", "token", "n", "df", "ppm")
           .orderBy("token_id")
       },

@@ -38,9 +38,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "st09_funnel_steps" -> "1-row funnel-window scalar broadcast",
     "s01_cosine_topk" -> "bounded query-vector set broadcast (corpus never shuffles)",
     "s03_ann_ivf" -> "bounded centroid/query set broadcast",
+    "s03b_ann_ivf_pinned" -> "bounded probe stage: query set x pinned centroid broadcast",
     "s05_ann_int8" -> "bounded query-vector set broadcast",
     "m04_multimodal_embed_topk" -> "bounded probe set broadcast",
     "q35_fuzzy_levenshtein" -> "name-DOMAIN pair stage, vocabulary-bounded by design",
+    "t15_vocab_build" -> "1-row grand-total broadcast (t07/x09's idiom)",
     "q45_not_in_null_semantics" -> "ANSI NOT-IN null semantics: Spark's null-aware anti form",
     "d03_dedup_simhash" -> "documented all-pairs BASELINE; banded twins d09/d11 registered",
     "d05_dedup_embedding" -> "documented all-pairs BASELINE; bucketed twins s02/s04/s05 registered")
