@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off larger-scale probe data (VERDICT r4 §next #7): upsample an
+  * existing sf directory N× by unioning key-shifted copies, so the most
+  * expensive queries can be re-timed at a scale the driver does not
+  * generate (the committed numbers live in BASELINE.md §sf0.5 probe).
+  *
+  * Copy k shifts every join/entity key by k·10⁹ (far above any sf0.1
+  * key range, so copies never collide and referential integrity within
+  * a copy is preserved), and suffixes every document token with `_k` —
+  * copies are DISTINCT corpus content (5× vocabulary, no cross-copy
+  * near-dups), not 5× planted duplicate clusters that would turn the
+  * dedup benches into a different (adversarial) workload. `n_chars` is
+  * recomputed from the perturbed text. Events keep their timestamps
+  * (5× density per window — how a larger deployment actually looks) and
+  * shift user/event ids.
+  *
+  * Usage: runMain graft.ProbeData <srcSfDir> <outDir> [copies=5]
+  */
+object ProbeData {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val copies = args.lift(2).map(_.toInt).getOrElse(5)
+    val off = 1000000000L
+    val spark = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // events ts is TIMESTAMP(NANOS); read it as a raw long (the copies
+    // are written as plain BIGINT, which Tables.events' DIV-1000
+    // conversion handles identically)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def shifted(name: String, keys: Seq[String],
+        perturb: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val parts = (0 until copies).map { k =>
+        val shift = keys.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(k * off)))
+        perturb(shift, k)
+      }
+      parts.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[probe] $name x$copies -> $out")
+    }
+
+    shifted("documents", Seq("doc_id"), (df, k) =>
+      if (k == 0) df
+      else df
+        .withColumn("text", concat_ws(" ",
+          expr(s"transform(split(text, ' '), w -> concat(w, '_$k'))")))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    shifted("orders", Seq("o_orderkey", "o_custkey"))
+    shifted("customer", Seq("c_custkey"))
+    shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    shifted("events", Seq("event_id", "user_id"))
+    shifted("embeddings", Seq("vec_id"))
+    // small dims copied verbatim (bounded domains stay bounded at scale)
+    for (t <- Seq("region", "nation", "part", "supplier")) {
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[probe] $t copied")
+    }
+    spark.stop()
+  }
+}
