@@ -719,18 +719,32 @@ object TextAnalysis {
     * top-`vocabSize` word list — vocabulary-bounded, like t15's rank —
     * with one 1-row driver collect per round (the argmax pair). Pair
     * ties break by (freq DESC, l ASC, r ASC) in both engines. */
-  def bpeMerges(docs: DataFrame, vocabSize: Int, rounds: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // corpus pass: lowercase-alpha word frequencies, deterministic top-V
-    val vocab = docs
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(col("word").rlike("^[a-z]+$"))
-      .groupBy("word").agg(count(lit(1)).as("n"))
+  /** The one corpus-sized pass under t16/t17: lowercase-alpha word
+    * frequencies (map-side partial aggregate). */
+  private[ext] def wordFreq(docs: DataFrame): DataFrame = docs
+    .select(explode(split(col("text"), " ")).as("word"))
+    .filter(col("word").rlike("^[a-z]+$"))
+    .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Char-split a `word` column into the double-space symbol form. */
+  private def symInit(c: org.apache.spark.sql.Column) =
+    trim(regexp_replace(c, "(.)", "$1  "))
+
+  /** Apply one learned merge to a `sym` column (the padded-replace
+    * trick; see [[bpeMerges]]). */
+  private def applyMerge(c: org.apache.spark.sql.Column, l: String, r: String) =
+    trim(replace(concat(lit("  "), c, lit("  ")),
+      lit(s" $l  $r "), lit(s" $l$r ")))
+
+  /** Train merges from a (word, n) frequency frame; returns the rules
+    * as driver values so callers can render them into encode
+    * expressions. */
+  def bpeMergesFromFreq(freq: DataFrame, vocabSize: Int,
+      rounds: Int): Seq[(Long, String, String, Long)] = {
+    val vocab = freq
       .orderBy(col("n").desc, col("word")).limit(vocabSize)
       .localCheckpoint()
-    var words = vocab.select(
-      trim(regexp_replace(col("word"), "(.)", "$1  ")).as("sym"), col("n"))
+    var words = vocab.select(symInit(col("word")).as("sym"), col("n"))
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var exhausted = false
     for (round <- 1 to rounds if !exhausted) {
@@ -746,31 +760,66 @@ object TextAnalysis {
       else {
         val (l, r, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((round.toLong, l, r, f))
-        words = words.select(
-          trim(replace(concat(lit("  "), col("sym"), lit("  ")),
-            lit(s" $l  $r "), lit(s" $l$r "))).as("sym"),
-          col("n"))
+        words = words.select(applyMerge(col("sym"), l, r).as("sym"), col("n"))
       }
     }
-    merges.result().toDF("round", "left", "right", "freq").orderBy("round")
+    merges.result()
   }
 
-  /** t16 — registered BPE induction: top-200 words, 8 merge rounds,
-    * mirrored in DuckDB as an unrolled CTE (one pair-count + argmax +
-    * replace stage per round, the g01/g03 bounded-rounds pattern). */
-  val bpeInduction: QueryDef = {
-    val V = 200
-    val R = 8
-    val w0 =
-      s"""w0 AS (
+  def bpeMerges(docs: DataFrame, vocabSize: Int, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeMergesFromFreq(wordFreq(docs), vocabSize, rounds)
+      .toDF("round", "left", "right", "freq").orderBy("round")
+  }
+
+  /** BPE ENCODING (t16's apply side): train `rounds` merges on the
+    * top-`vocabSize` words, then tokenize the WHOLE alpha word stream
+    * with them and report the top-`topN` subwords by weighted usage —
+    * what the trained tokenizer actually does to the corpus, and the
+    * sanity artifact (subword distribution) a tokenizer-training run
+    * ships.
+    *
+    * Scale shape: ONE corpus pass (the shared word-frequency aggregate,
+    * checkpointed, feeding both training and encoding); the learned
+    * rules are driver values rendered as a chain of `rounds` literal
+    * replaces — a narrow vocabulary-sized map, no shuffle until the
+    * final subword aggregate (itself vocabulary-bounded). */
+  def bpeEncodeFreq(docs: DataFrame, vocabSize: Int, rounds: Int,
+      topN: Int): DataFrame = {
+    val freq = wordFreq(docs).localCheckpoint()
+    val merges = bpeMergesFromFreq(freq, vocabSize, rounds)
+    val sym = merges.foldLeft(symInit(col("word"))) {
+      case (c, (_, l, r, _)) => applyMerge(c, l, r)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val byUse = Window.orderBy(col("n").desc, col("subword"))
+    freq.select(sym.as("sym"), col("n"))
+      .select(explode(split(col("sym"), "  ")).as("subword"), col("n"))
+      .groupBy("subword").agg(sum(col("n")).as("n"))
+      .orderBy(col("n").desc, col("subword")).limit(topN)
+      .withColumn("rank", row_number().over(byUse).cast("long"))
+      .select("rank", "subword", "n")
+      .orderBy("rank")
+  }
+
+  /** WITH-body fragment shared by t16/t17's oracles: `aw` (ALL alpha
+    * word frequencies), `w0` (its top-`v` char-split), and the
+    * `rounds`-deep training chain `p_k`/`b_k`/`w_k` (pair counts →
+    * argmax merge → applied merge — the g01/g03 bounded-rounds
+    * unrolled-CTE pattern). */
+  private def bpeTrainSql(v: Int, rounds: Int): String = {
+    val base =
+      s"""aw AS (
+            SELECT token AS word, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents) t
+            WHERE regexp_matches(token, '^[a-z]+${"$"}')
+            GROUP BY 1),
+          w0 AS (
             SELECT trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym, n
-            FROM (
-              SELECT token AS word, CAST(count(*) AS BIGINT) AS n
-              FROM (SELECT unnest(string_split(text, ' ')) AS token
-                    FROM documents) t
-              WHERE regexp_matches(token, '^[a-z]+${"$"}')
-              GROUP BY 1 ORDER BY n DESC, word LIMIT $V) v)"""
-    val roundCtes = (1 to R).map { k =>
+            FROM (SELECT word, n FROM aw ORDER BY n DESC, word LIMIT $v) v)"""
+    val roundCtes = (1 to rounds).map { k =>
       s"""p$k AS (
             SELECT a[i] AS l, a[i + 1] AS r, n
             FROM (SELECT string_split(sym, '  ') AS a, n FROM w${k - 1}) s,
@@ -784,17 +833,65 @@ object TextAnalysis {
                      ' ' || b.l || b.r || ' ')) AS sym, n
             FROM w${k - 1}, b$k b)"""
     }.mkString(",\n")
+    s"$base,\n$roundCtes"
+  }
+
+  /** t16 — registered BPE induction: top-200 words, 8 merge rounds,
+    * mirrored in DuckDB as an unrolled CTE. */
+  val bpeInduction: QueryDef = {
+    val V = 200
+    val R = 8
     val union = (1 to R)
       .map(k => s"SELECT CAST($k AS BIGINT) AS round, l AS \"left\", r AS \"right\", f AS freq FROM b$k")
       .mkString("\n UNION ALL ")
     QueryDef(
       "t16_bpe_induction",
       (s, d) => bpeMerges(Tables.documents(s, d), V, R),
-      Some(s"WITH $w0,\n$roundCtes\n$union ORDER BY round"))
+      Some(s"WITH ${bpeTrainSql(V, R)}\n$union ORDER BY round"))
+  }
+
+  /** t17 — BPE encoding: the apply side of t16 as a registered query.
+    * Trains the same 8 merges, tokenizes the FULL alpha word stream,
+    * reports the top-100 subwords by weighted usage. The DuckDB mirror
+    * re-derives the merges with t16's training chain and applies them
+    * in a chained-CTE replace cascade over `aw` — bit-exact end to end
+    * (training AND application both proved against the oracle). */
+  val bpeEncode: QueryDef = {
+    val V = 200
+    val R = 8
+    val topN = 100
+    val applyCtes =
+      s"""a0 AS (
+            SELECT trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym, n
+            FROM aw),
+""" +
+      (1 to R).map { k =>
+        s"""a$k AS (
+              SELECT trim(replace('  ' || sym || '  ',
+                       ' ' || b.l || '  ' || b.r || ' ',
+                       ' ' || b.l || b.r || ' ')) AS sym, n
+              FROM a${k - 1}, b$k b)"""
+      }.mkString(",\n")
+    QueryDef(
+      "t17_bpe_encode",
+      (s, d) => bpeEncodeFreq(Tables.documents(s, d), V, R, topN),
+      Some(s"""WITH ${bpeTrainSql(V, R)},
+               $applyCtes,
+               sub AS (
+                 SELECT unnest(string_split(sym, '  ')) AS subword, n
+                 FROM a$R),
+               agg AS (
+                 SELECT subword, CAST(sum(n) AS BIGINT) AS n
+                 FROM sub GROUP BY 1
+                 ORDER BY n DESC, subword LIMIT $topN)
+               SELECT CAST(row_number() OVER (ORDER BY n DESC, subword)
+                      AS BIGINT) AS rank,
+                 subword, n
+               FROM agg ORDER BY rank"""))
   }
 
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
-      nfcCanonicalize, domainClassify, vocabBuild, bpeInduction)
+      nfcCanonicalize, domainClassify, vocabBuild, bpeInduction, bpeEncode)
 }

@@ -45,6 +45,24 @@ class BpeSpec extends AnyFunSuite {
     assert(out(1) == ((2L, "a", "a", 2L)), out.mkString(", "))
   }
 
+  test("encode (t17): sennrich corpus subword usage matches hand computation") {
+    // after merges (l,o),(lo,w),(e,s),(es,t): low(x3)='low',
+    // lower='low e r', lowest='low est', newest(x2)='n e w est',
+    // widest='w i d est' -> weighted subword counts:
+    // low:5, est:4, e:3, w:3, n:2, d:1, i:1, r:1
+    val docs = Seq((1L,
+      "low low low lower lowest newest newest widest"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncodeFreq(docs, vocabSize = 100, rounds = 4,
+        topN = 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "low", 5L), (2L, "est", 4L), (3L, "e", 3L), (4L, "w", 3L),
+      (5L, "n", 2L), (6L, "d", 1L), (7L, "i", 1L), (8L, "r", 1L)),
+      out.mkString(", "))
+  }
+
   test("rounds beyond exhaustion stop early instead of failing") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val out = TextAnalysis.bpeMerges(docs, vocabSize = 10, rounds = 5)

@@ -54,7 +54,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "x11_pack_sequences" -> "32-row bucket-offset frame (two-phase prefix sum), Curation.scala",
     "x15_quantile_outlier_filter" -> "distinct-length histogram, value-domain bounded, Curation.scala",
     "t15_vocab_build" -> "1000-row vocabulary rank, TextAnalysis.scala",
-    "x17_budget_rebalance" -> "global sum over the ~20-row per-source aggregate (source-domain bounded), Curation.scala")
+    "x17_budget_rebalance" -> "global sum over the ~20-row per-source aggregate (source-domain bounded), Curation.scala",
+    "t17_bpe_encode" -> "100-row subword rank after LIMIT (t15's vocabulary-rank idiom), TextAnalysis.scala")
 
   /** name -> physical plan for every registered query. sparkPlan (the
     * pre-AQE physical plan) carries the concrete join/window nodes; a
