@@ -348,6 +348,122 @@ object Similarity {
                ORDER BY q_id, rn"""))
   }
 
+  /** s06 — product quantization with asymmetric distance computation
+    * (Jégou, Douze, Schmid, "Product quantization for nearest neighbor
+    * search", TPAMI 2011): the memory-bound ANN path proper. Each
+    * 64-dim unit vector is split into 4 subvectors of 16 dims; per
+    * subspace a 16-entry codebook (the SUBVECTORS of the first 16
+    * corpus vectors — pinned DATA, the d13/s03b trick, which is what
+    * makes PQ oracle-expressible) quantizes the corpus to a 4-byte
+    * code. A query never touches the corpus floats: it precomputes a
+    * 4×16 dot TABLE against the codebooks and scores every code by 4
+    * table lookups — at 100 TB the corpus index is 16 bytes/vector
+    * (codes) instead of 256 (floats), and scoring is lookup+add.
+    *
+    * Determinism contract: per-subspace assignment is the same
+    * sequential squared-L2 fold both engines share, argmin with strict
+    * `<` over ascending centroid ids (= (dist ASC, cid ASC) tiebreak);
+    * the ADC sum is written as the explicit left-associated
+    * `t0 + t1 + t2 + t3` in BOTH engines, so the doubles are
+    * bit-identical end to end.
+    *
+    * Scale shape: codebooks are driver-rendered literals (bounded, the
+    * assignClusters pattern) so corpus encoding is a narrow shuffle-free
+    * map; the bounded query table broadcasts; per-query top-k via the
+    * map-side-pruned ranking window. */
+  val annPqAdc: QueryDef = {
+    val m = 4; val dsub = 16; val kCode = 16; val topK = 5
+    QueryDef(
+      "s06_ann_pq_adc",
+      (s, d) => {
+        val u = Dedup.normalized(s, d, "id", "u")
+        val cb = u.filter(col("id") < kCode)
+          .select(col("id"), col("u")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+        require(cb.nonEmpty, s"no codebook vectors with id < $kCode")
+        def cbArr(j: Int): String = cb.map { case (cid, vec) =>
+          val sub = vec.slice(j * dsub, (j + 1) * dsub)
+          s"struct(CAST($cid AS INT) AS cid, " +
+            sub.map(x => s"${x}D").mkString("array(", ", ", ")") + " AS cu)"
+        }.mkString("array(", ", ", ")")
+        def subCol(j: Int) = s"slice(u, ${j * dsub + 1}, $dsub)"
+        val codeCols = (0 until m).map { j =>
+          expr(s"""aggregate(
+            transform(${cbArr(j)}, c -> struct(
+              aggregate(zip_with(${subCol(j)}, c.cu, (x, y) -> (x - y) * (x - y)),
+                0D, (a, v) -> a + v) AS dd,
+              c.cid AS cid)),
+            struct(CAST('Infinity' AS DOUBLE) AS dd, -1 AS cid),
+            (acc, x) -> IF(x.dd < acc.dd, x, acc)).cid""").as(s"code$j")
+        }
+        val codes = u.select(col("id").as("n_id") +: codeCols: _*)
+        val dtabCols = (0 until m).map { j =>
+          expr(s"""transform(${cbArr(j)}, c ->
+            aggregate(zip_with(${subCol(j)}, c.cu, (x, y) -> x * y),
+              0D, (a, v) -> a + v))""").as(s"dtab$j")
+        }
+        val q = u.filter(col("id") < 10)
+          .select(col("id").as("q_id") +: dtabCols: _*)
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("approx_cos").desc, col("n_id"))
+        broadcast(q).join(codes, col("q_id") =!= col("n_id"))
+          .withColumn("approx_cos", expr((0 until m)
+            .map(j => s"element_at(dtab$j, code$j + 1)").mkString(" + ")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= topK)
+          .select("q_id", "n_id", "approx_cos", "rn")
+          .orderBy("q_id", "rn")
+      },
+      Some {
+        def fold(elemExpr: String) =
+          s"""list_reduce(list_prepend(0.0,
+               list_transform(range(1, $dsub + 1), i -> $elemExpr)),
+               (x, y) -> x + y)"""
+        val joinsFor = (tbl: String, colName: String) => (0 until m)
+          .map(j => s"a$j.$colName AS $colName$j").mkString(", ") +
+          s" FROM $tbl a0 " + (1 until m)
+          .map(j => s"JOIN $tbl a$j ON a$j.k = a0.k AND a$j.j = $j")
+          .mkString(" ") + " WHERE a0.j = 0"
+        s"""WITH ${Dedup.normalizedSql},
+            cb AS (SELECT vec_id AS cid, u FROM u WHERE vec_id < $kCode),
+            js AS (SELECT unnest(range(0, $m)) AS j),
+            dd AS (
+              SELECT s.vec_id, js.j, c.cid,
+                ${fold(s"(s.u[js.j * $dsub + i] - c.u[js.j * $dsub + i]) * " +
+                       s"(s.u[js.j * $dsub + i] - c.u[js.j * $dsub + i])")} AS dd
+              FROM u s, js, cb c),
+            codes AS (
+              SELECT vec_id AS k, j, cid FROM (
+                SELECT vec_id, j, cid,
+                  row_number() OVER (PARTITION BY vec_id, j
+                    ORDER BY dd ASC, cid ASC) AS rn
+                FROM dd)
+              WHERE rn = 1),
+            codep AS (SELECT a0.k AS n_id, ${joinsFor("codes", "cid")}),
+            qd AS (
+              SELECT s.vec_id AS q_id, js.j, c.cid,
+                ${fold(s"s.u[js.j * $dsub + i] * c.u[js.j * $dsub + i]")} AS dt
+              FROM u s, js, cb c WHERE s.vec_id < 10),
+            qd1 AS (
+              SELECT q_id AS k, j, list(dt ORDER BY cid) AS dtab
+              FROM qd GROUP BY q_id, j),
+            qdp AS (SELECT a0.k AS q_id, ${joinsFor("qd1", "dtab")}),
+            p AS (
+              SELECT q.q_id, cp.n_id,
+                q.dtab0[cp.cid0 + 1] + q.dtab1[cp.cid1 + 1]
+                  + q.dtab2[cp.cid2 + 1] + q.dtab3[cp.cid3 + 1] AS approx_cos
+              FROM qdp q, codep cp WHERE cp.n_id != q.q_id),
+            r AS (
+              SELECT q_id, n_id, approx_cos,
+                CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY approx_cos DESC, n_id) AS INTEGER) AS rn
+              FROM p)
+            SELECT q_id, n_id, approx_cos, rn FROM r WHERE rn <= $topK
+            ORDER BY q_id, rn"""
+      })
+  }
+
   val all: Seq[QueryDef] =
-    Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8)
+    Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
+      annPqAdc)
 }

@@ -44,6 +44,22 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ/ADC top-5 (s06) recalls a floor of exact cosine top-5; scores bounded") {
+    val exact = Similarity.cosineTopK.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.annPqAdc.build(spark, sf).collect()
+    val pq = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(s"pq recall=$recall")
+    // 4x16 PQ of structureless random 64-dim vectors is MUCH lossier
+    // than int8 (it keeps 4 bytes of 256) — the floor documents that
+    // the index still beats chance (top-5 of ~500 ≈ 1% by luck), not
+    // that it rivals s05. Observed 0.20 with these fixtures.
+    assert(recall >= 0.15, s"pq recall=$recall")
+    // ADC approximates a cosine of unit vectors: |approx| stays near 1
+    assert(rows.forall(r => math.abs(r.getAs[Double]("approx_cos")) <= 1.5))
+  }
+
   test("int8-quantized top-5 (s05) recalls >= 90% of exact cosine top-5") {
     val exact = Similarity.cosineTopK.build(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

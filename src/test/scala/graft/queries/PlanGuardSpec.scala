@@ -40,6 +40,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "s03_ann_ivf" -> "bounded centroid/query set broadcast",
     "s03b_ann_ivf_pinned" -> "bounded probe stage: query set x pinned centroid broadcast",
     "s05_ann_int8" -> "bounded query-vector set broadcast",
+    "s06_ann_pq_adc" -> "bounded query dot-table broadcast (corpus scans 4-byte codes in place)",
     "m04_multimodal_embed_topk" -> "bounded probe set broadcast",
     "q35_fuzzy_levenshtein" -> "name-DOMAIN pair stage, vocabulary-bounded by design",
     "t15_vocab_build" -> "1-row grand-total broadcast (t07/x09's idiom)",
