@@ -285,5 +285,90 @@ object Graph {
       })
   }
 
-  val all: Seq[QueryDef] = Seq(pagerank, triangles, kcore)
+  /** g04 — synchronous label propagation communities (Raghavan, Albert
+    * & Kumara, "Near linear time algorithm to detect community
+    * structures in large-scale networks", Phys. Rev. E 2007) over g01's
+    * part↔supplier graph: every node starts as its own label; each
+    * round it adopts the most frequent label among its neighbors, ties
+    * to the MINIMUM label — the (count DESC, label ASC) rank both
+    * engines compute identically, which is what makes an inherently
+    * heuristic community algorithm oracle-exact. Rounds are FIXED (3),
+    * like g01: integer labels, bounded lineage, no checkpoint needed.
+    *
+    * Scale shape: each round is one equi-join of the edge list with the
+    * label vector, one (node, label) count aggregate, and one per-node
+    * ranking window (key-partitioned on the node — never global). The
+    * output is the community SIZE distribution (top 20), the artifact a
+    * corpus-partitioning run reads. */
+  /** Synchronous LP rounds over a DIRECTED edge frame (u, v) — pass
+    * both directions for an undirected graph. Per-node labels after
+    * `rounds` iterations, (count DESC, label ASC) vote. */
+  def labelPropagate(e: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var labels = e.select(col("u").as("id")).distinct()
+      .withColumn("lab", col("id"))
+    for (_ <- 1 to rounds) {
+      // the (count DESC, label ASC) vote as ONE aggregate: max over
+      // (cnt, -lab) structs == highest count, ties to minimum label —
+      // no per-round ranking window (which would cost a second
+      // exchange + sort on top of the count aggregate)
+      labels = e.join(labels, e("u") === labels("id"))
+        .groupBy(col("v"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("cnt").as("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("v").as("id"), (-col("m.nl")).as("lab"))
+    }
+    labels
+  }
+
+  val labelPropagation: QueryDef = {
+    val Rounds = 3
+    QueryDef(
+      "g04_label_propagation",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("p"),
+            (col("l_suppkey") + SuppOffset).as("sup"))
+          .distinct()
+        val e = li.select(col("p").as("u"), col("sup").as("v"))
+          .union(li.select(col("sup").as("u"), col("p").as("v")))
+        labelPropagate(e, Rounds)
+          .groupBy("lab")
+          .agg(count(lit(1)).as("n_nodes"))
+          .select(col("lab").as("community"), col("n_nodes"))
+          .orderBy(col("n_nodes").desc, col("community"))
+          .limit(20)
+      },
+      Some {
+        val base =
+          s"""li AS (SELECT DISTINCT l_partkey AS p,
+                       l_suppkey + $SuppOffset AS sup FROM lineitem),
+              e AS (SELECT p AS u, sup AS v FROM li
+                    UNION ALL SELECT sup, p FROM li),
+              l0 AS (SELECT DISTINCT u AS id, u AS lab FROM e)"""
+        val rounds = (1 to Rounds).map { k =>
+          s"""c$k AS (
+                SELECT e.v, l${k - 1}.lab, count(*) AS cnt
+                FROM e JOIN l${k - 1} ON l${k - 1}.id = e.u
+                GROUP BY 1, 2),
+              l$k AS (
+                SELECT v AS id, lab FROM (
+                  SELECT v, lab,
+                    row_number() OVER (PARTITION BY v
+                      ORDER BY cnt DESC, lab) AS rn
+                  FROM c$k)
+                WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH $base,
+            $rounds
+            SELECT CAST(lab AS BIGINT) AS community,
+              CAST(count(*) AS BIGINT) AS n_nodes
+            FROM l$Rounds GROUP BY 1
+            ORDER BY n_nodes DESC, community LIMIT 20"""
+      })
+  }
+
+  val all: Seq[QueryDef] = Seq(pagerank, triangles, kcore, labelPropagation)
 }
