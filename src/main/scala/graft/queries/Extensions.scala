@@ -163,6 +163,32 @@ object Extensions {
             HAVING count(*) * 100 > n_total
             ORDER BY n DESC, tok"""))
 
+  /** e07 — Q-digest quantile sketch (graft.expr.QuantileSketch): p50/
+    * p90/p99 of document length in ONE mergeable aggregate — no global
+    * sort, state bounded by the value universe, order- and
+    * partitioning-independent by construction (exact bucket counts,
+    * canonical one-shot compression). Alongside: the exact percentiles,
+    * so the ≤ N/64 rank-error guarantee is visible in the output row.
+    * Sketch estimates are engine-specific (the digest walk) → rows-only
+    * check, with x15's exact-percentile family as the oracle-exact twin
+    * and the error law ScalaCheck'd in QuantileSketchSpec. */
+  val quantileSketch: QueryDef = QueryDef(
+    "e07_quantile_sketch",
+    (s, d) => {
+      Tables.documents(s, d).agg(
+        graft.expr.QuantileSketch.quantileSketch(col("n_chars")).as("qs"),
+        expr("CAST(percentile(n_chars, 0.5D) AS BIGINT)").as("exact_p50"),
+        expr("CAST(percentile(n_chars, 0.9D) AS BIGINT)").as("exact_p90"),
+        expr("CAST(percentile(n_chars, 0.99D) AS BIGINT)").as("exact_p99"))
+        .select(
+          expr("qs[0]").as("est_p50"), expr("qs[1]").as("est_p90"),
+          expr("qs[2]").as("est_p99"),
+          col("exact_p50"), col("exact_p90"), col("exact_p99"),
+          expr("qs[3]").as("n"), expr("qs[4]").as("digest_nodes"))
+    },
+    None)
+
   val all: Seq[QueryDef] =
-    Seq(daypart, sketch, approxProfile, topkOperator, kmvSketch, heavyHitters)
+    Seq(daypart, sketch, approxProfile, topkOperator, kmvSketch, heavyHitters,
+      quantileSketch)
 }
