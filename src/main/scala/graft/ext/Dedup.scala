@@ -929,6 +929,95 @@ object Dedup {
                ORDER BY fp"""))
   }
 
+  /** d15 — repeated-span REMOVAL: the rewrite step of Lee et al.'s
+    * exact-substring dedup (d12 detects the duplicated spans; the
+    * actual pipeline then cuts them from every doc except the span's
+    * first/keeper occurrence). Every doc comes back with its token
+    * counts and the cleaned text — the first-occurrence doc keeps the
+    * span verbatim, later docs drop every token covered by ANY
+    * duplicated window, and a fully-boilerplate doc survives as an
+    * empty string (a row the caller can gate on, never a silent drop).
+    *
+    * Scale shape: span fingerprints aggregate as in d12 (fingerprints
+    * shuffle, not text); the duplicated-fp set is dup-bounded and
+    * joins the window stream as a broadcast; covered positions explode
+    * only for matching occurrences (≤ 32× the duplicate-window count).
+    * The reassembly is the one corpus-sized stage — a (doc_id, pos)
+    * anti join and a doc-keyed ordered collect — which is irreducible
+    * for an operator whose OUTPUT is the rewritten corpus; both stages
+    * key-partition on doc_id and never sort globally. Oracle-exact:
+    * md5 windows, position arithmetic, and ordered reassembly are
+    * mirrored in DuckDB bit-for-bit. */
+  val spanRemoval: QueryDef = {
+    val W = 32; val S = 1
+    QueryDef(
+      "d15_span_removal",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val wins = toks.select(col("doc_id"), expr(
+          s"explode(transform(sequence(0, greatest((size(t) - $W) DIV $S, 0)), " +
+            s"w -> struct(w AS w, md5(concat_ws(' ', slice(t, w * $S + 1, $W))) AS fp)))")
+          .as("win"))
+          .select(col("doc_id"), col("win.w").as("w"), col("win.fp").as("fp"))
+        val dupSpans = repeatedSpans(Tables.documents(s, d), W, S)
+          .select(col("fp"), col("first_doc"))
+        val covered = wins.join(broadcast(dupSpans), "fp")
+          .filter(col("doc_id") =!= col("first_doc"))
+          .select(col("doc_id"),
+            explode(expr(s"sequence(w * $S + 1, w * $S + $W)")).as("pos"))
+          .distinct()
+        val tokpos = toks.select(col("doc_id"), expr(
+          "posexplode(t)").as(Seq("i0", "tok")))
+          .select(col("doc_id"), (col("i0") + 1).as("pos"), col("tok"))
+        val kept = tokpos.join(covered, Seq("doc_id", "pos"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            concat_ws(" ", expr(
+              "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+              .as("cleaned_text"))
+        toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tok"))
+          .join(kept, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_tok"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+            coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               wins AS (
+                 SELECT doc_id, i AS w,
+                   md5(array_to_string(t[i * $S + 1 : i * $S + $W], ' ')) AS fp
+                 FROM toks,
+                   unnest(range(0, greatest((len(t) - $W) // $S, 0) + 1)) AS u(i)),
+               dup AS (
+                 SELECT fp, min(doc_id) AS first_doc
+                 FROM wins GROUP BY fp
+                 HAVING count(DISTINCT doc_id) > 1),
+               cov AS (
+                 SELECT DISTINCT wins.doc_id, p.pos
+                 FROM wins JOIN dup ON dup.fp = wins.fp
+                   AND wins.doc_id != dup.first_doc,
+                   unnest(range(wins.w * $S + 1, wins.w * $S + $W + 1)) AS p(pos)),
+               tokpos AS (
+                 SELECT doc_id, i AS pos, t[i] AS tok
+                 FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+               kept AS (
+                 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   array_to_string(list(tok ORDER BY pos), ' ') AS cleaned_text
+                 FROM (SELECT tk.doc_id, tk.pos, tk.tok FROM tokpos tk
+                       ANTI JOIN cov ON cov.doc_id = tk.doc_id
+                         AND cov.pos = tk.pos) k
+                 GROUP BY doc_id)
+               SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tok,
+                 coalesce(k.n_kept, 0) AS n_kept,
+                 CAST(len(t.t) AS BIGINT) - coalesce(k.n_kept, 0) AS n_removed,
+                 coalesce(k.cleaned_text, '') AS cleaned_text
+               FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
+               ORDER BY t.doc_id"""))
+  }
+
   /** Core of d13 over an arbitrary unit-normalized embedding frame
     * (`id`, `u`): SemDeDup-style semantic dedup (Abbas et al.,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1155,5 +1244,6 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(exact, exactByFingerprint, minhash, minhashNative, simhashPairs,
       ngramJaccard, embeddingCosine, components, simhashBanded, minhashMd5,
-      simhashMd5Banded, substringSpans, semanticDedup, incrementalSemantic)
+      simhashMd5Banded, substringSpans, spanRemoval, semanticDedup,
+      incrementalSemantic)
 }

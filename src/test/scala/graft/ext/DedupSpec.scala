@@ -220,6 +220,28 @@ class DedupSpec extends AnyFunSuite {
     assert(banded.contains((0L, 1L)))
   }
 
+  test("d15 span removal: keeper doc intact, later docs cut, full-boilerplate doc empties") {
+    val boiler = (1 to 40).map(i => s"b$i").mkString(" ")
+    val tailA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val tailB = (1 to 10).map(i => s"x$i").mkString(" ")
+    val unique = (1 to 45).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler $tailA"), // first occurrence: keeps the span
+      (2L, s"$boiler $tailB"), // later occurrence: span cut, tail kept
+      (3L, unique), // untouched
+      (4L, boiler)) // fully boilerplate: survives as an empty row
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("d15").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.spanRemoval.build(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out(1L) == ((50L, 0L, s"$boiler $tailA")), out(1L).toString)
+    assert(out(2L) == ((50L, 40L, tailB)), out(2L).toString)
+    assert(out(3L) == ((45L, 0L, unique)), out(3L).toString)
+    assert(out(4L) == ((40L, 40L, "")), out(4L).toString)
+  }
+
   test("d12 repeated spans: shared boilerplate prefix detected, unrelated not") {
     val boiler = (1 to 40).map(i => s"tok$i").mkString(" ")
     val spanDocs = Seq(
