@@ -507,6 +507,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(streamed - 600.0) / 600.0 < 0.1, s"est=$streamed")
   }
 
+  test("Q-digest quantile Aggregator merges across micro-batches == batch result") {
+    // the second mergeable-sketch x streaming composition: the quantile
+    // sketch's exact-count state sums across trigger partials and the
+    // state store, so incremental == batch EXACTLY (not within bounds)
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val events = in.toDF().toDF("v", "ts")
+    val q = events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.expr.QuantileSketch.quantileSketch(col("v")).as("qs"))
+      .writeStream.format("memory").queryName("qsketch_out")
+      .outputMode("complete").start()
+    val vs = (1L to 900L).map(i => (i * 7919L) % 40000L)
+    in.addData(vs.slice(0, 300).map(v => (v, tsH(10, 5))): _*)
+    q.processAllAvailable()
+    in.addData(vs.slice(300, 700).map(v => (v, tsH(10, 25))): _*)
+    q.processAllAvailable()
+    in.addData(vs.slice(700, 900).map(v => (v, tsH(10, 55))): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qsketch_out").collect()
+      .map(r => r.getSeq[Long](1)).head
+    val batch = vs.map(v => (v, tsH(10, 5))).toDF("v", "ts")
+      .agg(graft.expr.QuantileSketch.quantileSketch(col("v")))
+      .collect().head.getSeq[Long](0)
+    assert(streamed == batch,
+      s"incremental merge diverged: streamed=$streamed batch=$batch")
+    assert(streamed(3) == 900L)
+  }
+
   test("st09 funnel counts only IN-ORDER completions") {
     val ev = Seq(
       // user 1: full ordered funnel
