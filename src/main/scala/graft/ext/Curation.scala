@@ -1380,6 +1380,84 @@ object Curation {
                FROM ch GROUP BY 1 ORDER BY 1"""))
   }
 
+  /** x28 — the end-to-end corpus RELEASE pipeline: the composition a
+    * real training-data run ships, proving the verified pieces compose
+    * — quality gate (x25's) → exact-dedup survivors (d01's min-id
+    * semantics) → leakage-safe cluster split (x19's: near-dup cluster
+    * roots from d04 pairs + connected components decide the side, so
+    * an eval twin can never leak into train) → per-(split, lang)
+    * release manifest with doc/token counts and the x25-style
+    * order-independent XOR content fingerprint.
+    *
+    * Scale shape: every stage is a proven registered shape — the gate
+    * and fingerprints ride the scan pass; exact dedup is one hash
+    * aggregate on text; the pair/CC stage is d04/d07's (inverted
+    * shingle index, checkpointed star contraction); the final manifest
+    * is an 8-group aggregate. Oracle-exact end to end through the
+    * recursive-CTE closure. */
+  val releasePipeline: QueryDef = {
+    val minTok = 20
+    QueryDef(
+      "x28_release_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val gated = docs
+          .filter(col("lang").isin("en", "de", "es", "fr"))
+          .filter(expr(sparkTokCount) >= minTok)
+        // d01 semantics: the minimum doc_id per identical text survives
+        val survivors = gated.join(
+          gated.groupBy("text").agg(min(col("doc_id")).as("doc_id")),
+          Seq("doc_id", "text"))
+        // x19: near-dup cluster roots over the FULL corpus decide the
+        // split side (a discarded dup's twin still pins its cluster)
+        val labels = Dedup.connectedComponents(
+          Dedup.ngramJaccard.build(s, d).select("a_id", "b_id"))
+          .select(col("id").as("doc_id"), col("component"))
+        survivors.join(labels, Seq("doc_id"), "left")
+          .withColumn("root", coalesce(col("component"), col("doc_id")))
+          .withColumn("split",
+            expr("CASE WHEN substring(md5(CAST(root AS STRING)), 1, 1) " +
+              "IN ('0', '1') THEN 'eval' ELSE 'train' END"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr(sparkTokCount).cast("long")).as("total_tokens"),
+            expr(s"bit_xor(${graft.ext.Dedup.sparkMd5Int60(
+              "concat_ws(':', doc_id, text)")})").as("content_fp"))
+          .orderBy("split", "lang")
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.ngramPairSql(Dedup.ngramTheta)},
+               edges AS (
+                 SELECT a_id AS src, b_id AS dst FROM pairs
+                 UNION
+                 SELECT b_id AS src, a_id AS dst FROM pairs),
+               reach(id, r) AS (
+                 SELECT src, src FROM edges
+                 UNION
+                 SELECT e.src, reach.r FROM edges e
+                 JOIN reach ON reach.id = e.dst),
+               labels AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+               gated AS (
+                 SELECT doc_id, lang, text FROM documents
+                 WHERE lang IN ('en', 'de', 'es', 'fr')
+                   AND $duckTokCount >= $minTok),
+               surv AS (
+                 SELECT g.doc_id, g.lang, g.text FROM gated g
+                 JOIN (SELECT text, min(doc_id) AS doc_id
+                       FROM gated GROUP BY text) m
+                   ON m.doc_id = g.doc_id AND m.text = g.text),
+               lab AS (
+                 SELECT s.doc_id, s.lang, s.text,
+                   coalesce(l.component, s.doc_id) AS root
+                 FROM surv s LEFT JOIN labels l ON l.id = s.doc_id)
+               SELECT CASE WHEN substring(md5(CAST(root AS VARCHAR)), 1, 1)
+                           IN ('0', '1') THEN 'eval' ELSE 'train' END AS split,
+                 lang, count(*) AS n_docs,
+                 CAST(sum($duckTokCount) AS BIGINT) AS total_tokens,
+                 bit_xor(${graft.ext.Dedup.duckMd5Int60(
+                   "concat_ws(':', doc_id, text)")}) AS content_fp
+               FROM lab GROUP BY 1, 2 ORDER BY split, lang"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -1387,5 +1465,5 @@ object Curation {
       upsertMerge, mixtureWeights, quantileOutlierFilter, saltedJoinQ,
       budgetRebalance, decontaminateBloom, leakageSafeSplit,
       incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity, chunkOverlap,
-      trainingManifest, snapshotDiff, manifestRefresh)
+      trainingManifest, snapshotDiff, manifestRefresh, releasePipeline)
 }
