@@ -188,7 +188,38 @@ object Extensions {
     },
     None)
 
+  /** e08 — Count-Min point-frequency sketch (graft.expr.CountMin): the
+    * complement of e06's Misra-Gries (MG finds WHICH items are heavy;
+    * CM answers "how often was THIS item seen") with W×D longs of
+    * state and overestimate-only error. The corpus sketch is a 1-row
+    * aggregate (bounded collect, like e06's candidate summary); a
+    * pinned probe list is then reported with sketch estimate, exact
+    * count, and the overcount — the ≥-exact law visible in the output.
+    * Cell placement is engine-independent but the estimates are
+    * sketch-specific → rows-only, with e06 as the exact-twin for the
+    * heavy end and the laws ScalaCheck'd in CountMinSpec. */
+  val countMinProbe: QueryDef = QueryDef(
+    "e08_countmin_sketch",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val sk = toks.agg(graft.expr.CountMin.countMin(col("tok")))
+        .collect()(0).getSeq[Long](0).toArray
+      val probes = Seq("the", "and", "of", "to", "in")
+      val est = probes.map(p => (p, graft.expr.CountMin.estimate(sk, p)))
+        .toDF("tok", "est")
+      val exact = toks.filter(col("tok").isin(probes: _*))
+        .groupBy("tok").agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("tok"), "left")
+        .select(col("tok"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"),
+          (col("est") - coalesce(col("exact"), lit(0L))).as("overcount"))
+        .orderBy("tok")
+    },
+    None)
+
   val all: Seq[QueryDef] =
     Seq(daypart, sketch, approxProfile, topkOperator, kmvSketch, heavyHitters,
-      quantileSketch)
+      quantileSketch, countMinProbe)
 }
