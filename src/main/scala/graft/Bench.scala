@@ -73,8 +73,13 @@ object Bench {
     // `focused` carries the re-time. A gate reader compares `focused`
     // when present, `queries` otherwise. Focused runs (BENCH_ONLY set)
     // are already contention-free and skip this.
+    // the sf extracted from the data dir gates which baseline rows
+    // apply: a future probe batch recorded at another scale (e.g.
+    // `| name | 0.5 | sec |`) must not override the sf0.1 entries
+    val sfTag = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
     val baselines = if (only.isDefined) Map.empty[String, Double]
-      else loadBaselines(sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md"))
+      else loadBaselines(
+        sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md"), sfTag)
     val focused = results
       .filter { case (n, t) =>
         t >= 0 && baselines.get(n).exists(b => t > 2 * b) }
@@ -96,20 +101,23 @@ object Bench {
   }
 
   /** Per-query baseline seconds from BASELINE.md's timing tables (rows
-    * shaped `| name | sf | sec |`). Later batches re-record queries, so
-    * the LAST occurrence of a name wins. Missing file → empty map (the
+    * shaped `| name | sf | sec |`). Rows whose sf cell differs from
+    * `sf` (when given) are skipped — baselines recorded at another
+    * scale never apply. Later batches re-record queries, so the LAST
+    * matching occurrence of a name wins. Missing file → empty map (the
     * suite still runs; nothing gets adjudicated). */
-  def loadBaselines(path: String): Map[String, Double] = {
+  def loadBaselines(path: String, sf: Option[String] = None): Map[String, Double] = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) return Map.empty
-    val row = """^\|\s*([a-z][a-z0-9_]+)\s*\|\s*[0-9.]+\s*\|\s*([0-9.]+)\s*\|""".r
+    val row = """^\|\s*([a-z][a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|""".r
     // explicit UTF-8: the file contains multibyte punctuation and the
     // forked bench JVM's platform default charset may not be UTF-8
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.readAllLines(p,
         java.nio.charset.StandardCharsets.UTF_8).asScala.iterator
       .flatMap {
-        case row(name, sec) => Some(name -> sec.toDouble)
+        case row(name, rowSf, sec) if sf.forall(_ == rowSf) =>
+          Some(name -> sec.toDouble)
         case _ => None
       }
       .toSeq

@@ -8,9 +8,14 @@ import org.apache.spark.sql.functions._
   * expensive queries can be re-timed at a scale the driver does not
   * generate (the committed numbers live in BASELINE.md §sf0.5 probe).
   *
-  * Copy k shifts every join/entity key by k·10⁹ (far above any sf0.1
-  * key range, so copies never collide and referential integrity within
-  * a copy is preserved), and suffixes every document token with `_k` —
+  * Copy k shifts every join/entity key by k·10⁷ — far above any sf0.1
+  * key range so copies never collide, and far BELOW Graph.SuppOffset
+  * (10⁹), so the shifted part/supplier key spaces stay disjoint after
+  * the graph queries' node-id split (an offset of 10⁹ would alias
+  * copy-k suppliers onto copy-(k+1) parts). The part and supplier
+  * DIMENSION keys shift with the lineitem FKs referencing them, so
+  * dimension joins hold in every copy. Document text is perturbed by
+  * suffixing every token with `_k` —
   * copies are DISTINCT corpus content (5× vocabulary, no cross-copy
   * near-dups), not 5× planted duplicate clusters that would turn the
   * dedup benches into a different (adversarial) workload. `n_chars` is
@@ -25,7 +30,7 @@ object ProbeData {
     val src = args(0)
     val out = args(1)
     val copies = args.lift(2).map(_.toInt).getOrElse(5)
-    val off = 1000000000L
+    val off = 10000000L
     val spark = SparkSession.builder()
       .master(s"local[${Runtime.getRuntime.availableProcessors}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -60,10 +65,13 @@ object ProbeData {
     shifted("orders", Seq("o_orderkey", "o_custkey"))
     shifted("customer", Seq("c_custkey"))
     shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    shifted("part", Seq("p_partkey"))
+    shifted("supplier", Seq("s_suppkey"))
     shifted("events", Seq("event_id", "user_id"))
     shifted("embeddings", Seq("vec_id"))
-    // small dims copied verbatim (bounded domains stay bounded at scale)
-    for (t <- Seq("region", "nation", "part", "supplier")) {
+    // bounded-domain dims copied verbatim (nation/region keys are NOT
+    // shifted anywhere, so their joins hold in every copy)
+    for (t <- Seq("region", "nation")) {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[probe] $t copied")

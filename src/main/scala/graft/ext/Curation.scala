@@ -1240,23 +1240,7 @@ object Curation {
     * equi-keyed on doc_id. Oracle-exact end to end. */
   val snapshotDiff: QueryDef = QueryDef(
     "x26_snapshot_diff",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val v1 = docs.filter(col("doc_id") % 7 =!= 3)
-        .select(col("doc_id"), md5(col("text")).as("fp1"))
-      val v2 = docs.filter(col("doc_id") % 5 =!= 2)
-        .select(col("doc_id"),
-          md5(when(col("doc_id") % 11 === 0,
-            concat(col("text"), lit(" [rev2]")))
-            .otherwise(col("text"))).as("fp2"))
-      v1.join(v2, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          when(col("fp1").isNull, lit("added"))
-            .when(col("fp2").isNull, lit("removed"))
-            .when(col("fp1") =!= col("fp2"), lit("changed"))
-            .otherwise(lit("unchanged")).as("status"))
-        .orderBy("doc_id")
-    },
+    (s, d) => snapshotStatus(Tables.documents(s, d)).orderBy("doc_id"),
     Some("""WITH v1 AS (
               SELECT doc_id, md5(text) AS fp1 FROM documents
               WHERE doc_id % 7 != 3),
@@ -1273,9 +1257,10 @@ object Curation {
             FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
             ORDER BY doc_id"""))
 
-  /** x26's two snapshot derivations, shared with x27: v1 = doc_id % 7
-    * ≠ 3; v2 = doc_id % 5 ≠ 2 with every doc_id % 11 = 0 doc edited by
-    * an appended revision marker. */
+  /** x26's two snapshot derivations, shared with x27 (THE one place the
+    * snapshot rules live): v1 = doc_id % 7 ≠ 3; v2 = doc_id % 5 ≠ 2
+    * with every doc_id % 11 = 0 doc edited by an appended revision
+    * marker. */
   def snapshotV1(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % 7 =!= 3).select("doc_id", "lang", "text")
   def snapshotV2(docs: DataFrame): DataFrame =
@@ -1284,6 +1269,22 @@ object Curation {
         when(col("doc_id") % 11 === 0,
           concat(col("text"), lit(" [rev2]")))
           .otherwise(col("text")).as("text"))
+
+  /** The x26 diff labeling over the two snapshots — shared by x26
+    * (where it IS the output) and x27 (where it selects the delta):
+    * every doc in either version labeled added / removed / changed /
+    * unchanged by comparing content fingerprints through a full-outer
+    * join on doc_id. Fingerprints are computed in the scan pass, so
+    * the join shuffles (id, fp) pairs — never bodies. */
+  def snapshotStatus(docs: DataFrame): DataFrame =
+    snapshotV1(docs).select(col("doc_id"), md5(col("text")).as("fp1"))
+      .join(snapshotV2(docs).select(col("doc_id"), md5(col("text")).as("fp2")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp1").isNull, lit("added"))
+          .when(col("fp2").isNull, lit("removed"))
+          .when(col("fp1") =!= col("fp2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
 
   /** x27 — incremental manifest refresh: x26's snapshot diff composed
     * with x25's manifest, the production shape of a corpus version bump
@@ -1314,15 +1315,7 @@ object Curation {
         val docs = Tables.documents(s, d)
         val v1 = snapshotV1(docs)
         val v2 = snapshotV2(docs)
-        // x26's diff on content fingerprints — (id, fp) pairs, not bodies
-        val status = v1.select(col("doc_id"), md5(col("text")).as("fp1"))
-          .join(v2.select(col("doc_id"), md5(col("text")).as("fp2")),
-            Seq("doc_id"), "full_outer")
-          .select(col("doc_id"),
-            when(col("fp1").isNull, lit("added"))
-              .when(col("fp2").isNull, lit("removed"))
-              .when(col("fp1") =!= col("fp2"), lit("changed"))
-              .otherwise(lit("unchanged")).as("status"))
+        val status = snapshotStatus(docs)
         val oldSide = v1.join(
           status.filter(col("status").isin("removed", "changed"))
             .select("doc_id"), "doc_id")

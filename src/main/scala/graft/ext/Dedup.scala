@@ -186,8 +186,13 @@ object Dedup {
     // pair each member with the min-id representative (n−1 pairs per
     // cluster, transitively complete, never n²/2). The group/join key is
     // xxhash64 over all 16 signatures — an 8-byte shuffle key instead of
-    // the 128-byte raw tuple; a hash collision can only ADD a candidate
-    // pair, which the exact-Jaccard filter below discards.
+    // the 128-byte raw tuple. A key collision merges two UNRELATED dup
+    // clusters under one representative: the foreign cross-pairs are
+    // discarded by the exact-Jaccard filter below, and the smaller
+    // cluster's intra-pairs are then lost IF its members were also
+    // mega-bucket-capped out of the banded path — an accepted ~2⁻⁶⁴
+    // failure mode (per pair of clusters), traded for the 16× smaller
+    // recovery shuffle.
     val keyed = sigs.withColumn("sigkey",
       xxhash64(sigNames.map(col): _*))
     val dupReps = keyed.groupBy("sigkey")
@@ -1059,7 +1064,12 @@ object Dedup {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1))
       .sortBy(_._1)
-    require(cents.nonEmpty, s"no centroid vectors with id < $kCentroids")
+    // empty corpus (no centroid vectors): an empty assignment frame —
+    // "nothing to dedup" is a valid answer, not a construction error
+    // (the pre-literal window form also returned empty here)
+    if (cents.isEmpty)
+      return uVecs.filter(lit(false))
+        .select(col("id"), lit(-1L).as("cluster"), col("u"))
     val centArr = cents.map { case (cid, cu) =>
       s"struct(CAST($cid AS BIGINT) AS c_id, " +
         cu.map(x => s"${x}D").mkString("array(", ", ", ")") + " AS c_u)"

@@ -381,9 +381,14 @@ object Similarity {
           .select(col("id"), col("u")).collect()
           .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
         require(cb.nonEmpty, s"no codebook vectors with id < $kCode")
-        def cbArr(j: Int): String = cb.map { case (cid, vec) =>
+        // codes are codebook POSITIONS (0..|cb|-1 in ascending vec_id
+        // order), not raw vec_ids: the dot TABLE below is positional,
+        // and a sparse/non-contiguous id space would otherwise make
+        // element_at(dtab, cid+1) read the wrong codebook's dot in BOTH
+        // engines (a shared-assumption bug the oracle cannot catch)
+        def cbArr(j: Int): String = cb.zipWithIndex.map { case ((_, vec), pos) =>
           val sub = vec.slice(j * dsub, (j + 1) * dsub)
-          s"struct(CAST($cid AS INT) AS cid, " +
+          s"struct(CAST($pos AS INT) AS cid, " +
             sub.map(x => s"${x}D").mkString("array(", ", ", ")") + " AS cu)"
         }.mkString("array(", ", ", ")")
         def subCol(j: Int) = s"slice(u, ${j * dsub + 1}, $dsub)"
@@ -425,7 +430,8 @@ object Similarity {
           .map(j => s"JOIN $tbl a$j ON a$j.k = a0.k AND a$j.j = $j")
           .mkString(" ") + " WHERE a0.j = 0"
         s"""WITH ${Dedup.normalizedSql},
-            cb AS (SELECT vec_id AS cid, u FROM u WHERE vec_id < $kCode),
+            cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, u
+                   FROM u WHERE vec_id < $kCode),
             js AS (SELECT unnest(range(0, $m)) AS j),
             dd AS (
               SELECT s.vec_id, js.j, c.cid,

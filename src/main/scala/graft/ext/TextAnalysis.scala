@@ -860,6 +860,10 @@ object TextAnalysis {
     val V = 200
     val R = 8
     val topN = 100
+    // each apply stage LEFT-joins its merge rule: if training exhausted
+    // before round k (b_k empty — the case bpeMergesFromFreq's early
+    // stop handles on the Spark side), the cross-join form would empty
+    // the whole chain; the left join passes syms through unchanged
     val applyCtes =
       s"""a0 AS (
             SELECT trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym, n
@@ -867,10 +871,11 @@ object TextAnalysis {
 """ +
       (1 to R).map { k =>
         s"""a$k AS (
-              SELECT trim(replace('  ' || sym || '  ',
+              SELECT CASE WHEN b.l IS NULL THEN sym
+                     ELSE trim(replace('  ' || sym || '  ',
                        ' ' || b.l || '  ' || b.r || ' ',
-                       ' ' || b.l || b.r || ' ')) AS sym, n
-              FROM a${k - 1}, b$k b)"""
+                       ' ' || b.l || b.r || ' ')) END AS sym, n
+              FROM a${k - 1} LEFT JOIN b$k b ON TRUE)"""
       }.mkString(",\n")
     QueryDef(
       "t17_bpe_encode",

@@ -87,6 +87,14 @@ class BenchLineSpec extends AnyFunSuite {
     val b = Bench.loadBaselines(f.toString)
     assert(b == Map("q01_scan_filter" -> 0.32,
       "d06_dedup_minhash_native" -> 1.80))
+    // sf filter: rows recorded at another scale never apply
+    java.nio.file.Files.writeString(f,
+      java.nio.file.Files.readString(f) +
+        "| q01_scan_filter | 0.5 | 9.99 |\n")
+    val b01 = Bench.loadBaselines(f.toString, Some("0.1"))
+    assert(b01("q01_scan_filter") == 0.32, b01.toString)
+    assert(Bench.loadBaselines(f.toString, Some("0.5")) ==
+      Map("q01_scan_filter" -> 9.99))
     java.nio.file.Files.delete(f)
     assert(Bench.loadBaselines("/nonexistent/BASELINE.md").isEmpty)
   }

@@ -14,17 +14,7 @@ class ManifestRefreshSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def patchedVsRebuilt(docs: DataFrame): (Seq[String], Seq[String]) = {
-    val v1 = Curation.snapshotV1(docs)
-    val v2 = Curation.snapshotV2(docs)
-    val status = v1.select(col("doc_id"), md5(col("text")).as("fp1"))
-      .join(v2.select(col("doc_id"), md5(col("text")).as("fp2")),
-        Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        when(col("fp1").isNull, lit("added"))
-          .when(col("fp2").isNull, lit("removed"))
-          .when(col("fp1") =!= col("fp2"), lit("changed"))
-          .otherwise(lit("unchanged")).as("status"))
-    val rebuilt = Curation.manifestOf(v2).orderBy("shard")
+    val rebuilt = Curation.manifestOf(Curation.snapshotV2(docs)).orderBy("shard")
       .collect().map(_.toString).toSeq
     // the registered query IS the patch pipeline; reuse it end to end
     val tmp = java.nio.file.Files.createTempDirectory("x27").toString

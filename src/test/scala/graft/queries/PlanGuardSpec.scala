@@ -19,6 +19,13 @@ import graft.{SparkEntry, TestSpark}
   * cases (VERDICT r4 "What's wrong" audit + PLANS.txt): every entry
   * carries its boundedness argument. Adding a name to a whitelist is a
   * reviewable act — the rationale string is mandatory.
+  *
+  * KNOWN LIMIT: driver-composed queries (the ML fits, d07/g03's
+  * checkpointed loops, t16/t17's merge training, e08's sketch probe)
+  * execute their driver-side stages during build, and the plan this
+  * guard then inspects is only the final composition — their internal
+  * stages are asserted by their own specs/PLANS.txt instead. That is
+  * inherent to driver loops, not a gap a different guard could close.
   */
 class PlanGuardSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
