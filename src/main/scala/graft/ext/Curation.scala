@@ -1451,6 +1451,50 @@ object Curation {
                FROM lab GROUP BY 1, 2 ORDER BY split, lang"""))
   }
 
+  /** x29 — model-in-the-loop quality filtering (Brown et al., "Language
+    * Models are Few-Shot Learners", NeurIPS 2020, Appendix A; Wenzek et
+    * al., "CCNet", LREC 2020): train a text classifier on weak labels
+    * derived from the rule-based gate, then score EVERY doc from its
+    * raw text — the distillation step that lets a cheap linear model
+    * replace hand rules at the corpus frontier (and generalize past
+    * them). Weak label = x25's gate (lang + length); features =
+    * hashed token counts; model = seeded logistic regression fit on a
+    * deterministic md5-half of the corpus; output = per-doc weak label,
+    * model prediction, and agreement, the filter-audit frame a curation
+    * run reviews before flipping the filter on.
+    *
+    * Scale shape: the training sample is a hash-gated subset (bounded
+    * by design at 100 TB: sample, don't fit the corpus); the fitted
+    * model is broadcast state and scoring is one narrow map pass.
+    * Model coefficients are engine-specific → rows-only, with the
+    * holdout-generalization law asserted in QualityClassifierSpec. */
+  val qualityClassifier: QueryDef = QueryDef(
+    "x29_quality_classifier",
+    (s, d) => {
+      import org.apache.spark.ml.Pipeline
+      import org.apache.spark.ml.classification.LogisticRegression
+      import org.apache.spark.ml.feature.{HashingTF, Tokenizer}
+      val labeled = Tables.documents(s, d)
+        .withColumn("label",
+          when(col("lang").isin("en", "de", "es", "fr") &&
+            size(split(col("text"), " ")) >= 20, 1.0).otherwise(0.0))
+      val train = labeled.filter(
+        expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) < '8'"))
+      val pipe = new Pipeline().setStages(Array(
+        new Tokenizer().setInputCol("text").setOutputCol("toks"),
+        new HashingTF().setInputCol("toks").setOutputCol("features")
+          .setNumFeatures(4096),
+        new LogisticRegression().setMaxIter(20).setRegParam(0.01)))
+      val model = pipe.fit(train)
+      model.transform(labeled)
+        .select(col("doc_id"),
+          col("label").cast("long").as("weak_label"),
+          col("prediction").cast("long").as("predicted"),
+          (col("label") === col("prediction")).cast("long").as("agree"))
+        .orderBy("doc_id")
+    },
+    None)
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -1458,5 +1502,6 @@ object Curation {
       upsertMerge, mixtureWeights, quantileOutlierFilter, saltedJoinQ,
       budgetRebalance, decontaminateBloom, leakageSafeSplit,
       incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity, chunkOverlap,
-      trainingManifest, snapshotDiff, manifestRefresh, releasePipeline)
+      trainingManifest, snapshotDiff, manifestRefresh, releasePipeline,
+      qualityClassifier)
 }
