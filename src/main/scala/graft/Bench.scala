@@ -75,9 +75,17 @@ object Bench {
     // are already contention-free and skip this.
     // the sf extracted from the data dir gates which baseline rows
     // apply: a future probe batch recorded at another scale (e.g.
-    // `| name | 0.5 | sec |`) must not override the sf0.1 entries
-    val sfTag = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
-    val baselines = if (only.isDefined) Map.empty[String, Double]
+    // `| name | 0.5 | sec |`) must not override the sf0.1 entries.
+    // The number pattern is anchored (no trailing dots from paths like
+    // "sf0.1.bak"), and an UNPARSEABLE dir disables adjudication loudly
+    // rather than matching every row (cross-scale last-wins would
+    // silently re-time against the wrong scale's baselines).
+    val sfTag = """sf([0-9]+(?:\.[0-9]+)?)""".r
+      .findFirstMatchIn(sfDir).map(_.group(1))
+    if (sfTag.isEmpty && only.isEmpty)
+      System.err.println(
+        s"[bench] no sf tag in '$sfDir' — outlier adjudication disabled")
+    val baselines = if (only.isDefined || sfTag.isEmpty) Map.empty[String, Double]
       else loadBaselines(
         sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md"), sfTag)
     val focused = results

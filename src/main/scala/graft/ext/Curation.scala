@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1177,11 +1177,20 @@ object Curation {
     * the SAME pipeline over delta subsets and patch by association:
     * counts add/subtract, and the XOR content fingerprint composes
     * (`old ⊕ removed-contribs ⊕ added-contribs`). */
+  /** THE quality gate (x25/x27/x28/x29 all share this one definition —
+    * the file-header rule about load-bearing duplicated predicates):
+    * gated languages, and at least `minTok` space-split tokens. DuckDB
+    * mirror: `lang IN ('en','de','es','fr') AND
+    * len(string_split(text, ' ')) >= minTok`. */
+  def qualityGatePred(minTok: Int = 20): Column =
+    col("lang").isin("en", "de", "es", "fr") &&
+      size(split(col("text"), " ")) >= minTok
+  def qualityGate(docs: DataFrame, minTok: Int = 20): DataFrame =
+    docs.filter(qualityGatePred(minTok))
+
   def manifestOf(docsIn: DataFrame, w: Int = 32, s: Int = 24,
       minTok: Int = 20): DataFrame = {
-    val docs = docsIn
-      .filter(col("lang").isin("en", "de", "es", "fr"))
-      .filter(size(split(col("text"), " ")) >= minTok)
+    val docs = qualityGate(docsIn, minTok)
     chunkByTokens(docs, w, s)
       .select(
         expr("substring(md5(CAST(doc_id AS STRING)), 1, 1)").as("shard"),
@@ -1394,9 +1403,10 @@ object Curation {
       "x28_release_pipeline",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val gated = docs
-          .filter(col("lang").isin("en", "de", "es", "fr"))
-          .filter(expr(sparkTokCount) >= minTok)
+        // the shared x25 gate (space-split tokens); the manifest's
+        // total_tokens metric below intentionally stays the \s+-split
+        // sparkTokCount — a counting convention, not the gate
+        val gated = qualityGate(docs, minTok)
         // d01 semantics: the minimum doc_id per identical text survives
         val survivors = gated.join(
           gated.groupBy("text").agg(min(col("doc_id")).as("doc_id")),
@@ -1432,7 +1442,7 @@ object Curation {
                gated AS (
                  SELECT doc_id, lang, text FROM documents
                  WHERE lang IN ('en', 'de', 'es', 'fr')
-                   AND $duckTokCount >= $minTok),
+                   AND len(string_split(text, ' ')) >= $minTok),
                surv AS (
                  SELECT g.doc_id, g.lang, g.text FROM gated g
                  JOIN (SELECT text, min(doc_id) AS doc_id
@@ -1476,8 +1486,7 @@ object Curation {
       import org.apache.spark.ml.feature.{HashingTF, Tokenizer}
       val labeled = Tables.documents(s, d)
         .withColumn("label",
-          when(col("lang").isin("en", "de", "es", "fr") &&
-            size(split(col("text"), " ")) >= 20, 1.0).otherwise(0.0))
+          when(qualityGatePred(), 1.0).otherwise(0.0))
       val train = labeled.filter(
         expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) < '8'"))
       val pipe = new Pipeline().setStages(Array(

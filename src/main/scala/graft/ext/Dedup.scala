@@ -1064,12 +1064,17 @@ object Dedup {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1))
       .sortBy(_._1)
-    // empty corpus (no centroid vectors): an empty assignment frame —
-    // "nothing to dedup" is a valid answer, not a construction error
-    // (the pre-literal window form also returned empty here)
-    if (cents.isEmpty)
+    // empty CORPUS: an empty assignment frame — "nothing to dedup" is a
+    // valid answer, not a construction error. A NON-empty corpus with
+    // no id < kCentroids is a misconfiguration (the pinned-centroid
+    // contract needs the low-id vectors) and must fail LOUDLY — a
+    // silent empty result would ship "zero duplicates" undetected.
+    if (cents.isEmpty) {
+      require(uVecs.isEmpty,
+        s"non-empty corpus has no centroid vectors with id < $kCentroids")
       return uVecs.filter(lit(false))
         .select(col("id"), lit(-1L).as("cluster"), col("u"))
+    }
     val centArr = cents.map { case (cid, cu) =>
       s"struct(CAST($cid AS BIGINT) AS c_id, " +
         cu.map(x => s"${x}D").mkString("array(", ", ", ")") + " AS c_u)"

@@ -373,14 +373,25 @@ object Similarity {
     * map-side-pruned ranking window. */
   val annPqAdc: QueryDef = {
     val m = 4; val dsub = 16; val kCode = 16; val topK = 5
-    QueryDef(
-      "s06_ann_pq_adc",
-      (s, d) => {
+    // a named def, not a lambda body: the empty-corpus guard below uses
+    // an early `return`, which inside a lambda would throw
+    // NonLocalReturnControl at runtime
+    def build(s: org.apache.spark.sql.SparkSession,
+        d: String): org.apache.spark.sql.DataFrame = {
         val u = Dedup.normalized(s, d, "id", "u")
         val cb = u.filter(col("id") < kCode)
           .select(col("id"), col("u")).collect()
           .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
-        require(cb.nonEmpty, s"no codebook vectors with id < $kCode")
+        // same contract as assignClusters: empty corpus → empty result
+        // (matching the oracle's empty cb CTE); non-empty corpus with no
+        // low-id codebook vectors → loud misconfiguration failure
+        if (cb.isEmpty) {
+          require(u.isEmpty,
+            s"non-empty corpus has no codebook vectors with id < $kCode")
+          return u.filter(lit(false))
+            .select(col("id").as("q_id"), col("id").as("n_id"),
+              lit(0.0).as("approx_cos"), lit(0).as("rn"))
+        }
         // codes are codebook POSITIONS (0..|cb|-1 in ascending vec_id
         // order), not raw vec_ids: the dot TABLE below is positional,
         // and a sparse/non-contiguous id space would otherwise make
@@ -418,7 +429,10 @@ object Similarity {
           .filter(col("rn") <= topK)
           .select("q_id", "n_id", "approx_cos", "rn")
           .orderBy("q_id", "rn")
-      },
+    }
+    QueryDef(
+      "s06_ann_pq_adc",
+      (s, d) => build(s, d),
       Some {
         def fold(elemExpr: String) =
           s"""list_reduce(list_prepend(0.0,
