@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   * copy-k suppliers onto copy-(k+1) parts). The part and supplier
   * DIMENSION keys shift with the lineitem FKs referencing them, so
   * dimension joins hold in every copy. Document text is perturbed by
-  * suffixing every token with `_k` —
-  * copies are DISTINCT corpus content (5× vocabulary, no cross-copy
-  * near-dups), not 5× planted duplicate clusters that would turn the
-  * dedup benches into a different (adversarial) workload. `n_chars` is
-  * recomputed from the perturbed text. Events keep their timestamps
+  * suffixing every token of copy k with `repeat('q', k)` — an
+  * ALPHA-ONLY tag (ADVICE r5: a `_k` tag failed every `^[a-z]+$`
+  * word gate, so tokenizer-family probes saw 5× scan volume but 1×
+  * vocabulary), so copies are DISTINCT corpus content (5× vocabulary,
+  * no cross-copy near-dups), not 5× planted duplicate clusters that
+  * would turn the dedup benches into a different (adversarial)
+  * workload. `n_chars` is recomputed from the perturbed text. Events keep their timestamps
   * (5× density per window — how a larger deployment actually looks) and
   * shift user/event ids.
   *
@@ -60,7 +62,7 @@ object ProbeData {
       if (k == 0) df
       else df
         .withColumn("text", concat_ws(" ",
-          expr(s"transform(split(text, ' '), w -> concat(w, '_$k'))")))
+          expr(s"transform(split(text, ' '), w -> concat(w, repeat('q', $k)))")))
         .withColumn("n_chars", length(col("text")).cast("long")))
     shifted("orders", Seq("o_orderkey", "o_custkey"))
     shifted("customer", Seq("c_custkey"))

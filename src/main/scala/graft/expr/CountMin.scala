@@ -31,11 +31,16 @@ object CountMin {
 
   type Buf = Array[Long] // row-major W*D
 
-  /** Deterministic row hash: splitmix64 over (murmur-ish item hash, row). */
+  /** Deterministic row hash. The row index seeds the BYTE-LEVEL fold
+    * (ADVICE r5): if it were only mixed in after one shared base hash,
+    * two items colliding in that base hash would collide in every row
+    * at once, voiding the (1/2)^D independence argument for that
+    * (2⁻⁶⁴-per-pair) failure mode. Seeding the fold makes each row an
+    * independent function of the item's bytes. */
   def cell(item: String, row: Int): Int = {
-    var h = item.getBytes("UTF-8").foldLeft(1125899906842597L)(
+    var h = item.getBytes("UTF-8").foldLeft(
+      1125899906842597L + row.toLong * -7046029254386353131L)(
       (acc, b) => acc * 31 + b)
-    h ^= row.toLong * -7046029254386353131L
     h ^= h >>> 33; h *= -49064778989728563L
     h ^= h >>> 33; h *= -4265267296055464877L
     h ^= h >>> 33

@@ -192,23 +192,32 @@ object Extensions {
     * complement of e06's Misra-Gries (MG finds WHICH items are heavy;
     * CM answers "how often was THIS item seen") with W×D longs of
     * state and overestimate-only error. The corpus sketch is a 1-row
-    * aggregate (bounded collect, like e06's candidate summary); a
-    * pinned probe list is then reported with sketch estimate, exact
-    * count, and the overcount — the ≥-exact law visible in the output.
+    * aggregate; the pinned probe list is then reported with sketch
+    * estimate, exact count, and the overcount — the ≥-exact law
+    * visible in the output. The probe strings are LITERALS, so their
+    * D cell indices are pure driver-side arithmetic (no action): the
+    * estimate is `least(element_at(sk, idx)…)` over the lazy sketch
+    * column, which keeps the registry's lazy-build contract (ADVICE
+    * r5: the previous form collected the sketch at DataFrame-
+    * construction time, so plan-only consumers paid a corpus pass).
     * Cell placement is engine-independent but the estimates are
     * sketch-specific → rows-only, with e06 as the exact-twin for the
     * heavy end and the laws ScalaCheck'd in CountMinSpec. */
   val countMinProbe: QueryDef = QueryDef(
     "e08_countmin_sketch",
     (s, d) => {
-      import s.implicits._
+      import graft.expr.CountMin.{W, D, cell, countMin}
       val toks = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("tok"))
-      val sk = toks.agg(graft.expr.CountMin.countMin(col("tok")))
-        .collect()(0).getSeq[Long](0).toArray
+      val sk = toks.agg(countMin(col("tok")).as("sk"))
       val probes = Seq("the", "and", "of", "to", "in")
-      val est = probes.map(p => (p, graft.expr.CountMin.estimate(sk, p)))
-        .toDF("tok", "est")
+      val est = sk
+        .select(explode(array(probes.map { p =>
+          val cells = (0 until D).map(r =>
+            element_at(col("sk"), r * W + cell(p, r) + 1)) // 1-based
+          struct(lit(p).as("tok"), least(cells: _*).as("est"))
+        }: _*)).as("pe"))
+        .select(col("pe.tok").as("tok"), col("pe.est").as("est"))
       val exact = toks.filter(col("tok").isin(probes: _*))
         .groupBy("tok").agg(count(lit(1)).as("exact"))
       est.join(exact, Seq("tok"), "left")

@@ -21,7 +21,7 @@ import graft.{SparkEntry, TestSpark}
   * reviewable act — the rationale string is mandatory.
   *
   * KNOWN LIMIT: driver-composed queries (the ML fits, d07/g03's
-  * checkpointed loops, t16/t17's merge training, e08's sketch probe)
+  * checkpointed loops, t16/t17's merge training)
   * execute their driver-side stages during build, and the plan this
   * guard then inspects is only the final composition — their internal
   * stages are asserted by their own specs/PLANS.txt instead. That is
