@@ -15,13 +15,27 @@ import org.apache.spark.sql.functions._
   * copy-k suppliers onto copy-(k+1) parts). The part and supplier
   * DIMENSION keys shift with the lineitem FKs referencing them, so
   * dimension joins hold in every copy. Document text is perturbed by
-  * suffixing every token of copy k with `repeat('q', k)` — an
-  * ALPHA-ONLY tag (ADVICE r5: a `_k` tag failed every `^[a-z]+$`
+  * stripping trailing `q`s from every token (in EVERY copy, k=0
+  * included) and then suffixing copy k's tokens with `repeat('q', k)`
+  * — an ALPHA-ONLY tag (ADVICE r5: a `_k` tag failed every `^[a-z]+$`
   * word gate, so tokenizer-family probes saw 5× scan volume but 1×
-  * vocabulary), so copies are DISTINCT corpus content (5× vocabulary,
-  * no cross-copy near-dups), not 5× planted duplicate clusters that
-  * would turn the dedup benches into a different (adversarial)
-  * workload. `n_chars` is recomputed from the perturbed text. Events keep their timestamps
+  * vocabulary). The strip makes the tag PREFIX-FREE (ADVICE r6:
+  * without it, base token `t` in copy k aliases base token `t+"q"` in
+  * copy k−1): every emitted token is s·qᵏ with s q-free at the tail,
+  * so tokens from different copies are UNCONDITIONALLY distinct — 5×
+  * vocabulary, no cross-copy near-dups, not 5× planted duplicate
+  * clusters that would turn the dedup benches into an adversarial
+  * workload. (Within one copy the strip can merge base tokens that
+  * differed only in trailing q's — a negligible vocabulary reduction,
+  * and distinctness ACROSS copies is the property the benches need.)
+  * `n_chars` is recomputed from the perturbed text.
+  *
+  * COMPARABILITY (ADVICE r6): the tag scheme changed twice — r5 `_k`
+  * (2 chars/token, underscore), r6 `qᵏ` (k chars/token), r7 q-strip +
+  * `qᵏ` — so probe rows recorded before round 7 are SUPERSEDED; the
+  * BASELINE.md probe tables are re-recorded from this generator.
+  *
+  * Events keep their timestamps
   * (5× density per window — how a larger deployment actually looks) and
   * shift user/event ids.
   *
@@ -58,11 +72,12 @@ object ProbeData {
       println(s"[probe] $name x$copies -> $out")
     }
 
+    // strip-then-tag runs for k=0 too: prefix-freeness needs every
+    // copy's base tokens q-free at the tail, including the untagged one
     shifted("documents", Seq("doc_id"), (df, k) =>
-      if (k == 0) df
-      else df
-        .withColumn("text", concat_ws(" ",
-          expr(s"transform(split(text, ' '), w -> concat(w, repeat('q', $k)))")))
+      df.withColumn("text", concat_ws(" ",
+          expr(s"""transform(split(text, ' '),
+                     w -> concat(regexp_replace(w, 'q+$$', ''), repeat('q', $k)))""")))
         .withColumn("n_chars", length(col("text")).cast("long")))
     shifted("orders", Seq("o_orderkey", "o_custkey"))
     shifted("customer", Seq("c_custkey"))

@@ -31,16 +31,34 @@ object CountMin {
 
   type Buf = Array[Long] // row-major W*D
 
-  /** Deterministic row hash. The row index seeds the BYTE-LEVEL fold
-    * (ADVICE r5): if it were only mixed in after one shared base hash,
-    * two items colliding in that base hash would collide in every row
-    * at once, voiding the (1/2)^D independence argument for that
-    * (2⁻⁶⁴-per-pair) failure mode. Seeding the fold makes each row an
-    * independent function of the item's bytes. */
+  /** Per-row fold multipliers — public mixing constants (splitmix64's
+    * golden-gamma, two murmur3 finalizer constants, xorshift*'s
+    * multiplier), all odd so multiplication is invertible mod 2⁶⁴. */
+  private val RowMult: Array[Long] = Array(
+    -7046029254386353131L, // 0x9E3779B97F4A7C15
+    -4417276706812531889L, // 0xC2B2AE3D27D4EB4F
+    -49064778989728563L,   // 0xFF51AFD7ED558CCD
+    2685821657736338717L)  // 0x2545F4914F6CDD1D
+
+  /** Deterministic row hash: each row folds the item's bytes in a
+    * DIFFERENT polynomial base (ADVICE r5/r6). A seed mixed in only
+    * additively cancels for equal-length items (h = seed·B^len +
+    * P(item), so any base-polynomial collision P(a)=P(b) with
+    * len(a)=len(b) collided in every row at once — the r6 finding).
+    * With per-row base Mᵣ, a row-r collision means the byte-difference
+    * polynomial has Mᵣ as a root mod 2⁶⁴; the four bases are distinct,
+    * so one pair knocking out all four rows needs four simultaneous
+    * roots — the heuristic independence the (1/2)^D bound wants. This
+    * is NOT a formally pairwise-independent family (no polynomial-mod-
+    * 2⁶⁴ scheme is); the residual risk is a pair whose difference
+    * polynomial vanishes at several of the fixed bases, which the
+    * ScalaCheck laws (overestimate-only, error bound in aggregate)
+    * bound empirically. */
   def cell(item: String, row: Int): Int = {
+    val m = RowMult(row)
     var h = item.getBytes("UTF-8").foldLeft(
-      1125899906842597L + row.toLong * -7046029254386353131L)(
-      (acc, b) => acc * 31 + b)
+      1125899906842597L + row.toLong * m)(
+      (acc, b) => acc * m + b)
     h ^= h >>> 33; h *= -49064778989728563L
     h ^= h >>> 33; h *= -4265267296055464877L
     h ^= h >>> 33
