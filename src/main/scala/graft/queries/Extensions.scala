@@ -169,24 +169,91 @@ object Extensions {
     * partitioning-independent by construction (exact bucket counts,
     * canonical one-shot compression). Alongside: the exact percentiles,
     * so the ≤ N/64 rank-error guarantee is visible in the output row.
-    * Sketch estimates are engine-specific (the digest walk) → rows-only
-    * check, with x15's exact-percentile family as the oracle-exact twin
-    * and the error law ScalaCheck'd in QuantileSketchSpec. */
-  val quantileSketch: QueryDef = QueryDef(
-    "e07_quantile_sketch",
-    (s, d) => {
-      Tables.documents(s, d).agg(
-        graft.expr.QuantileSketch.quantileSketch(col("n_chars")).as("qs"),
-        expr("CAST(percentile(n_chars, 0.5D) AS BIGINT)").as("exact_p50"),
-        expr("CAST(percentile(n_chars, 0.9D) AS BIGINT)").as("exact_p90"),
-        expr("CAST(percentile(n_chars, 0.99D) AS BIGINT)").as("exact_p99"))
-        .select(
-          expr("qs[0]").as("est_p50"), expr("qs[1]").as("est_p90"),
-          expr("qs[2]").as("est_p99"),
-          col("exact_p50"), col("exact_p90"), col("exact_p99"),
-          expr("qs[3]").as("n"), expr("qs[4]").as("digest_nodes"))
-    },
-    None)
+    *
+    * ORACLE-EXACT (r7, closing VERDICT r6 next-step #3): the digest is
+    * a deterministic function of the leaf histogram, and the one-shot
+    * compression has a load-bearing invariant that makes it
+    * SQL-expressible — when level L is processed, level L+1 is still
+    * EMPTY (pushes from level L−1 land at L, and within level L each
+    * sibling pair touches only its own distinct parent), so the classic
+    * (self + sibling + parent ≤ ⌊N/k⌋) test reduces to
+    * (pair-sum ≤ ⌊N/k⌋): each level is one parallel pair-sum step. The
+    * mirror below chains 16 such CTE steps (pair-sum ≤ thresh pushes
+    * up, else both siblings survive into the digest), then replays the
+    * rank walk as a cumulative sum in (upper-bound, level) order. The
+    * error law is additionally ScalaCheck'd in QuantileSketchSpec, and
+    * x15's exact-percentile family remains the exact-value twin. */
+  val quantileSketch: QueryDef = {
+    import graft.expr.QuantileSketch.{UniverseBits, Universe, K}
+    // level step L: pair-sums at L; pairs ≤ thresh push their mass to
+    // level L+1, pairs > thresh leave both present siblings in the
+    // digest (k$L). Mass reaching level UniverseBits is never processed
+    // (the Scala loop is `0 until UniverseBits`) and stays as-is.
+    val steps = (0 until UniverseBits).map { l =>
+      s"""p$l AS (SELECT idx // 2 AS pidx, CAST(sum(c) AS BIGINT) AS pc
+               FROM d$l GROUP BY 1),
+             k$l AS (SELECT d.idx, d.c FROM d$l d
+               JOIN p$l p ON d.idx // 2 = p.pidx, t WHERE p.pc > t.thresh),
+             d${l + 1} AS (SELECT pidx AS idx, pc AS c FROM p$l, t
+               WHERE pc <= t.thresh)"""
+    }.mkString(",\n             ")
+    val digestUnion = ((0 until UniverseBits)
+      .map(l => s"SELECT $l AS lvl, idx, c FROM k$l") :+
+      s"SELECT $UniverseBits AS lvl, idx, c FROM d$UniverseBits")
+      .mkString("\n               UNION ALL ")
+    // rank walk: nodes in (upper bound, level) order — leaves first on
+    // ties — accumulate until the target rank, report the upper bound.
+    // acc is nondecreasing in the walk order, so min(hi) over the
+    // crossing rows IS the first crossing node's bound.
+    def est(q: String, alias: String) =
+      s"""(SELECT min(hi) FROM ranked, t
+               WHERE acc >= greatest(1, CAST(ceil($q * t.n) AS BIGINT))) AS $alias"""
+    // Spark CAST(double AS BIGINT) truncates toward zero; n_chars ≥ 0
+    // so floor() mirrors it (DuckDB's BIGINT cast would round)
+    def exact(q: String, alias: String) =
+      s"""(SELECT CAST(floor(quantile_cont(n_chars, $q)) AS BIGINT)
+               FROM documents) AS $alias"""
+    QueryDef(
+      "e07_quantile_sketch",
+      (s, d) => {
+        Tables.documents(s, d).agg(
+          graft.expr.QuantileSketch.quantileSketch(col("n_chars")).as("qs"),
+          expr("CAST(percentile(n_chars, 0.5D) AS BIGINT)").as("exact_p50"),
+          expr("CAST(percentile(n_chars, 0.9D) AS BIGINT)").as("exact_p90"),
+          expr("CAST(percentile(n_chars, 0.99D) AS BIGINT)").as("exact_p99"))
+          .select(
+            expr("qs[0]").as("est_p50"), expr("qs[1]").as("est_p90"),
+            expr("qs[2]").as("est_p99"),
+            col("exact_p50"), col("exact_p90"), col("exact_p99"),
+            expr("qs[3]").as("n"), expr("qs[4]").as("digest_nodes"))
+      },
+      Some(s"""WITH d0 AS (
+                 SELECT CAST(CASE WHEN n_chars < 0 THEN 0
+                     WHEN n_chars >= $Universe THEN ${Universe - 1}
+                     ELSE n_chars END AS BIGINT) AS idx,
+                   count(*) AS c
+                 FROM documents GROUP BY 1),
+               t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(c) // $K AS BIGINT) AS thresh FROM d0),
+               $steps,
+               digest AS (
+                 $digestUnion),
+               ranked AS (
+                 SELECT (idx + 1) * (1 << lvl) - 1 AS hi, lvl, c,
+                   CAST(sum(c) OVER (ORDER BY (idx + 1) * (1 << lvl) - 1, lvl
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS acc
+                 FROM digest)
+               SELECT
+                 ${est("0.50", "est_p50")},
+                 ${est("0.90", "est_p90")},
+                 ${est("0.99", "est_p99")},
+                 ${exact("0.5", "exact_p50")},
+                 ${exact("0.9", "exact_p90")},
+                 ${exact("0.99", "exact_p99")},
+                 (SELECT n FROM t) AS n,
+                 (SELECT count(*) FROM digest) AS digest_nodes"""))
+  }
 
   /** e08 — Count-Min point-frequency sketch (graft.expr.CountMin): the
     * complement of e06's Misra-Gries (MG finds WHICH items are heavy;
