@@ -1504,6 +1504,111 @@ object Curation {
     },
     None)
 
+  /** x29b — x29's ORACLE-EXACT twin (VERDICT r6 next-step #2): the same
+    * model-in-the-loop pipeline shape — weak labels from the shared
+    * gate, train on a deterministic md5-half, score EVERY doc, emit the
+    * filter-audit frame — but the model is a closed-form nearest-
+    * prototype classifier (Rocchio 1971; Manning, Raghavan & Schütze,
+    * "Introduction to Information Retrieval" ch. 14) over md5-hashed
+    * token buckets, cross-multiplied into pure INTEGER weights:
+    *
+    *   w[b] = c1[b]·T0 − c0[b]·T1      (class token counts × opposing
+    *   score(doc) = Σ_tok w[bucket]     class totals — sign of the
+    *   predicted = score > 0            tf-proportion difference)
+    *
+    * Everything is 64-bit integer arithmetic — training AND scoring are
+    * order-independent and exactly mirrorable in SQL, which is what the
+    * LR twin (engine-specific L-BFGS doubles) can never be. VERDICT r6
+    * suggested pinning trained LR weights as literals; that would have
+    * required fitting at registry-construction time (a corpus action,
+    * breaking the lazy-build contract), so the twin pins the MODEL FORM
+    * instead of the coefficients.
+    *
+    * Scale shape: the training aggregation reduces to an F-row (1024)
+    * weight frame + a 1-row total — both broadcast; scoring is one
+    * explode → broadcast join → doc-keyed re-aggregation with map-side
+    * partial sums. Overflow bound: |w| ≤ T0·T1 and |score| ≤ tokens/doc
+    * × max|w|, so sampled training tokens must stay ≲ 3·10⁹ for int64 —
+    * at 100 TB tighten the md5 gate to more hex digits (the "sample,
+    * don't fit the corpus" discipline x29 already documents). */
+  val qualityPrototype: QueryDef = {
+    val F = 1024
+    val sparkBucket = s"${graft.ext.Dedup.sparkMd5Int60("tok")} % $F"
+    val duckBucket = s"${graft.ext.Dedup.duckMd5Int60("tok")} % $F"
+    QueryDef(
+      "x29b_quality_prototype",
+      (s, d) => {
+        val labeled = Tables.documents(s, d)
+          .withColumn("label",
+            when(qualityGatePred(), 1L).otherwise(0L))
+        val trainToks = labeled
+          .filter(expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) < '8'"))
+          .select(col("label"),
+            explode(split(col("text"), " ")).as("tok"))
+          .select(col("label"), expr(sparkBucket).as("bucket"))
+        val classCounts = trainToks.groupBy("bucket")
+          .agg(sum(col("label")).as("c1"),
+            sum(lit(1L) - col("label")).as("c0"))
+        val totals = classCounts
+          .agg(sum("c1").as("t1"), sum("c0").as("t0"))
+        val weights = classCounts.crossJoin(broadcast(totals))
+          .select(col("bucket"),
+            (col("c1") * col("t0") - col("c0") * col("t1")).as("w"))
+        val scored = labeled
+          .select(col("doc_id"), col("label"),
+            explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"), col("label"), expr(sparkBucket).as("bucket"))
+          .join(broadcast(weights), Seq("bucket"), "left")
+          .groupBy("doc_id", "label")
+          .agg(sum(coalesce(col("w"), lit(0L))).as("score"))
+        scored.select(col("doc_id"),
+            col("label").as("weak_label"),
+            when(col("score") > 0L, 1L).otherwise(0L).as("predicted"),
+            col("score"),
+            (col("label") === when(col("score") > 0L, 1L).otherwise(0L))
+              .cast("long").as("agree"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH labeled AS (
+                 SELECT doc_id, text,
+                   CASE WHEN lang IN ('en', 'de', 'es', 'fr')
+                     AND len(string_split(text, ' ')) >= 20
+                     THEN 1 ELSE 0 END AS label
+                 FROM documents),
+               train_toks AS (
+                 SELECT label, $duckBucket AS bucket
+                 FROM (SELECT label, unnest(string_split(text, ' ')) AS tok
+                       FROM labeled
+                       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             < '8')),
+               cc AS (
+                 SELECT bucket,
+                   CAST(sum(label) AS BIGINT) AS c1,
+                   CAST(sum(1 - label) AS BIGINT) AS c0
+                 FROM train_toks GROUP BY bucket),
+               tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+                         CAST(sum(c0) AS BIGINT) AS t0 FROM cc),
+               w AS (SELECT bucket, c1 * t0 - c0 * t1 AS w FROM cc, tot),
+               score_toks AS (
+                 SELECT doc_id, label, $duckBucket AS bucket
+                 FROM (SELECT doc_id, label,
+                         unnest(string_split(text, ' ')) AS tok
+                       FROM labeled)),
+               sc AS (
+                 SELECT st.doc_id, st.label,
+                   CAST(sum(coalesce(w.w, 0)) AS BIGINT) AS score
+                 FROM score_toks st LEFT JOIN w ON w.bucket = st.bucket
+                 GROUP BY st.doc_id, st.label)
+               SELECT doc_id,
+                 CAST(label AS BIGINT) AS weak_label,
+                 CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS predicted,
+                 score,
+                 CAST(CASE WHEN label = (CASE WHEN score > 0 THEN 1 ELSE 0 END)
+                   THEN 1 ELSE 0 END AS BIGINT) AS agree
+               FROM sc ORDER BY doc_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -1512,5 +1617,5 @@ object Curation {
       budgetRebalance, decontaminateBloom, leakageSafeSplit,
       incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity, chunkOverlap,
       trainingManifest, snapshotDiff, manifestRefresh, releasePipeline,
-      qualityClassifier)
+      qualityClassifier, qualityPrototype)
 }
