@@ -32,7 +32,7 @@ object Curation {
   /** Whitespace token count, one definition per dialect (used by x03,
     * x04, x07 — these two strings are a load-bearing cross-engine pair;
     * edit them together or hash-exactness silently breaks). */
-  private val sparkTokCount = raw"size(split(trim(text), '\\s+'))"
+  private[graft] val sparkTokCount = raw"size(split(trim(text), '\\s+'))"
   private val duckTokCount =
     """CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)"""
 
