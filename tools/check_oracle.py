@@ -27,15 +27,35 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def main(sf_dir: str, out_dir: str, timeout: float = 0.0,
-         json_out: str = "") -> int:
+         json_out: str = "", only: str = "") -> int:
+    import os
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata are single parquet files; Spark-written probe
+        # tables (graft.ProbeData) are directories of part files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        if t == "events":
+            # probe events carry ts as raw BIGINT nanos (ProbeData writes
+            # the nanosAsLong representation); mirror Tables.events'
+            # DIV-1000 nanos -> microsecond-timestamp conversion so the
+            # oracle SQL sees the same TIMESTAMP it sees on driver data
+            ts_type = [r for r in con.execute("DESCRIBE events").fetchall()
+                       if r[0] == "ts"][0][1]
+            if ts_type == "BIGINT":
+                con.execute("DROP VIEW events")
+                con.execute(
+                    f"CREATE VIEW events AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/*")
                    if not d.endswith(".json"))
+    if only:
+        pref = only.split(",")
+        names = [n for n in names if any(n.startswith(p) for p in pref)]
     n_pass = n_fail = n_time = 0
     record = {}
     for name in names:
@@ -114,8 +134,14 @@ def main(sf_dir: str, out_dir: str, timeout: float = 0.0,
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     opts = sys.argv[1:]
+    flagvals = set()
+    for f in ("--timeout", "--json", "--only"):
+        if f in opts:
+            flagvals.add(opts.index(f) + 1)
+    args = [a for i, a in enumerate(opts)
+            if not a.startswith("--") and i not in flagvals]
     to = float(opts[opts.index("--timeout") + 1]) if "--timeout" in opts else 0.0
     jo = opts[opts.index("--json") + 1] if "--json" in opts else ""
-    sys.exit(main(args[0], args[1], to, jo))
+    on = opts[opts.index("--only") + 1] if "--only" in opts else ""
+    sys.exit(main(args[0], args[1], to, jo, on))
