@@ -295,7 +295,171 @@ object Extensions {
     },
     None)
 
+  /** e08b — e08's ORACLE-EXACT twin: the same Count-Min point-frequency
+    * semantics (D=4 rows × W=2048 cells, min over per-row counters,
+    * overestimate-only) with the PORTABLE md5 hash family in place of
+    * the engine-native seeded fold — `cell(r, tok) = md5int60('r:tok')
+    * % W`, the d10/d11/e05 discipline. Everything is integer
+    * arithmetic over both engines' identical md5, so the driver
+    * hash-checks the sketch MATH end to end (e08 stays the fast
+    * engine-native path whose 64-bit wrapping fold DuckDB cannot
+    * express — DuckDB BIGINT overflow throws rather than wraps).
+    *
+    * Row independence here is the genuine Carter-Wegman argument: each
+    * row keys md5 with a distinct prefix, so rows are independent
+    * functions of the token — the property e08's per-row fold bases
+    * approximate (CountMin.cell scaladoc).
+    *
+    * Scale shape: the sketch build IS the one corpus pass — explode
+    * tokens ×D row-cells, one (row, cell) hash aggregate with map-side
+    * combine into ≤ D·W groups; probes are a D·|P|-row broadcast side
+    * of an equi-join. */
+  val countMinMd5: QueryDef = {
+    val Wm = 2048; val Dm = 4
+    val probes = Seq("the", "and", "of", "to", "in")
+    def sparkCell(tok: String, r: String) =
+      s"${graft.ext.Dedup.sparkMd5Int60(s"concat($r, ':', $tok)")} % $Wm"
+    def duckCell(tok: String, r: String) =
+      s"${graft.ext.Dedup.duckMd5Int60(s"concat($r, ':', $tok)")} % $Wm"
+    QueryDef(
+      "e08b_countmin_md5",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val cells = toks
+          .select(explode(expr(
+            s"transform(sequence(0, ${Dm - 1}), r -> " +
+              s"struct(r AS r, CAST(${sparkCell("tok", "r")} AS BIGINT) AS cell))"))
+            .as("rc"))
+          .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+          .agg(count(lit(1)).as("c"))
+        val probeCells = probes.flatMap(p =>
+          (0 until Dm).map(r => (p, r))).toDF("tok", "r")
+          .withColumn("cell", expr(sparkCell("tok", "r")).cast("long"))
+        val est = probeCells.join(cells, Seq("r", "cell"), "left")
+          .groupBy("tok")
+          .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+        val exact = toks.filter(col("tok").isin(probes: _*))
+          .groupBy("tok").agg(count(lit(1)).as("exact"))
+        est.join(exact, Seq("tok"), "left")
+          .select(col("tok"), col("est"),
+            coalesce(col("exact"), lit(0L)).as("exact"),
+            (col("est") - coalesce(col("exact"), lit(0L))).as("overcount"))
+          .orderBy("tok")
+      },
+      Some(s"""WITH toks AS (
+                 SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+               cells AS (
+                 SELECT r, ${duckCell("tok", "r")} AS cell,
+                   count(*) AS c
+                 FROM toks, unnest(range(0, $Dm)) AS u(r)
+                 GROUP BY 1, 2),
+               pc AS (
+                 SELECT p.tok, u.r, ${duckCell("p.tok", "u.r")} AS cell
+                 FROM (VALUES ${probes.map(p => s"('$p')").mkString(", ")}) p(tok),
+                   unnest(range(0, $Dm)) AS u(r)),
+               est AS (
+                 SELECT pc.tok,
+                   CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est
+                 FROM pc LEFT JOIN cells c
+                   ON c.r = pc.r AND c.cell = pc.cell
+                 GROUP BY 1),
+               ex AS (
+                 SELECT tok, count(*) AS exact FROM toks
+                 WHERE tok IN (${probes.map(p => s"'$p'").mkString(", ")})
+                 GROUP BY 1)
+               SELECT e.tok AS tok, e.est,
+                 coalesce(ex.exact, 0) AS exact,
+                 e.est - coalesce(ex.exact, 0) AS overcount
+               FROM est e LEFT JOIN ex ON ex.tok = e.tok
+               ORDER BY e.tok"""))
+  }
+
+  /** e02b — e02's ORACLE-EXACT twin: a PORTABLE raw HyperLogLog
+    * (Flajolet, Fusy, Gandouet & Meunier, "HyperLogLog: the analysis of
+    * a near-optimal cardinality estimation algorithm", AofA 2007) over
+    * the md5 hash family, so — unlike e02's engine-internal register
+    * state — both engines compute bit-identical estimates:
+    *
+    *  - h = md5int60(value); bucket = h % 256; rank of the remaining
+    *    52 bits via `length(bin(v))` (identical no-leading-zeros
+    *    semantics in Spark and DuckDB — no log2, no libm);
+    *  - register fold in ascending-bucket order with terms
+    *    `1.0 / (1 << mj)` — exact powers of two, so every addition
+    *    rounds identically given the identical order;
+    *  - α·m²/S with α written as the same literal expression
+    *    (0.7213/(1.0+1.079/256.0)) in both engines.
+    *
+    * This is the RAW estimator — the small-range (linear-counting)
+    * correction is deliberately NOT applied, because its `ln` would
+    * reintroduce libm variance across engines; `n_zero_registers` is
+    * emitted so a consumer can apply it, and e05's KMV (exact below
+    * k distinct) is the registry's corrected-small-range tool. The
+    * engine-native e02 keeps the fully-corrected estimate.
+    *
+    * Scale shape: per column one hash projection + a ≤256-group
+    * aggregate (map-side combine) + a 1-row fold; the side-by-side
+    * exact count is the same scalar broadcast as e05's. */
+  val hllMd5: QueryDef = {
+    val M = 256
+    // every literal CAST to DOUBLE: Spark would otherwise parse these
+    // as DECIMAL and compute a (24,16)-scale alpha that differs from
+    // the IEEE-double value at the 9th digit — the identical expression
+    // TEXT must also carry identical TYPES in both engines
+    val alphaExpr = s"(CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + " +
+      s"CAST(1.079 AS DOUBLE) / CAST($M AS DOUBLE))) * CAST(${M * M} AS DOUBLE)"
+    def sparkOne(df: org.apache.spark.sql.DataFrame, c: String) = {
+      val regs = df
+        .select(expr(graft.ext.Dedup.sparkMd5Int60(s"CAST($c AS STRING)")).as("h"))
+        .select((col("h") % M).as("bucket"), expr(s"h DIV $M").as("v"))
+        .groupBy("bucket")
+        .agg(max(expr("IF(v = 0, 53, 53 - length(bin(v)))")).as("mj"))
+      val est = regs
+        .agg(count(lit(1)).as("np"),
+          sort_array(collect_list(struct(col("bucket"), col("mj"))))
+            .as("rl"))
+        .select(
+          expr(s"""$alphaExpr / aggregate(rl,
+                CAST($M - np AS DOUBLE),
+                (acc, x) -> acc + 1.0D /
+                  CAST(shiftleft(CAST(1 AS BIGINT), x.mj) AS DOUBLE))""")
+            .as("hll_est"),
+          (lit(M) - col("np")).cast("long").as("n_zero_registers"))
+      val exact = df.agg(countDistinct(col(c)).as("exact"))
+      est.crossJoin(broadcast(exact))
+        .select(lit(c).as("col_name"), col("hll_est"),
+          col("n_zero_registers"), col("exact"))
+    }
+    def duckOne(c: String) = {
+      val h = graft.ext.Dedup.duckMd5Int60(s"CAST($c AS VARCHAR)")
+      s"""SELECT '$c' AS col_name,
+            (SELECT $alphaExpr / list_reduce(
+               list_prepend(CAST($M - count(*) AS DOUBLE),
+                 list_transform(list(mj ORDER BY bucket),
+                   m -> 1.0 / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE))),
+               (a, b) -> a + b)
+             FROM (SELECT h % $M AS bucket,
+                     max(CASE WHEN h // $M = 0 THEN 53
+                         ELSE 53 - length(bin(h // $M)) END) AS mj
+                   FROM (SELECT $h AS h FROM orders) GROUP BY 1)) AS hll_est,
+            (SELECT CAST($M - count(DISTINCT ($h) % $M) AS BIGINT)
+             FROM orders) AS n_zero_registers,
+            (SELECT count(DISTINCT $c) FROM orders) AS exact"""
+    }
+    QueryDef(
+      "e02b_hll_md5",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        sparkOne(o, "o_custkey")
+          .union(sparkOne(o, "o_orderkey"))
+          .orderBy("col_name")
+      },
+      Some(Seq("o_custkey", "o_orderkey").map(duckOne)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(daypart, sketch, approxProfile, topkOperator, kmvSketch, heavyHitters,
-      quantileSketch, countMinProbe)
+      quantileSketch, countMinProbe, countMinMd5, hllMd5)
 }

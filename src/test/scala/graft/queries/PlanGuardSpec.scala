@@ -41,6 +41,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "x09_boilerplate_removal" -> "1-row corpus-size scalar broadcast",
     "x15_quantile_outlier_filter" -> "1-row quantile-threshold broadcast",
     "e05_kmv_distinct" -> "1-row sketch-summary broadcast",
+    "e02b_hll_md5" -> "1-row exact-count scalar broadcast (e05's idiom)",
     "e06_heavy_hitters" -> "1-row candidate-summary broadcast",
     "st09_funnel_steps" -> "1-row funnel-window scalar broadcast",
     "s01_cosine_topk" -> "bounded query-vector set broadcast (corpus never shuffles)",

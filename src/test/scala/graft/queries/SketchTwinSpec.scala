@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Laws for the round-7 portable sketch twins (e02b raw HLL, e08b
+  * md5 Count-Min) — the estimator MATH is already hash-checked against
+  * DuckDB by the driver; these assert the sketch guarantees hold on
+  * data the oracle compare doesn't construct. */
+class SketchTwinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("e08b estimates never undercount and hit exact counts for unique cells") {
+    val out = Extensions.countMinMd5.build(spark, TestSpark.sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val est = r.getAs[Long]("est"); val exact = r.getAs[Long]("exact")
+      assert(est >= exact,
+        s"${r.getAs[String]("tok")}: est $est < exact $exact")
+      assert(r.getAs[Long]("overcount") == est - exact)
+    }
+  }
+
+  test("e02b raw HLL lands within the 3σ band on a mid-range planted cardinality") {
+    // 5000 distinct keys over m=256 registers is well past the
+    // small-range regime the raw estimator (deliberately) doesn't
+    // correct — the classic HLL standard error is 1.04/√m ≈ 6.5%,
+    // asserted at 3σ (19.5%)
+    val n = 5000
+    val tmp = java.nio.file.Files.createTempDirectory("e02b").toString
+    (1 to n).map(i => (i.toLong, i.toLong))
+      .toDF("o_custkey", "o_orderkey")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = Extensions.hllMd5.build(spark, tmp).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Double]("hll_est"), r.getAs[Long]("exact")))).toMap
+    assert(out.keySet == Set("o_custkey", "o_orderkey"))
+    out.foreach { case (c, (est, exact)) =>
+      assert(exact == n.toLong)
+      val rel = math.abs(est - exact) / exact
+      assert(rel <= 0.195, s"$c: est $est vs exact $exact (rel $rel)")
+    }
+  }
+}
