@@ -275,10 +275,7 @@ object Similarity {
     * corpus, and the corpus itself never shuffles. */
   val annIvfPinned: QueryDef = {
     val kCentroids = 16; val nprobe = 4; val topK = 5
-    val centDotSql =
-      """list_reduce(list_prepend(0.0,
-           list_transform(range(1, len(u.u) + 1), i -> u.u[i] * c.c_u[i])),
-           (x, y) -> x + y)"""
+    val centDotSql = "list_dot_product(u.u, c.c_u)"
     QueryDef(
       "s03b_ann_ivf_pinned",
       (s, d) => {
