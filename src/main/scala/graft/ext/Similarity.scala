@@ -480,7 +480,147 @@ object Similarity {
       })
   }
 
+  /** Literal-rendered argmin-distance assignment over `cents`: for a
+    * row's int8 vector column `q`, the c_id minimizing
+    * ‖q − c‖² — compared via the equivalent score dot(c,c) − 2·dot(q,c)
+    * (the dot(q,q) term is constant per row), ties to the lowest c_id
+    * (the fold keeps the first strict improvement and the centroid
+    * array is ordered by c_id). `cc` is pre-folded on the driver with
+    * the same left-to-right accumulation DuckDB's `list_dot_product`
+    * uses, and `Double.toString` literal rendering round-trips bitwise,
+    * so both engines score with identical doubles. */
+  private def nearestCentroid(cents: Seq[(Long, Array[Double])]): org.apache.spark.sql.Column = {
+    val arr = cents.map { case (cid, cu) =>
+      val cc = cu.foldLeft(0.0)((a, x) => a + x * x)
+      s"struct(CAST($cid AS BIGINT) AS cid, ${cc}D AS cc, " +
+        cu.map(x => s"${x}D").mkString("array(", ", ", ")") + " AS cu)"
+    }.mkString("array(", ", ", ")")
+    expr(s"""aggregate(
+          transform($arr, c -> struct(c.cc - 2 * array_dot(q, c.cu) AS sc, c.cid AS cid)),
+          struct(CAST('Infinity' AS DOUBLE) AS sc, CAST(-1 AS BIGINT) AS cid),
+          (acc, x) -> IF(x.sc < acc.sc, x, acc)).cid""")
+  }
+
+  /** s07 — distributed Lloyd k-means over the embeddings table, the
+    * iterative refinement the pinned-centroid quantizers (d13, s03b)
+    * deliberately skip: k=8 centroids seeded from the low-id vectors,
+    * three assign→update rounds, output = every vector's final cluster
+    * plus the cluster's size.
+    *
+    * Oracle-exact end to end, which k-means on floats normally can't
+    * be — three ingredients make it deterministic in BOTH engines:
+    * (1) vectors are int8-quantized (s05's trick, kept as integral
+    * DOUBLEs), so every partial sum in the centroid update is an
+    * integer below 2^53 — exact and ORDER-INDEPENDENT no matter how
+    * Spark partitions the aggregation; (2) centroids are the exact
+    * rationals (integer sum)/(count), divided once in IEEE double —
+    * both engines produce the same bits; (3) assignment scores are
+    * sequential-fold dot products (array_dot ≡ list_dot_product,
+    * bit-identity verified on ~2M pairs), ties broken by centroid id.
+    * The DuckDB mirror unrolls the three rounds as CTEs (g01/d07's
+    * unrolled fixed-point idiom). Empty clusters keep their previous
+    * centroid — same coalesce rule in both engines.
+    *
+    * Scale shape: the quantized corpus is materialized ONCE
+    * (localCheckpoint; a cluster job would persist) and every round is
+    * one narrow scan — the 8-struct centroid array travels to executors
+    * inside the rendered expression (broadcast-by-literal), the update
+    * aggregates map-side down to k×(dim+1) numbers, and only those k
+    * rows reach the driver (bounded collect, k=8 × 65 doubles). No
+    * vector ever shuffles; 100 TB cost is iters+1 scans. */
+  val kmeansLloyd: QueryDef = {
+    val k = 8; val iters = 3
+    QueryDef(
+      "s07_kmeans_lloyd",
+      (s, d) => {
+        graft.expr.ArrayDot.register(s)
+        val q = Dedup.normalized(s, d, "id", "u")
+          .select(col("id"),
+            expr("transform(u, x -> CAST(CAST(round(x * 127) AS BIGINT) AS DOUBLE))")
+              .as("q"))
+          .localCheckpoint()
+        val init = q.filter(col("id") < k).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+        if (init.isEmpty) {
+          // empty corpus: an empty clustering, not an error; a NON-empty
+          // corpus without the pinned seed vectors must fail loudly
+          // (assignClusters' contract)
+          require(q.isEmpty,
+            s"non-empty corpus has no centroid vectors with id < $k")
+          q.filter(lit(false)).select(col("id").as("vec_id"),
+            lit(-1L).as("cluster"), lit(0L).as("cluster_size"))
+        } else {
+          val dim = init.head._2.length
+          var cents: Seq[(Long, Array[Double])] = init.toSeq
+          for (_ <- 1 to iters) {
+            val sums = (0 until dim)
+              .map(i => sum(element_at(col("q"), i + 1)).as(s"s$i")) :+
+              count(lit(1)).as("n")
+            val rows = q.select(nearestCentroid(cents).as("cluster"), col("q"))
+              .groupBy("cluster").agg(sums.head, sums.tail: _*)
+              .collect() // bounded: k rows × (dim+1) values
+              .map(r => r.getLong(0) -> r).toMap
+            cents = cents.map { case (cid, prev) =>
+              cid -> rows.get(cid).map { r =>
+                val n = r.getLong(dim + 1)
+                Array.tabulate(dim)(i => r.getDouble(i + 1) / n)
+              }.getOrElse(prev) // empty cluster keeps its centroid
+            }
+          }
+          val fin = q.select(col("id").as("vec_id"),
+            nearestCentroid(cents).as("cluster"))
+          val sizes = fin.groupBy("cluster")
+            .agg(count(lit(1)).as("cluster_size"))
+          fin.join(broadcast(sizes), Seq("cluster"))
+            .select("vec_id", "cluster", "cluster_size")
+            .orderBy("vec_id")
+        }
+      },
+      Some {
+        val rounds = (1 to iters).map { r =>
+          val p = r - 1
+          s"""a$r AS (
+               SELECT q.vec_id, c.c_id,
+                 list_dot_product(c.c, c.c) - 2 * list_dot_product(q.q, c.c) AS score
+               FROM qv q, c$p c),
+             asg$r AS (
+               SELECT vec_id, c_id AS cluster FROM (
+                 SELECT vec_id, c_id,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY score, c_id) AS rn
+                 FROM a$r) WHERE rn = 1),
+             s$r AS (
+               SELECT asg.cluster, i.i AS i, SUM(q.q[i.i]) AS s, COUNT(*) AS n
+               FROM asg$r asg JOIN qv q USING (vec_id),
+                 unnest(range(1, len(q.q) + 1)) AS i(i)
+               GROUP BY 1, 2),
+             c$r AS (
+               SELECT prev.c_id, coalesce(m.c, prev.c) AS c
+               FROM c$p prev
+               LEFT JOIN (SELECT cluster AS c_id, list(s / n ORDER BY i) AS c
+                          FROM s$r GROUP BY 1) m USING (c_id))"""
+        }.mkString(",\n")
+        s"""WITH ${Dedup.normalizedSql},
+            qv AS (
+              SELECT vec_id,
+                list_transform(u, x -> CAST(CAST(round(x * 127) AS BIGINT) AS DOUBLE)) AS q
+              FROM u),
+            c0 AS (SELECT vec_id AS c_id, q AS c FROM qv WHERE vec_id < $k),
+            $rounds,
+            af AS (
+              SELECT vec_id, c_id AS cluster FROM (
+                SELECT q.vec_id, c.c_id,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_dot_product(c.c, c.c)
+                      - 2 * list_dot_product(q.q, c.c), c.c_id) AS rn
+                FROM qv q, c$iters c) WHERE rn = 1),
+            sz AS (SELECT cluster, COUNT(*) AS cluster_size FROM af GROUP BY 1)
+            SELECT af.vec_id, af.cluster, sz.cluster_size
+            FROM af JOIN sz USING (cluster) ORDER BY vec_id"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
-      annPqAdc)
+      annPqAdc, kmeansLloyd)
 }
