@@ -370,5 +370,107 @@ object Graph {
       })
   }
 
-  val all: Seq[QueryDef] = Seq(pagerank, triangles, kcore, labelPropagation)
+  /** Synchronous multi-source BFS rounds over a DIRECTED edge frame
+    * (u, v) — pass both directions for an undirected graph. State is a
+    * single BIGINT per node, `enc = dist·stride + seed` (seed < stride),
+    * so the lexicographic (dist, seed) minimum the algorithm needs is a
+    * plain integer `min` — order-independent, bit-identical on any
+    * engine or partitioning. Each round is one equi-join of the edge
+    * list with the current label frame (relaxation: `enc + stride` is
+    * exactly "one hop further from the same seed") plus one min
+    * aggregate; `localCheckpoint` keeps lineage depth constant (d07's
+    * iterative-job rule). Unreached nodes are simply absent. */
+  def bfsEncode(e: org.apache.spark.sql.DataFrame,
+      seeds: org.apache.spark.sql.DataFrame, rounds: Int,
+      stride: Long): org.apache.spark.sql.DataFrame = {
+    var lab = seeds.select(col("id"), col("id").as("enc"))
+    for (_ <- 1 to rounds) {
+      lab = e.join(lab, e("u") === lab("id"))
+        .select(col("v").as("id"), (col("enc") + stride).as("enc"))
+        .union(lab.select(col("id"), col("enc")))
+        .groupBy("id").agg(min(col("enc")).as("enc"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
+  /** g05 — multi-source BFS hop distance with nearest-seed attribution
+    * (unit-weight Bellman-Ford, synchronously relaxed — the Pregel BFS
+    * of Malewicz et al., SIGMOD 2010 §5.1) over g01's part↔supplier
+    * graph: suppliers 1-3 are the seed anchors, every node learns
+    * (min hops to any seed, min seed id at that distance), ties to the
+    * lower seed. The output is the (dist, seed) histogram plus one
+    * `dist = -1` row for nodes no seed reaches within the round budget
+    * — the artifact a curation run reads to partition a corpus by its
+    * nearest canonical anchor (d13's assignment, but along graph hops
+    * instead of cosine).
+    *
+    * Determinism discipline: the g01 integer trick — state is
+    * `dist·10¹⁰ + seed_node_id`, so the (dist, seed) minimum is one
+    * BIGINT `min` both engines compute identically; rounds are FIXED
+    * (4), mirrored as unrolled CTEs.
+    *
+    * Scale shape: per round one equi shuffle of the (node, enc) frame
+    * against the edge list and one map-side-combining min aggregate —
+    * 16 bytes of state per node, never the corpus; the histogram output
+    * is bounded by seeds × rounds regardless of graph size. */
+  val bfsHops: QueryDef = {
+    val Rounds = 4
+    val Stride = 10000000000L // > max node id; enc = dist*Stride + seed
+    val Seeds = 3
+    QueryDef(
+      "g05_bfs_hops",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("p"),
+            (col("l_suppkey") + SuppOffset).as("sup"))
+          .distinct()
+        val e = li.select(col("p").as("u"), col("sup").as("v"))
+          .union(li.select(col("sup").as("u"), col("p").as("v")))
+          .localCheckpoint() // feeds all Rounds relaxation joins
+        val nodes = e.select(col("u").as("id")).distinct()
+          .localCheckpoint()
+        val seeds = nodes.filter(
+          col("id").between(SuppOffset + 1, SuppOffset + Seeds))
+        nodes.join(bfsEncode(e, seeds, Rounds, Stride), Seq("id"),
+            "left_outer")
+          .select(
+            coalesce(expr(s"enc DIV $Stride"), lit(-1L)).as("dist"),
+            coalesce(expr(s"enc % $Stride - $SuppOffset"), lit(-1L))
+              .as("seed_supp"))
+          .groupBy("dist", "seed_supp")
+          .agg(count(lit(1)).as("n_nodes"))
+          .orderBy("dist", "seed_supp")
+      },
+      Some {
+        val base =
+          s"""li AS (SELECT DISTINCT l_partkey AS p,
+                       l_suppkey + $SuppOffset AS sup FROM lineitem),
+              e AS MATERIALIZED (SELECT p AS u, sup AS v FROM li
+                    UNION ALL SELECT sup, p FROM li),
+              nodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM e),
+              l0 AS (SELECT id, id AS enc FROM nodes
+                     WHERE id BETWEEN ${SuppOffset + 1}
+                       AND ${SuppOffset + Seeds})"""
+        val rounds = (1 to Rounds).map { r =>
+          s"""l$r AS MATERIALIZED (
+                SELECT id, min(enc) AS enc FROM (
+                  SELECT e.v AS id, l${r - 1}.enc + $Stride AS enc
+                  FROM e JOIN l${r - 1} ON l${r - 1}.id = e.u
+                  UNION ALL SELECT id, enc FROM l${r - 1})
+                GROUP BY 1)"""
+        }.mkString(",\n")
+        s"""WITH $base,
+            $rounds
+            SELECT CAST(coalesce(l.enc // $Stride, -1) AS BIGINT) AS dist,
+              CAST(coalesce(l.enc % $Stride - $SuppOffset, -1) AS BIGINT)
+                AS seed_supp,
+              CAST(count(*) AS BIGINT) AS n_nodes
+            FROM nodes n LEFT JOIN l$Rounds l ON l.id = n.id
+            GROUP BY 1, 2 ORDER BY dist, seed_supp"""
+      })
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(pagerank, triangles, kcore, labelPropagation, bfsHops)
 }

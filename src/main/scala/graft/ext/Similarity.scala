@@ -620,7 +620,45 @@ object Similarity {
       })
   }
 
+  /** s08 — ANN index QUALITY evaluation: recall@5 of the pinned-IVF
+    * index (s03b) against the exact brute-force baseline (s01), per
+    * query. This is the harness every approximate index needs before a
+    * production cutover — "how much of the true top-k does the cheap
+    * index return" — expressed as a registered query so the number is
+    * itself oracle-checked: both inputs are deterministic registered
+    * shapes, so the recall is bit-exact in both engines (the DuckDB
+    * mirror composes the two queries' own mirrors as derived tables).
+    *
+    * Scale shape: the expensive side is s01's broadcast-query corpus
+    * scan — at 100 TB you'd run it over a SAMPLED query set exactly as
+    * here (10 queries), which is how recall is measured in practice;
+    * the join after both top-k's is 50 rows against 50. */
+  val annRecall: QueryDef = QueryDef(
+    "s08_ann_recall",
+    (s, d) => {
+      val ex = cosineTopK.build(s, d).select(col("q_id"), col("n_id"))
+      val ap = annIvfPinned.build(s, d)
+        .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+      ex.join(ap,
+          col("q_id") === col("a_q") && col("n_id") === col("a_n"),
+          "left_outer")
+        .groupBy("q_id")
+        .agg(count(col("a_n")).as("hits"))
+        .select(col("q_id"), col("hits"),
+          (col("hits") / lit(5.0)).as("recall_at_5"))
+        .orderBy("q_id")
+    },
+    Some(s"""WITH ex AS (
+               SELECT q_id, n_id FROM (${cosineTopK.sql.get}) x),
+             ap AS (
+               SELECT q_id, n_id FROM (${annIvfPinned.sql.get}) y)
+             SELECT ex.q_id, CAST(count(ap.n_id) AS BIGINT) AS hits,
+               CAST(count(ap.n_id) AS DOUBLE) / 5.0 AS recall_at_5
+             FROM ex LEFT JOIN ap
+               ON ap.q_id = ex.q_id AND ap.n_id = ex.n_id
+             GROUP BY ex.q_id ORDER BY ex.q_id"""))
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
-      annPqAdc, kmeansLloyd)
+      annPqAdc, kmeansLloyd, annRecall)
 }

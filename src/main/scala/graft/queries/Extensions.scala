@@ -459,7 +459,89 @@ object Extensions {
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
   }
 
+  /** e09 — PORTABLE Bloom membership filter (Bloom, CACM 1970) over the
+    * corpus token vocabulary, md5 hash family (the d10/e05/e08b
+    * discipline): bit(i, tok) = md5int60(i || ':' || tok) % M for K=3
+    * probe functions over M=65536 bits. The set-bit table is built in
+    * ONE distinct-aggregate pass and both engines compute identical
+    * bits, so — unlike x18's engine-private `spark.util.sketch`
+    * BloomFilter, which stays the fast native decontamination path —
+    * the filter MATH is oracle-checked end to end: membership verdicts,
+    * true presence, and the false-positive flags all hash-match.
+    *
+    * The one-sided error law (no false negatives — a present token can
+    * never probe to a missing bit, by construction the K build bits of
+    * every corpus token are set) is asserted for every probe in both
+    * engines via the `present=1 → might_contain=1` column pair, and the
+    * spec checks it over the whole planted vocabulary.
+    *
+    * Scale shape: the build is one token explode → ≤ M-row distinct
+    * (map-side combining to a bounded 0.5 MB bit set); probes join
+    * against the broadcast bit table. At 100 TB the bit set is the
+    * mergeable per-shard sketch a coordinator ORs together — position
+    * sets merge by union exactly as the distinct here does. */
+  val bloomMd5: QueryDef = {
+    val M = 65536; val K = 3
+    val probes = Seq("the", "and", "of", "qqxzabsent1", "qqxzabsent2")
+    def sparkBit(tok: String, i: String) =
+      s"${graft.ext.Dedup.sparkMd5Int60(s"concat($i, ':', $tok)")} % $M"
+    def duckBit(tok: String, i: String) =
+      s"${graft.ext.Dedup.duckMd5Int60(s"concat($i, ':', $tok)")} % $M"
+    QueryDef(
+      "e09_bloom_md5",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok")).distinct()
+        val bits = toks.select(explode(expr(
+          s"transform(sequence(0, ${K - 1}), i -> " +
+            s"CAST(${sparkBit("tok", "i")} AS BIGINT))")).as("bit"))
+          .distinct()
+        val pb = probes.flatMap(p => (0 until K).map(i => (p, i)))
+          .toDF("tok", "i")
+          .withColumn("bit", expr(sparkBit("tok", "i")).cast("long"))
+        val might = pb
+          .join(broadcast(bits.withColumn("s", lit(1))), Seq("bit"), "left")
+          .groupBy("tok")
+          .agg((count(col("s")) === K).cast("int").as("might_contain"))
+        val pres = toks.filter(col("tok").isin(probes: _*))
+          .withColumn("p", lit(1))
+        might.join(broadcast(pres), Seq("tok"), "left")
+          .select(col("tok"), col("might_contain"),
+            coalesce(col("p"), lit(0)).as("present"),
+            (col("might_contain") * (lit(1) - coalesce(col("p"), lit(0))))
+              .as("false_positive"))
+          .orderBy("tok")
+      },
+      Some(s"""WITH toks AS (
+                 SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+               bits AS (
+                 SELECT DISTINCT ${duckBit("tok", "u.i")} AS bit
+                 FROM toks, unnest(range(0, $K)) AS u(i)),
+               pb AS (
+                 SELECT p.tok, u.i, ${duckBit("p.tok", "u.i")} AS bit
+                 FROM (VALUES ${probes.map(p => s"('$p')").mkString(", ")})
+                   p(tok),
+                   unnest(range(0, $K)) AS u(i)),
+               might AS (
+                 SELECT pb.tok,
+                   CAST(CASE WHEN count(b.bit) = $K THEN 1 ELSE 0 END
+                     AS INTEGER) AS might_contain
+                 FROM pb LEFT JOIN bits b ON b.bit = pb.bit
+                 GROUP BY 1),
+               pres AS (
+                 SELECT tok, 1 AS p FROM toks
+                 WHERE tok IN (${probes.map(p => s"'$p'").mkString(", ")}))
+               SELECT m.tok, m.might_contain,
+                 CAST(coalesce(pres.p, 0) AS INTEGER) AS present,
+                 CAST(m.might_contain * (1 - coalesce(pres.p, 0))
+                   AS INTEGER) AS false_positive
+               FROM might m LEFT JOIN pres ON pres.tok = m.tok
+               ORDER BY m.tok"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(daypart, sketch, approxProfile, topkOperator, kmvSketch, heavyHitters,
-      quantileSketch, countMinProbe, countMinMd5, hllMd5)
+      quantileSketch, countMinProbe, countMinMd5, hllMd5, bloomMd5)
 }

@@ -25,6 +25,45 @@ class GraphSpec extends AnyFunSuite {
       10L -> 3L, 11L -> 3L, 12L -> 3L), labs.toString)
   }
 
+  test("bfsEncode: hop distances, nearest-seed attribution, tie to min seed") {
+    // path 1-2-3-4-5-6-7, seeds {1, 7}, stride 100:
+    // enc = dist*100 + seed; node 4 is 3 hops from BOTH seeds → seed 1
+    val und = (1L to 6L).map(n => (n, n + 1))
+    val e = (und ++ und.map(_.swap)).toDF("u", "v")
+    val seeds = Seq(1L, 7L).toDF("id")
+    val got = Graph.bfsEncode(e, seeds, 3, 100L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 101L, 3L -> 201L, 4L -> 301L,
+      7L -> 7L, 6L -> 107L, 5L -> 207L), got.toString)
+  }
+
+  test("bfsEncode: nodes beyond the round budget stay unlabeled") {
+    val und = (1L to 6L).map(n => (n, n + 1))
+    val e = (und ++ und.map(_.swap)).toDF("u", "v")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.bfsEncode(e, seeds, 2, 100L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only 1,2,3 are within 2 hops of seed 1
+    assert(got == Map(1L -> 1L, 2L -> 101L, 3L -> 201L), got.toString)
+  }
+
+  test("g05 histogram partitions every graph node exactly once") {
+    val sf = TestSpark.sf0001
+    val rows = Graph.bfsHops.build(spark, sf).collect()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey", "l_suppkey").distinct()
+    val nNodes = li.select("l_partkey").distinct().count() +
+      li.select("l_suppkey").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nNodes)
+    // the three seeds are their own dist-0 anchors
+    val d0 = rows.filter(_.getLong(0) == 0L)
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(d0 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), d0.toString)
+    // attribution only ever points at a seed (or the unreached marker)
+    assert(rows.forall(r => Set(-1L, 1L, 2L, 3L)(r.getLong(1))))
+  }
+
   test("isolated pair converges immediately to the min label") {
     val e = Seq((5L, 6L), (6L, 5L)).toDF("u", "v")
     val labs = Graph.labelPropagate(e, 2).collect()

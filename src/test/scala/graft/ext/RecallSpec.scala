@@ -77,6 +77,24 @@ class RecallSpec extends AnyFunSuite {
     })
   }
 
+  test("s08 recall query equals the driver-side set intersection it registers") {
+    val exact = Similarity.cosineTopK.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ivf = Similarity.annIvfPinned.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = exact.groupBy(_._1).map { case (q, pairs) =>
+      q -> pairs.count(ivf.contains).toLong
+    }
+    val rows = Similarity.annRecall.build(spark, sf).collect()
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got=$got want=$want")
+    rows.foreach { r =>
+      assert(r.getDouble(2) == r.getLong(1) / 5.0)
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 5L)
+    }
+    assert(rows.length == exact.map(_._1).distinct.length)
+  }
+
   test("native banded MinHash recalls >= 85% of exact jaccard>=0.2 pairs") {
     val exact = Dedup.ngramJaccard.build(spark, sf).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet

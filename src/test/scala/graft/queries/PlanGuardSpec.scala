@@ -47,6 +47,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "s01_cosine_topk" -> "bounded query-vector set broadcast (corpus never shuffles)",
     "s03_ann_ivf" -> "bounded centroid/query set broadcast",
     "s03b_ann_ivf_pinned" -> "bounded probe stage: query set x pinned centroid broadcast",
+    "s08_ann_recall" -> "composes s01+s03b; inherits s03b's bounded query x centroid probe stage",
     "s05_ann_int8" -> "bounded query-vector set broadcast",
     "s06_ann_pq_adc" -> "bounded query dot-table broadcast (corpus scans 4-byte codes in place)",
     "m04_multimodal_embed_topk" -> "bounded probe set broadcast",

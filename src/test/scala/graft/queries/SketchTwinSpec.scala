@@ -23,6 +23,39 @@ class SketchTwinSpec extends AnyFunSuite {
     }
   }
 
+  test("e09 Bloom: one-sided error law on a planted vocabulary") {
+    // every PRESENT probe must pass the filter (no false negatives, the
+    // Bloom guarantee); absent probes may only flag as false_positive
+    // when the filter says yes
+    val tmp = java.nio.file.Files.createTempDirectory("e09").toString
+    Seq((1L, "the and of planted words"), (2L, "more planted the text"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Extensions.bloomMd5.build(spark, tmp).collect()
+      .map(r => r.getAs[String]("tok") ->
+        ((r.getAs[Int]("might_contain"), r.getAs[Int]("present"),
+          r.getAs[Int]("false_positive")))).toMap
+    assert(out.keySet ==
+      Set("the", "and", "of", "qqxzabsent1", "qqxzabsent2"))
+    out.foreach { case (tok, (might, present, fp)) =>
+      if (present == 1) assert(might == 1, s"false negative on $tok")
+      assert(fp == might * (1 - present))
+    }
+    // the three planted tokens are present; the qqxz probes are not
+    assert(Seq("the", "and", "of").forall(out(_)._2 == 1))
+    assert(Seq("qqxzabsent1", "qqxzabsent2").forall(out(_)._2 == 0))
+  }
+
+  test("e09 Bloom: sf0.001 corpus — presence column is exact, no false negatives") {
+    val out = Extensions.bloomMd5.build(spark, TestSpark.sf0001).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      if (r.getAs[Int]("present") == 1)
+        assert(r.getAs[Int]("might_contain") == 1,
+          s"false negative on ${r.getAs[String]("tok")}")
+    }
+  }
+
   test("e02b raw HLL lands within the 3σ band on a mid-range planted cardinality") {
     // 5000 distinct keys over m=256 registers is well past the
     // small-range regime the raw estimator (deliberately) doesn't
