@@ -537,6 +537,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(3) == 900L)
   }
 
+  test("e09 Bloom position set unions across micro-batches == batch filter") {
+    // the third mergeable-sketch x streaming composition: e09's bit set
+    // is a position SET, so its streaming form is collect_set union
+    // between trigger partials and the state store — the filter built
+    // incrementally must equal one batch pass, bit for bit, and hence
+    // give identical membership verdicts
+    implicit val sc = spark.sqlContext
+    val M = 65536; val K = 3
+    def bitsOf(c: org.apache.spark.sql.Column) = org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.expr(
+        s"transform(sequence(0, ${K - 1}), i -> " +
+          s"CAST(${graft.ext.Dedup.sparkMd5Int60("concat(i, ':', tok)")} % $M AS BIGINT))"))
+    val in = MemoryStream[(String, Timestamp)]
+    val q = in.toDF().toDF("tok", "ts")
+      .select(col("ts"), bitsOf(col("tok")).as("bit"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(collect_set(col("bit")).as("bits"))
+      .writeStream.format("memory").queryName("bloom_out")
+      .outputMode("complete").start()
+    val toks = (1 to 500).map(i => s"tok$i")
+    in.addData(toks.slice(0, 200).map(t => (t, tsH(10, 5))): _*)
+    q.processAllAvailable()
+    in.addData(toks.slice(150, 400).map(t => (t, tsH(10, 25))): _*) // overlap
+    q.processAllAvailable()
+    in.addData(toks.slice(400, 500).map(t => (t, tsH(10, 55))): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bloom_out").collect()
+      .map(_.getSeq[Long](1).toSet).head
+    val batch = toks.map(t => (t, tsH(10, 5))).toDF("tok", "ts")
+      .select(bitsOf(col("tok")).as("bit"))
+      .agg(collect_set(col("bit")))
+      .collect().head.getSeq[Long](0).toSet
+    assert(streamed == batch, "incremental bit-set union diverged")
+    // membership verdicts agree with the definition: every streamed
+    // token's K bits are set (no false negatives through the stream path)
+    val probeBits = toks.map(t => (t, tsH(10, 5))).toDF("tok", "ts")
+      .select(col("tok"), bitsOf(col("tok")).as("bit"))
+      .collect().groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(_.getLong(1)).toSet }
+    probeBits.foreach { case (t, bs) =>
+      assert(bs.subsetOf(streamed), s"false negative on $t") }
+  }
+
   test("st09 funnel counts only IN-ORDER completions") {
     val ev = Seq(
       // user 1: full ordered funnel
