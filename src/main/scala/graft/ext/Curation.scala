@@ -1609,6 +1609,44 @@ object Curation {
                FROM sc ORDER BY doc_id"""))
   }
 
+  /** x30 — per-domain quota cap (the "no single source dominates"
+    * discipline of web-corpus curation: C4 caps per-URL repetition,
+    * RefinedWeb/Gopher cap per-domain document share — without a cap,
+    * one crawler-friendly domain floods the training mix): keep the
+    * `cap` longest documents per source, ties broken by doc_id, drop
+    * the rest.
+    *
+    * This is the CURATION call site of the custom TopKPerKey physical
+    * operator (graft.plans.TopKPerKey, oracle-proven ≡ the row_number
+    * window form by e04): per-domain caps are exactly the k ≪ group-size
+    * regime the bounded-heap exec exists for — at 100 TB a hot domain
+    * holds millions of documents of which `cap` survive, and WindowExec
+    * would sort (or spill) every such group in full while the heap keeps
+    * O(cap) rows per domain. requiredChildDistribution clusters on
+    * `source`, so Catalyst inserts the one unavoidable shuffle and
+    * nothing else. Oracle-exact: length ordering + id tiebreak are
+    * engine-independent. */
+  val domainCap: QueryDef = {
+    val cap = 10
+    QueryDef(
+      "x30_domain_cap",
+      (s, d) => {
+        val prepped = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            col("n_chars"), col("n_chars").cast("double").as("len_d"))
+        graft.plans.TopKPerKey.topKPerKey(
+            prepped, Seq("source"), "len_d", "doc_id", cap)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .orderBy("source", "doc_id")
+      },
+      Some(s"""SELECT source, doc_id, n_chars
+               FROM (SELECT source, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY n_chars DESC, doc_id) AS rn
+                     FROM documents)
+               WHERE rn <= $cap ORDER BY source, doc_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -1617,5 +1655,5 @@ object Curation {
       budgetRebalance, decontaminateBloom, leakageSafeSplit,
       incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity, chunkOverlap,
       trainingManifest, snapshotDiff, manifestRefresh, releasePipeline,
-      qualityClassifier, qualityPrototype)
+      qualityClassifier, qualityPrototype, domainCap)
 }

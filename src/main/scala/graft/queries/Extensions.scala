@@ -541,7 +541,91 @@ object Extensions {
                ORDER BY m.tok"""))
   }
 
+  /** e10 — AMS second-frequency-moment (F₂) sketch (Alon, Matias &
+    * Szegedy, "The space complexity of approximating the frequency
+    * moments", STOC 1996) over the corpus token stream, md5 sign family
+    * (the e05/e08b/e09 portable discipline): R=16 estimator rows, row r
+    * assigns every token a ±1 sign from md5int60(r‖':'‖tok)%2, keeps
+    * Z_r = Σ_tok sign·count, and estimates F₂ = Σ_tok count² as Z_r².
+    * The output carries each row's Z and Z², the exact F₂, the 16-row
+    * mean, and the classic median-of-4-means — ALL deterministic 64-bit
+    * integer arithmetic (plus three exactly-representable IEEE ops:
+    * /16, /4, and the midpoint of two doubles), so — completing the
+    * oracle-checked sketch family HLL/KMV/Misra-Gries/Q-digest/
+    * Count-Min/Bloom — estimator math hash-matches DuckDB end to end.
+    *
+    * F₂ is the self-join size: for a training corpus it measures token
+    * (or shingle) concentration — the quantity that predicts hot-key
+    * skew in every shuffle over this column and the candidate-pair
+    * volume of shingle-join dedup (d04/d12) BEFORE running it.
+    *
+    * Scale shape: one token hash-aggregate (map-side combined,
+    * vocab-bounded — d08's fingerprint discipline), then a 16× explode
+    * of the BOUNDED count table, never of the corpus; the Z buffer is
+    * 16 longs, mergeable by addition across shards (Z is a plain sum),
+    * which is the whole AMS point: a coordinator adds per-shard Z
+    * vectors and squares once. The two 1-row summary frames broadcast
+    * (whitelisted scalar pattern). */
+  val amsF2: QueryDef = {
+    val R = 16
+    val sparkSign =
+      s"IF(${graft.ext.Dedup.sparkMd5Int60("concat(CAST(r AS STRING), ':', tok)")} % 2 = 0, 1L, -1L)"
+    val duckSign =
+      s"CASE WHEN ${graft.ext.Dedup.duckMd5Int60("concat(CAST(u.r AS VARCHAR), ':', tok)")} % 2 = 0 THEN 1 ELSE -1 END"
+    QueryDef(
+      "e10_ams_f2",
+      (s, d) => {
+        val cnts = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val perRow = cnts
+          .select(col("tok"), col("cnt"),
+            explode(expr(s"sequence(0, ${R - 1})")).as("ri"))
+          .select(col("tok"), col("cnt"), col("ri").cast("long").as("r"))
+          .groupBy("r")
+          .agg(sum(expr(sparkSign) * col("cnt")).as("z"))
+          .withColumn("est", col("z") * col("z"))
+        val exact = cnts.agg(sum(col("cnt") * col("cnt")).as("f2_exact"))
+        val summary = perRow.agg(
+          (sum(col("est")).cast("double") / R).as("ams_mean"))
+        val mom = perRow
+          .groupBy(expr("r DIV 4").as("g"))
+          .agg((sum(col("est")).cast("double") / 4).as("m"))
+          .agg(expr("percentile(m, 0.5D)").as("ams_mom"))
+        perRow
+          .crossJoin(broadcast(exact))
+          .crossJoin(broadcast(summary))
+          .crossJoin(broadcast(mom))
+          .select(col("r"), col("z"), col("est"), col("f2_exact"),
+            col("ams_mean"), col("ams_mom"))
+          .orderBy("r")
+      },
+      Some(s"""WITH cnt AS (
+                 SELECT tok, count(*) AS cnt
+                 FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                       FROM documents)
+                 GROUP BY tok),
+               zr AS (
+                 SELECT u.r,
+                   CAST(sum(($duckSign) * cnt) AS BIGINT) AS z
+                 FROM cnt, unnest(range(0, $R)) AS u(r)
+                 GROUP BY u.r),
+               est AS (SELECT r, z, z * z AS est FROM zr),
+               ex AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact
+                      FROM cnt),
+               mn AS (SELECT CAST(sum(est) AS DOUBLE) / $R AS ams_mean
+                      FROM est),
+               gm AS (SELECT r // 4 AS g,
+                        CAST(sum(est) AS DOUBLE) / 4 AS m
+                      FROM est GROUP BY 1),
+               md AS (SELECT quantile_cont(m, 0.5) AS ams_mom FROM gm)
+               SELECT est.r, est.z, est.est, ex.f2_exact,
+                 mn.ams_mean, md.ams_mom
+               FROM est, ex, mn, md
+               ORDER BY est.r"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(daypart, sketch, approxProfile, topkOperator, kmvSketch, heavyHitters,
-      quantileSketch, countMinProbe, countMinMd5, hllMd5, bloomMd5)
+      quantileSketch, countMinProbe, countMinMd5, hllMd5, bloomMd5, amsF2)
 }

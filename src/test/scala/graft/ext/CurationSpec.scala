@@ -512,4 +512,33 @@ class CurationSpec extends AnyFunSuite {
       assert(rebuilt.mkString(" ") == text, s"doc $id")
     }
   }
+
+  test("x30 domain cap keeps exactly the 10 longest docs per source, id-tiebroken") {
+    // sources: big (15 docs, ties at the cap boundary), exact (10), small (3)
+    val tmp = java.nio.file.Files.createTempDirectory("x30").toString
+    val rows =
+      (0 until 15).map(i => (100L + i, "big", if (i < 12) 50L else 40L)) ++
+        (0 until 10).map(i => (200L + i, "exact", 30L + i)) ++
+        (0 until 3).map(i => (300L + i, "small", 10L))
+    rows.toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val q = Curation.domainCap.build(spark, tmp)
+
+    // the plan runs through the custom bounded-heap operator, not a window
+    // (sparkPlan: the pre-AQE physical plan, where the concrete nodes live)
+    assert(q.queryExecution.sparkPlan.collect {
+      case e: graft.plans.TopKPerKeyExec => e }.nonEmpty,
+      "x30 must plan through TopKPerKeyExec")
+    assert(q.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty)
+
+    val out = q.collect()
+      .groupBy(_.getAs[String]("source")).view
+      .mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    // big: 12 docs at 50 chars tie above the cap — the 10 LOWEST ids win
+    assert(out("big") == (100L until 110L).toSet)
+    // exact-cap and under-cap groups survive whole
+    assert(out("exact") == (200L until 210L).toSet)
+    assert(out("small") == (300L until 303L).toSet)
+  }
 }

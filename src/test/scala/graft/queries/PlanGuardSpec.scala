@@ -54,6 +54,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q35_fuzzy_levenshtein" -> "name-DOMAIN pair stage, vocabulary-bounded by design",
     "t15_vocab_build" -> "1-row grand-total broadcast (t07/x09's idiom)",
     "x29b_quality_prototype" -> "1-row class-token-total broadcast into the 1024-row weight frame",
+    "e10_ams_f2" -> "three 1-row summary broadcasts (exact F2, mean, median-of-means) onto the 16-row estimator frame",
     "q45_not_in_null_semantics" -> "ANSI NOT-IN null semantics: Spark's null-aware anti form",
     "d03_dedup_simhash" -> "documented all-pairs BASELINE; banded twins d09/d11 registered",
     "d05_dedup_embedding" -> "documented all-pairs BASELINE; bucketed twins s02/s04/s05 registered")

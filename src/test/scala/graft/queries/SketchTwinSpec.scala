@@ -56,6 +56,58 @@ class SketchTwinSpec extends AnyFunSuite {
     }
   }
 
+  /** The JVM-side mirror of Dedup.sparkMd5Int60's parity bit: md5 hex
+    * chars [2, 17) (1-based), parsed base 16 — 60 bits, fits a Long. */
+  private def md5Sign(r: Long, tok: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$r:$tok".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(1, 16), 16) % 2 == 0) 1L
+    else -1L
+  }
+
+  test("e10 AMS: every Z row equals a sequential driver-side simulation") {
+    // the distributed sum-of-signs must equal the textbook sequential
+    // AMS pass over the same counts — signs from the same md5 family
+    val tmp = java.nio.file.Files.createTempDirectory("e10").toString
+    Seq((1L, "a a a b b c"), (2L, "b c c d"), (3L, "a d d d"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val counts = Map("a" -> 4L, "b" -> 3L, "c" -> 3L, "d" -> 4L)
+    val out = Extensions.amsF2.build(spark, tmp).collect()
+    assert(out.length == 16)
+    val f2 = counts.values.map(c => c * c).sum
+    out.foreach { row =>
+      val r = row.getAs[Long]("r")
+      val zSim = counts.map { case (t, c) => md5Sign(r, t) * c }.sum
+      assert(row.getAs[Long]("z") == zSim, s"row $r: z != simulation")
+      assert(row.getAs[Long]("est") == zSim * zSim)
+      assert(row.getAs[Long]("f2_exact") == f2)
+    }
+    val ests = out.map(_.getAs[Long]("est").toDouble).sorted
+    val mean = out.head.getAs[Double]("ams_mean")
+    assert(mean == ests.sum / 16)
+  }
+
+  test("e10 AMS: estimators bracket exact F2 within the 16-row variance band on sf0.001") {
+    // E[Z²] = F2 and Var[Z²] ≤ 2·F2², so the 16-row mean has σ ≤ F2·√2/4
+    // ≈ 0.35·F2 and the median-of-4-means is tighter in the tails; both
+    // are DETERMINISTIC here (md5 signs), so the 3σ band, once green,
+    // stays green — this guards the sign family, not luck
+    val out = Extensions.amsF2.build(spark, TestSpark.sf0001).collect()
+    assert(out.length == 16)
+    val f2 = out.head.getAs[Long]("f2_exact").toDouble
+    assert(f2 > 0)
+    for (c <- Seq("ams_mean", "ams_mom")) {
+      val est = out.head.getAs[Double](c)
+      val rel = math.abs(est - f2) / f2
+      assert(rel <= 1.05, s"$c: est $est vs exact F2 $f2 (rel $rel)")
+    }
+    // Z is a plain sum over token counts: estimator rows must agree on
+    // the shared summary columns (one aggregate, not per-row recompute)
+    assert(out.map(_.getAs[Double]("ams_mean")).distinct.length == 1)
+    assert(out.map(_.getAs[Double]("ams_mom")).distinct.length == 1)
+  }
+
   test("e02b raw HLL lands within the 3σ band on a mid-range planted cardinality") {
     // 5000 distinct keys over m=256 registers is well past the
     // small-range regime the raw estimator (deliberately) doesn't
