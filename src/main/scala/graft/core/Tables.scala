@@ -21,15 +21,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects by default. Read it as a long (legacy conf) and convert to a
-    * microsecond TimestampType with exact integer division (`DIV`, not `/`:
-    * epoch-nanos exceed 2^53 so double division would lose precision).
-    * The generator emits µs-precision values, so the truncation is lossless. */
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS). How Spark
+    * surfaces that column depends on the reader version, so branch on the
+    * loaded schema rather than pinning one behavior:
+    *   - LongType (Spark ≤4.0 with `nanosAsLong`): convert epoch-nanos to a
+    *     microsecond TimestampType with exact integer division (`DIV`, not
+    *     `/`: epoch-nanos exceed 2^53, double division would lose precision).
+    *   - TimestampNTZType (Spark 4.1+ reads NANOS natively, truncating to
+    *     micros in the reader): cast to TimestampType — the session runs UTC,
+    *     so the wall-clock reinterpretation yields the identical instant.
+    * The generator emits µs-precision values, so both paths are lossless. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts read as unexpected type $other; update Tables.events for this Spark version")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -50,29 +50,40 @@ object Events {
   // ---- streaming entry points (tested with MemoryStream + file source) ----
 
   /** File-source streaming read of an events parquet directory — the
-    * production readStream shape. Same TIMESTAMP(NANOS) handling as
-    * Tables.events (schema pins ts to long, then exact DIV conversion);
-    * `maxFilesPerTrigger=1` gives deterministic micro-batches in tests. */
+    * production readStream shape. A streaming source needs its schema
+    * declared up front, but how this Spark surfaces the file's
+    * TIMESTAMP(NANOS) column is version-dependent (≤4.0 + nanosAsLong →
+    * LongType; 4.1+ → TimestampNTZType, nanos truncated to micros in the
+    * reader). Declaring the wrong one silently yields corrupt rows, not an
+    * analysis error — so probe the batch reader's resolved schema for the
+    * same directory and mirror it, then normalize to TimestampType exactly
+    * as Tables.events does. `maxFilesPerTrigger=1` gives deterministic
+    * micro-batches in tests. */
   def readEventsStream(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props",
-        org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema)
+    val tsType: DataType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: Exception => TimestampNTZType } // empty dir: assume 4.1+ reader
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    tsType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts read as unexpected type $other; update Events.readEventsStream")
+    }
   }
 
   /** Streaming tumbling-window aggregation with late-data handling:
