@@ -776,9 +776,13 @@ object Curation {
     * under AQE (asserted in PlanSpec for q-joins); building it
     * explicitly decouples it from join-planning heuristics — at 100 TB
     * you always want this filter, not only when the optimizer's
-    * row-count estimate happens to cross a threshold. The prefilter UDF
-    * sits outside the correctness path (any fpp still yields exact
-    * output). */
+    * row-count estimate happens to cross a threshold. The probe is
+    * Spark's own codegen'd [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * (the expression AQE's injected bloom joins use) over the serialized
+    * filter as a foldable binary literal — no Scala UDF in the hot path,
+    * so the scan→filter pipeline stays inside WholeStageCodegen. The
+    * prefilter sits outside the correctness path (any fpp still yields
+    * exact output). */
   val decontaminateBloom: QueryDef = {
     val n = 13
     QueryDef(
@@ -795,10 +799,21 @@ object Curation {
         // benchmark-sized, so this extra action touches a sliver of data
         val nEval = math.max(evalGrams.count(), 1L)
         val bloom = evalGrams.stat.bloomFilter("g", nEval, 0.01)
-        val bc = s.sparkContext.broadcast(bloom)
-        val mightContain = udf((g: Long) => bc.value.mightContainLong(g))
+        val ser = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(ser)
+        // `might_contain` isn't in the public FunctionRegistry; register
+        // the catalyst expression once per session (idempotent, same
+        // pattern as graft.expr.DayPart.register)
+        if (!s.sessionState.functionRegistry.functionExists(
+            org.apache.spark.sql.catalyst.FunctionIdentifier("graft_might_contain")))
+          s.sessionState.functionRegistry.createOrReplaceTempFunction(
+            "graft_might_contain",
+            exprs => org.apache.spark.sql.catalyst.expressions
+              .BloomFilterMightContain(exprs.head, exprs(1)),
+            "internal")
         grams.filter(!col("hx").isin("0", "1"))
-          .filter(mightContain(col("g")))
+          .filter(call_function("graft_might_contain",
+            lit(ser.toByteArray), col("g")))
           .select("doc_id", "g").distinct()
           .join(broadcast(evalGrams), Seq("g"), "left_semi")
           .groupBy("doc_id")

@@ -150,5 +150,27 @@ object MlQueries {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(lrOrders, treeOrders, kmeansClusters)
+  /** ml03b — oracle-exact twin of ml03: the same deliverable (a cluster
+    * histogram of the embeddings table under seeded k-means) computed
+    * with the deterministic distributed Lloyd construction from s07
+    * (int8-quantized vectors so every centroid partial-sum is an exact
+    * order-independent integer, pinned low-id seeds, sequential-fold
+    * dot products) instead of MLlib's engine-specific k-means|| init.
+    * ml03 stays rows-only by design — MLlib's init sampling and float
+    * accumulation depend on partition layout — so this twin is what
+    * pins the "k-means over embeddings" capability to the DuckDB
+    * oracle, the same twin pattern as e02b/e08b/x29b. */
+  val kmeansClustersExact: QueryDef = QueryDef(
+    "ml03b_kmeans_hist",
+    (s, d) => graft.ext.Similarity.kmeansLloyd.build(s, d)
+      .select("vec_id", "cluster")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("cluster"),
+    Some(s"""SELECT cluster, COUNT(*) AS n
+             FROM (${graft.ext.Similarity.kmeansLloyd.sql.get}) lloyd
+             GROUP BY cluster ORDER BY cluster"""))
+
+  val all: Seq[QueryDef] =
+    Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact)
 }
