@@ -625,7 +625,135 @@ object Extensions {
                ORDER BY est.r"""))
   }
 
+  /** e11 — KMV set ALGEBRA (Beyer et al., "On synopses for distinct-
+    * value estimation under multiset operations", SIGMOD 2007): union,
+    * intersection, and Jaccard estimates between the token sets of two
+    * disjoint corpus splits, from one bounded KMV synopsis per side.
+    * e05 estimates |A| from one sketch; the 2007 result is that the
+    * same k-smallest-hashes synopsis COMPOSES: the k smallest of
+    * S_A ∪ S_B is exactly the KMV sketch of A ∪ B (so est_union is
+    * e05's estimator on the merged sketch), and the fraction ρ of that
+    * merged sketch present in BOTH side sketches estimates the Jaccard,
+    * giving est_inter = ρ · est_union. When the merged sketch holds
+    * fewer than k hashes, both side sketches are complete sets and
+    * every output degrades to the exact value — the same CASE both
+    * engines compute.
+    *
+    * ORACLE-EXACT like e05: hashes are the portable md5-int60, sketch
+    * contents are deterministic (k smallest distinct values), counts
+    * are integers, and each estimate does its divisions in the same
+    * IEEE order in both engines. The exact union/intersection/Jaccard
+    * ride along side-by-side so the estimator error is visible in the
+    * output row (and in production would be dropped — they, not the
+    * sketches, are the full-shuffle cost).
+    *
+    * Scale shape: per side a map-side k-row heap (TakeOrdered after a
+    * hash-distinct), never a global sort; merging two sketches is a
+    * TakeOrdered over 2k rows; all algebra happens on ≤3k rows. At
+    * 100 TB per-shard sketches union associatively the same way —
+    * that mergeability is the point of the construction. */
+  val kmvSetAlgebra: QueryDef = {
+    val K = 64
+    val B = "CAST(1152921504606846976 AS DOUBLE)" // 2^60, the hash range
+    def estSql(m: String, hk: String) =
+      s"CASE WHEN $m < $K THEN CAST($m AS DOUBLE) " +
+        s"ELSE ${K - 1}e0 * $B / CAST($hk AS DOUBLE) END"
+    val jaccSql =
+      "CASE WHEN m_u = 0 THEN 0e0 " +
+        "ELSE CAST(n_both AS DOUBLE) / CAST(m_u AS DOUBLE) END"
+    val exJaccSql =
+      "CASE WHEN exact_union = 0 THEN 0e0 " +
+        "ELSE CAST(exact_inter AS DOUBLE) / CAST(exact_union AS DOUBLE) END"
+    QueryDef(
+      "e11_kmv_set_algebra",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(
+            expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) < '8'")
+              .as("in_a"),
+            explode(split(col("text"), " ")).as("tok"))
+          .select(col("in_a"),
+            expr(graft.ext.Dedup.sparkMd5Int60("tok")).as("h"))
+        def sketch(side: org.apache.spark.sql.Column) =
+          toks.filter(side).select("h").distinct().orderBy("h").limit(K)
+        val sa = sketch(col("in_a")).localCheckpoint()
+        val sb = sketch(!col("in_a")).localCheckpoint()
+        val su = sa.union(sb).distinct().orderBy("h").limit(K)
+        val uagg = su
+          .join(sa.withColumn("fa", lit(1)), Seq("h"), "left")
+          .join(sb.withColumn("fb", lit(1)), Seq("h"), "left")
+          .agg(count(lit(1)).as("m_u"), max("h").as("hk_u"),
+            coalesce(sum(when(col("fa") === 1 && col("fb") === 1, 1L)),
+              lit(0L)).as("n_both"))
+        val aagg = sa.agg(count(lit(1)).as("m_a"), max("h").as("hk_a"))
+        val bagg = sb.agg(count(lit(1)).as("m_b"), max("h").as("hk_b"))
+        val ex = toks.groupBy("h")
+          .agg(
+            max(when(col("in_a"), 1).otherwise(0)).as("a"),
+            max(when(!col("in_a"), 1).otherwise(0)).as("b"))
+          .agg(
+            sum("a").cast("long").as("exact_a"),
+            sum("b").cast("long").as("exact_b"),
+            count(lit(1)).as("exact_union"),
+            sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+              .cast("long").as("exact_inter"))
+        uagg.crossJoin(aagg).crossJoin(bagg).crossJoin(ex)
+          .withColumn("est_a", expr(estSql("m_a", "hk_a")))
+          .withColumn("est_b", expr(estSql("m_b", "hk_b")))
+          .withColumn("est_union", expr(estSql("m_u", "hk_u")))
+          .withColumn("est_jaccard", expr(jaccSql))
+          .withColumn("est_inter", expr("est_jaccard * est_union"))
+          .withColumn("exact_jaccard", expr(exJaccSql))
+          .select("est_a", "exact_a", "est_b", "exact_b",
+            "est_union", "exact_union", "est_inter", "exact_inter",
+            "est_jaccard", "exact_jaccard")
+      },
+      Some(s"""WITH toks AS (
+                 SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS in_a,
+                        unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+               hs AS (SELECT in_a, ${graft.ext.Dedup.duckMd5Int60("tok")} AS h
+                      FROM toks),
+               sa AS (SELECT DISTINCT h FROM hs WHERE in_a ORDER BY h LIMIT $K),
+               sb AS (SELECT DISTINCT h FROM hs WHERE NOT in_a ORDER BY h LIMIT $K),
+               su AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) u
+                      ORDER BY h LIMIT $K),
+               uagg AS (
+                 SELECT CAST(count(*) AS BIGINT) AS m_u, max(su.h) AS hk_u,
+                   CAST(coalesce(sum(CASE WHEN sa.h IS NOT NULL
+                     AND sb.h IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_both
+                 FROM su LEFT JOIN sa ON su.h = sa.h
+                   LEFT JOIN sb ON su.h = sb.h),
+               aagg AS (SELECT CAST(count(*) AS BIGINT) AS m_a, max(h) AS hk_a
+                        FROM sa),
+               bagg AS (SELECT CAST(count(*) AS BIGINT) AS m_b, max(h) AS hk_b
+                        FROM sb),
+               sides AS (SELECT h,
+                   max(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+                   max(CASE WHEN in_a THEN 0 ELSE 1 END) AS b
+                 FROM hs GROUP BY h),
+               ex AS (SELECT
+                   CAST(sum(a) AS BIGINT) AS exact_a,
+                   CAST(sum(b) AS BIGINT) AS exact_b,
+                   CAST(count(*) AS BIGINT) AS exact_union,
+                   CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS exact_inter
+                 FROM sides),
+               est AS (SELECT *,
+                   ${estSql("m_a", "hk_a")} AS est_a,
+                   ${estSql("m_b", "hk_b")} AS est_b,
+                   ${estSql("m_u", "hk_u")} AS est_union,
+                   $jaccSql AS est_jaccard
+                 FROM uagg, aagg, bagg, ex)
+               SELECT est_a, exact_a, est_b, exact_b,
+                 est_union, exact_union,
+                 est_jaccard * est_union AS est_inter, exact_inter,
+                 est_jaccard, $exJaccSql AS exact_jaccard
+               FROM est"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(daypart, sketch, approxProfile, topkOperator, kmvSketch, heavyHitters,
-      quantileSketch, countMinProbe, countMinMd5, hllMd5, bloomMd5, amsF2)
+      quantileSketch, countMinProbe, countMinMd5, hllMd5, bloomMd5, amsF2,
+      kmvSetAlgebra)
 }

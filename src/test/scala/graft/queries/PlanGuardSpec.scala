@@ -55,6 +55,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "t15_vocab_build" -> "1-row grand-total broadcast (t07/x09's idiom)",
     "x29b_quality_prototype" -> "1-row class-token-total broadcast into the 1024-row weight frame",
     "e10_ams_f2" -> "three 1-row summary broadcasts (exact F2, mean, median-of-means) onto the 16-row estimator frame",
+    "e11_kmv_set_algebra" -> "four 1-row sketch/exact summaries crossJoined into the single output row (e05's idiom)",
     "q45_not_in_null_semantics" -> "ANSI NOT-IN null semantics: Spark's null-aware anti form",
     "d03_dedup_simhash" -> "documented all-pairs BASELINE; banded twins d09/d11 registered",
     "d05_dedup_embedding" -> "documented all-pairs BASELINE; bucketed twins s02/s04/s05 registered")

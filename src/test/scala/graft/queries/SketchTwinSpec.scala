@@ -128,4 +128,25 @@ class SketchTwinSpec extends AnyFunSuite {
       assert(rel <= 0.195, s"$c: est $est vs exact $exact (rel $rel)")
     }
   }
+
+  test("e11 KMV set algebra: monotonicity and range laws on the fixture corpus") {
+    val r = Extensions.kmvSetAlgebra.build(spark, TestSpark.sf0001).collect()
+    assert(r.length == 1)
+    val row = r.head
+    def d(c: String) = row.getAs[Double](c)
+    def l(c: String) = row.getAs[Long](c)
+    // the merged sketch's k-th hash is <= each side's k-th hash, so the
+    // union estimate dominates both side estimates deterministically
+    assert(d("est_union") >= math.max(d("est_a"), d("est_b")) - 1e-9)
+    assert(d("est_jaccard") >= 0.0 && d("est_jaccard") <= 1.0)
+    assert(d("exact_jaccard") >= 0.0 && d("exact_jaccard") <= 1.0)
+    assert(d("est_inter") <= d("est_union") + 1e-9)
+    // exact side: inclusion-exclusion sanity over the token sets
+    assert(l("exact_union") <= l("exact_a") + l("exact_b"))
+    assert(l("exact_inter") == l("exact_a") + l("exact_b") - l("exact_union"))
+    // KMV standard error is ~1/sqrt(k) = 12.5%; assert the union
+    // estimate at 4 sigma on the deterministic fixture
+    val rel = math.abs(d("est_union") - l("exact_union")) / l("exact_union")
+    assert(rel <= 0.5, s"union est ${d("est_union")} vs ${l("exact_union")} (rel $rel)")
+  }
 }
