@@ -1662,6 +1662,53 @@ object Curation {
                WHERE rn <= $cap ORDER BY source, doc_id"""))
   }
 
+  /** x31 — SCD2 (type-2 slowly-changing-dimension) history build: turn
+    * an append-only fact stream (a customer's orders over time) into the
+    * versioned dimension table a warehouse keeps — one row per state
+    * with `[valid_from, valid_to)` effective ranges, a per-entity
+    * version number, and an `is_current` flag on the open-ended row.
+    * This is the complement of x13's MERGE upsert: x13 keeps only the
+    * latest state, SCD2 keeps the full history so any as-of date (q29's
+    * as-of join) can be answered against the dimension.
+    *
+    * Built with one window over (entity, event-time): `lead()` closes
+    * each interval at the next version's start, `row_number` assigns
+    * versions — no self-join, one shuffle on the entity key. At 100 TB
+    * history builds are exactly this shape: partition by entity, sort
+    * within partition; the window never sees more than one entity's
+    * rows. Timestamps render as UTC strings (determinism contract —
+    * session is UTC in both engines). */
+  val scd2History: QueryDef = QueryDef(
+    "x31_scd2_history",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderpriority"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_from",
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("valid_to",
+          date_format(lead(col("o_orderdate"), 1).over(w),
+            "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("o_custkey", "version", "o_orderpriority",
+          "valid_from", "valid_to", "is_current")
+        .orderBy("o_custkey", "version")
+    },
+    Some("""SELECT o_custkey,
+              CAST(row_number() OVER w AS INTEGER) AS version,
+              o_orderpriority,
+              strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+              strftime(lead(o_orderdate, 1) OVER w,
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+              (lead(o_orderdate, 1) OVER w) IS NULL AS is_current
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, version"""))
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -1670,5 +1717,5 @@ object Curation {
       budgetRebalance, decontaminateBloom, leakageSafeSplit,
       incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity, chunkOverlap,
       trainingManifest, snapshotDiff, manifestRefresh, releasePipeline,
-      qualityClassifier, qualityPrototype, domainCap)
+      qualityClassifier, qualityPrototype, domainCap, scd2History)
 }

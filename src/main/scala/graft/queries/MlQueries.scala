@@ -171,6 +171,56 @@ object MlQueries {
              FROM (${graft.ext.Similarity.kmeansLloyd.sql.get}) lloyd
              GROUP BY cluster ORDER BY cluster"""))
 
+  /** ml01b — oracle-exact twin for ml01's regression row, the same
+    * twin move as ml03b: a closed-form ordinary-least-squares fit whose
+    * every intermediate is deterministic in BOTH engines. MLlib's LR
+    * (ml01) stays rows-only — L-BFGS iterate order and float reduction
+    * depend on partitioning — so this pins the "fit a linear model
+    * distributed" capability to the DuckDB oracle:
+    *   - features/label are quantized to integers (s07's trick):
+    *     x = month, y = floor(price/100) — so the five sufficient
+    *     statistics (n, Σx, Σy, Σxy, Σx²) are exact BIGINTs,
+    *     order- and partition-independent, no overflow until n ≈ 3·10⁸
+    *     (y ≤ 6·10³, x ≤ 12);
+    *   - slope = (nΣxy − ΣxΣy)/(nΣx² − Σx²) does integer arithmetic
+    *     and ONE IEEE division; intercept = (Σy − slope·Σx)/n performs
+    *     the same three IEEE ops in the same order in both engines.
+    * Scale shape: one partial-aggregable scan — the 100 TB OLS is
+    * five numbers per partition, merged associatively (this is also
+    * why MLlib's own normal-equation solver scales; here the algebra
+    * is explicit and exact). */
+  val olsExact: QueryDef = QueryDef(
+    "ml01b_ols_exact",
+    (s, d) => Tables.orders(s, d)
+      .select(
+        month(col("o_orderdate")).cast("long").as("x"),
+        expr("CAST(floor(o_totalprice / 100e0) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .withColumn("slope", expr(
+        "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"))
+      .withColumn("intercept", expr(
+        "(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"))
+      .select("n", "slope", "intercept"),
+    Some("""WITH q AS (
+              SELECT CAST(month(o_orderdate) AS BIGINT) AS x,
+                     CAST(floor(o_totalprice / 100e0) AS BIGINT) AS y
+              FROM orders),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM q),
+            sl AS (
+              SELECT *, CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+              FROM s)
+            SELECT n, slope,
+              (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                / CAST(n AS DOUBLE) AS intercept
+            FROM sl"""))
+
   val all: Seq[QueryDef] =
-    Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact)
+    Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact)
 }
