@@ -5,6 +5,7 @@ import org.apache.spark.ml.evaluation.RegressionEvaluator
 import org.apache.spark.ml.feature._
 import org.apache.spark.ml.regression.LinearRegression
 import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -221,6 +222,108 @@ object MlQueries {
                 / CAST(n AS DOUBLE) AS intercept
             FROM sl"""))
 
+  /** ml02b — oracle-exact twin for ml02's tree row: the depth-1
+    * regression tree (decision stump) fit EXACTLY. MLlib's trees
+    * (ml02) stay rows-only — impurity aggregation order and binning
+    * are engine-internal — but the stump over a small discrete feature
+    * is fully determined by per-value sufficient statistics, which is
+    * precisely how distributed tree learners (PLANET, MLlib itself)
+    * evaluate splits: per candidate split s, SSE(s) =
+    * (ΣyL² − (ΣyL)²/nL) + (ΣyR² − (ΣyR)²/nR), computed here from ONE
+    * 12-row groupBy(month) aggregate of exact BIGINT sums (ml01b's
+    * quantization) + a prefix-sum window over those 12 rows; both
+    * engines perform the identical IEEE ops and break SSE ties on the
+    * smaller split point. Output: the chosen split, side populations
+    * and means, stump SSE, and the no-split SSE it improves on.
+    *
+    * Scale shape: the corpus-sized work is the single partial-
+    * aggregable groupBy(x); candidate evaluation happens on the
+    * 12-row frame (the bounded global window is whitelisted in
+    * PlanGuardSpec like x11/x15's). */
+  val stumpExact: QueryDef = QueryDef(
+    "ml02b_stump_exact",
+    (s, d) => {
+      val w = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byX = Tables.orders(s, d)
+        .select(
+          month(col("o_orderdate")).cast("long").as("x"),
+          expr("CAST(floor(o_totalprice / 100e0) AS BIGINT)").as("y"))
+        .groupBy("x")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+          sum(expr("y * y")).as("syy"))
+      val cum = byX
+        .withColumn("nl", sum("n").over(w))
+        .withColumn("sl", sum("sy").over(w))
+        .withColumn("ql", sum("syy").over(w))
+        .crossJoin(byX.agg(sum("n").as("nt"), sum("sy").as("st"),
+          sum("syy").as("qt")))
+        .filter(col("nl") < col("nt")) // right side must be non-empty
+      val scored = cum
+        .withColumn("sse", expr(
+          """(CAST(ql AS DOUBLE)
+               - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+             + (CAST(qt - ql AS DOUBLE)
+               - CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+                 / CAST(nt - nl AS DOUBLE))"""))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("sse"), col("x"))))
+        .filter(col("rn") === 1)
+      scored.select(
+        col("x").as("split_at"),
+        col("nl").as("n_left"), (col("nt") - col("nl")).as("n_right"),
+        expr("CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)").as("mean_left"),
+        expr("CAST(st - sl AS DOUBLE) / CAST(nt - nl AS DOUBLE)")
+          .as("mean_right"),
+        col("sse").as("sse_stump"),
+        expr("""CAST(qt AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)""")
+          .as("sse_root"))
+    },
+    Some("""WITH q AS (
+              SELECT CAST(month(o_orderdate) AS BIGINT) AS x,
+                     CAST(floor(o_totalprice / 100e0) AS BIGINT) AS y
+              FROM orders),
+            byx AS (
+              SELECT x, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM q GROUP BY x),
+            tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(sy) AS BIGINT) AS st,
+                     CAST(sum(syy) AS BIGINT) AS qt
+              FROM byx),
+            cum AS (
+              SELECT x,
+                CAST(sum(n) OVER w AS BIGINT) AS nl,
+                CAST(sum(sy) OVER w AS BIGINT) AS sl,
+                CAST(sum(syy) OVER w AS BIGINT) AS ql,
+                nt, st, qt
+              FROM byx, tot
+              WINDOW w AS (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            scored AS (
+              SELECT *,
+                (CAST(ql AS DOUBLE)
+                   - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+                + (CAST(qt - ql AS DOUBLE)
+                   - CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+                     / CAST(nt - nl AS DOUBLE)) AS sse
+              FROM cum WHERE nl < nt),
+            best AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (ORDER BY sse, x) AS rn
+                FROM scored) WHERE rn = 1)
+            SELECT x AS split_at, nl AS n_left, nt - nl AS n_right,
+              CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS mean_left,
+              CAST(st - sl AS DOUBLE) / CAST(nt - nl AS DOUBLE) AS mean_right,
+              sse AS sse_stump,
+              CAST(qt AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                AS sse_root
+            FROM best"""))
+
   val all: Seq[QueryDef] =
-    Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact)
+    Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
+      stumpExact)
 }

@@ -1329,9 +1329,34 @@ object Relational {
             count(try_strptime(l_returnflag, '%Y-%m-%d')) AS n_ts_ok
             FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  /** Q48 — the VARIANT type (Spark 4.x): `parse_json` → open-schema
+    * semi-structured value, `variant_get` typed path extraction — the
+    * engine-native way to keep JSON columns queryable WITHOUT declaring
+    * a schema up front (q23's `from_json` needs the DDL; VARIANT defers
+    * typing to the access site, and its binary encoding pushes down
+    * better than string re-parsing at every touch). Same events.props
+    * source as q23, aggregated by the typed extraction so the whole
+    * parse→extract→agg chain is exercised; the DuckDB mirror reads the
+    * identical path through its JSON extraction. */
+  val q48 = QueryDef(
+    "q48_variant",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k_val"))
+        .groupBy((col("k_val") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum("k_val").as("sum_k"))
+        .orderBy("k_bucket"),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+              AS k_bucket,
+            count(*) AS n,
+            CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+              AS BIGINT) AS sum_k
+            FROM events GROUP BY 1 ORDER BY k_bucket"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q12b, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47)
+    q41, q42, q43, q44, q45, q46, q47, q48)
 }

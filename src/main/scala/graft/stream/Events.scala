@@ -198,6 +198,49 @@ object Events {
       }
   }
 
+  /** Per-key running (count, max) via `transformWithState` — Spark 4's
+    * arbitrary-state v2 API, the successor to mapGroupsWithState used
+    * by [[runningTotals]] above: state lives in NAMED typed slots on a
+    * [[org.apache.spark.sql.streaming.StatefulProcessorHandle]] (a
+    * processor can hold several value/list/map states), each slot can
+    * carry its own TTL, timers are decoupled from the output mode, and
+    * execution requires the RocksDB state store — the provider a
+    * 100 TB deployment runs anyway (state scales with distinct keys,
+    * not stream length, and spills off-heap). Kept alongside the v1
+    * form so the engine demonstrates both extension points; the spec
+    * drives this one under RocksDB and asserts the same running
+    * semantics. */
+  class RunningMaxProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var state: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)](
+        "agg", org.apache.spark.sql.Encoders.product[(Long, Double)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      val (n0, m0) =
+        if (state.exists()) state.get() else (0L, Double.MinValue)
+      var n = n0; var m = m0
+      rows.foreach { case (_, v) => n += 1; if (v > m) m = v }
+      state.update((n, m))
+      Iterator.single((key, n, m))
+    }
+  }
+
+  /** st12 driver: the transformWithState running (count, max) per user
+    * in update mode (one emitted row per touched key per micro-batch). */
+  def runningMaxStream(
+      events: Dataset[(Long, Double)]): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningMaxProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- oracle-checked batch queries ----
 
   /** st01 — tumbling 1h windows. Spark window starts are epoch-aligned,

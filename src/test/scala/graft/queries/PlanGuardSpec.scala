@@ -56,6 +56,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "x29b_quality_prototype" -> "1-row class-token-total broadcast into the 1024-row weight frame",
     "e10_ams_f2" -> "three 1-row summary broadcasts (exact F2, mean, median-of-means) onto the 16-row estimator frame",
     "e11_kmv_set_algebra" -> "four 1-row sketch/exact summaries crossJoined into the single output row (e05's idiom)",
+    "ml02b_stump_exact" -> "1-row totals frame crossJoined onto the 12-row month aggregate (e05's idiom)",
     "q45_not_in_null_semantics" -> "ANSI NOT-IN null semantics: Spark's null-aware anti form",
     "d03_dedup_simhash" -> "documented all-pairs BASELINE; banded twins d09/d11 registered",
     "d05_dedup_embedding" -> "documented all-pairs BASELINE; bucketed twins s02/s04/s05 registered")
@@ -68,7 +69,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "x15_quantile_outlier_filter" -> "distinct-length histogram, value-domain bounded, Curation.scala",
     "t15_vocab_build" -> "1000-row vocabulary rank, TextAnalysis.scala",
     "x17_budget_rebalance" -> "global sum over the ~20-row per-source aggregate (source-domain bounded), Curation.scala",
-    "t17_bpe_encode" -> "100-row subword rank after LIMIT (t15's vocabulary-rank idiom), TextAnalysis.scala")
+    "t17_bpe_encode" -> "100-row subword rank after LIMIT (t15's vocabulary-rank idiom), TextAnalysis.scala",
+    "ml02b_stump_exact" -> "12-row month-domain prefix-sum frame + 11-row split argmin rank, MlQueries.scala")
 
   /** name -> physical plan for every registered query. sparkPlan (the
     * pre-AQE physical plan) carries the concrete join/window nodes; a

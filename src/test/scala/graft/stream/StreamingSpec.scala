@@ -658,4 +658,38 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("transformWithState (v2 API): per-key running count/max under RocksDB") {
+    // transformWithState only runs on the RocksDB provider; state is a
+    // named typed ValueState slot per key. Update mode emits one row
+    // per touched key per micro-batch — the memory sink accumulates
+    // them, so the table is the full update HISTORY and the per-batch
+    // snapshots are asserted, not just the final state.
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Double)]
+      val q = Events.runningMaxStream(in.toDS())
+        .toDF("user_id", "n_events", "max_value")
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      in.addData((1L, 5.0), (1L, 3.0), (2L, 7.0))
+      q.processAllAvailable()
+      in.addData((1L, 9.0)) // user 2 untouched: no new row for it
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((1L, 2L, 5.0), (2L, 1L, 7.0), (1L, 3L, 9.0)),
+        s"unexpected update history: $rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
