@@ -1255,9 +1255,72 @@ object Dedup {
                ORDER BY vec_id"""))
   }
 
+  /** d16 — asymmetric shingle CONTAINMENT (Broder's "containment" from
+    * the original resemblance paper, the quantity d04's symmetric
+    * Jaccard cannot see): C(A⊆B) = |S_A ∩ S_B| / |S_A|. When a short
+    * document is quoted wholesale inside a much longer one, Jaccard is
+    * tiny (the union is dominated by the long doc) but containment of
+    * the short side is ~1 — exactly the doc-inside-doc duplication a
+    * training-corpus pipeline must catch (press-release reprints,
+    * quoted posts, license boilerplate). Emits both directions per
+    * unordered pair and keeps pairs where EITHER direction clears θ=0.5;
+    * d04 with its union denominator is the symmetric twin on the same
+    * shingle index.
+    *
+    * Scale shape: identical to d04 — the pair stage is the shingle
+    * inverted-index equi-join (shuffles on the 8-byte shingle hash,
+    * never n² pairs), sizes join back per-doc. The oracle stays on raw
+    * shingles for the same reason documented at d04. */
+  val containmentPairs: QueryDef = {
+    val thetaC = 0.5
+    QueryDef(
+      "d16_containment_pairs",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), explode(expr(shingleExpr("text"))).as("sh"))
+          .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+          .distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val a = sh.select(col("doc_id").as("a_id"), col("sh"))
+        val b = sh.select(col("doc_id").as("b_id"), col("sh"))
+        val inter = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+          .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+          .withColumn("cont_a_in_b",
+            col("n_inter").cast("double") / col("n_a"))
+          .withColumn("cont_b_in_a",
+            col("n_inter").cast("double") / col("n_b"))
+          .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= thetaC)
+          .select("a_id", "b_id", "n_a", "n_b", "cont_a_in_b", "cont_b_in_a")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               sh AS (
+                 SELECT DISTINCT doc_id, array_to_string(t[i + 1:i + 3], ' ') AS sh
+                 FROM toks, unnest(range(0, greatest(len(t) - 2, 1))) AS u(i)),
+               sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+               inter AS (
+                 SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+               SELECT a_id, b_id,
+                 CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+                 CAST(n_inter AS DOUBLE) / sa.n_sh AS cont_a_in_b,
+                 CAST(n_inter AS DOUBLE) / sb.n_sh AS cont_b_in_a
+               FROM inter
+               JOIN sizes sa ON sa.doc_id = a_id
+               JOIN sizes sb ON sb.doc_id = b_id
+               WHERE greatest(CAST(n_inter AS DOUBLE) / sa.n_sh,
+                              CAST(n_inter AS DOUBLE) / sb.n_sh) >= $thetaC
+               ORDER BY a_id, b_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(exact, exactByFingerprint, minhash, minhashNative, simhashPairs,
       ngramJaccard, embeddingCosine, components, simhashBanded, minhashMd5,
       simhashMd5Banded, substringSpans, spanRemoval, semanticDedup,
-      incrementalSemantic)
+      incrementalSemantic, containmentPairs)
 }

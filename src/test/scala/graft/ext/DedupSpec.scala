@@ -369,4 +369,28 @@ class DedupSpec extends AnyFunSuite {
       assert(rows.map(_.getAs[Long]("vec_id")).min == comp)
     }
   }
+
+  test("d16 containment flags a quoted doc that symmetric Jaccard misses") {
+    import spark.implicits._
+    // doc 1 (30 tokens) is quoted WHOLE at the head of doc 2 (230
+    // tokens): every doc-1 shingle appears in doc 2 → containment 1.0,
+    // while Jaccard ≈ 28/230 sits far below d04's 0.20 threshold.
+    // doc 3 is unrelated and must pair with nobody.
+    val quoted = (1 to 30).map(i => s"w$i").mkString(" ")
+    val long = quoted + " " + (1 to 200).map(i => s"x$i").mkString(" ")
+    val other = (1 to 50).map(i => s"z$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("d16").toString
+    Seq((1L, quoted), (2L, long), (3L, other)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val cont = Dedup.containmentPairs.build(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Double]("cont_a_in_b"), r.getAs[Double]("cont_b_in_a"))))
+      .toMap
+    assert(cont.keySet == Set((1L, 2L)), s"pairs: ${cont.keySet}")
+    assert(cont((1L, 2L))._1 == 1.0, s"quoted side must be fully contained: $cont")
+    assert(cont((1L, 2L))._2 < 0.2, s"long side is mostly novel: $cont")
+    val jac = Dedup.ngramJaccard.build(spark, tmp).collect()
+    assert(jac.isEmpty,
+      s"Jaccard at 0.20 should miss the quote: ${jac.mkString(",")}")
+  }
 }
