@@ -1354,9 +1354,35 @@ object Relational {
               AS BIGINT) AS sum_k
             FROM events GROUP BY 1 ORDER BY k_bucket"""))
 
+  /** Q49 — SQL-defined scalar function (Spark 4.x `CREATE FUNCTION …
+    * RETURN <expr>`): user logic declared IN SQL, inlined by the
+    * analyzer into the calling plan (SQLFunctionNode → plain
+    * expressions), so it codegens like any built-in — the right tool
+    * where teams would otherwise reach for a JVM UDF for a pure
+    * expression. The function body is a price banding CASE; the oracle
+    * inlines the identical CASE, which is exactly what Spark's analyzer
+    * does too — asserting the inlining semantics end to end. */
+  val q49 = QueryDef(
+    "q49_sql_udf",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_q49")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+               RETURNS STRING RETURN
+               CASE WHEN p < 100000 THEN 'low'
+                    WHEN p < 250000 THEN 'mid' ELSE 'high' END""")
+      s.sql("""SELECT price_band(o_totalprice) AS band, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+               FROM orders_q49 GROUP BY band ORDER BY band""")
+    },
+    Some("""SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                   WHEN o_totalprice < 250000 THEN 'mid' ELSE 'high' END
+              AS band,
+            count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1 ORDER BY band"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q12b, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48)
+    q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }

@@ -241,6 +241,43 @@ object Events {
         OutputMode.Update())
   }
 
+  /** Per-user per-event-type running counts via a transformWithState
+    * MAP state slot — the v2 state type the v1 API simply doesn't have:
+    * under MapState, updating ONE event type's counter touches one
+    * (user, type) entry in RocksDB, where mapGroupsWithState would
+    * deserialize-update-reserialize the user's whole state blob per
+    * batch. Every micro-batch re-emits the key's full (sorted) map, so
+    * the sink always holds a consistent snapshot per touched user. */
+  class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, String, Long)] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues}
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+      rows.foreach { case (_, t) =>
+        val prev = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, prev + 1)
+      }
+      counts.iterator().toSeq.sortBy(_._1)
+        .map { case (t, c) => (key, t, c) }.iterator
+    }
+  }
+
+  /** st13 driver: per-user event-type histogram maintained in MapState. */
+  def typeCountsStream(
+      events: Dataset[(Long, String)]): Dataset[(Long, String, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // ---- oracle-checked batch queries ----
 
   /** st01 — tumbling 1h windows. Spark window starts are epoch-aligned,

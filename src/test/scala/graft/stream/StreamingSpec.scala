@@ -692,4 +692,40 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("transformWithState MapState: per-user event-type histogram across batches") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = Events.typeCountsStream(in.toDS())
+        .toDF("user_id", "event_type", "n")
+        .writeStream.format("memory").queryName("tws_map_out")
+        .outputMode("update").start()
+      in.addData((1L, "click"), (1L, "click"), (1L, "error"), (2L, "click"))
+      q.processAllAvailable()
+      in.addData((1L, "click")) // only user 1 re-emits; its error count persists
+      q.processAllAvailable()
+      q.stop()
+      val hist = spark.table("tws_map_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      // final snapshot per (user, type) = max over the update history
+      val last = hist.groupBy(t => (t._1, t._2))
+        .map { case (k, v) => k -> v.map(_._3).max }
+      assert(last == Map((1L, "click") -> 3L, (1L, "error") -> 1L,
+        (2L, "click") -> 1L), s"history: ${hist.mkString(",")}")
+      // batch-2 re-emit carries the UNTOUCHED error entry too (full-map
+      // snapshot semantics): error count 1 appears at least twice
+      assert(hist.count(t => t._1 == 1L && t._2 == "error") >= 2,
+        s"full-map re-emit missing: ${hist.mkString(",")}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
