@@ -1380,9 +1380,45 @@ object Relational {
             count(*) AS n, round(sum(o_totalprice), 2) AS total
             FROM orders GROUP BY 1 ORDER BY band"""))
 
+  /** Q10b — the BINNED rewrite of q10's range join, the 100 TB scale
+    * path: q10 equi-joins on user_id alone and refines the 1-hour range
+    * as a join filter, which is quadratic in events-per-user when the
+    * key space is small and the history long (the pathological shape of
+    * real event logs). Binning event time into interval-sized (1 h)
+    * buckets and adding the bucket to the EQUI key caps each join
+    * group at two adjacent hours of one user: the probe side explodes
+    * into its own and the next bucket (any b with
+    * a_ts < b_ts ≤ a_ts+1h lands in one of the two), the join runs on
+    * (user, bucket) — a normal shuffled equi-join — and the exact range
+    * predicate refines. This is the rewrite range-join hints perform;
+    * output (and oracle) are bit-identical to q10's. The epoch DIV is
+    * on whole seconds; the bucket cover stays exact for sub-second
+    * timestamps because truncation only ever moves b into the covered
+    * pair. */
+  val q10b = QueryDef(
+    "q10b_range_join_binned",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("ts"),
+          expr("unix_timestamp(ts) DIV 3600").as("bucket"))
+      val a = e.select(col("user_id").as("a_uid"), col("ts").as("a_ts"),
+        explode(array(col("bucket"), col("bucket") + 1)).as("pb"))
+      val b = e.select(col("user_id").as("b_uid"), col("ts").as("b_ts"),
+        col("bucket").as("bb"))
+      a.join(b,
+          col("a_uid") === col("b_uid") && col("pb") === col("bb") &&
+          col("a_ts") < col("b_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("a_uid").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+    // bit-identical semantics to q10 → the same oracle text
+    q10.sql)
+
   val all: Seq[QueryDef] = Seq(
-    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q12b, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48, q49)
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q12b,
+    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25,
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }
