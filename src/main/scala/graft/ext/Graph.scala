@@ -471,6 +471,89 @@ object Graph {
       })
   }
 
+  /** g06 — PERSONALIZED PageRank (topic-sensitive PageRank, Haveliwala
+    * WWW 2002): g01's integer fixed-point iteration with the teleport
+    * mass concentrated on a pinned seed set (parts 1-4) instead of
+    * spread uniformly — the random surfer restarts AT the seeds, so
+    * scores measure proximity to them (the recommendation / related-
+    * entity primitive, where g01 measures global centrality). Same
+    * exact-arithmetic discipline as g01: integer-scaled scores, DIV
+    * spreads, damping 85/100 in integer ops — deterministic on any
+    * partitioning, unrolled-CTE mirror. Unnormalized form (each seed
+    * gets the fixed 0.15·Scale restart injection); the ranking is what
+    * the operator delivers.
+    *
+    * Scale shape: identical to g01 — one equi-join per round against
+    * the degree-annotated edge list, bounded rounds; the seed
+    * indicator is a per-row CASE, never a driver list. */
+  val personalizedPagerank: QueryDef = QueryDef(
+    "g06_personalized_pagerank",
+    (s, d) => {
+      val t = Scale * 15 / 100
+      val seedCase =
+        s"CASE WHEN id <= 4 AND id < $SuppOffset THEN CAST($t AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END"
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"),
+          (col("l_suppkey") + SuppOffset).as("sup"))
+        .distinct()
+      val e = li.select(col("p").as("u"), col("sup").as("v"))
+        .union(li.select(col("sup").as("u"), col("p").as("v")))
+      val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      val ec = e.join(deg, "u")
+      var sc = deg.select(col("u").as("id"), expr(seedCase).as("s"))
+      for (_ <- 1 to Iters) {
+        sc = ec.join(sc, ec("u") === sc("id"))
+          .select(col("v"), expr("s DIV deg").as("c"))
+          .groupBy("v")
+          .agg(expr("(85 * sum(c)) DIV 100").as("spread"))
+          .select(col("v").as("id"),
+            (expr(seedCase.replace("id", "v")) + col("spread")).as("s"))
+          .select(col("id"), col("s"))
+      }
+      sc.filter(col("s") > 0)
+        .select(
+          expr(s"CASE WHEN id >= $SuppOffset THEN 'supplier' ELSE 'part' END")
+            .as("kind"),
+          expr(s"CASE WHEN id >= $SuppOffset THEN id - $SuppOffset ELSE id END")
+            .as("node_id"),
+          col("s").as("score"))
+        .orderBy(col("score").desc, col("kind"), col("node_id"))
+        .limit(20)
+    },
+    Some {
+      val t = Scale * 15 / 100
+      def seedCase(c: String) =
+        s"CASE WHEN $c <= 4 AND $c < $SuppOffset THEN CAST($t AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END"
+      val base =
+        s"""li AS (SELECT DISTINCT l_partkey AS p,
+                     l_suppkey + $SuppOffset AS sup FROM lineitem),
+            e AS (SELECT p AS u, sup AS v FROM li
+                  UNION ALL SELECT sup, p FROM li),
+            deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+            ec AS (SELECT e.u, e.v, deg.deg FROM e JOIN deg USING (u)),
+            s0 AS (SELECT u AS id, ${seedCase("u")} AS s FROM deg)"""
+      val rounds = (1 to Iters).map { i =>
+        s"""s$i AS (SELECT ec.v AS id,
+                      ${seedCase("ec.v")} + (85 * sum(s${i - 1}.s // ec.deg)) // 100 AS s
+                    FROM ec JOIN s${i - 1} ON s${i - 1}.id = ec.u
+                    GROUP BY ec.v)"""
+      }.mkString(",\n")
+      s"""WITH $base,
+          $rounds
+          SELECT CASE WHEN id >= $SuppOffset THEN 'supplier' ELSE 'part' END
+                   AS kind,
+                 CAST(CASE WHEN id >= $SuppOffset THEN id - $SuppOffset
+                      ELSE id END AS BIGINT) AS node_id,
+                 CAST(s AS BIGINT) AS score
+          FROM s$Iters
+          WHERE s > 0
+          ORDER BY score DESC, kind, node_id
+          LIMIT 20"""
+    })
+
   val all: Seq[QueryDef] =
-    Seq(pagerank, triangles, kcore, labelPropagation, bfsHops)
+    Seq(pagerank, triangles, kcore, labelPropagation, bfsHops,
+      personalizedPagerank)
 }

@@ -72,4 +72,26 @@ class GraphSpec extends AnyFunSuite {
     // synchronous LP (the documented behavior this pins down)
     assert(labs == Map(5L -> 5L, 6L -> 6L), labs.toString)
   }
+
+  test("g06 personalized PageRank localizes to the seed community") {
+    // two disconnected part-supplier communities; seeds (parts 1-4)
+    // live in A, so every B node must score 0 and vanish from the
+    // output — the localization property that distinguishes g06's
+    // teleport-to-seeds from g01's uniform restart.
+    val tmp = java.nio.file.Files.createTempDirectory("g06").toString
+    val a = for (p <- 1L to 4L; s <- 1L to 2L) yield (p, s)
+    val b = for (p <- 100L to 104L; s <- 50L to 51L) yield (p, s)
+    (a ++ b).toDF("l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Graph.personalizedPagerank.build(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val nodes = out.map(t => (t._1, t._2)).toSet
+    val communityA =
+      (1L to 4L).map(("part", _)).toSet ++ (1L to 2L).map(("supplier", _))
+    assert(nodes.subsetOf(communityA), s"B-community leak: $nodes")
+    assert(out.forall(_._3 > 0))
+    // the seeds' direct neighbors (suppliers 1-2) must be reached
+    assert(Set(("supplier", 1L), ("supplier", 2L)).subsetOf(nodes), nodes.toString)
+  }
 }
