@@ -1709,6 +1709,69 @@ object Curation {
               ORDER BY o_orderdate, o_orderkey)
             ORDER BY o_custkey, version"""))
 
+  /** x32 — temperature-scaled sampling weights (α = 0.5): each source's
+    * sampling weight ∝ n_tokens^α, the multinomial temperature mix that
+    * upsamples low-resource sources relative to proportional sampling
+    * (mC4/UNIMAX-style; Xue et al., NAACL 2021 §3.3). x14 applies
+    * DECLARED weights; x17 caps by budget; x32 COMPUTES the weights
+    * from corpus statistics with an exponent.
+    *
+    * Determinism: n^0.5 is the one exponent that is exact — but even
+    * sqrt yields doubles whose cross-source SUM would be
+    * accumulation-order-dependent, so the weight basis is the INTEGER
+    * square root (floor(√n), the IEEE sqrt corrected by one comparison
+    * step — exact for n < 2⁵², engine-independent): long sums are
+    * order-free, the weight is ONE exact division, and the per-source
+    * token target is pure integer arithmetic (budget·isq DIV Σisq).
+    *
+    * Scale shape: one source-keyed aggregate reduces the corpus to ~20
+    * rows; the Σisq window runs over that bounded relation only (x17's
+    * idiom). Applying the computed weights is x14's per-row hash draw —
+    * nothing here touches row scale again. */
+  val temperatureMix: QueryDef = {
+    val budget = 1000000L // token budget the targets are carved from
+    QueryDef(
+      "x32_temperature_mix",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr(sparkTokCount).cast("long")).as("n_tokens"))
+          .withColumn("r0",
+            expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+          .withColumn("isq", expr(
+            "r0 + IF((r0 + 1) * (r0 + 1) <= n_tokens, 1L, 0L)" +
+              " - IF(r0 * r0 > n_tokens, 1L, 0L)"))
+          .withColumn("tot_isq", sum(col("isq")).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("isq"),
+            round(col("isq").cast("double") / col("tot_isq").cast("double"), 6)
+              .as("weight"),
+            expr(s"($budget * isq) DIV tot_isq").as("target_tokens"))
+          .orderBy("source"),
+      Some(s"""WITH a AS (
+                 SELECT source, count(*) AS n_docs,
+                   CAST(sum($duckTokCount) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY 1),
+               r AS (
+                 SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                   AS r0
+                 FROM a),
+               i AS (
+                 SELECT source, n_docs, n_tokens,
+                   r0 + CASE WHEN (r0 + 1) * (r0 + 1) <= n_tokens
+                        THEN 1 ELSE 0 END
+                      - CASE WHEN r0 * r0 > n_tokens THEN 1 ELSE 0 END AS isq
+                 FROM r)
+               SELECT source, n_docs, n_tokens, isq,
+                 round(CAST(isq AS DOUBLE) /
+                       CAST(CAST(sum(isq) OVER () AS BIGINT) AS DOUBLE), 6)
+                   AS weight,
+                 ($budget * isq) // CAST(sum(isq) OVER () AS BIGINT)
+                   AS target_tokens
+               FROM i ORDER BY source"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -1717,5 +1780,6 @@ object Curation {
       budgetRebalance, decontaminateBloom, leakageSafeSplit,
       incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity, chunkOverlap,
       trainingManifest, snapshotDiff, manifestRefresh, releasePipeline,
-      qualityClassifier, qualityPrototype, domainCap, scd2History)
+      qualityClassifier, qualityPrototype, domainCap, scd2History,
+      temperatureMix)
 }

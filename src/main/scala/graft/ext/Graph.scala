@@ -553,7 +553,62 @@ object Graph {
           LIMIT 20"""
     })
 
+  /** g07 — link prediction by neighbor overlap: for part pairs, count
+    * shared suppliers (common neighbors in the bipartite graph) and the
+    * neighbor-set Jaccard — the classic common-neighbors /
+    * Jaccard-coefficient predictors (Liben-Nowell & Kleinberg, CIKM
+    * 2003). Bipartite parts are never directly adjacent, so every
+    * scored pair is a prediction; top-20 by overlap.
+    *
+    * Determinism: common/union are integers; Jaccard is ONE exact IEEE
+    * division; ranking ties broken by the (pa, pb) key pair.
+    *
+    * Scale shape: candidates come from the supplier-keyed self-join of
+    * the distinct edge list — only pairs sharing ≥1 supplier are ever
+    * materialized (the inverted-index contraction d04 uses for shingle
+    * Jaccard), with per-supplier fan-out bounded by that supplier's
+    * part degree; never an all-pairs product. Degrees join in k-bounded
+    * (one row per part). At 100 TB skewed hub suppliers would cap or
+    * salt the fan-out exactly like d06's maxBucketSize. */
+  val linkPrediction: QueryDef = QueryDef(
+    "g07_link_prediction",
+    (s, d) => {
+      val e = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+        .distinct()
+      val deg = e.groupBy("p").agg(count(lit(1)).as("deg"))
+      val a = e.select(col("p").as("pa"), col("sup"))
+      val b = e.select(col("p").as("pb"), col("sup"))
+      a.join(b, Seq("sup"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("common"))
+        .join(deg.select(col("p").as("pa"), col("deg").as("da")), Seq("pa"))
+        .join(deg.select(col("p").as("pb"), col("deg").as("db")), Seq("pb"))
+        .select(col("pa"), col("pb"), col("common"),
+          (col("da") + col("db") - col("common")).as("union_deg"),
+          round(col("common").cast("double") /
+            (col("da") + col("db") - col("common")), 6).as("jaccard"))
+        .orderBy(col("common").desc, col("pa"), col("pb"))
+        .limit(20)
+    },
+    Some("""WITH e AS (
+              SELECT DISTINCT l_partkey AS p, l_suppkey AS sup FROM lineitem),
+            deg AS (SELECT p, count(*) AS deg FROM e GROUP BY 1),
+            pairs AS (
+              SELECT a.p AS pa, b.p AS pb, count(*) AS common
+              FROM e a JOIN e b ON a.sup = b.sup AND a.p < b.p
+              GROUP BY 1, 2)
+            SELECT pa, pb, common,
+              da.deg + db.deg - common AS union_deg,
+              round(CAST(common AS DOUBLE) /
+                    (da.deg + db.deg - common), 6) AS jaccard
+            FROM pairs
+            JOIN deg da ON da.p = pairs.pa
+            JOIN deg db ON db.p = pairs.pb
+            ORDER BY common DESC, pa, pb LIMIT 20"""))
+
   val all: Seq[QueryDef] =
     Seq(pagerank, triangles, kcore, labelPropagation, bfsHops,
-      personalizedPagerank)
+      personalizedPagerank, linkPrediction)
 }

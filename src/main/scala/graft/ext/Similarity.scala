@@ -658,7 +658,66 @@ object Similarity {
                ON ap.q_id = ex.q_id AND ap.n_id = ex.n_id
              GROUP BY ex.q_id ORDER BY ex.q_id"""))
 
+  /** s09 — metadata-filtered similarity search ("filtered ANN"): top-3
+    * neighbors per query vector restricted to candidates sharing the
+    * query's label — the filter-then-search op every vector store
+    * exposes (pre-filtering, not post-filtering: the predicate joins
+    * INTO the candidate generation, so k survivors are guaranteed and
+    * no budget is wasted scoring rows the filter would discard).
+    *
+    * Determinism: same unit-normalize + sequential-fold dot as s01
+    * (bit-identical across engines), unique (cos desc, n_id) ranking.
+    *
+    * Scale shape: label joins the equi-key — the candidate join is
+    * (label)-keyed, so each query only meets its own label partition
+    * (~1/|labels| of the corpus) instead of a full scan; the bounded
+    * query set broadcasts and the per-query top-k window partitions by
+    * q_id. At 100 TB with a selective predicate this is the difference
+    * between scanning a shard and scanning the corpus. */
+  val filteredTopK: QueryDef = {
+    val k = 3
+    QueryDef(
+      "s09_filtered_topk",
+      (s, d) => {
+        graft.expr.ArrayDot.register(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("emb"))
+        val withU = Dedup.unitized(e, Seq(col("vec_id"), col("label")), "u")
+        val q = withU.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("label"), col("u").as("q_u"))
+        val c = withU
+          .select(col("vec_id").as("n_id"), col("label"), col("u").as("n_u"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("n_id"))
+        broadcast(q).join(c, Seq("label"))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("cos_sim", expr("array_dot(q_u, n_u)"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select("q_id", "label", "n_id", "cos_sim", "rn")
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH e AS (
+                 SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+               ${Dedup.unitNormSql("e", ", label")},
+               p AS (
+                 SELECT a.vec_id AS q_id, a.label, b.vec_id AS n_id,
+                   ${Dedup.pairDotSql} AS cos_sim
+                 FROM u a JOIN u b
+                   ON a.label = b.label AND a.vec_id < 10
+                   AND b.vec_id != a.vec_id),
+               r AS (
+                 SELECT q_id, label, n_id, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rn
+                 FROM p)
+               SELECT q_id, label, n_id, cos_sim, rn FROM r WHERE rn <= $k
+               ORDER BY q_id, rn"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
-      annPqAdc, kmeansLloyd, annRecall)
+      annPqAdc, kmeansLloyd, annRecall, filteredTopK)
 }

@@ -895,8 +895,74 @@ object TextAnalysis {
                FROM agg ORDER BY rank"""))
   }
 
+  /** t18 — readability scoring (Flesch reading-ease + Flesch-Kincaid
+    * grade, Kincaid et al. 1975): the document-level fluency gate
+    * corpus pipelines run next to t02's surface-quality score. Words
+    * are whitespace tokens, sentences are terminal-punctuation runs
+    * (`[.!?]+`), syllables the standard vowel-group proxy — all three
+    * INTEGER counts from one regex pass each, clamped ≥ 1 so the
+    * ratios are total.
+    *
+    * Determinism: both formulas are literal-constant multiplies over
+    * two exact integer divisions, built with the identical expression
+    * tree in both engines — each IEEE op is correctly rounded, so the
+    * doubles agree bit-for-bit before the final round(4).
+    *
+    * Scale shape: pure per-row projection — three codegen'd regex
+    * counts, no shuffle but the output sort. At 100 TB this runs
+    * entirely inside the scan stage. */
+  val readability: QueryDef = QueryDef(
+    "t18_readability",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr(raw"size(split(trim(text), '\\s+'))").cast("long").as("n_words"),
+          greatest(lit(1L),
+            expr("CAST(size(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT)"))
+            .as("n_sentences"),
+          greatest(lit(1L),
+            expr("CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)"))
+            .as("n_syllables"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")), 4).as("flesch"),
+          round(lit(0.39) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double"))
+            + lit(11.8) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double"))
+            - lit(15.59), 4).as("fk_grade"))
+        .orderBy("doc_id"),
+    Some(raw"""WITH c AS (
+                SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                    AS n_words,
+                  greatest(CAST(1 AS BIGINT),
+                    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+                    AS n_sentences,
+                  greatest(CAST(1 AS BIGINT),
+                    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                      AS BIGINT)) AS n_syllables
+                FROM documents)
+              SELECT doc_id, n_words, n_sentences, n_syllables,
+                round(206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE) /
+                             CAST(n_sentences AS DOUBLE))
+                  - 84.6 * (CAST(n_syllables AS DOUBLE) /
+                            CAST(n_words AS DOUBLE)), 4) AS flesch,
+                round(0.39 * (CAST(n_words AS DOUBLE) /
+                              CAST(n_sentences AS DOUBLE))
+                  + 11.8 * (CAST(n_syllables AS DOUBLE) /
+                            CAST(n_words AS DOUBLE))
+                  - 15.59, 4) AS fk_grade
+              FROM c ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
-      nfcCanonicalize, domainClassify, vocabBuild, bpeInduction, bpeEncode)
+      nfcCanonicalize, domainClassify, vocabBuild, bpeInduction, bpeEncode,
+      readability)
 }

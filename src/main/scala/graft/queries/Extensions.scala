@@ -752,8 +752,64 @@ object Extensions {
                FROM est"""))
   }
 
+  /** e12 — moments synopsis (the Moments Sketch, Gan et al., VLDB
+    * 2018): per group keep (n, Σx, Σx², Σx³, min, max) — a constant-size,
+    * PERFECTLY mergeable summary (plain addition merges partials, the
+    * property that makes it the cheapest distributed-quantile /
+    * distribution synopsis: map-side combine does all the work, the
+    * shuffle carries 6 longs per group). Derived here: exact mean and
+    * the exact population variance as the integer rational
+    * (n·Σx² − (Σx)²) / n² — numerator and denominator are exact longs,
+    * ONE IEEE division at the end.
+    *
+    * Determinism: l_quantity is integer-valued (1..50, FIXTURES.md), so
+    * every power sum is an exact long — no float accumulation anywhere;
+    * x³ ≤ 1.25e5 · n keeps Σx³ far under 2⁶³ at any realistic group
+    * size. Overflow guard at 100 TB: Σx³ < 2⁶³ needs n < 7.4e13 rows
+    * per group — beyond that the sums move to DECIMAL(38,0), same
+    * algebra.
+    *
+    * Scale shape: ONE partial-aggregated groupBy — identical to q02's
+    * plan; the synopsis columns are what a rollup service would store
+    * and merge across shards without touching rows again. */
+  val momentsSketch: QueryDef = QueryDef(
+    "e12_moments_sketch",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("m1"),
+          sum(col("x") * col("x")).as("m2"),
+          sum(col("x") * col("x") * col("x")).as("m3"),
+          min(col("x")).as("x_min"),
+          max(col("x")).as("x_max"))
+        .select(col("l_returnflag"), col("n"), col("m1"), col("m2"),
+          col("m3"), col("x_min"), col("x_max"),
+          round(col("m1").cast("double") / col("n").cast("double"), 6)
+            .as("mean"),
+          round((col("n") * col("m2") - col("m1") * col("m1")).cast("double")
+            / (col("n") * col("n")).cast("double"), 6).as("variance"))
+        .orderBy("l_returnflag"),
+    Some("""WITH a AS (
+              SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x
+              FROM lineitem),
+            g AS (
+              SELECT l_returnflag, count(*) AS n,
+                CAST(sum(x) AS BIGINT) AS m1,
+                CAST(sum(x * x) AS BIGINT) AS m2,
+                CAST(sum(x * x * x) AS BIGINT) AS m3,
+                min(x) AS x_min, max(x) AS x_max
+              FROM a GROUP BY 1)
+            SELECT l_returnflag, n, m1, m2, m3, x_min, x_max,
+              round(CAST(m1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+              round(CAST(n * m2 - m1 * m1 AS DOUBLE) /
+                    CAST(n * n AS DOUBLE), 6) AS variance
+            FROM g ORDER BY l_returnflag"""))
+
   val all: Seq[QueryDef] =
     Seq(daypart, sketch, approxProfile, topkOperator, kmvSketch, heavyHitters,
       quantileSketch, countMinProbe, countMinMd5, hllMd5, bloomMd5, amsF2,
-      kmvSetAlgebra)
+      kmvSetAlgebra, momentsSketch)
 }

@@ -1416,9 +1416,71 @@ object Relational {
     // bit-identical semantics to q10 → the same oracle text
     q10.sql)
 
+  /** Q50 — batch sessionization (gaps-and-islands): per user, a new
+    * session starts when the gap since the previous event exceeds 30
+    * minutes; emit per-session stats. This is the BATCH twin of st03's
+    * streaming `session_window` — same 30-min gap rule, expressed as
+    * the classic lag → boundary flag → running-sum-of-flags pattern so
+    * DuckDB can mirror it verbatim (the `session_window` builtin is
+    * engine-specific).
+    *
+    * Determinism: the gap test runs on integer epoch MICROseconds
+    * (`unix_micros` / `epoch_us`) — no float time arithmetic anywhere —
+    * and both windows order by the unique (ts, event_id) pair.
+    *
+    * Scale shape: both windows AND the final group-by share ONE
+    * hash-partitioning on user_id, so the whole query is a single
+    * shuffle followed by per-partition sorts; session count per user is
+    * bounded by that user's history, never by the corpus. At 100 TB
+    * this is the canonical one-shuffle sessionization every event
+    * pipeline runs. */
+  val q50 = QueryDef(
+    "q50_sessionize_islands",
+    (s, d) => {
+      val gapUs = 30L * 60 * 1000000
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("new_s",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("session_no", sum(col("new_s")).over(wc))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
+          (max(col("us")) - min(col("us"))).as("duration_us"),
+          round(sum(col("value")), 4).as("total_value"))
+        .orderBy("user_id", "session_no")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, ts, value, epoch_us(ts) AS us
+              FROM events),
+            f AS (
+              SELECT *, CASE WHEN lag(us, 1) OVER w IS NULL
+                          OR us - lag(us, 1) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            g AS (
+              SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_no
+              FROM f)
+            SELECT user_id, session_no, count(*) AS n_events,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+              strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+              max(us) - min(us) AS duration_us,
+              round(sum(value), 4) AS total_value
+            FROM g GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q12b,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
 }
