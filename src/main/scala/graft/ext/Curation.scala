@@ -1772,6 +1772,88 @@ object Curation {
                FROM i ORDER BY source"""))
   }
 
+  /** x33 — dataset card: the per-(lang, source) release statistics a
+    * published training corpus ships with (Gebru et al., "Datasheets
+    * for Datasets", CACM 2021) — doc/token totals, exact median and max
+    * document length, mean chars, corpus-wide exact-duplicate counts,
+    * and each cell's token share of the release. x25's manifest lists
+    * shard files for the trainer; x33 summarizes content for the data
+    * card.
+    *
+    * Determinism: counts/sums/max are integers; median over integers is
+    * the exact midpoint (both engines interpolate (a+b)/2 — exact in
+    * IEEE for longs < 2⁵²); mean/share/rate are single divisions of
+    * exact integers, round()ed.
+    *
+    * Scale shape: one fingerprint-keyed aggregate flags corpus-wide
+    * duplicates (text dropped first — the md5 travels, not the
+    * document), then one (lang, source) aggregate reduces to ~cells
+    * rows; the share window runs over that bounded relation only.
+    * The median is the one non-algebraic aggregate: at 100 TB it
+    * switches to e07's mergeable Q-digest (approx_percentile) — noted
+    * here because exactness is part of this card's contract. */
+  val datasetCard: QueryDef = QueryDef(
+    "x33_dataset_card",
+    (s, d) => {
+      val rows = Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          expr(sparkTokCount).cast("long").as("n_tokens"),
+          col("n_chars"), md5(col("text")).as("fp"))
+      val dupFlag = rows
+        .withColumn("dup",
+          (count(lit(1)).over(Window.partitionBy("fp")) > 1).cast("long"))
+      dupFlag.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          expr("percentile(n_tokens, 0.5)").as("median_raw"),
+          max("n_tokens").as("max_tokens"),
+          sum("n_chars").as("sum_chars"),
+          sum("dup").as("dup_docs"))
+        .withColumn("corpus_tokens", sum(col("total_tokens")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("total_tokens"),
+          round(col("median_raw"), 1).as("median_tokens"),
+          col("max_tokens"),
+          round(col("sum_chars").cast("double") /
+            col("n_docs").cast("double"), 4).as("mean_chars"),
+          col("dup_docs"),
+          round(col("dup_docs").cast("double") /
+            col("n_docs").cast("double"), 6).as("dup_rate"),
+          round(col("total_tokens").cast("double") /
+            col("corpus_tokens").cast("double"), 6).as("token_share"))
+        .orderBy("lang", "source")
+    },
+    Some(s"""WITH rows_ AS (
+               SELECT lang, source,
+                 CAST($duckTokCount AS BIGINT) AS n_tokens,
+                 n_chars, md5(text) AS fp
+               FROM documents),
+             flagged AS (
+               SELECT *, CASE WHEN count(*) OVER (PARTITION BY fp) > 1
+                 THEN 1 ELSE 0 END AS dup
+               FROM rows_),
+             cells AS (
+               SELECT lang, source, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                 quantile_cont(n_tokens, 0.5) AS median_raw,
+                 max(n_tokens) AS max_tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 CAST(sum(dup) AS BIGINT) AS dup_docs
+               FROM flagged GROUP BY 1, 2)
+             SELECT lang, source, n_docs, total_tokens,
+               round(median_raw, 1) AS median_tokens, max_tokens,
+               round(CAST(sum_chars AS DOUBLE) /
+                     CAST(n_docs AS DOUBLE), 4) AS mean_chars,
+               dup_docs,
+               round(CAST(dup_docs AS DOUBLE) /
+                     CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+               round(CAST(total_tokens AS DOUBLE) /
+                     CAST(CAST(sum(total_tokens) OVER () AS BIGINT)
+                          AS DOUBLE), 6) AS token_share
+             FROM cells ORDER BY lang, source"""))
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -1781,5 +1863,5 @@ object Curation {
       incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity, chunkOverlap,
       trainingManifest, snapshotDiff, manifestRefresh, releasePipeline,
       qualityClassifier, qualityPrototype, domainCap, scd2History,
-      temperatureMix)
+      temperatureMix, datasetCard)
 }

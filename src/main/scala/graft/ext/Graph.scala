@@ -608,7 +608,71 @@ object Graph {
             JOIN deg db ON db.p = pairs.pb
             ORDER BY common DESC, pa, pb LIMIT 20"""))
 
+  /** g08 — HITS hubs & authorities (Kleinberg, JACM 1999) over the
+    * DIRECTED supplier→part graph: a supplier is a good hub when it
+    * supplies high-authority parts, a part a good authority when
+    * supplied by good hubs. Two full mutual-reinforcement rounds
+    * (auth ← Σ in-hub, hub ← Σ out-auth) from hub₀ = 1; top-10 hubs
+    * and top-10 authorities by final score.
+    *
+    * Determinism: HITS is normally L2-normalized — float, order-
+    * dependent. Here scores stay RAW INTEGER sums (g01's fixed-point
+    * discipline without even needing a scale): with hub₀ = 1, two
+    * rounds bound every score by Σ(indeg·outdeg)² ≪ 2⁶³ at any TPC-H
+    * SF, long addition commutes, and the ranking — HITS' actual
+    * output — is identical to the normalized one because
+    * normalization is a positive per-side constant.
+    *
+    * Scale shape: each half-round is ONE equi-join of the edge list
+    * with the current score vector plus one key-partitioned sum —
+    * the same Pregel-round shape as g01, bounded iterations, degrees
+    * never materialized driver-side. */
+  val hits: QueryDef = QueryDef(
+    "g08_hits",
+    (s, d) => {
+      val e = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("sup"), col("l_partkey").as("p"))
+        .distinct()
+      // hub0 = 1 for every supplier with >=1 edge
+      var hub = e.select(col("sup")).distinct()
+        .select(col("sup"), lit(1L).as("h"))
+      var auth: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 2) {
+        auth = e.join(hub, "sup")
+          .groupBy("p").agg(sum("h").as("a"))
+        hub = e.join(auth, "p")
+          .groupBy("sup").agg(sum("a").as("h"))
+      }
+      val topHub = hub.select(lit("hub").as("kind"),
+        col("sup").as("node_id"), col("h").as("score"))
+        .orderBy(col("score").desc, col("node_id")).limit(10)
+      val topAuth = auth.select(lit("authority").as("kind"),
+        col("p").as("node_id"), col("a").as("score"))
+        .orderBy(col("score").desc, col("node_id")).limit(10)
+      topHub.unionAll(topAuth)
+        .orderBy(col("kind"), col("score").desc, col("node_id"))
+    },
+    Some("""WITH e AS (
+              SELECT DISTINCT l_suppkey AS sup, l_partkey AS p FROM lineitem),
+            h0 AS (SELECT DISTINCT sup, CAST(1 AS BIGINT) AS h FROM e),
+            a1 AS (SELECT e.p, CAST(sum(h0.h) AS BIGINT) AS a
+                   FROM e JOIN h0 USING (sup) GROUP BY 1),
+            h1 AS (SELECT e.sup, CAST(sum(a1.a) AS BIGINT) AS h
+                   FROM e JOIN a1 USING (p) GROUP BY 1),
+            a2 AS (SELECT e.p, CAST(sum(h1.h) AS BIGINT) AS a
+                   FROM e JOIN h1 USING (sup) GROUP BY 1),
+            h2 AS (SELECT e.sup, CAST(sum(a2.a) AS BIGINT) AS h
+                   FROM e JOIN a2 USING (p) GROUP BY 1),
+            th AS (SELECT 'hub' AS kind, CAST(sup AS BIGINT) AS node_id,
+                     h AS score
+                   FROM h2 ORDER BY score DESC, node_id LIMIT 10),
+            ta AS (SELECT 'authority' AS kind, CAST(p AS BIGINT) AS node_id,
+                     a AS score
+                   FROM a2 ORDER BY score DESC, node_id LIMIT 10)
+            SELECT * FROM (SELECT * FROM th UNION ALL SELECT * FROM ta)
+            ORDER BY kind, score DESC, node_id"""))
+
   val all: Seq[QueryDef] =
     Seq(pagerank, triangles, kcore, labelPropagation, bfsHops,
-      personalizedPagerank, linkPrediction)
+      personalizedPagerank, linkPrediction, hits)
 }

@@ -266,6 +266,85 @@ object Multimodal {
       })
   }
 
+  /** m06 — audio-style frame windowing + per-frame feature extraction:
+    * the blob is treated as a decoded PCM stream (the stub: one
+    * "sample" per payload character), cut into fixed 64-sample frames
+    * (the hop = frame size, no overlap — x24 shows the overlapped
+    * variant on tokens), and each frame reduced to an energy feature
+    * (Σ sample values). Per document: frame count, mean energy, and the
+    * peak frame (argmax, earliest frame on ties) — the shape of a real
+    * audio loudness/VAD pass whose decoder would replace only the
+    * "samples = codepoints" stub.
+    *
+    * Determinism: frame boundaries are integer arithmetic on codepoint
+    * positions; energies are exact integer sums; the argmax tiebreak is
+    * total (energy DESC, frame_idx ASC).
+    *
+    * Scale shape: the frame explode is narrow (rows × len/64 inside the
+    * scan stage, no shuffle — ChunkWindows' generator shape via
+    * sequence+substring); then ONE doc-keyed aggregate and ONE bounded
+    * window for the argmax. A real decoder slots in as the same
+    * mapPartitions stage as m02 with zero plan changes downstream. */
+  val audioFrameEnergy: QueryDef = {
+    val frame = 64
+    QueryDef(
+      "m06_audio_frame_energy",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val frames = mediaFrame(s, d)
+          .select(col("doc_id"), col("blob").cast("string").as("pcm"))
+          .select(col("doc_id"),
+            expr(s"CAST(ceil(length(pcm) / $frame.0) AS INT)").as("n_frames"),
+            col("pcm"))
+          .select(col("doc_id"), col("n_frames"),
+            posexplode(expr("sequence(0, n_frames - 1)")).as(Seq("ord", "idx")),
+            col("pcm"))
+          .select(col("doc_id"), col("n_frames"), col("idx"),
+            expr(s"aggregate(split(substring(pcm, idx * $frame + 1, $frame), ''), " +
+              "CAST(0 AS BIGINT), (acc, ch) -> acc + ascii(ch))").as("energy"))
+        val per = frames.groupBy("doc_id")
+          .agg(max("n_frames").as("n_frames"),
+            round(avg(col("energy")), 4).as("mean_energy"))
+        val peak = frames
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("energy").desc, col("idx"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("idx").as("peak_frame"),
+            col("energy").as("peak_energy"))
+        per.join(peak, "doc_id").orderBy("doc_id")
+      },
+      Some(s"""WITH fr AS (
+                 SELECT doc_id,
+                   CAST(ceil(length(text) / $frame.0) AS INTEGER) AS n_frames,
+                   i AS idx,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                         range(1, length(text[i * $frame + 1 : i * $frame + $frame]) + 1),
+                         j -> CAST(ascii((text[i * $frame + 1 : i * $frame + $frame])[j])
+                                   AS BIGINT))),
+                     (acc, ch) -> acc + ch) AS energy
+                 FROM documents,
+                   unnest(range(0, CAST(ceil(length(text) / $frame.0) AS BIGINT)))
+                     AS u(i)),
+               per AS (
+                 SELECT doc_id, max(n_frames) AS n_frames,
+                   round(avg(energy), 4) AS mean_energy
+                 FROM fr GROUP BY 1),
+               pk AS (
+                 SELECT doc_id, CAST(idx AS INTEGER) AS peak_frame,
+                   energy AS peak_energy
+                 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY energy DESC, idx) AS rn FROM fr)
+                 WHERE rn = 1)
+               SELECT per.doc_id, per.n_frames, per.mean_energy,
+                 pk.peak_frame, pk.peak_energy
+               FROM per JOIN pk USING (doc_id)
+               ORDER BY doc_id"""))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(metaDigest, decode, resizeSample, embedTopk, phashNearDup)
+    Seq(metaDigest, decode, resizeSample, embedTopk, phashNearDup,
+      audioFrameEnergy)
 }

@@ -717,7 +717,109 @@ object Similarity {
                ORDER BY q_id, rn"""))
   }
 
+  /** s10 — MMR diversified re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998): retrieve a relevance pool, then greedily select k results
+    * maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) — the standard
+    * redundancy-penalized rerank a RAG retriever runs after ANN so the
+    * k passages aren't k near-copies. Pool = top-8 by relevance to the
+    * pinned query (vec 0); k = 4 selections at λ = 0.7.
+    *
+    * Determinism: vectors are s05's int8 quantization, so rel and all
+    * pairwise sims are EXACT INTEGER dots; λ = 0.7 enters as the
+    * integer weights (7, 3) — order-identical to the float objective —
+    * and every argmax breaks ties on (score DESC, id ASC). The greedy
+    * recursion is unrolled: four chained rounds in both engines (g01's
+    * unrolled-CTE discipline applied to a selection loop).
+    *
+    * Scale shape: the corpus-scale stage is the pool retrieval (s01's
+    * broadcast-query scan + top-k window); everything after operates on
+    * the 8-row pool — the 8×8 sim matrix and the four selection rounds
+    * are bounded work independent of corpus size, checkpointed once so
+    * the unrolled lineage doesn't recompute the scan per round. */
+  val mmrRerank: QueryDef = {
+    val poolK = 8; val selK = 4
+    val quant = "transform(%s, x -> CAST(round(x * 127) AS BIGINT))"
+    val sparkDot = (a: String, b: String) =>
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    QueryDef(
+      "s10_mmr_rerank",
+      (s, d) => {
+        val c = Dedup.normalized(s, d, "id", "u")
+          .select(col("id"), expr(quant.format("u")).as("qv"))
+        val q0 = c.filter(col("id") === 0).select(col("qv").as("q0"))
+        val pool = c.filter(col("id") =!= 0).crossJoin(broadcast(q0))
+          .select(col("id"), col("qv"),
+            expr(sparkDot("q0", "qv")).as("rel"))
+          .orderBy(col("rel").desc, col("id")).limit(poolK)
+          .localCheckpoint()
+        val sims = pool.select(col("id").as("a_id"), col("qv").as("a_qv"))
+          .crossJoin(pool.select(col("id").as("b_id"), col("qv").as("b_qv")))
+          .filter(col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            expr(sparkDot("a_qv", "b_qv")).as("sim"))
+          .localCheckpoint()
+        val p = pool.select("id", "rel")
+        var sel = p.orderBy(col("rel").desc, col("id")).limit(1)
+          .select(col("id"), col("rel"), (lit(7L) * col("rel")).as("mmr"),
+            lit(1).as("rank"))
+        for (i <- 2 to selK) {
+          val pen = sims
+            .join(sel.select(col("id").as("b_id")), "b_id")
+            .groupBy("a_id").agg(max("sim").as("maxsim"))
+          val next = p
+            .join(sel.select(col("id").as("sid")),
+              col("id") === col("sid"), "left_anti")
+            .join(pen, col("id") === col("a_id"))
+            .select(col("id"), col("rel"),
+              (lit(7L) * col("rel") - lit(3L) * col("maxsim")).as("mmr"))
+            .orderBy(col("mmr").desc, col("id")).limit(1)
+            .withColumn("rank", lit(i))
+          sel = sel.unionAll(next)
+        }
+        sel.select(col("rank"), col("id").as("n_id"), col("rel"), col("mmr"))
+          .orderBy("rank")
+      },
+      Some {
+        val duckDot = (a: String, b: String, dim: String) =>
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, $dim + 1), i -> $a[i] * $b[i])),
+              (x, y) -> x + y)"""
+        val rounds = (2 to selK).map { i =>
+          s"""s$i AS (
+                SELECT p.id, p.rel,
+                  7 * p.rel - 3 * (SELECT max(sim) FROM sims
+                    WHERE a_id = p.id
+                      AND b_id IN (SELECT id FROM c${i - 1})) AS mmr,
+                  $i AS rank
+                FROM pool p WHERE p.id NOT IN (SELECT id FROM c${i - 1})
+                ORDER BY mmr DESC, id LIMIT 1),
+              c$i AS (SELECT * FROM c${i - 1} UNION ALL SELECT * FROM s$i)"""
+        }.mkString(",\n")
+        s"""WITH ${Dedup.normalizedSql},
+            q AS (SELECT vec_id,
+                    list_transform(u, x -> CAST(round(x * 127) AS BIGINT)) AS qv
+                  FROM u),
+            rel AS (
+              SELECT b.vec_id AS id, b.qv,
+                ${duckDot("q0.qv", "b.qv", "len(b.qv)")} AS rel
+              FROM q b, (SELECT qv FROM q WHERE vec_id = 0) q0
+              WHERE b.vec_id != 0),
+            pool AS (SELECT * FROM rel ORDER BY rel DESC, id LIMIT $poolK),
+            sims AS (
+              SELECT a.id AS a_id, b.id AS b_id,
+                ${duckDot("a.qv", "b.qv", "len(a.qv)")} AS sim
+              FROM pool a JOIN pool b ON a.id != b.id),
+            s1 AS (SELECT id, rel, 7 * rel AS mmr, 1 AS rank FROM pool
+                   ORDER BY rel DESC, id LIMIT 1),
+            c1 AS (SELECT * FROM s1),
+            $rounds
+            SELECT CAST(rank AS INTEGER) AS rank, CAST(id AS BIGINT) AS n_id,
+              rel, CAST(mmr AS BIGINT) AS mmr
+            FROM c$selK ORDER BY rank"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
-      annPqAdc, kmeansLloyd, annRecall, filteredTopK)
+      annPqAdc, kmeansLloyd, annRecall, filteredTopK, mmrRerank)
 }

@@ -960,9 +960,179 @@ object TextAnalysis {
                   - 15.59, 4) AS fk_grade
               FROM c ORDER BY doc_id"""))
 
+  /** t19 — lexical-diversity profile per document: type-token ratio,
+    * Simpson's repeat rate D = Σf(f−1) / N(N−1) (the probability two
+    * token draws are the same type), and Yule's K = 10⁴·(Σf²−N)/N² —
+    * the standard length-robust vocabulary-richness statistics a
+    * pretraining quality gate runs next to t02/t09 (templated or
+    * looping documents score high K / high D; rich prose scores low).
+    *
+    * Determinism: every sufficient statistic (N, V, Σf²) is an exact
+    * integer from one token-frequency aggregation; the two ratios are
+    * single IEEE divisions of exact integers built with the identical
+    * expression tree in both engines, then round(6)/round(4).
+    *
+    * Scale shape: explode → (doc, token) hash agg → (doc) hash agg —
+    * two shuffles on keys that only ever grow with corpus size, never
+    * with vocabulary skew (the inner key is (doc_id, tok), so one hot
+    * token across many docs never concentrates on one reducer). The
+    * doc text itself is dropped before the first shuffle. */
+  val lexicalDiversity: QueryDef = QueryDef(
+    "t19_lexical_diversity",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("f"))
+        .groupBy("doc_id").agg(
+          sum("f").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("f") * col("f")).as("sum_f2"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast("double") /
+            col("n_tokens").cast("double"), 6).as("ttr"),
+          when(col("n_tokens") > 1,
+            round((col("sum_f2") - col("n_tokens")).cast("double") /
+              (col("n_tokens") * (col("n_tokens") - 1)).cast("double"), 6))
+            .otherwise(lit(0.0)).as("simpson_d"),
+          round(lit(10000.0) *
+            ((col("sum_f2") - col("n_tokens")).cast("double") /
+              (col("n_tokens") * col("n_tokens")).cast("double")), 4)
+            .as("yule_k"))
+        .orderBy("doc_id"),
+    Some("""WITH tf AS (
+              SELECT doc_id, tok, count(*) AS f FROM (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents)
+              GROUP BY 1, 2),
+            a AS (
+              SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_tokens,
+                count(*) AS n_types, CAST(sum(f * f) AS BIGINT) AS sum_f2
+              FROM tf GROUP BY 1)
+            SELECT doc_id, n_tokens, n_types,
+              round(CAST(n_types AS DOUBLE) /
+                    CAST(n_tokens AS DOUBLE), 6) AS ttr,
+              CASE WHEN n_tokens > 1 THEN
+                round(CAST(sum_f2 - n_tokens AS DOUBLE) /
+                      CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 6)
+              ELSE 0.0 END AS simpson_d,
+              round(10000.0 *
+                (CAST(sum_f2 - n_tokens AS DOUBLE) /
+                 CAST(n_tokens * n_tokens AS DOUBLE)), 4) AS yule_k
+            FROM a ORDER BY doc_id"""))
+
+  /** t20 — RAKE keyword extraction (Rose et al., "Automatic Keyword
+    * Extraction from Individual Documents", 2010): candidate phrases
+    * are the maximal runs of tokens between stopword delimiters
+    * (gaps-and-islands over the token stream — q50's idiom on text);
+    * each word scores deg(w)/freq(w) within its document (deg = Σ
+    * lengths of the doc's phrases containing w, freq = occurrence
+    * count); a phrase scores the sum of its word scores; top-2
+    * distinct phrases per document.
+    *
+    * Determinism: deg and freq are exact integers; the word score is
+    * SCALED INTEGER division ((deg·1000) DIV freq — RAKE's ordering
+    * is preserved, float never enters); ranking ties break on the
+    * phrase string. Identical phrases within a doc collapse (their
+    * scores are equal by construction) with an occurrence count.
+    *
+    * Scale shape: islands need ONE (doc-keyed) window over token
+    * positions; word stats and phrase scores are (doc_id, tok)- and
+    * (doc_id, island)-keyed hash aggs — every shuffle key contains
+    * doc_id, so corpus growth adds reducers, never widens one. */
+  val rakeKeywords: QueryDef = {
+    val stop = Seq("the", "a", "of", "and", "in", "to", "is", "on",
+      "for", "with")
+    val stopSqlList = stop.map(w => s"'$w'").mkString(", ")
+    QueryDef(
+      "t20_rake_keywords",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+          .withColumn("is_stop", col("tok").isInCollection(stop))
+        val words = toks.filter(!col("is_stop"))
+          .withColumn("island",
+            col("pos") - row_number().over(
+              Window.partitionBy("doc_id").orderBy("pos")))
+        val phrases = words.groupBy("doc_id", "island")
+          .agg(count(lit(1)).as("len"),
+            expr("array_join(transform(array_sort(collect_list(" +
+              "struct(pos, tok))), x -> x.tok), ' ')").as("phrase"))
+        val wordScore = words
+          .join(phrases.select(col("doc_id"), col("island"), col("len")),
+            Seq("doc_id", "island"))
+          .groupBy("doc_id", "tok")
+          .agg(sum("len").as("deg"), count(lit(1)).as("freq"))
+          .select(col("doc_id"), col("tok"),
+            expr("(deg * 1000) DIV freq").as("wscore"))
+        val phraseScore = words
+          .join(wordScore, Seq("doc_id", "tok"))
+          .groupBy("doc_id", "island")
+          .agg(sum("wscore").as("score"))
+        val ranked = phrases
+          .join(phraseScore, Seq("doc_id", "island"))
+          .groupBy("doc_id", "phrase")
+          .agg(max("len").as("n_words"), max("score").as("score"),
+            count(lit(1)).as("n_occur"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("score").desc, col("phrase"))))
+          .filter(col("rank") <= 2)
+        ranked.select("doc_id", "rank", "phrase", "n_words", "score",
+          "n_occur")
+          .orderBy("doc_id", "rank")
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, i - 1 AS pos, t[i] AS tok
+                 FROM (SELECT doc_id,
+                         string_split(lower(text), ' ') AS t
+                       FROM documents),
+                   unnest(range(1, len(t) + 1)) AS u(i)),
+               words AS (
+                 SELECT doc_id, pos, tok,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                     ORDER BY pos) AS island
+                 FROM toks WHERE tok NOT IN ($stopSqlList)),
+               phrases AS (
+                 SELECT doc_id, island, count(*) AS len,
+                   string_agg(tok, ' ' ORDER BY pos) AS phrase
+                 FROM words GROUP BY 1, 2),
+               wordscore AS (
+                 SELECT w.doc_id, w.tok,
+                   (CAST(sum(p.len) AS BIGINT) * 1000) // count(*) AS wscore
+                 FROM words w
+                 JOIN phrases p ON p.doc_id = w.doc_id
+                   AND p.island = w.island
+                 GROUP BY 1, 2),
+               phrasescore AS (
+                 SELECT w.doc_id, w.island,
+                   CAST(sum(ws.wscore) AS BIGINT) AS score
+                 FROM words w
+                 JOIN wordscore ws ON ws.doc_id = w.doc_id
+                   AND ws.tok = w.tok
+                 GROUP BY 1, 2),
+               dist AS (
+                 SELECT p.doc_id, p.phrase,
+                   CAST(max(p.len) AS BIGINT) AS n_words,
+                   max(s.score) AS score, count(*) AS n_occur
+                 FROM phrases p
+                 JOIN phrasescore s ON s.doc_id = p.doc_id
+                   AND s.island = p.island
+                 GROUP BY 1, 2),
+               ranked AS (
+                 SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, phrase) AS INTEGER) AS rank
+                 FROM dist)
+               SELECT doc_id, rank, phrase, n_words, score, n_occur
+               FROM ranked WHERE rank <= 2
+               ORDER BY doc_id, rank"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
       nfcCanonicalize, domainClassify, vocabBuild, bpeInduction, bpeEncode,
-      readability)
+      readability, lexicalDiversity, rakeKeywords)
 }

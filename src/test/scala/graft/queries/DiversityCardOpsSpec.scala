@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Independent-recomputation checks for the round-8 additions t19, t20,
+  * g08, x33, m06, s10: each query's sf0.001 output is rebuilt in plain
+  * Scala from the collected base tables (a different execution path than
+  * the registered plan; DuckDB hash parity is the Verify gate's job).
+  */
+class DiversityCardOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+
+  private def docs(): Map[Long, String] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def round(x: Double, d: Int): Double =
+    BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("t19: TTR / Simpson / Yule's K reproduce from token frequencies") {
+    val got = graft.ext.TextAnalysis.lexicalDiversity.build(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val texts = docs()
+    assert(got.size == texts.size)
+    texts.foreach { case (id, text) =>
+      val f = text.toLowerCase.split(" ", -1).groupBy(identity)
+        .map(_._2.length.toLong)
+      val n = f.sum; val v = f.size.toLong; val f2 = f.map(x => x * x).sum
+      val r = got(id)
+      assert(r.getAs[Long]("n_tokens") == n, s"doc $id n")
+      assert(r.getAs[Long]("n_types") == v, s"doc $id v")
+      assert(math.abs(r.getAs[Double]("ttr") - round(v.toDouble / n, 6)) < 1e-9)
+      val simpson = if (n > 1) round((f2 - n).toDouble / (n * (n - 1)), 6) else 0.0
+      assert(math.abs(r.getAs[Double]("simpson_d") - simpson) < 1e-9, s"doc $id")
+      val yule = round(10000.0 * ((f2 - n).toDouble / (n * n)), 4)
+      assert(math.abs(r.getAs[Double]("yule_k") - yule) < 1e-9, s"doc $id")
+    }
+  }
+
+  test("t20: RAKE phrases, scores, and ranking match a Scala recomputation") {
+    val stop = Set("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
+    val got = graft.ext.TextAnalysis.rakeKeywords.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rank")) ->
+        (r.getString(2), r.getAs[Long]("n_words"), r.getAs[Long]("score"),
+          r.getAs[Long]("n_occur"))).toMap
+    val want = docs().flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split(" ", -1).zipWithIndex
+      // islands of consecutive non-stop tokens
+      val phrases = scala.collection.mutable.ListBuffer.empty[List[(String, Int)]]
+      var cur = List.empty[(String, Int)]
+      toks.foreach { case (t, p) =>
+        if (stop(t)) { if (cur.nonEmpty) phrases += cur.reverse; cur = Nil }
+        else cur = (t, p) :: cur
+      }
+      if (cur.nonEmpty) phrases += cur.reverse
+      if (phrases.isEmpty) Nil
+      else {
+        val words = phrases.flatMap(ph => ph.map(w => (w._1, ph.length.toLong)))
+        val deg = words.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+        val freq = words.groupBy(_._1).map { case (w, xs) => w -> xs.size.toLong }
+        def wscore(w: String) = deg(w) * 1000 / freq(w)
+        val scored = phrases.map { ph =>
+          (ph.map(_._1).mkString(" "), ph.length.toLong,
+            ph.map(w => wscore(w._1)).sum)
+        }
+        val dist = scored.groupBy(_._1).map { case (p, xs) =>
+          (p, xs.head._2, xs.head._3, xs.size.toLong)
+        }.toSeq
+        dist.sortBy { case (p, _, sc, _) => (-sc, p) }.take(2).zipWithIndex
+          .map { case ((p, len, sc, occ), i) => (id, i + 1) -> (p, len, sc, occ) }
+      }
+    }
+    assert(got == want.toMap)
+  }
+
+  test("g08: two HITS rounds reproduce from adjacency maps") {
+    val e = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_suppkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var hub = e.map(_._1).distinct.map(_ -> 1L).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      auth = e.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(x => hub(x._1)).sum }
+      hub = e.groupBy(_._1).map { case (s_, es) =>
+        s_ -> es.map(x => auth(x._2)).sum }
+    }
+    val wantHub = hub.toSeq.sortBy { case (id, h) => (-h, id) }.take(10)
+    val wantAuth = auth.toSeq.sortBy { case (id, a) => (-a, id) }.take(10)
+    val got = graft.ext.Graph.hits.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.filter(_._1 == "hub").map(x => (x._2, x._3)).toSeq == wantHub)
+    assert(got.filter(_._1 == "authority").map(x => (x._2, x._3)).toSeq
+      == wantAuth)
+  }
+
+  test("x33: card cells reproduce, median is the exact midpoint") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "source", "text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val dupTexts = rows.groupBy(_._3).filter(_._2.length > 1).keySet
+    val corpusTokens = rows.map(_._3.trim.split("\\s+").length.toLong).sum
+    val got = graft.ext.Curation.datasetCard.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    rows.groupBy(r => (r._1, r._2)).foreach { case (key, cell) =>
+      val toks = cell.map(_._3.trim.split("\\s+").length.toLong).sorted
+      val r = got(key)
+      assert(r.getAs[Long]("n_docs") == cell.length)
+      assert(r.getAs[Long]("total_tokens") == toks.sum)
+      val med =
+        if (toks.length % 2 == 1) toks(toks.length / 2).toDouble
+        else (toks(toks.length / 2 - 1) + toks(toks.length / 2)) / 2.0
+      assert(r.getAs[Double]("median_tokens") == round(med, 1), s"cell $key")
+      assert(r.getAs[Long]("max_tokens") == toks.max)
+      assert(r.getAs[Long]("dup_docs") == cell.count(c => dupTexts(c._3)))
+      assert(math.abs(r.getAs[Double]("token_share") -
+        round(toks.sum.toDouble / corpusTokens, 6)) < 1e-9)
+    }
+  }
+
+  test("m06: frame energies, peak, and mean reproduce per document") {
+    val got = graft.ext.Multimodal.audioFrameEnergy.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    docs().foreach { case (id, text) =>
+      val frames = text.grouped(64).toArray
+      val energies = frames.map(_.map(_.toLong).sum)
+      val r = got(id)
+      assert(r.getAs[Int]("n_frames") == frames.length, s"doc $id")
+      val (peakE, peakI) = energies.zipWithIndex
+        .maxBy { case (e, i) => (e, -i.toLong) }
+      assert(r.getAs[Int]("peak_frame") == peakI, s"doc $id")
+      assert(r.getAs[Long]("peak_energy") == peakE, s"doc $id")
+      assert(math.abs(r.getAs[Double]("mean_energy") -
+        round(energies.sum.toDouble / energies.length, 4)) < 1e-9)
+    }
+  }
+
+  test("s10: greedy MMR selection reproduces from quantized vectors") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map { r =>
+        val e = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(e.map(x => x * x).sum)
+        // HALF_UP (away from zero), matching Spark/DuckDB round()
+        r.getLong(0) -> e.map(x => BigDecimal(x / n * 127)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }.toMap
+    def dot(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val q0 = vecs(0L)
+    val pool = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, dot(q0, v)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(8)
+    var sel = List.empty[(Long, Long, Long)] // (id, rel, mmr)
+    for (i <- 1 to 4) {
+      val rem = pool.filterNot(p => sel.exists(_._1 == p._1))
+      val scored = rem.map { case (id, v, rel) =>
+        val mmr =
+          if (sel.isEmpty) 7 * rel
+          else 7 * rel - 3 * sel.map(s_ => dot(v, vecs(s_._1))).max
+        (id, rel, mmr)
+      }
+      sel = sel :+ scored.minBy { case (id, _, mmr) => (-mmr, id) }
+    }
+    val got = graft.ext.Similarity.mmrRerank.build(spark, sf).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toList == sel.zipWithIndex.map { case ((id, rel, mmr), i) =>
+      (i + 1, id, rel, mmr) })
+  }
+}

@@ -70,6 +70,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "t15_vocab_build" -> "1000-row vocabulary rank, TextAnalysis.scala",
     "x17_budget_rebalance" -> "global sum over the ~20-row per-source aggregate (source-domain bounded), Curation.scala",
     "x32_temperature_mix" -> "global isq sum over the ~20-row per-source aggregate (x17's idiom), Curation.scala",
+    "x33_dataset_card" -> "global corpus-token sum over the ~cells (lang, source) aggregate (x17's idiom), Curation.scala",
     "t17_bpe_encode" -> "100-row subword rank after LIMIT (t15's vocabulary-rank idiom), TextAnalysis.scala",
     "ml02b_stump_exact" -> "12-row month-domain prefix-sum frame + 11-row split argmin rank, MlQueries.scala")
 
