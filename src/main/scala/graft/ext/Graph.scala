@@ -553,9 +553,10 @@ object Graph {
           LIMIT 20"""
     })
 
-  /** g07 — link prediction by neighbor overlap: for part pairs, count
-    * shared suppliers (common neighbors in the bipartite graph) and the
-    * neighbor-set Jaccard — the classic common-neighbors /
+  /** g07 — link prediction by neighbor overlap FOR A QUERY SET: for
+    * each seed part (keys ≤ 100), count shared suppliers with every
+    * co-supplied part (common neighbors in the bipartite graph) and
+    * the neighbor-set Jaccard — the classic common-neighbors /
     * Jaccard-coefficient predictors (Liben-Nowell & Kleinberg, CIKM
     * 2003). Bipartite parts are never directly adjacent, so every
     * scored pair is a prediction; top-20 by overlap.
@@ -563,13 +564,16 @@ object Graph {
     * Determinism: common/union are integers; Jaccard is ONE exact IEEE
     * division; ranking ties broken by the (pa, pb) key pair.
     *
-    * Scale shape: candidates come from the supplier-keyed self-join of
-    * the distinct edge list — only pairs sharing ≥1 supplier are ever
-    * materialized (the inverted-index contraction d04 uses for shingle
-    * Jaccard), with per-supplier fan-out bounded by that supplier's
-    * part degree; never an all-pairs product. Degrees join in k-bounded
-    * (one row per part). At 100 TB skewed hub suppliers would cap or
-    * salt the fan-out exactly like d06's maxBucketSize. */
+    * Scale shape: seeding is what makes this 100 TB-safe. The
+    * unrestricted pair count is Σ_sup deg(sup)² — measured 175 M rows
+    * already at sf0.1 (1.8 B at sf1.0), a quadratic blowup no degree
+    * trick fixes because every co-supplied pair genuinely scores. With
+    * a bounded seed side the supplier-keyed equi-join materializes only
+    * (seed ∩ sup's parts) × deg(sup) rows — LINEAR in corpus size at
+    * fixed seed count (the g05/g06 source-set discipline applied to
+    * prediction; all-pairs variants would go through d06's banded-cap
+    * route instead). Seeds are a key-range filter pushed into the scan;
+    * degrees join one-row-per-part. */
   val linkPrediction: QueryDef = QueryDef(
     "g07_link_prediction",
     (s, d) => {
@@ -577,10 +581,10 @@ object Graph {
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
         .distinct()
       val deg = e.groupBy("p").agg(count(lit(1)).as("deg"))
-      val a = e.select(col("p").as("pa"), col("sup"))
+      val a = e.filter(col("p") <= 100).select(col("p").as("pa"), col("sup"))
       val b = e.select(col("p").as("pb"), col("sup"))
       a.join(b, Seq("sup"))
-        .filter(col("pa") < col("pb"))
+        .filter(col("pa") =!= col("pb"))
         .groupBy("pa", "pb")
         .agg(count(lit(1)).as("common"))
         .join(deg.select(col("p").as("pa"), col("deg").as("da")), Seq("pa"))
@@ -597,7 +601,8 @@ object Graph {
             deg AS (SELECT p, count(*) AS deg FROM e GROUP BY 1),
             pairs AS (
               SELECT a.p AS pa, b.p AS pb, count(*) AS common
-              FROM e a JOIN e b ON a.sup = b.sup AND a.p < b.p
+              FROM e a JOIN e b ON a.sup = b.sup AND a.p <= 100
+                AND b.p != a.p
               GROUP BY 1, 2)
             SELECT pa, pb, common,
               da.deg + db.deg - common AS union_deg,

@@ -70,8 +70,9 @@ class SessionMomentsOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     val nbrs = e.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val pairs = for {
-      (pa, na) <- nbrs.toSeq; (pb, nb) <- nbrs.toSeq
-      if pa < pb
+      (pa, na) <- nbrs.toSeq if pa <= 100 // seed query set
+      (pb, nb) <- nbrs.toSeq
+      if pb != pa
       common = (na & nb).size if common > 0
     } yield (pa, pb, common.toLong, (na | nb).size.toLong)
     val want = pairs.sortBy { case (pa, pb, c, _) => (-c, pa, pb) }.take(20)
