@@ -1478,9 +1478,63 @@ object Relational {
               round(sum(value), 4) AS total_value
             FROM g GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Q51 — SQL pipe syntax (Spark 4.0 `|>` operators, the linear
+    * query-flow front end standardized from ZetaSQL's pipes — Shute et
+    * al., "SQL Has Problems. We Can Fix Them: Pipe Syntax in SQL",
+    * VLDB 2024): FROM |> WHERE |> EXTEND |> AGGREGATE … GROUP BY
+    * |> ORDER BY, compiled by Catalyst to the identical plan as the
+    * nested form (the oracle runs the classic formulation — parity IS
+    * the test). Revenue uses q42's 4-dp scaled-long discipline so the
+    * sum is order-independent. */
+  val q51 = QueryDef(
+    "q51_sql_pipe_syntax",
+    (s, d) => {
+      li(s, d).createOrReplaceTempView("g51_lineitem")
+      s.sql("""FROM g51_lineitem
+               |> WHERE l_quantity > 10
+               |> EXTEND CAST(round(l_extendedprice * (1 - l_discount)
+                    * 10000) AS BIGINT) AS rev4
+               |> AGGREGATE count(*) AS n,
+                    CAST(sum(rev4) AS BIGINT) / CAST(10000 AS DOUBLE)
+                      AS revenue
+                  GROUP BY l_returnflag, l_linestatus
+               |> ORDER BY l_returnflag, l_linestatus""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                * 10000) AS BIGINT)) AS BIGINT)
+                / CAST(10000 AS DOUBLE) AS revenue
+            FROM lineitem WHERE l_quantity > 10
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Q52 — parameterized SQL (the `spark.sql(text, args)` API, Spark
+    * 3.4+ named-marker form): the query text carries `:threshold` /
+    * `:seg` markers and the values bind server-side — the injection-safe
+    * front door a service puts in front of the engine (no string
+    * splicing, plan cache friendly: one text, many bindings). The
+    * oracle inlines the same literals. */
+  val q52 = QueryDef(
+    "q52_parameterized_sql",
+    (s, d) => {
+      ord(s, d).createOrReplaceTempView("g52_orders")
+      cst(s, d).createOrReplaceTempView("g52_customer")
+      s.sql(
+        """SELECT c_mktsegment, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total
+           FROM g52_orders JOIN g52_customer ON o_custkey = c_custkey
+           WHERE o_totalprice > :threshold AND c_mktsegment != :seg
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        Map("threshold" -> 200000, "seg" -> "MACHINERY"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+              round(sum(o_totalprice), 2) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_totalprice > 200000 AND c_mktsegment != 'MACHINERY'
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q12b,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
 }
