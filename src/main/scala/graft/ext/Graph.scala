@@ -677,7 +677,50 @@ object Graph {
             SELECT * FROM (SELECT * FROM th UNION ALL SELECT * FROM ta)
             ORDER BY kind, score DESC, node_id"""))
 
+  /** g09 — degree-distribution profile of the part↔supplier bipartite
+    * graph: per node kind, log₂-binned degree histogram (bin =
+    * ⌊log₂ deg⌋ + 1, computed EXACTLY as the length of the binary
+    * string `bin(deg)` — no floating log whose rounding could differ
+    * at power-of-two boundaries) with node counts and degree mass per
+    * bin. The heavy-tail profile is what sizes every downstream graph
+    * op: it is the input to g02's degree orientation, d06's bucket
+    * caps, and the salting decision in x16.
+    *
+    * Scale shape: one degree aggregate (key-partitioned) and one
+    * ~⌈log₂ maxdeg⌉-row histogram aggregate — the second shuffle is
+    * domain-bounded (≤ 64 bins), the classic two-level rollup. */
+  val degreeHistogram: QueryDef = QueryDef(
+    "g09_degree_histogram",
+    (s, d) => {
+      val e = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+        .distinct()
+      val deg = e.groupBy("p").agg(count(lit(1)).as("deg"))
+        .select(lit("part").as("kind"), col("deg"))
+        .unionAll(e.groupBy("sup").agg(count(lit(1)).as("deg"))
+          .select(lit("supplier").as("kind"), col("deg")))
+      deg
+        .withColumn("bin", length(expr("bin(deg)")).cast("int"))
+        .groupBy("kind", "bin")
+        .agg(count(lit(1)).as("n_nodes"),
+          sum("deg").as("degree_mass"),
+          min("deg").as("min_deg"),
+          max("deg").as("max_deg"))
+        .orderBy("kind", "bin")
+    },
+    Some("""WITH e AS (
+              SELECT DISTINCT l_partkey AS p, l_suppkey AS sup FROM lineitem),
+            deg AS (
+              SELECT 'part' AS kind, count(*) AS deg FROM e GROUP BY p
+              UNION ALL
+              SELECT 'supplier' AS kind, count(*) AS deg FROM e GROUP BY sup)
+            SELECT kind, CAST(length(bin(deg)) AS INTEGER) AS bin,
+              count(*) AS n_nodes,
+              CAST(sum(deg) AS BIGINT) AS degree_mass,
+              min(deg) AS min_deg, max(deg) AS max_deg
+            FROM deg GROUP BY 1, 2 ORDER BY kind, bin"""))
+
   val all: Seq[QueryDef] =
     Seq(pagerank, triangles, kcore, labelPropagation, bfsHops,
-      personalizedPagerank, linkPrediction, hits)
+      personalizedPagerank, linkPrediction, hits, degreeHistogram)
 }

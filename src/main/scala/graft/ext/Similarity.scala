@@ -819,7 +819,88 @@ object Similarity {
       })
   }
 
+  /** s11 — two-stage retrieval (candidate generation → exact rescore):
+    * the production serving shape every vector store runs — a cheap
+    * int8 first pass over-fetches 20 candidates per query, then ONLY
+    * those 20 are re-scored with the full-precision dot and the top-5
+    * re-ranked (Jégou et al., TPAMI 2011 §V's "re-ranking with exact
+    * distances" stage on top of s05's quantized scan).
+    *
+    * Determinism: stage 1 ranks by exact integer dots with the
+    * (dot DESC, id ASC) tiebreak; stage 2 re-scores with the
+    * engine-identical sequential double fold (s01's discipline), so
+    * both stages — and the rank FLIPS between them, which is the
+    * observable two-stage behavior — hash-check exactly.
+    *
+    * Scale shape: stage 1 is s05's broadcast-query scan (corpus never
+    * shuffles, WindowGroupLimit prunes map-side); stage 2 touches
+    * 20 rows per query — re-scoring cost is candidate-bounded,
+    * independent of corpus size. */
+  val twoStageRescore: QueryDef = {
+    val fetchK = 20; val k = 5
+    val quant = "transform(%s, x -> CAST(round(x * 127) AS BIGINT))"
+    QueryDef(
+      "s11_two_stage_rescore",
+      (s, d) => {
+        graft.expr.ArrayDot.register(s)
+        val u = Dedup.normalized(s, d, "id", "u")
+          .select(col("id"), col("u"), expr(quant.format("u")).as("qv"))
+        val q = u.filter(col("id") < 5)
+          .select(col("id").as("q_id"), col("u").as("q_u"),
+            col("qv").as("q_qv"))
+        val stage1 = Window.partitionBy(col("q_id"))
+          .orderBy(col("i_dot").desc, col("n_id"))
+        val stage2 = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("n_id"))
+        broadcast(q)
+          .join(u.select(col("id").as("n_id"), col("u").as("n_u"),
+            col("qv").as("n_qv")), col("q_id") =!= col("n_id"))
+          .withColumn("i_dot",
+            expr("aggregate(zip_with(q_qv, n_qv, (x, y) -> x * y), " +
+              "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          .withColumn("crn", row_number().over(stage1))
+          .filter(col("crn") <= fetchK)
+          .withColumn("cos_sim", expr("array_dot(q_u, n_u)"))
+          .withColumn("rn", row_number().over(stage2))
+          .filter(col("rn") <= k)
+          .select("q_id", "n_id", "i_dot", "crn", "cos_sim", "rn")
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH ${Dedup.normalizedSql},
+               z AS (
+                 SELECT vec_id, u,
+                   list_transform(u, x -> CAST(round(x * 127) AS BIGINT))
+                     AS qv
+                 FROM u),
+               p AS (
+                 SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                   a.u AS q_u, b.u AS n_u,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, len(a.qv) + 1),
+                       i -> a.qv[i] * b.qv[i])),
+                     (x, y) -> x + y) AS i_dot
+                 FROM z a JOIN z b
+                   ON a.vec_id < 5 AND b.vec_id != a.vec_id),
+               c AS (
+                 SELECT q_id, n_id, i_dot, q_u, n_u,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY i_dot DESC, n_id) AS INTEGER) AS crn
+                 FROM p),
+               r AS (
+                 SELECT q_id, n_id, i_dot, crn,
+                   list_dot_product(q_u, n_u) AS cos_sim
+                 FROM c WHERE crn <= $fetchK),
+               f AS (
+                 SELECT q_id, n_id, i_dot, crn, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rn
+                 FROM r)
+               SELECT q_id, n_id, i_dot, crn, cos_sim, rn
+               FROM f WHERE rn <= $k ORDER BY q_id, rn"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
-      annPqAdc, kmeansLloyd, annRecall, filteredTopK, mmrRerank)
+      annPqAdc, kmeansLloyd, annRecall, filteredTopK, mmrRerank,
+      twoStageRescore)
 }

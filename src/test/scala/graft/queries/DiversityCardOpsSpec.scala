@@ -139,6 +139,57 @@ class DiversityCardOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("g09: log2 bins and masses reproduce from degree maps") {
+    val e = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val degs = e.groupBy(_._1).map(_._2.length.toLong).map(("part", _)) ++
+      e.groupBy(_._2).map(_._2.length.toLong).map(("supplier", _))
+    val want = degs.groupBy { case (k, d) =>
+      (k, java.lang.Long.toBinaryString(d).length)
+    }.map { case ((k, b), xs) =>
+      (k, b) -> (xs.size.toLong, xs.map(_._2).sum,
+        xs.map(_._2).min, xs.map(_._2).max)
+    }
+    val got = graft.ext.Graph.degreeHistogram.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == want)
+  }
+
+  test("s11: the rescore stage reorders the int8 candidates, both exact") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map { r =>
+        val e = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(e.map(x => x * x).sum)
+        r.getLong(0) -> e.map(_ / n)
+      }.toMap
+    def q8(v: Array[Double]) = v.map(x => BigDecimal(x * 127)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    def idot(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def fdot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val want = (0L until 5L).flatMap { qid =>
+      val qu = vecs(qid); val qq = q8(qu)
+      val cands = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, idot(qq, q8(v))) }
+        .sortBy { case (id, d) => (-d, id) }.take(20)
+      cands.map { case (id, d) => (id, d, fdot(qu, vecs(id))) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((id, d, c), i) => (qid, i + 1) -> (id, d, c) }
+    }.toMap
+    val got = graft.ext.Similarity.twoStageRescore.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rn")) ->
+        (r.getLong(1), r.getAs[Long]("i_dot"), r.getAs[Double]("cos_sim")))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (id, d, c)) =>
+      assert(id == want(k)._1 && d == want(k)._2, s"key $k")
+      assert(math.abs(c - want(k)._3) < 1e-12, s"cos $k")
+    }
+  }
+
   test("s10: greedy MMR selection reproduces from quantized vectors") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
       .map { r =>
