@@ -1318,9 +1318,160 @@ object Dedup {
                ORDER BY a_id, b_id"""))
   }
 
+  /** d17 — MinHash calibration harness (the dedup analogue of s08's
+    * ANN recall report): for every banded candidate pair, compare the
+    * MinHash ESTIMATE (fraction of the 8 Carter-Wegman signatures that
+    * agree — the statistic whose expectation IS the Jaccard, Broder
+    * 1997 §2) against the EXACT shingle Jaccard, pooled by exact-decile
+    * bucket. This is how an operator decides whether the configured
+    * (K, bands) reach the θ the pipeline assumes before trusting d10's
+    * output at 100 TB.
+    *
+    * Determinism: matches and intersections are integers; the two
+    * pooled ratios are single divisions of integer SUMS (never a mean
+    * of per-pair doubles, whose accumulation order would be
+    * engine-dependent); buckets are floor(10·j) on an exact-rational
+    * j, clamped to 9.
+    *
+    * Scale shape: same candidate generation as d10 (band equi-join,
+    * never all-pairs); the signature comparison joins the 8-column sig
+    * rows pairwise on the candidate list (candidate-bounded), and the
+    * report is a ≤10-row aggregate. */
+  val minhashCalibration: QueryDef = {
+    val K = 8; val bandRows = 4
+    QueryDef(
+      "d17_minhash_calibration",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val shingled = docs.select(col("doc_id"),
+          expr(s"array_distinct(${shingleExpr("text")})").as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sigCols = (0 until K).map(k =>
+          min(expr(s"ha + $k * hb")).as(s"sig_$k"))
+        val sigs = shingled
+          .select(col("doc_id"), explode(col("sh")).as("sg"))
+          .select(col("doc_id"), md5(col("sg")).as("m"))
+          .select(col("doc_id"),
+            expr("CAST(conv(substring(m, 2, 15), 16, 10) AS BIGINT)").as("ha"),
+            expr("CAST(conv(substring(m, 17, 14), 16, 10) AS BIGINT)").as("hb"))
+          .groupBy("doc_id")
+          .agg(sigCols.head, sigCols.tail: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bandCols = (0 until K / bandRows).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(",",
+              (0 until bandRows).map(r => col(s"sig_${b * bandRows + r}")): _*)
+              .as("bv")).as(s"b$b")
+        }
+        val bands = sigs.select(col("doc_id"),
+          explode(array(bandCols: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"),
+            col("bb.bv").as("bv"))
+        val cand = bands.select(col("doc_id").as("a_id"), col("band"),
+          col("bv"))
+          .join(bands.select(col("doc_id").as("b_id"), col("band"),
+            col("bv")), Seq("band", "bv"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val matchExpr = (0 until K)
+          .map(k => s"IF(a_sig_$k = b_sig_$k, 1L, 0L)").mkString(" + ")
+        val sa = sigs.select(
+          col("doc_id").as("a_id") +:
+            (0 until K).map(k => col(s"sig_$k").as(s"a_sig_$k")): _*)
+        val sb = sigs.select(
+          col("doc_id").as("b_id") +:
+            (0 until K).map(k => col(s"sig_$k").as(s"b_sig_$k")): _*)
+        val est = cand.join(sa, "a_id").join(sb, "b_id")
+          .select(col("a_id"), col("b_id"),
+            expr(matchExpr).as("sig_match"))
+        val sha = shingled.select(col("doc_id").as("a_id"),
+          col("sh").as("a_sh"))
+        val shb = shingled.select(col("doc_id").as("b_id"),
+          col("sh").as("b_sh"))
+        val out = est.join(sha, "a_id").join(shb, "b_id")
+          .withColumn("n_inter", expr("size(array_intersect(a_sh, b_sh))"))
+          .withColumn("n_union",
+            expr("size(a_sh) + size(b_sh) - n_inter"))
+          .withColumn("bucket", expr(
+            "CAST(least((10 * n_inter) DIV n_union, 9) AS INT)"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("sig_match").as("sum_sig_match"),
+            sum("n_inter").as("sum_inter"),
+            sum("n_union").as("sum_union"))
+          .select(col("bucket"), col("n_pairs"),
+            round(col("sum_sig_match").cast("double") /
+              (lit(K) * col("n_pairs")).cast("double"), 6).as("pooled_est"),
+            round(col("sum_inter").cast("double") /
+              col("sum_union").cast("double"), 6).as("pooled_exact"))
+          .orderBy("bucket")
+          .localCheckpoint()
+        shingled.unpersist()
+        sigs.unpersist()
+        out
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               sh AS (
+                 SELECT DISTINCT doc_id,
+                   array_to_string(t[i + 1:i + 3], ' ') AS sh
+                 FROM toks, unnest(range(0, greatest(len(t) - 2, 1))) AS u(i)),
+               hx AS (
+                 SELECT doc_id, sh,
+                   ${duckMd5Int60("sh")} AS ha,
+                   ${duckMd5IntSlice("sh", 17, 14)} AS hb
+                 FROM sh),
+               sigs AS (
+                 SELECT doc_id, k, min(ha + k * hb) AS sig
+                 FROM hx, unnest(range(0, $K)) AS tk(k)
+                 GROUP BY 1, 2),
+               bands AS (
+                 SELECT doc_id, k // $bandRows AS band,
+                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY k) AS bv
+                 FROM sigs GROUP BY 1, 2),
+               cand AS (
+                 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bv = b.bv
+                   AND a.doc_id < b.doc_id),
+               m AS (
+                 SELECT c.a_id, c.b_id,
+                   CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+                     AS BIGINT) AS sig_match
+                 FROM cand c
+                 JOIN sigs sa ON sa.doc_id = c.a_id
+                 JOIN sigs sb ON sb.doc_id = c.b_id AND sb.k = sa.k
+                 GROUP BY 1, 2),
+               sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+               inter AS (
+                 SELECT c.a_id, c.b_id, count(*) AS n_inter
+                 FROM cand c
+                 JOIN sh a ON a.doc_id = c.a_id
+                 JOIN sh b ON b.doc_id = c.b_id AND b.sh = a.sh
+                 GROUP BY 1, 2),
+               pairs AS (
+                 SELECT m.a_id, m.b_id, m.sig_match,
+                   coalesce(i.n_inter, 0) AS n_inter,
+                   sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) AS n_union
+                 FROM m
+                 LEFT JOIN inter i ON i.a_id = m.a_id AND i.b_id = m.b_id
+                 JOIN sizes sa ON sa.doc_id = m.a_id
+                 JOIN sizes sb ON sb.doc_id = m.b_id),
+               bucketed AS (
+                 SELECT CAST(least((10 * n_inter) // n_union, 9) AS INTEGER)
+                   AS bucket, *
+                 FROM pairs)
+               SELECT bucket, count(*) AS n_pairs,
+                 round(CAST(sum(sig_match) AS DOUBLE) /
+                       CAST($K * count(*) AS DOUBLE), 6) AS pooled_est,
+                 round(CAST(sum(n_inter) AS DOUBLE) /
+                       CAST(sum(n_union) AS DOUBLE), 6) AS pooled_exact
+               FROM bucketed GROUP BY 1 ORDER BY bucket"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(exact, exactByFingerprint, minhash, minhashNative, simhashPairs,
       ngramJaccard, embeddingCosine, components, simhashBanded, minhashMd5,
       simhashMd5Banded, substringSpans, spanRemoval, semanticDedup,
-      incrementalSemantic, containmentPairs)
+      incrementalSemantic, containmentPairs, minhashCalibration)
 }

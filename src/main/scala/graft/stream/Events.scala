@@ -665,8 +665,60 @@ object Events {
             LEFT JOIN act n24 ON n24.user_id = a.user_id AND n24.h = a.h + 24
             GROUP BY 1 ORDER BY hour"""))
 
+  /** Per-window event-type counts — the streaming-aggregation stage of
+    * st14. Ranking happens downstream (per completed window, a bounded
+    * ≤|event_type-domain| relation), because a rank inside a streaming
+    * agg would re-order on every update; the counts stream is what the
+    * state store holds. One definition shared stream/batch. */
+  def typeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"))
+
+  /** Streaming form: watermarked counts, state evicted per closed window. */
+  def typeCountsStream(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    typeCounts(events.withWatermark("ts", watermark))
+
+  /** st14 — per-window top-k event types ("trending types"): hourly
+    * windows, top-3 types by count with a total (n DESC, event_type)
+    * ranking — the leaderboard every event pipeline keeps per window.
+    * Batch form registered + oracle-exact; the streaming form runs
+    * [[typeCountsStream]] into the state store and ranks each CLOSED
+    * window downstream (StreamingSpec asserts stream counts == batch
+    * counts on the real file source).
+    *
+    * Scale shape: one (window, type)-keyed streaming-friendly agg —
+    * state rows bounded by windows × type-domain — then a rank window
+    * partitioned by w_start over that already-aggregated relation. */
+  val topTypesQ: QueryDef = QueryDef(
+    "st14_window_top_types",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      typeCounts(Tables.events(s, d))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("w_start")
+            .orderBy(col("n").desc, col("event_type"))))
+        .filter(col("rank") <= 3)
+        .orderBy("w_start", "rank")
+    },
+    Some("""WITH c AS (
+              SELECT strftime(date_trunc('hour', ts),
+                       '%Y-%m-%d %H:%M:%S') AS w_start,
+                event_type, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            r AS (
+              SELECT w_start, event_type, n,
+                CAST(row_number() OVER (PARTITION BY w_start
+                     ORDER BY n DESC, event_type) AS INTEGER) AS rank
+              FROM c)
+            SELECT w_start, event_type, n, rank FROM r
+            WHERE rank <= 3 ORDER BY w_start, rank"""))
+
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
       streamLeftJoinQ, dedupBatchQ, enrichQ, windowSketchQ, funnelQ,
-      retentionQ)
+      retentionQ, topTypesQ)
 }

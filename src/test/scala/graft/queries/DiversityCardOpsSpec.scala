@@ -190,6 +190,53 @@ class DiversityCardOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d17: calibration buckets reproduce from a Scala MinHash") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hexSlice(h: String, from: Int, len: Int) = // 1-based, like SQL
+      h.substring(from - 1, from - 1 + len).foldLeft(0L)((a, c) =>
+        a * 16 + Character.digit(c, 16))
+    val texts = docs()
+    val shingles = texts.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val n = math.max(w.length - 2, 1)
+      id -> (0 until n).map(i =>
+        w.slice(i, i + 3).mkString(" ")).distinct.toSet
+    }
+    val sigs = shingles.map { case (id, sh) =>
+      val hs = sh.toSeq.map { g =>
+        val m = md5hex(g); (hexSlice(m, 2, 15), hexSlice(m, 17, 14))
+      }
+      id -> (0 until 8).map(k => hs.map { case (a, b) => a + k * b }.min)
+    }
+    val bands = sigs.toSeq.flatMap { case (id, sg) =>
+      (0 until 2).map(b => (b, sg.slice(b * 4, b * 4 + 4).mkString(",")) -> id)
+    }
+    val cand = bands.groupBy(_._1).values.flatMap { xs =>
+      val ids = xs.map(_._2).sorted
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    val want = cand.toSeq.map { case (a, b) =>
+      val m = (0 until 8).count(k => sigs(a)(k) == sigs(b)(k)).toLong
+      val inter = (shingles(a) & shingles(b)).size.toLong
+      val union = shingles(a).size + shingles(b).size - inter
+      (math.min(10 * inter / union, 9L), m, inter, union)
+    }.groupBy(_._1).map { case (bk, xs) =>
+      bk.toInt -> (xs.size.toLong,
+        round(xs.map(_._2).sum.toDouble / (8.0 * xs.size), 6),
+        round(xs.map(_._3).sum.toDouble / xs.map(_._4).sum, 6))
+    }
+    val got = graft.ext.Dedup.minhashCalibration.build(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (n, e, x)) =>
+      assert(n == want(k)._1, s"bucket $k n")
+      assert(math.abs(e - want(k)._2) < 1e-9, s"bucket $k est")
+      assert(math.abs(x - want(k)._3) < 1e-9, s"bucket $k exact")
+    }
+  }
+
   test("s10: greedy MMR selection reproduces from quantized vectors") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
       .map { r =>

@@ -217,6 +217,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("st14 streaming type counts equal the batch counts on the file source") {
+    // the st14 leaderboard's streaming stage: same typeCounts() over
+    // readStream must reproduce the batch counts exactly; the rank is a
+    // deterministic function of the counts, so count parity IS
+    // leaderboard parity.
+    val dir = java.nio.file.Files.createTempDirectory("evtoptypes").toString
+    val src = java.nio.file.Paths.get(s"${graft.TestSpark.sf0001}/events.parquet")
+    java.nio.file.Files.copy(src,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val q = Events.typeCounts(Events.readEventsStream(spark, dir))
+      .writeStream.format("memory").queryName("top_types_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("top_types_out")
+    val batch = Events.typeCounts(
+      graft.core.Tables.events(spark, graft.TestSpark.sf0001))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("Trigger.AvailableNow drains the file source and self-terminates") {
     // the batch-catchup trigger: process everything currently available
     // across rate-limited micro-batches, then stop — how a 100 TB
