@@ -49,6 +49,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "s03b_ann_ivf_pinned" -> "bounded probe stage: query set x pinned centroid broadcast",
     "s08_ann_recall" -> "composes s01+s03b; inherits s03b's bounded query x centroid probe stage",
     "s05_ann_int8" -> "bounded query-vector set broadcast",
+    "s11_two_stage_rescore" -> "bounded query-vector set broadcast (s05's idiom; rescore stage is candidate-bounded)",
     "s06_ann_pq_adc" -> "bounded query dot-table broadcast (corpus scans 4-byte codes in place)",
     "m04_multimodal_embed_topk" -> "bounded probe set broadcast",
     "q35_fuzzy_levenshtein" -> "name-DOMAIN pair stage, vocabulary-bounded by design",
