@@ -1532,9 +1532,46 @@ object Relational {
             WHERE o_totalprice > 200000 AND c_mktsegment != 'MACHINERY'
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Q53 — SQL scripting (Spark 4 `BEGIN … END` compound blocks, ANSI
+    * SQL/PSM shape): DECLARE session variables, SET them from scalar
+    * queries over the data, branch with IF/ELSE on a data-dependent
+    * condition, and return the final SELECT — multi-statement
+    * procedural control flow through the SQL front door, where the
+    * oracle expresses the same logic as one declarative CTE + CASE
+    * (equivalence of the two formulations IS the test). */
+  val q53 = QueryDef(
+    "q53_sql_scripting",
+    (s, d) => {
+      ord(s, d).createOrReplaceTempView("g53_orders")
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      s.sql("""BEGIN
+                 DECLARE med DOUBLE;
+                 DECLARE band STRING;
+                 SET med = (SELECT percentile(o_totalprice, 0.5)
+                            FROM g53_orders);
+                 IF med > 150000 THEN
+                   SET band = 'high';
+                 ELSE
+                   SET band = 'low';
+                 END IF;
+                 SELECT band AS corpus_band,
+                   round(med, 4) AS median_price,
+                   count(*) AS n_above
+                 FROM g53_orders WHERE o_totalprice > med;
+               END""")
+    },
+    Some("""WITH m AS (
+              SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders)
+            SELECT CASE WHEN med > 150000 THEN 'high' ELSE 'low' END
+              AS corpus_band,
+              round(med, 4) AS median_price,
+              (SELECT count(*) FROM orders WHERE o_totalprice > m.med)
+                AS n_above
+            FROM m"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q12b,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
 }
