@@ -1854,6 +1854,65 @@ object Curation {
                           AS DOUBLE), 6) AS token_share
              FROM cells ORDER BY lang, source"""))
 
+  /** x34 — quality-aware canonical selection: x12 keeps each dup
+    * cluster's MIN-ID member (arbitrary but stable); real curation
+    * keeps the BEST member — here the longest document (token count,
+    * the "most complete version" policy; any integer quality score
+    * slots into the same argmax), doc_id ascending as the total
+    * tiebreak. Reports one row per near-dup cluster: size, the kept
+    * member, its tokens, and how many were removed.
+    *
+    * Scale shape: pairs + components are d04/d07's machinery (inverted
+    * shingle index, star-contraction CC); the argmax is ONE window over
+    * the cluster-member frame, which holds only docs that HAVE a
+    * near-dup — cluster-membership-bounded, not corpus-bounded. The
+    * token-count join is a narrow projection of the scan. */
+  val canonicalSelection: QueryDef = QueryDef(
+    "x34_canonical_selection",
+    (s, d) => {
+      val pairs = Dedup.ngramJaccard.build(s, d).select("a_id", "b_id")
+      val labels = Dedup.connectedComponents(pairs)
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        expr(sparkTokCount).cast("long").as("n_tokens"))
+      val members = labels.join(toks, labels("id") === toks("doc_id"))
+        .select(col("component"), col("doc_id"), col("n_tokens"))
+      val ranked = members.withColumn("rk", row_number().over(
+        Window.partitionBy("component")
+          .orderBy(col("n_tokens").desc, col("doc_id"))))
+      ranked.groupBy("component")
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rk") === 1, col("doc_id"))).as("kept_id"),
+          max(when(col("rk") === 1, col("n_tokens"))).as("kept_tokens"),
+          (count(lit(1)) - 1).as("n_removed"))
+        .orderBy("component")
+    },
+    Some(s"""WITH RECURSIVE ${Dedup.ngramPairSql(Dedup.ngramTheta)},
+             edges AS (
+               SELECT a_id AS src, b_id AS dst FROM pairs
+               UNION
+               SELECT b_id AS src, a_id AS dst FROM pairs),
+             reach(id, r) AS (
+               SELECT src, src FROM edges
+               UNION
+               SELECT e.src, reach.r FROM edges e
+               JOIN reach ON reach.id = e.dst),
+             labels AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+             tok AS (
+               SELECT doc_id, CAST($duckTokCount AS BIGINT) AS n_tokens
+               FROM documents),
+             members AS (
+               SELECT l.component, l.id AS doc_id, t.n_tokens,
+                 row_number() OVER (PARTITION BY l.component
+                   ORDER BY t.n_tokens DESC, l.id) AS rk
+               FROM labels l JOIN tok t ON t.doc_id = l.id)
+             SELECT component, count(*) AS n_members,
+               CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+                 AS kept_id,
+               CAST(max(CASE WHEN rk = 1 THEN n_tokens END) AS BIGINT)
+                 AS kept_tokens,
+               count(*) - 1 AS n_removed
+             FROM members GROUP BY component ORDER BY component"""))
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -1863,5 +1922,5 @@ object Curation {
       incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity, chunkOverlap,
       trainingManifest, snapshotDiff, manifestRefresh, releasePipeline,
       qualityClassifier, qualityPrototype, domainCap, scd2History,
-      temperatureMix, datasetCard)
+      temperatureMix, datasetCard, canonicalSelection)
 }

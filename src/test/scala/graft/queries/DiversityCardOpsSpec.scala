@@ -237,6 +237,34 @@ class DiversityCardOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("x34: kept member is the cluster argmax under a Scala union-find") {
+    val pairs = graft.ext.Dedup.ngramJaccard.build(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val toks = docs().view.mapValues(t =>
+      t.trim.split("\\s+").length.toLong).toMap
+    val want = ids.groupBy(find).map { case (_, members) =>
+      val comp = members.min
+      val kept = members.minBy(id => (-toks(id), id))
+      comp -> (members.length.toLong, kept, toks(kept),
+        members.length.toLong - 1)
+    }
+    val got = graft.ext.Curation.canonicalSelection.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == want)
+  }
+
   test("s10: greedy MMR selection reproduces from quantized vectors") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
       .map { r =>
