@@ -344,7 +344,100 @@ object Multimodal {
                ORDER BY doc_id"""))
   }
 
+  /** m07 — cross-modal retrieval evaluation (the CLIP-style alignment
+    * check: does each document's TEXT embedding retrieve its own IMAGE
+    * embedding?): two stub encoders share the m04 md5 projection but
+    * the image side carries a small content-derived perturbation (a
+    * second Carter-Wegman stream mod 17), so self-retrieval mostly —
+    * not trivially — succeeds; 20 text queries score against all image
+    * vectors by integer dot, and the report is recall@1 / recall@5 /
+    * exact mean self-rank. A real pipeline swaps the two projections
+    * for text/vision towers and keeps every line below unchanged.
+    *
+    * Determinism: both embeddings are integer md5-family folds; scores
+    * are exact integer dots; ranks total on (dot DESC, img id);
+    * mean rank is one division of integer sums.
+    *
+    * Scale shape: the bounded query set broadcasts against the image
+    * corpus (never shuffled, m04's shape); the self-rank filter makes
+    * the ranking window's output one row per query before the 1-row
+    * summary aggregate. */
+  val crossmodalRetrieval: QueryDef = {
+    val dims = 8; val nQ = 20
+    val sparkTextEmb =
+      s"transform(sequence(0, ${dims - 1}), k -> CAST((ha + k * hb) % 255 AS BIGINT) - 127)"
+    val sparkImgEmb =
+      s"transform(sequence(0, ${dims - 1}), k -> CAST((ha + k * hb + (hc + k * hd) % 17) % 255 AS BIGINT) - 127)"
+    QueryDef(
+      "m07_crossmodal_retrieval",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = mediaFrame(s, d).select(col("doc_id"),
+          expr(Dedup.sparkMd5Int60("CAST(blob AS STRING)")).as("ha"),
+          expr("CAST(conv(substring(md5(CAST(blob AS STRING)), 17, 14), 16, 10) AS BIGINT)")
+            .as("hb"),
+          expr(Dedup.sparkMd5Int60("concat('img:', CAST(blob AS STRING))")).as("hc"),
+          expr("CAST(conv(substring(md5(concat('img:', CAST(blob AS STRING))), 17, 14), 16, 10) AS BIGINT)")
+            .as("hd"))
+        val txt = base.filter(col("doc_id") < nQ)
+          .select(col("doc_id").as("q_id"), expr(sparkTextEmb).as("tf"))
+        val img = base.select(col("doc_id").as("img_id"),
+          expr(sparkImgEmb).as("mf"))
+        val ranked = img.crossJoin(broadcast(txt))
+          .select(col("q_id"), col("img_id"),
+            expr("aggregate(zip_with(tf, mf, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)")
+              .as("dot"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("dot").desc, col("img_id"))))
+          .filter(col("q_id") === col("img_id"))
+        ranked.agg(
+          count(lit(1)).as("n_queries"),
+          sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("n_at_1"),
+          sum(when(col("rnk") <= 5, 1L).otherwise(0L)).as("n_at_5"),
+          round(sum(col("rnk")).cast("double") /
+            count(lit(1)).cast("double"), 4).as("mean_self_rank"))
+      },
+      Some(s"""WITH h AS (
+                 SELECT doc_id,
+                   ${Dedup.duckMd5Int60("text")} AS ha,
+                   ${Dedup.duckMd5IntSlice("text", 17, 14)} AS hb,
+                   ${Dedup.duckMd5Int60("concat('img:', text)")} AS hc,
+                   ${Dedup.duckMd5IntSlice("concat('img:', text)", 17, 14)} AS hd
+                 FROM documents),
+               txt AS (
+                 SELECT doc_id AS q_id,
+                   list_transform(range(0, $dims),
+                     k -> CAST((ha + k * hb) % 255 AS BIGINT) - 127) AS tf
+                 FROM h WHERE doc_id < $nQ),
+               img AS (
+                 SELECT doc_id AS img_id,
+                   list_transform(range(0, $dims),
+                     k -> CAST((ha + k * hb + (hc + k * hd) % 17) % 255
+                          AS BIGINT) - 127) AS mf
+                 FROM h),
+               scored AS (
+                 SELECT t.q_id, i.img_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, $dims + 1),
+                       x -> t.tf[x] * i.mf[x])),
+                     (a, v) -> a + v) AS dot
+                 FROM txt t, img i),
+               ranked AS (
+                 SELECT q_id, img_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY dot DESC, img_id) AS rnk
+                 FROM scored)
+               SELECT count(*) AS n_queries,
+                 CAST(sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_at_1,
+                 CAST(sum(CASE WHEN rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_at_5,
+                 round(CAST(sum(rnk) AS DOUBLE) /
+                       CAST(count(*) AS DOUBLE), 4) AS mean_self_rank
+               FROM ranked WHERE q_id = img_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(metaDigest, decode, resizeSample, embedTopk, phashNearDup,
-      audioFrameEnergy)
+      audioFrameEnergy, crossmodalRetrieval)
 }

@@ -265,6 +265,36 @@ class DiversityCardOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("m07: cross-modal self-ranks reproduce from Scala md5 embeddings") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hexSlice(h: String, from: Int, len: Int) =
+      h.substring(from - 1, from - 1 + len).foldLeft(0L)((a, c) =>
+        a * 16 + Character.digit(c, 16))
+    val texts = docs()
+    val embs = texts.map { case (id, t) =>
+      val m = md5hex(t); val mi = md5hex("img:" + t)
+      val (ha, hb) = (hexSlice(m, 2, 15), hexSlice(m, 17, 14))
+      val (hc, hd) = (hexSlice(mi, 2, 15), hexSlice(mi, 17, 14))
+      id -> ((0 until 8).map(k => (ha + k * hb) % 255 - 127).toArray,
+        (0 until 8).map(k => (ha + k * hb + (hc + k * hd) % 17) % 255 - 127)
+          .toArray)
+    }
+    val ranks = (0L until 20L).map { q =>
+      val tf = embs(q)._1
+      val scored = embs.toSeq.map { case (id, (_, mf)) =>
+        (id, tf.zip(mf).map { case (x, y) => x * y }.sum)
+      }.sortBy { case (id, dot) => (-dot, id) }
+      scored.indexWhere(_._1 == q) + 1L
+    }
+    val r = graft.ext.Multimodal.crossmodalRetrieval.build(spark, sf).head()
+    assert(r.getLong(0) == 20)
+    assert(r.getLong(1) == ranks.count(_ == 1))
+    assert(r.getLong(2) == ranks.count(_ <= 5))
+    assert(math.abs(r.getDouble(3) -
+      round(ranks.sum.toDouble / 20, 4)) < 1e-9)
+  }
+
   test("s10: greedy MMR selection reproduces from quantized vectors") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
       .map { r =>
