@@ -1130,9 +1130,47 @@ object TextAnalysis {
                ORDER BY doc_id, rank"""))
   }
 
+  /** t21 — language-ID evaluation harness: the confusion matrix of
+    * t01's classifier against the corpus's labeled `lang` column, with
+    * per-true-language recall — the classifier-quality report every
+    * multilingual curation pipeline keeps next to the classifier itself
+    * (s08/d17's harness idiom applied to lang ID). One row per
+    * (true, predicted) cell.
+    *
+    * Determinism: cell counts are integers; recall is ONE division of
+    * a cell count by the true-language total (a window over the ≤|langs|²
+    * matrix, domain-bounded).
+    *
+    * Scale shape: t01's narrow per-row scoring followed by one
+    * (lang, pred)-keyed aggregate to a ≤25-row relation. */
+  val langIdConfusion: QueryDef = QueryDef(
+    "t21_langid_confusion",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      langId.build(s, d)
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_true",
+          sum(col("n")).over(Window.partitionBy("lang")))
+        .select(col("lang"), col("pred_lang"), col("n"), col("n_true"),
+          round(col("n").cast("double") / col("n_true").cast("double"), 6)
+            .as("recall"))
+        .orderBy("lang", "pred_lang")
+    },
+    Some(s"""WITH t01 AS (${langId.sql.get.replace("ORDER BY doc_id", "")}),
+             cells AS (
+               SELECT lang, pred_lang, count(*) AS n
+               FROM t01 GROUP BY 1, 2)
+             SELECT lang, pred_lang, n,
+               CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_true,
+               round(CAST(n AS DOUBLE) /
+                     CAST(CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT)
+                          AS DOUBLE), 6) AS recall
+             FROM cells ORDER BY lang, pred_lang"""))
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
       nfcCanonicalize, domainClassify, vocabBuild, bpeInduction, bpeEncode,
-      readability, lexicalDiversity, rakeKeywords)
+      readability, lexicalDiversity, rakeKeywords, langIdConfusion)
 }
