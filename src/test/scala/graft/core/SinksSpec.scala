@@ -86,6 +86,27 @@ class SinksSpec extends AnyFunSuite {
     assert(back.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
   }
 
+  test("ORC round-trip: lineitem content is format-invariant vs parquet") {
+    // format coverage: the engine's relations survive an ORC write/read
+    // with identical content (order-insensitive fingerprint) and
+    // identical resolved schema — the swap-the-storage-format test a
+    // 100 TB deployment runs before committing to a layout. DuckDB
+    // cannot read ORC, so this lives in the spec layer, not the oracle.
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString
+    val li = spark.read.parquet(s"${graft.TestSpark.sf0001}/lineitem.parquet")
+    li.write.orc(s"$dir/li_orc")
+    val back = spark.read.orc(s"$dir/li_orc")
+    assert(back.schema == li.schema)
+    assert(back.count() == li.count())
+    assert(Sinks.fingerprint(back.select(li.columns.head, li.columns.tail: _*)) ==
+      Sinks.fingerprint(li))
+    // predicate pushdown reaches the ORC scan like the parquet one
+    val plan = back.filter($"l_quantity" > 30)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("l_quantity"), plan.take(500))
+  }
+
   test("compactParquet collapses a many-small-files dir, content identical") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString
     val li = spark.read.parquet(s"${graft.TestSpark.sf0001}/lineitem.parquet")
