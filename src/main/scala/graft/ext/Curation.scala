@@ -1913,6 +1913,45 @@ object Curation {
                count(*) - 1 AS n_removed
              FROM members GROUP BY component ORDER BY component"""))
 
+  /** x35 — deterministic WEIGHTED sampling: keep the k documents with
+    * the smallest priority = hash DIV weight, weight = token count —
+    * the token-budget-aware sample (long docs proportionally likelier)
+    * where x01/x02 sample uniformly. The hash-over-weight priority is
+    * the integer-arithmetic surrogate of Efraimidis-Spirakis A-ES
+    * keys (u^(1/w) ordering, VLDB 2006-era weighted reservoirs): a
+    * doc's inclusion is a pure function of (content hash, weight), so
+    * the sample is reproducible on any engine, partitioning, or
+    * cluster size, and mergeable across shards (take the k smallest
+    * of the union — a weighted-reservoir property the float form
+    * shares but cannot make bit-stable).
+    *
+    * Scale shape: priority is a map-side expression; the top-k is one
+    * rank-limit (WindowGroupLimit map-side prune at k rows per task);
+    * no corpus shuffle. */
+  val weightedSample: QueryDef = {
+    val k = 50
+    QueryDef(
+      "x35_weighted_sample",
+      (s, d) =>
+        // top-k via sort-limit (TakeOrdered — per-partition heaps, no
+        // global window): the q21 anti-pattern a rank-window would plan
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            expr(sparkTokCount).cast("long").as("n_tokens"),
+            expr(Dedup.sparkMd5Int60("text")).as("h"))
+          .withColumn("priority", expr("h DIV greatest(n_tokens, 1)"))
+          .select("doc_id", "source", "n_tokens", "priority")
+          .orderBy(col("priority"), col("doc_id"))
+          .limit(k),
+      Some(s"""SELECT doc_id, source,
+                 CAST($duckTokCount AS BIGINT) AS n_tokens,
+                 ${Dedup.duckMd5Int60("text")}
+                   // greatest(CAST($duckTokCount AS BIGINT), 1)
+                   AS priority
+               FROM documents
+               ORDER BY priority, doc_id LIMIT $k"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -1922,5 +1961,5 @@ object Curation {
       incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity, chunkOverlap,
       trainingManifest, snapshotDiff, manifestRefresh, releasePipeline,
       qualityClassifier, qualityPrototype, domainCap, scd2History,
-      temperatureMix, datasetCard, canonicalSelection)
+      temperatureMix, datasetCard, canonicalSelection, weightedSample)
 }

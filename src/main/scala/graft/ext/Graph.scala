@@ -720,7 +720,93 @@ object Graph {
               min(deg) AS min_deg, max(deg) AS max_deg
             FROM deg GROUP BY 1, 2 ORDER BY kind, bin"""))
 
+  /** g10 — landmark harmonic-centrality profile (Boldi & Vigna,
+    * "Axioms for centrality", Internet Math 2014: harmonic = Σ 1/d,
+    * the closeness variant that is total on disconnected graphs):
+    * per-landmark BFS distances over g01's part↔supplier graph
+    * (landmarks = suppliers 1-3, g05's seed discipline), then each
+    * landmark's centrality as the INTEGER sum Σ (10⁴ DIV d) over
+    * reached nodes — plus reach count, eccentricity-within-budget, and
+    * exact mean distance. Landmark centralities are the standard
+    * approximation anchor for whole-graph closeness at scale.
+    *
+    * Determinism: per-(landmark, node) distance is a min over integer
+    * relaxations (g05's discipline, one state row per pair); 1/d is
+    * fixed-point 10⁴ DIV d so the centrality sum is order-free.
+    *
+    * Scale shape: state is |landmarks|·|V| rows of 24 bytes — linear
+    * in nodes at fixed landmark count; each round is one equi shuffle
+    * + one map-side-combining min; rounds FIXED (4), mirrored as
+    * unrolled CTEs. */
+  val harmonicCentrality: QueryDef = {
+    val Rounds = 4; val Landmarks = 3
+    QueryDef(
+      "g10_harmonic_centrality",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("p"),
+            (col("l_suppkey") + SuppOffset).as("sup"))
+          .distinct()
+        val e = li.select(col("p").as("u"), col("sup").as("v"))
+          .union(li.select(col("sup").as("u"), col("p").as("v")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var st = s.range(1, Landmarks + 1)
+          .select((col("id") + SuppOffset).as("seed"))
+          .select(col("seed"), col("seed").as("id"), lit(0L).as("dist"))
+        for (_ <- 1 to Rounds) {
+          st = st.join(e, st("id") === e("u"))
+            .select(col("seed"), col("v").as("id"),
+              (col("dist") + 1).as("dist"))
+            .union(st)
+            .groupBy("seed", "id").agg(min("dist").as("dist"))
+            .localCheckpoint()
+        }
+        val out = st.filter(col("dist") > 0)
+          .groupBy("seed")
+          .agg(count(lit(1)).as("n_reached"),
+            sum(expr("10000 DIV dist")).as("harmonic_x10000"),
+            max("dist").as("max_dist"),
+            round(sum("dist").cast("double") /
+              count(lit(1)).cast("double"), 6).as("mean_dist"))
+          .select((col("seed") - SuppOffset).as("landmark"),
+            col("n_reached"), col("harmonic_x10000"), col("max_dist"),
+            col("mean_dist"))
+          .orderBy("landmark")
+          .localCheckpoint()
+        e.unpersist()
+        out
+      },
+      Some {
+        val seeds = (1 to Landmarks)
+          .map(i => s"SELECT CAST(${SuppOffset + i} AS BIGINT) AS seed")
+          .mkString(" UNION ALL ")
+        val rounds = (1 to Rounds).map { i =>
+          s"""s$i AS (
+                SELECT seed, id, min(dist) AS dist FROM (
+                  SELECT s.seed, e.v AS id, s.dist + 1 AS dist
+                  FROM s${i - 1} s JOIN e ON e.u = s.id
+                  UNION ALL SELECT seed, id, dist FROM s${i - 1})
+                GROUP BY 1, 2)"""
+        }.mkString(",\n")
+        s"""WITH li AS (SELECT DISTINCT l_partkey AS p,
+                          l_suppkey + $SuppOffset AS sup FROM lineitem),
+            e AS (SELECT p AS u, sup AS v FROM li
+                  UNION ALL SELECT sup, p FROM li),
+            s0 AS (SELECT seed, seed AS id, CAST(0 AS BIGINT) AS dist
+                   FROM ($seeds)),
+            $rounds
+            SELECT seed - $SuppOffset AS landmark, count(*) AS n_reached,
+              CAST(sum(10000 // dist) AS BIGINT) AS harmonic_x10000,
+              max(dist) AS max_dist,
+              round(CAST(sum(dist) AS DOUBLE) /
+                    CAST(count(*) AS DOUBLE), 6) AS mean_dist
+            FROM s$Rounds WHERE dist > 0
+            GROUP BY 1 ORDER BY landmark"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(pagerank, triangles, kcore, labelPropagation, bfsHops,
-      personalizedPagerank, linkPrediction, hits, degreeHistogram)
+      personalizedPagerank, linkPrediction, hits, degreeHistogram,
+      harmonicCentrality)
 }

@@ -295,6 +295,49 @@ class DiversityCardOpsSpec extends AnyFunSuite {
       round(ranks.sum.toDouble / 20, 4)) < 1e-9)
   }
 
+  test("x35: weighted-sample priorities reproduce from Scala md5 math") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = docs().toSeq.map { case (id, t) =>
+      val h = md5hex(t).substring(1, 16).foldLeft(0L)((a, c) =>
+        a * 16 + Character.digit(c, 16))
+      val w = math.max(t.trim.split("\\s+").length.toLong, 1L)
+      (id, h / w)
+    }.sortBy { case (id, p) => (p, id) }.take(50)
+    val got = graft.ext.Curation.weightedSample.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("priority")))
+    assert(got.toSeq == want)
+  }
+
+  test("g10: landmark distances and harmonic sums reproduce from Scala BFS") {
+    val off = 1000000000L
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1) + off))
+    val adj = (li.map(e => e._1 -> e._2) ++ li.map(e => e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = (1L to 3L).map { lm =>
+      val seed = lm + off
+      var dist = Map(seed -> 0L)
+      var frontier = Set(seed)
+      for (r <- 1 to 4) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .filterNot(dist.contains)
+        dist ++= next.map(_ -> r.toLong)
+        frontier = next
+      }
+      val reached = dist.filter(_._2 > 0)
+      lm -> (reached.size.toLong,
+        reached.values.map(10000L / _).sum,
+        reached.values.max,
+        round(reached.values.sum.toDouble / reached.size, 6))
+    }.toMap
+    val got = graft.ext.Graph.harmonicCentrality.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(got == want)
+  }
+
   test("s10: greedy MMR selection reproduces from quantized vectors") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
       .map { r =>
