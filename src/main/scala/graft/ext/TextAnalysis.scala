@@ -1168,9 +1168,100 @@ object TextAnalysis {
                           AS DOUBLE), 6) AS recall
              FROM cells ORDER BY lang, pred_lang"""))
 
+  /** t22 — Gopher-style quality-rule battery (Rae et al., "Scaling
+    * Language Models: … Gopher", 2021, Appendix A1): the canonical
+    * pretraining document gates — word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio, bullet-line fraction, alphabetic-
+    * word fraction, minimum distinct stopwords — as one per-document
+    * PASS/FAIL report with every sufficient statistic alongside.
+    * t02 scores quality continuously; t22 is the rule-gate form
+    * production filters actually ship.
+    *
+    * Determinism: every rule is an INTEGER cross-multiplied
+    * comparison (mean length ∈ [3,10] becomes 3n ≤ Σlen ≤ 10n; 80%
+    * becomes 5·hits ≥ 4·n) — no division, no float anywhere.
+    *
+    * Scale shape: pure per-row projection inside the scan stage; the
+    * only shuffle is the output sort. */
+  val gopherRules: QueryDef = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopArr = stops.map(w => s"'$w'").mkString(", ")
+    QueryDef(
+      "t22_gopher_rules",
+      (s, d) =>
+        Tables.documents(s, d)
+          .selectExpr(
+            "doc_id",
+            raw"size(split(trim(text), '\\s+')) AS n_words",
+            raw"aggregate(transform(split(trim(text), '\\s+'), w -> length(w)), 0, (a, x) -> a + x) AS sum_len",
+            "length(text) - length(replace(text, '#', '')) " +
+              "+ (length(text) - length(replace(text, '...', ''))) DIV 3 AS n_symbols",
+            raw"size(split(text, '\n')) AS n_lines",
+            raw"size(filter(split(text, '\n'), l -> l LIKE '- %' OR l LIKE '* %')) AS n_bullets",
+            raw"size(filter(split(trim(text), '\\s+'), w -> w RLIKE '[a-zA-Z]')) AS n_alpha",
+            s"size(array_intersect(array_distinct(split(lower(text), ' ')), array($stopArr))) AS n_stops")
+          .selectExpr(
+            "doc_id", "n_words", "sum_len", "n_symbols", "n_lines",
+            "n_bullets", "n_alpha", "n_stops",
+            "n_words >= 50 AND n_words <= 100000 AS r_word_count",
+            "sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS r_mean_len",
+            "10 * n_symbols <= n_words AS r_symbol_ratio",
+            "10 * n_bullets <= n_lines AS r_bullets",
+            "5 * n_alpha >= 4 * n_words AS r_alpha_words",
+            "n_stops >= 2 AS r_stopwords")
+          .selectExpr(("doc_id" +: Seq("n_words", "sum_len", "n_symbols",
+            "n_lines", "n_bullets", "n_alpha", "n_stops", "r_word_count",
+            "r_mean_len", "r_symbol_ratio", "r_bullets", "r_alpha_words",
+            "r_stopwords")) :+
+            ("r_word_count AND r_mean_len AND r_symbol_ratio AND r_bullets" +
+              " AND r_alpha_words AND r_stopwords AS pass_all"): _*)
+          .orderBy("doc_id"),
+      Some(s"""WITH c AS (
+                 SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                     AS INTEGER) AS n_words,
+                   CAST(list_reduce(list_prepend(0,
+                     list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                       w -> CAST(length(w) AS INTEGER))),
+                     (a, x) -> a + x) AS INTEGER) AS sum_len,
+                   CAST(length(text) - length(replace(text, '#', ''))
+                     + (length(text) - length(replace(text, '...', ''))) // 3
+                     AS INTEGER) AS n_symbols,
+                   CAST(len(string_split(text, chr(10))) AS INTEGER)
+                     AS n_lines,
+                   CAST(len(list_filter(string_split(text, chr(10)),
+                     l -> l LIKE '- %' OR l LIKE '* %')) AS INTEGER)
+                     AS n_bullets,
+                   CAST(len(list_filter(
+                     regexp_split_to_array(trim(text), '\\s+'),
+                     w -> regexp_matches(w, '[a-zA-Z]'))) AS INTEGER)
+                     AS n_alpha,
+                   CAST(len(list_intersect(
+                     list_distinct(string_split(lower(text), ' ')),
+                     [$stopArr])) AS INTEGER) AS n_stops
+                 FROM documents)
+               SELECT doc_id, n_words, sum_len, n_symbols, n_lines,
+                 n_bullets, n_alpha, n_stops,
+                 n_words >= 50 AND n_words <= 100000 AS r_word_count,
+                 sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+                   AS r_mean_len,
+                 10 * n_symbols <= n_words AS r_symbol_ratio,
+                 10 * n_bullets <= n_lines AS r_bullets,
+                 5 * n_alpha >= 4 * n_words AS r_alpha_words,
+                 n_stops >= 2 AS r_stopwords,
+                 (n_words >= 50 AND n_words <= 100000)
+                   AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+                   AND 10 * n_symbols <= n_words
+                   AND 10 * n_bullets <= n_lines
+                   AND 5 * n_alpha >= 4 * n_words
+                   AND n_stops >= 2 AS pass_all
+               FROM c ORDER BY doc_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
       nfcCanonicalize, domainClassify, vocabBuild, bpeInduction, bpeEncode,
-      readability, lexicalDiversity, rakeKeywords, langIdConfusion)
+      readability, lexicalDiversity, rakeKeywords, langIdConfusion,
+      gopherRules)
 }

@@ -112,8 +112,11 @@ object Events {
         col("click_ts") <= col("error_ts") &&
         col("click_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR"),
       joinType)
-      .select(col("e_uid").as("user_id"), col("error_id"),
-        col("click_ts"), col("error_ts"), col("click_value"))
+      // coalesce carries the key for OUTER unmatched rows of either
+      // side (for inner/left the e side is always present — unchanged)
+      .select(coalesce(col("e_uid"), col("c_uid")).as("user_id"),
+        col("error_id"), col("click_ts"), col("error_ts"),
+        col("click_value"))
   }
 
   /** Streaming dedup within the watermark horizon. */
@@ -665,6 +668,46 @@ object Events {
             LEFT JOIN act n24 ON n24.user_id = a.user_id AND n24.h = a.h + 24
             GROUP BY 1 ORDER BY hour"""))
 
+  /** st15 — the FULL-OUTER stream-stream join's batch twin: st11 with
+    * BOTH unmatched sides retained — errors with no preceding-hour
+    * click AND clicks that preceded no error (the reconciliation shape:
+    * neither side may be dropped when auditing event completeness). In
+    * streaming mode each side's unmatched rows emit once ITS watermark
+    * closes the interval (Spark supports full-outer stream-stream joins
+    * with watermarks + a time-range condition since 3.1); in batch the
+    * plan is the same range join, `full_outer`. A `side` column types
+    * the three match states. */
+  val streamFullJoinQ: QueryDef = QueryDef(
+    "st15_stream_full_outer_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      clickErrorJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "error"),
+        joinType = "full_outer")
+        .select(col("user_id"), col("error_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format(col("error_ts"), "yyyy-MM-dd HH:mm:ss").as("error_ts"),
+          col("click_value"),
+          when(col("error_id").isNull, lit("click_only"))
+            .when(col("click_ts").isNull, lit("error_only"))
+            .otherwise(lit("both")).as("side"))
+        .orderBy("user_id", "side", "error_id", "click_ts", "click_value")
+    },
+    Some("""SELECT coalesce(e.user_id, c.user_id) AS user_id,
+            e.event_id AS error_id,
+            strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+            strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+            c.value AS click_value,
+            CASE WHEN e.event_id IS NULL THEN 'click_only'
+                 WHEN c.ts IS NULL THEN 'error_only'
+                 ELSE 'both' END AS side
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON c.user_id = e.user_id
+              AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR
+            ORDER BY user_id, side, error_id, click_ts, click_value"""))
+
   /** Per-window event-type counts — the streaming-aggregation stage of
     * st14. Ranking happens downstream (per completed window, a bounded
     * ≤|event_type-domain| relation), because a rank inside a streaming
@@ -720,5 +763,5 @@ object Events {
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
       streamLeftJoinQ, dedupBatchQ, enrichQ, windowSketchQ, funnelQ,
-      retentionQ, topTypesQ)
+      retentionQ, topTypesQ, streamFullJoinQ)
 }

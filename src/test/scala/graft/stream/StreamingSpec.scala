@@ -145,6 +145,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.get(12L).contains(true), s"unmatched error not emitted null: $rows")
   }
 
+  test("full-outer stream-stream join emits BOTH unmatched sides after the watermark") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String, Double)]
+    val errors = MemoryStream[(Long, Timestamp, String, Double)]
+    def df(m: MemoryStream[(Long, Timestamp, String, Double)]) =
+      m.toDF().toDF("event_id", "ts", "event_type", "value")
+        .withColumn("user_id", col("event_id") % 10)
+    val joined = Events.clickErrorJoin(df(clicks), df(errors),
+      watermark = "10 minutes", joinType = "full_outer")
+    val q = joined.writeStream.format("memory").queryName("fojoin_out")
+      .outputMode("append").start()
+    // user 1: click+error pair; user 2: error only; user 5: click only
+    clicks.addData((1L, tsH(10, 0), "click", 1.0), (5L, tsH(10, 0), "click", 5.0))
+    errors.addData((11L, tsH(10, 30), "error", 0.0), (12L, tsH(10, 30), "error", 0.0))
+    q.processAllAvailable()
+    // advance both watermarks far past the horizon, twice
+    for (h <- Seq(14, 16)) {
+      clicks.addData((3L, tsH(h, 0), "click", 9.0))
+      errors.addData((13L, tsH(h, 0), "error", 9.0))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.table("fojoin_out").collect()
+    val byError = rows.filter(!_.isNullAt(1))
+      .map(r => r.getAs[Long]("error_id") ->
+        r.isNullAt(r.fieldIndex("click_ts"))).toMap
+    assert(byError.get(11L).contains(false), s"matched pair wrong: $byError")
+    assert(byError.get(12L).contains(true), s"unmatched error missing: $byError")
+    // the click-only row surfaces with a null error side and its OWN key
+    val clickOnly = rows.filter(r =>
+      r.isNullAt(1) && !r.isNullAt(r.fieldIndex("click_value")) &&
+        r.getAs[Double]("click_value") == 5.0)
+    assert(clickOnly.nonEmpty, "unmatched click not emitted")
+    assert(clickOnly.forall(_.getAs[Long]("user_id") == 5L))
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
