@@ -1952,6 +1952,80 @@ object Curation {
                ORDER BY priority, doc_id LIMIT $k"""))
   }
 
+  /** x36 — deterministic epoch shuffling: each training epoch orders
+    * the corpus by md5(epoch ‖ doc_id) — a fresh pseudo-random
+    * permutation per epoch that is a PURE ROW FUNCTION (reproducible on
+    * any engine/partitioning/cluster size, resumable mid-epoch from a
+    * position, no shuffle-state to persist — the dataloader property
+    * `orderBy(rand(seed))` cannot give because rand's row assignment
+    * depends on partitioning). Registered output: the first 10
+    * documents of epochs 0 and 1 with their epoch-order positions,
+    * plus a per-epoch checksum over the full permutation so the oracle
+    * pins the ENTIRE order, not just the head.
+    *
+    * Scale shape: the sort key is a map-side md5; the per-epoch head
+    * is a rank-limit window partitioned by epoch (Spark 4's
+    * WindowGroupLimit prunes to ≤10 rows per task map-side); the
+    * checksum is an order-insensitive SUM of 40-bit key folds — exact
+    * in a long up to ~8 M docs/epoch; a larger corpus would widen it
+    * to a modular accumulator (documented trade, same shape). */
+  val epochShuffle: QueryDef = {
+    val epochs = 2; val head = 10
+    QueryDef(
+      "x36_epoch_shuffle",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val keyed = s.range(0, epochs).select(col("id").cast("int").as("epoch"))
+          .crossJoin(docs)
+          .select(col("epoch"), col("doc_id"),
+            md5(concat(col("epoch").cast("string"), lit(":"),
+              col("doc_id").cast("string"))).as("k"))
+        val heads = keyed
+          .withColumn("position", row_number().over(
+            Window.partitionBy("epoch").orderBy(col("k"), col("doc_id"))))
+          .filter(col("position") <= head)
+          .select(col("epoch"), col("position"), col("doc_id"),
+            col("k").as("order_key"))
+        val sums = keyed.groupBy("epoch")
+          .agg(sum(expr("CAST(conv(substring(k, 1, 10), 16, 10) AS BIGINT)"))
+            .as("perm_checksum"))
+        heads.join(sums, "epoch")
+          .select("epoch", "position", "doc_id", "order_key", "perm_checksum")
+          .orderBy("epoch", "position")
+      },
+      Some(s"""WITH keyed AS (
+                 SELECT e.epoch, d.doc_id,
+                   md5(concat(CAST(e.epoch AS VARCHAR), ':',
+                       CAST(d.doc_id AS VARCHAR))) AS k
+                 FROM (SELECT unnest(range(0, $epochs)) AS epoch) e,
+                      (SELECT doc_id FROM documents) d),
+               heads AS (
+                 SELECT epoch, doc_id, k AS order_key,
+                   CAST(row_number() OVER (PARTITION BY epoch
+                     ORDER BY k, doc_id) AS INTEGER) AS position
+                 FROM keyed),
+               sums AS (
+                 SELECT epoch,
+                   CAST(sum(${duckHexFold("k", 1, 10)}) AS BIGINT)
+                     AS perm_checksum
+                 FROM keyed GROUP BY 1)
+               SELECT CAST(h.epoch AS INTEGER) AS epoch, h.position,
+                 h.doc_id, h.order_key, s.perm_checksum
+               FROM heads h JOIN sums s ON s.epoch = h.epoch
+               WHERE h.position <= $head
+               ORDER BY epoch, position"""))
+  }
+
+  /** DuckDB hex fold over md5 chars [from, from+len) — local alias of
+    * Dedup.duckMd5IntSlice's digit fold for an ALREADY-hex column. */
+  private def duckHexFold(col: String, from: Int, len: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range($from, ${from + len}),
+            i -> CAST(strpos('0123456789abcdef',
+              substring($col, i, 1)) - 1 AS BIGINT))),
+          (a, d) -> a * 16 + d)"""
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -1961,5 +2035,6 @@ object Curation {
       incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity, chunkOverlap,
       trainingManifest, snapshotDiff, manifestRefresh, releasePipeline,
       qualityClassifier, qualityPrototype, domainCap, scd2History,
-      temperatureMix, datasetCard, canonicalSelection, weightedSample)
+      temperatureMix, datasetCard, canonicalSelection, weightedSample,
+      epochShuffle)
 }

@@ -338,6 +338,29 @@ class DiversityCardOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("x36: epoch permutations reproduce from Scala md5; epochs differ") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = docs().keySet
+    val want = (0 until 2).flatMap { e =>
+      val ordered = ids.toSeq.map(id => (md5hex(s"$e:$id"), id)).sorted
+      val checksum = ordered.map { case (k, _) =>
+        k.take(10).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+      }.sum
+      ordered.take(10).zipWithIndex.map { case ((k, id), i) =>
+        (e, i + 1) -> (id, k, checksum)
+      }
+    }.toMap
+    val got = graft.ext.Curation.epochShuffle.build(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    assert(got == want)
+    // different epochs genuinely permute differently
+    val e0 = got.filter(_._1._1 == 0).toSeq.sortBy(_._1._2).map(_._2._1)
+    val e1 = got.filter(_._1._1 == 1).toSeq.sortBy(_._1._2).map(_._2._1)
+    assert(e0 != e1)
+  }
+
   test("s10: greedy MMR selection reproduces from quantized vectors") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
       .map { r =>

@@ -323,4 +323,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange") && !p.contains("Window") &&
       !p.contains("Join"), p)
   }
+
+  test("runtime bloom-filter join injection prunes the fact side of a selective shuffle join") {
+    // the 100 TB join-pruning feature: when a selective dim filters a
+    // shuffled fact join, Catalyst injects a bloom filter built from
+    // the dim side as a runtime predicate on the fact scan — rows that
+    // cannot join are dropped BEFORE the shuffle. Assert the rewrite
+    // fires under the documented confs on this Spark.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffle join
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.col
+      val li = graft.core.Tables.lineitem(spark, sf)
+      val ord = graft.core.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") ||
+        optimized.contains("BloomFilterMightContain") ||
+        optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${optimized.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
