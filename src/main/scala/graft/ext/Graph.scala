@@ -805,8 +805,132 @@ object Graph {
       })
   }
 
+  /** g11 — modularity scoring of g04's communities (Newman & Girvan,
+    * PRE 2004): Q = Σ_c [e_c/m − (d_c/2m)²] for the label-propagation
+    * partition — the community-QUALITY harness (t21/d17/s08's
+    * evaluation idiom applied to graph clustering: g04 produces the
+    * partition, g11 says whether it is better than chance). Top-10
+    * communities by size with their exact pieces, plus the whole-graph
+    * Q on every row.
+    *
+    * Determinism: everything is computed in the INTEGER numerator
+    * Q·4m² = Σ_c (4m·e_c − d_c²) — internal-edge counts, degree sums,
+    * and m are exact longs (bounded by 4m² < 2⁶³ far beyond any TPC-H
+    * SF), and the final Q is ONE division, round(6).
+    *
+    * Scale shape: LP rounds are g04's; internal edges = the edge list
+    * joined to the label vector on BOTH endpoints (two equi joins);
+    * degree sums one aggregate; the graph totals are a 1-row broadcast
+    * (e05's scalar idiom), never a global window over the unbounded
+    * community frame. */
+  val modularity: QueryDef = {
+    val Rounds = 3
+    QueryDef(
+      "g11_modularity",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("p"),
+            (col("l_suppkey") + SuppOffset).as("sup"))
+          .distinct()
+        val e2 = li.select(col("p").as("u"), col("sup").as("v"))
+          .union(li.select(col("sup").as("u"), col("p").as("v")))
+        val labels = labelPropagate(e2, Rounds).localCheckpoint()
+        val internal = li
+          .join(labels.select(col("id").as("p"), col("lab").as("lp")), "p")
+          .join(labels.select(col("id").as("sup"), col("lab").as("ls")),
+            "sup")
+          .filter(col("lp") === col("ls"))
+          .groupBy(col("lp").as("community"))
+          .agg(count(lit(1)).as("internal_edges"))
+        val degSum = e2.groupBy("u").agg(count(lit(1)).as("deg"))
+          .join(labels, col("u") === col("id"))
+          .groupBy(col("lab").as("community"))
+          .agg(sum("deg").as("degree_sum"), count(lit(1)).as("n_nodes"))
+        val cells = degSum
+          .join(internal, Seq("community"), "left")
+          .withColumn("internal_edges",
+            coalesce(col("internal_edges"), lit(0L)))
+        val mRow = li.agg(count(lit(1)).as("m_edges"))
+        val scored = cells.crossJoin(broadcast(mRow))
+          .withColumn("contrib_scaled",
+            expr("4 * m_edges * internal_edges - degree_sum * degree_sum"))
+        val total = scored.agg(
+          sum("contrib_scaled").as("q_scaled_total"),
+          max("m_edges").as("m2"))
+          .select(col("q_scaled_total"),
+            round(col("q_scaled_total").cast("double") /
+              (lit(4.0) * col("m2") * col("m2")).cast("double"), 6)
+              .as("modularity"))
+        scored
+          .select("community", "n_nodes", "internal_edges", "degree_sum",
+            "contrib_scaled")
+          .orderBy(col("n_nodes").desc, col("community")).limit(10)
+          .crossJoin(broadcast(total))
+          .orderBy(col("n_nodes").desc, col("community"))
+      },
+      Some {
+        val base =
+          s"""li AS (SELECT DISTINCT l_partkey AS p,
+                       l_suppkey + $SuppOffset AS sup FROM lineitem),
+              e AS (SELECT p AS u, sup AS v FROM li
+                    UNION ALL SELECT sup, p FROM li),
+              l0 AS (SELECT DISTINCT u AS id, u AS lab FROM e)"""
+        val rounds = (1 to Rounds).map { k =>
+          s"""c$k AS (
+                SELECT e.v, l${k - 1}.lab, count(*) AS cnt
+                FROM e JOIN l${k - 1} ON l${k - 1}.id = e.u
+                GROUP BY 1, 2),
+              l$k AS (
+                SELECT v AS id, lab FROM (
+                  SELECT v, lab,
+                    row_number() OVER (PARTITION BY v
+                      ORDER BY cnt DESC, lab) AS rn
+                  FROM c$k)
+                WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH $base,
+            $rounds,
+            internal AS (
+              SELECT lp.lab AS community, count(*) AS internal_edges
+              FROM li
+              JOIN l$Rounds lp ON lp.id = li.p
+              JOIN l$Rounds ls ON ls.id = li.sup AND ls.lab = lp.lab
+              GROUP BY 1),
+            degs AS (
+              SELECT l.lab AS community,
+                CAST(sum(d.deg) AS BIGINT) AS degree_sum,
+                count(*) AS n_nodes
+              FROM (SELECT u, count(*) AS deg FROM e GROUP BY 1) d
+              JOIN l$Rounds l ON l.id = d.u
+              GROUP BY 1),
+            m AS (SELECT count(*) AS m_edges FROM li),
+            cells AS (
+              SELECT degs.community, degs.n_nodes,
+                CAST(coalesce(internal.internal_edges, 0) AS BIGINT)
+                  AS internal_edges,
+                degs.degree_sum,
+                CAST(4 * m.m_edges * coalesce(internal.internal_edges, 0)
+                  - degs.degree_sum * degs.degree_sum AS BIGINT)
+                  AS contrib_scaled
+              FROM degs
+              LEFT JOIN internal ON internal.community = degs.community
+              CROSS JOIN m),
+            total AS (
+              SELECT CAST(sum(contrib_scaled) AS BIGINT) AS q_scaled_total,
+                round(CAST(CAST(sum(contrib_scaled) AS BIGINT) AS DOUBLE) /
+                  CAST(4.0 * max(m.m_edges) * max(m.m_edges) AS DOUBLE), 6)
+                  AS modularity
+              FROM cells, m)
+            SELECT c.community, c.n_nodes, c.internal_edges, c.degree_sum,
+              c.contrib_scaled, t.q_scaled_total, t.modularity
+            FROM (SELECT * FROM cells
+                  ORDER BY n_nodes DESC, community LIMIT 10) c, total t
+            ORDER BY c.n_nodes DESC, c.community"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(pagerank, triangles, kcore, labelPropagation, bfsHops,
       personalizedPagerank, linkPrediction, hits, degreeHistogram,
-      harmonicCentrality)
+      harmonicCentrality, modularity)
 }

@@ -361,6 +361,40 @@ class DiversityCardOpsSpec extends AnyFunSuite {
     assert(e0 != e1)
   }
 
+  test("g11: modularity pieces reproduce from labels + edge maps") {
+    val off = 1000000000L
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1) + off))
+    import spark.implicits._
+    val e2 = (li ++ li.map(_.swap)).toSeq.toDF("u", "v")
+    val labs = graft.ext.Graph.labelPropagate(e2, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = li.length.toLong
+    val internal = li.filter { case (p, s_) => labs(p) == labs(s_) }
+      .groupBy(x => labs(x._1)).view.mapValues(_.length.toLong).toMap
+    val deg = (li.map(_._1) ++ li.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cells = labs.groupBy(_._2).map { case (c, members) =>
+      val dsum = members.keys.toSeq.map(deg).sum
+      val ec = internal.getOrElse(c, 0L)
+      c -> (members.size.toLong, ec, dsum, 4 * m * ec - dsum * dsum)
+    }
+    val qScaled = cells.values.map(_._4).sum
+    val q = round(qScaled.toDouble / (4.0 * m * m), 6)
+    val got = graft.ext.Graph.modularity.build(spark, sf).collect()
+    assert(got.length == math.min(cells.size, 10))
+    got.foreach { r =>
+      val c = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        == cells(c), s"community $c")
+      assert(r.getLong(5) == qScaled)
+      assert(math.abs(r.getDouble(6) - q) < 1e-9)
+    }
+    // a community partition of a connected dense graph: Q in [-0.5, 1)
+    assert(q >= -0.5 && q < 1.0)
+  }
+
   test("s10: greedy MMR selection reproduces from quantized vectors") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
       .map { r =>
