@@ -54,6 +54,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "m04_multimodal_embed_topk" -> "bounded probe set broadcast",
     "m07_crossmodal_retrieval" -> "bounded text-query set broadcast (m04's idiom; image corpus scans in place)",
     "x36_epoch_shuffle" -> "2-row epoch frame broadcast against the corpus (epoch fan-out, not a data join)",
+    "g11_modularity" -> "1-row graph-totals scalar broadcast x2 (e05's idiom: m and Q attach to every output row)",
     "q35_fuzzy_levenshtein" -> "name-DOMAIN pair stage, vocabulary-bounded by design",
     "t15_vocab_build" -> "1-row grand-total broadcast (t07/x09's idiom)",
     "x29b_quality_prototype" -> "1-row class-token-total broadcast into the 1024-row weight frame",
