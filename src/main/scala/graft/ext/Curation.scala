@@ -36,6 +36,22 @@ object Curation {
   private val duckTokCount =
     """CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)"""
 
+  /** Modulus of [[permChecksum]]: the Mersenne prime 2⁶¹ − 1.
+    * (Declared ahead of the QueryDefs that interpolate it into oracle
+    * SQL — object vals initialize in declaration order.) */
+  val ChecksumMod: Long = (1L << 61) - 1
+
+  /** Order-insensitive permutation checksum over non-negative 40-bit
+    * key folds — the MODULAR ACCUMULATOR form: accumulate in an exact
+    * DECIMAL(38,0) sum (headroom to ~10²⁶ rows, where the plain BIGINT
+    * sum the fixture originally used goes inexact past ~8 M rows ·
+    * 2⁴⁰), then reduce modulo the Mersenne prime 2⁶¹ − 1 into a
+    * compact engine-portable long. Mergeable across shards/epoch
+    * partials (mod distributes over the partial sums), and mirrored
+    * exactly by DuckDB's HUGEINT sum % the same modulus. */
+  def permChecksum(fold40: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (sum(fold40.cast("decimal(38,0)")) % lit(ChecksumMod)).cast("long")
+
   /** x01 — entity-consistent deterministic sampling: keep every lineitem
     * of the ~5.1% of orders whose md5(l_orderkey) falls under the
     * threshold ('00'..'0c' of 256 two-hex-char prefixes = 13/256).
@@ -1966,9 +1982,9 @@ object Curation {
     * Scale shape: the sort key is a map-side md5; the per-epoch head
     * is a rank-limit window partitioned by epoch (Spark 4's
     * WindowGroupLimit prunes to ≤10 rows per task map-side); the
-    * checksum is an order-insensitive SUM of 40-bit key folds — exact
-    * in a long up to ~8 M docs/epoch; a larger corpus would widen it
-    * to a modular accumulator (documented trade, same shape). */
+    * checksum is an order-insensitive sum of 40-bit key folds through
+    * [[permChecksum]] — the widened modular accumulator, exact at any
+    * corpus size (a plain BIGINT sum overflows past ~8 M docs/epoch). */
   val epochShuffle: QueryDef = {
     val epochs = 2; val head = 10
     QueryDef(
@@ -1988,7 +2004,8 @@ object Curation {
           .select(col("epoch"), col("position"), col("doc_id"),
             col("k").as("order_key"))
         val sums = keyed.groupBy("epoch")
-          .agg(sum(expr("CAST(conv(substring(k, 1, 10), 16, 10) AS BIGINT)"))
+          .agg(permChecksum(
+            expr("CAST(conv(substring(k, 1, 10), 16, 10) AS BIGINT)"))
             .as("perm_checksum"))
         heads.join(sums, "epoch")
           .select("epoch", "position", "doc_id", "order_key", "perm_checksum")
@@ -2007,7 +2024,8 @@ object Curation {
                  FROM keyed),
                sums AS (
                  SELECT epoch,
-                   CAST(sum(${duckHexFold("k", 1, 10)}) AS BIGINT)
+                   CAST(sum(${duckHexFold("k", 1, 10)})
+                        % ${ChecksumMod} AS BIGINT)
                      AS perm_checksum
                  FROM keyed GROUP BY 1)
                SELECT CAST(h.epoch AS INTEGER) AS epoch, h.position,

@@ -815,8 +815,11 @@ object Graph {
     *
     * Determinism: everything is computed in the INTEGER numerator
     * Q·4m² = Σ_c (4m·e_c − d_c²) — internal-edge counts, degree sums,
-    * and m are exact longs (bounded by 4m² < 2⁶³ far beyond any TPC-H
-    * SF), and the final Q is ONE division, round(6).
+    * and m are exact longs. Bound: with m ≈ 8·10⁵·SF distinct
+    * part-supplier edges, 4m² crosses 2⁶³ near SF≈1900 (~2 TB of this
+    * graph's edge data); past that, widen to the modular-accumulator /
+    * 128-bit form exactly as x36's checksum documents — the final Q is
+    * ONE division, round(6).
     *
     * Scale shape: LP rounds are g04's; internal edges = the edge list
     * joined to the label vector on BOTH endpoints (two equi joins);

@@ -296,6 +296,10 @@ object Multimodal {
           .select(col("doc_id"),
             expr(s"CAST(ceil(length(pcm) / $frame.0) AS INT)").as("n_frames"),
             col("pcm"))
+          // n_frames=0 guard: sequence(0, -1) yields the DESCENDING
+          // [0, -1] (two bogus frames), while the oracle's range(0, 0)
+          // emits none — empty payloads must drop out on BOTH engines
+          .filter(col("n_frames") > 0)
           .select(col("doc_id"), col("n_frames"),
             posexplode(expr("sequence(0, n_frames - 1)")).as(Seq("ord", "idx")),
             col("pcm"))

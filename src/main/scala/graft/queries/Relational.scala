@@ -1543,8 +1543,12 @@ object Relational {
     "q53_sql_scripting",
     (s, d) => {
       ord(s, d).createOrReplaceTempView("g53_orders")
-      s.conf.set("spark.sql.scripting.enabled", "true")
-      s.sql("""BEGIN
+      // scripting is only needed while s.sql PARSES the compound block;
+      // save/restore so the flag doesn't leak into the shared session
+      val key = "spark.sql.scripting.enabled"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try s.sql("""BEGIN
                  DECLARE med DOUBLE;
                  DECLARE band STRING;
                  SET med = (SELECT percentile(o_totalprice, 0.5)
@@ -1559,6 +1563,10 @@ object Relational {
                    count(*) AS n_above
                  FROM g53_orders WHERE o_totalprice > med;
                END""")
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     },
     Some("""WITH m AS (
               SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders)

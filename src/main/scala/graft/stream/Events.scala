@@ -63,9 +63,16 @@ object Events {
       dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Fallback ONLY for the empty/missing-path case (AnalysisException:
+    // unable to infer schema / path not found) — a transient IO or
+    // permission failure must SURFACE, because silently assuming the
+    // 4.1+ schema on the wrong runtime yields corrupt rows, not an
+    // analysis error (see doc note above).
     val tsType: DataType =
       try spark.read.parquet(dir).schema("ts").dataType
-      catch { case _: Exception => TimestampNTZType } // empty dir: assume 4.1+ reader
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => TimestampNTZType
+      }
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", tsType),
@@ -760,8 +767,78 @@ object Events {
             SELECT w_start, event_type, n, rank FROM r
             WHERE rank <= 3 ORDER BY w_start, rank"""))
 
+  /** st12b — the [[RunningMaxProcessor]]'s batch twin: the SAME
+    * transformWithState processor run over the bounded events table
+    * (Spark executes stateful processors on batch input by feeding each
+    * key's rows through one `handleInputRows` call against empty state),
+    * so the final emitted row per key IS the stream's steady state:
+    * per-user (count, max value) ≡ one GROUP BY. The MemoryStream spec
+    * remains the streaming-side proof (incremental updates); this row
+    * gives the processor an oracle-backed CORRECTNESS entry. max(value)
+    * involves no arithmetic — both engines compare identical parquet
+    * doubles — so it passes unrounded like st05's click_value. */
+  /** transformWithState (batch or stream) requires the RocksDB state
+    * store provider; the batch twins set it for the plan's execution and
+    * restore the previous value so the shared Verify/Bench session is
+    * not left reconfigured (the q53 save/restore discipline). The conf
+    * is read at execution, so it must wrap the ACTION — the twins
+    * eagerly materialize via localCheckpoint inside the wrapper. */
+  private def withRocksDb[A](s: SparkSession)(body: => A): A = {
+    // Batch TransformWithStateExec builds its StateStoreConf from a
+    // FRESH default SQLConf (only the provider key is overridden), so
+    // session-level confs cannot reach it — in particular snapshot-lag
+    // reporting stays on and phones the StateStoreCoordinator RPC
+    // endpoint. That endpoint is registered by StreamingQueryManager's
+    // constructor, which a pure-batch session never builds; touching
+    // `streams` forces it so the executor-side lookup succeeds.
+    s.streams
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  val runningMaxBatchQ: QueryDef = QueryDef(
+    "st12b_running_max_batch",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+      withRocksDb(s) {
+        runningMaxStream(ev).toDF("user_id", "n", "max_value")
+          .localCheckpoint()
+      }.orderBy("user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n, max(value) AS max_value
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** st13b — the [[TypeCountsProcessor]]'s batch twin: MapState per-user
+    * event-type histogram over bounded input ≡ GROUP BY (user, type).
+    * One batch means one `handleInputRows` per key, which re-emits the
+    * key's full sorted map — exactly the histogram. */
+  val typeCountsBatchQ: QueryDef = QueryDef(
+    "st13b_type_counts_batch",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).as[(Long, String)]
+      withRocksDb(s) {
+        typeCountsStream(ev).toDF("user_id", "event_type", "n")
+          .localCheckpoint()
+      }.orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY user_id, event_type
+            ORDER BY user_id, event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
       streamLeftJoinQ, dedupBatchQ, enrichQ, windowSketchQ, funnelQ,
-      retentionQ, topTypesQ, streamFullJoinQ)
+      retentionQ, topTypesQ, streamFullJoinQ, runningMaxBatchQ,
+      typeCountsBatchQ)
 }

@@ -541,4 +541,21 @@ class CurationSpec extends AnyFunSuite {
     assert(out("exact") == (200L until 210L).toSet)
     assert(out("small") == (300L until 303L).toSet)
   }
+
+  test("x36 permChecksum: exact past the planted >2⁶³ plain-sum boundary, " +
+      "mergeable across shards") {
+    // 64 folds of 2⁶⁰ sum to 2⁶⁶ — a plain BIGINT accumulator wraps
+    // (the pre-widening fold was exact only to ~8 M docs · 2⁴⁰); the
+    // decimal-accumulate-then-mod form must equal the BigInt truth.
+    val folds = Seq.fill(64)(1L << 60)
+    val got = folds.toDF("f")
+      .agg(Curation.permChecksum(col("f")).as("c")).head.getLong(0)
+    val want = (BigInt(1) << 66) % BigInt(Curation.ChecksumMod)
+    assert(BigInt(got) == want, s"got $got want $want")
+    assert(folds.reduce(_ + _) != want.toLong, "boundary not planted past 2^63")
+    // shard mergeability: mod distributes over partial sums
+    val parts = folds.grouped(16).map(g =>
+      g.toDF("f").agg(Curation.permChecksum(col("f"))).head.getLong(0)).toSeq
+    assert(parts.map(BigInt(_)).sum % BigInt(Curation.ChecksumMod) == want)
+  }
 }

@@ -68,4 +68,35 @@ class SkewSpec extends AnyFunSuite {
     val top = Skew.keyHistogram(skewed, "key", 1).collect()(0)
     assert(top.getString(0) == "hot" && top.getLong(1) == 900)
   }
+
+  test("AQE does NOT split a skewed AGGREGATION — the boundary where " +
+      "manual salting is still required") {
+    // When salting is and isn't needed, as one executable statement:
+    // OptimizeSkewedJoin only rewrites JOIN shuffles (the test above —
+    // skew=true on the planted sort-merge join), so rely on AQE there.
+    // A hot GROUP BY key funnels into one reducer with no AQE rescue —
+    // under the very thresholds that split the join, the aggregation
+    // exchange stays unsplit — which is exactly what Skew.saltedSum's
+    // two-phase (key, salt) aggregate exists for ("saltedSum equals
+    // plain sum" proves it's semantics-preserving).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      val big = skewed.select($"key", $"v",
+        concat_ws("", Seq.fill(40)(lit("pad")): _*).as("pad"))
+      val agg = big.groupBy("key")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("skew=true"),
+        s"aggregation unexpectedly skew-split:\n${plan.take(2000)}")
+      assert(plan.contains("HashAggregate"), plan.take(500))
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
 }

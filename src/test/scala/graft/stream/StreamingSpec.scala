@@ -784,4 +784,56 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("readEventsStream schema probe: missing path falls back, " +
+      "non-analysis failures SURFACE") {
+    // The probe's catch is scoped to AnalysisException (path empty or
+    // missing — the one case where assuming the current runtime's
+    // encoding is sound). An EMPTY dir — the files-arrive-later shape a
+    // streaming source starts from — must still hand back a well-formed
+    // stream with the normalized TimestampType ts column…
+    val dir = java.nio.file.Files
+      .createTempDirectory("evt_probe").toString
+    val df = Events.readEventsStream(spark, dir)
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // …while an IO-layer probe failure (unknown filesystem scheme,
+    // standing in for transient IO/permission failures) must propagate
+    // instead of silently picking a schema that could deserialize
+    // corrupt rows. Anything BUT AnalysisException proves the catch is
+    // scoped: the old blanket catch would have swallowed this and then
+    // surfaced readStream's own PATH_NOT_FOUND AnalysisException.
+    val ex = intercept[Exception] {
+      Events.readEventsStream(spark, "bogus-scheme://nope")
+    }
+    assert(!ex.isInstanceOf[org.apache.spark.sql.AnalysisException],
+      s"probe swallowed the IO failure: $ex")
+  }
+
+  test("st12b/st13b batch twins run the SAME processors on bounded input " +
+      "and equal the plain aggregates") {
+    // The batch twins exercise the actual StatefulProcessors (Spark
+    // feeds each key's rows through one handleInputRows call against
+    // empty state), so twin == groupBy proves the processors' steady
+    // state — and guards the one-call-per-key batch contract: a chunked
+    // feed would emit duplicate per-key rows and break the row counts.
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.core.Tables.events(spark, dir)
+    val st12 = Events.runningMaxBatchQ.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val agg12 = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max("value").as("max_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(st12 == agg12 && st12.nonEmpty)
+    val st13 = Events.typeCountsBatchQ.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val agg13 = ev.groupBy("user_id", "event_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(st13 == agg13 && st13.nonEmpty)
+    // the save/restore wrapper must not leak the RocksDB provider into
+    // the shared session (the q53 conf-hygiene discipline)
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
 }
