@@ -820,12 +820,21 @@ object Dedup {
     * both the registered d11 query and its spec assert on. */
   def simhashMd5BandedPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sh = simhashMd5(docs)
+    // localCheckpoint: the banded frame feeds BOTH sides of the
+    // candidate self-join, and without materialization Spark plans the
+    // whole signature pipeline (tokenize → md5 → 60 vote aggregates)
+    // twice — the dominant stage of the query, recomputed verbatim
+    // (r9 focused bench: ~2× on m05/d11). The materialized frame is
+    // tiny relative to the corpus (4 rows/doc × ~32 bytes — text never
+    // enters it), so at 100 TB this is a deliberate signatures-table
+    // write, not a cache of the input.
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(expr(
         "transform(sequence(0, 3), b -> struct(b AS band, " +
           "shiftright(simhash, b * 15) & 32767 AS bv))")).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .localCheckpoint()
     val a = bands.select(col("doc_id").as("a_id"),
       col("simhash").as("a_sh"), col("band"), col("bv"))
     val b = bands.select(col("doc_id").as("b_id"),
