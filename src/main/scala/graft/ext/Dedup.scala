@@ -1478,9 +1478,47 @@ object Dedup {
                FROM bucketed GROUP BY 1 ORDER BY bucket"""))
   }
 
+  /** d18 — normalization-keyed exact dedup (the "fuzzy-exact" pass
+    * production pipelines run BEFORE MinHash, e.g. RefinedWeb / CCNet:
+    * lowercase, strip non-alphanumerics, collapse whitespace — so
+    * case/punctuation/spacing variants of the same document collapse
+    * into one exact group without paying the LSH machinery). Canonical
+    * survivor is min(doc_id), the d01 discipline; `n_norm_chars`
+    * reports the normalized length the group was keyed on.
+    *
+    * Scale shape: identical to d01 — one hash aggregate; at 100 TB the
+    * group key would be the d08-style 64-bit fingerprint of the
+    * normalized text so document bodies never shuffle (the
+    * normalization is a pure per-row projection either way).
+    *
+    * Oracle note: Spark's `regexp_replace` replaces ALL matches;
+    * DuckDB's replaces the first only unless passed the 'g' option —
+    * the mirror must say `regexp_replace(..., 'g')`. */
+  val normalizedExact: QueryDef = QueryDef(
+    "d18_dedup_normalized",
+    (s, d) =>
+      Tables.documents(s, d)
+        .selectExpr("doc_id",
+          raw"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' ')) AS norm")
+        .groupBy("norm")
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"))
+        .selectExpr("canonical_id", "n_copies",
+          "length(norm) AS n_norm_chars")
+        .orderBy("canonical_id"),
+    Some("""WITH f AS (
+              SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+              FROM documents)
+            SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
+              CAST(length(norm) AS INTEGER) AS n_norm_chars
+            FROM f GROUP BY norm ORDER BY canonical_id"""))
+
   val all: Seq[QueryDef] =
     Seq(exact, exactByFingerprint, minhash, minhashNative, simhashPairs,
       ngramJaccard, embeddingCosine, components, simhashBanded, minhashMd5,
       simhashMd5Banded, substringSpans, spanRemoval, semanticDedup,
-      incrementalSemantic, containmentPairs, minhashCalibration)
+      incrementalSemantic, containmentPairs, minhashCalibration,
+      normalizedExact)
 }

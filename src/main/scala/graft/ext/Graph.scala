@@ -932,8 +932,91 @@ object Graph {
       })
   }
 
+  /** g12 — local clustering coefficient per node (Watts & Strogatz,
+    * "Collective dynamics of 'small-world' networks", Nature 1998):
+    * cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the fraction of a node's
+    * neighbor pairs that are themselves connected — the standard
+    * tight-community / link-farm signal that complements g02's raw
+    * triangle counts with a degree-normalized score.
+    *
+    * Determinism: the coefficient is reported as the INTEGER
+    * `cc_ppm = (2·T·10⁶) DIV (deg·(deg−1))` — triangles and degrees
+    * are exact longs from [[triangleCounts]], so the score is
+    * bit-identical on any engine or partitioning (the g01 discipline).
+    *
+    * Scale shape: reuses g02's degree-oriented triangle count (wedge
+    * fan-out bounded by O(√m) out-degree) plus ONE degree aggregate
+    * and one equi-join of two node-sized frames; the co-occurrence
+    * edge construction is the linear adjacent-pairs form, never the
+    * per-order cross product. */
+  val clusteringCoefficient: QueryDef = QueryDef(
+    "g12_clustering_coeff",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val parts = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = parts
+        .withColumn("u", lag("pk", 1).over(
+          Window.partitionBy("ok").orderBy("pk")))
+        .filter(col("u").isNotNull)
+        .select(col("u"), col("pk").as("v"))
+        .distinct()
+        .localCheckpoint()
+      val deg = edges.select(col("u").as("node_id"))
+        .union(edges.select(col("v").as("node_id")))
+        .groupBy("node_id").agg(count(lit(1)).as("deg"))
+      deg.filter(col("deg") >= 2)
+        .join(triangleCounts(edges), Seq("node_id"), "left")
+        .select(col("node_id"), col("deg"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"))
+        .withColumn("cc_ppm",
+          expr("(2 * triangles * 1000000) DIV (deg * (deg - 1))"))
+        .orderBy(col("cc_ppm").desc, col("deg").desc, col("node_id"))
+        .limit(20)
+    },
+    Some("""WITH parts AS (
+              SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            lagged AS (
+              SELECT lag(pk) OVER (PARTITION BY ok ORDER BY pk) AS u, pk AS v
+              FROM parts),
+            edges AS (
+              SELECT DISTINCT u, v FROM lagged WHERE u IS NOT NULL),
+            deg AS (
+              SELECT n, count(*) AS deg FROM (
+                SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+              GROUP BY 1),
+            oriented AS (
+              SELECT CASE WHEN (du.deg, u) < (dv.deg, v) THEN u ELSE v END AS a,
+                     CASE WHEN (du.deg, u) < (dv.deg, v) THEN v ELSE u END AS b,
+                     CASE WHEN (du.deg, u) < (dv.deg, v) THEN dv.deg ELSE du.deg END AS db
+              FROM edges
+              JOIN deg du ON du.n = edges.u
+              JOIN deg dv ON dv.n = edges.v),
+            wedges AS (
+              SELECT w1.a, w1.b AS p, w2.b AS q
+              FROM oriented w1 JOIN oriented w2 USING (a)
+              WHERE (w1.db, w1.b) < (w2.db, w2.b)),
+            tri AS (
+              SELECT w.a, w.p, w.q
+              FROM wedges w JOIN oriented o ON o.a = w.p AND o.b = w.q),
+            tcounts AS (
+              SELECT node_id, count(*) AS triangles FROM (
+                SELECT a AS node_id FROM tri
+                UNION ALL SELECT p FROM tri
+                UNION ALL SELECT q FROM tri)
+              GROUP BY 1)
+            SELECT deg.n AS node_id, deg.deg,
+              CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+              CAST((2 * coalesce(t.triangles, 0) * 1000000)
+                // (deg.deg * (deg.deg - 1)) AS BIGINT) AS cc_ppm
+            FROM deg LEFT JOIN tcounts t ON t.node_id = deg.n
+            WHERE deg.deg >= 2
+            ORDER BY cc_ppm DESC, deg DESC, node_id
+            LIMIT 20"""))
+
   val all: Seq[QueryDef] =
     Seq(pagerank, triangles, kcore, labelPropagation, bfsHops,
       personalizedPagerank, linkPrediction, hits, degreeHistogram,
-      harmonicCentrality, modularity)
+      harmonicCentrality, modularity, clusteringCoefficient)
 }

@@ -899,8 +899,99 @@ object Similarity {
                FROM f WHERE rn <= $k ORDER BY q_id, rn"""))
   }
 
+  /** s12 — leave-one-out kNN classification over the labeled embedding
+    * corpus (Cover & Hart, "Nearest neighbor pattern classification",
+    * IEEE TIT 1967): each panel vector's label is predicted by the
+    * majority vote of its 10 nearest neighbors (itself excluded), and
+    * the report is per-true-label accuracy — the embedding-quality
+    * evaluation harness (t21's confusion-matrix idiom applied to the
+    * vector space; s08 scores retrieval recall, s12 scores label
+    * coherence).
+    *
+    * Determinism: cosine is the shared bit-identical fold (s01's
+    * argument); neighbor rank ties break on n_id, vote ties on
+    * (count DESC, label ASC); accuracy is the INTEGER
+    * `acc_ppm = 10⁶·n_correct DIV n_eval`.
+    *
+    * Scale shape: the evaluation panel (vec_id < 100) is bounded and
+    * broadcast — the corpus is scanned once and never shuffled by the
+    * pair stage; votes and the report are aggregates over
+    * panel-sized frames. A full-corpus LOO sweep at 100 TB would swap
+    * the broadcast pair stage for the s03 IVF bucket join and keep
+    * every stage after `knn` unchanged. */
+  val knnClassify: QueryDef = {
+    val k = 10
+    QueryDef(
+      "s12_knn_classify",
+      (s, d) => {
+        graft.expr.ArrayDot.register(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("emb"))
+        val withU = Dedup.unitized(e, Seq(col("vec_id"), col("label")), "u")
+        val q = withU.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("u").as("q_u"))
+        val c = withU.select(col("vec_id").as("n_id"),
+          col("label").as("n_label"), col("u").as("n_u"))
+        val byCos = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("n_id"))
+        val knn = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+          .withColumn("cos_sim", expr("array_dot(q_u, n_u)"))
+          .withColumn("rn", row_number().over(byCos))
+          .filter(col("rn") <= k)
+        val byVotes = Window.partitionBy(col("q_id"))
+          .orderBy(col("votes").desc, col("n_label"))
+        val pred = knn.groupBy("q_id", "q_label", "n_label")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(byVotes))
+          .filter(col("vr") === 1)
+          .select(col("q_id"), col("q_label"),
+            col("n_label").as("pred_label"))
+        pred.groupBy(col("q_label").as("label"))
+          .agg(count(lit(1)).as("n_eval"),
+            sum(when(col("q_label") === col("pred_label"), 1L)
+              .otherwise(0L)).as("n_correct"))
+          .withColumn("acc_ppm",
+            expr("(1000000 * n_correct) DIV n_eval"))
+          .orderBy("label")
+      },
+      Some(s"""WITH e AS (
+                 SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+               ${Dedup.unitNormSql("e", ", label")},
+               p AS (
+                 SELECT a.vec_id AS q_id, a.label AS q_label,
+                   b.vec_id AS n_id, b.label AS n_label,
+                   ${Dedup.pairDotSql} AS cos_sim
+                 FROM u a JOIN u b
+                   ON a.vec_id < 100 AND b.vec_id != a.vec_id),
+               knn AS (
+                 SELECT q_id, q_label, n_label FROM (
+                   SELECT q_id, q_label, n_label,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos_sim DESC, n_id) AS rn
+                   FROM p) WHERE rn <= $k),
+               votes AS (
+                 SELECT q_id, q_label, n_label, count(*) AS votes
+                 FROM knn GROUP BY 1, 2, 3),
+               pred AS (
+                 SELECT q_id, q_label, n_label AS pred_label FROM (
+                   SELECT q_id, q_label, n_label,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY votes DESC, n_label) AS vr
+                   FROM votes) WHERE vr = 1)
+               SELECT q_label AS label,
+                 count(*) AS n_eval,
+                 CAST(sum(CASE WHEN q_label = pred_label THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_correct,
+                 CAST((1000000 * sum(CASE WHEN q_label = pred_label
+                     THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS acc_ppm
+               FROM pred GROUP BY 1 ORDER BY label"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
       annPqAdc, kmeansLloyd, annRecall, filteredTopK, mmrRerank,
-      twoStageRescore)
+      twoStageRescore, knnClassify)
 }

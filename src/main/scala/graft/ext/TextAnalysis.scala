@@ -1258,10 +1258,94 @@ object TextAnalysis {
                FROM c ORDER BY doc_id"""))
   }
 
+  /** t23 — Zipf rank-frequency fit per source (Zipf, "Human Behavior
+    * and the Principle of Least Effort", 1949): OLS slope/intercept of
+    * ln(freq) against ln(rank) over each source's top-50 token ranks.
+    * Natural corpora sit near slope −1; a source whose slope is far off
+    * is machine-generated, templated, or mis-encoded — the
+    * distribution-shape complement to t02's per-document scores and
+    * t19's type-token diversity.
+    *
+    * Determinism: the per-rank regressors are integerized ONCE —
+    * x = CAST(round(ln(rank)·10⁶)), y = CAST(round(ln(freq)·10⁶)) —
+    * so every sum (Σx, Σy, Σxy, Σx²) is an exact order-independent
+    * long; the slope/intercept are ONE double expression over those
+    * four longs, then round(6). Sub-ulp ln() divergence between
+    * engines is washed out by the 10⁶ rounding (values sit ~10⁹ ulps
+    * from the nearest rounding boundary).
+    *
+    * Scale shape: one token-count aggregate (map-side combined), a
+    * rank window per source (sources are a bounded partition key), and
+    * a 50-row-per-source bounded tail — the corpus shuffles only
+    * (source, token, count) triples, never text. */
+  val zipfFit: QueryDef = {
+    val topR = 50
+    QueryDef(
+      "t23_zipf_fit",
+      (s, d) =>
+        Tables.documents(s, d)
+          .selectExpr("source", "explode(split(text, ' ')) AS tok")
+          .filter(col("tok") =!= "")
+          .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")
+              .orderBy(col("cnt").desc, col("tok"))))
+          .filter(col("rank") <= topR)
+          .selectExpr("source",
+            "CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x",
+            "CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_ranks"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(expr("x * y")).as("sxy"),
+            sum(expr("x * x")).as("sxx"))
+          .selectExpr("source", "n_ranks",
+            "round((CAST(n_ranks * sxy - sx * sy AS DOUBLE)) / " +
+              "(CAST(n_ranks * sxx - sx * sx AS DOUBLE)), 6) AS slope",
+            "round((CAST(sy AS DOUBLE) - " +
+              "((CAST(n_ranks * sxy - sx * sy AS DOUBLE)) / " +
+              "(CAST(n_ranks * sxx - sx * sx AS DOUBLE))) * CAST(sx AS DOUBLE))" +
+              " / (1000000.0 * CAST(n_ranks AS DOUBLE)), 6) AS intercept")
+          .orderBy("source"),
+      Some(s"""WITH toks AS (
+                 SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+               counts AS (
+                 SELECT source, tok, count(*) AS cnt FROM toks
+                 WHERE tok != '' GROUP BY 1, 2),
+               ranked AS (
+                 SELECT source, cnt,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY cnt DESC, tok) AS rank
+                 FROM counts),
+               xy AS (
+                 SELECT source,
+                   CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT)
+                     AS x,
+                   CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)
+                     AS y
+                 FROM ranked WHERE rank <= $topR),
+               sums AS (
+                 SELECT source, count(*) AS n_ranks,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+                 FROM xy GROUP BY 1)
+               SELECT source, n_ranks,
+                 round(CAST(n_ranks * sxy - sx * sy AS DOUBLE) /
+                       CAST(n_ranks * sxx - sx * sx AS DOUBLE), 6) AS slope,
+                 round((CAST(sy AS DOUBLE) -
+                        (CAST(n_ranks * sxy - sx * sy AS DOUBLE) /
+                         CAST(n_ranks * sxx - sx * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                       / (1000000.0 * CAST(n_ranks AS DOUBLE)), 6)
+                   AS intercept
+               FROM sums ORDER BY source"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
       nfcCanonicalize, domainClassify, vocabBuild, bpeInduction, bpeEncode,
       readability, lexicalDiversity, rakeKeywords, langIdConfusion,
-      gopherRules)
+      gopherRules, zipfFit)
 }

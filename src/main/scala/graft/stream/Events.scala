@@ -836,9 +836,65 @@ object Events {
             FROM events GROUP BY user_id, event_type
             ORDER BY user_id, event_type"""))
 
+  /** st16 — windowed rate-anomaly detection: hourly per-type counts
+    * (the SAME [[typeCounts]] stage st14 streams through the state
+    * store), each window flagged against its type's own count
+    * distribution — the traffic-spike / outage alarm every event
+    * pipeline runs on its windowed aggregates.
+    *
+    * Determinism: the 2σ population test |c − μ| > 2σ is cleared of
+    * division and square roots by cross-multiplying into exact longs:
+    * with W windows, S = Σc, Q = Σc², flag iff
+    * (W·c − S)² > 4·(W·Q − S²). Bound: W·c must stay under ~3·10⁹ for
+    * the square to fit a long — at 10⁹-events/hour/type scale, widen
+    * to DECIMAL(38,0) accumulators exactly as x36's checksum documents.
+    *
+    * Scale shape: the counts stage is the streaming-friendly
+    * (window, type) agg (state rows bounded by windows × type-domain);
+    * the per-type moment stats aggregate a windows-sized relation and
+    * broadcast back onto it (type domain is bounded). Streaming form:
+    * [[typeCountsStream]] emits closed windows; the scoring join runs
+    * downstream against trailing per-type stats — StreamingSpec's
+    * st14 stream==batch proof covers the shared stage. */
+  val windowAnomalyQ: QueryDef = QueryDef(
+    "st16_window_anomaly",
+    (s, d) => {
+      val counts = typeCounts(Tables.events(s, d))
+      val stats = counts.groupBy("event_type")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("n")).as("sum_n"),
+          sum(expr("n * n")).as("sum_n2"))
+      counts.join(broadcast(stats), Seq("event_type"))
+        .withColumn("dev_scaled", expr("n_windows * n - sum_n"))
+        .withColumn("is_anomaly", expr(
+          "dev_scaled * dev_scaled > 4 * (n_windows * sum_n2 - sum_n * sum_n)"))
+        .select("w_start", "event_type", "n", "n_windows", "sum_n",
+          "dev_scaled", "is_anomaly")
+        .orderBy("event_type", "w_start")
+    },
+    Some("""WITH c AS (
+              SELECT strftime(date_trunc('hour', ts),
+                       '%Y-%m-%d %H:%M:%S') AS w_start,
+                event_type, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            stats AS (
+              SELECT event_type, count(*) AS n_windows,
+                sum(n) AS sum_n, sum(n * n) AS sum_n2
+              FROM c GROUP BY 1)
+            SELECT w_start, c.event_type, n,
+              CAST(n_windows AS BIGINT) AS n_windows,
+              CAST(sum_n AS BIGINT) AS sum_n,
+              CAST(n_windows * n - sum_n AS BIGINT) AS dev_scaled,
+              CAST(n_windows * n - sum_n AS BIGINT)
+                * CAST(n_windows * n - sum_n AS BIGINT)
+                > 4 * CAST(n_windows * sum_n2 - sum_n * sum_n AS BIGINT)
+                AS is_anomaly
+            FROM c JOIN stats USING (event_type)
+            ORDER BY event_type, w_start"""))
+
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
       streamLeftJoinQ, dedupBatchQ, enrichQ, windowSketchQ, funnelQ,
       retentionQ, topTypesQ, streamFullJoinQ, runningMaxBatchQ,
-      typeCountsBatchQ)
+      typeCountsBatchQ, windowAnomalyQ)
 }

@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-9 operators: g12 clustering coefficient, d18 normalized exact
+  * dedup, s12 kNN classification, t23 Zipf fit, st16 window anomaly.
+  * Each op's oracle row is the hash-exact proof; these are the planted
+  * -fixture law checks. */
+class Round9OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = TestSpark.sf0001
+
+  test("g12: K4 nodes are fully clustered (cc_ppm = 10^6), path nodes at 0") {
+    // K4 on {1,2,3,4}: every node has deg 3 and sits in 3 triangles →
+    // cc = 2·3/(3·2) = 1; pendant path 4-5-6 adds deg-2 node 5 with no
+    // triangle → cc = 0
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val e = und.toDF("u", "v")
+    val tri = Graph.triangleCounts(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(n => tri(n) == 3L), tri.toString)
+    assert(!tri.contains(5L) && !tri.contains(6L), tri.toString)
+    // the registered query's integer coefficient on the same numbers:
+    // node 4 has deg 4 (K4 + pendant) → 2·3·10⁶ DIV (4·3) = 500000
+    assert(2L * 3L * 1000000L / (3L * 2L) == 1000000L)
+    assert(2L * 3L * 1000000L / (4L * 3L) == 500000L)
+  }
+
+  test("g12 on fixture: coefficients bounded, triangles within wedge count") {
+    val rows = Graph.clusteringCoefficient.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (deg, tri, cc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(deg >= 2, r.toString)
+      assert(tri <= deg * (deg - 1) / 2, r.toString)
+      assert(cc >= 0 && cc <= 1000000, r.toString)
+      assert(cc == 2 * tri * 1000000 / (deg * (deg - 1)), r.toString)
+    }
+  }
+
+  test("d18: case/punctuation/whitespace variants collapse into one group") {
+    val docs = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "HELLO ... world"),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val norm = docs.selectExpr("doc_id",
+      raw"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' ')) AS norm")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) == "hello world" && norm(2L) == "hello world" &&
+      norm(3L) == "hello world", norm.toString)
+    assert(norm(4L) == "goodbye world")
+  }
+
+  test("d18 on fixture: groups partition the corpus, survivors are minima") {
+    val rows = Dedup.normalizedExact.build(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    // canonical ids strictly increasing (orderBy + min-survivor)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted))
+  }
+
+  test("s12: every panel vector evaluated once, accuracy is the integer ratio") {
+    val rows = Similarity.knnClassify.build(spark, sf).collect()
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter("vec_id < 100").count()
+    assert(rows.map(_.getLong(1)).sum == nVecs)
+    rows.foreach { r =>
+      val (nEval, nCorrect, acc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nCorrect <= nEval, r.toString)
+      assert(acc == 1000000L * nCorrect / nEval, r.toString)
+    }
+  }
+
+  test("t23: every source's fitted slope is negative (freq falls with rank)") {
+    val rows = TextAnalysis.zipfFit.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2, r.toString) // enough ranks to fit
+      assert(r.getDouble(2) < 0.0, r.toString)
+    }
+  }
+
+  test("st16: flags exactly the windows failing the integer 2-sigma test") {
+    val rows = graft.stream.Events.windowAnomalyQ.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(1))
+    byType.foreach { case (_, ws) =>
+      val ns = ws.map(_.getLong(2))
+      val w = ns.length.toLong
+      val s1 = ns.sum
+      val q = ns.map(n => n * n).sum
+      ws.foreach { r =>
+        val n = r.getLong(2)
+        assert(r.getLong(3) == w, r.toString)
+        assert(r.getLong(4) == s1, r.toString)
+        val dev = w * n - s1
+        assert(r.getLong(5) == dev, r.toString)
+        val expect = dev * dev > 4 * (w * q - s1 * s1)
+        assert(r.getBoolean(6) == expect, r.toString)
+      }
+    }
+  }
+}
