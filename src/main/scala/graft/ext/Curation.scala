@@ -2044,6 +2044,79 @@ object Curation {
               substring($col, i, 1)) - 1 AS BIGINT))),
           (a, d) -> a * 16 + d)"""
 
+  /** x38 — differentially-private-style release of per-(lang, source)
+    * cell counts (Dwork et al., "Calibrating noise to sensitivity",
+    * TCC 2006: the Laplace mechanism for sensitivity-1 count queries,
+    * scale b = 1/ε = 2; plus the small-cell suppression rule every
+    * census-style release pairs it with). x23 k-anonymity suppresses;
+    * x38 is the ADDITIVE-noise release form. The noise here is
+    * PSEUDO-random — the Laplace inverse CDF driven by the cell key's
+    * md5 — so the release is reproducible and both engines agree
+    * bit-for-bit; a production ε-DP deployment would swap ONLY the
+    * uniform source for a cryptographic one (the plumbing — inverse
+    * CDF, integerized noise, suppression, true counts never released —
+    * is exactly this).
+    *
+    * Determinism: u ∈ [0,1) is the 40-bit md5 hex fold over 2⁴⁰ (the
+    * x36 key idiom); the ln() in the inverse CDF is washed through the
+    * t23 discipline (round at integer granularity on identical IEEE
+    * inputs). Cells with a true count under k=20 release NULL +
+    * suppressed=true; noisy counts clamp at 0.
+    *
+    * Scale shape: one (lang, source)-keyed count over bounded domains
+    * — the noise/suppression stage is a pure projection on the
+    * ~|langs|·|sources| cell frame. */
+  val dpRelease: QueryDef = {
+    val b = 2.0; val k = 20
+    QueryDef(
+      "x38_dp_release",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_true"))
+          .selectExpr("lang", "source", "n_true",
+            "CAST(conv(substring(md5(concat(lang, ':', source)), 1, 10), 16, 10) AS BIGINT) AS h")
+          .selectExpr("lang", "source", "n_true",
+            "CAST(h AS DOUBLE) / 1099511627776.0 AS u")
+          .selectExpr("lang", "source", "n_true",
+            "CASE WHEN u < 0.5 THEN -1 ELSE 1 END AS sgn",
+            "abs(2.0 * u - 1.0) AS a")
+          .selectExpr("lang", "source", "n_true",
+            s"CAST(round(-1.0 * sgn * $b * ln(1.0 - a)) AS BIGINT) AS noise")
+          // the released frame carries ONLY (noisy count, suppressed
+          // flag) — emitting the noise or the true count alongside
+          // would un-privatize the release
+          .selectExpr("lang", "source",
+            s"CASE WHEN n_true < $k THEN NULL " +
+              "ELSE greatest(n_true + noise, CAST(0 AS BIGINT)) END " +
+              "AS noisy_docs",
+            s"n_true < $k AS suppressed")
+          .orderBy("lang", "source"),
+      Some(s"""WITH cells AS (
+                 SELECT lang, source, count(*) AS n_true
+                 FROM documents GROUP BY 1, 2),
+               keyed AS (
+                 SELECT lang, source, n_true,
+                   ${duckHexFold("md5(concat(lang, ':', source))", 1, 10)}
+                     AS h
+                 FROM cells),
+               unif AS (
+                 SELECT lang, source, n_true,
+                   CAST(h AS DOUBLE) / 1099511627776.0 AS u
+                 FROM keyed),
+               lap AS (
+                 SELECT lang, source, n_true,
+                   CAST(round(-1.0 *
+                     (CASE WHEN u < 0.5 THEN -1 ELSE 1 END) * $b *
+                     ln(1.0 - abs(2.0 * u - 1.0))) AS BIGINT) AS noise
+                 FROM unif)
+               SELECT lang, source,
+                 CASE WHEN n_true < $k THEN NULL
+                      ELSE greatest(n_true + noise, 0) END AS noisy_docs,
+                 n_true < $k AS suppressed
+               FROM lap ORDER BY lang, source"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -2054,5 +2127,5 @@ object Curation {
       trainingManifest, snapshotDiff, manifestRefresh, releasePipeline,
       qualityClassifier, qualityPrototype, domainCap, scd2History,
       temperatureMix, datasetCard, canonicalSelection, weightedSample,
-      epochShuffle)
+      epochShuffle, dpRelease)
 }

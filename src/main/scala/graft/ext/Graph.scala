@@ -1015,8 +1015,67 @@ object Graph {
             ORDER BY cc_ppm DESC, deg DESC, node_id
             LIMIT 20"""))
 
+  /** g13 — degree assortativity coefficient (Newman, "Assortative
+    * mixing in networks", PRL 2002): the Pearson correlation of the
+    * degrees at either end of an edge. Positive = hubs link to hubs
+    * (social networks), negative = hubs link to leaves (the
+    * hub-and-spoke shape typical of catalog/bipartite-derived graphs)
+    * — the one-number structural summary that says which scaling
+    * regime the graph's joins will hit.
+    *
+    * Determinism: over the symmetric directed edge list, Σj = Σk and
+    * Σj² = Σk², so r collapses to the all-integer
+    * (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²) — exact long sums, ONE IEEE
+    * division, round(6). Bound: M·Σjk needs Σjk < 2⁶³/M; with this
+    * graph's √m-bounded degrees that holds far past the probe scales
+    * (the g11 overflow-documentation discipline: at ~SF 10⁴ widen to
+    * DECIMAL(38,0) accumulators).
+    *
+    * Scale shape: one degree aggregate, two node-keyed equi-joins to
+    * attach endpoint degrees, one global sum — no windows, no
+    * iteration. */
+  val assortativity: QueryDef = QueryDef(
+    "g13_assortativity",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"),
+          (col("l_suppkey") + SuppOffset).as("sup"))
+        .distinct()
+      val e = li.select(col("p").as("u"), col("sup").as("v"))
+        .union(li.select(col("sup").as("u"), col("p").as("v")))
+      val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      e.join(deg.select(col("u"), col("deg").as("ju")), "u")
+        .join(deg.select(col("u").as("v"), col("deg").as("kv")), "v")
+        .agg(count(lit(1)).as("m_directed"),
+          sum(expr("ju * kv")).as("sum_jk"),
+          sum(col("ju")).as("sum_j"),
+          sum(expr("ju * ju")).as("sum_jj"))
+        .selectExpr("m_directed", "sum_jk", "sum_j", "sum_jj",
+          "round(CAST(m_directed * sum_jk - sum_j * sum_j AS DOUBLE) / " +
+            "CAST(m_directed * sum_jj - sum_j * sum_j AS DOUBLE), 6) " +
+            "AS assortativity")
+    },
+    Some(s"""WITH li AS (SELECT DISTINCT l_partkey AS p,
+                           l_suppkey + $SuppOffset AS sup FROM lineitem),
+              e AS (SELECT p AS u, sup AS v FROM li
+                    UNION ALL SELECT sup, p FROM li),
+              deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+              j AS (SELECT e.u, e.v, du.deg AS ju, dv.deg AS kv
+                    FROM e JOIN deg du ON du.u = e.u
+                           JOIN deg dv ON dv.u = e.v)
+            SELECT count(*) AS m_directed,
+              CAST(sum(ju * kv) AS BIGINT) AS sum_jk,
+              CAST(sum(ju) AS BIGINT) AS sum_j,
+              CAST(sum(ju * ju) AS BIGINT) AS sum_jj,
+              round(CAST(count(*) * sum(ju * kv) - sum(ju) * sum(ju)
+                      AS DOUBLE) /
+                    CAST(count(*) * sum(ju * ju) - sum(ju) * sum(ju)
+                      AS DOUBLE), 6) AS assortativity
+            FROM j"""))
+
   val all: Seq[QueryDef] =
     Seq(pagerank, triangles, kcore, labelPropagation, bfsHops,
       personalizedPagerank, linkPrediction, hits, degreeHistogram,
-      harmonicCentrality, modularity, clusteringCoefficient)
+      harmonicCentrality, modularity, clusteringCoefficient,
+      assortativity)
 }

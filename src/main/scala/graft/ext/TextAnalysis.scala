@@ -1342,10 +1342,69 @@ object TextAnalysis {
                FROM sums ORDER BY source"""))
   }
 
+  /** t24 — token burstiness profile (Church & Gale, "Poisson
+    * mixtures", JNLE 1995): for the corpus's top-30 tokens, the
+    * variance-to-mean ratio of the per-document count — content words
+    * are "bursty" (VMR ≫ 1: absent from most docs, repeated when
+    * present), function words Poisson-like (VMR ≈ 1). The
+    * distribution-shape complement to t23's rank-frequency fit; a
+    * candidate stopword list is exactly the low-VMR high-frequency
+    * band.
+    *
+    * Determinism: per-token document frequency, Σc and Σc² over ALL N
+    * corpus docs (absent docs contribute zeros — only the moments
+    * need N, not a dense frame) are exact longs;
+    * VMR = var/mean = (N·Q − S²)/(N·S) is ONE IEEE division of exact
+    * longs, round(6).
+    *
+    * Scale shape: one (token)-keyed aggregate of per-doc counts
+    * (map-side combined), a 1-row corpus-count scalar broadcast, a
+    * bounded 30-row output — text never shuffles, no windows. */
+  val tokenBurstiness: QueryDef = {
+    val topT = 30
+    QueryDef(
+      "t24_token_burstiness",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val perDoc = docs
+          .selectExpr("doc_id", "explode(split(text, ' ')) AS tok")
+          .filter(col("tok") =!= "")
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        perDoc.groupBy("tok")
+          .agg(count(lit(1)).as("df"),
+            sum(col("c")).as("s"),
+            sum(expr("c * c")).as("q"))
+          .crossJoin(broadcast(n))
+          .selectExpr("tok", "df", "s", "q", "n_docs",
+            "round(CAST(n_docs * q - s * s AS DOUBLE) / " +
+              "CAST(n_docs * s AS DOUBLE), 6) AS vmr")
+          .orderBy(col("s").desc, col("tok"))
+          .limit(topT)
+      },
+      Some(s"""WITH n AS (SELECT count(*) AS n_docs FROM documents),
+               perdoc AS (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+               counts AS (
+                 SELECT doc_id, tok, count(*) AS c FROM perdoc
+                 WHERE tok != '' GROUP BY 1, 2),
+               moments AS (
+                 SELECT tok, count(*) AS df,
+                   CAST(sum(c) AS BIGINT) AS s,
+                   CAST(sum(c * c) AS BIGINT) AS q
+                 FROM counts GROUP BY 1)
+               SELECT tok, df, s, q, n_docs,
+                 round(CAST(n_docs * q - s * s AS DOUBLE) /
+                       CAST(n_docs * s AS DOUBLE), 6) AS vmr
+               FROM moments, n
+               ORDER BY s DESC, tok LIMIT $topT"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
       nfcCanonicalize, domainClassify, vocabBuild, bpeInduction, bpeEncode,
       readability, lexicalDiversity, rakeKeywords, langIdConfusion,
-      gopherRules, zipfFit)
+      gopherRules, zipfFit, tokenBurstiness)
 }

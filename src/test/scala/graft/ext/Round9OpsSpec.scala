@@ -87,6 +87,61 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("g13: coefficient matches the collapsed integer identity, in [-1, 1]") {
+    val r = Graph.assortativity.build(spark, sf).collect()
+    assert(r.length == 1)
+    val (m, sjk, sj, sjj, a) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getLong(2), r(0).getLong(3), r(0).getDouble(4))
+    val expect = BigDecimal((m * sjk - sj * sj).toDouble / (m * sjj - sj * sj))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a == expect, r(0).toString)
+    assert(a >= -1.0 && a <= 1.0, r(0).toString)
+    // the symmetric-edge-list collapse on a hand-run star K1,3:
+    // directed edges (3,1)x3 + (1,3)x3 -> r = (6*18-144)/(6*30-144) = -1
+    assert((6 * 18 - 144).toDouble / (6 * 30 - 144) == -1.0)
+  }
+
+  test("t24: moments are consistent and VMR is the exact rational") {
+    val rows = TextAnalysis.tokenBurstiness.build(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val ss = rows.map(_.getLong(2))
+    assert(ss.sameElements(ss.sorted.reverse)) // ordered by total desc
+    rows.foreach { r =>
+      val (df, s1, q, n) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(n == nDocs, r.toString)
+      assert(df <= n && s1 >= df && q >= s1, r.toString)
+      val expect = BigDecimal((n * q - s1 * s1).toDouble / (n * s1).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == expect, r.toString)
+    }
+  }
+
+  test("x38: suppression below k, noise bounded, true counts never released") {
+    val rows = Curation.dpRelease.build(spark, sf).collect()
+    val truth = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet
+      == truth.keySet)
+    // |Laplace^-1(u)| <= b * ln(2^40) for the 40-bit uniform grid
+    val maxNoise = math.ceil(2.0 * 40 * math.log(2.0)).toLong
+    rows.foreach { r =>
+      val t = truth((r.getString(0), r.getString(1)))
+      if (r.getBoolean(3)) {
+        assert(t < 20 && r.isNullAt(2), r.toString)
+      } else {
+        assert(t >= 20 && !r.isNullAt(2), r.toString)
+        val noisy = r.getLong(2)
+        assert(noisy >= 0 && math.abs(noisy - t) <= maxNoise, r.toString)
+      }
+    }
+    // the schema itself must not leak: only the four released columns
+    assert(rows.head.schema.fieldNames.toSeq ==
+      Seq("lang", "source", "noisy_docs", "suppressed"))
+  }
+
   test("st16: flags exactly the windows failing the integer 2-sigma test") {
     val rows = graft.stream.Events.windowAnomalyQ.build(spark, sf).collect()
     assert(rows.nonEmpty)

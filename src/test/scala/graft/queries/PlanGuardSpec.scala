@@ -64,7 +64,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q45_not_in_null_semantics" -> "ANSI NOT-IN null semantics: Spark's null-aware anti form",
     "d03_dedup_simhash" -> "documented all-pairs BASELINE; banded twins d09/d11 registered",
     "d05_dedup_embedding" -> "documented all-pairs BASELINE; bucketed twins s02/s04/s05 registered",
-    "s12_knn_classify" -> "bounded evaluation-panel broadcast (s01's idiom; corpus never shuffles)")
+    "s12_knn_classify" -> "bounded evaluation-panel broadcast (s01's idiom; corpus never shuffles)",
+    "t24_token_burstiness" -> "1-row corpus-size scalar broadcast (t07/x09's idiom)")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
