@@ -1024,12 +1024,15 @@ object Graph {
     * regime the graph's joins will hit.
     *
     * Determinism: over the symmetric directed edge list, Σj = Σk and
-    * Σj² = Σk², so r collapses to the all-integer
-    * (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²) — exact long sums, ONE IEEE
-    * division, round(6). Bound: M·Σjk needs Σjk < 2⁶³/M; with this
-    * graph's √m-bounded degrees that holds far past the probe scales
-    * (the g11 overflow-documentation discipline: at ~SF 10⁴ widen to
-    * DECIMAL(38,0) accumulators).
+    * Σj² = Σk², so r collapses to
+    * (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²). The four SUMS are exact
+    * order-independent longs; the products are computed in DOUBLE —
+    * (Σj)² alone reaches ~10²⁰ at the sf1.0 probe (Σj = Σdeg² over
+    * hub degrees), past 2⁶³, so an integer numerator would overflow
+    * exactly where the probe found it. Both engines evaluate the SAME
+    * IEEE expression over the SAME exact longs → bit-identical ratio;
+    * the ~10⁻¹⁶ relative error of the double products is far inside
+    * round(6).
     *
     * Scale shape: one degree aggregate, two node-keyed equi-joins to
     * attach endpoint degrees, one global sum — no windows, no
@@ -1051,8 +1054,10 @@ object Graph {
           sum(col("ju")).as("sum_j"),
           sum(expr("ju * ju")).as("sum_jj"))
         .selectExpr("m_directed", "sum_jk", "sum_j", "sum_jj",
-          "round(CAST(m_directed * sum_jk - sum_j * sum_j AS DOUBLE) / " +
-            "CAST(m_directed * sum_jj - sum_j * sum_j AS DOUBLE), 6) " +
+          "round((CAST(m_directed AS DOUBLE) * CAST(sum_jk AS DOUBLE) - " +
+            "CAST(sum_j AS DOUBLE) * CAST(sum_j AS DOUBLE)) / " +
+            "(CAST(m_directed AS DOUBLE) * CAST(sum_jj AS DOUBLE) - " +
+            "CAST(sum_j AS DOUBLE) * CAST(sum_j AS DOUBLE)), 6) " +
             "AS assortativity")
     },
     Some(s"""WITH li AS (SELECT DISTINCT l_partkey AS p,
@@ -1067,10 +1072,15 @@ object Graph {
               CAST(sum(ju * kv) AS BIGINT) AS sum_jk,
               CAST(sum(ju) AS BIGINT) AS sum_j,
               CAST(sum(ju * ju) AS BIGINT) AS sum_jj,
-              round(CAST(count(*) * sum(ju * kv) - sum(ju) * sum(ju)
-                      AS DOUBLE) /
-                    CAST(count(*) * sum(ju * ju) - sum(ju) * sum(ju)
-                      AS DOUBLE), 6) AS assortativity
+              round((CAST(count(*) AS DOUBLE)
+                       * CAST(CAST(sum(ju * kv) AS BIGINT) AS DOUBLE)
+                     - CAST(CAST(sum(ju) AS BIGINT) AS DOUBLE)
+                       * CAST(CAST(sum(ju) AS BIGINT) AS DOUBLE)) /
+                    (CAST(count(*) AS DOUBLE)
+                       * CAST(CAST(sum(ju * ju) AS BIGINT) AS DOUBLE)
+                     - CAST(CAST(sum(ju) AS BIGINT) AS DOUBLE)
+                       * CAST(CAST(sum(ju) AS BIGINT) AS DOUBLE)), 6)
+                AS assortativity
             FROM j"""))
 
   val all: Seq[QueryDef] =

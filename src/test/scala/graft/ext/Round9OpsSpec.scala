@@ -92,7 +92,11 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(r.length == 1)
     val (m, sjk, sj, sjj, a) = (r(0).getLong(0), r(0).getLong(1),
       r(0).getLong(2), r(0).getLong(3), r(0).getDouble(4))
-    val expect = BigDecimal((m * sjk - sj * sj).toDouble / (m * sjj - sj * sj))
+    // the double-product form the query computes (integer products
+    // overflow a long at probe scale — (Σj)² alone reaches ~10²⁰)
+    val expect = BigDecimal(
+      (m.toDouble * sjk.toDouble - sj.toDouble * sj.toDouble) /
+        (m.toDouble * sjj.toDouble - sj.toDouble * sj.toDouble))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(a == expect, r(0).toString)
     assert(a >= -1.0 && a <= 1.0, r(0).toString)
