@@ -990,8 +990,124 @@ object Similarity {
                FROM pred GROUP BY 1 ORDER BY label"""))
   }
 
+  /** s13 — recall@5-vs-nprobe sweep over the pinned-IVF index: ONE
+    * query that scores the s03b index at probe budgets 1/2/4/8 against
+    * s01's exact top-5 — the accuracy-vs-cost tuning curve every IVF
+    * deployment reads before picking its operating point (d17 is this
+    * harness for MinHash thresholds, s08 for a single fixed budget;
+    * s13 sweeps the budget).
+    *
+    * Determinism: candidate dots, cell ranks, and (cos DESC, n_id)
+    * tiebreaks are s03b's bit-identical folds; hits are integer; the
+    * recall is ONE IEEE division per sweep row, round(6).
+    *
+    * Scale shape: candidates are generated ONCE at the WIDEST budget
+    * (crn ≤ 8, an equi-join on cell id against the corpus — each query
+    * meets ~maxProbe/k of the corpus, never all of it); every narrower
+    * budget is a filter + re-rank of that bounded per-query frame, so
+    * the sweep costs one candidate join, not four. The np fan-out
+    * multiplies only the already-bounded candidate rows. */
+  val nprobeSweep: QueryDef = {
+    val kCentroids = 16; val maxProbe = 8; val topK = 5
+    QueryDef(
+      "s13_nprobe_sweep",
+      (s, d) => {
+        graft.expr.ArrayDot.register(s)
+        val u = Dedup.normalized(s, d, "id", "u")
+        val assigned = Dedup.assignClusters(u, kCentroids).localCheckpoint()
+        val cents = u.filter(col("id") < kCentroids)
+          .select(col("id").as("c_id"), col("u").as("c_u"))
+        val byDot = Window.partitionBy(col("q_id"))
+          .orderBy(col("c_dot").desc, col("c_id"))
+        val probes = assigned.filter(col("id") < 10)
+          .select(col("id").as("q_id"), col("u").as("q_u"))
+          .crossJoin(broadcast(cents))
+          .withColumn("c_dot", expr("array_dot(q_u, c_u)"))
+          .withColumn("crn", row_number().over(byDot))
+          .filter(col("crn") <= maxProbe)
+          .select(col("q_id"), col("q_u"), col("c_id").as("cluster"),
+            col("crn"))
+        val corpus = assigned
+          .select(col("id").as("n_id"), col("cluster"), col("u").as("n_u"))
+        val cand = broadcast(probes).join(corpus, Seq("cluster"))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("cos_sim", expr("array_dot(q_u, n_u)"))
+          .select("q_id", "n_id", "cos_sim", "crn")
+        val byCos = Window.partitionBy(col("q_id"), col("np"))
+          .orderBy(col("cos_sim").desc, col("n_id"))
+        val approx = cand
+          .withColumn("np", explode(expr("array(1, 2, 4, 8)")))
+          .filter(col("crn") <= col("np"))
+          .withColumn("rn", row_number().over(byCos))
+          .filter(col("rn") <= topK)
+          .select("np", "q_id", "n_id")
+        val ex = cosineTopK.build(s, d)
+          .select(col("q_id").as("e_q"), col("n_id").as("e_n"))
+        val nq = ex.select(countDistinct(col("e_q")).as("n_queries"))
+        approx.join(ex,
+            col("q_id") === col("e_q") && col("n_id") === col("e_n"),
+            "left_semi")
+          .groupBy("np").agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(nq))
+          .selectExpr("np", "n_queries", "hits",
+            s"round(CAST(hits AS DOUBLE) / ($topK.0 * CAST(n_queries AS DOUBLE)), 6) AS recall_at_5")
+          .orderBy("np")
+      },
+      Some(s"""WITH ${Dedup.normalizedSql},
+               cents AS (
+                 SELECT vec_id AS c_id, u AS c_u FROM u
+                 WHERE vec_id < $kCentroids),
+               ad AS (
+                 SELECT u.vec_id, c.c_id,
+                   list_dot_product(u.u, c.c_u) AS c_dot
+                 FROM u, cents c),
+               asg AS (
+                 SELECT vec_id, c_id AS cluster FROM (
+                   SELECT vec_id, c_id,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY c_dot DESC, c_id) AS crn
+                   FROM ad)
+                 WHERE crn = 1),
+               probes AS (
+                 SELECT vec_id AS q_id, c_id AS cluster, crn FROM (
+                   SELECT vec_id, c_id,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY c_dot DESC, c_id) AS crn
+                   FROM ad WHERE vec_id < 10)
+                 WHERE crn <= $maxProbe),
+               cand AS (
+                 SELECT pr.q_id, sb.vec_id AS n_id,
+                   list_dot_product(a.u, b.u) AS cos_sim, pr.crn
+                 FROM probes pr
+                 JOIN asg sb ON sb.cluster = pr.cluster
+                   AND sb.vec_id != pr.q_id
+                 JOIN u a ON a.vec_id = pr.q_id
+                 JOIN u b ON b.vec_id = sb.vec_id),
+               sweep AS (SELECT unnest([1, 2, 4, 8]) AS np),
+               approx AS (
+                 SELECT np, q_id, n_id FROM (
+                   SELECT s.np, c.q_id, c.n_id,
+                     row_number() OVER (PARTITION BY c.q_id, s.np
+                       ORDER BY c.cos_sim DESC, c.n_id) AS rn
+                   FROM cand c JOIN sweep s ON c.crn <= s.np)
+                 WHERE rn <= $topK),
+               ex AS (
+                 SELECT q_id AS e_q, n_id AS e_n
+                 FROM (${cosineTopK.sql.get}) x),
+               nq AS (SELECT count(DISTINCT e_q) AS n_queries FROM ex)
+               SELECT CAST(a.np AS INTEGER) AS np,
+                 CAST(nq.n_queries AS BIGINT) AS n_queries,
+                 count(*) AS hits,
+                 round(CAST(count(*) AS DOUBLE) /
+                       ($topK.0 * CAST(nq.n_queries AS DOUBLE)), 6)
+                   AS recall_at_5
+               FROM approx a
+               JOIN ex ON ex.e_q = a.q_id AND ex.e_n = a.n_id, nq
+               GROUP BY a.np, nq.n_queries ORDER BY np"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
       annPqAdc, kmeansLloyd, annRecall, filteredTopK, mmrRerank,
-      twoStageRescore, knnClassify)
+      twoStageRescore, knnClassify, nprobeSweep)
 }

@@ -146,6 +146,18 @@ class Round9OpsSpec extends AnyFunSuite {
       Seq("lang", "source", "noisy_docs", "suppressed"))
   }
 
+  test("s13: recall is monotone in nprobe, bounded, over the fixed sweep") {
+    val rows = Similarity.nprobeSweep.build(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8))
+    val recalls = rows.map(_.getDouble(3))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      recalls.mkString(","))
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, r.toString)
+      assert(r.getLong(2) <= 5 * r.getLong(1), r.toString)
+    }
+  }
+
   test("st16: flags exactly the windows failing the integer 2-sigma test") {
     val rows = graft.stream.Events.windowAnomalyQ.build(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -65,7 +65,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "d03_dedup_simhash" -> "documented all-pairs BASELINE; banded twins d09/d11 registered",
     "d05_dedup_embedding" -> "documented all-pairs BASELINE; bucketed twins s02/s04/s05 registered",
     "s12_knn_classify" -> "bounded evaluation-panel broadcast (s01's idiom; corpus never shuffles)",
-    "t24_token_burstiness" -> "1-row corpus-size scalar broadcast (t07/x09's idiom)")
+    "t24_token_burstiness" -> "1-row corpus-size scalar broadcast (t07/x09's idiom)",
+    "s13_nprobe_sweep" -> "composes s01's bounded query broadcast (exact baseline) + a 1-row query-count scalar; candidate stage is the s03b bounded equi-join")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
