@@ -2117,6 +2117,123 @@ object Curation {
                FROM lap ORDER BY lang, source"""))
   }
 
+  /** x39 — population stability index (PSI) distribution-drift monitor
+    * between two corpus snapshots (the standard production data-quality
+    * alarm — e.g. Siddiqi, "Credit Risk Scorecards", 2006, ch. 8:
+    * PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over the REFERENCE snapshot's
+    * decile buckets; <0.1 stable, <0.25 moderate, else shifted). x26
+    * diffs snapshots row-by-row; x39 says whether the SHAPE of the
+    * corpus moved — the alarm that fires when a new crawl batch skews
+    * short, even though every row is new. Snapshots here are the
+    * deterministic even/odd doc_id halves (x26's fixture idiom); the
+    * monitored feature is document length.
+    *
+    * Determinism: decile edges are positional — e_i = the reference
+    * value at row ceil(i·N/10) under the total (n_chars, doc_id) order,
+    * pure integer position arithmetic ((i·N + 9) DIV 10). Bucket
+    * assignment is an integer comparison count against the 9-row edge
+    * frame. The smoothed (+0.5, Laplace) PSI term is integerized at
+    * 10⁻⁹ through the t23 ln() wash, so the bucket terms and their sum
+    * are exact order-independent longs; the total is ONE division,
+    * round(6).
+    *
+    * Scale shape: one pass builds the reference histogram (the edge
+    * window runs over the BOUNDED distinct-length frame at 100 TB —
+    * x15's value-domain idiom; here the direct row window is fine at
+    * fixture scale and the edge frame is 9 rows either way); bucket
+    * assignment is a broadcast join against 9 edges; everything after
+    * is a 10-row frame. */
+  val psiDrift: QueryDef = {
+    val buckets = 10
+    QueryDef(
+      "x39_psi_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            (col("doc_id") % 2 === 0).as("is_ref"))
+        val ref = docs.filter(col("is_ref"))
+        val nRef = ref.agg(count(lit(1)).as("n_ref"))
+        val ordered = ref
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("n_chars"), col("doc_id"))))
+          .select("n_chars", "rn")
+        val edges = ordered.crossJoin(broadcast(nRef))
+          .withColumn("i", explode(expr(
+            s"sequence(1, ${buckets - 1})")))
+          .filter(expr(s"rn = (i * n_ref + ${buckets - 1}) DIV $buckets"))
+          .select(col("i").as("edge_i"), col("n_chars").as("edge_v"))
+        val assigned = docs.crossJoin(broadcast(edges))
+          .groupBy("doc_id", "is_ref")
+          .agg((sum(when(col("n_chars") > col("edge_v"), 1)
+            .otherwise(0)) + 1).as("bucket"))
+        val cells = assigned.groupBy("bucket")
+          .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("p_cnt"),
+            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("q_cnt"))
+        val totals = cells.agg(sum("p_cnt").as("n_p"), sum("q_cnt").as("n_q"))
+        val terms = cells.crossJoin(broadcast(totals))
+          .withColumn("term_e9", expr(
+            s"""CAST(round(
+                ((CAST(p_cnt AS DOUBLE) + 0.5) / (CAST(n_p AS DOUBLE) + ${buckets / 2.0})
+                 - (CAST(q_cnt AS DOUBLE) + 0.5) / (CAST(n_q AS DOUBLE) + ${buckets / 2.0}))
+                * ln(((CAST(p_cnt AS DOUBLE) + 0.5) / (CAST(n_p AS DOUBLE) + ${buckets / 2.0}))
+                     / ((CAST(q_cnt AS DOUBLE) + 0.5) / (CAST(n_q AS DOUBLE) + ${buckets / 2.0})))
+                * 1e9) AS BIGINT)"""))
+        val psi = terms.agg(sum("term_e9").as("psi_e9"))
+        terms.crossJoin(broadcast(psi))
+          .selectExpr("bucket", "p_cnt", "q_cnt", "term_e9",
+            "round(CAST(psi_e9 AS DOUBLE) / 1e9, 6) AS psi_total",
+            """CASE WHEN psi_e9 < 100000000 THEN 'stable'
+                    WHEN psi_e9 < 250000000 THEN 'moderate'
+                    ELSE 'shifted' END AS drift""")
+          .orderBy("bucket")
+      },
+      Some(s"""WITH docs AS (
+                 SELECT doc_id, n_chars, doc_id % 2 = 0 AS is_ref
+                 FROM documents),
+               ref AS (SELECT * FROM docs WHERE is_ref),
+               nref AS (SELECT count(*) AS n_ref FROM ref),
+               ordered AS (
+                 SELECT n_chars,
+                   row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+                 FROM ref),
+               edges AS (
+                 SELECT i.i AS edge_i, o.n_chars AS edge_v
+                 FROM (SELECT unnest(range(1, $buckets)) AS i) i, nref, ordered o
+                 WHERE o.rn = (i.i * nref.n_ref + ${buckets - 1}) // $buckets),
+               assigned AS (
+                 SELECT d.doc_id, d.is_ref,
+                   1 + sum(CASE WHEN d.n_chars > e.edge_v THEN 1 ELSE 0 END)
+                     AS bucket
+                 FROM docs d, edges e GROUP BY 1, 2),
+               cells AS (
+                 SELECT bucket,
+                   CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                     AS p_cnt,
+                   CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                     AS q_cnt
+                 FROM assigned GROUP BY 1),
+               totals AS (
+                 SELECT CAST(sum(p_cnt) AS BIGINT) AS n_p,
+                   CAST(sum(q_cnt) AS BIGINT) AS n_q FROM cells),
+               terms AS (
+                 SELECT bucket, p_cnt, q_cnt,
+                   CAST(round(
+                     ((CAST(p_cnt AS DOUBLE) + 0.5) / (CAST(n_p AS DOUBLE) + ${buckets / 2.0})
+                      - (CAST(q_cnt AS DOUBLE) + 0.5) / (CAST(n_q AS DOUBLE) + ${buckets / 2.0}))
+                     * ln(((CAST(p_cnt AS DOUBLE) + 0.5) / (CAST(n_p AS DOUBLE) + ${buckets / 2.0}))
+                          / ((CAST(q_cnt AS DOUBLE) + 0.5) / (CAST(n_q AS DOUBLE) + ${buckets / 2.0})))
+                     * 1e9) AS BIGINT) AS term_e9
+                 FROM cells, totals),
+               psi AS (SELECT CAST(sum(term_e9) AS BIGINT) AS psi_e9 FROM terms)
+               SELECT CAST(t.bucket AS BIGINT) AS bucket, t.p_cnt, t.q_cnt,
+                 t.term_e9,
+                 round(CAST(p.psi_e9 AS DOUBLE) / 1e9, 6) AS psi_total,
+                 CASE WHEN p.psi_e9 < 100000000 THEN 'stable'
+                      WHEN p.psi_e9 < 250000000 THEN 'moderate'
+                      ELSE 'shifted' END AS drift
+               FROM terms t, psi p ORDER BY bucket"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -2127,5 +2244,5 @@ object Curation {
       trainingManifest, snapshotDiff, manifestRefresh, releasePipeline,
       qualityClassifier, qualityPrototype, domainCap, scd2History,
       temperatureMix, datasetCard, canonicalSelection, weightedSample,
-      epochShuffle, dpRelease)
+      epochShuffle, dpRelease, psiDrift)
 }

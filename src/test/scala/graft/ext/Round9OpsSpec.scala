@@ -158,6 +158,29 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("x39: PSI terms non-negative, buckets partition both snapshots, " +
+    "total and verdict consistent") {
+    val rows = Curation.psiDrift.build(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(rows.map(_.getLong(1)).sum ==
+      docs.filter("doc_id % 2 = 0").count())
+    assert(rows.map(_.getLong(2)).sum ==
+      docs.filter("doc_id % 2 = 1").count())
+    // each (p−q)·ln(p/q) term has matching signs → never negative
+    rows.foreach(r => assert(r.getLong(3) >= 0, r.toString))
+    val psiE9 = rows.map(_.getLong(3)).sum
+    val expectTotal = BigDecimal(psiE9.toDouble / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val verdict =
+      if (psiE9 < 100000000L) "stable"
+      else if (psiE9 < 250000000L) "moderate" else "shifted"
+    rows.foreach { r =>
+      assert(r.getDouble(4) == expectTotal, r.toString)
+      assert(r.getString(5) == verdict, r.toString)
+    }
+  }
+
   test("st16: flags exactly the windows failing the integer 2-sigma test") {
     val rows = graft.stream.Events.windowAnomalyQ.build(spark, sf).collect()
     assert(rows.nonEmpty)

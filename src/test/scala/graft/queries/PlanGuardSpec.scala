@@ -66,7 +66,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "d05_dedup_embedding" -> "documented all-pairs BASELINE; bucketed twins s02/s04/s05 registered",
     "s12_knn_classify" -> "bounded evaluation-panel broadcast (s01's idiom; corpus never shuffles)",
     "t24_token_burstiness" -> "1-row corpus-size scalar broadcast (t07/x09's idiom)",
-    "s13_nprobe_sweep" -> "composes s01's bounded query broadcast (exact baseline) + a 1-row query-count scalar; candidate stage is the s03b bounded equi-join")
+    "s13_nprobe_sweep" -> "composes s01's bounded query broadcast (exact baseline) + a 1-row query-count scalar; candidate stage is the s03b bounded equi-join",
+    "x39_psi_drift" -> "9-row decile-edge broadcast + three 1-row scalar broadcasts (n_ref / totals / psi, e05's idiom)")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
@@ -79,7 +80,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "x32_temperature_mix" -> "global isq sum over the ~20-row per-source aggregate (x17's idiom), Curation.scala",
     "x33_dataset_card" -> "global corpus-token sum over the ~cells (lang, source) aggregate (x17's idiom), Curation.scala",
     "t17_bpe_encode" -> "100-row subword rank after LIMIT (t15's vocabulary-rank idiom), TextAnalysis.scala",
-    "ml02b_stump_exact" -> "12-row month-domain prefix-sum frame + 11-row split argmin rank, MlQueries.scala")
+    "ml02b_stump_exact" -> "12-row month-domain prefix-sum frame + 11-row split argmin rank, MlQueries.scala",
+    "x39_psi_drift" -> "reference-snapshot decile rank; at 100 TB the window runs over the bounded distinct-length frame (x15's value-domain idiom), Curation.scala")
 
   /** name -> physical plan for every registered query. sparkPlan (the
     * pre-AQE physical plan) carries the concrete join/window nodes; a
