@@ -1106,8 +1106,67 @@ object Similarity {
                GROUP BY a.np, nq.n_queries ORDER BY np"""))
   }
 
+  /** s14 — hard-negative mining for contrastive training (the data op
+    * behind every dual-encoder recipe, e.g. Karpukhin et al., "Dense
+    * Passage Retrieval", EMNLP 2020 §3.2: the best negatives are the
+    * nearest neighbors with a DIFFERENT label): per query vector, the
+    * top-3 most-similar vectors whose label differs — s09's
+    * complement (s09 restricts TO the label, s14 excludes it).
+    *
+    * Determinism: s01's bit-identical cosine fold, (cos DESC, n_id)
+    * ranking.
+    *
+    * Scale shape: unlike s09 the predicate is an EXCLUSION, so it
+    * cannot become the equi key — the bounded query panel broadcasts
+    * against the corpus scan with the label filter fused into the
+    * candidate stage (scans (|labels|−1)/|labels| of the corpus, which
+    * at 100 TB is where the s03-IVF bucket join would slot in front,
+    * exactly as s12's doc describes). */
+  val hardNegatives: QueryDef = {
+    val k = 3
+    QueryDef(
+      "s14_hard_negatives",
+      (s, d) => {
+        graft.expr.ArrayDot.register(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("emb"))
+        val withU = Dedup.unitized(e, Seq(col("vec_id"), col("label")), "u")
+        val q = withU.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("u").as("q_u"))
+        val c = withU.select(col("vec_id").as("n_id"),
+          col("label").as("n_label"), col("u").as("n_u"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("n_id"))
+        broadcast(q).join(c, col("q_label") =!= col("n_label"))
+          .withColumn("cos_sim", expr("array_dot(q_u, n_u)"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select("q_id", "q_label", "n_id", "n_label", "cos_sim", "rn")
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH e AS (
+                 SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+               ${Dedup.unitNormSql("e", ", label")},
+               p AS (
+                 SELECT a.vec_id AS q_id, a.label AS q_label,
+                   b.vec_id AS n_id, b.label AS n_label,
+                   ${Dedup.pairDotSql} AS cos_sim
+                 FROM u a JOIN u b
+                   ON a.vec_id < 10 AND b.label != a.label),
+               r AS (
+                 SELECT q_id, q_label, n_id, n_label, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rn
+                 FROM p)
+               SELECT q_id, q_label, n_id, n_label, cos_sim, rn
+               FROM r WHERE rn <= $k ORDER BY q_id, rn"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
       annPqAdc, kmeansLloyd, annRecall, filteredTopK, mmrRerank,
-      twoStageRescore, knnClassify, nprobeSweep)
+      twoStageRescore, knnClassify, nprobeSweep, hardNegatives)
 }

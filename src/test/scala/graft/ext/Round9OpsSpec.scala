@@ -181,6 +181,17 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s14: every mined negative carries a different label, ranked by cosine") {
+    val rows = Similarity.hardNegatives.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(1) != r.getInt(3), r.toString))
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getInt(5)).sorted.sameElements(1 to g.length))
+      val cs = g.sortBy(_.getInt(5)).map(_.getDouble(4))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, cs.mkString(","))
+    }
+  }
+
   test("st16: flags exactly the windows failing the integer 2-sigma test") {
     val rows = graft.stream.Events.windowAnomalyQ.build(spark, sf).collect()
     assert(rows.nonEmpty)

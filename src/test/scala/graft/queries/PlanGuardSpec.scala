@@ -67,7 +67,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "s12_knn_classify" -> "bounded evaluation-panel broadcast (s01's idiom; corpus never shuffles)",
     "t24_token_burstiness" -> "1-row corpus-size scalar broadcast (t07/x09's idiom)",
     "s13_nprobe_sweep" -> "composes s01's bounded query broadcast (exact baseline) + a 1-row query-count scalar; candidate stage is the s03b bounded equi-join",
-    "x39_psi_drift" -> "9-row decile-edge broadcast + three 1-row scalar broadcasts (n_ref / totals / psi, e05's idiom)")
+    "x39_psi_drift" -> "9-row decile-edge broadcast + three 1-row scalar broadcasts (n_ref / totals / psi, e05's idiom)",
+    "s14_hard_negatives" -> "bounded query-panel broadcast with an exclusion predicate (s01's idiom; the label filter cannot equi-key)")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
