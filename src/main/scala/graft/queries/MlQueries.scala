@@ -323,7 +323,91 @@ object MlQueries {
                 AS sse_root
             FROM best"""))
 
+  /** ml04 — cross-validation slope STABILITY: ml01b's closed-form OLS
+    * fit per md5-assigned fold (k=5), with the cross-fold mean and
+    * spread — the model-stability readout the reference's 5-fold CV
+    * (ML11) buys implicitly, made explicit and oracle-exact. A spread
+    * far above the fold-sampling noise flags a feature whose
+    * relationship is regime-dependent (exactly what CV is for); the
+    * evaluation-harness idiom (d17/t21/s08/s13) applied to regression.
+    *
+    * Determinism: fold = 40-bit md5 fold of the order key mod 5 (x01's
+    * portable-hash idiom); per-fold sums are exact longs and the slope
+    * is ONE IEEE division (ml01b's argument). The CROSS-fold mean and
+    * spread are computed over slope_e6 = round(slope·10⁶) INTEGERS —
+    * summing the raw doubles would be aggregation-order-dependent; the
+    * integerized t23 discipline keeps the summary exact and order-free.
+    *
+    * Scale shape: ONE partial-aggregable groupBy(fold) over the corpus
+    * (5 groups), then a 5-row frame with a 1-row summary broadcast
+    * (e05's idiom). */
+  val cvSlopeStability: QueryDef = {
+    val folds = 5
+    QueryDef(
+      "ml04_cv_slope_stability",
+      (s, d) => {
+        val perFold = Tables.orders(s, d)
+          .select(
+            expr(s"CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 10), 16, 10) AS BIGINT) % $folds")
+              .as("fold"),
+            month(col("o_orderdate")).cast("long").as("x"),
+            expr("CAST(floor(o_totalprice / 100e0) AS BIGINT)").as("y"))
+          .groupBy("fold")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+          .withColumn("slope", expr(
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+              "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"))
+          .withColumn("slope_e6", expr("CAST(round(slope * 1000000) AS BIGINT)"))
+        val summary = perFold.agg(
+          expr("CAST(sum(slope_e6) AS BIGINT)").as("sum_e6"),
+          max("slope_e6").as("max_e6"), min("slope_e6").as("min_e6"))
+        perFold.crossJoin(broadcast(summary))
+          .selectExpr("fold", "n", "slope", "slope_e6",
+            s"round(CAST(sum_e6 AS DOUBLE) / (1000000.0 * $folds), 6) AS slope_mean",
+            "round(CAST(max_e6 - min_e6 AS DOUBLE) / 1000000.0, 6) AS slope_spread")
+          .orderBy("fold")
+      },
+      Some(s"""WITH q AS (
+                 SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, 11),
+                       i -> CAST(strpos('0123456789abcdef',
+                         substring(md5(CAST(o_orderkey AS VARCHAR)), i, 1))
+                         - 1 AS BIGINT))),
+                     (a, dg) -> a * 16 + dg) % $folds AS fold,
+                   CAST(month(o_orderdate) AS BIGINT) AS x,
+                   CAST(floor(o_totalprice / 100e0) AS BIGINT) AS y
+                 FROM orders),
+               pf AS (
+                 SELECT fold, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+                 FROM q GROUP BY 1),
+               sl AS (
+                 SELECT fold, n,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+                 FROM pf),
+               se AS (
+                 SELECT fold, n, slope,
+                   CAST(round(slope * 1000000) AS BIGINT) AS slope_e6
+                 FROM sl),
+               summ AS (
+                 SELECT CAST(sum(slope_e6) AS BIGINT) AS sum_e6,
+                   max(slope_e6) AS max_e6, min(slope_e6) AS min_e6
+                 FROM se)
+               SELECT se.fold, se.n, se.slope, se.slope_e6,
+                 round(CAST(summ.sum_e6 AS DOUBLE) / (1000000.0 * $folds), 6)
+                   AS slope_mean,
+                 round(CAST(summ.max_e6 - summ.min_e6 AS DOUBLE) / 1000000.0, 6)
+                   AS slope_spread
+               FROM se, summ ORDER BY fold"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
-      stumpExact)
+      stumpExact, cvSlopeStability)
 }

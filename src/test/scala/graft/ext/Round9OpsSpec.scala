@@ -192,6 +192,25 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ml04: folds partition orders, summary matches the integerized slopes") {
+    val rows = graft.queries.MlQueries.cvSlopeStability.build(spark, sf)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSet == (0L until 5L).toSet)
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nOrders)
+    val e6s = rows.map(_.getLong(3))
+    val mean = BigDecimal(e6s.sum.toDouble / 5e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spread = BigDecimal((e6s.max - e6s.min).toDouble / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      assert(r.getDouble(4) == mean, r.toString)
+      assert(r.getDouble(5) == spread, r.toString)
+      assert(r.getLong(3) == BigDecimal(r.getDouble(2) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong, r.toString)
+    }
+  }
+
   test("st16: flags exactly the windows failing the integer 2-sigma test") {
     val rows = graft.stream.Events.windowAnomalyQ.build(spark, sf).collect()
     assert(rows.nonEmpty)
