@@ -211,6 +211,26 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("x39: identical snapshot halves give PSI exactly 0 / 'stable'") {
+    // planted corpus: doc 2k and 2k+1 share n_chars, so the even/odd
+    // halves have identical length distributions bucket for bucket —
+    // every (p−q)·ln(p/q) term must be EXACTLY 0, not merely small
+    val dir = java.nio.file.Files.createTempDirectory("x39law").toString
+    val docs = (0L until 200L)
+      .map(i => (i, s"t$i", "en", "s0", 50L + (i / 2) % 37))
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Curation.psiDrift.build(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), r.toString)
+      assert(r.getLong(3) == 0L, r.toString)
+      assert(r.getDouble(4) == 0.0, r.toString)
+      assert(r.getString(5) == "stable", r.toString)
+    }
+  }
+
   test("st16: flags exactly the windows failing the integer 2-sigma test") {
     val rows = graft.stream.Events.windowAnomalyQ.build(spark, sf).collect()
     assert(rows.nonEmpty)
