@@ -2060,8 +2060,16 @@ object Curation {
     * Determinism: u ∈ [0,1) is the 40-bit md5 hex fold over 2⁴⁰ (the
     * x36 key idiom); the ln() in the inverse CDF is washed through the
     * t23 discipline (round at integer granularity on identical IEEE
-    * inputs). Cells with a true count under k=20 release NULL +
-    * suppressed=true; noisy counts clamp at 0.
+    * inputs). The inverse-CDF argument 1−|2u−1| is clamped at 2⁻⁴⁰
+    * in BOTH engines: a key whose 40-bit fold is exactly 0 would give
+    * ln(0)=−∞, which Spark silently wraps to Long.MinValue on the
+    * BIGINT cast while DuckDB errors — the clamp caps |noise| at
+    * b·40·ln 2 ≈ 55 and keeps the engines agreeing on every possible
+    * key. Cell keys are NULL-safe (coalesce to '' before the concat):
+    * Spark's concat is NULL-absorbing where DuckDB's concat skips NULL
+    * args, so an unguarded key would diverge the moment the schema
+    * admits a NULL lang/source. Cells with a true count under k=20
+    * release NULL + suppressed=true; noisy counts clamp at 0.
     *
     * Scale shape: one (lang, source)-keyed count over bounded domains
     * — the noise/suppression stage is a pure projection on the
@@ -2075,14 +2083,15 @@ object Curation {
           .groupBy("lang", "source")
           .agg(count(lit(1)).as("n_true"))
           .selectExpr("lang", "source", "n_true",
-            "CAST(conv(substring(md5(concat(lang, ':', source)), 1, 10), 16, 10) AS BIGINT) AS h")
+            "CAST(conv(substring(md5(concat(coalesce(lang, ''), ':', coalesce(source, ''))), 1, 10), 16, 10) AS BIGINT) AS h")
           .selectExpr("lang", "source", "n_true",
             "CAST(h AS DOUBLE) / 1099511627776.0 AS u")
           .selectExpr("lang", "source", "n_true",
             "CASE WHEN u < 0.5 THEN -1 ELSE 1 END AS sgn",
             "abs(2.0 * u - 1.0) AS a")
           .selectExpr("lang", "source", "n_true",
-            s"CAST(round(-1.0 * sgn * $b * ln(1.0 - a)) AS BIGINT) AS noise")
+            s"CAST(round(-1.0 * sgn * $b * " +
+              "ln(greatest(1.0 - a, pow(2.0, -40)))) AS BIGINT) AS noise")
           // the released frame carries ONLY (noisy count, suppressed
           // flag) — emitting the noise or the true count alongside
           // would un-privatize the release
@@ -2097,7 +2106,9 @@ object Curation {
                  FROM documents GROUP BY 1, 2),
                keyed AS (
                  SELECT lang, source, n_true,
-                   ${duckHexFold("md5(concat(lang, ':', source))", 1, 10)}
+                   ${duckHexFold(
+                     "md5(concat(coalesce(lang, ''), ':', " +
+                       "coalesce(source, '')))", 1, 10)}
                      AS h
                  FROM cells),
                unif AS (
@@ -2108,7 +2119,8 @@ object Curation {
                  SELECT lang, source, n_true,
                    CAST(round(-1.0 *
                      (CASE WHEN u < 0.5 THEN -1 ELSE 1 END) * $b *
-                     ln(1.0 - abs(2.0 * u - 1.0))) AS BIGINT) AS noise
+                     ln(greatest(1.0 - abs(2.0 * u - 1.0),
+                                 pow(2.0, -40)))) AS BIGINT) AS noise
                  FROM unif)
                SELECT lang, source,
                  CASE WHEN n_true < $k THEN NULL

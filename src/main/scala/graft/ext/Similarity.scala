@@ -1044,13 +1044,19 @@ object Similarity {
         val ex = cosineTopK.build(s, d)
           .select(col("q_id").as("e_q"), col("n_id").as("e_n"))
         val nq = ex.select(countDistinct(col("e_q")).as("n_queries"))
-        approx.join(ex,
+        val hitsByNp = approx.join(ex,
             col("q_id") === col("e_q") && col("n_id") === col("e_n"),
             "left_semi")
           .groupBy("np").agg(count(lit(1)).as("hits"))
+        // the final aggregate is driven from the np DOMAIN (the sweep
+        // frame), not the hit set: a budget with zero exact-top-k hits
+        // must report recall 0.0, not vanish from the 4-row sweep
+        s.sql("SELECT explode(array(1, 2, 4, 8)) AS np")
+          .join(hitsByNp, Seq("np"), "left")
           .crossJoin(broadcast(nq))
-          .selectExpr("np", "n_queries", "hits",
-            s"round(CAST(hits AS DOUBLE) / ($topK.0 * CAST(n_queries AS DOUBLE)), 6) AS recall_at_5")
+          .selectExpr("np", "n_queries",
+            "coalesce(hits, CAST(0 AS BIGINT)) AS hits",
+            s"round(CAST(coalesce(hits, 0) AS DOUBLE) / ($topK.0 * CAST(n_queries AS DOUBLE)), 6) AS recall_at_5")
           .orderBy("np")
       },
       Some(s"""WITH ${Dedup.normalizedSql},
@@ -1094,16 +1100,20 @@ object Similarity {
                ex AS (
                  SELECT q_id AS e_q, n_id AS e_n
                  FROM (${cosineTopK.sql.get}) x),
-               nq AS (SELECT count(DISTINCT e_q) AS n_queries FROM ex)
-               SELECT CAST(a.np AS INTEGER) AS np,
+               nq AS (SELECT count(DISTINCT e_q) AS n_queries FROM ex),
+               hits AS (
+                 SELECT a.np, count(*) AS hits
+                 FROM approx a
+                 JOIN ex ON ex.e_q = a.q_id AND ex.e_n = a.n_id
+                 GROUP BY a.np)
+               SELECT CAST(s.np AS INTEGER) AS np,
                  CAST(nq.n_queries AS BIGINT) AS n_queries,
-                 count(*) AS hits,
-                 round(CAST(count(*) AS DOUBLE) /
+                 CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+                 round(CAST(coalesce(h.hits, 0) AS DOUBLE) /
                        ($topK.0 * CAST(nq.n_queries AS DOUBLE)), 6)
                    AS recall_at_5
-               FROM approx a
-               JOIN ex ON ex.e_q = a.q_id AND ex.e_n = a.n_id, nq
-               GROUP BY a.np, nq.n_queries ORDER BY np"""))
+               FROM sweep s LEFT JOIN hits h ON h.np = s.np, nq
+               ORDER BY np"""))
   }
 
   /** s14 — hard-negative mining for contrastive training (the data op

@@ -1353,9 +1353,16 @@ object TextAnalysis {
     *
     * Determinism: per-token document frequency, Σc and Σc² over ALL N
     * corpus docs (absent docs contribute zeros — only the moments
-    * need N, not a dense frame) are exact longs;
-    * VMR = var/mean = (N·Q − S²)/(N·S) is ONE IEEE division of exact
-    * longs, round(6).
+    * need N, not a dense frame) are exact longs (c is a within-doc
+    * count, so c² stays far under 2⁶³);
+    * VMR = var/mean = (N·Q − S²)/(N·S) is ONE IEEE division, with the
+    * N·Q, S², N·S products widened to exact 128-bit-class integers —
+    * DECIMAL(38,0) in Spark, HUGEINT in DuckDB — because S² for a
+    * high-frequency token crosses 2⁶³ around S ≈ 3·10⁹, well inside
+    * 100 TB scale, and Spark LongType would wrap silently while DuckDB
+    * would not (the st16/x36 widening discipline). Both engines
+    * produce the same exact integers, so the double conversion and
+    * round(6) agree bit-for-bit.
     *
     * Scale shape: one (token)-keyed aggregate of per-doc counts
     * (map-side combined), a 1-row corpus-count scalar broadcast, a
@@ -1377,8 +1384,10 @@ object TextAnalysis {
             sum(expr("c * c")).as("q"))
           .crossJoin(broadcast(n))
           .selectExpr("tok", "df", "s", "q", "n_docs",
-            "round(CAST(n_docs * q - s * s AS DOUBLE) / " +
-              "CAST(n_docs * s AS DOUBLE), 6) AS vmr")
+            "round(CAST(CAST(n_docs AS DECIMAL(38,0)) * q - " +
+              "CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) / " +
+              "CAST(CAST(n_docs AS DECIMAL(38,0)) * s AS DOUBLE), 6) " +
+              "AS vmr")
           .orderBy(col("s").desc, col("tok"))
           .limit(topT)
       },
@@ -1395,8 +1404,10 @@ object TextAnalysis {
                    CAST(sum(c * c) AS BIGINT) AS q
                  FROM counts GROUP BY 1)
                SELECT tok, df, s, q, n_docs,
-                 round(CAST(n_docs * q - s * s AS DOUBLE) /
-                       CAST(n_docs * s AS DOUBLE), 6) AS vmr
+                 round(CAST(CAST(n_docs AS HUGEINT) * q -
+                            CAST(s AS HUGEINT) * s AS DOUBLE) /
+                       CAST(CAST(n_docs AS HUGEINT) * s AS DOUBLE), 6)
+                   AS vmr
                FROM moments, n
                ORDER BY s DESC, tok LIMIT $topT"""))
   }
