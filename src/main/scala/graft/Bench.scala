@@ -102,9 +102,12 @@ object Bench {
     // durable record rounds are compared on
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_out.json")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"focused":$fq,"sf":"$sfDir"}""" + "\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"focused":$fq,"sf":"$sfDir"}""" + "\n")
-    println(renderLine(results, total, outPath, sfDir, focused.size))
+      fullJson)
+    println(renderLine(results, total, outPath, sfDir, focused.size,
+      sha16(fullJson)))
     spark.stop()
   }
 
@@ -132,6 +135,15 @@ object Bench {
       .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
   }
 
+  /** First 16 hex chars of SHA-256 — binds the budgeted stdout line to
+    * the full-precision map file it points at, so the round artifact
+    * (which captures only the stdout tail) is verifiably paired with
+    * the committed full map: `sha256sum <full>` must start with it. */
+  def sha16(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+
   /** The one structured stdout line the driver parses. The log tail
     * kept by callers is ~2000 chars and sbt's trailing "[success] Total
     * time ..." line sits inside that window, so a full 89-query map
@@ -141,16 +153,19 @@ object Bench {
     * for the omitted fast tail. Spec-guarded (BenchLineSpec): valid
     * JSON, under budget, at any registry size. */
   def renderLine(results: Seq[(String, Double)], total: Double,
-      outPath: String, sfDir: String, refocused: Int = 0): String = {
+      outPath: String, sfDir: String, refocused: Int = 0,
+      fullSha: String = ""): String = {
     val budget = 1750
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // on comma-decimal locales would print "1,234" and corrupt the JSON
     def f3(v: Double) =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val shaField =
+      if (fullSha.isEmpty) "" else s""","full_sha":"$fullSha""""
     val header = s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
       s""","n":${results.size},"refocused":$refocused""" +
-      s""","full":"$outPath","sf":"$sfDir","queries":{"""
+      s""","full":"$outPath"$shaField,"sf":"$sfDir","queries":{"""
     val bySlowest = results.sortBy { case (_, v) => -v }
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
     val sb = new StringBuilder(header)

@@ -68,6 +68,27 @@ class BenchLineSpec extends AnyFunSuite {
     assert(mapper.readTree(l).get("refocused").asInt() == 3)
   }
 
+  test("full_sha binds the line to the full-map file and stays in budget") {
+    // sha16 is the leading 16 hex chars of SHA-256 (vector: sha256 of
+    // the empty string starts e3b0c44298fc1c14)
+    assert(Bench.sha16("") == "e3b0c44298fc1c14")
+    val l = Bench.renderLine(Seq(("q1", 1.0)), 1.0, "o.json", "sf",
+      fullSha = Bench.sha16("payload"))
+    val node = mapper.readTree(l)
+    assert(node.get("full_sha").asText().matches("[0-9a-f]{16}"))
+    // omitted by default (focused runs pass no sha) — field absent
+    val bare = mapper.readTree(
+      Bench.renderLine(Seq(("q1", 1.0)), 1.0, "o.json", "sf"))
+    assert(bare.get("full_sha") == null)
+    // the sha field must not push a full-size registry line over budget
+    val big = (1 to 500).map(i =>
+      (s"q${"%03d".format(i)}_some_long_query_name", i / 100.0))
+    val bigLine = Bench.renderLine(big, big.map(_._2).sum, "bench_out.json",
+      "/root/testdata/sf0.1", fullSha = Bench.sha16("x"))
+    assert(bigLine.length <= 1800)
+    mapper.readTree(bigLine)
+  }
+
   test("loadBaselines parses timing rows, last occurrence wins, missing file empty") {
     val f = java.nio.file.Files.createTempFile("baseline", ".md")
     java.nio.file.Files.writeString(f,
