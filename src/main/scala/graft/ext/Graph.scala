@@ -1083,9 +1083,91 @@ object Graph {
                 AS assortativity
             FROM j"""))
 
+  /** g14 — weakly-connected components of the SUPPORT-FILTERED
+    * co-purchase graph: g02's adjacent-in-sorted-order part edges kept
+    * only when the pair co-occurs in ≥ 2 distinct orders (the standard
+    * min-support cut that turns the near-complete co-occurrence graph
+    * into sparse product communities), labeled with the
+    * alternating-star contraction d07 already ships
+    * (Kiveris et al., "Connected components in MapReduce and beyond",
+    * SoCC 2014), then summarized as the component-SIZE histogram plus
+    * the giant-component share — the first profile every graph
+    * pipeline reads before deciding whether per-component processing
+    * is feasible.
+    *
+    * Determinism: component labels are min-reachable-node-id (the d07
+    * contract, mirrored by the oracle's recursive closure); the
+    * histogram and totals are pure integer aggregates; giant share is
+    * integer ppm.
+    *
+    * Scale shape: edge building is the g02 linear lag window; the
+    * support filter is one (u,v) count aggregate; star contraction is
+    * O(log n) rounds of degree-keyed equi-joins with checkpointed
+    * lineage; the histogram reduces components to a ≤ max-size-row
+    * frame and the 1-row totals broadcast attaches via the whitelisted
+    * e05 idiom. */
+  val wcc: QueryDef = QueryDef(
+    "g14_wcc",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val parts = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = parts
+        .withColumn("u", lag("pk", 1).over(
+          Window.partitionBy("ok").orderBy("pk")))
+        .filter(col("u").isNotNull)
+        .select(col("u"), col("pk").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("u").as("a_id"), col("v").as("b_id"))
+      val sizes = Dedup.connectedComponents(pairs)
+        .groupBy("component").agg(count(lit(1)).as("size"))
+      val hist = sizes.groupBy("size")
+        .agg(count(lit(1)).as("n_components"))
+      val totals = sizes.agg(sum("size").as("n_nodes"),
+        max("size").as("giant_size"))
+      hist.crossJoin(broadcast(totals))
+        .selectExpr("size", "n_components", "n_nodes", "giant_size",
+          "(giant_size * 1000000) DIV n_nodes AS giant_ppm")
+        .orderBy("size")
+    },
+    Some("""WITH RECURSIVE parts AS (
+              SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+              FROM lineitem),
+            lagged AS (
+              SELECT lag(pk) OVER (PARTITION BY ok ORDER BY pk) AS u,
+                pk AS v
+              FROM parts),
+            sup AS (
+              SELECT u, v, count(*) AS support FROM lagged
+              WHERE u IS NOT NULL GROUP BY 1, 2),
+            pairs AS (SELECT u, v FROM sup WHERE support >= 2),
+            edges AS (
+              SELECT u AS src, v AS dst FROM pairs
+              UNION
+              SELECT v AS src, u AS dst FROM pairs),
+            reach(id, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e
+              JOIN reach ON reach.id = e.dst),
+            labels AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+            sizes AS (
+              SELECT component, count(*) AS size FROM labels GROUP BY 1),
+            hist AS (
+              SELECT size, count(*) AS n_components FROM sizes GROUP BY 1),
+            tot AS (
+              SELECT CAST(sum(size) AS BIGINT) AS n_nodes,
+                CAST(max(size) AS BIGINT) AS giant_size
+              FROM sizes)
+            SELECT h.size, h.n_components, t.n_nodes, t.giant_size,
+              (t.giant_size * 1000000) // t.n_nodes AS giant_ppm
+            FROM hist h, tot t ORDER BY size"""))
+
   val all: Seq[QueryDef] =
     Seq(pagerank, triangles, kcore, labelPropagation, bfsHops,
       personalizedPagerank, linkPrediction, hits, degreeHistogram,
       harmonicCentrality, modularity, clusteringCoefficient,
-      assortativity)
+      assortativity, wcc)
 }

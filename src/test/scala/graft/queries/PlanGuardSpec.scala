@@ -69,7 +69,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "s13_nprobe_sweep" -> "composes s01's bounded query broadcast (exact baseline) + a 1-row query-count scalar; candidate stage is the s03b bounded equi-join",
     "x39_psi_drift" -> "9-row decile-edge broadcast + three 1-row scalar broadcasts (n_ref / totals / psi, e05's idiom)",
     "s14_hard_negatives" -> "bounded query-panel broadcast with an exclusion predicate (s01's idiom; the label filter cannot equi-key)",
-    "ml04_cv_slope_stability" -> "1-row cross-fold summary broadcast onto the 5-row fold frame (e05's idiom)")
+    "ml04_cv_slope_stability" -> "1-row cross-fold summary broadcast onto the 5-row fold frame (e05's idiom)",
+    "g14_wcc" -> "1-row graph-totals broadcast onto the component-size histogram (g11's idiom)")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
