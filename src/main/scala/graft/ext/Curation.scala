@@ -471,8 +471,11 @@ object Curation {
   val fuzzyDedupPipeline: QueryDef = QueryDef(
     "x12_fuzzy_dedup_pipeline",
     (s, d) => {
-      val pairs = Dedup.ngramJaccard.build(s, d).select("a_id", "b_id")
-      val removed = Dedup.connectedComponents(pairs)
+      // pairs + CC come from the session-shared materialized stage
+      // (Dedup.ngramSharedStage): x12/x19/x28/x34 all layer on the same
+      // d04/d07 machinery, so it is computed once per session, not four
+      // times — the production materialize-once pattern.
+      val removed = Dedup.ngramSharedLabels(s, d)
         .filter(col("id") =!= col("component"))
         .select(col("id").as("doc_id"), lit(1).as("rm"))
       val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
@@ -859,8 +862,7 @@ object Curation {
   val leakageSafeSplit: QueryDef = QueryDef(
     "x19_leakage_safe_split",
     (s, d) => {
-      val pairs = Dedup.ngramJaccard.build(s, d).select("a_id", "b_id")
-      val labels = Dedup.connectedComponents(pairs)
+      val labels = Dedup.ngramSharedLabels(s, d) // shared materialized stage
         .select(col("id").as("doc_id"), col("component"))
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), expr(sparkTokCount).cast("long").as("n_tokens"))
@@ -1444,8 +1446,7 @@ object Curation {
           Seq("doc_id", "text"))
         // x19: near-dup cluster roots over the FULL corpus decide the
         // split side (a discarded dup's twin still pins its cluster)
-        val labels = Dedup.connectedComponents(
-          Dedup.ngramJaccard.build(s, d).select("a_id", "b_id"))
+        val labels = Dedup.ngramSharedLabels(s, d) // shared materialized stage
           .select(col("id").as("doc_id"), col("component"))
         survivors.join(labels, Seq("doc_id"), "left")
           .withColumn("root", coalesce(col("component"), col("doc_id")))
@@ -1886,8 +1887,7 @@ object Curation {
   val canonicalSelection: QueryDef = QueryDef(
     "x34_canonical_selection",
     (s, d) => {
-      val pairs = Dedup.ngramJaccard.build(s, d).select("a_id", "b_id")
-      val labels = Dedup.connectedComponents(pairs)
+      val labels = Dedup.ngramSharedLabels(s, d) // shared materialized stage
       val toks = Tables.documents(s, d).select(col("doc_id"),
         expr(sparkTokCount).cast("long").as("n_tokens"))
       val members = labels.join(toks, labels("id") === toks("doc_id"))
