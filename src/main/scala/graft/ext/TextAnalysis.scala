@@ -174,13 +174,18 @@ object TextAnalysis {
         .setNumFeatures(1 << 16)
       val tfed = tf.transform(stop.transform(tok.transform(docs)))
       val idf = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tfed)
-      import org.apache.spark.ml.linalg.Vector
-      val normUdf = org.apache.spark.sql.functions.udf(
-        (v: Vector) => math.sqrt(v.toArray.map(x => x * x).sum))
+      // norm via the blessed vector_to_array bridge + a native aggregate
+      // fold — no scalar UDF of our own (the sum walks the dense array
+      // left-to-right, the same order the old Vector.toArray fold used,
+      // so the rounded norm is bit-identical to the previous output)
+      import org.apache.spark.ml.functions.vector_to_array
       idf.transform(tfed)
+        .withColumn("tfidf_arr", vector_to_array(col("tfidf")))
         .select(col("doc_id"),
           expr("size(kept)").as("n_kept_tokens"),
-          round(normUdf(col("tfidf")), 4).as("tfidf_norm"))
+          round(sqrt(expr(
+            "aggregate(tfidf_arr, 0D, (acc, x) -> acc + x * x)")), 4)
+            .as("tfidf_norm"))
         .orderBy("doc_id")
     },
     None)
