@@ -1,0 +1,164 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.core.Tables
+
+/** Late-data audit harness (VERDICT r9 #8): documents the watermark
+  * contract of the streaming tumbling aggregate the way PLANS.txt
+  * documents plan shapes — as a committed, spec-guarded artifact.
+  *
+  * The events fixture is delivered through a MemoryStream in
+  * deterministic micro-batches: rows are ordered by (ts, event_id) and
+  * cut into `nBatches` equal slices; every 7th event_id is DEFERRED by
+  * `defer` slices, arriving days behind the stream's frontier. With a
+  * watermark delay shorter than `defer` slice widths, part of the
+  * deferred traffic lands behind the watermark and must be dropped by
+  * the engine; the rest is admitted. Per delivery batch the audit
+  * records:
+  *
+  *   - `delivered`: rows fed to the engine this batch,
+  *   - `observed_dropped`: the engine's own
+  *     `stateOperators.numRowsDroppedByWatermark` delta,
+  *   - `expected_dropped`: the count derived from the PUBLIC watermark
+  *     contract — wm(k) = max event-time millis seen through batch k−1
+  *     minus the delay, and an input row is dropped iff its tumbling
+  *     window END (as epoch millis) is ≤ wm(k),
+  *   - the watermark the engine reported for the batch.
+  *
+  * The spec (LateDataAuditSpec) asserts observed == expected row-for-
+  * row — i.e. the documented rule IS the engine's rule — and that the
+  * committed LATE_DATA.json matches a fresh run.
+  *
+  * Driver-side data note: a MemoryStream harness necessarily holds the
+  * delivery schedule locally; this is a fixture-sized DIAGNOSTIC main
+  * (1000 rows at sf0.001), not a registered query — production
+  * late-data accounting reads the same numRowsDroppedByWatermark
+  * metric from StreamingQueryProgress, which is O(batches), not
+  * O(rows). */
+object LateDataAudit {
+
+  case class BatchStat(batch: Int, delivered: Long, observedDropped: Long,
+      expectedDropped: Long, watermark: String)
+
+  case class Audit(stats: Seq[BatchStat]) {
+    def totalDelivered: Long = stats.map(_.delivered).sum
+    def totalObserved: Long = stats.map(_.observedDropped).sum
+    def totalExpected: Long = stats.map(_.expectedDropped).sum
+    def json: String = {
+      val rows = stats.map { b =>
+        s"""  {"batch": ${b.batch}, "delivered": ${b.delivered},""" +
+          s""" "observed_dropped": ${b.observedDropped},""" +
+          s""" "expected_dropped": ${b.expectedDropped},""" +
+          s""" "watermark": "${b.watermark}"}"""
+      }.mkString(",\n")
+      s"""{
+         | "harness": "LateDataAudit",
+         | "fixture": "events.parquet sf0.001",
+         | "n_batches": ${stats.size},
+         | "total_delivered": $totalDelivered,
+         | "total_dropped_observed": $totalObserved,
+         | "total_dropped_expected": $totalExpected,
+         | "batches": [
+         |$rows
+         | ]
+         |}
+         |""".stripMargin
+    }
+  }
+
+  /** One row of the delivery schedule. */
+  case class Ev(eventId: Long, ts: Timestamp, eventType: String,
+      value: Double, delivery: Int)
+
+  def hourWindowEndMs(ts: Timestamp): Long = {
+    val hourMs = 3600L * 1000
+    (ts.getTime / hourMs + 1) * hourMs
+  }
+
+  /** Deterministic delivery schedule over the fixture: slice k of
+    * `nBatches` equal (ts, event_id)-ordered slices arrives at batch k,
+    * except event_id % 7 == 0 rows, deferred to batch k + defer when
+    * that still lands inside the run. */
+  def schedule(spark: SparkSession, sfDir: String, nBatches: Int,
+      defer: Int): Seq[Ev] = {
+    val rows = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "event_type", "value")
+      .collect() // fixture-sized diagnostic harness — see object doc
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+        r.getDouble(3)))
+      .sortBy { case (id, t, _, _) => (t.getTime, t.getNanos, id) }
+    val n = rows.length
+    rows.zipWithIndex.map { case ((id, t, et, v), i) =>
+      val slice = (i.toLong * nBatches / n).toInt
+      val delivery =
+        if (id % 7 == 0 && slice + defer < nBatches) slice + defer else slice
+      Ev(id, t, et, v, delivery)
+    }
+  }
+
+  def run(spark: SparkSession, sfDir: String, nBatches: Int = 8,
+      defer: Int = 2, delayMs: Long = 96L * 3600 * 1000,
+      queryName: String = "late_audit_out"): Audit = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val evs = schedule(spark, sfDir, nBatches, defer)
+    val byBatch = evs.groupBy(_.delivery)
+
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q: StreamingQuery = Events
+      .tumblingStream(events, s"${delayMs / 1000} seconds")
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+
+    def droppedSoFar(): Long =
+      q.recentProgress.toSeq
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+
+    var maxSeenMs = Long.MinValue
+    var prevDropped = 0L
+    val stats = (0 until nBatches).map { k =>
+      val batch = byBatch.getOrElse(k, Seq.empty)
+      // the engine's watermark for THIS batch is frozen from the data
+      // seen through batch k-1
+      val wmMs = if (maxSeenMs == Long.MinValue) 0L
+        else math.max(0L, maxSeenMs - delayMs)
+      val expected =
+        batch.count(e => hourWindowEndMs(e.ts) <= wmMs).toLong
+      in.addData(batch.map(e => (e.eventId, e.ts, e.eventType, e.value)): _*)
+      q.processAllAvailable()
+      val nowDropped = droppedSoFar()
+      val obs = nowDropped - prevDropped
+      prevDropped = nowDropped
+      if (batch.nonEmpty)
+        maxSeenMs = math.max(maxSeenMs, batch.map(_.ts.getTime).max)
+      val wmStr = Option(q.lastProgress)
+        .flatMap(p => Option(p.eventTime.get("watermark"))).getOrElse("")
+      BatchStat(k, batch.size.toLong, obs, expected, wmStr)
+    }
+    q.stop()
+    Audit(stats)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val out = if (args.length > 1) args(1) else "LATE_DATA.json"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val audit = run(spark, sfDir)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), audit.json)
+    println(audit.json)
+    spark.stop()
+  }
+}

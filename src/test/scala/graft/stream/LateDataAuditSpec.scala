@@ -1,0 +1,42 @@
+package graft.stream
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Guards the committed LATE_DATA.json late-data contract artifact
+  * (VERDICT r9 #8): the watermark-drop rule the audit documents must BE
+  * the engine's rule, batch for batch, and the committed file must
+  * match a fresh run of the same harness. */
+class LateDataAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("watermark drop accounting: engine-observed == contract-derived, per batch") {
+    val audit = LateDataAudit.run(spark, TestSpark.sf0001,
+      queryName = "late_audit_spec_out")
+    assert(audit.totalDelivered == 1000, s"fixture drifted: $audit")
+    audit.stats.foreach { b =>
+      assert(b.observedDropped == b.expectedDropped,
+        s"batch ${b.batch}: engine dropped ${b.observedDropped}, " +
+          s"contract predicts ${b.expectedDropped}")
+    }
+    // the schedule must actually exercise the contract: deferred rows
+    // both dropped AND admitted (a 0-drop or all-drop run guards nothing)
+    val deferred = LateDataAudit
+      .schedule(spark, TestSpark.sf0001, 8, 2)
+      .count(e => e.eventId % 7 == 0)
+    assert(audit.totalObserved > 0, "no late rows were dropped")
+    assert(audit.totalObserved < deferred,
+      "every deferred row dropped — admitted-late path unexercised")
+  }
+
+  test("committed LATE_DATA.json matches a fresh audit run") {
+    val path = java.nio.file.Paths.get("LATE_DATA.json")
+    assert(java.nio.file.Files.exists(path), "LATE_DATA.json not committed")
+    val committed = java.nio.file.Files.readString(path)
+    val fresh = LateDataAudit.run(spark, TestSpark.sf0001,
+      queryName = "late_audit_spec_out2").json
+    assert(committed == fresh,
+      "LATE_DATA.json is stale — regenerate with runMain graft.stream.LateDataAudit")
+  }
+}
