@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1563,36 +1563,80 @@ object Curation {
     * × max|w|, so sampled training tokens must stay ≲ 3·10⁹ for int64 —
     * at 100 TB tighten the md5 gate to more hex digits (the "sample,
     * don't fit the corpus" discipline x29 already documents). */
+  private val protoF = 1024
+
+  /** The x29b scoring frame `(doc_id, label, score)` — weak gate label
+    * plus the integer nearest-prototype score — shared by x29b (the
+    * filter audit) and ml05 (the calibration bins). Plan body
+    * documented at [[qualityPrototype]]. */
+  def prototypeScored(s: SparkSession, d: String): DataFrame = {
+    val sparkBucket = s"${graft.ext.Dedup.sparkMd5Int60("tok")} % $protoF"
+    val labeled = Tables.documents(s, d)
+      .withColumn("label",
+        when(qualityGatePred(), 1L).otherwise(0L))
+    val trainToks = labeled
+      .filter(expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) < '8'"))
+      .select(col("label"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("label"), expr(sparkBucket).as("bucket"))
+    val classCounts = trainToks.groupBy("bucket")
+      .agg(sum(col("label")).as("c1"),
+        sum(lit(1L) - col("label")).as("c0"))
+    val totals = classCounts
+      .agg(sum("c1").as("t1"), sum("c0").as("t0"))
+    val weights = classCounts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (col("c1") * col("t0") - col("c0") * col("t1")).as("w"))
+    labeled
+      .select(col("doc_id"), col("label"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("label"), expr(sparkBucket).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy("doc_id", "label")
+      .agg(sum(coalesce(col("w"), lit(0L))).as("score"))
+  }
+
+  /** DuckDB mirror of [[prototypeScored]] as a WITH-body fragment
+    * ending in `sc(doc_id, label, score)`. */
+  def prototypeScoreCtes: String = {
+    val duckBucket = s"${graft.ext.Dedup.duckMd5Int60("tok")} % $protoF"
+    s"""labeled AS (
+         SELECT doc_id, text,
+           CASE WHEN lang IN ('en', 'de', 'es', 'fr')
+             AND len(string_split(text, ' ')) >= 20
+             THEN 1 ELSE 0 END AS label
+         FROM documents),
+       train_toks AS (
+         SELECT label, $duckBucket AS bucket
+         FROM (SELECT label, unnest(string_split(text, ' ')) AS tok
+               FROM labeled
+               WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     < '8')),
+       cc AS (
+         SELECT bucket,
+           CAST(sum(label) AS BIGINT) AS c1,
+           CAST(sum(1 - label) AS BIGINT) AS c0
+         FROM train_toks GROUP BY bucket),
+       tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+                 CAST(sum(c0) AS BIGINT) AS t0 FROM cc),
+       w AS (SELECT bucket, c1 * t0 - c0 * t1 AS w FROM cc, tot),
+       score_toks AS (
+         SELECT doc_id, label, $duckBucket AS bucket
+         FROM (SELECT doc_id, label,
+                 unnest(string_split(text, ' ')) AS tok
+               FROM labeled)),
+       sc AS (
+         SELECT st.doc_id, st.label,
+           CAST(sum(coalesce(w.w, 0)) AS BIGINT) AS score
+         FROM score_toks st LEFT JOIN w ON w.bucket = st.bucket
+         GROUP BY st.doc_id, st.label)"""
+  }
+
   val qualityPrototype: QueryDef = {
-    val F = 1024
-    val sparkBucket = s"${graft.ext.Dedup.sparkMd5Int60("tok")} % $F"
-    val duckBucket = s"${graft.ext.Dedup.duckMd5Int60("tok")} % $F"
     QueryDef(
       "x29b_quality_prototype",
       (s, d) => {
-        val labeled = Tables.documents(s, d)
-          .withColumn("label",
-            when(qualityGatePred(), 1L).otherwise(0L))
-        val trainToks = labeled
-          .filter(expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) < '8'"))
-          .select(col("label"),
-            explode(split(col("text"), " ")).as("tok"))
-          .select(col("label"), expr(sparkBucket).as("bucket"))
-        val classCounts = trainToks.groupBy("bucket")
-          .agg(sum(col("label")).as("c1"),
-            sum(lit(1L) - col("label")).as("c0"))
-        val totals = classCounts
-          .agg(sum("c1").as("t1"), sum("c0").as("t0"))
-        val weights = classCounts.crossJoin(broadcast(totals))
-          .select(col("bucket"),
-            (col("c1") * col("t0") - col("c0") * col("t1")).as("w"))
-        val scored = labeled
-          .select(col("doc_id"), col("label"),
-            explode(split(col("text"), " ")).as("tok"))
-          .select(col("doc_id"), col("label"), expr(sparkBucket).as("bucket"))
-          .join(broadcast(weights), Seq("bucket"), "left")
-          .groupBy("doc_id", "label")
-          .agg(sum(coalesce(col("w"), lit(0L))).as("score"))
+        val scored = prototypeScored(s, d)
         scored.select(col("doc_id"),
             col("label").as("weak_label"),
             when(col("score") > 0L, 1L).otherwise(0L).as("predicted"),
@@ -1601,36 +1645,7 @@ object Curation {
               .cast("long").as("agree"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH labeled AS (
-                 SELECT doc_id, text,
-                   CASE WHEN lang IN ('en', 'de', 'es', 'fr')
-                     AND len(string_split(text, ' ')) >= 20
-                     THEN 1 ELSE 0 END AS label
-                 FROM documents),
-               train_toks AS (
-                 SELECT label, $duckBucket AS bucket
-                 FROM (SELECT label, unnest(string_split(text, ' ')) AS tok
-                       FROM labeled
-                       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                             < '8')),
-               cc AS (
-                 SELECT bucket,
-                   CAST(sum(label) AS BIGINT) AS c1,
-                   CAST(sum(1 - label) AS BIGINT) AS c0
-                 FROM train_toks GROUP BY bucket),
-               tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
-                         CAST(sum(c0) AS BIGINT) AS t0 FROM cc),
-               w AS (SELECT bucket, c1 * t0 - c0 * t1 AS w FROM cc, tot),
-               score_toks AS (
-                 SELECT doc_id, label, $duckBucket AS bucket
-                 FROM (SELECT doc_id, label,
-                         unnest(string_split(text, ' ')) AS tok
-                       FROM labeled)),
-               sc AS (
-                 SELECT st.doc_id, st.label,
-                   CAST(sum(coalesce(w.w, 0)) AS BIGINT) AS score
-                 FROM score_toks st LEFT JOIN w ON w.bucket = st.bucket
-                 GROUP BY st.doc_id, st.label)
+      Some(s"""WITH $prototypeScoreCtes
                SELECT doc_id,
                  CAST(label AS BIGINT) AS weak_label,
                  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT)
@@ -1640,6 +1655,60 @@ object Curation {
                    THEN 1 ELSE 0 END AS BIGINT) AS agree
                FROM sc ORDER BY doc_id"""))
   }
+
+  /** ml05 — classifier calibration / reliability table (DeGroot &
+    * Fienberg 1983; Niculescu-Mizil & Caruana, ICML 2005: bin the
+    * classifier's score, compare each bin's predicted-positive share
+    * with its ACTUAL positive rate): the x29b prototype scores are cut
+    * into 10 equal-population score deciles (ntile over the total
+    * (score, doc_id) order) and each bin reports its size, score range,
+    * exact mean score, weak-label positive rate, and predicted-positive
+    * rate. A well-calibrated quality filter shows pos_rate rising
+    * monotonically with the score decile — THE audit a production
+    * quality-gate runs before trusting model scores as sampling
+    * weights (x35's weighted sampling consumes scores like these).
+    *
+    * Determinism: scores/labels are exact integers (x29b's discipline);
+    * ntile on a total order is engine-identical; every reported rate is
+    * one IEEE division of exact integer sums, round(6).
+    *
+    * Scale shape: reuses [[prototypeScored]] (broadcast-weight scoring,
+    * one doc-keyed agg); the decile assignment is one global-order
+    * window — the only stage that is not embarrassingly parallel, and
+    * exactly the one you'd replace with approx quantile edges (x15's
+    * machinery) at 100 TB, trading exact equal population for a
+    * full-sort-free plan; the audit table itself is 10 rows. */
+  val calibrationBins: QueryDef = QueryDef(
+    "ml05_calibration_bins",
+    (s, d) => {
+      val binned = prototypeScored(s, d)
+        .withColumn("bin", ntile(10).over(
+          Window.orderBy(col("score"), col("doc_id"))))
+      binned.groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          min("score").as("min_score"),
+          max("score").as("max_score"),
+          expr("round(CAST(sum(score) AS DOUBLE) / count(*), 6)")
+            .as("mean_score"),
+          expr("round(CAST(sum(label) AS DOUBLE) / count(*), 6)")
+            .as("pos_rate"),
+          expr("round(CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) " +
+            "AS DOUBLE) / count(*), 6)").as("pred_pos_rate"))
+        .orderBy("bin")
+    },
+    Some(s"""WITH $prototypeScoreCtes,
+             binned AS (
+               SELECT *, ntile(10) OVER (ORDER BY score, doc_id) AS bin
+               FROM sc)
+             SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+               min(score) AS min_score, max(score) AS max_score,
+               round(CAST(sum(score) AS DOUBLE) / count(*), 6)
+                 AS mean_score,
+               round(CAST(sum(label) AS DOUBLE) / count(*), 6)
+                 AS pos_rate,
+               round(CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS pred_pos_rate
+             FROM binned GROUP BY bin ORDER BY bin"""))
 
   /** x30 — per-domain quota cap (the "no single source dominates"
     * discipline of web-corpus curation: C4 caps per-URL repetition,
@@ -2246,6 +2315,140 @@ object Curation {
                FROM terms t, psi p ORDER BY bucket"""))
   }
 
+  /** x40 — blocklist density gate (the C4 "bad words" discipline,
+    * Raffel et al. 2020 §2.2 — documents containing blocklisted terms
+    * are filtered; the density variant drops a document only when the
+    * blocklisted fraction of its tokens crosses a threshold, which is
+    * what production filters moved to once single-hit removal proved
+    * too aggressive on long documents). Per doc: token count, hit
+    * count, integer density in ppm, and the keep verdict.
+    *
+    * Scale shape: the blocklist is joined as a TABLE (broadcast — real
+    * blocklists run to 10⁴-10⁵ terms across languages, far past what an
+    * IN-list literal can carry through codegen), so the match is one
+    * broadcast-hash equi-join on the exploded token stream followed by
+    * one map-side-combinable per-doc aggregate. Document text rides no
+    * shuffle; only (doc_id, token) pairs do, and the density math is
+    * exact integer arithmetic (ppm = 1e6·hits DIV tokens — no floats
+    * anywhere, so partitioning can never change a verdict). */
+  val blocklistGate: QueryDef = {
+    val terms = Seq("slow", "dup", "stale")
+    val thresholdPpm = 60000L
+    QueryDef(
+      "x40_blocklist_gate",
+      (s, d) => {
+        import s.implicits._
+        val bl = broadcast(terms.toDF("term"))
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        toks.join(bl, col("tok") === col("term"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("term").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+          .withColumn("density_ppm",
+            expr("(1000000 * n_hits) DIV n_tokens"))
+          .withColumn("keep", col("density_ppm") <= thresholdPpm)
+          .orderBy("doc_id")
+      },
+      Some {
+        val vals = terms.map(t => s"('$t')").mkString(", ")
+        s"""WITH bl(term) AS (VALUES $vals),
+             toks AS (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+             agg AS (
+               SELECT doc_id, count(*) AS n_tokens,
+                 CAST(sum(CASE WHEN bl.term IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hits
+               FROM toks LEFT JOIN bl ON toks.tok = bl.term
+               WHERE toks.tok != '' GROUP BY doc_id)
+             SELECT doc_id, n_tokens, n_hits,
+               (1000000 * n_hits) // n_tokens AS density_ppm,
+               (1000000 * n_hits) // n_tokens <= $thresholdPpm AS keep
+             FROM agg ORDER BY doc_id"""
+      })
+  }
+
+  /** x41 — curriculum training order (Bengio et al., "Curriculum
+    * Learning", ICML 2009: present easy examples first; the practical
+    * LM curriculum orders by sequence LENGTH, the paper's own first
+    * criterion and the one production pipelines actually use): docs are
+    * cut into 4 equal-population difficulty phases by token count
+    * (short → long), and WITHIN each phase the order is the x36
+    * reproducible-shuffle idiom (md5 over doc_id — a curriculum must
+    * still randomize inside a phase or the model sees the corpus in
+    * storage order). The output is the consumable training manifest:
+    * global_rank is phase-major, so a trainer streaming it top-to-
+    * bottom executes the curriculum.
+    *
+    * Determinism: phase = ntile over the total (n_tokens, doc_id)
+    * order; within-phase rank = row_number over (md5(doc_id), doc_id);
+    * global rank is integer arithmetic on the two.
+    *
+    * Scale shape: one narrow token-count projection, one global-order
+    * ntile window (at 100 TB: swap for x15's quantile-edge assignment
+    * to avoid the full sort — phase boundaries don't need exact equal
+    * population), one within-phase window partitioned by phase. No
+    * joins, no text through any shuffle. */
+  val curriculumOrder: QueryDef = {
+    val phases = 4
+    QueryDef(
+      "x41_curriculum_order",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("size(filter(split(text, ' '), t -> t != ''))")
+              .cast("long").as("n_tokens"))
+        val phased = docs.withColumn("phase", ntile(phases).over(
+          Window.orderBy(col("n_tokens"), col("doc_id"))))
+        val ranked = phased.withColumn("rank_in_phase",
+          row_number().over(Window.partitionBy("phase")
+            .orderBy(expr("md5(CAST(doc_id AS STRING))"), col("doc_id"))))
+        val sizes = ranked.groupBy("phase")
+          .agg(count(lit(1)).as("phase_n"))
+        val offsets = sizes
+          .withColumn("offset",
+            coalesce(sum("phase_n").over(
+              Window.orderBy("phase")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("phase", "offset")
+        ranked.join(broadcast(offsets), "phase")
+          .select(col("doc_id"), col("n_tokens"),
+            col("phase").cast("long").as("phase"),
+            col("rank_in_phase").cast("long").as("rank_in_phase"),
+            (col("offset") + col("rank_in_phase")).as("global_rank"))
+          .orderBy("global_rank")
+      },
+      Some(s"""WITH docs AS (
+                 SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                     t -> t != '')) AS BIGINT) AS n_tokens
+                 FROM documents),
+               phased AS (
+                 SELECT *, ntile($phases) OVER
+                   (ORDER BY n_tokens, doc_id) AS phase
+                 FROM docs),
+               ranked AS (
+                 SELECT *, row_number() OVER (PARTITION BY phase
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rank_in_phase
+                 FROM phased),
+               offsets AS (
+                 SELECT phase,
+                   coalesce(sum(phase_n) OVER (ORDER BY phase
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS off
+                 FROM (SELECT phase, count(*) AS phase_n
+                       FROM ranked GROUP BY 1))
+               SELECT r.doc_id, r.n_tokens,
+                 CAST(r.phase AS BIGINT) AS phase,
+                 CAST(r.rank_in_phase AS BIGINT) AS rank_in_phase,
+                 CAST(o.off + r.rank_in_phase AS BIGINT) AS global_rank
+               FROM ranked r JOIN offsets o USING (phase)
+               ORDER BY global_rank"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -2254,7 +2457,8 @@ object Curation {
       budgetRebalance, decontaminateBloom, leakageSafeSplit,
       incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity, chunkOverlap,
       trainingManifest, snapshotDiff, manifestRefresh, releasePipeline,
-      qualityClassifier, qualityPrototype, domainCap, scd2History,
+      qualityClassifier, qualityPrototype, calibrationBins, domainCap,
+      scd2History,
       temperatureMix, datasetCard, canonicalSelection, weightedSample,
-      epochShuffle, dpRelease, psiDrift)
+      epochShuffle, dpRelease, psiDrift, blocklistGate, curriculumOrder)
 }

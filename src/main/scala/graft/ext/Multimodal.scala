@@ -441,7 +441,84 @@ object Multimodal {
                FROM ranked WHERE q_id = img_id"""))
   }
 
+  /** m08 — shot-boundary detection over the video-style blob: the
+    * decoded payload is cut into fixed 64-sample FULL frames (the
+    * trailing partial frame is excluded — its energy drop is a frame-
+    * length artifact, not content change), each frame reduced to an
+    * exact integer energy (m06's feature), and a CUT is declared
+    * wherever the absolute energy delta between consecutive frames
+    * exceeds a threshold — the classic pixel/histogram-difference shot
+    * detector (Boreczky & Rowe, "Comparison of video shot boundary
+    * detection techniques", JEI 1996) with the codec stubbed and every
+    * downstream stage real. Per video: full-frame count, cut count,
+    * peak inter-frame delta, and the first cut's frame index (−1 when
+    * the video is a single shot).
+    *
+    * Determinism: energies are exact integer sums; deltas exact longs;
+    * the lag is over the total (doc, frame_idx) order.
+    *
+    * Scale shape: the frame explode is narrow (no shuffle — sequence +
+    * substring inside the scan stage); the lag window and the final
+    * aggregate both partition by doc_id, ONE shuffle total on the
+    * video key. A real decoder slots in as m02's mapPartitions stage
+    * with zero plan changes downstream. */
+  val shotBoundaries: QueryDef = {
+    val frame = 64
+    val tau = 100L
+    QueryDef(
+      "m08_shot_boundaries",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val frames = mediaFrame(s, d)
+          .select(col("doc_id"), col("blob").cast("string").as("pcm"))
+          .select(col("doc_id"),
+            expr(s"CAST(length(pcm) DIV $frame AS INT)").as("n_frames"),
+            col("pcm"))
+          .filter(col("n_frames") > 0)
+          .select(col("doc_id"), col("n_frames"),
+            posexplode(expr("sequence(0, n_frames - 1)")).as(Seq("ord", "idx")),
+            col("pcm"))
+          .select(col("doc_id"), col("n_frames"), col("idx"),
+            expr(s"aggregate(split(substring(pcm, idx * $frame + 1, $frame), ''), " +
+              "CAST(0 AS BIGINT), (acc, ch) -> acc + ascii(ch))").as("energy"))
+        val deltas = frames
+          .withColumn("dl", abs(col("energy") - lag(col("energy"), 1).over(
+            Window.partitionBy("doc_id").orderBy("idx"))))
+        deltas.groupBy("doc_id")
+          .agg(max("n_frames").as("n_frames"),
+            sum(when(col("dl") > tau, 1L).otherwise(0L)).as("n_cuts"),
+            coalesce(max("dl"), lit(0L)).as("peak_delta"),
+            coalesce(min(when(col("dl") > tau, col("idx"))), lit(-1))
+              .as("first_cut"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH fr AS (
+                 SELECT doc_id,
+                   CAST(length(text) // $frame AS INTEGER) AS n_frames,
+                   CAST(i AS INTEGER) AS idx,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, $frame + 1),
+                         j -> CAST(ascii((text[i * $frame + 1 : i * $frame + $frame])[j])
+                                   AS BIGINT))),
+                     (acc, ch) -> acc + ch) AS energy
+                 FROM documents,
+                   unnest(range(0, length(text) // $frame)) AS u(i)),
+               dl AS (
+                 SELECT doc_id, n_frames, idx,
+                   abs(energy - lag(energy) OVER (PARTITION BY doc_id
+                     ORDER BY idx)) AS dl
+                 FROM fr)
+               SELECT doc_id, max(n_frames) AS n_frames,
+                 CAST(sum(CASE WHEN dl > $tau THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cuts,
+                 coalesce(max(dl), 0) AS peak_delta,
+                 CAST(coalesce(min(CASE WHEN dl > $tau THEN idx END), -1)
+                   AS INTEGER) AS first_cut
+               FROM dl GROUP BY doc_id ORDER BY doc_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(metaDigest, decode, resizeSample, embedTopk, phashNearDup,
-      audioFrameEnergy, crossmodalRetrieval)
+      audioFrameEnergy, crossmodalRetrieval, shotBoundaries)
 }

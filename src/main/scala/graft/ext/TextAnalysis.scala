@@ -1614,11 +1614,126 @@ object TextAnalysis {
                FROM counted ORDER BY doc_id"""))
   }
 
+  /** t27 — TextRank keyword scores (Mihalcea & Tarau, "TextRank:
+    * Bringing Order into Text", EMNLP 2004): weighted PageRank over the
+    * corpus-level word co-occurrence graph. Nodes are tokens; an
+    * undirected edge joins each ADJACENT token pair (window = 2, the
+    * paper's default), weighted by corpus co-occurrence count; scores
+    * iterate s(v) = 0.15 + 0.85·Σ_u w(u,v)/W(u)·s(u) for a fixed 4
+    * rounds. Distinct from t20 (RAKE is degree/frequency scoring —
+    * no iteration); this is the graph-centrality keyworder.
+    *
+    * Determinism (g01's integer discipline): scores are 10⁶-scaled
+    * longs; each edge's contribution is (w·s) DIV W — one exact integer
+    * product and floor division per edge, so the per-round sum is an
+    * order-free exact long and partitioning can never change a score.
+    *
+    * Scale shape: tokens are DICTIONARY-ENCODED before iteration —
+    * vocab ids assigned by rank over the (bounded) vocabulary, so the 4
+    * PageRank rounds shuffle 8-byte ids, never strings (the d08
+    * fingerprint discipline, but collision-free and oracle-portable
+    * since both engines compute the same rank). Pair counting is one
+    * hash agg on adjacent pairs (linear in corpus, never n²); each
+    * round is one equi-join + one agg on the edge list. Token names
+    * rejoin once at the end. */
+  val textrank: QueryDef = {
+    val Scale = 1000000L
+    val Iters = 4
+    val TopK = 25
+    QueryDef(
+      "t27_textrank",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val adj = docs
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(posexplode(col("t")).as(Seq("pos", "w1")), col("t"))
+          .filter(col("pos") < size(col("t")) - 1)
+          .withColumn("w2", expr("element_at(t, pos + 2)"))
+          .filter(col("w1") =!= "" && col("w2") =!= "" &&
+            col("w1") =!= col("w2"))
+          .select("w1", "w2")
+        // undirected pair counts: canonical (min, max) key, then both
+        // directions materialized for the iteration
+        val pairs = adj
+          .select(least(col("w1"), col("w2")).as("a"),
+            greatest(col("w1"), col("w2")).as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("w"))
+        val vocab = pairs.select(col("a").as("tok"))
+          .union(pairs.select(col("b").as("tok"))).distinct()
+          .withColumn("id", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("tok")))
+        val va = vocab.select(col("tok").as("a"), col("id").as("ia"))
+        val vb = vocab.select(col("tok").as("b"), col("id").as("ib"))
+        val eDir = pairs.join(va, "a").join(vb, "b")
+          .select(col("ia").as("u"), col("ib").as("v"), col("w"))
+          .union(pairs.join(va, "a").join(vb, "b")
+            .select(col("ib").as("u"), col("ia").as("v"), col("w")))
+          .localCheckpoint() // feeds W(u) + all 4 rounds: materialize once
+        val wu = eDir.groupBy("u").agg(sum("w").as("wu"))
+        val ec = eDir.join(wu, "u")
+        var sc = wu.select(col("u").as("id"), lit(Scale).as("s"))
+        for (_ <- 1 to Iters) {
+          sc = ec.join(sc, ec("u") === sc("id"))
+            .select(col("v"), expr("(w * s) DIV wu").as("c"))
+            .groupBy("v")
+            .agg(expr(s"CAST(${Scale * 15 / 100} AS BIGINT) + " +
+              "(85 * sum(c)) DIV 100").as("s"))
+            .select(col("v").as("id"), col("s"))
+        }
+        sc.join(vocab, "id")
+          .select(col("tok"), col("s").as("score"))
+          .orderBy(col("score").desc, col("tok"))
+          .limit(TopK)
+      },
+      Some {
+        val base =
+          s"""adj AS (
+                SELECT t[i + 1] AS w1, t[i + 2] AS w2
+                FROM (SELECT string_split(text, ' ') AS t FROM documents),
+                  unnest(range(0, greatest(len(t) - 1, 0))) AS u(i)
+                WHERE t[i + 1] != '' AND t[i + 2] != ''
+                  AND t[i + 1] != t[i + 2]),
+              pairs AS (
+                SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+                  count(*) AS w
+                FROM adj GROUP BY 1, 2),
+              vocab AS (
+                SELECT tok, row_number() OVER (ORDER BY tok) AS id
+                FROM (SELECT a AS tok FROM pairs
+                      UNION SELECT b FROM pairs)),
+              edir AS (
+                SELECT va.id AS u, vb.id AS v, p.w
+                FROM pairs p JOIN vocab va ON va.tok = p.a
+                  JOIN vocab vb ON vb.tok = p.b
+                UNION ALL
+                SELECT vb.id, va.id, p.w
+                FROM pairs p JOIN vocab va ON va.tok = p.a
+                  JOIN vocab vb ON vb.tok = p.b),
+              wu AS (SELECT u, CAST(sum(w) AS BIGINT) AS wu
+                     FROM edir GROUP BY 1),
+              ec AS (SELECT e.u, e.v, e.w, wu.wu
+                     FROM edir e JOIN wu USING (u)),
+              s0 AS (SELECT u AS id, CAST($Scale AS BIGINT) AS s FROM wu)"""
+        val rounds = (1 to Iters).map { i =>
+          s"""s$i AS (SELECT ec.v AS id,
+                ${Scale * 15 / 100} +
+                  (85 * sum((ec.w * s${i - 1}.s) // ec.wu)) // 100 AS s
+              FROM ec JOIN s${i - 1} ON s${i - 1}.id = ec.u
+              GROUP BY ec.v)"""
+        }.mkString(",\n")
+        s"""WITH $base,
+            $rounds
+            SELECT v.tok, CAST(s.s AS BIGINT) AS score
+            FROM s$Iters s JOIN vocab v ON v.id = s.id
+            ORDER BY score DESC, tok LIMIT $TopK"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
       nfcCanonicalize, domainClassify, vocabBuild, bpeInduction, bpeEncode,
       readability, lexicalDiversity, rakeKeywords, langIdConfusion,
       gopherRules, zipfFit, tokenBurstiness, bigramPerplexity,
-      confusableSpoof)
+      confusableSpoof, textrank)
 }

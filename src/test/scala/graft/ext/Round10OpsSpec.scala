@@ -5,8 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 /** Round-10 operators: t25 bigram-LM perplexity filter, t26 Unicode
-  * spoof scanner, g14 weakly-connected components. Each op's oracle
-  * row is the hash-exact proof; these are the fixture-law checks. */
+  * spoof scanner, g14 weakly-connected components, x40 blocklist
+  * density gate, t27 TextRank, m08 shot-boundary detection, ml05
+  * calibration bins, x41 curriculum order. Each op's oracle row is the
+  * hash-exact proof; these are the fixture-law checks. */
 class Round10OpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -119,5 +121,111 @@ class Round10OpsSpec extends AnyFunSuite {
       .filter(col("count") >= 2).count()
     assert(supported > 0, "fixture must have support-2 pairs")
     assert(supported < all, "support filter must actually drop edges")
+  }
+
+  test("x40: density is exact integer ppm and the gate splits the fixture") {
+    val rows = Curation.blocklistGate.build(spark, sf).collect()
+    val docs = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.length == docs, "every doc must get a verdict")
+    rows.foreach { r =>
+      val (n, h, ppm, keep) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(h <= n, r.toString)
+      assert(ppm == 1000000L * h / n, r.toString)
+      assert(keep == (ppm <= 60000L), r.toString)
+    }
+    val kept = rows.count(_.getBoolean(4))
+    assert(kept > 0 && kept < rows.length,
+      s"gate must split the fixture, kept $kept/${rows.length}")
+    // spot-check one doc's hit count against a direct token scan
+    val probe = rows.maxBy(_.getLong(2))
+    val direct = graft.core.Tables.documents(spark, sf)
+      .filter(s"doc_id = ${probe.getLong(0)}")
+      .selectExpr("explode(split(text, ' ')) AS tok")
+      .filter("tok IN ('slow', 'dup', 'stale')").count()
+    assert(direct == probe.getLong(2), s"$probe vs direct $direct")
+  }
+
+  test("t27: damping floor, descending order, and real-token closure") {
+    val rows = TextAnalysis.textrank.build(spark, sf).collect()
+    assert(rows.length == 25)
+    val scores = rows.map(_.getLong(1))
+    // s = 0.15*1e6 + 0.85*(nonnegative sum) >= the damping floor
+    scores.foreach(s => assert(s >= 150000L, s.toString))
+    assert(scores.sameElements(scores.sortBy(-_)), "must be sorted desc")
+    // every keyword is a token that actually occurs in the corpus
+    val vocab = graft.core.Tables.documents(spark, sf)
+      .selectExpr("explode(split(text, ' ')) AS tok")
+      .filter("tok != ''").distinct()
+      .collect().map(_.getString(0)).toSet
+    rows.foreach(r => assert(vocab(r.getString(0)), r.getString(0)))
+    // centrality must discriminate: not all scores equal
+    assert(scores.distinct.length > 1, "degenerate flat ranking")
+  }
+
+  test("m08: frame counts recomputed, cut accounting self-consistent") {
+    val rows = Multimodal.shotBoundaries.build(spark, sf).collect()
+    val expect = graft.core.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "CAST(length(text) DIV 64 AS INT) AS nf")
+      .filter("nf > 0")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (id, nf, cuts, peak, first) = (r.getLong(0), r.getInt(1),
+        r.getLong(2), r.getLong(3), r.getInt(4))
+      assert(nf == expect(id), r.toString)
+      assert(cuts <= math.max(nf - 1, 0), r.toString)
+      assert(peak >= 0, r.toString)
+      assert((first == -1) == (cuts == 0), r.toString)
+      if (first != -1) assert(first >= 1 && first <= nf - 1, r.toString)
+    }
+    assert(rows.exists(_.getLong(2) > 0) && rows.exists(_.getLong(2) == 0),
+      "fixture must exercise both cut and single-shot videos")
+  }
+
+  test("ml05: decile populations, score-ordered bins, monotone predicted rate") {
+    val rows = Curation.calibrationBins.build(spark, sf).collect()
+    assert(rows.length == 10)
+    val docs = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == docs)
+    // ntile: populations differ by at most 1
+    val ns = rows.map(_.getLong(1))
+    assert(ns.max - ns.min <= 1, ns.mkString(","))
+    // bins tile the score axis in order
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(2),
+        s"bin overlap: ${a.getLong(3)} > ${b.getLong(2)}")
+    }
+    // predicted-positive rate is a step function of the score order
+    val pred = rows.map(_.getDouble(6))
+    pred.sliding(2).foreach { case Array(a, b) =>
+      assert(a <= b + 1e-12, pred.mkString(","))
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0, r.toString)
+    }
+  }
+
+  test("x41: phase-major permutation with non-overlapping length phases") {
+    val rows = Curation.curriculumOrder.build(spark, sf).collect()
+    val n = rows.length
+    assert(n == graft.core.Tables.documents(spark, sf).count())
+    assert(rows.map(_.getLong(4)).toSet == (1L to n).toSet,
+      "global_rank must be a permutation")
+    val byPhase = rows.groupBy(_.getLong(2))
+    assert(byPhase.keySet == Set(1L, 2L, 3L, 4L))
+    byPhase.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).toSet == (1L to rs.length).toSet)
+    }
+    // phases partition the length axis: max tokens of phase k <= min of k+1
+    (1L to 3L).foreach { k =>
+      val hi = byPhase(k).map(_.getLong(1)).max
+      val lo = byPhase(k + 1).map(_.getLong(1)).min
+      assert(hi <= lo, s"phase $k max $hi > phase ${k + 1} min $lo")
+    }
+    // within a phase the md5 shuffle must not be storage order
+    val p1 = rows.filter(_.getLong(2) == 1L).sortBy(_.getLong(3))
+      .map(_.getLong(0))
+    assert(!p1.sameElements(p1.sorted), "phase order suspiciously sorted")
   }
 }
