@@ -1710,6 +1710,108 @@ object Curation {
                  AS DOUBLE) / count(*), 6) AS pred_pos_rate
              FROM binned GROUP BY bin ORDER BY bin"""))
 
+  /** ml06 — classifier evaluation readout (confusion matrix + exact
+    * rank-sum AUC) for the x29b prototype quality filter against its
+    * weak labels: the audit a production gate publishes alongside
+    * ml05's calibration table before the filter's scores are trusted.
+    * One row: population, confusion counts at the score>0 operating
+    * point, precision/recall/F1, and AUC computed via the Mann-Whitney
+    * rank-sum identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) with AVERAGE
+    * ranks over score ties (the textbook tie handling — Hanley &
+    * McNeil, Radiology 1982).
+    *
+    * Determinism: confusion counts are exact integer sums. For AUC the
+    * tie-group average rank is the half-integer (2·cum + cnt + 1)/2, so
+    * the whole rank sum is carried DOUBLED as an exact integer
+    * (r1x2 = Σ_groups pos_g·(2·cum_g + cnt_g + 1)) and the identity
+    * becomes AUC = (r1x2 − n₁(n₁+1)) / (2n₁n₀) — ONE IEEE division of
+    * exact integers, round(6). The rank-sum accumulators are widened to
+    * DECIMAL(38,0) (Spark) / HUGEINT-backed DECIMAL (DuckDB): r1x2 is
+    * O(n²) and exceeds int64 near n ≈ 3·10⁹ scored docs (t24/st16's
+    * widening discipline, applied up front).
+    *
+    * Scale shape: reuses [[prototypeScored]] (broadcast-weight scoring,
+    * one doc-keyed agg); ranks come from ONE hash agg by score plus a
+    * cumulative window over the DISTINCT-SCORE frame (value-domain
+    * bounded, x15/x39's idiom — never the corpus); everything after is
+    * a 1-row fold. F1 is computed from the integer identity
+    * 2tp/(2tp+fp+fn) — no intermediate precision/recall rounding. */
+  val classifierMetrics: QueryDef = QueryDef(
+    "ml06_classifier_metrics",
+    (s, d) => {
+      val sc = prototypeScored(s, d)
+      val conf = sc.agg(
+        count(lit(1)).as("n"),
+        sum(col("label")).as("n_pos"),
+        sum(lit(1L) - col("label")).as("n_neg"),
+        sum(when(col("score") > 0L && col("label") === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") > 0L && col("label") === 0L, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score") <= 0L && col("label") === 0L, 1L)
+          .otherwise(0L)).as("tn"),
+        sum(when(col("score") <= 0L && col("label") === 1L, 1L)
+          .otherwise(0L)).as("fn"))
+      val groups = sc.groupBy("score")
+        .agg(count(lit(1)).as("cnt"), sum("label").as("pos"))
+      val ranked = groups.withColumn("cum",
+        coalesce(sum("cnt").over(Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val r1 = ranked.agg(
+        sum(expr("CAST(pos AS DECIMAL(38,0)) * (2 * cum + cnt + 1)"))
+          .as("r1x2"))
+      conf.crossJoin(broadcast(r1))
+        .select(col("n"), col("n_pos"), col("n_neg"),
+          col("tp"), col("fp"), col("tn"), col("fn"),
+          expr("CASE WHEN tp + fp = 0 THEN 0.0 ELSE " +
+            "round(CAST(tp AS DOUBLE) / (tp + fp), 6) END").as("prec"),
+          expr("CASE WHEN n_pos = 0 THEN 0.0 ELSE " +
+            "round(CAST(tp AS DOUBLE) / n_pos, 6) END").as("recall"),
+          expr("CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0 ELSE " +
+            "round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) END")
+            .as("f1"),
+          expr("round(CAST(r1x2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) " +
+            "AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE), 6)").as("auc"))
+    },
+    Some(s"""WITH $prototypeScoreCtes,
+             conf AS (
+               SELECT count(*) AS n,
+                 CAST(sum(label) AS BIGINT) AS n_pos,
+                 CAST(sum(1 - label) AS BIGINT) AS n_neg,
+                 CAST(sum(CASE WHEN score > 0 AND label = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tp,
+                 CAST(sum(CASE WHEN score > 0 AND label = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS fp,
+                 CAST(sum(CASE WHEN score <= 0 AND label = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tn,
+                 CAST(sum(CASE WHEN score <= 0 AND label = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS fn
+               FROM sc),
+             grp AS (
+               SELECT score, count(*) AS cnt,
+                 CAST(sum(label) AS BIGINT) AS pos
+               FROM sc GROUP BY score),
+             rk AS (
+               SELECT *, coalesce(sum(cnt) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum
+               FROM grp),
+             r1 AS (
+               SELECT sum(CAST(pos AS DECIMAL(38,0)) * (2 * cum + cnt + 1))
+                 AS r1x2
+               FROM rk)
+             SELECT n, n_pos, n_neg, tp, fp, tn, fn,
+               CASE WHEN tp + fp = 0 THEN 0.0 ELSE
+                 round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
+               CASE WHEN n_pos = 0 THEN 0.0 ELSE
+                 round(CAST(tp AS DOUBLE) / n_pos, 6) END AS recall,
+               CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0 ELSE
+                 round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) END
+                 AS f1,
+               round(CAST(r1x2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)
+                 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+             FROM conf, r1"""))
+
   /** x30 — per-domain quota cap (the "no single source dominates"
     * discipline of web-corpus curation: C4 caps per-URL repetition,
     * RefinedWeb/Gopher cap per-domain document share — without a cap,
@@ -2449,6 +2551,82 @@ object Curation {
                ORDER BY global_rank"""))
   }
 
+  /** x42 — cross-source contamination matrix: for every PAIR of
+    * sources, how many distinct document-prefix fingerprints they
+    * share. Exact whole-document hashing misses near-copies that
+    * diverge in a footer, so the fingerprint is the md5 of the first 8
+    * tokens — the prefix-span discipline of Lee et al. ("Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022; d12 applies
+    * the same idea at window granularity) — and the output is the
+    * source×source audit a mixture designer reads before trusting x14's
+    * per-source weights: two "independent" crawls sharing a large
+    * prefix-fingerprint set are one source counted twice. Per pair:
+    * distinct shared fingerprints, each side's distinct-fingerprint
+    * total, and the overlap Jaccard.
+    *
+    * Determinism: fingerprints are md5 (content-pure); counts are
+    * distinct counts; jaccard is one IEEE division of exact integers,
+    * round(6).
+    *
+    * Scale shape: documents collapse to DISTINCT (fp, source) — 16-byte
+    * keys, text never leaves the scan — then the pair stage is ONE
+    * self-equi-join on fp (shuffle keyed by fingerprint, the d04/d10
+    * banded-candidate discipline: pairs are generated per fingerprint
+    * bucket, bounded by sources², never corpus²); per-source totals are
+    * a source-keyed agg broadcast onto the ≤ sources² pair frame. */
+  val sourceOverlap: QueryDef = {
+    val prefixToks = 8
+    QueryDef(
+      "x42_source_overlap",
+      (s, d) => {
+        val fps = Tables.documents(s, d)
+          .select(
+            md5(expr(s"array_join(slice(split(text, ' '), 1, $prefixToks), ' ')"))
+              .as("fp"),
+            col("source"))
+          .distinct()
+        val totals = fps.groupBy("source")
+          .agg(count(lit(1)).as("n_fp"))
+        val a = fps.select(col("fp"), col("source").as("src_a"))
+        val b = fps.select(col("fp"), col("source").as("src_b"))
+        a.join(b, "fp")
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(totals.select(col("source").as("src_a"),
+            col("n_fp").as("n_a"))), "src_a")
+          .join(broadcast(totals.select(col("source").as("src_b"),
+            col("n_fp").as("n_b"))), "src_b")
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            col("n_shared"),
+            expr("round(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6)")
+              .as("jaccard"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH fps AS (
+                 SELECT DISTINCT
+                   md5(array_to_string(
+                     string_split(text, ' ')[1:$prefixToks], ' ')) AS fp,
+                   source
+                 FROM documents),
+               tot AS (
+                 SELECT source, count(*) AS n_fp FROM fps GROUP BY 1),
+               pairs AS (
+                 SELECT a.source AS src_a, b.source AS src_b,
+                   count(*) AS n_shared
+                 FROM fps a JOIN fps b ON a.fp = b.fp
+                 WHERE a.source < b.source
+                 GROUP BY 1, 2)
+               SELECT p.src_a, p.src_b,
+                 ta.n_fp AS n_a, tb.n_fp AS n_b, p.n_shared,
+                 round(CAST(p.n_shared AS DOUBLE)
+                   / (ta.n_fp + tb.n_fp - p.n_shared), 6) AS jaccard
+               FROM pairs p
+                 JOIN tot ta ON ta.source = p.src_a
+                 JOIN tot tb ON tb.source = p.src_b
+               ORDER BY p.src_a, p.src_b"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -2457,8 +2635,9 @@ object Curation {
       budgetRebalance, decontaminateBloom, leakageSafeSplit,
       incrementalFuzzy, jsonlRoundtrip, zorderKey, kAnonymity, chunkOverlap,
       trainingManifest, snapshotDiff, manifestRefresh, releasePipeline,
-      qualityClassifier, qualityPrototype, calibrationBins, domainCap,
-      scd2History,
+      qualityClassifier, qualityPrototype, calibrationBins,
+      classifierMetrics, domainCap, scd2History,
       temperatureMix, datasetCard, canonicalSelection, weightedSample,
-      epochShuffle, dpRelease, psiDrift, blocklistGate, curriculumOrder)
+      epochShuffle, dpRelease, psiDrift, blocklistGate, curriculumOrder,
+      sourceOverlap)
 }

@@ -518,7 +518,110 @@ object Multimodal {
                FROM dl GROUP BY doc_id ORDER BY doc_id"""))
   }
 
+  /** m09 — voice-activity segmentation over the audio-style blob
+    * (energy-threshold VAD, the classic front-end: Rabiner & Sambur,
+    * "An algorithm for determining the endpoints of isolated
+    * utterances", BSTJ 1975): fixed 64-sample FULL frames (m08's
+    * framing — a trailing partial frame would read as a spurious
+    * silence), each frame's exact integer energy compared against an
+    * absolute threshold, and maximal runs of consecutive ACTIVE frames
+    * coalesced into segments with the gaps-and-islands idiom (q50's
+    * machinery: island key = frame_idx − row_number over active
+    * frames). Per clip: frame/active counts, exact active-share ppm,
+    * segment count, longest segment, and the first active frame (−1
+    * for all-silence clips).
+    *
+    * Determinism: energies are exact integer sums; the island key is a
+    * total-order row_number per doc; ppm is integer DIV — no floats.
+    *
+    * Scale shape: frame explode is narrow (sequence + substring in the
+    * scan stage); the island row_number, the segment agg, and the
+    * per-doc agg ALL partition by doc_id — one shuffle on the clip key
+    * end to end. The totals↔segments join is doc-keyed (same
+    * partitioning, no extra exchange); a real VAD feature (log-mel
+    * energy) slots into the energy expression with no plan change. */
+  val audioVad: QueryDef = {
+    val frame = 64
+    val tau = 6050L
+    QueryDef(
+      "m09_audio_vad",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val frames = mediaFrame(s, d)
+          .select(col("doc_id"), col("blob").cast("string").as("pcm"))
+          .select(col("doc_id"),
+            expr(s"CAST(length(pcm) DIV $frame AS INT)").as("n_frames"),
+            col("pcm"))
+          .filter(col("n_frames") > 0)
+          .select(col("doc_id"), col("n_frames"),
+            posexplode(expr("sequence(0, n_frames - 1)")).as(Seq("ord", "idx")),
+            col("pcm"))
+          .select(col("doc_id"), col("n_frames"), col("idx"),
+            (expr(s"aggregate(split(substring(pcm, idx * $frame + 1, $frame), ''), " +
+              s"CAST(0 AS BIGINT), (acc, ch) -> acc + ascii(ch))") > tau)
+              .as("active"))
+        val totals = frames.groupBy("doc_id")
+          .agg(max("n_frames").as("n_frames"),
+            sum(when(col("active"), 1L).otherwise(0L)).as("n_active"))
+        val segs = frames.filter(col("active"))
+          .withColumn("isl", col("idx") - row_number().over(
+            Window.partitionBy("doc_id").orderBy("idx")))
+          .groupBy("doc_id", "isl")
+          .agg(count(lit(1)).as("seg_len"), min("idx").as("seg_start"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_segments"),
+            max("seg_len").as("longest_seg"),
+            min("seg_start").as("first_active"))
+        totals.join(segs, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_frames"), col("n_active"),
+            expr("(1000000 * n_active) DIV n_frames").as("active_ppm"),
+            coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+            coalesce(col("longest_seg"), lit(0L)).as("longest_seg"),
+            coalesce(col("first_active"), lit(-1)).as("first_active"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH fr AS (
+                 SELECT doc_id,
+                   CAST(length(text) // $frame AS INTEGER) AS n_frames,
+                   CAST(i AS INTEGER) AS idx,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, $frame + 1),
+                         j -> CAST(ascii((text[i * $frame + 1 : i * $frame + $frame])[j])
+                                   AS BIGINT))),
+                     (acc, ch) -> acc + ch) > $tau AS active
+                 FROM documents,
+                   unnest(range(0, length(text) // $frame)) AS u(i)),
+               tot AS (
+                 SELECT doc_id, max(n_frames) AS n_frames,
+                   CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_active
+                 FROM fr GROUP BY 1),
+               isl AS (
+                 SELECT doc_id, idx,
+                   idx - row_number() OVER (PARTITION BY doc_id
+                     ORDER BY idx) AS isl
+                 FROM fr WHERE active),
+               seg AS (
+                 SELECT doc_id, isl, count(*) AS seg_len,
+                   min(idx) AS seg_start
+                 FROM isl GROUP BY 1, 2),
+               per AS (
+                 SELECT doc_id, count(*) AS n_segments,
+                   max(seg_len) AS longest_seg,
+                   min(seg_start) AS first_active
+                 FROM seg GROUP BY 1)
+               SELECT t.doc_id, t.n_frames, t.n_active,
+                 (1000000 * t.n_active) // t.n_frames AS active_ppm,
+                 coalesce(p.n_segments, 0) AS n_segments,
+                 coalesce(p.longest_seg, 0) AS longest_seg,
+                 CAST(coalesce(p.first_active, -1) AS INTEGER)
+                   AS first_active
+               FROM tot t LEFT JOIN per p ON p.doc_id = t.doc_id
+               ORDER BY t.doc_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(metaDigest, decode, resizeSample, embedTopk, phashNearDup,
-      audioFrameEnergy, crossmodalRetrieval, shotBoundaries)
+      audioFrameEnergy, crossmodalRetrieval, shotBoundaries, audioVad)
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -1188,32 +1188,86 @@ object TextAnalysis {
     *
     * Scale shape: pure per-row projection inside the scan stage; the
     * only shuffle is the output sort. */
-  val gopherRules: QueryDef = {
+  /** The six Gopher rule names, in report order — shared by t22 (the
+    * per-document gate) and t28 (the per-rule ablation). */
+  val gopherRuleNames: Seq[String] = Seq("r_word_count", "r_mean_len",
+    "r_symbol_ratio", "r_bullets", "r_alpha_words", "r_stopwords")
+
+  /** The t22 flag frame `(doc_id, 7 sufficient statistics, 6 boolean
+    * rule flags)` — one pure per-row projection in the scan stage (no
+    * shuffle), shared by t22 and t28. */
+  def gopherFlagged(s: SparkSession, d: String): DataFrame = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val stopArr = stops.map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, d)
+      .selectExpr(
+        "doc_id",
+        raw"size(split(trim(text), '\\s+')) AS n_words",
+        raw"aggregate(transform(split(trim(text), '\\s+'), w -> length(w)), 0, (a, x) -> a + x) AS sum_len",
+        "length(text) - length(replace(text, '#', '')) " +
+          "+ (length(text) - length(replace(text, '...', ''))) DIV 3 AS n_symbols",
+        raw"size(split(text, '\n')) AS n_lines",
+        raw"size(filter(split(text, '\n'), l -> l LIKE '- %' OR l LIKE '* %')) AS n_bullets",
+        raw"size(filter(split(trim(text), '\\s+'), w -> w RLIKE '[a-zA-Z]')) AS n_alpha",
+        s"size(array_intersect(array_distinct(split(lower(text), ' ')), array($stopArr))) AS n_stops")
+      .selectExpr(
+        "doc_id", "n_words", "sum_len", "n_symbols", "n_lines",
+        "n_bullets", "n_alpha", "n_stops",
+        "n_words >= 50 AND n_words <= 100000 AS r_word_count",
+        "sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS r_mean_len",
+        "10 * n_symbols <= n_words AS r_symbol_ratio",
+        "10 * n_bullets <= n_lines AS r_bullets",
+        "5 * n_alpha >= 4 * n_words AS r_alpha_words",
+        "n_stops >= 2 AS r_stopwords")
+  }
+
+  /** DuckDB mirror of [[gopherFlagged]] as WITH-body CTEs ending in
+    * `f(doc_id, stats…, flags…)`. */
+  def gopherFlagsCte: String = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopArr = stops.map(w => s"'$w'").mkString(", ")
+    s"""c AS (
+         SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+             AS INTEGER) AS n_words,
+           CAST(list_reduce(list_prepend(0,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+               w -> CAST(length(w) AS INTEGER))),
+             (a, x) -> a + x) AS INTEGER) AS sum_len,
+           CAST(length(text) - length(replace(text, '#', ''))
+             + (length(text) - length(replace(text, '...', ''))) // 3
+             AS INTEGER) AS n_symbols,
+           CAST(len(string_split(text, chr(10))) AS INTEGER)
+             AS n_lines,
+           CAST(len(list_filter(string_split(text, chr(10)),
+             l -> l LIKE '- %' OR l LIKE '* %')) AS INTEGER)
+             AS n_bullets,
+           CAST(len(list_filter(
+             regexp_split_to_array(trim(text), '\\s+'),
+             w -> regexp_matches(w, '[a-zA-Z]'))) AS INTEGER)
+             AS n_alpha,
+           CAST(len(list_intersect(
+             list_distinct(string_split(lower(text), ' ')),
+             [$stopArr])) AS INTEGER) AS n_stops
+         FROM documents),
+       f AS (
+         SELECT doc_id, n_words, sum_len, n_symbols, n_lines,
+           n_bullets, n_alpha, n_stops,
+           n_words >= 50 AND n_words <= 100000 AS r_word_count,
+           sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+             AS r_mean_len,
+           10 * n_symbols <= n_words AS r_symbol_ratio,
+           10 * n_bullets <= n_lines AS r_bullets,
+           5 * n_alpha >= 4 * n_words AS r_alpha_words,
+           n_stops >= 2 AS r_stopwords
+         FROM c)"""
+  }
+
+  val gopherRules: QueryDef = {
     QueryDef(
       "t22_gopher_rules",
       (s, d) =>
-        Tables.documents(s, d)
-          .selectExpr(
-            "doc_id",
-            raw"size(split(trim(text), '\\s+')) AS n_words",
-            raw"aggregate(transform(split(trim(text), '\\s+'), w -> length(w)), 0, (a, x) -> a + x) AS sum_len",
-            "length(text) - length(replace(text, '#', '')) " +
-              "+ (length(text) - length(replace(text, '...', ''))) DIV 3 AS n_symbols",
-            raw"size(split(text, '\n')) AS n_lines",
-            raw"size(filter(split(text, '\n'), l -> l LIKE '- %' OR l LIKE '* %')) AS n_bullets",
-            raw"size(filter(split(trim(text), '\\s+'), w -> w RLIKE '[a-zA-Z]')) AS n_alpha",
-            s"size(array_intersect(array_distinct(split(lower(text), ' ')), array($stopArr))) AS n_stops")
-          .selectExpr(
-            "doc_id", "n_words", "sum_len", "n_symbols", "n_lines",
-            "n_bullets", "n_alpha", "n_stops",
-            "n_words >= 50 AND n_words <= 100000 AS r_word_count",
-            "sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS r_mean_len",
-            "10 * n_symbols <= n_words AS r_symbol_ratio",
-            "10 * n_bullets <= n_lines AS r_bullets",
-            "5 * n_alpha >= 4 * n_words AS r_alpha_words",
-            "n_stops >= 2 AS r_stopwords")
+        gopherFlagged(s, d)
           .selectExpr(("doc_id" +: Seq("n_words", "sum_len", "n_symbols",
             "n_lines", "n_bullets", "n_alpha", "n_stops", "r_word_count",
             "r_mean_len", "r_symbol_ratio", "r_bullets", "r_alpha_words",
@@ -1221,47 +1275,79 @@ object TextAnalysis {
             ("r_word_count AND r_mean_len AND r_symbol_ratio AND r_bullets" +
               " AND r_alpha_words AND r_stopwords AS pass_all"): _*)
           .orderBy("doc_id"),
-      Some(s"""WITH c AS (
-                 SELECT doc_id,
-                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
-                     AS INTEGER) AS n_words,
-                   CAST(list_reduce(list_prepend(0,
-                     list_transform(regexp_split_to_array(trim(text), '\\s+'),
-                       w -> CAST(length(w) AS INTEGER))),
-                     (a, x) -> a + x) AS INTEGER) AS sum_len,
-                   CAST(length(text) - length(replace(text, '#', ''))
-                     + (length(text) - length(replace(text, '...', ''))) // 3
-                     AS INTEGER) AS n_symbols,
-                   CAST(len(string_split(text, chr(10))) AS INTEGER)
-                     AS n_lines,
-                   CAST(len(list_filter(string_split(text, chr(10)),
-                     l -> l LIKE '- %' OR l LIKE '* %')) AS INTEGER)
-                     AS n_bullets,
-                   CAST(len(list_filter(
-                     regexp_split_to_array(trim(text), '\\s+'),
-                     w -> regexp_matches(w, '[a-zA-Z]'))) AS INTEGER)
-                     AS n_alpha,
-                   CAST(len(list_intersect(
-                     list_distinct(string_split(lower(text), ' ')),
-                     [$stopArr])) AS INTEGER) AS n_stops
-                 FROM documents)
+      Some(s"""WITH $gopherFlagsCte
                SELECT doc_id, n_words, sum_len, n_symbols, n_lines,
                  n_bullets, n_alpha, n_stops,
-                 n_words >= 50 AND n_words <= 100000 AS r_word_count,
-                 sum_len >= 3 * n_words AND sum_len <= 10 * n_words
-                   AS r_mean_len,
-                 10 * n_symbols <= n_words AS r_symbol_ratio,
-                 10 * n_bullets <= n_lines AS r_bullets,
-                 5 * n_alpha >= 4 * n_words AS r_alpha_words,
-                 n_stops >= 2 AS r_stopwords,
-                 (n_words >= 50 AND n_words <= 100000)
-                   AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
-                   AND 10 * n_symbols <= n_words
-                   AND 10 * n_bullets <= n_lines
-                   AND 5 * n_alpha >= 4 * n_words
-                   AND n_stops >= 2 AS pass_all
-               FROM c ORDER BY doc_id"""))
+                 r_word_count, r_mean_len, r_symbol_ratio, r_bullets,
+                 r_alpha_words, r_stopwords,
+                 r_word_count AND r_mean_len AND r_symbol_ratio
+                   AND r_bullets AND r_alpha_words AND r_stopwords
+                   AS pass_all
+               FROM f ORDER BY doc_id"""))
   }
+
+  /** t28 — quality-rule ablation audit over the t22 Gopher battery:
+    * per rule, how many documents FAIL it, how many it UNIQUELY kills
+    * (fail this rule, pass the other five — the rule's marginal
+    * contribution to the gate), and both as exact ppm of the corpus.
+    * The ablation table is how a curation team tunes a rule battery
+    * (Rae et al. 2021 Appendix A1 reports exactly these per-filter
+    * removal rates; a rule with fail≫unique is redundant with its
+    * neighbors, a rule with unique≈fail is load-bearing).
+    *
+    * Determinism: flags are t22's integer cross-multiplied comparisons;
+    * counts are exact sums; ppm is integer DIV — no floats anywhere.
+    *
+    * Scale shape: [[gopherFlagged]] is a pure scan-stage projection;
+    * the per-doc fail count folds the six flags in-row; stack() turns
+    * each doc into six (rule, fail, unique) rows inside the same
+    * narrow stage; the only shuffle is the 6-group hash agg (map-side
+    * combined to 6 rows per partition). n_docs rides the same agg as
+    * count(*) — no separate global total, no broadcast. */
+  val ruleAblation: QueryDef = QueryDef(
+    "t28_rule_ablation",
+    (s, d) => {
+      val flagged = gopherFlagged(s, d)
+        .withColumn("n_fails",
+          gopherRuleNames.map(r => when(col(r), 0).otherwise(1))
+            .reduce(_ + _))
+      val stackExpr = gopherRuleNames
+        .map(r => s"'$r', $r").mkString(", ")
+      flagged
+        .selectExpr("n_fails",
+          s"stack(${gopherRuleNames.size}, $stackExpr) AS (rule, pass)")
+        .groupBy("rule")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 0L).otherwise(1L)).as("n_fail"),
+          sum(when(!col("pass") && col("n_fails") === 1, 1L)
+            .otherwise(0L)).as("n_unique_kill"))
+        .select(col("rule"), col("n_docs"), col("n_fail"),
+          col("n_unique_kill"),
+          expr("(1000000 * n_fail) DIV n_docs").as("fail_ppm"),
+          expr("(1000000 * n_unique_kill) DIV n_docs").as("unique_ppm"))
+        .orderBy("rule")
+    },
+    Some {
+      val fails = gopherRuleNames
+        .map(r => s"CASE WHEN $r THEN 0 ELSE 1 END").mkString(" + ")
+      val arms = gopherRuleNames.map { r =>
+        s"SELECT n_fails, '$r' AS rule, $r AS pass FROM nf"
+      }.mkString("\n UNION ALL ")
+      s"""WITH $gopherFlagsCte,
+           nf AS (SELECT *, $fails AS n_fails FROM f),
+           stacked AS ($arms),
+           agg AS (
+             SELECT rule, count(*) AS n_docs,
+               CAST(sum(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_fail,
+               CAST(sum(CASE WHEN NOT pass AND n_fails = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_kill
+             FROM stacked GROUP BY rule)
+           SELECT rule, n_docs, n_fail, n_unique_kill,
+             (1000000 * n_fail) // n_docs AS fail_ppm,
+             (1000000 * n_unique_kill) // n_docs AS unique_ppm
+           FROM agg ORDER BY rule"""
+    })
 
   /** t23 \u2014 Zipf rank-frequency fit per source (Zipf, "Human Behavior
     * and the Principle of Least Effort", 1949): OLS slope/intercept of
@@ -1735,5 +1821,5 @@ object TextAnalysis {
       nfcCanonicalize, domainClassify, vocabBuild, bpeInduction, bpeEncode,
       readability, lexicalDiversity, rakeKeywords, langIdConfusion,
       gopherRules, zipfFit, tokenBurstiness, bigramPerplexity,
-      confusableSpoof, textrank)
+      confusableSpoof, textrank, ruleAblation)
 }

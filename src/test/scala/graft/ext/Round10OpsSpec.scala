@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -7,8 +8,10 @@ import graft.TestSpark
 /** Round-10 operators: t25 bigram-LM perplexity filter, t26 Unicode
   * spoof scanner, g14 weakly-connected components, x40 blocklist
   * density gate, t27 TextRank, m08 shot-boundary detection, ml05
-  * calibration bins, x41 curriculum order. Each op's oracle row is the
-  * hash-exact proof; these are the fixture-law checks. */
+  * calibration bins, x41 curriculum order, m09 audio VAD, ml06
+  * classifier metrics, x42 source overlap, t28 rule ablation. Each
+  * op's oracle row is the hash-exact proof; these are the fixture-law
+  * checks. */
 class Round10OpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -227,5 +230,105 @@ class Round10OpsSpec extends AnyFunSuite {
     val p1 = rows.filter(_.getLong(2) == 1L).sortBy(_.getLong(3))
       .map(_.getLong(0))
     assert(!p1.sameElements(p1.sorted), "phase order suspiciously sorted")
+  }
+
+  test("m09: segment accounting laws and agreement with m06/m08 framing") {
+    val rows = Multimodal.audioVad.build(spark, sf).collect()
+    val expect = graft.core.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "CAST(length(text) DIV 64 AS INT) AS nf")
+      .filter("nf > 0")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (id, nf, na, ppm, nseg, longest, first) = (r.getLong(0),
+        r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getInt(6))
+      assert(nf == expect(id), r.toString)
+      assert(na >= 0 && na <= nf, r.toString)
+      assert(ppm == 1000000L * na / nf, r.toString)
+      // islands laws: segments partition the active frames
+      assert((nseg == 0) == (na == 0), r.toString)
+      assert(longest <= na, r.toString)
+      if (nseg > 0) {
+        assert(longest >= (na + nseg - 1) / nseg, // ceil(mean) <= max
+          r.toString)
+        assert(first >= 0 && first <= nf - 1, r.toString)
+      } else assert(first == -1, r.toString)
+    }
+    // threshold must discriminate: both active and silent frames exist
+    val totAct = rows.map(_.getLong(2)).sum
+    val totFr = rows.map(_.getInt(1).toLong).sum
+    assert(totAct > 0 && totAct < totFr, s"$totAct/$totFr")
+  }
+
+  test("ml06: confusion closure and AUC recomputed pairwise") {
+    val rows = Curation.classifierMetrics.build(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (n, np, nn, tp, fp, tn, fn) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(np + nn == n && tp + fn == np && fp + tn == nn)
+    assert(math.abs(r.getDouble(7) -
+      (if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp))) < 1e-6)
+    assert(math.abs(r.getDouble(8) - tp.toDouble / np) < 1e-6)
+    // AUC law: brute-force pairwise P(score_pos > score_neg) + ties/2
+    val sc = Curation.prototypeScored(spark, sf)
+      .select("label", "score").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val pos = sc.filter(_._1 == 1L).map(_._2)
+    val neg = sc.filter(_._1 == 0L).map(_._2)
+    val wins = (for (p <- pos; q <- neg)
+      yield if (p > q) 2L else if (p == q) 1L else 0L).sum
+    val aucExact = wins.toDouble / (2.0 * pos.length * neg.length)
+    assert(math.abs(r.getDouble(10) - aucExact) < 1e-6,
+      s"auc ${r.getDouble(10)} vs pairwise $aucExact")
+    assert(r.getDouble(10) > 0.5, "prototype filter must beat chance")
+  }
+
+  test("x42: overlap symmetry-free pairs, jaccard bounds, self-consistency") {
+    val rows = Curation.sourceOverlap.build(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture must have cross-source prefix overlap")
+    rows.foreach { r =>
+      val (a, b, na, nb, sh, j) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(a < b, s"pair not canonical: $r")
+      assert(sh >= 1 && sh <= math.min(na, nb), r.toString)
+      assert(j > 0.0 && j <= 1.0, r.toString)
+      assert(math.abs(j - sh.toDouble / (na + nb - sh)) < 1e-6, r.toString)
+    }
+    // spot-check one pair's shared count against a direct recompute
+    val (sa, sb) = (rows.head.getString(0), rows.head.getString(1))
+    val direct = graft.core.Tables.documents(spark, sf)
+      .selectExpr("source",
+        "md5(array_join(slice(split(text, ' '), 1, 8), ' ')) AS fp")
+      .filter(col("source").isin(sa, sb)).distinct()
+      .groupBy("fp").count().filter("count = 2").count()
+    assert(direct == rows.head.getLong(4), s"${rows.head} vs $direct")
+  }
+
+  test("t28: ablation counts consistent with the t22 per-doc report") {
+    val rows = TextAnalysis.ruleAblation.build(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      TextAnalysis.gopherRuleNames.sorted)
+    val t22 = TextAnalysis.gopherRules.build(spark, sf).collect()
+    val n = t22.length
+    val ruleIdx = TextAnalysis.gopherRuleNames
+      .map(r => r -> t22.head.fieldIndex(r)).toMap
+    rows.foreach { r =>
+      val (rule, nd, nf, nu, fppm, uppm) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nd == n, r.toString)
+      val i = ruleIdx(rule)
+      val fails = t22.count(!_.getBoolean(i))
+      val unique = t22.count(d => !d.getBoolean(i) &&
+        TextAnalysis.gopherRuleNames.forall(o =>
+          o == rule || d.getBoolean(ruleIdx(o))))
+      assert(nf == fails, s"$rule: $nf vs direct $fails")
+      assert(nu == unique, s"$rule: $nu vs direct $unique")
+      assert(nu <= nf, r.toString)
+      assert(fppm == 1000000L * nf / n && uppm == 1000000L * nu / n)
+    }
+    // the battery must be non-trivial on the fixture: some rule fails docs
+    assert(rows.map(_.getLong(2)).sum > 0)
   }
 }

@@ -71,7 +71,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "s14_hard_negatives" -> "bounded query-panel broadcast with an exclusion predicate (s01's idiom; the label filter cannot equi-key)",
     "ml04_cv_slope_stability" -> "1-row cross-fold summary broadcast onto the 5-row fold frame (e05's idiom)",
     "g14_wcc" -> "1-row graph-totals broadcast onto the component-size histogram (g11's idiom)",
-    "ml05_calibration_bins" -> "inherits x29b's 1-row class-token-total broadcast (shared prototypeScored stage)")
+    "ml05_calibration_bins" -> "inherits x29b's 1-row class-token-total broadcast (shared prototypeScored stage)",
+    "ml06_classifier_metrics" -> "inherits x29b's 1-row class-token-total broadcast + 1-row confusion x rank-sum fold (e05's idiom)")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
@@ -88,7 +89,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "x39_psi_drift" -> "reference-snapshot decile rank; at 100 TB the window runs over the bounded distinct-length frame (x15's value-domain idiom), Curation.scala",
     "t27_textrank" -> "vocabulary rank for dictionary encoding (t15's vocabulary-domain idiom), TextAnalysis.scala",
     "ml05_calibration_bins" -> "decile ntile over the 16-byte (doc_id, score) frame; 100 TB path = x15 approx-quantile edges, documented at the use site, Curation.scala",
-    "x41_curriculum_order" -> "phase ntile over the 16-byte (doc_id, n_tokens) frame + 4-row phase-offset prefix sum; 100 TB path = x15 quantile-edge phase boundaries, documented at the use site, Curation.scala")
+    "x41_curriculum_order" -> "phase ntile over the 16-byte (doc_id, n_tokens) frame + 4-row phase-offset prefix sum; 100 TB path = x15 quantile-edge phase boundaries, documented at the use site, Curation.scala",
+    "ml06_classifier_metrics" -> "cumulative rank over the DISTINCT-score group frame (value-domain bounded, x15/x39's idiom), Curation.scala")
 
   /** name -> physical plan for every registered query. sparkPlan (the
     * pre-AQE physical plan) carries the concrete join/window nodes; a
