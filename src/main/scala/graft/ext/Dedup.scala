@@ -1581,10 +1581,116 @@ object Dedup {
               min(n_norm) AS n_norm_chars
             FROM h GROUP BY k ORDER BY canonical_id"""))
 
+  /** d19 — content-defined chunking dedup audit (the FastCDC family:
+    * Xia et al., "FastCDC: a Fast and Efficient Content-Defined
+    * Chunking Approach", USENIX ATC 2016; Muthitacharoen et al.'s LBFS,
+    * SOSP 2001 introduced the rolling-hash cut-point): each document is
+    * cut where the rolling hash of the last 8 characters satisfies
+    * h % 64 == 0, so chunk boundaries RESYNCHRONIZE after an insertion
+    * — the property fixed-width windows (d12) lack and the reason
+    * storage dedup uses CDC. Per document: chunk count, exact
+    * min/max/mean chunk length, chunks shared with ANOTHER document
+    * (by md5), and the duplicate-chunk share in ppm.
+    *
+    * Determinism: the gear is an exact integer sum of the window's
+    * codepoints; boundaries, chunk substrings, and md5s are pure
+    * row-local arithmetic; ppm is integer DIV.
+    *
+    * Scale shape: boundary detection, chunk slicing, and hashing all
+    * happen IN-ROW inside the scan stage (array filter/transform over
+    * the text — no per-position explode, no shuffle); only 16-byte
+    * chunk hashes leave the scan: one hash agg keyed by chunk md5 for
+    * the cross-doc census, one equi-join back, one doc-keyed agg —
+    * the d04 inverted-index discipline. Documents shorter than the
+    * 8-char window form a single chunk by construction. */
+  val cdcChunking: QueryDef = {
+    val W = 8; val D = 64
+    QueryDef(
+      "d19_cdc_chunking",
+      (s, d) => {
+        // gear(i) = sum of ascii over text[i-7..i]; boundary at i when
+        // gear(i) % 64 == 0; the final position is always a boundary
+        val chunks = Tables.documents(s, d)
+          .selectExpr("doc_id", "length(text) AS n", "text")
+          .selectExpr("doc_id", "n",
+            s"""IF(n >= $W,
+                 filter(sequence($W, n), i ->
+                   aggregate(split(substring(text, i - ${W - 1}, $W), ''),
+                     CAST(0 AS BIGINT), (a, c) -> a + ascii(c)) % $D = 0),
+                 CAST(array() AS ARRAY<INT>)) AS bnds""",
+            "text")
+          .selectExpr("doc_id", "n",
+            "IF(size(bnds) > 0 AND element_at(bnds, -1) = n, bnds, " +
+              "concat(bnds, array(n))) AS allb",
+            "text")
+          .selectExpr("doc_id",
+            "concat(array(0), slice(allb, 1, size(allb) - 1)) AS starts",
+            "allb", "text")
+          .selectExpr("doc_id",
+            "explode(transform(sequence(1, size(allb)), k -> struct(" +
+              "element_at(allb, k) - element_at(starts, k) AS len, " +
+              "md5(substring(text, element_at(starts, k) + 1, " +
+              "element_at(allb, k) - element_at(starts, k))) AS h))) AS c")
+          .select(col("doc_id"), col("c.len").as("len"), col("c.h").as("h"))
+        val census = chunks.groupBy("h")
+          .agg(countDistinct("doc_id").as("n_docs"))
+        chunks.join(census, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            min("len").as("min_len"), max("len").as("max_len"),
+            sum("len").as("total_len"),
+            sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_chunks"), col("min_len"),
+            col("max_len"), col("total_len"),
+            expr("total_len DIV n_chunks").as("mean_len"),
+            col("n_dup"),
+            expr("(1000000 * n_dup) DIV n_chunks").as("dup_ppm"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+                 SELECT doc_id, length(text) AS n, text FROM documents),
+               b AS (
+                 SELECT doc_id, n, text,
+                   list_filter(range($W, n + 1), i ->
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, $W + 1), j ->
+                         CAST(ascii((text[i - ${W - 1} : i])[j]) AS BIGINT))),
+                       (a, c) -> a + c) % $D = 0) AS bnds
+                 FROM base),
+               ab AS (
+                 SELECT doc_id, text,
+                   CASE WHEN len(bnds) > 0 AND bnds[-1] = n THEN bnds
+                        ELSE list_append(bnds, n) END AS allb
+                 FROM b),
+               ch AS (
+                 SELECT doc_id,
+                   unnest(list_transform(range(1, len(allb) + 1), k ->
+                     struct_pack(
+                       len := allb[k] - coalesce(allb[k - 1], 0),
+                       h := md5(text[coalesce(allb[k - 1], 0) + 1 : allb[k]]))))
+                     AS c
+                 FROM ab),
+               chunks AS (
+                 SELECT doc_id, c.len AS len, c.h AS h FROM ch),
+               census AS (
+                 SELECT h, count(DISTINCT doc_id) AS n_docs
+                 FROM chunks GROUP BY 1)
+               SELECT k.doc_id, count(*) AS n_chunks,
+                 min(k.len) AS min_len, max(k.len) AS max_len,
+                 CAST(sum(k.len) AS BIGINT) AS total_len,
+                 CAST(sum(k.len) AS BIGINT) // count(*) AS mean_len,
+                 CAST(sum(CASE WHEN cs.n_docs > 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_dup,
+                 (1000000 * CAST(sum(CASE WHEN cs.n_docs > 1 THEN 1 ELSE 0
+                   END) AS BIGINT)) // count(*) AS dup_ppm
+               FROM chunks k JOIN census cs ON cs.h = k.h
+               GROUP BY k.doc_id ORDER BY k.doc_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(exact, exactByFingerprint, minhash, minhashNative, simhashPairs,
       ngramJaccard, embeddingCosine, components, simhashBanded, minhashMd5,
       simhashMd5Banded, substringSpans, spanRemoval, semanticDedup,
       incrementalSemantic, containmentPairs, minhashCalibration,
-      normalizedExact)
+      normalizedExact, cdcChunking)
 }

@@ -621,7 +621,85 @@ object Multimodal {
                ORDER BY t.doc_id"""))
   }
 
+  /** m10 — per-tile entropy profile of the image-style blob: the
+    * payload is cut into 64-byte FULL tiles (m08's framing) and each
+    * tile scored with its Shannon entropy over byte values — THE
+    * classic flat-region / rich-texture / noise discriminator
+    * (blur+blank detection in image QA; compressibility screening in
+    * corpus curation — a near-zero-entropy payload is padding, a
+    * max-entropy one is already-compressed or encrypted bytes a
+    * training pipeline should route around). Per image: tile count and
+    * the min/mean/max tile entropy in micro-nats.
+    *
+    * Determinism (t23's integerization discipline): each distinct
+    * byte's c·ln(c) term is rounded to micro-nats FIRST and summed as
+    * an exact long (order-free — sub-ulp libm ln() divergence between
+    * engines is washed out by the 10⁶ rounding), so
+    * H_micro = ln(64)·10⁶ − (Σ terms) DIV 64 is pure integer
+    * arithmetic; the ln(64) constant is computed once in Scala and
+    * emitted as the same literal to both engines.
+    *
+    * Scale shape: ZERO shuffle except the output sort — tiling, the
+    * per-tile histogram (distinct chars × occurrence counts via
+    * length-of-replace), the entropy fold, and the per-doc min/mean/max
+    * all run IN-ROW as nested array lambdas inside the scan stage.
+    * This is the pattern a real decoder feeds: mapPartitions (m02)
+    * emits tiles, this expression scores them. */
+  val tileEntropy: QueryDef = {
+    val tile = 64
+    val Ln64Micro = math.round(math.log(tile) * 1e6) // 4158883, both engines
+    QueryDef(
+      "m10_tile_entropy",
+      (s, d) => {
+        mediaFrame(s, d)
+          .select(col("doc_id"), col("blob").cast("string").as("pcm"))
+          .selectExpr("doc_id",
+            s"CAST(length(pcm) DIV $tile AS INT) AS n_tiles", "pcm")
+          .filter(col("n_tiles") > 0)
+          .selectExpr("doc_id", "n_tiles",
+            s"""transform(sequence(0, n_tiles - 1), i ->
+                 $Ln64Micro - aggregate(
+                   transform(
+                     array_distinct(split(substring(pcm, i * $tile + 1, $tile), '')),
+                     ch -> CAST(round(
+                       ($tile - length(replace(substring(pcm, i * $tile + 1, $tile), ch, ''))) *
+                       ln($tile - length(replace(substring(pcm, i * $tile + 1, $tile), ch, ''))) * 1e6)
+                       AS BIGINT)),
+                   CAST(0 AS BIGINT), (a, x) -> a + x) DIV $tile) AS ents""")
+          .selectExpr("doc_id", "n_tiles",
+            "array_min(ents) AS min_ent_micro",
+            "aggregate(ents, CAST(0 AS BIGINT), (a, x) -> a + x) DIV n_tiles AS mean_ent_micro",
+            "array_max(ents) AS max_ent_micro")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+                 SELECT doc_id,
+                   CAST(length(text) // $tile AS INTEGER) AS n_tiles,
+                   text AS pcm
+                 FROM documents
+                 WHERE length(text) // $tile > 0),
+               ent AS (
+                 SELECT doc_id, n_tiles,
+                   list_transform(range(0, n_tiles), i ->
+                     $Ln64Micro - list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                         list_distinct(string_split(pcm[i * $tile + 1 : i * $tile + $tile], '')),
+                         ch -> CAST(round(
+                           ($tile - length(replace(pcm[i * $tile + 1 : i * $tile + $tile], ch, ''))) *
+                           ln($tile - length(replace(pcm[i * $tile + 1 : i * $tile + $tile], ch, ''))) * 1e6)
+                           AS BIGINT))),
+                       (a, x) -> a + x) // $tile) AS ents
+                 FROM base)
+               SELECT doc_id, n_tiles,
+                 list_min(ents) AS min_ent_micro,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), ents),
+                   (a, x) -> a + x) // n_tiles AS mean_ent_micro,
+                 list_max(ents) AS max_ent_micro
+               FROM ent ORDER BY doc_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(metaDigest, decode, resizeSample, embedTopk, phashNearDup,
-      audioFrameEnergy, crossmodalRetrieval, shotBoundaries, audioVad)
+      audioFrameEnergy, crossmodalRetrieval, shotBoundaries, audioVad,
+      tileEntropy)
 }

@@ -1815,11 +1815,93 @@ object TextAnalysis {
       })
   }
 
+  /** t29 — inter-document n-gram novelty (the memorization-risk audit:
+    * Carlini et al., "Quantifying Memorization Across Neural Language
+    * Models", ICLR 2023 measure extractable spans by exactly this
+    * cross-document n-gram sharing; McCoy et al.'s RAVEN novelty
+    * metrics, TACL 2023, report the same per-document novel-n-gram
+    * rate): per document, how many DISTINCT 8-token grams it contains,
+    * how many of those also occur in at least one OTHER document, and
+    * the novelty share in ppm. A low-novelty document is either
+    * boilerplate or a near-copy — the per-document complement of d12's
+    * corpus-level span census.
+    *
+    * Determinism: grams are md5 of the joined window (content-pure);
+    * counts are exact; ppm is integer DIV.
+    *
+    * Scale shape: windows are sliced IN-ROW (transform over the token
+    * array — no per-position explode of text), deduplicated per doc
+    * in-row (array_distinct), and only 16-byte gram hashes ride the
+    * explode; then ONE hash agg keyed by gram (doc counts), one
+    * equi-join back, one doc-keyed agg — the d04/d12 inverted-index
+    * discipline. Docs with fewer than 8 tokens carry zero grams and
+    * are reported with novelty −1 (no gram evidence), never dropped. */
+  val ngramNovelty: QueryDef = {
+    val W = 8
+    QueryDef(
+      "t29_ngram_novelty",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .selectExpr("doc_id",
+            s"""IF(size(t) >= $W,
+                 array_distinct(transform(sequence(0, size(t) - $W), w ->
+                   md5(concat_ws(' ', slice(t, w + 1, $W))))),
+                 CAST(array() AS ARRAY<STRING>)) AS gs""")
+        val exploded = grams
+          .select(col("doc_id"), explode(col("gs")).as("g"))
+        val census = exploded.groupBy("g")
+          .agg(count(lit(1)).as("n_docs"))
+        val perDoc = exploded.join(census, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+        grams.select(col("doc_id"), size(col("gs")).as("sz"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            when(col("sz") > 0,
+              expr("(1000000 * (n_grams - n_shared)) DIV n_grams"))
+              .otherwise(lit(-1L)).as("novelty_ppm"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, string_split(text, ' ') AS t
+                 FROM documents),
+               gr AS (
+                 SELECT doc_id,
+                   CASE WHEN len(t) >= $W THEN
+                     list_distinct(list_transform(
+                       range(0, len(t) - $W + 1), w ->
+                         md5(array_to_string(t[w + 1 : w + $W], ' '))))
+                   ELSE [] END AS gs
+                 FROM toks),
+               ex AS (
+                 SELECT doc_id, unnest(gs) AS g FROM gr),
+               census AS (
+                 SELECT g, count(*) AS n_docs FROM ex GROUP BY 1),
+               per AS (
+                 SELECT e.doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_shared
+                 FROM ex e JOIN census c ON c.g = e.g
+                 GROUP BY 1)
+               SELECT gr.doc_id,
+                 coalesce(p.n_grams, 0) AS n_grams,
+                 coalesce(p.n_shared, 0) AS n_shared,
+                 CASE WHEN len(gr.gs) > 0 THEN
+                   (1000000 * (p.n_grams - p.n_shared)) // p.n_grams
+                 ELSE -1 END AS novelty_ppm
+               FROM gr LEFT JOIN per p ON p.doc_id = gr.doc_id
+               ORDER BY gr.doc_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
       nfcCanonicalize, domainClassify, vocabBuild, bpeInduction, bpeEncode,
       readability, lexicalDiversity, rakeKeywords, langIdConfusion,
       gopherRules, zipfFit, tokenBurstiness, bigramPerplexity,
-      confusableSpoof, textrank, ruleAblation)
+      confusableSpoof, textrank, ruleAblation, ngramNovelty)
 }

@@ -331,4 +331,82 @@ class Round10OpsSpec extends AnyFunSuite {
     // the battery must be non-trivial on the fixture: some rule fails docs
     assert(rows.map(_.getLong(2)).sum > 0)
   }
+
+  test("d19: chunks tile each doc exactly; boundaries recomputed by hand") {
+    val rows = Dedup.cdcChunking.build(spark, sf).collect()
+    val docs = graft.core.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val (id, nc, mn, mx, tot, mean, dup, ppm) = (r.getLong(0),
+        r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(tot == docs(id).length, s"chunks must tile doc $id")
+      assert(mn >= 1 && mn <= mean && mean <= mx, r.toString)
+      assert(dup >= 0 && dup <= nc, r.toString)
+      assert(ppm == 1000000L * dup / nc, r.toString)
+    }
+    // hand-recompute one doc's CDC boundary count (gear = 8-char ascii
+    // sum, cut at h % 64 == 0, final position always a boundary)
+    val (pid, ptxt) = docs.minBy(_._1)
+    val sums = ptxt.map(_.toInt)
+    val hand = (8 to ptxt.length).count { i =>
+      (i - 8 until i).map(sums).sum % 64 == 0
+    }
+    val nbHand = if (ptxt.length >= 8 &&
+      (8 to ptxt.length).exists(i =>
+        i == ptxt.length && (i - 8 until i).map(sums).sum % 64 == 0))
+      hand else hand + 1
+    assert(rows.find(_.getLong(0) == pid).get.getLong(1) == nbHand,
+      s"doc $pid: engine chunks vs hand $nbHand")
+    // the self-synchronizing census must find cross-doc chunks on a
+    // fixture that d12 already proved has repeated long spans
+    assert(rows.map(_.getLong(6)).sum > 0, "no shared chunks found")
+  }
+
+  test("t29: novelty accounting laws and census cross-check") {
+    val rows = TextAnalysis.ngramNovelty.build(spark, sf).collect()
+    val n = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val (ng, sh, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(sh >= 0 && sh <= ng, r.toString)
+      if (ng > 0) assert(ppm == 1000000L * (ng - sh) / ng, r.toString)
+      else assert(ppm == -1L, r.toString)
+    }
+    // census law: Σ n_grams over docs == distinct (doc, gram) pairs
+    val pairs = graft.core.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .selectExpr("doc_id",
+        "explode(IF(size(t) >= 8, array_distinct(transform(" +
+          "sequence(0, size(t) - 8), w -> md5(concat_ws(' ', " +
+          "slice(t, w + 1, 8))))), CAST(array() AS ARRAY<STRING>))) AS g")
+      .count()
+    assert(rows.map(_.getLong(1)).sum == pairs)
+    // the fixture's repeated spans must make some doc non-novel
+    assert(rows.exists(_.getLong(2) > 0), "no shared grams found")
+  }
+
+  test("m10: entropy bounds and one tile recomputed with exact rounding") {
+    val rows = Multimodal.tileEntropy.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ln64 = math.round(math.log(64) * 1e6)
+    rows.foreach { r =>
+      val (mn, mean, mx) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mn >= 0 && mn <= mean && mean <= mx && mx <= ln64, r.toString)
+    }
+    // recompute doc 0 tile 0 entropy with the integerization contract
+    val txt = graft.core.Tables.documents(spark, sf)
+      .filter("doc_id = 0").selectExpr("text").collect().head.getString(0)
+    val t0 = txt.substring(0, 64)
+    val terms = t0.distinct.map { ch =>
+      val c = t0.count(_ == ch)
+      math.round(c * math.log(c) * 1e6)
+    }.sum
+    val hand = ln64 - terms / 64
+    val minEnt = rows.find(_.getLong(0) == 0L).get
+    assert(minEnt.getLong(2) <= hand && hand <= minEnt.getLong(4),
+      s"hand tile-0 entropy $hand outside [min,max] of doc 0: $minEnt")
+  }
 }
