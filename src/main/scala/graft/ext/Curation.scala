@@ -2627,6 +2627,68 @@ object Curation {
                ORDER BY p.src_a, p.src_b"""))
   }
 
+  /** x43 — shard-skew audit: the partition-health readout a 1000-
+    * executor job runs BEFORE launch (straggler prediction: one
+    * oversized shard sets the stage's wall-clock; AQE fixes skewed
+    * JOINS at runtime, but storage-shard skew must be caught at layout
+    * time). Documents are assigned to 32 md5 shards (x04's hashing at
+    * x22/x36's int60 granularity) and each shard reports doc/token/char
+    * totals, its exact share in ppm, and the fleet-wide
+    * max-shard-over-mean-shard token ratio — the number that says "the
+    * slowest task will run N× the average".
+    *
+    * Determinism: md5 shard keys are content-pure; all counts exact
+    * longs; shares and the imbalance ratio are integer DIV ppm.
+    *
+    * Scale shape: ONE map-side-combinable hash agg on the 5-bit shard
+    * key (32 groups); the totals row is a 1-row broadcast onto the
+    * 32-row frame (e05's idiom, whitelisted). Text never shuffles. */
+  val shardSkew: QueryDef = {
+    val S = 32
+    QueryDef(
+      "x43_shard_skew",
+      (s, d) => {
+        val perShard = Tables.documents(s, d)
+          .select(
+            expr(s"${graft.ext.Dedup.sparkMd5Int60("CAST(doc_id AS STRING)")} % $S")
+              .as("shard"),
+            expr(sparkTokCount).as("n_tokens"), col("n_chars"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("n_tokens"),
+            sum("n_chars").as("n_chars"))
+        val totals = perShard.agg(
+          sum("n_docs").as("t_docs"), sum("n_tokens").as("t_tokens"),
+          max("n_tokens").as("max_tokens"))
+        perShard.crossJoin(broadcast(totals))
+          .select(col("shard"), col("n_docs"), col("n_tokens"),
+            col("n_chars"),
+            expr("(1000000 * n_docs) DIV t_docs").as("doc_share_ppm"),
+            expr("(1000000 * n_tokens) DIV t_tokens").as("token_share_ppm"),
+            expr(s"(1000000 * $S * max_tokens) DIV t_tokens")
+              .as("max_over_mean_ppm"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH per AS (
+                 SELECT ${graft.ext.Dedup.duckMd5Int60("CAST(doc_id AS VARCHAR)")} % $S
+                     AS shard,
+                   count(*) AS n_docs,
+                   CAST(sum($duckTokCount) AS BIGINT) AS n_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+                 FROM documents GROUP BY 1),
+               tot AS (
+                 SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS t_tokens,
+                   max(n_tokens) AS max_tokens
+                 FROM per)
+               SELECT shard, n_docs, n_tokens, n_chars,
+                 (1000000 * n_docs) // t_docs AS doc_share_ppm,
+                 (1000000 * n_tokens) // t_tokens AS token_share_ppm,
+                 (1000000 * $S * max_tokens) // t_tokens
+                   AS max_over_mean_ppm
+               FROM per, tot ORDER BY shard"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -2639,5 +2701,5 @@ object Curation {
       classifierMetrics, domainCap, scd2History,
       temperatureMix, datasetCard, canonicalSelection, weightedSample,
       epochShuffle, dpRelease, psiDrift, blocklistGate, curriculumOrder,
-      sourceOverlap)
+      sourceOverlap, shardSkew)
 }

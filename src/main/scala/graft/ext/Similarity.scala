@@ -1175,8 +1175,72 @@ object Similarity {
                FROM r WHERE rn <= $k ORDER BY q_id, rn"""))
   }
 
+  /** s15 — NDCG@5 of the IVF ranking against the exact ranking
+    * (Järvelin & Kekäläinen, "Cumulated gain-based evaluation of IR
+    * techniques", TOIS 2002): s08's recall@5 counts hits but ignores
+    * ORDER — NDCG grades each approximate position by a graded
+    * relevance (6 − exact_rank for items in the exact top-5, 0
+    * otherwise) with a logarithmic position discount, so an index that
+    * returns the right five in the wrong order scores below one. The
+    * third leg of the retrieval-eval battery: s08 recall, s13 cost
+    * curve, s15 rank quality.
+    *
+    * Determinism: the five discount constants round(10⁶/log₂(p+1)) and
+    * the ideal DCG are computed ONCE in Scala and emitted as the same
+    * literals to both engines, so the per-query DCG is an exact integer
+    * sum and NDCG is one IEEE division, round(6).
+    *
+    * Scale shape: composes s01 (exact, bounded-query broadcast) and
+    * s03b (pinned IVF probe) exactly as s08 does; the grading join is
+    * (q_id, n_id)-keyed over two k-bounded frames; the final aggregate
+    * is 10 rows. */
+  val ndcgEval: QueryDef = {
+    val k = 5
+    val disc = (1 to k).map(p =>
+      p -> math.round(1e6 / (math.log(p + 1) / math.log(2))))
+    val idcg = disc.map { case (p, d) => (k + 1 - p) * d }.sum
+    val sparkCase = disc.map { case (p, d) =>
+      s"WHEN rn = $p THEN CAST($d AS BIGINT)"
+    }.mkString("CASE ", " ", " END")
+    val duckCase = sparkCase
+    QueryDef(
+      "s15_ndcg_eval",
+      (s, d) => {
+        val ex = cosineTopK.build(s, d)
+          .select(col("q_id").as("e_q"), col("n_id").as("e_n"),
+            col("rn").as("e_rn"))
+        annIvfPinned.build(s, d)
+          .select(col("q_id"), col("n_id"), col("rn"))
+          .join(ex, col("q_id") === col("e_q") && col("n_id") === col("e_n"),
+            "left_outer")
+          .select(col("q_id"),
+            (coalesce(lit(k + 1) - col("e_rn"), lit(0)).cast("long") *
+              expr(sparkCase)).as("gain"))
+          .groupBy("q_id")
+          .agg(sum("gain").as("dcg_micro"))
+          .select(col("q_id"), col("dcg_micro"),
+            expr(s"round(CAST(dcg_micro AS DOUBLE) / $idcg.0, 6)")
+              .as("ndcg_at_5"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH ex AS (
+                 SELECT q_id AS e_q, n_id AS e_n, rn AS e_rn
+                 FROM (${cosineTopK.sql.get}) x),
+               ap AS (
+                 SELECT q_id, n_id, rn FROM (${annIvfPinned.sql.get}) y),
+               graded AS (
+                 SELECT ap.q_id,
+                   CAST(coalesce(${k + 1} - ex.e_rn, 0) AS BIGINT) *
+                     ($duckCase) AS gain
+                 FROM ap LEFT JOIN ex
+                   ON ex.e_q = ap.q_id AND ex.e_n = ap.n_id)
+               SELECT q_id, CAST(sum(gain) AS BIGINT) AS dcg_micro,
+                 round(CAST(sum(gain) AS DOUBLE) / $idcg.0, 6) AS ndcg_at_5
+               FROM graded GROUP BY q_id ORDER BY q_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
       annPqAdc, kmeansLloyd, annRecall, filteredTopK, mmrRerank,
-      twoStageRescore, knnClassify, nprobeSweep, hardNegatives)
+      twoStageRescore, knnClassify, nprobeSweep, hardNegatives, ndcgEval)
 }

@@ -407,7 +407,134 @@ object MlQueries {
                FROM se, summ ORDER BY fold"""))
   }
 
+  /** ml07 — learning-curve readout (the data-scaling audit: hold the
+    * eval set fixed, fit on nested 10/20/40/80% training subsets, and
+    * report each budget's fit and held-out RMSE — the curve that says
+    * whether MORE DATA still buys accuracy, the question every
+    * training-data pipeline exists to answer; Banko & Brill ACL 2001
+    * is the canonical NLP demonstration, Hestness et al. 2017 the
+    * deep-learning form). Buckets are md5-assigned (ml04's idiom);
+    * budgets k ∈ {1,2,4,8} train on buckets < k, eval is ALWAYS
+    * buckets 8-9 — nested subsets, disjoint from eval at every budget.
+    *
+    * Determinism: ALL corpus-sized work lands in one 10-bucket
+    * aggregate of exact BIGINT sufficient statistics (n, Σx, Σy, Σxy,
+    * Σx², Σy²); the held-out SSE is evaluated from eval-side moments —
+    * SSE = Σy² − 2aΣy − 2sΣxy + 2asΣx + a²n + s²Σx² — a fixed-shape
+    * IEEE expression over exact longs, identical in both engines, so
+    * no per-row float accumulation ever happens.
+    *
+    * Scale shape: ONE partial-aggregable scan → 10-row frame; budget
+    * fan-out is a 4×10 bounded theta-join on that frame (whitelisted);
+    * the eval-moments row broadcasts (e05's idiom). Output: 4 rows. */
+  val learningCurve: QueryDef = {
+    val buckets = 10
+    val budgets = Seq(1, 2, 4, 8)
+    val budgetVals = budgets.map(k => s"($k)").mkString(", ")
+    QueryDef(
+      "ml07_learning_curve",
+      (s, d) => {
+        import s.implicits._
+        val perBucket = Tables.orders(s, d)
+          .select(
+            expr(s"CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 10), 16, 10) AS BIGINT) % $buckets")
+              .as("b"),
+            month(col("o_orderdate")).cast("long").as("x"),
+            expr("CAST(floor(o_totalprice / 100e0) AS BIGINT)").as("y"))
+          .groupBy("b")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+            sum(expr("y * y")).as("syy"))
+          .localCheckpoint() // one corpus scan feeds train fan-out + eval
+        val train = broadcast(budgets.toDF("k"))
+          .join(perBucket, col("b") < col("k"))
+          .groupBy("k")
+          .agg(sum("n").as("n_t"), sum("sx").as("sx_t"),
+            sum("sy").as("sy_t"), sum("sxy").as("sxy_t"),
+            sum("sxx").as("sxx_t"))
+        val ev = perBucket.filter(col("b") >= 8)
+          .agg(sum("n").as("n_e"), sum("sx").as("sx_e"),
+            sum("sy").as("sy_e"), sum("sxy").as("sxy_e"),
+            sum("sxx").as("sxx_e"), sum("syy").as("syy_e"))
+        train.crossJoin(broadcast(ev))
+          .withColumn("slope", expr(
+            "(CAST(n_t AS DOUBLE) * CAST(sxy_t AS DOUBLE) - CAST(sx_t AS DOUBLE) * CAST(sy_t AS DOUBLE)) / " +
+              "(CAST(n_t AS DOUBLE) * CAST(sxx_t AS DOUBLE) - CAST(sx_t AS DOUBLE) * CAST(sx_t AS DOUBLE))"))
+          .withColumn("icept", expr(
+            "(CAST(sy_t AS DOUBLE) - slope * CAST(sx_t AS DOUBLE)) / CAST(n_t AS DOUBLE)"))
+          .withColumn("sse", expr(
+            "CAST(syy_e AS DOUBLE) - 2.0 * icept * CAST(sy_e AS DOUBLE) - " +
+              "2.0 * slope * CAST(sxy_e AS DOUBLE) + " +
+              "2.0 * icept * slope * CAST(sx_e AS DOUBLE) + " +
+              "icept * icept * CAST(n_e AS DOUBLE) + " +
+              "slope * slope * CAST(sxx_e AS DOUBLE)"))
+          .selectExpr("k", "n_t AS n_train", "round(slope, 6) AS slope",
+            "round(icept, 6) AS intercept",
+            "round(sqrt(sse / CAST(n_e AS DOUBLE)), 6) AS rmse_eval")
+          .orderBy("k")
+      },
+      Some(s"""WITH q AS (
+                 SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, 11),
+                       i -> CAST(strpos('0123456789abcdef',
+                         substring(md5(CAST(o_orderkey AS VARCHAR)), i, 1))
+                         - 1 AS BIGINT))),
+                     (a, dg) -> a * 16 + dg) % $buckets AS b,
+                   CAST(month(o_orderdate) AS BIGINT) AS x,
+                   CAST(floor(o_totalprice / 100e0) AS BIGINT) AS y
+                 FROM orders),
+               pb AS (
+                 SELECT b, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+                 FROM q GROUP BY 1),
+               ks(k) AS (VALUES $budgetVals),
+               tr AS (
+                 SELECT k, CAST(sum(n) AS BIGINT) AS n_t,
+                   CAST(sum(sx) AS BIGINT) AS sx_t,
+                   CAST(sum(sy) AS BIGINT) AS sy_t,
+                   CAST(sum(sxy) AS BIGINT) AS sxy_t,
+                   CAST(sum(sxx) AS BIGINT) AS sxx_t
+                 FROM ks JOIN pb ON pb.b < ks.k GROUP BY k),
+               ev AS (
+                 SELECT CAST(sum(n) AS BIGINT) AS n_e,
+                   CAST(sum(sx) AS BIGINT) AS sx_e,
+                   CAST(sum(sy) AS BIGINT) AS sy_e,
+                   CAST(sum(sxy) AS BIGINT) AS sxy_e,
+                   CAST(sum(sxx) AS BIGINT) AS sxx_e,
+                   CAST(sum(syy) AS BIGINT) AS syy_e
+                 FROM pb WHERE b >= 8),
+               fit AS (
+                 SELECT k, n_t,
+                   (CAST(n_t AS DOUBLE) * CAST(sxy_t AS DOUBLE)
+                     - CAST(sx_t AS DOUBLE) * CAST(sy_t AS DOUBLE)) /
+                   (CAST(n_t AS DOUBLE) * CAST(sxx_t AS DOUBLE)
+                     - CAST(sx_t AS DOUBLE) * CAST(sx_t AS DOUBLE)) AS slope,
+                   sx_t, sy_t
+                 FROM tr),
+               fi AS (
+                 SELECT k, n_t, slope,
+                   (CAST(sy_t AS DOUBLE) - slope * CAST(sx_t AS DOUBLE))
+                     / CAST(n_t AS DOUBLE) AS icept
+                 FROM fit),
+               ss AS (
+                 SELECT k, n_t, slope, icept,
+                   CAST(syy_e AS DOUBLE) - 2.0 * icept * CAST(sy_e AS DOUBLE)
+                     - 2.0 * slope * CAST(sxy_e AS DOUBLE)
+                     + 2.0 * icept * slope * CAST(sx_e AS DOUBLE)
+                     + icept * icept * CAST(n_e AS DOUBLE)
+                     + slope * slope * CAST(sxx_e AS DOUBLE) AS sse,
+                   n_e
+                 FROM fi, ev)
+               SELECT CAST(k AS INTEGER) AS k, n_t AS n_train,
+                 round(slope, 6) AS slope, round(icept, 6) AS intercept,
+                 round(sqrt(sse / CAST(n_e AS DOUBLE)), 6) AS rmse_eval
+               FROM ss ORDER BY k"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
-      stumpExact, cvSlopeStability)
+      stumpExact, cvSlopeStability, learningCurve)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
+import graft.queries.MlQueries
 
 /** Round-10 operators: t25 bigram-LM perplexity filter, t26 Unicode
   * spoof scanner, g14 weakly-connected components, x40 blocklist
@@ -408,5 +409,88 @@ class Round10OpsSpec extends AnyFunSuite {
     val minEnt = rows.find(_.getLong(0) == 0L).get
     assert(minEnt.getLong(2) <= hand && hand <= minEnt.getLong(4),
       s"hand tile-0 entropy $hand outside [min,max] of doc 0: $minEnt")
+  }
+
+  test("x43: shares sum to ~1e6, totals recomputed, imbalance law") {
+    val rows = Curation.shardSkew.build(spark, sf).collect()
+    assert(rows.length <= 32 && rows.nonEmpty)
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs == graft.core.Tables.documents(spark, sf).count())
+    val docShare = rows.map(_.getLong(4)).sum
+    assert(docShare <= 1000000L && docShare >= 1000000L - 32,
+      s"floor-ppm shares must sum to within 32 of 1e6: $docShare")
+    val tTok = rows.map(_.getLong(2)).sum
+    val maxTok = rows.map(_.getLong(2)).max
+    rows.foreach { r =>
+      assert(r.getLong(6) == 1000000L * 32 * maxTok / tTok, r.toString)
+      assert(r.getLong(5) == 1000000L * r.getLong(2) / tTok, r.toString)
+    }
+    // a balanced md5 sharding must not be pathologically skewed
+    assert(rows.head.getLong(6) < 3000000L, "md5 sharding 3x+ skewed?")
+  }
+
+  test("s15: ndcg bounds, perfect-ranking law, one query hand-graded") {
+    val rows = Similarity.ndcgEval.build(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    val ex = Similarity.cosineTopK.build(spark, sf)
+      .select("q_id", "n_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val ap = Similarity.annIvfPinned.build(spark, sf)
+      .select("q_id", "n_id", "rn").collect()
+    val disc = (1 to 5).map(p =>
+      p -> math.round(1e6 / (math.log(p + 1) / math.log(2)))).toMap
+    val idcg = (1 to 5).map(p => (6 - p) * disc(p)).sum
+    val handDcg = ap.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.map { r =>
+        val rel = 6L - ex.getOrElse((q, r.getLong(1)), 6)
+        (if (rel > 0) rel else 0L) * disc(r.getInt(2))
+      }.sum
+    }
+    rows.foreach { r =>
+      assert(r.getLong(1) == handDcg(r.getLong(0)),
+        s"dcg mismatch for q ${r.getLong(0)}")
+      val expected = BigDecimal(r.getLong(1).toDouble / idcg)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(2) - expected) < 1e-9, r.toString)
+      // an index that returns the exact top-5 in exact order scores 1.0
+      val perfect = (1 to 5).forall { p =>
+        ap.exists(a => a.getLong(0) == r.getLong(0) && a.getInt(2) == p &&
+          ex.get((a.getLong(0), a.getLong(1))).contains(p))
+      }
+      if (perfect) assert(r.getDouble(2) == 1.0, s"perfect q not 1.0: $r")
+    }
+  }
+
+  test("ml07: nested budgets grow, eval fixed, rmse equals brute force") {
+    val rows = MlQueries.learningCurve.build(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8))
+    val nTrain = rows.map(_.getLong(1))
+    assert(nTrain.sliding(2).forall { case Array(a, b) => a < b },
+      "nested subsets must grow strictly on this fixture")
+    // brute-force recompute per budget from the raw rows
+    val raw = graft.core.Tables.orders(spark, sf)
+      .selectExpr(
+        "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 10), 16, 10) AS BIGINT) % 10 AS b",
+        "CAST(month(o_orderdate) AS BIGINT) AS x",
+        "CAST(floor(o_totalprice / 100e0) AS BIGINT) AS y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = raw.filter(_._1 >= 8)
+    rows.foreach { r =>
+      val k = r.getInt(0)
+      val tr = raw.filter(_._1 < k)
+      assert(r.getLong(1) == tr.length)
+      val (n, sx, sy) = (tr.length.toDouble,
+        tr.map(_._2).sum.toDouble, tr.map(_._3).sum.toDouble)
+      val sxy = tr.map(t => t._2 * t._3).sum.toDouble
+      val sxx = tr.map(t => t._2 * t._2).sum.toDouble
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      val sse = ev.map(t => math.pow(t._3 - icept - slope * t._2, 2)).sum
+      val rmse = math.sqrt(sse / ev.length)
+      assert(math.abs(r.getDouble(2) - slope) < 1e-5, s"slope k=$k")
+      assert(math.abs(r.getDouble(4) - rmse) < 1e-5,
+        s"rmse k=$k: ${r.getDouble(4)} vs brute $rmse")
+    }
   }
 }

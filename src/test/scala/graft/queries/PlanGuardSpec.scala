@@ -72,7 +72,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "ml04_cv_slope_stability" -> "1-row cross-fold summary broadcast onto the 5-row fold frame (e05's idiom)",
     "g14_wcc" -> "1-row graph-totals broadcast onto the component-size histogram (g11's idiom)",
     "ml05_calibration_bins" -> "inherits x29b's 1-row class-token-total broadcast (shared prototypeScored stage)",
-    "ml06_classifier_metrics" -> "inherits x29b's 1-row class-token-total broadcast + 1-row confusion x rank-sum fold (e05's idiom)")
+    "ml06_classifier_metrics" -> "inherits x29b's 1-row class-token-total broadcast + 1-row confusion x rank-sum fold (e05's idiom)",
+    "s15_ndcg_eval" -> "composes s01+s03b; inherits their bounded query/centroid broadcasts (s08's idiom)",
+    "ml07_learning_curve" -> "4x10 bounded budget-bucket theta join on the sufficient-statistics frame + 1-row eval-moments broadcast (e05's idiom)",
+    "x43_shard_skew" -> "1-row fleet-totals broadcast onto the 32-row shard frame (e05's idiom)")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
