@@ -2689,6 +2689,64 @@ object Curation {
                FROM per, tot ORDER BY shard"""))
   }
 
+  /** x44 — duplicate-cluster accounting: the dedup COST/BENEFIT report
+    * every large-scale dedup run ships with (how many clusters at each
+    * size, how many documents and bytes a keep-one-per-cluster policy
+    * removes — the numbers behind "dedup saved N% of the corpus" in
+    * the C4/RefinedWeb ablations). Consumes the SAME near-dup stage as
+    * the production pipeline: d04's ngram pair frame + d07's CC labels
+    * via [[Dedup.ngramSharedStage]] (materialized once per session —
+    * this query adds dedup accounting to the x12/x19/x28/x34 stage for
+    * two bounded aggregates, not a re-shingle).
+    *
+    * Per cluster-size row: cluster count, docs covered, removable docs
+    * (size−1 per cluster under min-id canonical), and removable chars
+    * (Σ n_chars over non-canonical members — exact BIGINT sums).
+    *
+    * Scale shape: labels are bounded by docs-that-have-a-near-dup; the
+    * n_chars attach is an equi-join of that bounded frame against the
+    * documents table (doc bodies never move — only (id, n_chars)
+    * rides); then two hash aggregates over cluster-domain frames. */
+  val dupClusterStats: QueryDef = QueryDef(
+    "x44_dup_cluster_stats",
+    (s, d) => {
+      val labels = Dedup.ngramSharedLabels(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val per = labels.join(docs, col("id") === col("doc_id"))
+        .groupBy("component")
+        .agg(count(lit(1)).as("cluster_size"),
+          sum(when(col("id") =!= col("component"), col("n_chars"))
+            .otherwise(lit(0L))).as("rm_chars"))
+      per.groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"),
+          sum(col("cluster_size") - 1).as("removable_docs"),
+          sum(col("rm_chars")).as("removable_chars"))
+        .orderBy("cluster_size")
+    },
+    Some(s"""WITH RECURSIVE ${Dedup.ngramPairSql(Dedup.ngramTheta)},
+             edges AS (
+               SELECT a_id AS src, b_id AS dst FROM pairs
+               UNION
+               SELECT b_id AS src, a_id AS dst FROM pairs),
+             reach(id, r) AS (
+               SELECT src, src FROM edges
+               UNION
+               SELECT e.src, reach.r FROM edges e
+               JOIN reach ON reach.id = e.dst),
+             labels AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+             per AS (
+               SELECT l.component, count(*) AS cluster_size,
+                 CAST(sum(CASE WHEN l.id != l.component THEN d.n_chars
+                          ELSE 0 END) AS BIGINT) AS rm_chars
+               FROM labels l JOIN documents d ON d.doc_id = l.id
+               GROUP BY 1)
+             SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+               CAST(sum(cluster_size - 1) AS BIGINT) AS removable_docs,
+               CAST(sum(rm_chars) AS BIGINT) AS removable_chars
+             FROM per GROUP BY 1 ORDER BY cluster_size"""))
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -2701,5 +2759,5 @@ object Curation {
       classifierMetrics, domainCap, scd2History,
       temperatureMix, datasetCard, canonicalSelection, weightedSample,
       epochShuffle, dpRelease, psiDrift, blocklistGate, curriculumOrder,
-      sourceOverlap, shardSkew)
+      sourceOverlap, shardSkew, dupClusterStats)
 }

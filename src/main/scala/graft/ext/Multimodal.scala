@@ -698,8 +698,99 @@ object Multimodal {
                FROM ent ORDER BY doc_id"""))
   }
 
+  /** m11 — media quality gate: the metadata/decoded-feature admission
+    * filter every multimodal training pipeline runs before embedding
+    * (LAION's resolution/aspect gates, DataComp's size floors):
+    * minimum dimensions (≥64×64), minimum payload (≥100 bytes),
+    * non-degenerate luma (0.05–0.95 — rejects near-black/near-white
+    * frames), and aspect ratio ≤ 4:1. Reported per source as pass
+    * counts + one rejection count PER predicate (counted
+    * independently, so a blob failing two gates shows up in both —
+    * the per-reason accounting a gate-tuning pass needs), plus the
+    * pass rate.
+    *
+    * Determinism: the decoded features are m02's oracle-mirrored
+    * rolling-hash stub; every gate is an integer or fixed-expression
+    * double compare; pass_rate is ONE IEEE division, rounded.
+    *
+    * Scale shape: decode is a narrow mapPartitions over the blob
+    * column (no shuffle — m02's plan), the gate is a per-row
+    * projection, and the only shuffle is the final source-domain hash
+    * aggregate (bounded by the source inventory). Metadata-only
+    * predicates (n_bytes) prune parquet row groups before decode. */
+  val qualityGate: QueryDef = QueryDef(
+    "m11_media_quality_gate",
+    (s, d) => {
+      import s.implicits._
+      val media = mediaFrame(s, d).select(
+        col("doc_id").cast("long"), col("blob"),
+        col("meta.source").as("source"))
+      val feats = media.as[(Long, Array[Byte], String)]
+        .mapPartitions(_.map { case (id, bytes, src) =>
+          val f = decodeOne(id, bytes)
+          (src, f.n_bytes, f.width, f.height, f.mean_luma)
+        })
+        .toDF("source", "n_bytes", "width", "height", "mean_luma")
+      feats
+        .selectExpr("source",
+          "width >= 64 AND height >= 64 AS ok_dims",
+          "n_bytes >= 100 AS ok_bytes",
+          "mean_luma >= 0.05 AND mean_luma <= 0.95 AS ok_luma",
+          "CAST(greatest(width, height) AS DOUBLE) / greatest(least(width, height), 1) <= 4.0 AS ok_aspect")
+        .withColumn("pass",
+          col("ok_dims") && col("ok_bytes") && col("ok_luma") && col("ok_aspect"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(!col("ok_dims"), 1L).otherwise(0L)).as("n_bad_dims"),
+          sum(when(!col("ok_bytes"), 1L).otherwise(0L)).as("n_bad_bytes"),
+          sum(when(!col("ok_luma"), 1L).otherwise(0L)).as("n_bad_luma"),
+          sum(when(!col("ok_aspect"), 1L).otherwise(0L)).as("n_bad_aspect"))
+        .withColumn("pass_rate",
+          round(col("n_pass").cast("double") / col("n"), 6))
+        .orderBy("source")
+    },
+    Some("""WITH h AS (
+              SELECT doc_id, source, CAST(strlen(text) AS INTEGER) AS n_bytes,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(text) + 1),
+                                   i -> CAST(ascii(text[i]) AS BIGINT))),
+                  (acc, ch) -> (acc * 31 + ch) % 1000000007) AS acc
+              FROM documents),
+            f AS (
+              SELECT source,
+                CAST(acc % 640 AS INTEGER) AS width,
+                CAST((acc // 640) % 480 AS INTEGER) AS height,
+                n_bytes,
+                CAST(acc % 256 AS DOUBLE) / 255.0 AS mean_luma
+              FROM h),
+            g AS (
+              SELECT source,
+                (width >= 64 AND height >= 64) AS ok_dims,
+                (n_bytes >= 100) AS ok_bytes,
+                (mean_luma >= 0.05 AND mean_luma <= 0.95) AS ok_luma,
+                (CAST(greatest(width, height) AS DOUBLE)
+                   / greatest(least(width, height), 1) <= 4.0) AS ok_aspect
+              FROM f)
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN ok_dims AND ok_bytes AND ok_luma AND ok_aspect
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+              CAST(sum(CASE WHEN NOT ok_dims THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_bad_dims,
+              CAST(sum(CASE WHEN NOT ok_bytes THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_bad_bytes,
+              CAST(sum(CASE WHEN NOT ok_luma THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_bad_luma,
+              CAST(sum(CASE WHEN NOT ok_aspect THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_bad_aspect,
+              round(CAST(sum(CASE WHEN ok_dims AND ok_bytes AND ok_luma
+                       AND ok_aspect THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*), 6) AS pass_rate
+            FROM g GROUP BY source ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(metaDigest, decode, resizeSample, embedTopk, phashNearDup,
       audioFrameEnergy, crossmodalRetrieval, shotBoundaries, audioVad,
-      tileEntropy)
+      tileEntropy, qualityGate)
 }

@@ -1239,8 +1239,105 @@ object Similarity {
                FROM graded GROUP BY q_id ORDER BY q_id"""))
   }
 
+  /** s16 — pseudo-relevance feedback (Rocchio, SMART retrieval system
+    * 1971; the query-refinement half of modern two-round retrieval):
+    * round 1 retrieves each query's exact top-3 (s01's machinery),
+    * the refined query q' = q + 0.75·mean(top-3 unit vectors) is
+    * formed elementwise, and round 2 re-scores the corpus against q',
+    * returning the top-5 NEW documents (feedback docs excluded — the
+    * residual-collection evaluation convention).
+    *
+    * Determinism: the rank-1/2/3 vectors pivot through max(CASE) with
+    * exactly one non-null per slot (order-free); q' is built
+    * elementwise in one fixed expression — q + 0.75·(((v1+v2)+v3)/3)
+    * — and both scoring passes are the same sequential dot-product
+    * fold s01 proved bit-identical; ties break on n_id.
+    *
+    * Scale shape: the query panel is bounded (10 vectors) and
+    * BROADCAST twice — round 1 and round 2 each scan the corpus in
+    * place, the corpus never shuffles, and the feedback/exclusion
+    * frames are panel-sized (3k0 and k0 rows per query). At 100 TB
+    * this is two corpus scans, the same cost envelope as s11's
+    * two-stage rescore; an ANN round 1 (s03b's bucketed probe) slots
+    * in unchanged when the exact first pass is too hot. */
+  val rocchioFeedback: QueryDef = {
+    val k0 = 3; val k = 5; val beta = 0.75
+    QueryDef(
+      "s16_rocchio_feedback",
+      (s, d) => {
+        graft.expr.ArrayDot.register(s)
+        val q = Dedup.normalized(s, d, "q_id", "q_u").filter(col("q_id") < 10)
+        val c = Dedup.normalized(s, d, "n_id", "n_u")
+        val w1 = Window.partitionBy(col("q_id"))
+          .orderBy(col("cs").desc, col("n_id"))
+        val fb = broadcast(q.select("q_id", "q_u"))
+          .join(c, col("q_id") =!= col("n_id"))
+          .withColumn("cs", expr("array_dot(q_u, n_u)"))
+          .withColumn("rn", row_number().over(w1))
+          .filter(col("rn") <= k0)
+          .select("q_id", "n_id", "n_u", "rn")
+          .localCheckpoint() // panel-sized (k0 rows per query)
+        val refined = fb.groupBy("q_id")
+          .agg(
+            max(when(col("rn") === 1, col("n_u"))).as("v1"),
+            max(when(col("rn") === 2, col("n_u"))).as("v2"),
+            max(when(col("rn") === 3, col("n_u"))).as("v3"))
+          .join(q.select("q_id", "q_u"), "q_id")
+          .withColumn("qr", expr(
+            s"zip_with(q_u, zip_with(zip_with(v1, v2, (x, y) -> x + y), v3, (x, y) -> x + y), " +
+              s"(qv, sv) -> qv + ${beta}D * (sv / 3.0D))"))
+          .select("q_id", "qr")
+        val w2 = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("n_id"))
+        broadcast(refined).join(c, col("q_id") =!= col("n_id"))
+          .join(fb.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
+          .withColumn("score", expr("array_dot(qr, n_u)"))
+          .withColumn("rn", row_number().over(w2))
+          .filter(col("rn") <= k)
+          .select("q_id", "n_id", "score", "rn")
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH ${Dedup.normalizedSql},
+               fb0 AS (
+                 SELECT a.vec_id AS q_id, b.vec_id AS n_id, b.u AS n_u,
+                   list_dot_product(a.u, b.u) AS cs
+                 FROM u a JOIN u b
+                   ON a.vec_id < 10 AND b.vec_id != a.vec_id),
+               fbr AS (
+                 SELECT q_id, n_id, n_u,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cs DESC, n_id) AS INTEGER) AS rn
+                 FROM fb0),
+               fb AS (SELECT q_id, n_id, n_u, rn FROM fbr WHERE rn <= $k0),
+               piv AS (
+                 SELECT q_id,
+                   max(CASE WHEN rn = 1 THEN n_u END) AS v1,
+                   max(CASE WHEN rn = 2 THEN n_u END) AS v2,
+                   max(CASE WHEN rn = 3 THEN n_u END) AS v3
+                 FROM fb GROUP BY q_id),
+               ref AS (
+                 SELECT p.q_id,
+                   list_transform(range(1, len(q.u) + 1),
+                     i -> q.u[i] + $beta * (((p.v1[i] + p.v2[i]) + p.v3[i]) / 3.0)) AS qr
+                 FROM piv p JOIN u q ON q.vec_id = p.q_id),
+               sc AS (
+                 SELECT r.q_id, c.vec_id AS n_id,
+                   list_dot_product(r.qr, c.u) AS score
+                 FROM ref r JOIN u c ON c.vec_id != r.q_id
+                 WHERE NOT EXISTS (SELECT 1 FROM fb
+                   WHERE fb.q_id = r.q_id AND fb.n_id = c.vec_id)),
+               rk AS (
+                 SELECT q_id, n_id, score,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY score DESC, n_id) AS INTEGER) AS rn
+                 FROM sc)
+               SELECT q_id, n_id, score, rn FROM rk WHERE rn <= $k
+               ORDER BY q_id, rn"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
       annPqAdc, kmeansLloyd, annRecall, filteredTopK, mmrRerank,
-      twoStageRescore, knnClassify, nprobeSweep, hardNegatives, ndcgEval)
+      twoStageRescore, knnClassify, nprobeSweep, hardNegatives, ndcgEval,
+      rocchioFeedback)
 }

@@ -534,7 +534,105 @@ object MlQueries {
                FROM ss ORDER BY k"""))
   }
 
+  /** ml08 — cross-slice transfer matrix (the domain-generalization
+    * audit: fit on slice i, evaluate on slice j, report the full
+    * RMSE matrix — the question behind every data-mixing decision:
+    * does slice A's model transfer to slice B, or is B's data
+    * irreplaceable? The cross-domain form of ml07's scaling curve;
+    * cf. the cross-corpus transfer matrices in Blitzer et al. EMNLP
+    * 2006 and the per-domain ablations in The Pile, Gao et al. 2020).
+    * Slices are the 5 document languages; the model is ml01b's
+    * closed-form OLS of y = n_chars on x = whitespace-token count.
+    *
+    * Determinism (ml07's argument): ALL corpus-sized work is one
+    * 5-row groupBy(lang) aggregate of exact BIGINT sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx², Σy²); the cross-slice SSE is
+    * the fixed-shape IEEE polynomial over those exact longs —
+    * SSE = Σy² − 2aΣy − 2bΣxy + 2abΣx + a²n + b²Σx² — identical op
+    * order in both engines, no per-row float accumulation anywhere.
+    * Long bound: Σy² < n·(max n_chars)² — safe to n ≈ 3·10¹¹ docs at
+    * the fixture's 4-digit n_chars; beyond that the moments widen to
+    * DECIMAL(38,0) (st16/x36's documented path).
+    *
+    * Scale shape: ONE partial-aggregable scan → lang-domain frame
+    * (bounded by the language inventory, ~dozens at 100 TB); the
+    * matrix fan-out is a bounded broadcast cross of that frame with
+    * itself — 25 rows here, |langs|² always. */
+  val transferMatrix: QueryDef = QueryDef(
+    "ml08_transfer_matrix",
+    (s, d) => {
+      val perLang = Tables.documents(s, d)
+        .select(col("lang"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("x"),
+          col("n_chars").cast("long").as("y"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+          sum(expr("y * y")).as("syy"))
+        .localCheckpoint() // one corpus scan feeds both matrix axes
+      val tr = perLang.select(col("lang").as("train_lang"),
+          col("n").as("n_t"), col("sx").as("sx_t"), col("sy").as("sy_t"),
+          col("sxy").as("sxy_t"), col("sxx").as("sxx_t"))
+        .withColumn("slope", expr(
+          "(CAST(n_t AS DOUBLE) * CAST(sxy_t AS DOUBLE) - CAST(sx_t AS DOUBLE) * CAST(sy_t AS DOUBLE)) / " +
+            "(CAST(n_t AS DOUBLE) * CAST(sxx_t AS DOUBLE) - CAST(sx_t AS DOUBLE) * CAST(sx_t AS DOUBLE))"))
+        .withColumn("icept", expr(
+          "(CAST(sy_t AS DOUBLE) - slope * CAST(sx_t AS DOUBLE)) / CAST(n_t AS DOUBLE)"))
+      val ev = perLang.select(col("lang").as("eval_lang"),
+        col("n").as("n_e"), col("sx").as("sx_e"), col("sy").as("sy_e"),
+        col("sxy").as("sxy_e"), col("sxx").as("sxx_e"),
+        col("syy").as("syy_e"))
+      tr.crossJoin(broadcast(ev))
+        .withColumn("sse", expr(
+          "CAST(syy_e AS DOUBLE) - 2.0 * icept * CAST(sy_e AS DOUBLE) - " +
+            "2.0 * slope * CAST(sxy_e AS DOUBLE) + " +
+            "2.0 * icept * slope * CAST(sx_e AS DOUBLE) + " +
+            "icept * icept * CAST(n_e AS DOUBLE) + " +
+            "slope * slope * CAST(sxx_e AS DOUBLE)"))
+        .selectExpr("train_lang", "eval_lang", "n_e AS n_eval",
+          "round(slope, 6) AS slope", "round(icept, 6) AS intercept",
+          "round(sqrt(sse / CAST(n_e AS DOUBLE)), 6) AS rmse")
+        .orderBy("train_lang", "eval_lang")
+    },
+    Some("""WITH q AS (
+              SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+                     CAST(n_chars AS BIGINT) AS y
+              FROM documents),
+            pl AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(y * y) AS BIGINT) AS syy
+              FROM q GROUP BY 1),
+            fit AS (
+              SELECT lang,
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+                n, sx, sy
+              FROM pl),
+            fi AS (
+              SELECT lang, slope,
+                (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE) AS icept
+              FROM fit),
+            cell AS (
+              SELECT t.lang AS train_lang, e.lang AS eval_lang,
+                t.slope, t.icept, e.n AS n_e,
+                CAST(e.syy AS DOUBLE) - 2.0 * t.icept * CAST(e.sy AS DOUBLE)
+                  - 2.0 * t.slope * CAST(e.sxy AS DOUBLE)
+                  + 2.0 * t.icept * t.slope * CAST(e.sx AS DOUBLE)
+                  + t.icept * t.icept * CAST(e.n AS DOUBLE)
+                  + t.slope * t.slope * CAST(e.sxx AS DOUBLE) AS sse
+              FROM fi t, pl e)
+            SELECT train_lang, eval_lang, n_e AS n_eval,
+              round(slope, 6) AS slope, round(icept, 6) AS intercept,
+              round(sqrt(sse / CAST(n_e AS DOUBLE)), 6) AS rmse
+            FROM cell ORDER BY train_lang, eval_lang"""))
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
-      stumpExact, cvSlopeStability, learningCurve)
+      stumpExact, cvSlopeStability, learningCurve, transferMatrix)
 }

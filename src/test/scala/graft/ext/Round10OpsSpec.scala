@@ -493,4 +493,92 @@ class Round10OpsSpec extends AnyFunSuite {
         s"rmse k=$k: ${r.getDouble(4)} vs brute $rmse")
     }
   }
+
+  test("ml08: full matrix, per-train-row constant fit, rmse equals brute force") {
+    val rows = MlQueries.transferMatrix.build(spark, sf).collect()
+    val langs = graft.core.Tables.documents(spark, sf)
+      .select("lang").distinct().collect().map(_.getString(0)).sorted
+    assert(rows.length == langs.length * langs.length)
+    // the fit depends only on train_lang: constant slope/intercept per row-block
+    rows.groupBy(_.getString(0)).foreach { case (tl, rs) =>
+      assert(rs.map(_.getDouble(3)).distinct.length == 1, s"slope varies in $tl")
+      assert(rs.map(_.getDouble(4)).distinct.length == 1, s"icept varies in $tl")
+    }
+    // brute-force one off-diagonal cell
+    val raw = graft.core.Tables.documents(spark, sf)
+      .selectExpr("lang", "CAST(size(split(text, ' ')) AS BIGINT) AS x",
+        "CAST(n_chars AS BIGINT) AS y")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (tl, el) = (langs.head, langs.last)
+    val tr = raw.filter(_._1 == tl)
+    val ev = raw.filter(_._1 == el)
+    val (n, sx, sy) = (tr.length.toDouble,
+      tr.map(_._2).sum.toDouble, tr.map(_._3).sum.toDouble)
+    val sxy = tr.map(t => t._2 * t._3).sum.toDouble
+    val sxx = tr.map(t => t._2 * t._2).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    val rmse = math.sqrt(
+      ev.map(t => math.pow(t._3 - icept - slope * t._2, 2)).sum / ev.length)
+    val cell = rows.find(r =>
+      r.getString(0) == tl && r.getString(1) == el).get
+    assert(cell.getLong(2) == ev.length)
+    assert(math.abs(cell.getDouble(5) - rmse) < 1e-5,
+      s"rmse $tl->$el: ${cell.getDouble(5)} vs brute $rmse")
+  }
+
+  test("s16: top-5 per query, feedback docs excluded, scores descend") {
+    val rows = Similarity.rocchioFeedback.build(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to 5), s"ranks q=$q")
+      val scores = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(scores.sliding(2).forall { case Array(a, b) => a >= b },
+        s"scores not descending q=$q")
+    }
+    // round-1 top-3 (s01's exact machinery, k=3) must be absent from the
+    // round-2 result — the residual-collection convention
+    val fb = Similarity.cosineTopK.build(spark, sf).collect()
+      .filter(_.getInt(3) <= 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      assert(!fb.contains((r.getLong(0), r.getLong(1))),
+        s"feedback doc leaked into round-2 result: $r")
+      assert(r.getLong(0) != r.getLong(1), s"self-match: $r")
+    }
+  }
+
+  test("m11: per-source counts partition, reject accounting bounds hold") {
+    val rows = Multimodal.qualityGate.build(spark, sf).collect()
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val (n, nPass) = (r.getLong(1), r.getLong(2))
+      val bads = Seq(r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      // docs failing >=1 gate: at least the largest single-gate count,
+      // at most the sum (a doc can fail several gates)
+      assert(n - nPass >= bads.max, r.toString)
+      assert(n - nPass <= bads.sum, r.toString)
+      val expectRate = BigDecimal(nPass.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(7) - expectRate) < 1e-9, r.toString)
+    }
+  }
+
+  test("x44: cluster accounting is consistent with d07's components") {
+    val rows = Curation.dupClusterStats.build(spark, sf).collect()
+    val d07 = Dedup.components.build(spark, sf).collect()
+      .map(r => r.getLong(1)) // n_members per component
+    val expect = d07.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_.getLong(0)).toSet == expect.keySet)
+    rows.foreach { r =>
+      val (size, nCl, nDocs, rmDocs, rmChars) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(size >= 2, s"singleton cluster reported: $r")
+      assert(nCl == expect(size), s"cluster count mismatch: $r")
+      assert(nDocs == size * nCl, r.toString)
+      assert(rmDocs == nDocs - nCl, r.toString)
+      assert(rmChars > 0, r.toString)
+    }
+  }
 }

@@ -75,7 +75,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "ml06_classifier_metrics" -> "inherits x29b's 1-row class-token-total broadcast + 1-row confusion x rank-sum fold (e05's idiom)",
     "s15_ndcg_eval" -> "composes s01+s03b; inherits their bounded query/centroid broadcasts (s08's idiom)",
     "ml07_learning_curve" -> "4x10 bounded budget-bucket theta join on the sufficient-statistics frame + 1-row eval-moments broadcast (e05's idiom)",
-    "x43_shard_skew" -> "1-row fleet-totals broadcast onto the 32-row shard frame (e05's idiom)")
+    "x43_shard_skew" -> "1-row fleet-totals broadcast onto the 32-row shard frame (e05's idiom)",
+    "ml08_transfer_matrix" -> "lang-domain sufficient-statistics frame crossed with itself (|langs|^2 rows; ml07's idiom)",
+    "s16_rocchio_feedback" -> "bounded query-panel broadcast x2 (s01's idiom, round 1 + refined round 2; corpus never shuffles)")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
