@@ -632,7 +632,139 @@ object MlQueries {
               round(sqrt(sse / CAST(n_e AS DOUBLE)), 6) AS rmse
             FROM cell ORDER BY train_lang, eval_lang"""))
 
+  /** ml09 — leave-one-feature-out importance (LOFO — the
+    * permutation-free feature-importance audit: refit WITHOUT each
+    * feature, importance = held-in RMSE degradation; the ablation form
+    * of Breiman 2001's permutation importance, exactly computable from
+    * sufficient statistics where permutation is not). Model: 2-feature
+    * closed-form OLS of y = n_chars on x1 = token count and
+    * x2 = distinct token count over documents; per feature the single-
+    * feature refit drops it and the report row carries the full-model
+    * coefficient, full RMSE, without-RMSE and the importance delta.
+    *
+    * Determinism (ml01b's argument, one feature wider): ALL
+    * corpus-sized work is one aggregate of TEN exact BIGINT moments
+    * (n, Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y, Σy²); the
+    * normal-equations solve (Cramer on the 2×2 centered system), the
+    * intercept, and each SSE expansion are ONE fixed-shape IEEE
+    * expression over those longs — identical op order in both engines,
+    * never a per-row float.
+    *
+    * Scale shape: one partial-aggregable scan → a 1-row moments frame;
+    * everything downstream is driver-free scalar algebra on that row.
+    * The 100 TB LOFO is ten numbers per partition, merged
+    * associatively — refitting-without-a-feature costs nothing extra
+    * because every submodel reads the same moment set. */
+  val lofoImportance: QueryDef = QueryDef(
+    "ml09_lofo_importance",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("x1"),
+          expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)").as("x2"),
+          col("n_chars").cast("long").as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+          sum(expr("x1 * x1")).as("s11"), sum(expr("x2 * x2")).as("s22"),
+          sum(expr("x1 * x2")).as("s12"),
+          sum(expr("x1 * y")).as("s1y"), sum(expr("x2 * y")).as("s2y"),
+          sum(expr("y * y")).as("syy"))
+        .withColumn("c11", expr("CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"))
+        .withColumn("c22", expr("CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"))
+        .withColumn("c12", expr("CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)"))
+        .withColumn("c1y", expr("CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE)"))
+        .withColumn("c2y", expr("CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE)"))
+        .withColumn("det", expr("c11 * c22 - c12 * c12"))
+        .withColumn("b1", expr("(c22 * c1y - c12 * c2y) / det"))
+        .withColumn("b2", expr("(c11 * c2y - c12 * c1y) / det"))
+        .withColumn("a", expr("(CAST(sy AS DOUBLE) - b1 * CAST(s1 AS DOUBLE) - b2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE)"))
+        .withColumn("rmse_full", expr(
+          "sqrt((CAST(syy AS DOUBLE) + CAST(n AS DOUBLE) * a * a + b1 * b1 * CAST(s11 AS DOUBLE) + b2 * b2 * CAST(s22 AS DOUBLE) " +
+            "- 2.0 * a * CAST(sy AS DOUBLE) - 2.0 * b1 * CAST(s1y AS DOUBLE) - 2.0 * b2 * CAST(s2y AS DOUBLE) " +
+            "+ 2.0 * a * b1 * CAST(s1 AS DOUBLE) + 2.0 * a * b2 * CAST(s2 AS DOUBLE) + 2.0 * b1 * b2 * CAST(s12 AS DOUBLE)) / CAST(n AS DOUBLE))"))
+        .withColumn("m1", expr("c1y / c11"))
+        .withColumn("a1", expr("(CAST(sy AS DOUBLE) - m1 * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE)"))
+        .withColumn("rmse_only_x1", expr(
+          "sqrt((CAST(syy AS DOUBLE) + CAST(n AS DOUBLE) * a1 * a1 + m1 * m1 * CAST(s11 AS DOUBLE) " +
+            "- 2.0 * a1 * CAST(sy AS DOUBLE) - 2.0 * m1 * CAST(s1y AS DOUBLE) + 2.0 * a1 * m1 * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE))"))
+        .withColumn("m2", expr("c2y / c22"))
+        .withColumn("a2", expr("(CAST(sy AS DOUBLE) - m2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE)"))
+        .withColumn("rmse_only_x2", expr(
+          "sqrt((CAST(syy AS DOUBLE) + CAST(n AS DOUBLE) * a2 * a2 + m2 * m2 * CAST(s22 AS DOUBLE) " +
+            "- 2.0 * a2 * CAST(sy AS DOUBLE) - 2.0 * m2 * CAST(s2y AS DOUBLE) + 2.0 * a2 * m2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE))"))
+        .selectExpr(
+          "stack(2, " +
+            "'n_tokens', round(b1, 6), round(rmse_full, 6), round(rmse_only_x2, 6), round(rmse_only_x2 - rmse_full, 6), " +
+            "'n_distinct_tokens', round(b2, 6), round(rmse_full, 6), round(rmse_only_x1, 6), round(rmse_only_x1 - rmse_full, 6)) " +
+            "AS (feature, coef_full, rmse_full, rmse_without, importance)")
+        .orderBy("feature")
+    },
+    Some("""WITH q AS (
+              SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x2,
+                CAST(n_chars AS BIGINT) AS y
+              FROM documents),
+            m AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x1 * x1) AS BIGINT) AS s11,
+                CAST(sum(x2 * x2) AS BIGINT) AS s22,
+                CAST(sum(x1 * x2) AS BIGINT) AS s12,
+                CAST(sum(x1 * y) AS BIGINT) AS s1y,
+                CAST(sum(x2 * y) AS BIGINT) AS s2y,
+                CAST(sum(y * y) AS BIGINT) AS syy
+              FROM q),
+            c AS (
+              SELECT *,
+                CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS c11,
+                CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c22,
+                CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c12,
+                CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS c1y,
+                CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS c2y
+              FROM m),
+            b AS (
+              SELECT *, c11 * c22 - c12 * c12 AS det FROM c),
+            f AS (
+              SELECT *,
+                (c22 * c1y - c12 * c2y) / det AS b1,
+                (c11 * c2y - c12 * c1y) / det AS b2
+              FROM b),
+            f2 AS (
+              SELECT *,
+                (CAST(sy AS DOUBLE) - b1 * CAST(s1 AS DOUBLE) - b2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE) AS a,
+                c1y / c11 AS m1, c2y / c22 AS m2
+              FROM f),
+            f3 AS (
+              SELECT *,
+                (CAST(sy AS DOUBLE) - m1 * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE) AS a1,
+                (CAST(sy AS DOUBLE) - m2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE) AS a2
+              FROM f2),
+            r AS (
+              SELECT *,
+                sqrt((CAST(syy AS DOUBLE) + CAST(n AS DOUBLE) * a * a + b1 * b1 * CAST(s11 AS DOUBLE) + b2 * b2 * CAST(s22 AS DOUBLE)
+                  - 2.0 * a * CAST(sy AS DOUBLE) - 2.0 * b1 * CAST(s1y AS DOUBLE) - 2.0 * b2 * CAST(s2y AS DOUBLE)
+                  + 2.0 * a * b1 * CAST(s1 AS DOUBLE) + 2.0 * a * b2 * CAST(s2 AS DOUBLE) + 2.0 * b1 * b2 * CAST(s12 AS DOUBLE)) / CAST(n AS DOUBLE)) AS rmse_full,
+                sqrt((CAST(syy AS DOUBLE) + CAST(n AS DOUBLE) * a1 * a1 + m1 * m1 * CAST(s11 AS DOUBLE)
+                  - 2.0 * a1 * CAST(sy AS DOUBLE) - 2.0 * m1 * CAST(s1y AS DOUBLE) + 2.0 * a1 * m1 * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE)) AS rmse_only_x1,
+                sqrt((CAST(syy AS DOUBLE) + CAST(n AS DOUBLE) * a2 * a2 + m2 * m2 * CAST(s22 AS DOUBLE)
+                  - 2.0 * a2 * CAST(sy AS DOUBLE) - 2.0 * m2 * CAST(s2y AS DOUBLE) + 2.0 * a2 * m2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE)) AS rmse_only_x2
+              FROM f3)
+            SELECT 'n_distinct_tokens' AS feature, round(b2, 6) AS coef_full,
+              round(rmse_full, 6) AS rmse_full,
+              round(rmse_only_x1, 6) AS rmse_without,
+              round(rmse_only_x1 - rmse_full, 6) AS importance
+            FROM r
+            UNION ALL
+            SELECT 'n_tokens' AS feature, round(b1, 6) AS coef_full,
+              round(rmse_full, 6) AS rmse_full,
+              round(rmse_only_x2, 6) AS rmse_without,
+              round(rmse_only_x2 - rmse_full, 6) AS importance
+            FROM r
+            ORDER BY feature"""))
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
-      stumpExact, cvSlopeStability, learningCurve, transferMatrix)
+      stumpExact, cvSlopeStability, learningCurve, transferMatrix,
+      lofoImportance)
 }

@@ -1577,9 +1577,52 @@ object Relational {
                 AS n_above
             FROM m"""))
 
+  /** Q54 — forward-fill gap imputation (LOCF — last observation carried
+    * forward, the standard telemetry/time-series repair for missing
+    * sensor readings): values deterministically "lost" (event_id % 5 ==
+    * 3 simulates the dropout) are filled from the user's most recent
+    * surviving reading via `last(..., ignoreNulls)` over a running
+    * event-time frame; rows before any observation stay NULL (both
+    * engines agree).
+    *
+    * Determinism: no arithmetic at all — values are copied, never
+    * recomputed; the frame order (ts, event_id) is total.
+    *
+    * Scale plan: ONE window shuffle partitioned by user_id — the same
+    * key a telemetry table is naturally bucketed on, so at 100 TB the
+    * exchange disappears under bucketing; the frame is running (no
+    * re-scan per row) and whole-stage codegen'd. */
+  val q54 = QueryDef(
+    "q54_locf_gapfill",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      graft.core.Tables.events(s, d)
+        .withColumn("v_raw",
+          when(col("event_id") % 5 === 3, lit(null).cast("double"))
+            .otherwise(col("value")))
+        .withColumn("v_filled", last(col("v_raw"), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("v_raw"), col("v_filled"))
+        .orderBy("event_id")
+    },
+    Some("""WITH g AS (
+              SELECT event_id, user_id, ts,
+                CASE WHEN event_id % 5 = 3 THEN NULL ELSE value END AS v_raw
+              FROM events)
+            SELECT event_id, user_id,
+              strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, v_raw,
+              last_value(v_raw IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+            FROM g ORDER BY event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q12b,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
+    q54)
 }

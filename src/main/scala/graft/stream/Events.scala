@@ -892,9 +892,60 @@ object Events {
             FROM c JOIN stats USING (event_type)
             ORDER BY event_type, w_start"""))
 
+  /** Stream-stream LEFT SEMI interval join: errors that HAD a same-user
+    * click in the preceding hour — the correlation-FILTER form of
+    * st05's enumeration join (alert only when a correlated event
+    * exists; each error emits AT MOST ONCE however many clicks match,
+    * which is the semantic difference from inner). Both sides carry
+    * watermarks and the predicate bounds event-time distance, so click
+    * state evicts exactly as in st05 — and semi state is strictly
+    * smaller: a matched error retires immediately instead of waiting
+    * for more matches. */
+  def errorWithClickSemi(
+      clicks: DataFrame, errors: DataFrame,
+      watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_uid"), col("ts").as("click_ts"))
+    val e = errors.withWatermark("ts", watermark)
+      .select(col("user_id").as("e_uid"), col("ts").as("error_ts"),
+        col("event_id").as("error_id"))
+    e.join(c,
+      col("e_uid") === col("c_uid") &&
+        col("click_ts") <= col("error_ts") &&
+        col("click_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR"),
+      "left_semi")
+      .select(col("e_uid").as("user_id"), col("error_id"), col("error_ts"))
+  }
+
+  /** st17 — the batch form of [[errorWithClickSemi]] (StreamingSpec
+    * proves stream==batch on MemoryStream input; the DuckDB mirror is
+    * the EXISTS correlation filter). Scale shape: same equi shuffle on
+    * user_id as st05 with a time-range residual; at 100 TB the semi
+    * form is the one to prefer for alerting — no row multiplication,
+    * state bounded by the interval. */
+  val streamSemiJoinQ: QueryDef = QueryDef(
+    "st17_stream_semi_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      errorWithClickSemi(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "error"))
+        .select(col("user_id"), col("error_id"),
+          date_format(col("error_ts"), "yyyy-MM-dd HH:mm:ss").as("error_ts"))
+        .orderBy("error_id")
+    },
+    Some("""SELECT e.user_id, e.event_id AS error_id,
+            strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts
+            FROM events e
+            WHERE e.event_type = 'error' AND EXISTS (
+              SELECT 1 FROM events c
+              WHERE c.event_type = 'click' AND c.user_id = e.user_id
+                AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR)
+            ORDER BY error_id"""))
+
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
       streamLeftJoinQ, dedupBatchQ, enrichQ, windowSketchQ, funnelQ,
       retentionQ, topTypesQ, streamFullJoinQ, runningMaxBatchQ,
-      typeCountsBatchQ, windowAnomalyQ)
+      typeCountsBatchQ, windowAnomalyQ, streamSemiJoinQ)
 }

@@ -565,6 +565,61 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ml09: LOFO importances non-negative, full model beats both submodels") {
+    val rows = MlQueries.lofoImportance.build(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("n_distinct_tokens", "n_tokens"))
+    val rmseFull = rows.head.getDouble(2)
+    rows.foreach { r =>
+      assert(r.getDouble(2) == rmseFull, "rmse_full differs between rows")
+      // OLS law: adding a regressor never increases in-sample SSE
+      assert(r.getDouble(3) >= r.getDouble(2) - 1e-9, r.toString)
+      assert(r.getDouble(4) >= -1e-9, s"negative importance: $r")
+    }
+    // brute-force the full 2-feature fit via driver-side normal equations
+    val raw = graft.core.Tables.documents(spark, sf)
+      .selectExpr("CAST(size(split(text, ' ')) AS DOUBLE) AS x1",
+        "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE) AS x2",
+        "CAST(n_chars AS DOUBLE) AS y")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val n = raw.length.toDouble
+    val (s1, s2, sy) = (raw.map(_._1).sum, raw.map(_._2).sum, raw.map(_._3).sum)
+    val c11 = n * raw.map(t => t._1 * t._1).sum - s1 * s1
+    val c22 = n * raw.map(t => t._2 * t._2).sum - s2 * s2
+    val c12 = n * raw.map(t => t._1 * t._2).sum - s1 * s2
+    val c1y = n * raw.map(t => t._1 * t._3).sum - s1 * sy
+    val c2y = n * raw.map(t => t._2 * t._3).sum - s2 * sy
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c22 * c1y - c12 * c2y) / det
+    val b2 = (c11 * c2y - c12 * c1y) / det
+    val a = (sy - b1 * s1 - b2 * s2) / n
+    val rmse = math.sqrt(
+      raw.map(t => math.pow(t._3 - a - b1 * t._1 - b2 * t._2, 2)).sum / n)
+    assert(math.abs(rmseFull - rmse) < 1e-5, s"$rmseFull vs brute $rmse")
+    val coef1 = rows.find(_.getString(0) == "n_tokens").get.getDouble(1)
+    assert(math.abs(coef1 - b1) < 1e-5, s"$coef1 vs brute $b1")
+  }
+
+  test("q54: filled values equal the user's most recent surviving reading") {
+    val rows = graft.queries.Relational.q54.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rows.nonEmpty)
+    // dropout rule: exactly the event_id % 5 == 3 rows are nulled
+    rows.foreach { case (id, _, _, raw, _) =>
+      assert(raw.isEmpty == (id % 5 == 3), s"dropout rule broken at $id")
+    }
+    // per user in (ts, event_id) order: filled == last surviving value
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      var lastSeen: Option[Double] = None
+      rs.sortBy(r => (r._3, r._1)).foreach { case (id, _, _, raw, filled) =>
+        if (raw.isDefined) lastSeen = raw
+        assert(filled == lastSeen, s"LOCF broken at event $id")
+      }
+    }
+  }
+
   test("x44: cluster accounting is consistent with d07's components") {
     val rows = Curation.dupClusterStats.build(spark, sf).collect()
     val d07 = Dedup.components.build(spark, sf).collect()

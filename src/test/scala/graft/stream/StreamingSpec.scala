@@ -181,6 +181,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(clickOnly.forall(_.getAs[Long]("user_id") == 5L))
   }
 
+  test("left-semi stream-stream join emits each correlated error ONCE") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String, Double)]
+    val errors = MemoryStream[(Long, Timestamp, String, Double)]
+    def df(m: MemoryStream[(Long, Timestamp, String, Double)]) =
+      m.toDF().toDF("event_id", "ts", "event_type", "value")
+        .withColumn("user_id", col("event_id") % 10)
+    val joined = Events.errorWithClickSemi(df(clicks), df(errors),
+      watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("semijoin_out")
+      .outputMode("append").start()
+    // user 1: TWO clicks before its error -> the error must emit ONCE
+    // (st05's inner join emits it twice); user 2: error, no click
+    clicks.addData((1L, tsH(10, 0), "click", 1.0), (1L, tsH(10, 30), "click", 2.0))
+    errors.addData((11L, tsH(10, 40), "error", 0.0), (12L, tsH(10, 40), "error", 0.0))
+    q.processAllAvailable()
+    clicks.addData((3L, tsH(14, 0), "click", 9.0))
+    errors.addData((13L, tsH(14, 0), "error", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("semijoin_out").collect()
+      .map(_.getAs[Long]("error_id"))
+    assert(rows.count(_ == 11L) == 1,
+      s"semi must emit the matched error exactly once: ${rows.mkString(",")}")
+    assert(!rows.contains(12L), s"uncorrelated error leaked: ${rows.mkString(",")}")
+    // and the registered batch form agrees with a driver-side
+    // brute-force correlation scan over the fixture
+    val sf = graft.TestSpark.sf0001
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getString(3)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._2)
+    val expect = ev.filter(_._4 == "error").filter { e =>
+      clicksByUser.getOrElse(e._2, Array.empty).exists(c =>
+        c._3 <= e._3 && c._3 >= e._3 - 3600000L)
+    }.map(_._1).toSet
+    val got = Events.streamSemiJoinQ.build(spark, sf).collect()
+      .map(_.getAs[Long]("error_id")).toSet
+    assert(got == expect,
+      s"batch semi form disagrees with brute force: extra=${got -- expect}, missing=${expect -- got}")
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
