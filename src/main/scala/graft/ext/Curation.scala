@@ -2747,6 +2747,99 @@ object Curation {
                CAST(sum(rm_chars) AS BIGINT) AS removable_chars
              FROM per GROUP BY 1 ORDER BY cluster_size"""))
 
+  /** x45 — UniMax budget allocation (Chung et al., "UniMax: fairer and
+    * more effective language sampling for large-scale multilingual
+    * pretraining", ICLR 2023): given a token budget B and a per-language
+    * epoch cap E, allocate uniformly across languages but never draw
+    * more than E epochs of any language — the water-filling whose
+    * closed form is: sort languages by cap = E·n_tokens ascending; a
+    * language is CAPPED iff its cap sits below the water level λ_i =
+    * (B − cum_i)/(L − i) at its own rank, and every uncapped language
+    * gets λ = (B − Σ capped caps)/(#uncapped). x14 applies declared
+    * weights, x32 a temperature exponent; x45 computes the allocation
+    * the UniMax way — from supply caps, not proportions.
+    *
+    * Determinism: token counts are exact longs; the capped test is
+    * PURE INTEGER (cap·(L−i) ≤ B−cum_i — no division), so the capped
+    * set is engine- and order-independent; the sort key (cap, lang) is
+    * a total order; λ and the final weights are one fixed-shape IEEE
+    * division over exact longs, rounded.
+    *
+    * Scale shape: ONE partial-aggregable corpus scan to lang totals;
+    * everything after runs on the language-domain relation (~10 rows)
+    * — windows, cumsums and the capped-set scalar all cost nothing at
+    * any corpus size. */
+  val unimaxAllocation: QueryDef = {
+    val epochCap = 3L // E: max epochs any language may repeat
+    QueryDef(
+      "x45_unimax_allocation",
+      (s, d) => {
+        val langs = Tables.documents(s, d)
+          .groupBy("lang")
+          .agg(sum(expr(sparkTokCount).cast("long")).as("n_tokens"))
+          .withColumn("cap", expr(s"n_tokens * $epochCap"))
+        val byCap = Window.orderBy(col("cap"), col("lang"))
+        val whole = Window.partitionBy(lit(1))
+        val ranked = langs
+          .withColumn("b", sum(col("n_tokens")).over(whole))
+          .withColumn("l", count(lit(1)).over(whole))
+          .withColumn("i", row_number().over(byCap))
+          .withColumn("cum", sum(col("cap")).over(byCap))
+          .withColumn("capped", expr("cap * (l - i) <= b - cum"))
+        val lam = ranked
+          .withColumn("n_capped",
+            sum(when(col("capped"), 1L).otherwise(0L)).over(whole))
+          .withColumn("capped_caps",
+            sum(when(col("capped"), col("cap")).otherwise(0L)).over(whole))
+          .withColumn("lambda", expr(
+            "CAST(b - capped_caps AS DOUBLE) / CAST(l - n_capped AS DOUBLE)"))
+        lam.withColumn("allocation", expr(
+            "CASE WHEN capped THEN CAST(cap AS DOUBLE) ELSE lambda END"))
+          .selectExpr("lang", "n_tokens", "cap AS cap_tokens", "capped",
+            "round(allocation, 4) AS allocation",
+            "round(allocation / CAST(b AS DOUBLE), 6) AS weight",
+            "round(allocation / CAST(n_tokens AS DOUBLE), 6) AS epochs")
+          .orderBy("lang")
+      },
+      Some(s"""WITH langs AS (
+                 SELECT lang, CAST(sum($duckTokCount) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY 1),
+               c AS (
+                 SELECT lang, n_tokens,
+                   CAST(n_tokens * $epochCap AS BIGINT) AS cap
+                 FROM langs),
+               ranked AS (
+                 SELECT *,
+                   CAST(sum(n_tokens) OVER () AS BIGINT) AS b,
+                   CAST(count(*) OVER () AS BIGINT) AS l,
+                   CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+                   CAST(sum(cap) OVER (ORDER BY cap, lang
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                 FROM c),
+               cppd AS (
+                 SELECT *, cap * (l - i) <= b - cum AS capped FROM ranked),
+               lam AS (
+                 SELECT *,
+                   CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+                     AS BIGINT) AS n_capped,
+                   CAST(sum(CASE WHEN capped THEN cap ELSE 0 END) OVER ()
+                     AS BIGINT) AS capped_caps
+                 FROM cppd),
+               fin AS (
+                 SELECT *,
+                   CAST(b - capped_caps AS DOUBLE)
+                     / CAST(l - n_capped AS DOUBLE) AS lambda,
+                   CASE WHEN capped THEN CAST(cap AS DOUBLE)
+                        ELSE CAST(b - capped_caps AS DOUBLE)
+                          / CAST(l - n_capped AS DOUBLE) END AS allocation
+                 FROM lam)
+               SELECT lang, n_tokens, cap AS cap_tokens, capped,
+                 round(allocation, 4) AS allocation,
+                 round(allocation / CAST(b AS DOUBLE), 6) AS weight,
+                 round(allocation / CAST(n_tokens AS DOUBLE), 6) AS epochs
+               FROM fin ORDER BY lang"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -2759,5 +2852,5 @@ object Curation {
       classifierMetrics, domainCap, scd2History,
       temperatureMix, datasetCard, canonicalSelection, weightedSample,
       epochShuffle, dpRelease, psiDrift, blocklistGate, curriculumOrder,
-      sourceOverlap, shardSkew, dupClusterStats)
+      sourceOverlap, shardSkew, dupClusterStats, unimaxAllocation)
 }

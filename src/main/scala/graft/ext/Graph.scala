@@ -1165,9 +1165,91 @@ object Graph {
               (t.giant_size * 1000000) // t.n_nodes AS giant_ppm
             FROM hist h, tot t ORDER BY size"""))
 
+  /** g15 — double-sweep diameter estimation (Magnien, Latapy &
+    * Habib, JEA 2009: BFS from an arbitrary node, re-BFS from the
+    * farthest node found; the second eccentricity is the standard
+    * tight lower bound on graph diameter — THE practical way to bound
+    * the diameter of a web-scale graph, where all-pairs is hopeless).
+    * Sweep 1 starts from the minimum node id (deterministic
+    * "arbitrary"); the farthest reached node (max hops, min id tie)
+    * seeds sweep 2. Output: both sweeps' hop-frontier histograms —
+    * the diameter lower bound is sweep 2's max hop, and the frontier
+    * profile is the expansion curve a partitioner reads.
+    *
+    * Determinism: g05's integer encoding (enc = dist·10¹⁰ + seed id,
+    * one BIGINT min per round); rounds FIXED (4 per sweep, mirrored
+    * as unrolled CTEs); the farthest pick is a total order
+    * (dist DESC, id ASC, LIMIT 1) in both engines.
+    *
+    * Scale shape: per round one equi shuffle of 16-byte node state
+    * against the edge list (g05's envelope, ×2 sweeps); the
+    * farthest-node selection is a top-1 TakeOrdered (never a driver
+    * collect); the output is bounded by 2 × rounds rows. */
+  val diameterSweep: QueryDef = {
+    val Rounds = 4
+    val Stride = 10000000000L
+    QueryDef(
+      "g15_diameter_sweep",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("p"),
+            (col("l_suppkey") + SuppOffset).as("sup"))
+          .distinct()
+        val e = li.select(col("p").as("u"), col("sup").as("v"))
+          .union(li.select(col("sup").as("u"), col("p").as("v")))
+          .localCheckpoint() // feeds both sweeps' relaxation joins
+        val src = e.select(col("u").as("id")).distinct()
+          .orderBy(col("id")).limit(1)
+        val s1 = bfsEncode(e, src, Rounds, Stride)
+          .select(col("id"), expr(s"enc DIV $Stride").as("dist"))
+          .localCheckpoint()
+        val far = s1.orderBy(col("dist").desc, col("id")).limit(1)
+          .select("id")
+        val s2 = bfsEncode(e, far, Rounds, Stride)
+          .select(col("id"), expr(s"enc DIV $Stride").as("dist"))
+        s1.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+          .select(lit(1L).as("sweep"), col("dist"), col("n_nodes"))
+          .union(s2.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+            .select(lit(2L).as("sweep"), col("dist"), col("n_nodes")))
+          .orderBy("sweep", "dist")
+      },
+      Some {
+        val base =
+          s"""li AS (SELECT DISTINCT l_partkey AS p,
+                       l_suppkey + $SuppOffset AS sup FROM lineitem),
+              e AS MATERIALIZED (SELECT p AS u, sup AS v FROM li
+                    UNION ALL SELECT sup, p FROM li),
+              src AS (SELECT min(u) AS id FROM e),
+              s1_0 AS (SELECT id, id AS enc FROM src)"""
+        def sweepCtes(tag: String): String = (1 to Rounds).map { r =>
+          s"""${tag}_$r AS MATERIALIZED (
+                SELECT id, min(enc) AS enc FROM (
+                  SELECT e.v AS id, ${tag}_${r - 1}.enc + $Stride AS enc
+                  FROM e JOIN ${tag}_${r - 1} ON ${tag}_${r - 1}.id = e.u
+                  UNION ALL SELECT id, enc FROM ${tag}_${r - 1})
+                GROUP BY 1)"""
+        }.mkString(",\n")
+        s"""WITH $base,
+            ${sweepCtes("s1")},
+            far AS (SELECT id FROM s1_$Rounds
+                    ORDER BY enc // $Stride DESC, id LIMIT 1),
+            s2_0 AS (SELECT id, id AS enc FROM far),
+            ${sweepCtes("s2")}
+            SELECT CAST(1 AS BIGINT) AS sweep,
+              CAST(enc // $Stride AS BIGINT) AS dist,
+              CAST(count(*) AS BIGINT) AS n_nodes
+            FROM s1_$Rounds GROUP BY 2
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), CAST(enc // $Stride AS BIGINT),
+              CAST(count(*) AS BIGINT)
+            FROM s2_$Rounds GROUP BY 2
+            ORDER BY sweep, dist"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(pagerank, triangles, kcore, labelPropagation, bfsHops,
       personalizedPagerank, linkPrediction, hits, degreeHistogram,
       harmonicCentrality, modularity, clusteringCoefficient,
-      assortativity, wcc)
+      assortativity, wcc, diameterSweep)
 }

@@ -1335,9 +1335,88 @@ object Similarity {
                ORDER BY q_id, rn"""))
   }
 
+  /** s17 — IVF cell-balance audit (the standard index-health check an
+    * ANN deployment runs before serving: Jégou et al. TPAMI 2011 §V
+    * discuss how unbalanced inverted lists destroy the speedup — a
+    * probe into a mega-cell scans far more than N/K). Per cell of the
+    * s03b pinned-centroid index: population, share of corpus, and
+    * imbalance = n·K/N (1.0 = perfectly balanced); plus two
+    * whole-index health scalars on every row — balance_factor =
+    * max-cell imbalance, and scan_frac = Σ share² (the expected
+    * fraction of the corpus a 1-probe query scans when queries are
+    * drawn from the corpus distribution itself — the quantity that
+    * degrades from 1/K toward 1 as the index skews).
+    *
+    * Determinism: populations are exact longs from s03b's bit-exact
+    * assignment (max-dot fold, (dot DESC, id ASC) tiebreak); Σn² is an
+    * exact long sum; every reported real is ONE fixed-shape division
+    * over those longs.
+    *
+    * Scale shape: the corpus reduces to K rows in one count agg keyed
+    * by the assignment (broadcast centroids, no corpus shuffle beyond
+    * the K-domain aggregation); windows run over the K-row relation. */
+  val ivfBalance: QueryDef = {
+    val kCentroids = 16
+    QueryDef(
+      "s17_ivf_balance",
+      (s, d) => {
+        graft.expr.ArrayDot.register(s)
+        val u = Dedup.normalized(s, d, "id", "u")
+        val cells = Dedup.assignClusters(u, kCentroids)
+          .groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+        val whole = Window.partitionBy(lit(1))
+        cells
+          .withColumn("n_total", sum(col("n_vecs")).over(whole))
+          .withColumn("k_cells", count(lit(1)).over(whole))
+          .withColumn("max_n", max(col("n_vecs")).over(whole))
+          .withColumn("sumsq", sum(expr("n_vecs * n_vecs")).over(whole))
+          .selectExpr("cluster", "n_vecs",
+            "round(CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share",
+            "round(CAST(n_vecs * k_cells AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS imbalance",
+            "round(CAST(max_n * k_cells AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS balance_factor",
+            "round(CAST(sumsq AS DOUBLE) / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)), 6) AS scan_frac")
+          .orderBy("cluster")
+      },
+      Some(s"""WITH ${Dedup.normalizedSql},
+               cents AS (
+                 SELECT vec_id AS c_id, u AS c_u FROM u
+                 WHERE vec_id < $kCentroids),
+               ad AS (
+                 SELECT u.vec_id, c.c_id, list_dot_product(u.u, c.c_u) AS c_dot
+                 FROM u, cents c),
+               asg AS (
+                 SELECT vec_id, c_id AS cluster FROM (
+                   SELECT vec_id, c_id,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY c_dot DESC, c_id) AS crn
+                   FROM ad)
+                 WHERE crn = 1),
+               cells AS (
+                 SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs
+                 FROM asg GROUP BY 1),
+               g AS (
+                 SELECT *,
+                   CAST(sum(n_vecs) OVER () AS BIGINT) AS n_total,
+                   CAST(count(*) OVER () AS BIGINT) AS k_cells,
+                   CAST(max(n_vecs) OVER () AS BIGINT) AS max_n,
+                   CAST(sum(n_vecs * n_vecs) OVER () AS BIGINT) AS sumsq
+                 FROM cells)
+               SELECT cluster, n_vecs,
+                 round(CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+                   AS share,
+                 round(CAST(n_vecs * k_cells AS DOUBLE)
+                   / CAST(n_total AS DOUBLE), 6) AS imbalance,
+                 round(CAST(max_n * k_cells AS DOUBLE)
+                   / CAST(n_total AS DOUBLE), 6) AS balance_factor,
+                 round(CAST(sumsq AS DOUBLE)
+                   / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)), 6)
+                   AS scan_frac
+               FROM g ORDER BY cluster"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
       annPqAdc, kmeansLloyd, annRecall, filteredTopK, mmrRerank,
       twoStageRescore, knnClassify, nprobeSweep, hardNegatives, ndcgEval,
-      rocchioFeedback)
+      rocchioFeedback, ivfBalance)
 }

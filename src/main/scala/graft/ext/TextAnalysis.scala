@@ -1897,11 +1897,88 @@ object TextAnalysis {
                ORDER BY gr.doc_id"""))
   }
 
+  /** t30 — tokenizer fertility per language (pieces-per-word under the
+    * trained tokenizer — the tokenizer-equity metric of Ács 2019 /
+    * Petrov et al. 2023's "language disparity" audits: a language with
+    * higher fertility pays more sequence length for the same text).
+    * Trains t16/t17's 8 merges on the CORPUS word frequencies, applies
+    * them to each language's word stream, and reports per language the
+    * distinct word types, token occurrences, emitted subword pieces,
+    * and fertility = pieces / words (weighted by occurrence).
+    *
+    * Determinism: t17's bit-exact train+apply chain (argmax merges tie
+    * on (freq DESC, l, r) in both engines); the fertility counts are
+    * exact BIGINT sums over the vocabulary-bounded (lang, word) frame;
+    * ONE IEEE division, rounded.
+    *
+    * Scale shape: ONE corpus pass for the shared frequency aggregate +
+    * one for the (lang, word) frame (both map-side partial); the merge
+    * cascade is a narrow vocabulary-sized map (t17's argument) and the
+    * output is language-domain bounded. */
+  val bpeFertility: QueryDef = {
+    val V = 200
+    val R = 8
+    val applyCtes =
+      s"""la0 AS (
+            SELECT lang, trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym, n
+            FROM awl),
+""" +
+      (1 to R).map { k =>
+        s"""la$k AS (
+              SELECT lang, CASE WHEN b.l IS NULL THEN sym
+                     ELSE trim(replace('  ' || sym || '  ',
+                       ' ' || b.l || '  ' || b.r || ' ',
+                       ' ' || b.l || b.r || ' ')) END AS sym, n
+              FROM la${k - 1} LEFT JOIN b$k b ON TRUE)"""
+      }.mkString(",\n")
+    QueryDef(
+      "t30_bpe_fertility",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = bpeMergesFromFreq(wordFreq(docs).localCheckpoint(), V, R)
+        val freqL = docs
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .filter(col("word").rlike("^[a-z]+$"))
+          .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+        val sym = merges.foldLeft(symInit(col("word"))) {
+          case (c, (_, l, r, _)) => applyMerge(c, l, r)
+        }
+        freqL.select(col("lang"),
+            size(split(sym, "  ")).cast("long").as("pieces"), col("n"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_types"),
+            sum(col("n")).as("n_words"),
+            sum(expr("pieces * n")).as("n_pieces"))
+          .withColumn("fertility", expr(
+            "round(CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE), 6)"))
+          .select("lang", "n_types", "n_words", "n_pieces", "fertility")
+          .orderBy("lang")
+      },
+      Some(s"""WITH ${bpeTrainSql(V, R)},
+               awl AS (
+                 SELECT lang, token AS word, CAST(count(*) AS BIGINT) AS n
+                 FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+                       FROM documents) t
+                 WHERE regexp_matches(token, '^[a-z]+${"$"}')
+                 GROUP BY 1, 2),
+               $applyCtes,
+               per AS (
+                 SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(n) AS BIGINT) AS n_words,
+                   CAST(sum(CAST(len(string_split(sym, '  ')) AS BIGINT) * n)
+                     AS BIGINT) AS n_pieces
+                 FROM la$R GROUP BY 1)
+               SELECT lang, n_types, n_words, n_pieces,
+                 round(CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+                   AS fertility
+               FROM per ORDER BY lang"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
       nfcCanonicalize, domainClassify, vocabBuild, bpeInduction, bpeEncode,
       readability, lexicalDiversity, rakeKeywords, langIdConfusion,
       gopherRules, zipfFit, tokenBurstiness, bigramPerplexity,
-      confusableSpoof, textrank, ruleAblation, ngramNovelty)
+      confusableSpoof, textrank, ruleAblation, ngramNovelty, bpeFertility)
 }

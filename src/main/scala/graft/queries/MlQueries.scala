@@ -763,8 +763,209 @@ object MlQueries {
             FROM r
             ORDER BY feature"""))
 
+  /** ml10 — A/B experiment readout (Welch's unequal-variance t-test,
+    * Welch 1947 — the default two-sample test of every experimentation
+    * platform): events are hash-randomized into arms A/B by md5 of the
+    * event id (the x01/x07 assignment discipline — reproducible,
+    * uncorrelated with time or user), and per event_type the test
+    * reports arm means, the Welch t statistic, the Welch–Satterthwaite
+    * degrees of freedom, and the |t| > 1.96 verdict.
+    *
+    * Determinism: `value` is 2-decimal by contract, so per-arm moments
+    * are EXACT integer cents (n, Σc, Σc²) — order-free BIGINT sums
+    * (Σc² < 2⁶³ until n ≈ 9·10¹⁰ events; the DECIMAL(38,0) widening
+    * path applies beyond, st16's documented move); means/variances/
+    * t/df are one fixed-shape IEEE expression over those longs,
+    * identical op order in both engines (a per-row double sum would
+    * be partition-order-dependent — the same trap st07 documents).
+    *
+    * Scale shape: ONE partial-aggregable scan → a type-domain frame;
+    * the null-hypothesis machinery costs nothing at any scale. */
+  val abWelch: QueryDef = QueryDef(
+    "ml10_ab_welch",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr(graft.ext.Dedup.sparkMd5Int60("CAST(event_id AS STRING)")
+            + " % 2").as("arm"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("sa"),
+          sum(when(col("arm") === 0, expr("c * c")).otherwise(0L)).as("qa"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+          sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("sb"),
+          sum(when(col("arm") === 1, expr("c * c")).otherwise(0L)).as("qb"))
+        .withColumn("ma", expr(
+          "CAST(sa AS DOUBLE) / (100.0 * CAST(na AS DOUBLE))"))
+        .withColumn("mb", expr(
+          "CAST(sb AS DOUBLE) / (100.0 * CAST(nb AS DOUBLE))"))
+        .withColumn("va", expr(
+          "(CAST(na AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / " +
+            "(CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0) * 10000.0)"))
+        .withColumn("vb", expr(
+          "(CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / " +
+            "(CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0) * 10000.0)"))
+        .withColumn("se2", expr(
+          "va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)"))
+        .withColumn("t_welch", expr("(ma - mb) / sqrt(se2)"))
+        .withColumn("df_welch", expr(
+          "(se2 * se2) / ((va / CAST(na AS DOUBLE)) * (va / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) + " +
+            "(vb / CAST(nb AS DOUBLE)) * (vb / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))"))
+        .selectExpr("event_type", "na", "nb",
+          "round(ma, 6) AS mean_a", "round(mb, 6) AS mean_b",
+          "round(t_welch, 6) AS t_welch", "round(df_welch, 4) AS df_welch",
+          "abs(t_welch) > 1.96 AS significant")
+        .orderBy("event_type")
+    },
+    Some(s"""WITH q AS (
+               SELECT event_type,
+                 ${graft.ext.Dedup.duckMd5IntSlice(
+                   "CAST(event_id AS VARCHAR)", 2, 15)} % 2 AS arm,
+                 CAST(round(value * 100) AS BIGINT) AS c
+               FROM events),
+             m AS (
+               SELECT event_type,
+                 CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                 CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS sa,
+                 CAST(sum(CASE WHEN arm = 0 THEN c * c ELSE 0 END) AS BIGINT) AS qa,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                 CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS sb,
+                 CAST(sum(CASE WHEN arm = 1 THEN c * c ELSE 0 END) AS BIGINT) AS qb
+               FROM q GROUP BY 1),
+             w AS (
+               SELECT *,
+                 CAST(sa AS DOUBLE) / (100.0 * CAST(na AS DOUBLE)) AS ma,
+                 CAST(sb AS DOUBLE) / (100.0 * CAST(nb AS DOUBLE)) AS mb,
+                 (CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)
+                   - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) /
+                 (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0) * 10000.0) AS va,
+                 (CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE)
+                   - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) /
+                 (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0) * 10000.0) AS vb
+               FROM m),
+             w2 AS (
+               SELECT *,
+                 va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) AS se2
+               FROM w),
+             w3 AS (
+               SELECT *, (ma - mb) / sqrt(se2) AS t_welch,
+                 (se2 * se2) / ((va / CAST(na AS DOUBLE)) * (va / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)
+                   + (vb / CAST(nb AS DOUBLE)) * (vb / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) AS df_welch
+               FROM w2)
+             SELECT event_type, na, nb,
+               round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+               round(t_welch, 6) AS t_welch, round(df_welch, 4) AS df_welch,
+               abs(t_welch) > 1.96 AS significant
+             FROM w3 ORDER BY event_type"""))
+
+  /** ml11 — CUPED variance reduction (Deng, Xu, Kohavi & Walker,
+    * "Improving the sensitivity of online controlled experiments by
+    * utilizing pre-experiment data", WSDM 2013 — the standard
+    * experimentation-platform adjustment): each user's PRE-period
+    * activity predicts their POST-period metric, and the adjusted
+    * metric Y − θ(X − X̄) removes the predictable between-user
+    * variance, shrinking the A/B test's required sample size by the
+    * squared pre/post correlation. Per event_type, users are split at
+    * the fixture midpoint (2024-01-16): X = the user's pre-period
+    * value total, Y = post-period total (absent period ⇒ 0), and the
+    * readout reports θ = cov(X,Y)/var(X), the post-period mean and
+    * variance, the CUPED-adjusted variance var(Y)·(1 − r²), and the
+    * variance-reduction percentage 100·r².
+    *
+    * Determinism: `value` is 2-decimal by contract, so per-user period
+    * totals are EXACT integer cents and the five cross-moments (N, ΣX,
+    * ΣY, ΣXY, ΣX², ΣY²) are order-free BIGINT sums (ΣXY < 2⁶³ up to
+    * ~10⁸ users at the fixture's per-user totals; DECIMAL(38,0) is the
+    * documented widening path beyond, st16's move); θ/r²/variances are
+    * ONE fixed-shape IEEE expression over those exact longs with every
+    * product taken in DOUBLE (the g13 overflow discipline), identical
+    * op order in both engines.
+    *
+    * Scale shape: one partial-aggregable scan to (event_type, user)
+    * totals — the only shuffle, keyed on the natural grouping — then a
+    * type-domain second agg; nothing driver-side. */
+  val cupedReadout: QueryDef = {
+    val mid = "2024-01-16 00:00:00"
+    QueryDef(
+      "ml11_cuped",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("event_type"), col("user_id"),
+            (col("ts") < lit(mid).cast("timestamp")).as("pre"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+          .groupBy("event_type", "user_id")
+          .agg(sum(when(col("pre"), col("c")).otherwise(0L)).as("x"),
+            sum(when(!col("pre"), col("c")).otherwise(0L)).as("y"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(expr("x * y")).as("sxy"),
+            sum(expr("x * x")).as("sxx"),
+            sum(expr("y * y")).as("syy"))
+          .withColumn("covn", expr(
+            "CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"))
+          .withColumn("varxn", expr(
+            "CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"))
+          .withColumn("varyn", expr(
+            "CAST(n_users AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"))
+          .withColumn("theta", expr("covn / varxn"))
+          .withColumn("r2", expr("(covn * covn) / (varxn * varyn)"))
+          .withColumn("var_post", expr(
+            "varyn / (CAST(n_users AS DOUBLE) * (CAST(n_users AS DOUBLE) - 1.0) * 10000.0)"))
+          .selectExpr("event_type", "n_users",
+            "round(CAST(sy AS DOUBLE) / (100.0 * CAST(n_users AS DOUBLE)), 6) AS mean_post",
+            "round(theta, 6) AS theta",
+            "round(var_post, 6) AS var_post",
+            "round(var_post * (1.0 - r2), 6) AS var_adjusted",
+            "round(100.0 * r2, 4) AS var_reduction_pct")
+          .orderBy("event_type")
+      },
+      Some(s"""WITH per AS (
+                 SELECT event_type, user_id,
+                   CAST(sum(CASE WHEN ts < TIMESTAMP '$mid'
+                     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                     AS BIGINT) AS x,
+                   CAST(sum(CASE WHEN ts >= TIMESTAMP '$mid'
+                     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                     AS BIGINT) AS y
+                 FROM events GROUP BY 1, 2),
+               m AS (
+                 SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+                 FROM per GROUP BY 1),
+               w AS (
+                 SELECT *,
+                   CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+                   CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+                   CAST(n_users AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn
+                 FROM m),
+               w2 AS (
+                 SELECT *, covn / varxn AS theta,
+                   (covn * covn) / (varxn * varyn) AS r2,
+                   varyn / (CAST(n_users AS DOUBLE)
+                     * (CAST(n_users AS DOUBLE) - 1.0) * 10000.0) AS var_post
+                 FROM w)
+               SELECT event_type, n_users,
+                 round(CAST(sy AS DOUBLE) / (100.0 * CAST(n_users AS DOUBLE)), 6)
+                   AS mean_post,
+                 round(theta, 6) AS theta,
+                 round(var_post, 6) AS var_post,
+                 round(var_post * (1.0 - r2), 6) AS var_adjusted,
+                 round(100.0 * r2, 4) AS var_reduction_pct
+               FROM w2 ORDER BY event_type"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
-      lofoImportance)
+      lofoImportance, abWelch, cupedReadout)
 }

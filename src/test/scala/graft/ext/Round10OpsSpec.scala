@@ -620,6 +620,177 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ml10: arm partition, brute-force Welch t for one type, verdict law") {
+    val rows = MlQueries.abWelch.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalByType = graft.core.Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == totalByType.size)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == totalByType(r.getString(0)),
+        s"arms do not partition: $r")
+      assert(r.getBoolean(7) == (math.abs(r.getDouble(5)) > 1.96), r.toString)
+    }
+    // brute-force one type end to end (same md5 arm rule, driver floats)
+    val t0 = rows.head.getString(0)
+    val evs = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type") === t0)
+      .selectExpr(
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 2, 15), 16, 10) AS BIGINT) % 2 AS arm",
+        "CAST(round(value * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def stats(arm: Long) = {
+      val cs = evs.filter(_._1 == arm).map(_._2.toDouble / 100.0)
+      val n = cs.length.toDouble
+      val m = cs.sum / n
+      val v = cs.map(x => (x - m) * (x - m)).sum / (n - 1.0)
+      (n, m, v)
+    }
+    val ((na, ma, va), (nb, mb, vb)) = (stats(0), stats(1))
+    val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    val r0 = rows.head
+    assert(math.abs(r0.getDouble(3) - ma) < 1e-6, s"mean_a: $r0 vs $ma")
+    assert(math.abs(r0.getDouble(5) - t) < 1e-4, s"t: $r0 vs $t")
+  }
+
+  test("g15: sweeps anchor at one source, frontier laws, sweep-1 brute-forced") {
+    val rows = Graph.diameterSweep.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    Seq(1L, 2L).foreach { sw =>
+      val h = rows.filter(_._1 == sw)
+      assert(h.exists(r => r._2 == 0 && r._3 == 1),
+        s"sweep $sw must start from exactly one source: ${h.mkString(",")}")
+      assert(h.forall(r => r._2 >= 0 && r._2 <= 4), h.mkString(","))
+      assert(h.forall(_._3 > 0), h.mkString(","))
+    }
+    // brute-force sweep 1 with a driver BFS from the min node id
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .selectExpr("l_partkey AS p", "l_suppkey + 1000000000 AS sup")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (li.map(e => e._1 -> e._2) ++ li.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val src = adj.keys.min
+    var dist = Map(src -> 0L)
+    var frontier = Set(src)
+    for (h <- 1 to 4) {
+      frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      dist ++= frontier.map(_ -> h.toLong)
+      }
+    val expect = dist.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = rows.filter(_._1 == 1).map(r => r._2 -> r._3).toMap
+    assert(got == expect, s"sweep-1 histogram: $got vs brute $expect")
+  }
+
+  test("t30: fertility laws and per-lang type counts cross-checked") {
+    val rows = TextAnalysis.bpeFertility.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val typesPerLang = graft.core.Tables.documents(spark, sf)
+      .selectExpr("lang", "explode(split(text, ' ')) AS w")
+      .filter("w RLIKE '^[a-z]+$'")
+      .select("lang", "w").distinct()
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (lang, nTypes, nWords, nPieces, fert) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))
+      assert(nTypes == typesPerLang(lang), s"type count: $r")
+      // every word emits >= 1 piece; 8 merges cannot push a word below 1
+      assert(nPieces >= nWords, r.toString)
+      assert(fert >= 1.0, r.toString)
+      val expect = BigDecimal(nPieces.toDouble / nWords)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(fert - expect) < 1e-9, r.toString)
+    }
+  }
+
+  test("ml11: moments brute-forced for one type, CUPED variance law") {
+    val rows = MlQueries.cupedReadout.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (vp, va, pct) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(va <= vp + 1e-9, s"adjusted variance must not exceed raw: $r")
+      assert(pct >= 0.0 && pct <= 100.0, r.toString)
+      // var_adjusted == var_post * (1 - pct/100) up to rounding: pct
+      // carries 4 decimals, so the bound scales with var_post
+      assert(math.abs(va - vp * (1.0 - pct / 100.0)) < vp * 1e-6 + 1e-3,
+        r.toString)
+    }
+    // brute-force one event_type with driver doubles
+    val t0 = rows.head.getString(0)
+    val per = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type") === t0)
+      .selectExpr("user_id",
+        "CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END AS x",
+        "CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END AS y")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.sum("x").as("x"),
+        org.apache.spark.sql.functions.sum("y").as("y"))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val n = per.length.toDouble
+    val (mx, my) = (per.map(_._1).sum / n, per.map(_._2).sum / n)
+    val cov = per.map { case (x, y) => (x - mx) * (y - my) }.sum / (n - 1)
+    val vx = per.map { case (x, _) => (x - mx) * (x - mx) }.sum / (n - 1)
+    val vy = per.map { case (_, y) => (y - my) * (y - my) }.sum / (n - 1)
+    val r0 = rows.head
+    assert(r0.getLong(1) == per.length, s"n_users: $r0 vs ${per.length}")
+    assert(math.abs(r0.getDouble(3) - cov / vx) < 1e-4,
+      s"theta: $r0 vs ${cov / vx}")
+    assert(math.abs(r0.getDouble(4) - vy / 10000.0) < 1e-3,
+      s"var_post: $r0 vs ${vy / 10000.0}")
+    val r2 = cov * cov / (vx * vy)
+    assert(math.abs(r0.getDouble(6) - 100.0 * r2) < 1e-2, s"r2: $r0 vs $r2")
+  }
+
+  test("x45: water-filling laws — budget exhausted, caps respected, " +
+      "capped set is the ascending prefix") {
+    val rows = Curation.unimaxAllocation.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val b = rows.map(_._2).sum.toDouble // budget = total corpus tokens
+    // allocations sum to the budget (water level fills it exactly)
+    assert(math.abs(rows.map(_._5).sum - b) < 1e-2 * b,
+      s"sum alloc ${rows.map(_._5).sum} vs budget $b")
+    rows.foreach { case (lang, n, cap, capped, alloc, w, ep) =>
+      assert(cap == 3 * n, s"$lang")
+      assert(alloc <= cap + 1e-6, s"$lang: alloc $alloc over cap $cap")
+      assert(ep <= 3.0 + 1e-6 && ep > 0.0, s"$lang epochs $ep")
+      assert(math.abs(w - alloc / b) < 1e-4, s"$lang weight")
+      if (capped) assert(math.abs(alloc - cap) < 1e-6, s"$lang capped")
+    }
+    // capped set = ascending-cap prefix; all uncapped share one level
+    val sorted = rows.sortBy(r => (r._3, r._1))
+    val firstUncapped = sorted.indexWhere(!_._4)
+    if (firstUncapped >= 0) {
+      assert(sorted.drop(firstUncapped).forall(!_._4), "capped not a prefix")
+      val levels = sorted.drop(firstUncapped).map(_._5).distinct
+      assert(levels.length == 1, s"uncapped levels differ: $levels")
+      // water level at or above every capped cap
+      sorted.take(firstUncapped).foreach { r =>
+        assert(r._3 <= levels.head + 1e-6, s"capped above water: $r") }
+    }
+  }
+
+  test("s17: cell census partitions the corpus; health scalars match") {
+    val rows = Similarity.ivfBalance.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val nCorpus = graft.core.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum == nCorpus, "cells must partition the corpus")
+    val k = rows.length.toLong
+    val maxN = rows.map(_._2).max
+    val sumsq = rows.map(n => n._2 * n._2).sum
+    rows.foreach { case (_, n, share, imb, bf, sf2) =>
+      assert(math.abs(share - n.toDouble / nCorpus) < 1e-6)
+      assert(math.abs(imb - n.toDouble * k / nCorpus) < 1e-6)
+      assert(math.abs(bf - maxN.toDouble * k / nCorpus) < 1e-6)
+      assert(math.abs(sf2 - sumsq.toDouble / (nCorpus.toDouble * nCorpus)) < 1e-6)
+      assert(sf2 >= 1.0 / k - 1e-9, "scan_frac below the balanced floor")
+    }
+  }
+
   test("x44: cluster accounting is consistent with d07's components") {
     val rows = Curation.dupClusterStats.build(spark, sf).collect()
     val d07 = Dedup.components.build(spark, sf).collect()

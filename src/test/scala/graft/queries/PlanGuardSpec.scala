@@ -95,7 +95,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "t27_textrank" -> "vocabulary rank for dictionary encoding (t15's vocabulary-domain idiom), TextAnalysis.scala",
     "ml05_calibration_bins" -> "decile ntile over the 16-byte (doc_id, score) frame; 100 TB path = x15 approx-quantile edges, documented at the use site, Curation.scala",
     "x41_curriculum_order" -> "phase ntile over the 16-byte (doc_id, n_tokens) frame + 4-row phase-offset prefix sum; 100 TB path = x15 quantile-edge phase boundaries, documented at the use site, Curation.scala",
-    "ml06_classifier_metrics" -> "cumulative rank over the DISTINCT-score group frame (value-domain bounded, x15/x39's idiom), Curation.scala")
+    "ml06_classifier_metrics" -> "cumulative rank over the DISTINCT-score group frame (value-domain bounded, x15/x39's idiom), Curation.scala",
+    "x45_unimax_allocation" -> "water-filling rank/prefix-sum over the per-LANGUAGE aggregate frame (language-domain bounded, x17's idiom), Curation.scala",
+    "s17_ivf_balance" -> "health scalars over the per-CELL census frame (k = index parameter, bounded like s03's centroid panel), Similarity.scala")
 
   /** name -> physical plan for every registered query. sparkPlan (the
     * pre-AQE physical plan) carries the concrete join/window nodes; a
