@@ -1247,9 +1247,65 @@ object Graph {
       })
   }
 
+  /** g16 — bipartite projection (Newman, "Scientific collaboration
+    * networks I", PRE 2001 §II: the one-mode projection of a two-mode
+    * network): collapse the part↔supplier bipartite graph onto the
+    * supplier side — two suppliers are linked with weight w = the
+    * number of distinct parts they BOTH supply — and report each
+    * supplier's projected neighborhood (partner count, total/max/mean
+    * co-supply weight). The projection is how recommender and
+    * collaboration pipelines turn an entity↔item table into an
+    * entity↔entity similarity graph without embeddings.
+    *
+    * Determinism: weights are exact distinct-pair counts; the mean is
+    * the exact integer `(10⁶·w_sum) DIV n_partners` (both engines floor
+    * non-negative longs identically) — nothing floats.
+    *
+    * Scale shape: pair generation is a self-EQUI-join of the distinct
+    * (part, supplier) edge list on part — fanout per part is C(k,2)
+    * where k = suppliers-per-part, bounded by the supply-chain
+    * multiplicity (fixture max 41 → ≤ 820 pairs/part), NOT by graph
+    * size; a pathological hub part would take the g02 triangle
+    * discipline (degree-ordered halving / heavy-key salting). Then two
+    * key-partitioned aggregates. No iteration, no collect. */
+  val bipartiteProjection: QueryDef = QueryDef(
+    "g16_bipartite_projection",
+    (s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+        .distinct()
+      val pairs = ps.as("a")
+        .join(ps.as("b"),
+          col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
+        .groupBy(col("a.sup").as("s1"), col("b.sup").as("s2"))
+        .agg(count(lit(1)).as("w"))
+      pairs.select(col("s1").as("sup"), col("w"))
+        .unionAll(pairs.select(col("s2").as("sup"), col("w")))
+        .groupBy("sup")
+        .agg(count(lit(1)).as("n_partners"), sum(col("w")).as("w_sum"),
+          max(col("w")).as("w_max"))
+        .withColumn("mean_w_e6", expr("(1000000 * w_sum) DIV n_partners"))
+        .orderBy("sup")
+    },
+    Some("""WITH ps AS (
+              SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
+              FROM lineitem),
+            pairs AS (
+              SELECT a.sup AS s1, b.sup AS s2, count(*) AS w
+              FROM ps a JOIN ps b ON a.p = b.p AND a.sup < b.sup
+              GROUP BY 1, 2),
+            sym AS (
+              SELECT s1 AS sup, w FROM pairs
+              UNION ALL SELECT s2, w FROM pairs)
+            SELECT sup, count(*) AS n_partners,
+              CAST(sum(w) AS BIGINT) AS w_sum,
+              CAST(max(w) AS BIGINT) AS w_max,
+              (1000000 * CAST(sum(w) AS BIGINT)) // count(*) AS mean_w_e6
+            FROM sym GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(pagerank, triangles, kcore, labelPropagation, bfsHops,
       personalizedPagerank, linkPrediction, hits, degreeHistogram,
       harmonicCentrality, modularity, clusteringCoefficient,
-      assortativity, wcc, diameterSweep)
+      assortativity, wcc, diameterSweep, bipartiteProjection)
 }

@@ -1974,11 +1974,106 @@ object TextAnalysis {
                FROM per ORDER BY lang"""))
   }
 
+  /** t31 — per-source Jensen–Shannon divergence from the corpus mix
+    * (Lin 1991; the symmetric, bounded [0, ln 2] relative of KL): each
+    * source's Laplace-smoothed unigram distribution is scored against
+    * the corpus-wide distribution — the domain-shift / outlier-source
+    * diagnostic a mixture designer reads before setting sampling
+    * weights (a source with high JSD is topically alien to the mix;
+    * x14/x32's weights should see it). Both distributions are smoothed
+    * over the SAME corpus vocabulary V, so each sums to exactly 1 and
+    * tokens absent from a source still contribute their smoothing
+    * mass.
+    *
+    * Determinism: every per-token term 0.5·(p·ln(2p/(p+q)) +
+    * q·ln(2q/(p+q))) is one fixed-shape IEEE expression over exact
+    * integer counts, rounded to pico-nats (×10¹²) — the long sum is
+    * order-free and engine-identical (t25's micro-nat discipline, 10⁶
+    * finer since JSD ≤ ln 2 keeps the sum < 10¹²).
+    *
+    * Scale shape: ONE token census (map-side combinable), then the
+    * corpus-vocab frame crossed with the BOUNDED source domain (20
+    * rows broadcast — the nested loop is |vocab|×|sources|, linear in
+    * vocab, corpus never re-read) and one left equi-join back to the
+    * per-source census. Vocab ≪ corpus, so the whole divergence stage
+    * costs less than the census that feeds it. */
+  val jsDivergence: QueryDef = QueryDef(
+    "t31_js_divergence",
+    (s, d) => {
+      val census = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+      val corpus = census.groupBy("tok").agg(sum(col("n")).as("nt"))
+      val perSrc = census.groupBy("source")
+        .agg(sum(col("n")).as("t_s"), count(lit(1)).as("v_s"))
+      val scal = corpus.agg(sum(col("nt")).as("t"), count(lit(1)).as("v"))
+      corpus
+        .crossJoin(broadcast(perSrc.select(col("source"), col("t_s"))))
+        .join(census, Seq("source", "tok"), "left")
+        .crossJoin(broadcast(scal))
+        .withColumn("p", expr(
+          "CAST(coalesce(n, 0) + 1 AS DOUBLE) / CAST(t_s + v AS DOUBLE)"))
+        .withColumn("q", expr(
+          "CAST(nt + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)"))
+        .withColumn("term_e12", expr(
+          "CAST(round((p * ln(2.0 * p / (p + q)) + " +
+            "q * ln(2.0 * q / (p + q))) * 500000000000) AS BIGINT)"))
+        .groupBy("source", "t_s")
+        .agg(sum(col("term_e12")).as("jsd_e12"))
+        .join(broadcast(perSrc.select(col("source"), col("v_s"))),
+          Seq("source"))
+        .selectExpr("source", "t_s AS n_tokens", "v_s AS vocab_used",
+          "jsd_e12",
+          "round(CAST(jsd_e12 AS DOUBLE) / 1e12, 9) AS jsd_nats",
+          "round(CAST(jsd_e12 AS DOUBLE) / 1e12 / ln(2.0), 9) AS jsd_bits")
+        .orderBy("source")
+    },
+    Some("""WITH tk AS (
+              SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            census AS (
+              SELECT source, tok, count(*) AS n
+              FROM tk WHERE tok != '' GROUP BY 1, 2),
+            corpus AS (
+              SELECT tok, CAST(sum(n) AS BIGINT) AS nt
+              FROM census GROUP BY 1),
+            persrc AS (
+              SELECT source, CAST(sum(n) AS BIGINT) AS t_s,
+                count(*) AS v_s
+              FROM census GROUP BY 1),
+            scal AS (
+              SELECT CAST(sum(nt) AS BIGINT) AS t, count(*) AS v
+              FROM corpus),
+            terms AS (
+              SELECT p.source,
+                CAST(coalesce(c.n, 0) + 1 AS DOUBLE)
+                  / CAST(p.t_s + scal.v AS DOUBLE) AS pp,
+                CAST(corpus.nt + 1 AS DOUBLE)
+                  / CAST(scal.t + scal.v AS DOUBLE) AS qq
+              FROM corpus CROSS JOIN persrc p CROSS JOIN scal
+              LEFT JOIN census c
+                ON c.source = p.source AND c.tok = corpus.tok),
+            agg AS (
+              SELECT source,
+                CAST(sum(CAST(round((pp * ln(2.0 * pp / (pp + qq)) +
+                  qq * ln(2.0 * qq / (pp + qq))) * 500000000000)
+                  AS BIGINT)) AS BIGINT) AS jsd_e12
+              FROM terms GROUP BY 1)
+            SELECT a.source, p.t_s AS n_tokens, p.v_s AS vocab_used,
+              a.jsd_e12,
+              round(CAST(a.jsd_e12 AS DOUBLE) / 1e12, 9) AS jsd_nats,
+              round(CAST(a.jsd_e12 AS DOUBLE) / 1e12 / ln(2.0), 9)
+                AS jsd_bits
+            FROM agg a JOIN persrc p USING (source)
+            ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
       nfcCanonicalize, domainClassify, vocabBuild, bpeInduction, bpeEncode,
       readability, lexicalDiversity, rakeKeywords, langIdConfusion,
       gopherRules, zipfFit, tokenBurstiness, bigramPerplexity,
-      confusableSpoof, textrank, ruleAblation, ngramNovelty, bpeFertility)
+      confusableSpoof, textrank, ruleAblation, ngramNovelty, bpeFertility,
+      jsDivergence)
 }

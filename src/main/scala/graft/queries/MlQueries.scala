@@ -964,8 +964,134 @@ object MlQueries {
                FROM w2 ORDER BY event_type"""))
   }
 
+  /** ml12 — multinomial Naive Bayes language classifier (McCallum &
+    * Nigam, "A comparison of event models for Naive Bayes text
+    * classification", AAAI-98 workshop): train per-language unigram
+    * counts with Laplace smoothing on the even-doc_id half, classify
+    * the held-out odd half by argmax of log-prior + Σ log-likelihood,
+    * and report the full confusion matrix with per-true-language
+    * shares — the supervised counterpart of t01's heuristic lang-id
+    * and t21's confusion readout.
+    *
+    * Determinism: every log term (prior and per-token likelihood) is
+    * integerized to micro-nats (t25's discipline), so per-(doc, cand)
+    * scores are exact order-free long sums; the argmax ties break on
+    * candidate language ascending — fully deterministic in both
+    * engines. OOV held-out tokens score the smoothing floor
+    * 1/(T_lang + V), the standard multinomial treatment. (The fixture
+    * corpus draws every language slice from one shared token
+    * generator, so the learned likelihoods barely separate and the
+    * majority-class prior dominates the matrix — the op verifies the
+    * exact NB mechanics, not fixture separability; t21 reads the
+    * heuristic analogue.)
+    *
+    * Scale shape: ONE training census (map-side combinable), then the
+    * held-out token stream crossed with the BOUNDED language domain
+    * (5 rows broadcast — fanout ×|langs|, not a shuffle) and one left
+    * equi-join on (lang, token) to the census; the (doc, cand) score
+    * agg is the only data-sized shuffle. The argmax window partitions
+    * by doc_id — fully parallel. No iteration, no driver loop; at
+    * 100 TB the census is vocab-sized and broadcast-joins stay
+    * bounded by |langs| and |vocab|. */
+  val naiveBayes: QueryDef = QueryDef(
+    "ml12_naive_bayes",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def toks(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val train = docs.filter("doc_id % 2 = 0")
+      val held = docs.filter("doc_id % 2 = 1")
+      val cnt = toks(train).groupBy("lang", "tok")
+        .agg(count(lit(1)).as("c"))
+      val cands = cnt.groupBy("lang").agg(sum(col("c")).as("t"))
+        .select(col("lang").as("cand"), col("t"))
+      val voc = cnt.select("tok").distinct().agg(count(lit(1)).as("v"))
+      val pri = train.groupBy("lang").agg(count(lit(1)).as("nd"))
+        .crossJoin(train.agg(count(lit(1)).as("ndt")))
+        .select(col("lang").as("cand"), expr(
+          "CAST(round(ln(CAST(nd AS DOUBLE) / CAST(ndt AS DOUBLE)) " +
+            "* 1000000) AS BIGINT)").as("prior_e6"))
+      val lm = cnt.select(col("lang").as("cand"), col("tok"), col("c"))
+      val scored = toks(held)
+        .crossJoin(broadcast(cands))
+        .join(lm, Seq("cand", "tok"), "left")
+        .crossJoin(broadcast(voc))
+        .select(col("doc_id"), col("lang"), col("cand"), expr(
+          "CAST(round(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) / " +
+            "CAST(t + v AS DOUBLE)) * 1000000) AS BIGINT)").as("lp"))
+        .groupBy("doc_id", "lang", "cand")
+        .agg(sum(col("lp")).as("ll"))
+        .join(broadcast(pri), Seq("cand"))
+        .withColumn("score", col("ll") + col("prior_e6"))
+      val byScore = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cand"))
+      val pred = scored.withColumn("rk", row_number().over(byScore))
+        .filter(col("rk") === 1)
+        .select(col("lang"), col("cand").as("pred"))
+      val heldTot = held.groupBy("lang").agg(count(lit(1)).as("tot_docs"))
+      pred.groupBy("lang", "pred").agg(count(lit(1)).as("n_docs"))
+        .join(broadcast(heldTot), Seq("lang"))
+        .selectExpr("lang", "pred", "n_docs",
+          "round(CAST(n_docs AS DOUBLE) / CAST(tot_docs AS DOUBLE), 6)" +
+            " AS share")
+        .orderBy("lang", "pred")
+    },
+    Some("""WITH tr AS (
+              SELECT doc_id, lang, text FROM documents
+              WHERE doc_id % 2 = 0),
+            he AS (
+              SELECT doc_id, lang, text FROM documents
+              WHERE doc_id % 2 = 1),
+            cnt AS (
+              SELECT lang, tok, count(*) AS c FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS tok
+                FROM tr)
+              WHERE tok != '' GROUP BY 1, 2),
+            cands AS (
+              SELECT lang AS cand, CAST(sum(c) AS BIGINT) AS t
+              FROM cnt GROUP BY 1),
+            voc AS (SELECT count(DISTINCT tok) AS v FROM cnt),
+            pri AS (
+              SELECT lang AS cand,
+                CAST(round(ln(CAST(count(*) AS DOUBLE) /
+                  (SELECT CAST(count(*) AS DOUBLE) FROM tr)) * 1000000)
+                  AS BIGINT) AS prior_e6
+              FROM tr GROUP BY 1),
+            het AS (
+              SELECT doc_id, lang, tok FROM (
+                SELECT doc_id, lang,
+                  unnest(string_split(text, ' ')) AS tok
+                FROM he)
+              WHERE tok != ''),
+            sc AS (
+              SELECT h.doc_id, h.lang, cands.cand,
+                CAST(sum(CAST(round(ln(CAST(coalesce(cnt.c, 0) + 1
+                  AS DOUBLE) / CAST(cands.t + voc.v AS DOUBLE))
+                  * 1000000) AS BIGINT)) AS BIGINT) AS ll
+              FROM het h CROSS JOIN cands CROSS JOIN voc
+              LEFT JOIN cnt
+                ON cnt.lang = cands.cand AND cnt.tok = h.tok
+              GROUP BY 1, 2, 3),
+            ranked AS (
+              SELECT sc.doc_id, sc.lang, sc.cand,
+                row_number() OVER (PARTITION BY sc.doc_id
+                  ORDER BY sc.ll + pri.prior_e6 DESC, sc.cand) AS rk
+              FROM sc JOIN pri USING (cand)),
+            pred AS (
+              SELECT doc_id, lang, cand AS pred FROM ranked
+              WHERE rk = 1),
+            tot AS (
+              SELECT lang, count(*) AS tot_docs FROM he GROUP BY 1)
+            SELECT p.lang, p.pred, count(*) AS n_docs,
+              round(CAST(count(*) AS DOUBLE)
+                / CAST(any_value(t.tot_docs) AS DOUBLE), 6) AS share
+            FROM pred p JOIN tot t USING (lang)
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
-      lofoImportance, abWelch, cupedReadout)
+      lofoImportance, abWelch, cupedReadout, naiveBayes)
 }

@@ -943,9 +943,59 @@ object Events {
                 AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR)
             ORDER BY error_id"""))
 
+  /** Two-level windowed rollup stage: 5-minute tumbling per-type counts
+    * re-windowed into hourly summaries (total events, peak 5-minute
+    * burst, live-bucket count). The second `groupBy` windows over
+    * `window_time` of the FIRST window's column — Spark's chained
+    * event-time window aggregation (SPARK-40821), which keeps BOTH
+    * aggregations stateful inside one streaming query: the fine
+    * windows evict on the watermark and the hourly rollup consumes
+    * their closed results, so state is (5-min buckets in flight) +
+    * (hours in flight), never raw events twice. This is the standard
+    * dashboard shape — minute-grain for burst detection, hour-grain
+    * for capacity — computed in ONE pass instead of two jobs re-reading
+    * the stream. */
+  def typeRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("window")), "1 hour"),
+        col("event_type"))
+      .agg(sum(col("n")).as("n_events"), max(col("n")).as("peak_bucket"),
+        count(lit(1)).as("n_buckets"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n_events"), col("peak_bucket"),
+        col("n_buckets"))
+
+  /** Streaming form: one watermark drives both window levels. */
+  def typeRollupStream(events: DataFrame,
+      watermark: String = "30 minutes"): DataFrame =
+    typeRollup(events.withWatermark("ts", watermark))
+
+  /** st18 — the batch form of [[typeRollupStream]] (StreamingSpec proves
+    * stream==batch on MemoryStream input). Scale shape: the 5-minute
+    * agg is the only pass over raw events (map-side partial on
+    * (bucket, type)); the hourly rollup aggregates a frame already
+    * 300× smaller. Exact longs end to end — nothing floats. */
+  val windowRollupQ: QueryDef = QueryDef(
+    "st18_window_rollup",
+    (s, d) => typeRollup(Tables.events(s, d))
+      .orderBy("event_type", "w_start"),
+    Some("""WITH b AS (
+              SELECT date_trunc('hour', ts) AS h,
+                time_bucket(INTERVAL 5 MINUTE, ts) AS bucket,
+                event_type, count(*) AS n
+              FROM events GROUP BY 1, 2, 3)
+            SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+              CAST(sum(n) AS BIGINT) AS n_events,
+              CAST(max(n) AS BIGINT) AS peak_bucket,
+              CAST(count(*) AS BIGINT) AS n_buckets
+            FROM b GROUP BY 1, 2 ORDER BY event_type, w_start"""))
+
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
       streamLeftJoinQ, dedupBatchQ, enrichQ, windowSketchQ, funnelQ,
       retentionQ, topTypesQ, streamFullJoinQ, runningMaxBatchQ,
-      typeCountsBatchQ, windowAnomalyQ, streamSemiJoinQ)
+      typeCountsBatchQ, windowAnomalyQ, streamSemiJoinQ, windowRollupQ)
 }

@@ -56,6 +56,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "x36_epoch_shuffle" -> "2-row epoch frame broadcast against the corpus (epoch fan-out, not a data join)",
     "g11_modularity" -> "1-row graph-totals scalar broadcast x2 (e05's idiom: m and Q attach to every output row)",
     "q35_fuzzy_levenshtein" -> "name-DOMAIN pair stage, vocabulary-bounded by design",
+    "ml12_naive_bayes" -> "bounded language-domain (5-row) + 1-row vocab scalar broadcasts against the held token stream",
+    "t31_js_divergence" -> "bounded source-domain (20-row) + 1-row corpus-totals scalar broadcasts against the vocab frame",
     "t15_vocab_build" -> "1-row grand-total broadcast (t07/x09's idiom)",
     "x29b_quality_prototype" -> "1-row class-token-total broadcast into the 1024-row weight frame",
     "e10_ams_f2" -> "three 1-row summary broadcasts (exact F2, mean, median-of-means) onto the 16-row estimator frame",

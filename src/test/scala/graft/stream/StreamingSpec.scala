@@ -879,4 +879,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       .exists(_.contains("RocksDB")))
   }
+
+  test("st18 chained window rollup: ONE streaming query aggregates " +
+      "5-min buckets into hourly summaries; stream == batch") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = Events.typeRollupStream(events, "10 minutes")
+      .writeStream.format("memory").queryName("rollup_out")
+      .outputMode("append").start()
+    // hour 10: three clicks across two 5-min buckets (10:00 ×2, 10:05 ×1)
+    in.addData((1L, tsH(10, 1), "click", 1.0), (2L, tsH(10, 2), "click", 1.0),
+      (3L, tsH(10, 7), "click", 1.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close hour 10's buckets AND
+    // the hour-10 rollup window itself
+    in.addData((4L, tsH(13, 0), "click", 1.0))
+    q.processAllAvailable()
+    in.addData((5L, tsH(16, 0), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rollup_out")
+      .select("w_start", "event_type", "n_events", "peak_bucket",
+        "n_buckets").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.contains(("2024-01-01 10:00:00", "click", 3L, 2L, 2L)),
+      s"hour-10 rollup wrong: ${got.mkString(",")}")
+    // stream closed-window rows agree with the batch form on the same data
+    val batch = Events.typeRollup(
+      Seq((1L, tsH(10, 1), "click", 1.0), (2L, tsH(10, 2), "click", 1.0),
+        (3L, tsH(10, 7), "click", 1.0), (4L, tsH(13, 0), "click", 1.0),
+        (5L, tsH(16, 0), "click", 1.0))
+        .toDF("event_id", "ts", "event_type", "value")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got.toSet.subsetOf(batch),
+      s"stream emitted a row the batch form disagrees with: " +
+        s"${(got.toSet -- batch).mkString(",")}")
+  }
 }
