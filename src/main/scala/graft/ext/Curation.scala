@@ -2840,6 +2840,123 @@ object Curation {
                FROM fin ORDER BY lang"""))
   }
 
+  /** x46 — one DoReMi domain-reweighting step (Xie et al., "DoReMi:
+    * Optimizing data mixtures speeds up language model pretraining",
+    * NeurIPS 2023, Alg. 1): per-domain multiplicative-weights update
+    * α ← normalize(α·exp(η·excess)) followed by the ε-uniform smoothing
+    * that keeps every domain sampled. The excess-loss proxy here is the
+    * per-source unigram entropy surplus over the corpus-mix entropy —
+    * sources harder to compress than the blend (DoReMi's
+    * "excess loss > 0" signal) get upweighted, and sources the mix
+    * already models well decay toward the uniform floor.
+    *
+    * Determinism: both entropies are exact long sums of pico-nat
+    * (×10¹²) per-token terms −p·ln p over exact integer counts (t31's
+    * discipline); the single exp per SOURCE row is one fixed-shape IEEE
+    * expression integerized at 10⁹ BEFORE the normalizing sum, so Z is
+    * an exact long and every ratio is engine-identical (a double sum
+    * across rows would be addition-order-dependent — the st07 trap).
+    *
+    * Scale shape: ONE token census feeds both entropy frames (the
+    * corpus side reuses the per-source census — no second corpus
+    * read); everything after is algebra on the BOUNDED source-domain
+    * frame (~20 rows; global windows bounded by the domain, x17's
+    * idiom). At 100 TB the census is the only data-sized stage and is
+    * map-side combinable. */
+  val doremiStep: QueryDef = {
+    val etaE12 = 1000000000000L // η = 1.0 in pico-nats
+    val epsE6 = 10000L          // ε = 0.01 at 10⁻⁶ scale
+    val budget = 1000000L
+    QueryDef(
+      "x46_doremi_step",
+      (s, d) => {
+        val census = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+        val perSrcTot = census.groupBy("source")
+          .agg(sum(col("n")).as("t_s"))
+        val hSrc = census
+          .join(broadcast(perSrcTot), Seq("source"))
+          .withColumn("p", expr("CAST(n AS DOUBLE) / CAST(t_s AS DOUBLE)"))
+          .groupBy("source")
+          .agg(max(col("t_s")).as("t_s"),
+            sum(expr("CAST(round(-p * ln(p) * 1000000000000) AS BIGINT)"))
+              .as("h_e12"))
+        val hRef = census.groupBy("tok").agg(sum(col("n")).as("nt"))
+          .crossJoin(broadcast(
+            census.agg(sum(col("n")).as("t"))))
+          .withColumn("q", expr("CAST(nt AS DOUBLE) / CAST(t AS DOUBLE)"))
+          .agg(sum(expr(
+            "CAST(round(-q * ln(q) * 1000000000000) AS BIGINT)"))
+            .as("h_ref_e12"), max(col("t")).as("t"))
+        val whole = Window.partitionBy(lit(1))
+        hSrc.crossJoin(broadcast(hRef))
+          .withColumn("excess_e12",
+            expr("greatest(h_e12 - h_ref_e12, 0L)"))
+          .withColumn("a_e9", expr(
+            "CAST(round(1000000000 * (CAST(t_s AS DOUBLE) / CAST(t AS DOUBLE)) * " +
+              s"exp(CAST($etaE12 AS DOUBLE) * CAST(excess_e12 AS DOUBLE) / 1e24)) AS BIGINT)"))
+          .withColumn("z", sum(col("a_e9")).over(whole))
+          .withColumn("k", count(lit(1)).over(whole))
+          .withColumn("alpha_e6", expr("(1000000 * a_e9) DIV z"))
+          .withColumn("w_e6", expr(
+            s"((1000000 - $epsE6) * alpha_e6) DIV 1000000 + $epsE6 DIV k"))
+          .selectExpr("source", "t_s AS n_tokens", "h_e12", "excess_e12",
+            "round(CAST(t_s AS DOUBLE) / CAST(t AS DOUBLE), 6) AS w0",
+            "round(CAST(w_e6 AS DOUBLE) / 1e6, 6) AS w_doremi",
+            s"($budget * w_e6) DIV 1000000 AS target_tokens")
+          .orderBy("source")
+      },
+      Some(s"""WITH census AS (
+                 SELECT source, tok, count(*) AS n FROM (
+                   SELECT source, unnest(string_split(text, ' ')) AS tok
+                   FROM documents)
+                 WHERE tok != '' GROUP BY 1, 2),
+               pstot AS (
+                 SELECT source, CAST(sum(n) AS BIGINT) AS t_s
+                 FROM census GROUP BY 1),
+               hsrc AS (
+                 SELECT c.source, CAST(max(p.t_s) AS BIGINT) AS t_s,
+                   CAST(sum(CAST(round(
+                     -(CAST(c.n AS DOUBLE) / CAST(p.t_s AS DOUBLE))
+                     * ln(CAST(c.n AS DOUBLE) / CAST(p.t_s AS DOUBLE))
+                     * 1000000000000) AS BIGINT)) AS BIGINT) AS h_e12
+                 FROM census c JOIN pstot p USING (source)
+                 GROUP BY 1),
+               tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM census),
+               href AS (
+                 SELECT CAST(sum(CAST(round(-q * ln(q) * 1000000000000)
+                   AS BIGINT)) AS BIGINT) AS h_ref_e12, max(t) AS t
+                 FROM (
+                   SELECT CAST(sum(n) AS BIGINT) AS nt, tot.t,
+                     CAST(sum(n) AS DOUBLE) / CAST(tot.t AS DOUBLE) AS q
+                   FROM census, tot GROUP BY census.tok, tot.t)),
+               a AS (
+                 SELECT hsrc.source, hsrc.t_s, hsrc.h_e12,
+                   greatest(hsrc.h_e12 - href.h_ref_e12, 0) AS excess_e12,
+                   href.t,
+                   CAST(round(1000000000
+                     * (CAST(hsrc.t_s AS DOUBLE) / CAST(href.t AS DOUBLE))
+                     * exp(CAST($etaE12 AS DOUBLE)
+                       * CAST(greatest(hsrc.h_e12 - href.h_ref_e12, 0)
+                         AS DOUBLE) / 1e24)) AS BIGINT) AS a_e9
+                 FROM hsrc CROSS JOIN href),
+               z AS (
+                 SELECT a.*, CAST(sum(a_e9) OVER () AS BIGINT) AS z,
+                   count(*) OVER () AS k
+                 FROM a),
+               w AS (
+                 SELECT *, (1000000 * a_e9) // z AS alpha_e6 FROM z)
+               SELECT source, t_s AS n_tokens, h_e12, excess_e12,
+                 round(CAST(t_s AS DOUBLE) / CAST(t AS DOUBLE), 6) AS w0,
+                 round(CAST(((1000000 - $epsE6) * alpha_e6) // 1000000
+                   + $epsE6 // k AS DOUBLE) / 1e6, 6) AS w_doremi,
+                 ($budget * (((1000000 - $epsE6) * alpha_e6) // 1000000
+                   + $epsE6 // k)) // 1000000 AS target_tokens
+               FROM w ORDER BY source"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -2852,5 +2969,6 @@ object Curation {
       classifierMetrics, domainCap, scd2History,
       temperatureMix, datasetCard, canonicalSelection, weightedSample,
       epochShuffle, dpRelease, psiDrift, blocklistGate, curriculumOrder,
-      sourceOverlap, shardSkew, dupClusterStats, unimaxAllocation)
+      sourceOverlap, shardSkew, dupClusterStats, unimaxAllocation,
+      doremiStep)
 }

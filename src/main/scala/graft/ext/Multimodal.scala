@@ -789,8 +789,77 @@ object Multimodal {
                 / count(*), 6) AS pass_rate
             FROM g GROUP BY source ORDER BY source"""))
 
+  /** m12 — cross-clip duplicate-frame census (the frame-granular form
+    * of video dedup: Wu et al., "Practical elimination of
+    * near-duplicates from web video search", ACM MM 2007 use keyframe
+    * signatures; here every FULL 64-byte frame of the media blob is
+    * hashed and frames shared across distinct clips are counted) —
+    * catches re-encoded intros, stock footage, and copy-pasted
+    * segments that whole-file digests (m01) and perceptual hashes
+    * (m05) both miss when only a SEGMENT repeats.
+    *
+    * Determinism: frame hashes are md5 of exact byte slices; all
+    * counts are exact integers; dup_ppm is the exact integer
+    * (10⁶·n_dup) DIV n_frames.
+    *
+    * Scale shape: framing/hashing is IN-ROW (d19's discipline — one
+    * generator, no shuffle); the only exchanges are the frame-hash
+    * census agg and the hash-keyed join back, both equi on a 32-char
+    * key. Frame count per doc is length/64-bounded, so fan-out is
+    * linear in corpus bytes — the same cost envelope as reading it. */
+  val frameDedup: QueryDef = {
+    val frame = 64
+    QueryDef(
+      "m12_frame_dedup",
+      (s, d) => {
+        val frames = mediaFrame(s, d)
+          .select(col("doc_id"), col("blob").cast("string").as("pcm"))
+          .select(col("doc_id"),
+            expr(s"CAST(length(pcm) DIV $frame AS INT)").as("n_frames"),
+            col("pcm"))
+          .filter(col("n_frames") > 0)
+          .select(col("doc_id"), col("n_frames"),
+            explode(expr("sequence(0, n_frames - 1)")).as("idx"),
+            col("pcm"))
+          .select(col("doc_id"), col("n_frames"),
+            expr(s"md5(substring(pcm, idx * $frame + 1, $frame))")
+              .as("fh"))
+        val census = frames.groupBy("fh")
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+        frames.join(census, Seq("fh"))
+          .groupBy("doc_id")
+          .agg(max(col("n_frames")).as("n_frames"),
+            sum(when(col("n_docs") > 1, 1L).otherwise(0L))
+              .as("n_dup_frames"),
+            countDistinct(when(col("n_docs") > 1, col("fh")))
+              .as("n_dup_hashes"))
+          .withColumn("dup_ppm",
+            expr("(1000000 * n_dup_frames) DIV n_frames"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH fr AS (
+                 SELECT doc_id,
+                   CAST(length(text) // $frame AS INTEGER) AS n_frames,
+                   md5(text[i * $frame + 1 : i * $frame + $frame]) AS fh
+                 FROM documents,
+                   unnest(range(0, length(text) // $frame)) AS u(i)),
+               census AS (
+                 SELECT fh, count(DISTINCT doc_id) AS n_docs
+                 FROM fr GROUP BY 1)
+               SELECT doc_id, max(n_frames) AS n_frames,
+                 CAST(sum(CASE WHEN census.n_docs > 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_dup_frames,
+                 CAST(count(DISTINCT CASE WHEN census.n_docs > 1
+                   THEN fr.fh END) AS BIGINT) AS n_dup_hashes,
+                 (1000000 * CAST(sum(CASE WHEN census.n_docs > 1
+                   THEN 1 ELSE 0 END) AS BIGINT)) // max(n_frames)
+                   AS dup_ppm
+               FROM fr JOIN census USING (fh)
+               GROUP BY doc_id ORDER BY doc_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(metaDigest, decode, resizeSample, embedTopk, phashNearDup,
       audioFrameEnergy, crossmodalRetrieval, shotBoundaries, audioVad,
-      tileEntropy, qualityGate)
+      tileEntropy, qualityGate, frameDedup)
 }

@@ -1414,9 +1414,95 @@ object Similarity {
                FROM g ORDER BY cluster"""))
   }
 
+  /** s18 — product-quantization distortion audit (Jégou, Douze &
+    * Schmid, "Product quantization for nearest neighbor search", TPAMI
+    * 2011 §III.B: quantizer quality IS its mean squared reconstruction
+    * error): for s06's exact PQ configuration (m=4 subspaces × 16
+    * dims, 16-entry codebooks from the low-id vectors), the per-
+    * subspace assignment error ‖x_sub − c(x_sub)‖² is summed over the
+    * corpus — the readout that tells an index operator WHICH subspace's
+    * codebook is under-trained before recall degrades (completes the
+    * index-health family: s08 recall, s13 cost curve, s17 balance).
+    *
+    * Determinism: each vector's min-distance is the SAME fixed-shape
+    * fold s06 assigns codes with (identical double in both engines —
+    * the min over an identical double set); it is integerized to
+    * pico-units (×10¹²) BEFORE the corpus sum, so per-subspace SSE is
+    * an exact long (order-free). MSE is one final division.
+    *
+    * Scale shape: codebooks broadcast inside the expression (k·dsub
+    * literals — the s06 discipline); the corpus is scanned ONCE with
+    * all m min-folds in the row, then ONE m-row aggregate. No joins,
+    * no window, nothing leaves the scan but m running sums. */
+  val pqDistortion: QueryDef = {
+    val m = 4; val dsub = 16; val kCode = 16
+    def build(s: org.apache.spark.sql.SparkSession,
+        d: String): org.apache.spark.sql.DataFrame = {
+      val u = Dedup.normalized(s, d, "id", "u")
+      val cb = u.filter(col("id") < kCode)
+        .select(col("id"), col("u")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+      if (cb.isEmpty) {
+        require(u.isEmpty,
+          s"non-empty corpus has no codebook vectors with id < $kCode")
+        return u.filter(lit(false))
+          .select(col("id").as("subspace"), col("id").as("n_vecs"),
+            col("id").as("sse_e12"), lit(0.0).as("mse"))
+      }
+      def cbArr(j: Int): String = cb.map { case (_, vec) =>
+        vec.slice(j * dsub, (j + 1) * dsub)
+          .map(x => s"${x}D").mkString("array(", ", ", ")")
+      }.mkString("array(", ", ", ")")
+      val minCols = (0 until m).map { j =>
+        expr(s"""CAST(round(aggregate(
+          transform(${cbArr(j)}, c ->
+            aggregate(zip_with(slice(u, ${j * dsub + 1}, $dsub), c,
+              (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)),
+          CAST('Infinity' AS DOUBLE),
+          (acc, x) -> IF(x < acc, x, acc)) * 1000000000000) AS BIGINT)""")
+          .as(s"dd$j")
+      }
+      u.select(minCols: _*)
+        .selectExpr(s"stack($m, " + (0 until m)
+          .map(j => s"$j, dd$j").mkString(", ") + ") AS (subspace, dd)")
+        .groupBy("subspace")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("dd")).as("sse_e12"))
+        .withColumn("mse", expr(
+          "round(CAST(sse_e12 AS DOUBLE) / (1e12 * CAST(n_vecs AS DOUBLE)), 9)"))
+        .orderBy("subspace")
+    }
+    QueryDef(
+      "s18_pq_distortion",
+      (s, d) => build(s, d),
+      Some {
+        def fold(elemExpr: String) =
+          s"""list_reduce(list_prepend(0.0,
+               list_transform(range(1, $dsub + 1), i -> $elemExpr)),
+               (x, y) -> x + y)"""
+        s"""WITH ${Dedup.normalizedSql},
+            cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, u
+                   FROM u WHERE vec_id < $kCode),
+            js AS (SELECT unnest(range(0, $m)) AS j),
+            dd AS (
+              SELECT s.vec_id, js.j,
+                min(${fold(s"(s.u[js.j * $dsub + i] - c.u[js.j * $dsub + i]) * " +
+                           s"(s.u[js.j * $dsub + i] - c.u[js.j * $dsub + i])")})
+                  AS dd
+              FROM u s, js, cb c
+              GROUP BY 1, 2)
+            SELECT CAST(j AS INT) AS subspace,
+              count(*) AS n_vecs,
+              CAST(sum(CAST(round(dd * 1000000000000) AS BIGINT))
+                AS BIGINT) AS sse_e12,
+              round(CAST(sum(CAST(round(dd * 1000000000000) AS BIGINT))
+                AS DOUBLE) / (1e12 * CAST(count(*) AS DOUBLE)), 9) AS mse
+            FROM dd GROUP BY 1 ORDER BY 1"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
       annPqAdc, kmeansLloyd, annRecall, filteredTopK, mmrRerank,
       twoStageRescore, knnClassify, nprobeSweep, hardNegatives, ndcgEval,
-      rocchioFeedback, ivfBalance)
+      rocchioFeedback, ivfBalance, pqDistortion)
 }

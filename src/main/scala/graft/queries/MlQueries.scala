@@ -1090,8 +1090,116 @@ object MlQueries {
             FROM pred p JOIN tot t USING (lang)
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** ml13 — Poisson-bootstrap confidence intervals (Chamandy et al.,
+    * "Estimating uncertainty for massive data streams", Google TR 2012;
+    * the one-pass bootstrap every planet-scale metrics pipeline uses
+    * because true resampling needs N draws per replicate and a shared
+    * RNG): each event gets B=32 independent Poisson(1) weights derived
+    * from md5(event_id, replicate), each replicate's weighted mean is
+    * computed in the SAME single pass, and the per-type CI is read off
+    * the sorted replicate means (drop the extreme one per side →
+    * a ~93.75% percentile interval at B=32).
+    *
+    * Determinism: weights are EXACT integers — the 60-bit md5 uniform
+    * is compared against precomputed integer thresholds
+    * floor(CDF_Poisson(1)(k)·2⁶⁰) (literals shared verbatim with the
+    * mirror, so both engines draw identical weights); replicate
+    * numerators/denominators are exact long sums of 2-decimal cents;
+    * each replicate mean is ONE division; the CI rank orders on
+    * (mean, rep) so even exact ties break identically.
+    *
+    * Scale shape: the ×32 replicate fan-out happens IN THE MAP STAGE
+    * (explode before the partial agg — no extra shuffle, map-side
+    * combine collapses to |types|×32 rows); everything after is
+    * algebra on a bounded frame. This is the whole point of the
+    * Poisson bootstrap at 100 TB: B passes become 1. */
+  val poissonBootstrap: QueryDef = {
+    val b = 32
+    // floor(2^60 · P(Poisson(1) ≤ k)) for k = 0..7; weight caps at 8
+    val thr = Seq(424136118829305344L, 848272237658610688L,
+      1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
+      1152236456152946176L, 1152825534095764608L, 1152909688087595776L)
+    def weightCase(u: String): String =
+      thr.zipWithIndex.map { case (t, k) => s"WHEN $u < $t THEN $k" }
+        .mkString("CASE ", " ", " ELSE 8 END")
+    QueryDef(
+      "ml13_poisson_bootstrap",
+      (s, d) => {
+        val uExpr = graft.ext.Dedup.sparkMd5Int60(
+          "concat(CAST(event_id AS STRING), ':', CAST(rep AS STRING))")
+        val reps = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+            col("event_id"),
+            explode(expr(s"sequence(0, ${b - 1})")).as("rep"))
+          .select(col("event_type"), col("rep"), col("c"),
+            expr(weightCase(s"($uExpr)")).as("w"))
+          .groupBy("event_type", "rep")
+          .agg(sum(col("w")).as("nw"),
+            sum(expr("w * c")).as("sw"))
+          .withColumn("rep_mean", expr(
+            "CAST(sw AS DOUBLE) / (100.0 * CAST(nw AS DOUBLE))"))
+        val byMean = Window.partitionBy("event_type")
+          .orderBy(col("rep_mean"), col("rep"))
+        val exact = Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sc"))
+        reps.withColumn("rk", row_number().over(byMean))
+          .filter(col("rk") === 2 || col("rk") === (b - 1))
+          .groupBy("event_type")
+          .agg(min(col("rep_mean")).as("lo"), max(col("rep_mean")).as("hi"))
+          .join(broadcast(exact), Seq("event_type"))
+          .selectExpr("event_type", "n_events",
+            "round(CAST(sc AS DOUBLE) / (100.0 * CAST(n_events AS DOUBLE)), 6) AS mean",
+            "round(lo, 6) AS ci_lo", "round(hi, 6) AS ci_hi",
+            "round(hi - lo, 6) AS ci_width")
+          .orderBy("event_type")
+      },
+      Some {
+        val uSql = graft.ext.Dedup.duckMd5IntSlice(
+          "concat(CAST(event_id AS VARCHAR), ':', CAST(rep AS VARCHAR))",
+          2, 15)
+        s"""WITH reps AS (
+              SELECT event_type, rep,
+                CAST(sum(w) AS BIGINT) AS nw,
+                CAST(sum(w * c) AS BIGINT) AS sw
+              FROM (
+                SELECT event_type, rep,
+                  CAST(round(value * 100) AS BIGINT) AS c,
+                  ${weightCase(s"($uSql)")} AS w
+                FROM events, unnest(range(0, $b)) AS r(rep))
+              GROUP BY 1, 2),
+            means AS (
+              SELECT event_type, rep,
+                CAST(sw AS DOUBLE) / (100.0 * CAST(nw AS DOUBLE))
+                  AS rep_mean
+              FROM reps),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY rep_mean, rep) AS rk
+              FROM means),
+            ci AS (
+              SELECT event_type, min(rep_mean) AS lo, max(rep_mean) AS hi
+              FROM ranked WHERE rk = 2 OR rk = ${b - 1}
+              GROUP BY 1),
+            exact AS (
+              SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sc
+              FROM events GROUP BY 1)
+            SELECT event_type, n_events,
+              round(CAST(sc AS DOUBLE)
+                / (100.0 * CAST(n_events AS DOUBLE)), 6) AS mean,
+              round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi,
+              round(hi - lo, 6) AS ci_width
+            FROM ci JOIN exact USING (event_type)
+            ORDER BY event_type"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
-      lofoImportance, abWelch, cupedReadout, naiveBayes)
+      lofoImportance, abWelch, cupedReadout, naiveBayes, poissonBootstrap)
 }

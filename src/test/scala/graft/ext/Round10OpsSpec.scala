@@ -927,6 +927,163 @@ class Round10OpsSpec extends AnyFunSuite {
       assert(hourly((w0, et)) == ne, s"$w0/$et vs typeCounts") }
   }
 
+  test("x46: weights near-partition the unit, excess law, one source's " +
+      "entropy brute-forced") {
+    val rows = Curation.doremiStep.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val k = rows.length
+    val wSum = rows.map(_._6).sum
+    // integer floors lose < 2e-6 per source on each of the two DIVs
+    assert(wSum <= 1.0 + 1e-9 && wSum >= 1.0 - 4e-6 * k, s"w sum $wSum")
+    rows.foreach { case (src, nTok, h, ex, w0, w, tgt) =>
+      assert(ex >= 0, s"$src excess")
+      assert(w >= 0.01 / k - 2e-6, s"$src under the uniform floor")
+      assert(tgt <= 1000000L, s"$src target")
+      assert(h > 0 && nTok > 0 && w0 > 0, s"$src positives")
+    }
+    // brute-force one source's pico-nat entropy
+    val src0 = rows.head._1
+    val census = scala.collection.mutable.Map[String, Long]()
+    graft.core.Tables.documents(spark, sf)
+      .filter(col("source") === src0).select("text").collect()
+      .foreach(r => r.getString(0).split(" ").filter(_.nonEmpty)
+        .foreach(w => census(w) = census.getOrElse(w, 0L) + 1))
+    val tS = census.values.sum
+    val h0 = census.values.map { n =>
+      val p = n.toDouble / tS
+      math.round(-p * math.log(p) * 1e12)
+    }.sum
+    assert(rows.head._2 == tS && rows.head._3 == h0,
+      s"$src0 entropy: got (${rows.head._2}, ${rows.head._3}) want ($tS, $h0)")
+  }
+
+  test("ml13: CI brackets sanely, exact mean law, one replicate's " +
+      "Poisson weights brute-forced") {
+    val rows = MlQueries.poissonBootstrap.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val exact = graft.core.Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) =>
+        t -> (xs.length.toLong, xs.map(_._2).sum) }
+    rows.foreach { case (t, n, mean, lo, hi, w) =>
+      val (nB, sB) = exact(t)
+      assert(n == nB, s"$t n")
+      val want = BigDecimal(sB.toDouble / (100.0 * nB))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(mean - want) < 1e-9, s"$t mean $mean vs $want")
+      // ci_width rounds the UNrounded hi−lo, so vs rounded endpoints it
+      // can differ by up to one ulp at 10⁻⁶ on each side
+      assert(lo <= hi && math.abs(w - (hi - lo)) < 2e-6, s"$t CI")
+      assert(lo <= mean + 0.5 && hi >= mean - 0.5, s"$t CI far from mean")
+    }
+    // brute-force replicate 7's weighted mean for one type with the
+    // same md5 → 60-bit uniform → Poisson inverse-CDF rule
+    val thr = Seq(424136118829305344L, 848272237658610688L,
+      1060340297073263360L, 1131029650211480960L, 1148701988496035328L,
+      1152236456152946176L, 1152825534095764608L, 1152909688087595776L)
+    val t0 = rows.head._1
+    val evs = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type") === t0)
+      .selectExpr("event_id", "CAST(round(value * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u60(s0: String): Long = {
+      val hex = md.digest(s0.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(1, 16), 16)
+    }
+    var nw = 0L; var sw = 0L
+    evs.foreach { case (id, c) =>
+      val u = u60(s"$id:7")
+      val w = thr.indexWhere(u < _) match { case -1 => 8L; case k0 => k0.toLong }
+      nw += w; sw += w * c
+    }
+    val repMean = sw.toDouble / (100.0 * nw)
+    // the replicate mean must lie within the FULL replicate range;
+    // rebuild the rank-2/rank-31 bracket from all 32 replicate means
+    val all = (0 until 32).map { rep =>
+      var n0 = 0L; var s0 = 0L
+      evs.foreach { case (id, c) =>
+        val u = u60(s"$id:$rep")
+        val w = thr.indexWhere(u < _) match { case -1 => 8L; case k0 => k0.toLong }
+        n0 += w; s0 += w * c }
+      s0.toDouble / (100.0 * n0)
+    }.sorted
+    assert(all.contains(repMean), "driver md5 disagrees with itself")
+    val (wantLo, wantHi) = (
+      BigDecimal(all(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(all(30)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val got = rows.head
+    assert(math.abs(got._4 - wantLo) < 1e-9 && math.abs(got._5 - wantHi) < 1e-9,
+      s"$t0 CI: got (${got._4}, ${got._5}) want ($wantLo, $wantHi)")
+  }
+
+  test("m12: frame accounting laws; full census brute-forced") {
+    val rows = Multimodal.frameDedup.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nf, nd, nh, ppm) =>
+      assert(nf >= 1 && nd >= 0 && nd <= nf && nh <= nd, s"doc $id bounds")
+      assert(ppm == (1000000L * nd) / nf, s"doc $id ppm law")
+    }
+    // brute-force the whole frame census in the driver
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val owners = scala.collection.mutable.Map[String, Set[Long]]()
+    val frames = docs.map { case (id, txt) =>
+      val fs = (0 until txt.length / 64)
+        .map(i => txt.substring(i * 64, i * 64 + 64))
+      fs.foreach(f => owners(f) = owners.getOrElse(f, Set.empty) + id)
+      id -> fs
+    }.toMap
+    rows.foreach { case (id, nf, nd, nh, _) =>
+      val fs = frames(id)
+      assert(nf == fs.length, s"doc $id n_frames")
+      val dup = fs.filter(f => owners(f).size > 1)
+      assert(nd == dup.length, s"doc $id n_dup_frames")
+      assert(nh == dup.toSet.size, s"doc $id n_dup_hashes")
+    }
+  }
+
+  test("s18: subspace SSE brute-forced against the s06 codebook") {
+    val rows = Similarity.pqDistortion.build(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    val u = Dedup.normalized(spark, sf, "id", "u").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val n = u.length.toLong
+    rows.foreach { case (j, nv, sse, mse) =>
+      assert(nv == n, s"subspace $j n_vecs")
+      assert(sse >= 0 && mse >= 0, s"subspace $j non-negative")
+      assert(math.abs(mse - BigDecimal(sse.toDouble / (1e12 * n))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12,
+        s"subspace $j mse law")
+    }
+    val cb = u.filter(_._1 < 16).sortBy(_._1).map(_._2)
+    (0 until 4).foreach { j =>
+      val sse = u.map { case (_, vec) =>
+        val sub = vec.slice(j * 16, j * 16 + 16)
+        val dmin = cb.map { c =>
+          val cs = c.slice(j * 16, j * 16 + 16)
+          var acc = 0.0
+          var i = 0
+          while (i < 16) {
+            val dxy = sub(i) - cs(i); acc += dxy * dxy; i += 1 }
+          acc
+        }.min
+        math.round(dmin * 1e12)
+      }.sum
+      assert(rows(j)._3 == sse, s"subspace $j sse: got ${rows(j)._3} want $sse")
+    }
+  }
+
   test("x44: cluster accounting is consistent with d07's components") {
     val rows = Curation.dupClusterStats.build(spark, sf).collect()
     val d07 = Dedup.components.build(spark, sf).collect()

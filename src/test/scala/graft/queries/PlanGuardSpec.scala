@@ -58,6 +58,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q35_fuzzy_levenshtein" -> "name-DOMAIN pair stage, vocabulary-bounded by design",
     "ml12_naive_bayes" -> "bounded language-domain (5-row) + 1-row vocab scalar broadcasts against the held token stream",
     "t31_js_divergence" -> "bounded source-domain (20-row) + 1-row corpus-totals scalar broadcasts against the vocab frame",
+    "x46_doremi_step" -> "1-row corpus-totals + 1-row reference-entropy scalar broadcasts onto the bounded source frame",
     "t15_vocab_build" -> "1-row grand-total broadcast (t07/x09's idiom)",
     "x29b_quality_prototype" -> "1-row class-token-total broadcast into the 1024-row weight frame",
     "e10_ams_f2" -> "three 1-row summary broadcasts (exact F2, mean, median-of-means) onto the 16-row estimator frame",
@@ -99,7 +100,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "x41_curriculum_order" -> "phase ntile over the 16-byte (doc_id, n_tokens) frame + 4-row phase-offset prefix sum; 100 TB path = x15 quantile-edge phase boundaries, documented at the use site, Curation.scala",
     "ml06_classifier_metrics" -> "cumulative rank over the DISTINCT-score group frame (value-domain bounded, x15/x39's idiom), Curation.scala",
     "x45_unimax_allocation" -> "water-filling rank/prefix-sum over the per-LANGUAGE aggregate frame (language-domain bounded, x17's idiom), Curation.scala",
-    "s17_ivf_balance" -> "health scalars over the per-CELL census frame (k = index parameter, bounded like s03's centroid panel), Similarity.scala")
+    "s17_ivf_balance" -> "health scalars over the per-CELL census frame (k = index parameter, bounded like s03's centroid panel), Similarity.scala",
+    "x46_doremi_step" -> "normalizer Z / domain count over the per-SOURCE aggregate frame (source-domain bounded, x17's idiom), Curation.scala")
 
   /** name -> physical plan for every registered query. sparkPlan (the
     * pre-AQE physical plan) carries the concrete join/window nodes; a
