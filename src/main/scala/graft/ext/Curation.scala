@@ -2957,6 +2957,51 @@ object Curation {
                FROM w ORDER BY source"""))
   }
 
+  /** x47 — dedup pair-audit sample: a deterministic 25% review sample
+    * of d04's near-dup pairs, each routed to one of 4 audit slots —
+    * the human-eval manifest every production dedup rollout ships
+    * (precision of the pair generator is measured on a reproducible
+    * sample BEFORE the delete list runs; the same discipline as
+    * RefinedWeb's manual dedup audits, Penedo et al. 2023 §G). The
+    * sample key is the md5 of the PAIR (both ids), so re-runs, engine
+    * changes, and resharding all select the same pairs — x01's
+    * entity-hash discipline lifted to 2-key entities.
+    *
+    * Determinism: pair selection and slot routing are integer md5
+    * arithmetic; jaccard rides through from the d04 stage unchanged
+    * (its oracle-exactness is proven there).
+    *
+    * Scale shape: one narrow filter + projection over the pair frame —
+    * the audit layer adds NOTHING to the dedup pipeline's shuffle
+    * budget; at 100 TB the sample is what leaves the cluster, not the
+    * pair table. */
+  val pairAuditSample: QueryDef = {
+    val keepNum = 1L << 58 // 25% of the 2^60 hash space
+    QueryDef(
+      "x47_pair_audit_sample",
+      (s, d) => {
+        val u = Dedup.sparkMd5Int60(
+          "concat(CAST(a_id AS STRING), ':', CAST(b_id AS STRING))")
+        Dedup.ngramPairPlan(s, d)
+          .withColumn("u", expr(u))
+          .filter(col("u") < keepNum)
+          .select(col("a_id"), col("b_id"), col("jaccard"),
+            expr("u % 4").as("audit_slot"))
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        val u = Dedup.duckMd5IntSlice(
+          "concat(CAST(a_id AS VARCHAR), ':', CAST(b_id AS VARCHAR))",
+          2, 15)
+        s"""WITH ${Dedup.ngramPairSql(Dedup.ngramTheta)},
+            sampled AS (
+              SELECT a_id, b_id, jaccard, ($u) AS u FROM pairs)
+            SELECT a_id, b_id, jaccard, u % 4 AS audit_slot
+            FROM sampled WHERE u < $keepNum
+            ORDER BY a_id, b_id"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -2970,5 +3015,5 @@ object Curation {
       temperatureMix, datasetCard, canonicalSelection, weightedSample,
       epochShuffle, dpRelease, psiDrift, blocklistGate, curriculumOrder,
       sourceOverlap, shardSkew, dupClusterStats, unimaxAllocation,
-      doremiStep)
+      doremiStep, pairAuditSample)
 }

@@ -2068,6 +2068,75 @@ object TextAnalysis {
             FROM agg a JOIN persrc p USING (source)
             ORDER BY source"""))
 
+  /** t32 — per-language OOV rate under the corpus top-V vocabulary
+    * (the tokenizer-fairness audit: a vocab built on the corpus MIX
+    * over-serves the majority language, and minority languages pay the
+    * OOV/fallback cost — the measurement behind UniMax/NLLB-style
+    * vocabulary rebalancing, and the type-level complement of t30's
+    * fertility): t15's exact top-1000 vocabulary (count-desc,
+    * token-asc tie-break) is applied to every language slice, and per
+    * language the token-level and type-level out-of-vocabulary ppm are
+    * reported.
+    *
+    * Determinism: the vocabulary is t15's deterministic rank; all
+    * counts are exact integers; both ppm are exact integer
+    * (10⁶·oov) DIV total.
+    *
+    * Scale shape: ONE (lang, token) census (map-side combinable), a
+    * 1000-row vocab broadcast-joined onto it, one lang-domain agg. The
+    * corpus-wide top-V reuses the census via a second bounded agg —
+    * token-keyed, not another corpus read. */
+  val vocabOov: QueryDef = {
+    val vocabSize = 1000
+    QueryDef(
+      "t32_vocab_oov",
+      (s, d) => {
+        val census = Tables.documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+        val vocab = census.groupBy("tok").agg(sum(col("n")).as("nt"))
+          .orderBy(col("nt").desc, col("tok")).limit(vocabSize)
+          .select(col("tok"), lit(1L).as("in_vocab"))
+        census.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("lang")
+          .agg(sum(col("n")).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, col("n")).otherwise(0L))
+              .as("n_oov"),
+            count(lit(1)).as("n_types"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+              .as("n_oov_types"))
+          .withColumn("oov_ppm", expr("(1000000 * n_oov) DIV n_tokens"))
+          .withColumn("type_oov_ppm",
+            expr("(1000000 * n_oov_types) DIV n_types"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH census AS (
+                 SELECT lang, tok, count(*) AS n FROM (
+                   SELECT lang, unnest(string_split(text, ' ')) AS tok
+                   FROM documents)
+                 WHERE tok != '' GROUP BY 1, 2),
+               vocab AS (
+                 SELECT tok FROM (
+                   SELECT tok, CAST(sum(n) AS BIGINT) AS nt
+                   FROM census GROUP BY 1)
+                 ORDER BY nt DESC, tok LIMIT $vocabSize),
+               j AS (
+                 SELECT c.lang, c.n,
+                   CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+                 FROM census c LEFT JOIN vocab v ON v.tok = c.tok)
+               SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN oov = 1 THEN n ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+                 count(*) AS n_types,
+                 CAST(sum(oov) AS BIGINT) AS n_oov_types,
+                 (1000000 * CAST(sum(CASE WHEN oov = 1 THEN n ELSE 0 END)
+                   AS BIGINT)) // CAST(sum(n) AS BIGINT) AS oov_ppm,
+                 (1000000 * CAST(sum(oov) AS BIGINT)) // count(*)
+                   AS type_oov_ppm
+               FROM j GROUP BY 1 ORDER BY 1"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
@@ -2075,5 +2144,5 @@ object TextAnalysis {
       readability, lexicalDiversity, rakeKeywords, langIdConfusion,
       gopherRules, zipfFit, tokenBurstiness, bigramPerplexity,
       confusableSpoof, textrank, ruleAblation, ngramNovelty, bpeFertility,
-      jsDivergence)
+      jsDivergence, vocabOov)
 }

@@ -1198,8 +1198,90 @@ object MlQueries {
       })
   }
 
+  /** ml14 — weight-of-evidence / information-value feature audit
+    * (Siddiqi, "Credit Risk Scorecards", Wiley 2006 §6 — the
+    * scorecard-industry standard for ranking features before any model
+    * is fit): `value` is cut into 10 fixed-width bins, each bin's
+    * WoE = ln(smoothed positive share / smoothed negative share)
+    * measures how strongly the bin separates error events from the
+    * rest, and IV = Σ (p⁺−p⁻)·WoE summarizes the whole feature
+    * (< 0.02 useless, > 0.3 strong — the thresholds every scorecard
+    * shop quotes).
+    *
+    * Determinism: bin populations are exact integers; WoE and each IV
+    * term are ONE fixed-shape IEEE expression over those integers with
+    * the standard +0.5 Laplace continuity correction, integerized at
+    * 10⁶/10⁹ before any cross-row arithmetic; the IV total is an exact
+    * long sum over the 10-row bin frame.
+    *
+    * Scale shape: ONE partial-aggregable scan to the 10-row bin frame;
+    * everything after is algebra on it (global window bounded by the
+    * bin count). Fixed-width bins — not ntile — so no global sort ever
+    * touches the data (the x15 quantile-edge alternative is the
+    * data-driven binning path and is documented there). */
+  val woeIv: QueryDef = QueryDef(
+    "ml14_woe_iv",
+    (s, d) => {
+      val bins = Tables.events(s, d)
+        .selectExpr(
+          "least(CAST(round(value * 100) AS BIGINT) DIV 5000, 9) AS bin",
+          "IF(event_type = 'error', 1L, 0L) AS pos")
+        .groupBy("bin")
+        .agg(sum(col("pos")).as("n_pos"),
+          sum(expr("1L - pos")).as("n_neg"))
+      val whole = Window.partitionBy(lit(1))
+      bins
+        .withColumn("p_tot", sum(col("n_pos")).over(whole))
+        .withColumn("n_tot", sum(col("n_neg")).over(whole))
+        .withColumn("woe_e6", expr(
+          "CAST(round(ln(((CAST(n_pos AS DOUBLE) + 0.5) / CAST(p_tot AS DOUBLE)) / " +
+            "((CAST(n_neg AS DOUBLE) + 0.5) / CAST(n_tot AS DOUBLE))) * 1000000) AS BIGINT)"))
+        .withColumn("iv_term_e9", expr(
+          "CAST(round((((CAST(n_pos AS DOUBLE) + 0.5) / CAST(p_tot AS DOUBLE)) - " +
+            "((CAST(n_neg AS DOUBLE) + 0.5) / CAST(n_tot AS DOUBLE))) * " +
+            "(CAST(woe_e6 AS DOUBLE) / 1e6) * 1000000000) AS BIGINT)"))
+        .withColumn("iv_total_e9", sum(col("iv_term_e9")).over(whole))
+        .select("bin", "n_pos", "n_neg", "woe_e6", "iv_term_e9",
+          "iv_total_e9")
+        .orderBy("bin")
+    },
+    Some("""WITH b AS (
+              SELECT least(CAST(round(value * 100) AS BIGINT) // 5000, 9)
+                  AS bin,
+                CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS pos
+              FROM events),
+            bins AS (
+              SELECT bin, CAST(sum(pos) AS BIGINT) AS n_pos,
+                CAST(sum(1 - pos) AS BIGINT) AS n_neg
+              FROM b GROUP BY 1),
+            t AS (
+              SELECT *, CAST(sum(n_pos) OVER () AS BIGINT) AS p_tot,
+                CAST(sum(n_neg) OVER () AS BIGINT) AS n_tot
+              FROM bins),
+            w AS (
+              SELECT *,
+                CAST(round(ln(((CAST(n_pos AS DOUBLE) + 0.5)
+                    / CAST(p_tot AS DOUBLE))
+                  / ((CAST(n_neg AS DOUBLE) + 0.5)
+                    / CAST(n_tot AS DOUBLE))) * 1000000) AS BIGINT)
+                  AS woe_e6
+              FROM t),
+            iv AS (
+              SELECT *,
+                CAST(round((((CAST(n_pos AS DOUBLE) + 0.5)
+                    / CAST(p_tot AS DOUBLE))
+                  - ((CAST(n_neg AS DOUBLE) + 0.5)
+                    / CAST(n_tot AS DOUBLE)))
+                  * (CAST(woe_e6 AS DOUBLE) / 1e6) * 1000000000)
+                  AS BIGINT) AS iv_term_e9
+              FROM w)
+            SELECT bin, n_pos, n_neg, woe_e6, iv_term_e9,
+              CAST(sum(iv_term_e9) OVER () AS BIGINT) AS iv_total_e9
+            FROM iv ORDER BY bin"""))
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
-      lofoImportance, abWelch, cupedReadout, naiveBayes, poissonBootstrap)
+      lofoImportance, abWelch, cupedReadout, naiveBayes, poissonBootstrap,
+      woeIv)
 }

@@ -993,9 +993,54 @@ object Events {
               CAST(count(*) AS BIGINT) AS n_buckets
             FROM b GROUP BY 1, 2 ORDER BY event_type, w_start"""))
 
+  /** Watermark-scoped streaming dedup: `dropDuplicatesWithinWatermark`
+    * (SPARK-42931, Spark 3.5) keeps per-key state only for the
+    * watermark horizon — the semantic st06's GLOBAL dedup cannot give a
+    * stream: a key re-arriving AFTER its state expired is a NEW event
+    * (correct for at-least-once sources whose duplicates cluster in
+    * time), and state stays bounded by the horizon instead of growing
+    * with all keys ever seen. StreamingSpec proves both halves: the
+    * in-horizon duplicate is suppressed AND the late re-arrival is
+    * re-emitted. */
+  def dedupWithinWatermarkStream(events: DataFrame,
+      watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** st19 — the bounded-input form: on a batch frame every row is
+    * inside one watermark horizon, so the contract collapses to
+    * exactly-one-survivor-per-key; the registered readout is the
+    * per-type survivor census (key-deterministic — no arbitrary
+    * first-row columns ride through). Scale shape: ONE distinct on the
+    * key then a bounded-domain agg; streaming state is
+    * horizon-bounded where st06's global form is unbounded. */
+  val dedupWithinWatermarkQ: QueryDef = QueryDef(
+    "st19_dedup_within_watermark",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      ev.select(col("event_id"), col("event_type")).distinct()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_unique"))
+        .join(broadcast(ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n_raw"))), Seq("event_type"))
+        .withColumn("n_dupes", col("n_raw") - col("n_unique"))
+        .orderBy("event_type")
+    },
+    Some("""WITH u AS (
+              SELECT event_type, count(*) AS n_unique FROM (
+                SELECT DISTINCT event_id, event_type FROM events)
+              GROUP BY 1),
+            r AS (
+              SELECT event_type, count(*) AS n_raw FROM events GROUP BY 1)
+            SELECT event_type, n_unique, n_raw,
+              n_raw - n_unique AS n_dupes
+            FROM u JOIN r USING (event_type)
+            ORDER BY event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
       streamLeftJoinQ, dedupBatchQ, enrichQ, windowSketchQ, funnelQ,
       retentionQ, topTypesQ, streamFullJoinQ, runningMaxBatchQ,
-      typeCountsBatchQ, windowAnomalyQ, streamSemiJoinQ, windowRollupQ)
+      typeCountsBatchQ, windowAnomalyQ, streamSemiJoinQ, windowRollupQ,
+      dedupWithinWatermarkQ)
 }

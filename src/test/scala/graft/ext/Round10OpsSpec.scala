@@ -1084,6 +1084,84 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t32: OOV accounting brute-forced against a driver-built top-V") {
+    val rows = TextAnalysis.vocabOov.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val census = scala.collection.mutable.Map[(String, String), Long]()
+    graft.core.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .foreach { r =>
+        r.getString(1).split(" ").filter(_.nonEmpty).foreach { w =>
+          census((r.getString(0), w)) =
+            census.getOrElse((r.getString(0), w), 0L) + 1 } }
+    val byTok = census.groupBy(_._1._2)
+      .map { case (w, m) => w -> m.values.sum }
+    val vocab = byTok.toSeq.sortBy { case (w, n) => (-n, w) }
+      .take(1000).map(_._1).toSet
+    rows.foreach { case (lang, nTok, nOov, nTy, nOovTy, ppm, typePpm) =>
+      val mine = census.filter(_._1._1 == lang)
+      assert(nTok == mine.values.sum, s"$lang n_tokens")
+      assert(nOov == mine.collect {
+        case ((_, w), n) if !vocab(w) => n }.sum, s"$lang n_oov")
+      assert(nTy == mine.size, s"$lang n_types")
+      assert(nOovTy == mine.keys.count(k => !vocab(k._2)), s"$lang oov types")
+      assert(ppm == (1000000L * nOov) / nTok, s"$lang ppm law")
+      assert(typePpm == (1000000L * nOovTy) / nTy, s"$lang type ppm law")
+    }
+  }
+
+  test("ml14: bins partition events, IV total law, one bin's WoE " +
+      "brute-forced") {
+    val rows = MlQueries.woeIv.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val n = graft.core.Tables.events(spark, sf).count()
+    assert(rows.map(r => r._2 + r._3).sum == n, "bins must partition")
+    assert(rows.map(_._6).distinct.length == 1, "iv_total constant")
+    assert(rows.head._6 == rows.map(_._5).sum, "iv_total = Σ terms")
+    val p = rows.map(_._2).sum.toDouble
+    val nn = rows.map(_._3).sum.toDouble
+    rows.foreach { case (bin, np, ng, woe, term, _) =>
+      assert(bin >= 0 && bin <= 9, s"bin $bin range")
+      val wantWoe = math.round(math.log(
+        ((np + 0.5) / p) / ((ng + 0.5) / nn)) * 1e6)
+      assert(woe == wantWoe, s"bin $bin woe: got $woe want $wantWoe")
+      val wantTerm = math.round(
+        (((np + 0.5) / p) - ((ng + 0.5) / nn)) * (woe / 1e6) * 1e9)
+      assert(term == wantTerm, s"bin $bin iv term")
+      // separating bins agree in sign with their share imbalance
+      if (np / p > (ng + 1) / nn) assert(woe > 0, s"bin $bin sign")
+    }
+  }
+
+  test("x47: sample is a deterministic md5-selected subset of d04's " +
+      "pairs with stable slots") {
+    val sample = Curation.pairAuditSample.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val pairs = Dedup.ngramJaccard.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sample.nonEmpty && pairs.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u60(s0: String): Long = java.lang.Long.parseLong(
+      md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(1, 16), 16)
+    sample.foreach { case (a, b, j, slot) =>
+      assert(pairs.contains((a, b)), s"($a,$b) not a d04 pair")
+      assert(pairs((a, b)) == j, s"($a,$b) jaccard drifted")
+      val u = u60(s"$a:$b")
+      assert(u < (1L << 58), s"($a,$b) outside the 25% band")
+      assert(slot == u % 4, s"($a,$b) slot")
+    }
+    // completeness: every in-band pair IS sampled
+    val want = pairs.keys.filter { case (a, b) =>
+      u60(s"$a:$b") < (1L << 58) }.toSet
+    assert(sample.map(s => (s._1, s._2)).toSet == want,
+      "sample must contain exactly the in-band pairs")
+  }
+
   test("x44: cluster accounting is consistent with d07's components") {
     val rows = Curation.dupClusterStats.build(spark, sf).collect()
     val d07 = Dedup.components.build(spark, sf).collect()

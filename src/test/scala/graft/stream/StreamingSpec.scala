@@ -918,4 +918,43 @@ class StreamingSpec extends AnyFunSuite {
       s"stream emitted a row the batch form disagrees with: " +
         s"${(got.toSet -- batch).mkString(",")}")
   }
+
+  test("st19 dropDuplicatesWithinWatermark: in-horizon duplicate " +
+      "suppressed, expired key re-emitted as new") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = Events.dedupWithinWatermarkStream(events, "10 minutes")
+      .writeStream.format("memory").queryName("wmdedup_out")
+      .outputMode("append").start()
+    // id 100 arrives twice within the horizon -> ONE emission
+    in.addData((100L, tsH(10, 0), "click", 1.0),
+      (100L, tsH(10, 3), "click", 1.0))
+    q.processAllAvailable()
+    // advance the watermark far past 10:00 so key 100's state expires
+    in.addData((200L, tsH(12, 0), "click", 1.0))
+    q.processAllAvailable()
+    // id 100 re-arrives AFTER expiry -> a NEW event (st06's global
+    // dedup would suppress it forever)
+    in.addData((100L, tsH(12, 5), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("wmdedup_out").collect()
+      .map(_.getAs[Long]("event_id")).toSeq
+    assert(ids.count(_ == 100L) == 2,
+      s"expected suppressed duplicate then post-expiry re-emit: $ids")
+    assert(ids.count(_ == 200L) == 1, ids.toString)
+    // the registered batch census agrees with a driver recount
+    val sf = graft.TestSpark.sf0001
+    val rows = Events.dedupWithinWatermarkQ.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val raw = ev.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val uniq = ev.distinct.groupBy(_._2)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    rows.foreach { case (t, nu, nr, nd) =>
+      assert(nu == uniq(t) && nr == raw(t) && nd == nr - nu, s"$t census") }
+  }
 }
