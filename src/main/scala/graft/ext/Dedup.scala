@@ -1694,10 +1694,148 @@ object Dedup {
                GROUP BY k.doc_id ORDER BY k.doc_id"""))
   }
 
+  /** d20 — dedup-detector evaluation against planted ground truth (the
+    * validation harness a production dedup rollout runs BEFORE trusting
+    * a threshold: Silcock et al., "Noise-robust de-duplication at
+    * scale", 2022 publish exactly this planted-pair protocol): an
+    * md5-selected quarter of the corpus is cloned with a deterministic
+    * 20% tail truncation (the classic near-dup: same document, cut
+    * short), the d04 shingle machinery — BLIND to the planting — runs
+    * over the augmented corpus, and detected pairs involving a clone
+    * are scored as TP (clone paired with its own parent) or FP at a
+    * 3-point Jaccard threshold sweep, with exact precision/recall ppm.
+    *
+    * Determinism: planting is integer md5 selection; the mutation is
+    * exact token-prefix slicing; Jaccard is held as the exact integer
+    * percent (100·|∩|) DIV |∪| (so θ=20 ⟺ J ≥ 0.20 exactly — no
+    * float threshold ever compares); all tallies are integers.
+    *
+    * Scale shape: the pair stage is d04's shingle-keyed equi-join over
+    * the augmented corpus (hashed 8-byte shingles ride the shuffle,
+    * bodies don't); the evaluation layer is a filter + 3-way explode
+    * on the BOUNDED pair frame plus one tiny agg. Planted-side filter
+    * keeps organic corpus near-dups out of the score (they are not
+    * errors — the detector is right to find them). */
+  val dedupEval: QueryDef = {
+    val off = 100000000L
+    QueryDef(
+      "d20_dedup_eval",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val planted = docs
+          .filter(expr(
+            s"${sparkMd5Int60("CAST(doc_id AS STRING)")} % 4 = 0"))
+          .select((col("doc_id") + off).as("doc_id"),
+            expr("array_join(slice(split(text, ' '), 1, " +
+              "greatest(CAST(ceil(size(split(text, ' ')) * 0.8) AS INT)," +
+              " 1)), ' ')").as("text"))
+        val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+        val sh = docs.unionAll(planted)
+          .select(col("doc_id"), explode(expr(shingleExpr("text"))).as("sh"))
+          .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+          .distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val pairs = sh.select(col("doc_id").as("a_id"), col("sh"))
+          .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+          .join(sizes.select(col("doc_id").as("a_id"),
+            col("n_sh").as("n_a")), "a_id")
+          .join(sizes.select(col("doc_id").as("b_id"),
+            col("n_sh").as("n_b")), "b_id")
+          .withColumn("jpct",
+            expr("(100 * n_inter) DIV (n_a + n_b - n_inter)"))
+          .filter(col("b_id") >= off && col("jpct") >= 20)
+          .withColumn("is_tp",
+            expr(s"IF(a_id + $off = b_id, 1L, 0L)"))
+        val perTheta = pairs
+          .select(col("is_tp"), col("jpct"),
+            explode(expr("array(20, 40, 60)")).as("theta_pct"))
+          .filter(col("jpct") >= col("theta_pct"))
+          .groupBy("theta_pct")
+          .agg(sum(col("is_tp")).as("tp0"),
+            sum(expr("1L - is_tp")).as("fp0"))
+        // drive the output from the theta DOMAIN (s13's lesson: an
+        // empty sweep point must report zeros, not vanish)
+        nPlanted
+          .select(col("n_planted"),
+            explode(expr("array(20, 40, 60)")).as("theta_pct"))
+          .join(perTheta, Seq("theta_pct"), "left")
+          .selectExpr("theta_pct", "n_planted",
+            "coalesce(tp0, 0L) AS tp", "coalesce(fp0, 0L) AS fp",
+            "n_planted - coalesce(tp0, 0L) AS fn",
+            "(1000000 * coalesce(tp0, 0L)) DIV " +
+              "greatest(coalesce(tp0, 0L) + coalesce(fp0, 0L), 1)" +
+              " AS precision_ppm",
+            "(1000000 * coalesce(tp0, 0L)) DIV greatest(n_planted, 1)" +
+              " AS recall_ppm")
+          .orderBy("theta_pct")
+      },
+      Some(s"""WITH planted AS (
+                 SELECT doc_id + $off AS doc_id,
+                   array_to_string(t[1:greatest(CAST(ceil(len(t) * 0.8)
+                     AS INTEGER), 1)], ' ') AS text
+                 FROM (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents
+                       WHERE ${duckMd5Int60("CAST(doc_id AS VARCHAR)")}
+                         % 4 = 0)),
+               np AS (SELECT count(*) AS n_planted FROM planted),
+               aug AS (
+                 SELECT doc_id, text FROM documents
+                 UNION ALL SELECT doc_id, text FROM planted),
+               toks AS (
+                 SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+               sh AS (
+                 SELECT DISTINCT doc_id,
+                   array_to_string(t[i + 1:i + 3], ' ') AS sh
+                 FROM toks,
+                   unnest(range(0, greatest(len(t) - 2, 1))) AS u(i)),
+               sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+               inter AS (
+                 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   count(*) AS n_inter
+                 FROM sh a JOIN sh b
+                   ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+               pairs AS (
+                 SELECT a_id, b_id,
+                   (100 * n_inter) // (sa.n_sh + sb.n_sh - n_inter)
+                     AS jpct,
+                   CASE WHEN a_id + $off = b_id THEN 1 ELSE 0 END AS is_tp
+                 FROM inter
+                 JOIN sizes sa ON sa.doc_id = a_id
+                 JOIN sizes sb ON sb.doc_id = b_id
+                 WHERE b_id >= $off
+                   AND (100 * n_inter) // (sa.n_sh + sb.n_sh - n_inter)
+                     >= 20),
+               sweep AS (
+                 SELECT th.theta_pct,
+                   CAST(sum(is_tp) AS BIGINT) AS tp0,
+                   CAST(sum(1 - is_tp) AS BIGINT) AS fp0
+                 FROM pairs,
+                   (SELECT unnest([20, 40, 60]) AS theta_pct) th
+                 WHERE jpct >= th.theta_pct
+                 GROUP BY 1),
+               dom AS (
+                 SELECT CAST(theta_pct AS INTEGER) AS theta_pct, n_planted
+                 FROM (SELECT unnest([20, 40, 60]) AS theta_pct) t
+                 CROSS JOIN np)
+               SELECT d.theta_pct, d.n_planted,
+                 coalesce(tp0, 0) AS tp, coalesce(fp0, 0) AS fp,
+                 d.n_planted - coalesce(tp0, 0) AS fn,
+                 (1000000 * coalesce(tp0, 0))
+                   // greatest(coalesce(tp0, 0) + coalesce(fp0, 0), 1)
+                   AS precision_ppm,
+                 (1000000 * coalesce(tp0, 0)) // greatest(d.n_planted, 1)
+                   AS recall_ppm
+               FROM dom d LEFT JOIN sweep ON sweep.theta_pct = d.theta_pct
+               ORDER BY d.theta_pct"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(exact, exactByFingerprint, minhash, minhashNative, simhashPairs,
       ngramJaccard, embeddingCosine, components, simhashBanded, minhashMd5,
       simhashMd5Banded, substringSpans, spanRemoval, semanticDedup,
       incrementalSemantic, containmentPairs, minhashCalibration,
-      normalizedExact, cdcChunking)
+      normalizedExact, cdcChunking, dedupEval)
 }

@@ -1279,9 +1279,84 @@ object MlQueries {
               CAST(sum(iv_term_e9) OVER () AS BIGINT) AS iv_total_e9
             FROM iv ORDER BY bin"""))
 
+  /** ml15 — exact two-sample Kolmogorov–Smirnov test (Smirnov 1939;
+    * the distribution-shift detector behind every data-drift monitor):
+    * D = sup|F_error − F_other| between the error-event value
+    * distribution and everything else, with the large-sample α=0.05
+    * critical value c(α)·√((n₁+n₂)/(n₁n₂)), c(0.05)=1.358
+    * (Massey 1951, Table 1). Complements x39's binned PSI with the
+    * binning-free sup-norm statistic.
+    *
+    * Determinism: values are 2-decimal by contract, so the ECDF sup is
+    * reached on the DISTINCT-cent domain and the numerator
+    * |ca·n_b − cb·n_a| is an EXACT long (no ECDF division until the
+    * final readout); the long bound ca·n_b < 2⁶³ holds to ~3·10⁹
+    * events per side (the st16/x36 DECIMAL(38,0) widening path
+    * beyond). The cumulative window runs over the bounded
+    * distinct-value frame (x15/ml06's value-domain idiom), never the
+    * events.
+    *
+    * Scale shape: ONE partial-aggregable scan → the ≤49 002-row cent
+    * frame; cumulative sums + the max are frame-local algebra. */
+  val ksTest: QueryDef = QueryDef(
+    "ml15_ks_test",
+    (s, d) => {
+      val byC = Tables.events(s, d)
+        .selectExpr("CAST(round(value * 100) AS BIGINT) AS c",
+          "IF(event_type = 'error', 1L, 0L) AS isa")
+        .groupBy("c")
+        .agg(sum(col("isa")).as("a_n"), sum(expr("1L - isa")).as("b_n"))
+      val byVal = Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(lit(1))
+      byC
+        .withColumn("ca", sum(col("a_n")).over(byVal))
+        .withColumn("cb", sum(col("b_n")).over(byVal))
+        .withColumn("na", sum(col("a_n")).over(whole))
+        .withColumn("nb", sum(col("b_n")).over(whole))
+        .withColumn("dnum", expr("abs(ca * nb - cb * na)"))
+        .groupBy("na", "nb")
+        .agg(max(col("dnum")).as("d_num"),
+          count(lit(1)).as("n_distinct_values"))
+        .selectExpr("na", "nb", "n_distinct_values", "d_num",
+          "round(CAST(d_num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) AS d",
+          "round(1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) / " +
+            "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 9) AS d_crit",
+          "CAST(d_num AS DOUBLE) > 1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) / " +
+            "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * " +
+            "CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) AS reject_h0")
+    },
+    Some("""WITH byc AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a_n,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS b_n
+              FROM events GROUP BY 1),
+            cum AS (
+              SELECT
+                CAST(sum(a_n) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS ca,
+                CAST(sum(b_n) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cb,
+                CAST(sum(a_n) OVER () AS BIGINT) AS na,
+                CAST(sum(b_n) OVER () AS BIGINT) AS nb
+              FROM byc)
+            SELECT na, nb, count(*) AS n_distinct_values,
+              CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
+              round(CAST(max(abs(ca * nb - cb * na)) AS DOUBLE)
+                / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 9) AS d,
+              round(1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 9) AS d_crit,
+              CAST(max(abs(ca * nb - cb * na)) AS DOUBLE)
+                > 1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                  / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) AS reject_h0
+            FROM cum GROUP BY na, nb"""))
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
       lofoImportance, abWelch, cupedReadout, naiveBayes, poissonBootstrap,
-      woeIv)
+      woeIv, ksTest)
 }

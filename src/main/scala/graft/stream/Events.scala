@@ -1037,10 +1037,71 @@ object Events {
             FROM u JOIN r USING (event_type)
             ORDER BY event_type"""))
 
+  /** Dynamic-gap session windows (SPARK-36465: `session_window` with a
+    * per-row gap EXPRESSION): click sessions close after 5 idle
+    * minutes, everything else after 15 — the per-surface inactivity
+    * policy real sessionization ships (a checkout flow and a
+    * video-watch flow do not share a timeout). Grouping includes
+    * event_type, so the gap is CONSTANT within each aggregation group
+    * and the merge semantics are the plain session ones per group —
+    * the dynamic gap selects the policy, it does not interleave
+    * policies inside one session (that composition is what the
+    * expression form exists for; the mirror would need Spark's
+    * overlap-merge replay, documented here as out of oracle scope).
+    * Sums ride as exact integer cents (st07's discipline). */
+  def sessionDynamic(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        session_window(col("ts"),
+          when(col("event_type") === "click", "5 minutes")
+            .otherwise("15 minutes")),
+        col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("s_start"),
+        col("user_id"), col("event_type"), col("n"),
+        expr("CAST(cents AS DOUBLE) / 100.0").as("sum_value"))
+
+  /** Streaming form: watermarked, closed sessions emit in append. */
+  def sessionDynamicStream(events: DataFrame,
+      watermark: String = "30 minutes"): DataFrame =
+    sessionDynamic(events.withWatermark("ts", watermark))
+
+  /** st20 — the batch form (StreamingSpec proves stream==batch and the
+    * 5-vs-15-minute policy split on MemoryStream input). Scale shape:
+    * ONE shuffle on (user, type) with Spark's session-merge aggregate;
+    * state per key is the open session only. */
+  val sessionDynamicQ: QueryDef = QueryDef(
+    "st20_session_dynamic_gap",
+    (s, d) => sessionDynamic(Tables.events(s, d))
+      .orderBy("user_id", "event_type", "s_start"),
+    Some("""WITH x AS (
+              SELECT user_id, event_type, ts,
+                CAST(round(value * 100) AS BIGINT) AS cents,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w +
+                         (CASE WHEN event_type = 'click'
+                               THEN INTERVAL 5 MINUTE
+                               ELSE INTERVAL 15 MINUTE END)
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)),
+            g AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id, event_type
+                ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+              FROM x)
+            SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+              user_id, event_type, count(*) AS n,
+              CAST(sum(cents) AS BIGINT) / 100.0 AS sum_value
+            FROM g GROUP BY user_id, event_type, sid
+            ORDER BY user_id, event_type, s_start"""))
+
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
       streamLeftJoinQ, dedupBatchQ, enrichQ, windowSketchQ, funnelQ,
       retentionQ, topTypesQ, streamFullJoinQ, runningMaxBatchQ,
       typeCountsBatchQ, windowAnomalyQ, streamSemiJoinQ, windowRollupQ,
-      dedupWithinWatermarkQ)
+      dedupWithinWatermarkQ, sessionDynamicQ)
 }

@@ -1162,6 +1162,58 @@ class Round10OpsSpec extends AnyFunSuite {
       "sample must contain exactly the in-band pairs")
   }
 
+  test("d20: planted clones recovered at theta=20, sweep monotone, " +
+      "parent pairs verified") {
+    val rows = Dedup.dedupEval.build(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).toSeq == Seq(20, 40, 60), rows.mkString(","))
+    val nPlanted = graft.core.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.expr(
+        s"${Dedup.sparkMd5Int60("CAST(doc_id AS STRING)")} % 4 = 0"))
+      .count()
+    rows.foreach { case (th, np, tp, fp, fn, prec, rec) =>
+      assert(np == nPlanted, s"theta $th n_planted")
+      assert(tp + fn == np, s"theta $th tp+fn")
+      assert(prec == 1000000L * tp / math.max(tp + fp, 1), s"theta $th prec")
+      assert(rec == 1000000L * tp / np, s"theta $th recall")
+    }
+    // tp/fp can only shrink as theta rises
+    assert(rows.sliding(2).forall(w => w(1)._3 <= w(0)._3 &&
+      w(1)._4 <= w(0)._4), "sweep not monotone")
+    // a 20% tail cut keeps ~3/4 of the word 3-grams: at theta=20 the
+    // detector must recover essentially every planted clone
+    assert(rows.head._3 >= (nPlanted * 9) / 10,
+      s"theta=20 recall too low: ${rows.head}")
+  }
+
+  test("ml15: KS numerator brute-forced; critical-value law") {
+    val rows = MlQueries.ksTest.build(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (na, nb, dNum, d, dCrit, reject) =
+      (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getBoolean(6))
+    val evs = graft.core.Tables.events(spark, sf)
+      .selectExpr("CAST(round(value * 100) AS BIGINT) AS c",
+        "event_type = 'error' AS isa").collect()
+      .map(x => (x.getLong(0), x.getBoolean(1)))
+    val as = evs.filter(_._2).map(_._1).sorted
+    val bs = evs.filterNot(_._2).map(_._1).sorted
+    assert(na == as.length && nb == bs.length)
+    val dom = (as ++ bs).distinct.sorted
+    val want = dom.map { c =>
+      val ca = as.count(_ <= c).toLong
+      val cb = bs.count(_ <= c).toLong
+      math.abs(ca * nb - cb * na)
+    }.max
+    assert(dNum == want, s"d_num: got $dNum want $want")
+    assert(math.abs(d - dNum.toDouble / (na.toDouble * nb)) < 1e-9)
+    val crit = 1.358 * math.sqrt((na + nb).toDouble / (na.toDouble * nb))
+    assert(math.abs(dCrit - crit) < 1e-9)
+    assert(reject == (dNum.toDouble > crit * na.toDouble * nb))
+  }
+
   test("x44: cluster accounting is consistent with d07's components") {
     val rows = Curation.dupClusterStats.build(spark, sf).collect()
     val d07 = Dedup.components.build(spark, sf).collect()

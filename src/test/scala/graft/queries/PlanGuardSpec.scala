@@ -102,7 +102,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "x45_unimax_allocation" -> "water-filling rank/prefix-sum over the per-LANGUAGE aggregate frame (language-domain bounded, x17's idiom), Curation.scala",
     "s17_ivf_balance" -> "health scalars over the per-CELL census frame (k = index parameter, bounded like s03's centroid panel), Similarity.scala",
     "x46_doremi_step" -> "normalizer Z / domain count over the per-SOURCE aggregate frame (source-domain bounded, x17's idiom), Curation.scala",
-    "ml14_woe_iv" -> "class totals / IV sum over the 10-row fixed-bin frame (bin-domain bounded, x17's idiom), MlQueries.scala")
+    "ml14_woe_iv" -> "class totals / IV sum over the 10-row fixed-bin frame (bin-domain bounded, x17's idiom), MlQueries.scala",
+    "ml15_ks_test" -> "ECDF cumulative + totals over the bounded DISTINCT-cent frame (value-domain bounded, x15/ml06's idiom), MlQueries.scala")
 
   /** name -> physical plan for every registered query. sparkPlan (the
     * pre-AQE physical plan) carries the concrete join/window nodes; a

@@ -957,4 +957,58 @@ class StreamingSpec extends AnyFunSuite {
     rows.foreach { case (t, nu, nr, nd) =>
       assert(nu == uniq(t) && nr == raw(t) && nd == nr - nu, s"$t census") }
   }
+
+  test("st20 dynamic-gap sessions: 8-minute idle splits clicks (5-min " +
+      "gap) but not errors (15-min gap); stream == batch") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+      .withColumn("user_id", lit(1L))
+    val q = Events.sessionDynamicStream(events, "1 hour")
+      .writeStream.format("memory").queryName("dyngap_out")
+      .outputMode("append").start()
+    // clicks at 10:00 and 10:08 (8 min apart), errors at the same times
+    in.addData((1L, tsH(10, 0), "click", 1.0), (2L, tsH(10, 8), "click", 1.0),
+      (3L, tsH(10, 0), "error", 1.0), (4L, tsH(10, 8), "error", 1.0))
+    q.processAllAvailable()
+    in.addData((9L, tsH(14, 0), "click", 1.0)) // close everything
+    q.processAllAvailable()
+    in.addData((10L, tsH(18, 0), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dyngap_out")
+      .select("s_start", "event_type", "n").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val clicks = got.filter(x => x._2 == "click" && x._1.startsWith("2024-01-01 10:"))
+    val errors = got.filter(_._2 == "error")
+    assert(clicks.length == 2 && clicks.forall(_._3 == 1L),
+      s"8-min idle must split the 5-min-gap clicks: ${got.mkString(",")}")
+    assert(errors.length == 1 && errors.head._3 == 2L,
+      s"8-min idle must NOT split the 15-min-gap errors: ${got.mkString(",")}")
+    // the registered batch form agrees with the driver's islands replay
+    val sf = graft.TestSpark.sf0001
+    val rows = Events.sessionDynamicQ.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val want = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap {
+      case ((uid, et), es) =>
+        val gap = (if (et == "click") 5 else 15) * 60000L
+        val sorted = es.map(_._3).sortBy(_.getTime)
+        val sessions = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer(sorted.head))
+        sorted.tail.foreach { t =>
+          if (t.getTime >= sessions.last.last.getTime + gap)
+            sessions += scala.collection.mutable.ArrayBuffer(t)
+          else sessions.last += t
+        }
+        sessions.map(ss => (uid, et, ss.length.toLong))
+    }
+    val gotCounts = rows.map(r => (r._2, r._3, r._4))
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    val wantCounts = want.groupBy(identity).map { case (k, v) => k -> v.length }
+    assert(gotCounts == wantCounts,
+      s"batch sessions disagree with islands replay")
+  }
 }
