@@ -3002,6 +3002,145 @@ object Curation {
       })
   }
 
+  /** x48 — l-diversity audit (Machanavajjhala et al., "l-diversity:
+    * Privacy beyond k-anonymity", ICDE 2006): x23's k-anonymity keeps
+    * groups LARGE, but a large group whose sensitive attribute is
+    * uniform still leaks it ("homogeneity attack" — everyone in the
+    * group has the same account-balance band). Per quasi-identifier
+    * group (nation, segment) this reports the group size, the number
+    * of DISTINCT sensitive values (acctbal k$-band), and the
+    * l-diversity verdict at l = 3 — the release gate a privacy review
+    * runs AFTER the k-anonymity pass.
+    *
+    * Determinism: bands are exact integer cents DIV 100 000; counts
+    * and distinct-counts are exact; the verdict is an integer compare.
+    *
+    * Scale shape: ONE partial-aggregable two-level census (the
+    * (QI, band) frame, then the QI frame) — the same cost envelope as
+    * x23; nothing touches row granularity after the first agg. */
+  val lDiversity: QueryDef = {
+    val l = 3
+    QueryDef(
+      "x48_l_diversity",
+      (s, d) =>
+        Tables.customer(s, d)
+          .selectExpr("c_nationkey", "c_mktsegment",
+            "CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000 AS band")
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("band")).as("n_sensitive"))
+          .withColumn("l_diverse", col("n_sensitive") >= l)
+          .orderBy("c_nationkey", "c_mktsegment"),
+      Some(s"""SELECT c_nationkey, c_mktsegment, count(*) AS n_rows,
+                 count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT)
+                   // 100000) AS n_sensitive,
+                 count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT)
+                   // 100000) >= $l AS l_diverse
+               FROM customer GROUP BY 1, 2 ORDER BY 1, 2"""))
+  }
+
+  /** x49 — decontamination drill (the canary protocol: Jacovi et al.,
+    * "Stop uploading test data in plain text", EMNLP 2023 argue eval
+    * sets WILL leak; a pipeline proves its decontamination gate works
+    * by planting known eval content and checking the gate catches
+    * every plant): an md5-selected slice of TRAIN docs gets the eval
+    * set's canonical canary (the first 13-gram of the minimum-id eval
+    * doc) appended; x10's matcher — same n, same hashing, blind to the
+    * plant — then scans the tampered corpus, and the drill reports
+    * detection by cohort: every planted doc MUST flag (the drill's
+    * pass condition), and the unplanted cohort's flag rate is the
+    * organic-contamination baseline x10 measures in production.
+    *
+    * Determinism: plant selection is integer md5 arithmetic; the
+    * canary is a deterministic token slice; all tallies exact.
+    *
+    * Scale shape: the canary is a 1-row broadcast onto the train scan
+    * (no shuffle added); the matcher stage is exactly x10's
+    * gram-keyed left-semi join; the readout is a 2-row cohort agg. */
+  val decontaminationDrill: QueryDef = {
+    val n = 13
+    QueryDef(
+      "x49_decontamination_drill",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("substring(md5(CAST(doc_id AS STRING)), 1, 1)").as("hx"),
+            expr("substring(md5(CAST(doc_id AS STRING)), 2, 1)").as("hx2"),
+            col("text"))
+        val evalDocs = docs.filter(col("hx").isin("0", "1"))
+        val canary = evalDocs
+          .orderBy("doc_id").limit(1)
+          .select(expr(
+            s"array_join(slice(split(text, ' '), 1, $n), ' ')").as("canary"))
+        val train = docs.filter(!col("hx").isin("0", "1"))
+          .crossJoin(broadcast(canary))
+          .withColumn("planted", col("hx2") === "0")
+          .withColumn("text2", expr(
+            "IF(hx2 = '0', concat(text, ' ', canary), text)"))
+        val grams = train
+          .select(col("doc_id"), col("planted"),
+            explode(expr(ngramExpr("text2", n))).as("g"))
+          .select(col("doc_id"), col("planted"), xxhash64(col("g")).as("g"))
+          .distinct()
+        val evalGrams = evalDocs
+          .select(explode(expr(ngramExpr("text", n))).as("g"))
+          .select(xxhash64(col("g")).as("g")).distinct()
+        val flagged = grams.join(broadcast(evalGrams), Seq("g"), "left_semi")
+          .select("doc_id").distinct()
+          .withColumn("hit", lit(1L))
+        train.select(col("doc_id"), col("planted"))
+          .join(flagged, Seq("doc_id"), "left")
+          .groupBy("planted")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_flagged"))
+          .withColumn("flag_ppm", expr("(1000000 * n_flagged) DIV n_docs"))
+          .withColumn("drill_pass",
+            expr("NOT planted OR n_flagged = n_docs"))
+          .orderBy("planted")
+      },
+      Some(s"""WITH docs AS (
+                 SELECT doc_id,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 2, 1) AS hx2,
+                   text
+                 FROM documents),
+               ev AS (SELECT * FROM docs WHERE hx IN ('0', '1')),
+               canary AS (
+                 SELECT array_to_string(string_split(text, ' ')[1:$n], ' ')
+                   AS canary
+                 FROM ev ORDER BY doc_id LIMIT 1),
+               train AS (
+                 SELECT doc_id, hx2 = '0' AS planted,
+                   CASE WHEN hx2 = '0'
+                        THEN concat(text, ' ', canary.canary)
+                        ELSE text END AS text2
+                 FROM docs CROSS JOIN canary
+                 WHERE hx NOT IN ('0', '1')),
+               grams AS (
+                 SELECT DISTINCT doc_id, planted,
+                   array_to_string(t[i + 1:i + $n], ' ') AS g
+                 FROM (SELECT doc_id, planted,
+                         string_split(text2, ' ') AS t FROM train),
+                   unnest(range(0, greatest(len(t) - ${n - 1}, 1))) AS u(i)),
+               evg AS (
+                 SELECT DISTINCT array_to_string(t[i + 1:i + $n], ' ') AS g
+                 FROM (SELECT string_split(text, ' ') AS t FROM ev),
+                   unnest(range(0, greatest(len(t) - ${n - 1}, 1))) AS u(i)),
+               flagged AS (
+                 SELECT DISTINCT doc_id FROM grams
+                 WHERE g IN (SELECT g FROM evg)),
+               cohort AS (
+                 SELECT t.planted, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_flagged
+                 FROM train t LEFT JOIN flagged f ON f.doc_id = t.doc_id
+                 GROUP BY 1)
+               SELECT planted, n_docs, n_flagged,
+                 (1000000 * n_flagged) // n_docs AS flag_ppm,
+                 NOT planted OR n_flagged = n_docs AS drill_pass
+               FROM cohort ORDER BY planted"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -3015,5 +3154,5 @@ object Curation {
       temperatureMix, datasetCard, canonicalSelection, weightedSample,
       epochShuffle, dpRelease, psiDrift, blocklistGate, curriculumOrder,
       sourceOverlap, shardSkew, dupClusterStats, unimaxAllocation,
-      doremiStep, pairAuditSample)
+      doremiStep, pairAuditSample, lDiversity, decontaminationDrill)
 }

@@ -1500,9 +1500,104 @@ object Similarity {
       })
   }
 
+  /** s19 — reindex migration matrix (the operational audit behind any
+    * IVF centroid refresh: re-training the coarse quantizer moves
+    * vectors between cells, and the migration matrix old-cell →
+    * new-cell tells the operator how much of the index must physically
+    * move — FAISS calls this the "reassignment cost" of an index
+    * rebuild): the corpus is assigned to the CURRENT codebook (s03b's
+    * pinned low-id panel) and to a REFRESHED codebook (the next 16 ids
+    * — a deterministic stand-in for re-trained centroids), and each
+    * (old_cid, new_cid) cell reports its vector count and corpus
+    * share.
+    *
+    * Determinism: both assignments are the s06 argmin fold (identical
+    * double set → identical min; position ties break to the earlier
+    * centroid in BOTH engines); counts exact; shares exact integer
+    * ppm.
+    *
+    * Scale shape: both codebooks ride INSIDE the row expression (k·d
+    * literals, the s06 discipline) — the corpus is scanned ONCE with
+    * two argmin folds per row and shuffles only the ≤k² matrix agg.
+    * No joins touch vector data. */
+  val reindexChurn: QueryDef = {
+    val kCode = 16
+    def build(s: org.apache.spark.sql.SparkSession,
+        d: String): org.apache.spark.sql.DataFrame = {
+      val u = Dedup.normalized(s, d, "id", "u")
+      val both = u.filter(col("id") < 2 * kCode)
+        .select(col("id"), col("u")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+      val (cb1, cb2) = (both.filter(_._1 < kCode),
+        both.filter(_._1 >= kCode))
+      if (cb1.isEmpty || cb2.isEmpty) {
+        require(u.isEmpty,
+          s"non-empty corpus lacks one of the id<$kCode / id<${2 * kCode} codebooks")
+        return u.filter(lit(false))
+          .select(col("id").as("old_cid"), col("id").as("new_cid"),
+            col("id").as("n"), col("id").as("share_ppm"))
+      }
+      def argmin(cb: Array[(Long, Seq[Double])]): String = {
+        val arr = cb.zipWithIndex.map { case ((_, vec), pos) =>
+          s"struct(CAST($pos AS INT) AS cid, " +
+            vec.map(x => s"${x}D").mkString("array(", ", ", ")") + " AS cu)"
+        }.mkString("array(", ", ", ")")
+        s"""aggregate(
+          transform($arr, c -> struct(
+            aggregate(zip_with(u, c.cu, (x, y) -> (x - y) * (x - y)),
+              0D, (a, v) -> a + v) AS dd, c.cid AS cid)),
+          struct(CAST('Infinity' AS DOUBLE) AS dd, -1 AS cid),
+          (acc, x) -> IF(x.dd < acc.dd, x, acc)).cid"""
+      }
+      val tot = u.agg(count(lit(1)).as("n_total"))
+      u.select(expr(argmin(cb1)).as("old_cid"),
+        expr(argmin(cb2)).as("new_cid"))
+        .groupBy("old_cid", "new_cid")
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("(1000000 * n) DIV n_total"))
+        .select("old_cid", "new_cid", "n", "share_ppm")
+        .orderBy("old_cid", "new_cid")
+    }
+    QueryDef(
+      "s19_reindex_churn",
+      (s, d) => build(s, d),
+      Some {
+        def fold(tbl: String) =
+          s"""list_reduce(list_prepend(0.0,
+               list_transform(range(1, 65),
+                 i -> (s.u[i] - $tbl.u[i]) * (s.u[i] - $tbl.u[i]))),
+               (x, y) -> x + y)"""
+        def codes(cbName: String, lo: Int, hi: Int) =
+          s"""${cbName}_cb AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, u
+                FROM u WHERE vec_id >= $lo AND vec_id < $hi),
+              ${cbName}_dd AS (
+                SELECT s.vec_id, c.cid, ${fold("c")} AS dd
+                FROM u s, ${cbName}_cb c),
+              ${cbName}_codes AS (
+                SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dd ASC, cid ASC) AS rn
+                  FROM ${cbName}_dd)
+                WHERE rn = 1)"""
+        s"""WITH ${Dedup.normalizedSql},
+            ${codes("old", 0, kCode)},
+            ${codes("new", kCode, 2 * kCode)},
+            tot AS (SELECT count(*) AS n_total FROM u)
+            SELECT o.cid AS old_cid, n.cid AS new_cid,
+              count(*) AS n,
+              (1000000 * count(*)) // max(tot.n_total) AS share_ppm
+            FROM old_codes o
+            JOIN new_codes n ON n.vec_id = o.vec_id
+            CROSS JOIN tot
+            GROUP BY 1, 2 ORDER BY 1, 2"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
       annPqAdc, kmeansLloyd, annRecall, filteredTopK, mmrRerank,
       twoStageRescore, knnClassify, nprobeSweep, hardNegatives, ndcgEval,
-      rocchioFeedback, ivfBalance, pqDistortion)
+      rocchioFeedback, ivfBalance, pqDistortion, reindexChurn)
 }

@@ -1354,9 +1354,105 @@ object MlQueries {
                 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) AS reject_h0
             FROM cum GROUP BY na, nb"""))
 
+  /** ml16 — TOST equivalence readout (Schuirmann 1987, the two
+    * one-sided tests every experimentation platform runs to declare a
+    * null RESULT rather than a null verdict: "the arms differ by less
+    * than δ" is a positive claim |t₁| and |t₂| can certify, where
+    * ml10's |t| > 1.96 can only fail to reject): same md5-randomized
+    * arms and exact integer-cent moments as ml10, equivalence margin
+    * δ = 0.5 value units, verdict = (mA−mB+δ)/se > 1.645 AND
+    * (mA−mB−δ)/se < −1.645 at α = 0.05.
+    *
+    * Determinism: identical moment discipline to ml10 — exact long
+    * (n, Σc, Σc²) per arm, one fixed-shape IEEE expression for the
+    * two t statistics, integer-exact verdict comparisons in both
+    * engines.
+    *
+    * Scale shape: ONE partial-aggregable scan to the type-domain
+    * frame; the TOST algebra costs nothing at any scale. */
+  val tostEquivalence: QueryDef = {
+    val deltaCents = 50L // δ = 0.5 value units
+    QueryDef(
+      "ml16_tost_equivalence",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("event_type"),
+            expr(graft.ext.Dedup.sparkMd5Int60("CAST(event_id AS STRING)")
+              + " % 2").as("arm"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+          .groupBy("event_type")
+          .agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+            sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("sa"),
+            sum(when(col("arm") === 0, expr("c * c")).otherwise(0L)).as("qa"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+            sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("sb"),
+            sum(when(col("arm") === 1, expr("c * c")).otherwise(0L)).as("qb"))
+          .withColumn("diff", expr(
+            "CAST(sa AS DOUBLE) / (100.0 * CAST(na AS DOUBLE)) - " +
+              "CAST(sb AS DOUBLE) / (100.0 * CAST(nb AS DOUBLE))"))
+          .withColumn("se", expr(
+            "sqrt((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / " +
+              "(CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0) * 10000.0) / CAST(na AS DOUBLE) + " +
+              "(CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / " +
+              "(CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0) * 10000.0) / CAST(nb AS DOUBLE))"))
+          .withColumn("t_lower", expr(
+            s"(diff + ${deltaCents}.0 / 100.0) / se"))
+          .withColumn("t_upper", expr(
+            s"(diff - ${deltaCents}.0 / 100.0) / se"))
+          .selectExpr("event_type", "na", "nb",
+            "round(diff, 6) AS mean_diff",
+            "round(se, 6) AS se",
+            "round(t_lower, 6) AS t_lower",
+            "round(t_upper, 6) AS t_upper",
+            "t_lower > 1.645 AND t_upper < -1.645 AS equivalent")
+          .orderBy("event_type")
+      },
+      Some(s"""WITH q AS (
+                 SELECT event_type,
+                   ${graft.ext.Dedup.duckMd5IntSlice(
+                     "CAST(event_id AS VARCHAR)", 2, 15)} % 2 AS arm,
+                   CAST(round(value * 100) AS BIGINT) AS c
+                 FROM events),
+               m AS (
+                 SELECT event_type,
+                   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                   CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS sa,
+                   CAST(sum(CASE WHEN arm = 0 THEN c * c ELSE 0 END) AS BIGINT) AS qa,
+                   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                   CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS sb,
+                   CAST(sum(CASE WHEN arm = 1 THEN c * c ELSE 0 END) AS BIGINT) AS qb
+                 FROM q GROUP BY 1),
+               w AS (
+                 SELECT *,
+                   CAST(sa AS DOUBLE) / (100.0 * CAST(na AS DOUBLE))
+                     - CAST(sb AS DOUBLE) / (100.0 * CAST(nb AS DOUBLE))
+                     AS diff,
+                   sqrt((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)
+                       - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                     / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)
+                       * 10000.0) / CAST(na AS DOUBLE)
+                     + (CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                     / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)
+                       * 10000.0) / CAST(nb AS DOUBLE)) AS se
+                 FROM m),
+               t AS (
+                 SELECT *,
+                   (diff + ${deltaCents}.0 / 100.0) / se AS t_lower,
+                   (diff - ${deltaCents}.0 / 100.0) / se AS t_upper
+                 FROM w)
+               SELECT event_type, na, nb,
+                 round(diff, 6) AS mean_diff, round(se, 6) AS se,
+                 round(t_lower, 6) AS t_lower,
+                 round(t_upper, 6) AS t_upper,
+                 t_lower > 1.645 AND t_upper < -1.645 AS equivalent
+               FROM t ORDER BY event_type"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
       lofoImportance, abWelch, cupedReadout, naiveBayes, poissonBootstrap,
-      woeIv, ksTest)
+      woeIv, ksTest, tostEquivalence)
 }

@@ -1214,6 +1214,108 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(reject == (dNum.toDouble > crit * na.toDouble * nb))
   }
 
+  test("x48: groups partition customers; verdict and distinct-band laws") {
+    val rows = Curation.lDiversity.build(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val cust = graft.core.Tables.customer(spark, sf)
+      .selectExpr("c_nationkey", "c_mktsegment",
+        "CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000 AS band")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == cust.length, "groups must partition")
+    rows.foreach { case (nk, seg, n, ns, ok) =>
+      val mine = cust.filter(c => c._1 == nk && c._2 == seg)
+      assert(n == mine.length && ns == mine.map(_._3).distinct.length,
+        s"($nk,$seg) counts")
+      assert(ns >= 1 && ns <= n && ok == (ns >= 3), s"($nk,$seg) verdict")
+    }
+  }
+
+  test("x49: every planted doc flags; cohorts partition the train set") {
+    val rows = Curation.decontaminationDrill.build(spark, sf).collect()
+      .map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.map(_._1).toSeq.sorted == Seq(false, true))
+    val planted = rows.find(_._1).get
+    val clean = rows.find(!_._1).get
+    assert(planted._3 == planted._2 && planted._5,
+      s"drill must catch every plant: $planted")
+    assert(clean._3 < clean._2, s"organic baseline flags everything: $clean")
+    // cohort sizes match the md5 rules on the fixture
+    val docs = graft.core.Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "substring(md5(CAST(doc_id AS STRING)), 1, 1) AS hx",
+        "substring(md5(CAST(doc_id AS STRING)), 2, 1) AS hx2")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+      .filter(x => x._1 != "0" && x._1 != "1")
+    assert(planted._2 == docs.count(_._2 == "0"), "planted cohort size")
+    assert(clean._2 == docs.count(_._2 != "0"), "clean cohort size")
+  }
+
+  test("ml16: TOST verdict laws; one type's t statistics brute-forced") {
+    val rows = MlQueries.tostEquivalence.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, na, nb, diff, se, tLo, tHi, eq) =>
+      assert(se > 0 && tLo > tHi, s"$t ordering")
+      assert(eq == (tLo > 1.645 && tHi < -1.645), s"$t verdict")
+      assert(math.abs((tLo - tHi) - 2 * 0.5 / se) < 1e-4,
+        s"$t margin law: ${(tLo - tHi) * se} vs 1.0")
+    }
+    // brute-force one type with driver doubles (ml10's discipline)
+    val t0 = rows.head._1
+    val evs = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type") === t0)
+      .selectExpr(
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 2, 15), 16, 10) AS BIGINT) % 2 AS arm",
+        "CAST(round(value * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def stats(arm: Long) = {
+      val cs = evs.filter(_._1 == arm).map(_._2.toDouble / 100.0)
+      val n = cs.length.toDouble
+      val m = cs.sum / n
+      (n, m, cs.map(x => (x - m) * (x - m)).sum / (n - 1.0))
+    }
+    val ((na, ma, va), (nb, mb, vb)) = (stats(0), stats(1))
+    val se = math.sqrt(va / na + vb / nb)
+    val r0 = rows.head
+    assert(math.abs(r0._4 - (ma - mb)) < 1e-5, s"diff: $r0 vs ${ma - mb}")
+    assert(math.abs(r0._6 - (ma - mb + 0.5) / se) < 1e-3, s"t_lower: $r0")
+  }
+
+  test("s19: migration matrix partitions the corpus; one vector's " +
+      "double assignment brute-forced") {
+    val rows = Similarity.reindexChurn.build(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val u = Dedup.normalized(spark, sf, "id", "u").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val n = u.length.toLong
+    assert(rows.map(_._3).sum == n, "matrix must partition the corpus")
+    rows.foreach { case (o, c2, cnt, ppm) =>
+      assert(o >= 0 && o < 16 && c2 >= 0 && c2 < 16, s"cid range ($o,$c2)")
+      assert(ppm == 1000000L * cnt / n, s"share law ($o,$c2)")
+    }
+    def assign(vec: Array[Double], cb: Array[Array[Double]]): Int =
+      cb.zipWithIndex.map { case (c, i) =>
+        var acc = 0.0; var k = 0
+        while (k < vec.length) {
+          val dd = vec(k) - c(k); acc += dd * dd; k += 1 }
+        (acc, i)
+      }.minBy(x => (x._1, x._2))._2
+    val cb1 = u.filter(_._1 < 16).sortBy(_._1).map(_._2)
+    val cb2 = u.filter(x => x._1 >= 16 && x._1 < 32).sortBy(_._1).map(_._2)
+    // brute-force ten vectors spread across the corpus
+    u.sortBy(_._1).zipWithIndex.filter(_._2 % (u.length / 10 + 1) == 0)
+      .foreach { case ((id, vec), _) =>
+        val (o, c2) = (assign(vec, cb1), assign(vec, cb2))
+        assert(rows.exists(r => r._1 == o && r._2 == c2 && r._3 > 0),
+          s"vector $id maps to an absent matrix cell ($o,$c2)")
+      }
+  }
+
   test("x44: cluster accounting is consistent with d07's components") {
     val rows = Curation.dupClusterStats.build(spark, sf).collect()
     val d07 = Dedup.components.build(spark, sf).collect()

@@ -59,6 +59,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "ml12_naive_bayes" -> "bounded language-domain (5-row) + 1-row vocab scalar broadcasts against the held token stream",
     "t31_js_divergence" -> "bounded source-domain (20-row) + 1-row corpus-totals scalar broadcasts against the vocab frame",
     "x46_doremi_step" -> "1-row corpus-totals + 1-row reference-entropy scalar broadcasts onto the bounded source frame",
+    "x49_decontamination_drill" -> "1-row canary broadcast onto the train scan (x10's matcher join itself is equi)",
+    "s19_reindex_churn" -> "1-row corpus-count scalar broadcast onto the bounded migration matrix (codebooks ride inside the row expression)",
     "t15_vocab_build" -> "1-row grand-total broadcast (t07/x09's idiom)",
     "x29b_quality_prototype" -> "1-row class-token-total broadcast into the 1024-row weight frame",
     "e10_ams_f2" -> "three 1-row summary broadcasts (exact F2, mean, median-of-means) onto the 16-row estimator frame",
