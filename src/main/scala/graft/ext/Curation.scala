@@ -2982,7 +2982,9 @@ object Curation {
       (s, d) => {
         val u = Dedup.sparkMd5Int60(
           "concat(CAST(a_id AS STRING), ':', CAST(b_id AS STRING))")
-        Dedup.ngramPairPlan(s, d)
+        // consume the session-materialized pair stage (jaccard rides
+        // in it; the canonical d04 still documents the real plan)
+        Dedup.ngramSharedPairs(s, d)
           .withColumn("u", expr(u))
           .filter(col("u") < keepNum)
           .select(col("a_id"), col("b_id"), col("jaccard"),

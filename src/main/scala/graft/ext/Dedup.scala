@@ -395,15 +395,22 @@ object Dedup {
 
   def ngramSharedStage(s: SparkSession, d: String): (DataFrame, DataFrame) =
     ngramStageCache.computeIfAbsent((s, d), { case (ss, dir) =>
+      // jaccard rides along (16 bytes/pair) so score-consuming
+      // compositions (x47's audit sample) share the stage too
       val pairs = ngramPairPlan(ss, dir)
-        .select("a_id", "b_id").localCheckpoint()
-      val labels = connectedComponents(pairs).localCheckpoint()
+        .select("a_id", "b_id", "jaccard").localCheckpoint()
+      val labels = connectedComponents(pairs.select("a_id", "b_id"))
+        .localCheckpoint()
       (pairs, labels)
     })
 
   /** CC labels `(id, component)` from the shared stage. */
   def ngramSharedLabels(s: SparkSession, d: String): DataFrame =
     ngramSharedStage(s, d)._2
+
+  /** Scored pairs `(a_id, b_id, jaccard)` from the shared stage. */
+  def ngramSharedPairs(s: SparkSession, d: String): DataFrame =
+    ngramSharedStage(s, d)._1
 
   /** Sequential left-fold dot product / squared norm as expression text —
     * the SAME accumulation order DuckDB's mirrored list_reduce uses, so
