@@ -30,15 +30,15 @@ object Similarity {
     * Memory/lifecycle: corpus-row-count × (id, cluster, 64 doubles) —
     * the index itself, orders of magnitude under the corpora the
     * engine targets; keyed by the owning SparkSession so checkpoint
-    * blocks die with their session. */
-  private val pinnedStageCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]()
+    * blocks die with their session — entries evict on applicationEnd
+    * ([[graft.core.SessionScoped]]), inputs assumed immutable for the
+    * session (its staleness contract). */
+  private[graft] val pinnedStageCache =
+    new graft.core.SessionScoped[org.apache.spark.sql.DataFrame]()
 
   def pinnedAssigned(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    pinnedStageCache.computeIfAbsent((s, d), { case (ss, dir) =>
+    pinnedStageCache.getOrCompute(s, d)({ case (ss, dir) =>
       graft.expr.ArrayDot.register(ss)
       Dedup.assignClusters(Dedup.normalized(ss, dir, "id", "u"), 16)
         .localCheckpoint()

@@ -18,14 +18,14 @@ import graft.queries.QueryDef
   *    same IEEE double division on the same ints, so results are
   *    bit-identical (rounding could only introduce half-even/half-up
   *    divergence);
-  *  - everything is a narrow per-row projection \u2014 no shuffle, scales
+  *  - everything is a narrow per-row projection — no shuffle, scales
   *    linearly at 100 TB.
   */
 object TextAnalysis {
 
   /** Per-language marker-word lexicons (sorted langs = deterministic
     * argmax tie-break order). A tiny stopword-hit heuristic, not a real
-    * model \u2014 the point is the distributed plumbing and the mirrored
+    * model — the point is the distributed plumbing and the mirrored
     * deterministic scoring. */
   private val lexicons: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "das", "ist"),
@@ -46,7 +46,7 @@ object TextAnalysis {
     s"CASE ${arms.mkString(" ")} ELSE '${langs.last}' END"
   }
 
-  /** t01 \u2014 n-gram/stopword language ID. */
+  /** t01 — n-gram/stopword language ID. */
   val langId: QueryDef = {
     val sparkHits = lexicons.map { case (l, ws) =>
       val arr = ws.map(w => s"'$w'").mkString(", ")
@@ -76,7 +76,7 @@ object TextAnalysis {
   private val stopWords = Seq("the", "a", "and", "of", "in", "to", "is")
   private val punctClass = "[.,!?;:]"
 
-  /** t02 \u2014 quality scoring: length, punctuation ratio, stopword ratio,
+  /** t02 — quality scoring: length, punctuation ratio, stopword ratio,
     * average token length. */
   val quality: QueryDef = {
     val stopArr = stopWords.map(w => s"'$w'").mkString(", ")
@@ -109,7 +109,7 @@ object TextAnalysis {
                ORDER BY doc_id"""))
   }
 
-  /** t03 \u2014 token counting: whitespace tokens + a BPE-ish regex
+  /** t03 — token counting: whitespace tokens + a BPE-ish regex
     * tokenization (lowercase runs / capitalized runs / digit runs /
     * single punctuation). */
   val tokenCount: QueryDef = {
@@ -134,11 +134,11 @@ object TextAnalysis {
                FROM documents ORDER BY doc_id"""))
   }
 
-  /** t04 \u2014 document fingerprint: rolling polynomial hash
+  /** t04 — document fingerprint: rolling polynomial hash
     * acc ← (31·acc + codepoint) mod 1e9+7, folded left-to-right over the
     * characters on both engines (mod keeps the accumulator < 2^35 so the
     * DuckDB BIGINT never overflows and the Spark long math is exact).
-    * Scope: ASCII text (the documents fixture) \u2014 Spark's split('')/ascii
+    * Scope: ASCII text (the documents fixture) — Spark's split('')/ascii
     * walks UTF-16 chars while DuckDB walks codepoints, so astral-plane
     * input would diverge; Multimodal.decodeOne shows the codepoint-exact
     * variant. */
@@ -158,10 +158,10 @@ object TextAnalysis {
               (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fp
             FROM documents ORDER BY doc_id"""))
 
-  /** t05 \u2014 classic text-featurization chain: Tokenizer → StopWordsRemover →
+  /** t05 — classic text-featurization chain: Tokenizer → StopWordsRemover →
     * HashingTF → IDF. The tf-idf vector norm is a deterministic per-doc
     * scalar given the fitted IDF model; rows-only check (hash-bucketed
-    * term space is engine-specific). One fit job + one narrow transform \u2014
+    * term space is engine-specific). One fit job + one narrow transform —
     * linear at scale, IDF model broadcast. */
   val tfidf: QueryDef = QueryDef(
     "t05_tfidf",
@@ -190,15 +190,15 @@ object TextAnalysis {
     },
     None)
 
-  /** t07 \u2014 exact-vocabulary TF-IDF, the oracle-checkable sibling of t05.
+  /** t07 — exact-vocabulary TF-IDF, the oracle-checkable sibling of t05.
     * t05's HashingTF buckets are engine-specific, so it can only get a
     * rows-only check; this variant keeps the real vocabulary and defines
     *   tfidf(doc, term) = tf · n_docs / df
-    * (a linear IDF: one exact IEEE division, no ln/log \u2014 transcendental
+    * (a linear IDF: one exact IEEE division, no ln/log — transcendental
     * functions are not correctly-rounded and could diverge between JVM
     * and C libm in the last ulp, which would break the hash-exact gate).
     * Output is the top-5 terms per doc by tfidf (ties broken by token),
-    * one row per (doc, term) \u2014 no floating-point SUMs whose accumulation
+    * one row per (doc, term) — no floating-point SUMs whose accumulation
     * order could differ between engines.
     *
     * Scale: tokenize → one hash agg for tf, a second (much smaller) agg
@@ -247,8 +247,8 @@ object TextAnalysis {
                ) WHERE rn <= 5 ORDER BY doc_id, token"""))
   }
 
-  /** t06 \u2014 corpus token-frequency table: explode tokens, global counts,
-    * top-20 with deterministic tiebreak \u2014 the Zipf-profile op every
+  /** t06 — corpus token-frequency table: explode tokens, global counts,
+    * top-20 with deterministic tiebreak — the Zipf-profile op every
     * corpus pipeline starts with. Explode → hash-agg → top-k: at 100 TB
     * this is partial-aggregated per partition and TakeOrdered'd, never a
     * full sort. */
@@ -271,18 +271,18 @@ object TextAnalysis {
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val phoneRe = "\\+?[0-9][0-9-]{5,}[0-9]"
 
-  /** PII redaction: emails then phones (email FIRST \u2014 its local/domain
+  /** PII redaction: emails then phones (email FIRST — its local/domain
     * digits would otherwise feed the phone pattern). Per-row projection,
-    * shuffle-free, codegen'd \u2014 the scrubbing pass every corpus makes
+    * shuffle-free, codegen'd — the scrubbing pass every corpus makes
     * before training. */
   def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(
       regexp_replace(c, lit(emailRe), lit("<EMAIL>")),
       lit(phoneRe), lit("<PHONE>"))
 
-  /** t08 \u2014 PII redaction, oracle-exact. The documents fixture carries no
+  /** t08 — PII redaction, oracle-exact. The documents fixture carries no
     * PII by construction, so the registered query plants a deterministic
-    * contact trailer (derived from doc_id \u2014 NOT random) on every row and
+    * contact trailer (derived from doc_id — NOT random) on every row and
     * then scrubs it; the op under test is the redaction expression, which
     * the spec additionally exercises on realistic standalone strings. */
   val piiRedact: QueryDef = {
@@ -319,16 +319,16 @@ object TextAnalysis {
                FROM dirty ORDER BY doc_id"""))
   }
 
-  /** t09 \u2014 hapax (corpus-unique token) ratio per document: the fraction
+  /** t09 — hapax (corpus-unique token) ratio per document: the fraction
     * of a document's distinct tokens that appear in NO other document.
     * A high hapax ratio flags gibberish/OCR noise (made-up tokens), a
-    * near-zero one flags boilerplate \u2014 the corpus-level complement to
+    * near-zero one flags boilerplate — the corpus-level complement to
     * t02's within-document quality signals.
     *
     * Scale shape: distinct (doc, token) pairs → one corpus shuffle keyed
     * by token producing the vocabulary-sized `(token, df, only_doc)`
     * aggregate; hapax tokens carry their unique owner in `min(doc_id)`,
-    * so attribution needs NO join back to the corpus \u2014 just a
+    * so attribution needs NO join back to the corpus — just a
     * vocabulary-sized regroup by owner and a per-doc equi-join of two
     * doc-count-sized relations. */
   val hapaxRatio: QueryDef = QueryDef(
@@ -368,16 +368,16 @@ object TextAnalysis {
             FROM per p LEFT JOIN hap h USING (doc_id)
             ORDER BY p.doc_id"""))
 
-  /** t10 \u2014 corpus-commonness score: the mean corpus document-frequency
+  /** t10 — corpus-commonness score: the mean corpus document-frequency
     * of a document's distinct word-3-grams. The third leg of the
-    * quality battery \u2014 x08 measures WITHIN-doc repetition, t09 corpus
+    * quality battery — x08 measures WITHIN-doc repetition, t09 corpus
     * UNIQUENESS (gibberish flag), t10 corpus COMMONNESS (boilerplate /
     * template flag: docs built from grams that appear everywhere score
-    * high). Integer sum over integer DFs, one final IEEE division \u2014
+    * high). Integer sum over integer DFs, one final IEEE division —
     * oracle-exact.
     *
     * Scale shape: two gram-keyed corpus shuffles (DF aggregate +
-    * join-back \u2014 the join-back is irreducible here because the score is
+    * join-back — the join-back is irreducible here because the score is
     * a mean over each doc's OWN grams' DFs) and one doc-keyed
     * aggregate; the DF relation is vocabulary-sized. */
   def gramCommonnessOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -409,18 +409,18 @@ object TextAnalysis {
             FROM sh JOIN dfreq USING (sh)
             GROUP BY 1 ORDER BY 1"""))
 
-  /** t11 \u2014 corpus-bigram fluency score: the mean conditional probability
+  /** t11 — corpus-bigram fluency score: the mean conditional probability
     * P(w₂|w₁) of a document's word transitions under the corpus's own
     * bigram model. The perplexity-style fluency filter of a training
     * pipeline, WITHOUT the log: ln() is not bit-portable across engines,
-    * and float sums are order-dependent \u2014 so each transition probability
+    * and float sums are order-dependent — so each transition probability
     * is FIXED-POINT (×10⁹, integer DIV), the per-doc sum is a long (any
-    * order), and the single final mean division is IEEE \u2014 oracle-exact.
+    * order), and the single final mean division is IEEE — oracle-exact.
     * Shuffled-word gibberish scores low, template/natural text high.
     *
     * Scale shape: bigram instances are a LINEAR explode; corpus model =
     * two vocabulary-keyed aggregates; scoring = one join-back on the
-    * bigram key (irreducible \u2014 each doc is scored under the GLOBAL
+    * bigram key (irreducible — each doc is scored under the GLOBAL
     * model) + one doc-keyed aggregate. The model relation is
     * bigram-vocabulary-sized, not corpus-sized. */
   def bigramFluencyOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -464,21 +464,21 @@ object TextAnalysis {
             FROM bg JOIN model USING (w1, w2)
             GROUP BY 1 ORDER BY 1"""))
 
-  /** t12 \u2014 encoding-quality signal (the mojibake / control-char gate a
+  /** t12 — encoding-quality signal (the mojibake / control-char gate a
     * web-scraped corpus runs before training): per source, how many
     * documents carry U+FFFD replacement characters (a decoder already
     * gave up), C0 control characters (binary bleed-through), or the
     * UTF-8-read-as-Latin-1 mojibake marker 'Ã' (U+00C3). The fixture is
-    * clean by construction, so \u2014 t08's pattern \u2014 a deterministic
+    * clean by construction, so — t08's pattern — a deterministic
     * md5-selected ~25% of docs get a planted dirty trailer built from
     * `chr()` codepoints (identical on both engines), and the op under
     * test is the counting expressions: single-codepoint counts via
     * length-difference of replace(), the control CLASS via
     * regexp_replace with a character-class both Java regex and RE2 read
-    * identically. Pure per-row projection + one source-keyed agg \u2014 at
+    * identically. Pure per-row projection + one source-keyed agg — at
     * 100 TB a map-side pass fused into the scan. */
   val encodingQuality: QueryDef = {
-    // chr(195)='Ã' chr(169)='©' chr(7)=BEL \u2014 all < 256 so Spark's
+    // chr(195)='Ã' chr(169)='©' chr(7)=BEL — all < 256 so Spark's
     // mod-256 chr() and DuckDB's codepoint chr() agree; U+FFFD is out
     // of chr()'s shared range and rides as a string literal instead
     val repl = "'�'"
@@ -486,7 +486,7 @@ object TextAnalysis {
       s"CASE WHEN substring(md5($hexFn), 1, 1) < '4' " +
         s"THEN concat($textExpr, ' caf', chr(195), chr(169), $repl, chr(7)) " +
         s"ELSE $textExpr END"
-    // C0 class [\x01-\x08\x0B\x0C\x0E-\x1F] assembled from chr() \u2014 a
+    // C0 class [\x01-\x08\x0B\x0C\x0E-\x1F] assembled from chr() — a
     // backslash escape inside a SQL string literal parses differently
     // in Spark (Hive-style unescaping) vs DuckDB (none), so the class
     // uses no backslash at all; concat of literals constant-folds
@@ -527,15 +527,15 @@ object TextAnalysis {
       }))
   }
 
-  /** t13 \u2014 Unicode NFC canonicalization (UAX #15) through the engine's
-    * native `nfc_normalize` Expression (graft.expr.NfcNormalize \u2014
+  /** t13 — Unicode NFC canonicalization (UAX #15) through the engine's
+    * native `nfc_normalize` Expression (graft.expr.NfcNormalize —
     * codegen'd, no UDF): the pass that must run BEFORE any byte-defined
     * dedup/fingerprint stage, because composed (é = U+00E9) and
     * decomposed (e + U+0301) spellings hash apart while rendering
     * identically. The fixture is ASCII-clean, so t08's planting pattern
     * applies: a deterministic md5-selected ~25% of docs get a trailer
     * ending in a decomposed e-acute (the combining mark rides as a
-    * shared string literal \u2014 it is outside chr()'s Spark/DuckDB common
+    * shared string literal — it is outside chr()'s Spark/DuckDB common
     * range), and the op under test is normalize-then-measure: docs
     * changed by NFC and codepoints saved, per source. DuckDB's
     * `nfc_normalize` implements the same algorithm → oracle-exact.
@@ -579,7 +579,7 @@ object TextAnalysis {
 
   /** Core of t14 over an arbitrary documents frame: score each doc
     * against every lexicon (tokens with repetition hitting the set),
-    * label with the argmax domain \u2014 deterministic (score DESC, domain
+    * label with the argmax domain — deterministic (score DESC, domain
     * ASC) tiebreak, 'other' when nothing matches. The argmax never
     * leaves the row (a lexicon-count array sorted in place, not a
     * join/window), so classification is one narrow shuffle-free map. */
@@ -606,10 +606,10 @@ object TextAnalysis {
         col("best.score").as("score"))
   }
 
-  /** t14 \u2014 keyword-lexicon domain/topic classification (the
+  /** t14 — keyword-lexicon domain/topic classification (the
     * routing/mixing signal in front of per-domain corpus budgets, as
     * t01 is for language; see [[classifyDomains]]). The lexicons are
-    * pinned literals rendered into both engines \u2014 oracle-exact. */
+    * pinned literals rendered into both engines — oracle-exact. */
   val domainClassify: QueryDef = {
     val duckValues = domainLexicons.map { case (name, kws) =>
       val arr = kws.map(k => s"'$k'").mkString("[", ", ", "]")
@@ -637,16 +637,16 @@ object TextAnalysis {
                FROM r WHERE rn = 1 ORDER BY doc_id"""))
   }
 
-  /** t15 \u2014 tokenizer vocabulary induction: the ranked token → id
+  /** t15 — tokenizer vocabulary induction: the ranked token → id
     * mapping every tokenizer-training run starts from. Corpus token
     * counts, the top `vocabSize` by (count DESC, token ASC), contiguous
     * ids 0..V-1 in that order, plus each token's document frequency and
-    * corpus share in parts-per-million (integer arithmetic \u2014 no
+    * corpus share in parts-per-million (integer arithmetic — no
     * cross-engine float sums).
     *
     * Scale shape: the corpus-sized work is ONE hash aggregate on token
     * (map-side partial); the global (count, token) rank then runs over
-    * the VOCABULARY, not the corpus \u2014 TakeOrderedAndProject prunes to
+    * the VOCABULARY, not the corpus — TakeOrderedAndProject prunes to
     * the top V per partition before a bounded single-partition
     * sort-limit, and the id-assigning window touches only those V rows
     * (documented bounded single-partition step, like x11's bucket-total
@@ -658,7 +658,7 @@ object TextAnalysis {
       (s, d) => {
         // ONE corpus pass: the full token aggregate is LAZILY
         // checkpointed (vocabulary-sized, << corpus) and feeds both the
-        // grand total and the top-V rank \u2014 not two scans of the corpus.
+        // grand total and the top-V rank — not two scans of the corpus.
         // Lazy (not eager) so plan-only consumers (PlanDump,
         // PlanGuardSpec) don't pay a corpus aggregation at DataFrame-
         // construction time, and the bench times execution, not
@@ -670,7 +670,7 @@ object TextAnalysis {
           .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
           .localCheckpoint(false)
         // grand total as a 1-row broadcast (t07/x09's idiom) instead of
-        // a driver collect \u2014 the query stays lazily planned end to end.
+        // a driver collect — the query stays lazily planned end to end.
         // Empty-corpus guard: sum over zero rows is NULL, and with zero
         // rows the ppm expression never evaluates, so any positive
         // placeholder divisor is safe.
@@ -706,22 +706,22 @@ object TextAnalysis {
   /** BPE merge-rule induction (Sennrich, Haddow & Birch, "Neural Machine
     * Translation of Rare Words with Subword Units", ACL 2016): `rounds`
     * iterations of count-adjacent-symbol-pairs → merge the most frequent
-    * pair everywhere \u2014 the actual tokenizer-TRAINING step of an LLM data
+    * pair everywhere — the actual tokenizer-TRAINING step of an LLM data
     * pipeline (t15 stops at the frequency vocabulary).
     *
     * Representation: each word is its symbols joined by a DOUBLE space.
     * Applying merge (l, r) is then one non-overlapping left-to-right
-    * string replace of ` l  r ` with ` lr ` on the `  `-padded word \u2014
+    * string replace of ` l  r ` with ` lr ` on the `  `-padded word —
     * the single consumed space on each side restores the double-space
     * boundary invariant, so consecutive occurrences (`a b a b`) each
     * merge in one pass and overlapping ones (`a a a`) merge greedily
-    * left-to-right, exactly BPE's semantics \u2014 and `replace` behaves
+    * left-to-right, exactly BPE's semantics — and `replace` behaves
     * identically in Spark and DuckDB, which is what makes the unrolled-
     * CTE oracle bit-exact.
     *
     * Scale shape: ONE corpus-sized pass (the word-frequency aggregate,
     * map-side partial); the merge loop runs on the localCheckpointed
-    * top-`vocabSize` word list \u2014 vocabulary-bounded, like t15's rank \u2014
+    * top-`vocabSize` word list — vocabulary-bounded, like t15's rank —
     * with one 1-row driver collect per round (the argmax pair). Pair
     * ties break by (freq DESC, l ASC, r ASC) in both engines. */
   /** The one corpus-sized pass under t16/t17: lowercase-alpha word
@@ -780,7 +780,7 @@ object TextAnalysis {
 
   /** BPE ENCODING (t16's apply side): train `rounds` merges on the
     * top-`vocabSize` words, then tokenize the WHOLE alpha word stream
-    * with them and report the top-`topN` subwords by weighted usage \u2014
+    * with them and report the top-`topN` subwords by weighted usage —
     * what the trained tokenizer actually does to the corpus, and the
     * sanity artifact (subword distribution) a tokenizer-training run
     * ships.
@@ -788,7 +788,7 @@ object TextAnalysis {
     * Scale shape: ONE corpus pass (the shared word-frequency aggregate,
     * checkpointed, feeding both training and encoding); the learned
     * rules are driver values rendered as a chain of `rounds` literal
-    * replaces \u2014 a narrow vocabulary-sized map, no shuffle until the
+    * replaces — a narrow vocabulary-sized map, no shuffle until the
     * final subword aggregate (itself vocabulary-bounded). */
   def bpeEncodeFreq(docs: DataFrame, vocabSize: Int, rounds: Int,
       topN: Int): DataFrame = {
@@ -811,7 +811,7 @@ object TextAnalysis {
   /** WITH-body fragment shared by t16/t17's oracles: `aw` (ALL alpha
     * word frequencies), `w0` (its top-`v` char-split), and the
     * `rounds`-deep training chain `p_k`/`b_k`/`w_k` (pair counts →
-    * argmax merge → applied merge \u2014 the g01/g03 bounded-rounds
+    * argmax merge → applied merge — the g01/g03 bounded-rounds
     * unrolled-CTE pattern). */
   private def bpeTrainSql(v: Int, rounds: Int): String = {
     val base =
@@ -841,7 +841,7 @@ object TextAnalysis {
     s"$base,\n$roundCtes"
   }
 
-  /** t16 \u2014 registered BPE induction: top-200 words, 8 merge rounds,
+  /** t16 — registered BPE induction: top-200 words, 8 merge rounds,
     * mirrored in DuckDB as an unrolled CTE. */
   val bpeInduction: QueryDef = {
     val V = 200
@@ -855,18 +855,18 @@ object TextAnalysis {
       Some(s"WITH ${bpeTrainSql(V, R)}\n$union ORDER BY round"))
   }
 
-  /** t17 \u2014 BPE encoding: the apply side of t16 as a registered query.
+  /** t17 — BPE encoding: the apply side of t16 as a registered query.
     * Trains the same 8 merges, tokenizes the FULL alpha word stream,
     * reports the top-100 subwords by weighted usage. The DuckDB mirror
     * re-derives the merges with t16's training chain and applies them
-    * in a chained-CTE replace cascade over `aw` \u2014 bit-exact end to end
+    * in a chained-CTE replace cascade over `aw` — bit-exact end to end
     * (training AND application both proved against the oracle). */
   val bpeEncode: QueryDef = {
     val V = 200
     val R = 8
     val topN = 100
     // each apply stage LEFT-joins its merge rule: if training exhausted
-    // before round k (b_k empty \u2014 the case bpeMergesFromFreq's early
+    // before round k (b_k empty — the case bpeMergesFromFreq's early
     // stop handles on the Spark side), the cross-join form would empty
     // the whole chain; the left join passes syms through unchanged
     val applyCtes =
@@ -900,20 +900,20 @@ object TextAnalysis {
                FROM agg ORDER BY rank"""))
   }
 
-  /** t18 \u2014 readability scoring (Flesch reading-ease + Flesch-Kincaid
+  /** t18 — readability scoring (Flesch reading-ease + Flesch-Kincaid
     * grade, Kincaid et al. 1975): the document-level fluency gate
     * corpus pipelines run next to t02's surface-quality score. Words
     * are whitespace tokens, sentences are terminal-punctuation runs
-    * (`[.!?]+`), syllables the standard vowel-group proxy \u2014 all three
+    * (`[.!?]+`), syllables the standard vowel-group proxy — all three
     * INTEGER counts from one regex pass each, clamped ≥ 1 so the
     * ratios are total.
     *
     * Determinism: both formulas are literal-constant multiplies over
     * two exact integer divisions, built with the identical expression
-    * tree in both engines \u2014 each IEEE op is correctly rounded, so the
+    * tree in both engines — each IEEE op is correctly rounded, so the
     * doubles agree bit-for-bit before the final round(4).
     *
-    * Scale shape: pure per-row projection \u2014 three codegen'd regex
+    * Scale shape: pure per-row projection — three codegen'd regex
     * counts, no shuffle but the output sort. At 100 TB this runs
     * entirely inside the scan stage. */
   val readability: QueryDef = QueryDef(
@@ -965,9 +965,9 @@ object TextAnalysis {
                   - 15.59, 4) AS fk_grade
               FROM c ORDER BY doc_id"""))
 
-  /** t19 \u2014 lexical-diversity profile per document: type-token ratio,
+  /** t19 — lexical-diversity profile per document: type-token ratio,
     * Simpson's repeat rate D = Σf(f−1) / N(N−1) (the probability two
-    * token draws are the same type), and Yule's K = 10⁴·(Σf²−N)/N² \u2014
+    * token draws are the same type), and Yule's K = 10⁴·(Σf²−N)/N² —
     * the standard length-robust vocabulary-richness statistics a
     * pretraining quality gate runs next to t02/t09 (templated or
     * looping documents score high K / high D; rich prose scores low).
@@ -977,7 +977,7 @@ object TextAnalysis {
     * single IEEE divisions of exact integers built with the identical
     * expression tree in both engines, then round(6)/round(4).
     *
-    * Scale shape: explode → (doc, token) hash agg → (doc) hash agg \u2014
+    * Scale shape: explode → (doc, token) hash agg → (doc) hash agg —
     * two shuffles on keys that only ever grow with corpus size, never
     * with vocabulary skew (the inner key is (doc_id, tok), so one hot
     * token across many docs never concentrates on one reducer). The
@@ -1026,24 +1026,24 @@ object TextAnalysis {
                  CAST(n_tokens * n_tokens AS DOUBLE)), 4) AS yule_k
             FROM a ORDER BY doc_id"""))
 
-  /** t20 \u2014 RAKE keyword extraction (Rose et al., "Automatic Keyword
+  /** t20 — RAKE keyword extraction (Rose et al., "Automatic Keyword
     * Extraction from Individual Documents", 2010): candidate phrases
     * are the maximal runs of tokens between stopword delimiters
-    * (gaps-and-islands over the token stream \u2014 q50's idiom on text);
+    * (gaps-and-islands over the token stream — q50's idiom on text);
     * each word scores deg(w)/freq(w) within its document (deg = Σ
     * lengths of the doc's phrases containing w, freq = occurrence
     * count); a phrase scores the sum of its word scores; top-2
     * distinct phrases per document.
     *
     * Determinism: deg and freq are exact integers; the word score is
-    * SCALED INTEGER division ((deg·1000) DIV freq \u2014 RAKE's ordering
+    * SCALED INTEGER division ((deg·1000) DIV freq — RAKE's ordering
     * is preserved, float never enters); ranking ties break on the
     * phrase string. Identical phrases within a doc collapse (their
     * scores are equal by construction) with an occurrence count.
     *
     * Scale shape: islands need ONE (doc-keyed) window over token
     * positions; word stats and phrase scores are (doc_id, tok)- and
-    * (doc_id, island)-keyed hash aggs \u2014 every shuffle key contains
+    * (doc_id, island)-keyed hash aggs — every shuffle key contains
     * doc_id, so corpus growth adds reducers, never widens one. */
   val rakeKeywords: QueryDef = {
     val stop = Seq("the", "a", "of", "and", "in", "to", "is", "on",
@@ -1135,9 +1135,9 @@ object TextAnalysis {
                ORDER BY doc_id, rank"""))
   }
 
-  /** t21 \u2014 language-ID evaluation harness: the confusion matrix of
+  /** t21 — language-ID evaluation harness: the confusion matrix of
     * t01's classifier against the corpus's labeled `lang` column, with
-    * per-true-language recall \u2014 the classifier-quality report every
+    * per-true-language recall — the classifier-quality report every
     * multilingual curation pipeline keeps next to the classifier itself
     * (s08/d17's harness idiom applied to lang ID). One row per
     * (true, predicted) cell.
@@ -1173,18 +1173,18 @@ object TextAnalysis {
                           AS DOUBLE), 6) AS recall
              FROM cells ORDER BY lang, pred_lang"""))
 
-  /** t22 \u2014 Gopher-style quality-rule battery (Rae et al., "Scaling
+  /** t22 — Gopher-style quality-rule battery (Rae et al., "Scaling
     * Language Models: \u2026 Gopher", 2021, Appendix A1): the canonical
-    * pretraining document gates \u2014 word-count bounds, mean-word-length
+    * pretraining document gates — word-count bounds, mean-word-length
     * bounds, symbol-to-word ratio, bullet-line fraction, alphabetic-
-    * word fraction, minimum distinct stopwords \u2014 as one per-document
+    * word fraction, minimum distinct stopwords — as one per-document
     * PASS/FAIL report with every sufficient statistic alongside.
     * t02 scores quality continuously; t22 is the rule-gate form
     * production filters actually ship.
     *
     * Determinism: every rule is an INTEGER cross-multiplied
     * comparison (mean length ∈ [3,10] becomes 3n ≤ Σlen ≤ 10n; 80%
-    * becomes 5·hits ≥ 4·n) \u2014 no division, no float anywhere.
+    * becomes 5·hits ≥ 4·n) — no division, no float anywhere.
     *
     * Scale shape: pure per-row projection inside the scan stage; the
     * only shuffle is the output sort. */
@@ -1349,16 +1349,16 @@ object TextAnalysis {
            FROM agg ORDER BY rule"""
     })
 
-  /** t23 \u2014 Zipf rank-frequency fit per source (Zipf, "Human Behavior
+  /** t23 — Zipf rank-frequency fit per source (Zipf, "Human Behavior
     * and the Principle of Least Effort", 1949): OLS slope/intercept of
     * ln(freq) against ln(rank) over each source's top-50 token ranks.
     * Natural corpora sit near slope −1; a source whose slope is far off
-    * is machine-generated, templated, or mis-encoded \u2014 the
+    * is machine-generated, templated, or mis-encoded — the
     * distribution-shape complement to t02's per-document scores and
     * t19's type-token diversity.
     *
-    * Determinism: the per-rank regressors are integerized ONCE \u2014
-    * x = CAST(round(ln(rank)·10⁶)), y = CAST(round(ln(freq)·10⁶)) \u2014
+    * Determinism: the per-rank regressors are integerized ONCE —
+    * x = CAST(round(ln(rank)·10⁶)), y = CAST(round(ln(freq)·10⁶)) —
     * so every sum (Σx, Σy, Σxy, Σx²) is an exact order-independent
     * long; the slope/intercept are ONE double expression over those
     * four longs, then round(6). Sub-ulp ln() divergence between
@@ -1367,7 +1367,7 @@ object TextAnalysis {
     *
     * Scale shape: one token-count aggregate (map-side combined), a
     * rank window per source (sources are a bounded partition key), and
-    * a 50-row-per-source bounded tail \u2014 the corpus shuffles only
+    * a 50-row-per-source bounded tail — the corpus shuffles only
     * (source, token, count) triples, never text. */
   val zipfFit: QueryDef = {
     val topR = 50
@@ -1433,9 +1433,9 @@ object TextAnalysis {
                FROM sums ORDER BY source"""))
   }
 
-  /** t24 \u2014 token burstiness profile (Church & Gale, "Poisson
+  /** t24 — token burstiness profile (Church & Gale, "Poisson
     * mixtures", JNLE 1995): for the corpus's top-30 tokens, the
-    * variance-to-mean ratio of the per-document count \u2014 content words
+    * variance-to-mean ratio of the per-document count — content words
     * are "bursty" (VMR ≫ 1: absent from most docs, repeated when
     * present), function words Poisson-like (VMR ≈ 1). The
     * distribution-shape complement to t23's rank-frequency fit; a
@@ -1443,12 +1443,12 @@ object TextAnalysis {
     * band.
     *
     * Determinism: per-token document frequency, Σc and Σc² over ALL N
-    * corpus docs (absent docs contribute zeros \u2014 only the moments
+    * corpus docs (absent docs contribute zeros — only the moments
     * need N, not a dense frame) are exact longs (c is a within-doc
     * count, so c² stays far under 2⁶³);
     * VMR = var/mean = (N·Q − S²)/(N·S) is ONE IEEE division, with the
-    * N·Q, S², N·S products widened to exact 128-bit-class integers \u2014
-    * DECIMAL(38,0) in Spark, HUGEINT in DuckDB \u2014 because S² for a
+    * N·Q, S², N·S products widened to exact 128-bit-class integers —
+    * DECIMAL(38,0) in Spark, HUGEINT in DuckDB — because S² for a
     * high-frequency token crosses 2⁶³ around S ≈ 3·10⁹, well inside
     * 100 TB scale, and Spark LongType would wrap silently while DuckDB
     * would not (the st16/x36 widening discipline). Both engines
@@ -1457,7 +1457,7 @@ object TextAnalysis {
     *
     * Scale shape: one (token)-keyed aggregate of per-doc counts
     * (map-side combined), a 1-row corpus-count scalar broadcast, a
-    * bounded 30-row output \u2014 text never shuffles, no windows. */
+    * bounded 30-row output — text never shuffles, no windows. */
   val tokenBurstiness: QueryDef = {
     val topT = 30
     QueryDef(
@@ -1503,7 +1503,7 @@ object TextAnalysis {
                ORDER BY s DESC, tok LIMIT $topT"""))
   }
 
-  /** t25 \u2014 bigram-LM perplexity quality filter (Wenzek et al., "CCNet:
+  /** t25 — bigram-LM perplexity quality filter (Wenzek et al., "CCNet:
     * Extracting high quality monolingual datasets from web crawl
     * data", LREC 2020 §3: score every document under a language model;
     * low perplexity ≈ fluent, the head of the corpus). The model is a
@@ -1513,15 +1513,15 @@ object TextAnalysis {
     * c(w1·) the bigram-prefix count and V the training vocabulary.
     *
     * Determinism: every count is an exact long; each bigram's log-prob
-    * is integerized ONCE \u2014 round(ln(p)·10⁶) on the identical IEEE
-    * division of identical longs (t23's ln discipline) \u2014 so the
+    * is integerized ONCE — round(ln(p)·10⁶) on the identical IEEE
+    * division of identical longs (t23's ln discipline) — so the
     * per-doc sum is an exact order-free long; ppl = exp(−Σlp/(10⁶·n))
     * is ONE exp() on an engine-identical double, round(6). Bigrams are
     * defined over the RAW split-on-space sequence with any pair
-    * touching an empty token dropped \u2014 pure list indexing, no windows,
+    * touching an empty token dropped — pure list indexing, no windows,
     * engine-identical by construction.
     *
-    * Scale shape: the LM is a TABLE, not a broadcast \u2014 at 100 TB a
+    * Scale shape: the LM is a TABLE, not a broadcast — at 100 TB a
     * trained n-gram model does not fit one executor, so heldout
     * bigrams meet the bigram and prefix counts in two shuffle
     * equi-joins on token keys (KenLM-as-a-join); V is a |langs|-row
@@ -1614,18 +1614,18 @@ object TextAnalysis {
                FROM agg ORDER BY doc_id"""))
   }
 
-  /** t26 \u2014 Unicode spoof / injection scanner (Unicode TS #39
+  /** t26 — Unicode spoof / injection scanner (Unicode TS #39
     * confusable detection; Boucher & Anderson, "Trojan Source:
-    * Invisible Vulnerabilities", USENIX Security 2023 \u2014 bidi-control
+    * Invisible Vulnerabilities", USENIX Security 2023 — bidi-control
     * smuggling): per document, counts of zero-width characters, bidi
-    * control characters, and Cyrillic homoglyphs of Latin letters \u2014
+    * control characters, and Cyrillic homoglyphs of Latin letters —
     * the three channels used to poison or watermark web-scraped
     * training corpora while reading "clean" to the eye. The fixture
     * corpus is pure ASCII, so the query first builds the INCOMING
     * corpus by deterministically tainting an md5-keyed quarter of the
     * docs (the x26/x38 fixture idiom: homoglyph substitution, ZWSP
-    * insertion, or a bidi-override wrap), then the detector \u2014 blind to
-    * the injection \u2014 classifies every doc.
+    * insertion, or a bidi-override wrap), then the detector — blind to
+    * the injection — classifies every doc.
     *
     * Determinism: taint selection is the doc_id md5 byte fold (d10's
     * portable hash); all counts are length-difference integers off the
@@ -1634,7 +1634,7 @@ object TextAnalysis {
     * division. All-BMP codepoints, so Spark's UTF-16 length and
     * DuckDB's codepoint length agree.
     *
-    * Scale shape: pure per-row projection \u2014 no shuffle at any scale
+    * Scale shape: pure per-row projection — no shuffle at any scale
     * beyond the final output sort. */
   val confusableSpoof: QueryDef = {
     // ASCII-only source: every non-ASCII codepoint enters via \u escape

@@ -123,6 +123,16 @@ object LateDataAudit {
 
     var maxSeenMs = Long.MinValue
     var prevDropped = 0L
+    // the expected-drop derivation below assumes each non-empty delivery
+    // runs as EXACTLY ONE input-bearing micro-batch with the watermark
+    // frozen from the prior delivery; a trigger/config that splits a
+    // delivery (maxOffsetsPerTrigger-style limits, future engine
+    // changes) would silently desynchronize observed vs expected — so
+    // the batch count is asserted per delivery and a split fails with a
+    // diagnosis instead of a confusing drop-count mismatch
+    var nonEmptyDeliveries = 0
+    def inputBatches(): Int =
+      q.recentProgress.count(_.numInputRows > 0)
     val stats = (0 until nBatches).map { k =>
       val batch = byBatch.getOrElse(k, Seq.empty)
       // the engine's watermark for THIS batch is frozen from the data
@@ -133,6 +143,13 @@ object LateDataAudit {
         batch.count(e => hourWindowEndMs(e.ts) <= wmMs).toLong
       in.addData(batch.map(e => (e.eventId, e.ts, e.eventType, e.value)): _*)
       q.processAllAvailable()
+      if (batch.nonEmpty) nonEmptyDeliveries += 1
+      val seenInputBatches = inputBatches()
+      require(seenInputBatches == nonEmptyDeliveries,
+        s"delivery $k did not run as one micro-batch: $seenInputBatches " +
+          s"input-bearing micro-batches for $nonEmptyDeliveries non-empty " +
+          "deliveries — the frozen-watermark expected-drop derivation no " +
+          "longer holds (did a trigger limit split the batch?)")
       val nowDropped = droppedSoFar()
       val obs = nowDropped - prevDropped
       prevDropped = nowDropped
