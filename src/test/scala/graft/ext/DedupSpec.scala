@@ -165,6 +165,43 @@ class DedupSpec extends AnyFunSuite {
     assert(long <= short + 1, s"plan depth grew with rounds: $short -> $long")
   }
 
+  test("multi-probe simhash equals brute-force all-pairs at hamming ≤ 7 (sf0.001 corpus)") {
+    // the d03 contract (restated r11): output EXACTLY the all-pairs
+    // result at radius 7, via a (band, value) equi-join — multi-index
+    // pigeonhole: ≤ 7 errors over 4 bands leave some band with ≤ 1,
+    // and probe radius 1 enumerates every such band value
+    val corpus = graft.core.Tables.documents(spark, TestSpark.sf0001)
+    val mp = Dedup.multiProbePairs(Dedup.simhash(corpus), 16, 4, 7)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Int]("hamming")).toMap
+    val sh = Dedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 7
+    } yield (a, b) -> h).toMap
+    assert(mp == exact)
+    // the fixture plants exact clones, so the radius-7 family is
+    // non-trivial — an empty intersection would vacuously pass
+    assert(exact.nonEmpty)
+  }
+
+  test("d21 multi-probe over md5 signatures (4×15-bit bands) is exact at ≤ 7") {
+    val mp = Dedup.multiProbePairs(Dedup.simhashMd5(docs), 15, 4, 7)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Int]("hamming")).toMap
+    val sh = Dedup.simhashMd5(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 7
+    } yield (a, b) -> h).toMap
+    assert(mp == exact)
+    assert(mp.contains((0L, 1L)) && mp((0L, 1L)) == 0) // identical docs
+  }
+
   test("banded simhash at hamming ≤ 3 equals all-pairs exactly (pigeonhole recall)") {
     // 3 differing bits can dirty at most 3 of the 4 16-bit bands, so one
     // band always collides: the d09 banded path is EXACT at this radius

@@ -67,7 +67,6 @@ class PlanGuardSpec extends AnyFunSuite {
     "e11_kmv_set_algebra" -> "four 1-row sketch/exact summaries crossJoined into the single output row (e05's idiom)",
     "ml02b_stump_exact" -> "1-row totals frame crossJoined onto the 12-row month aggregate (e05's idiom)",
     "q45_not_in_null_semantics" -> "ANSI NOT-IN null semantics: Spark's null-aware anti form",
-    "d03_dedup_simhash" -> "documented all-pairs BASELINE; banded twins d09/d11 registered",
     "d05_dedup_embedding" -> "documented all-pairs BASELINE; bucketed twins s02/s04/s05 registered",
     "s12_knn_classify" -> "bounded evaluation-panel broadcast (s01's idiom; corpus never shuffles)",
     "t24_token_burstiness" -> "1-row corpus-size scalar broadcast (t07/x09's idiom)",
