@@ -146,26 +146,47 @@ object Bench {
 
   /** The one structured stdout line the driver parses. The log tail
     * kept by callers is ~2000 chars and sbt's trailing "[success] Total
-    * time ..." line sits inside that window, so a full 89-query map
-    * (~3 kB) gets FRONT-truncated past parseability (BENCH_r01/r02 both
-    * lost their head this way). Budget the line: slowest queries first
-    * at 3 decimals, stop under the cap, and point at the tracked file
-    * for the omitted fast tail. Spec-guarded (BenchLineSpec): valid
-    * JSON, under budget, at any registry size. */
+    * time ..." line sits inside that window, so a full named map (~3 kB
+    * at 89 queries, ~7 kB at 259) gets FRONT-truncated past
+    * parseability (BENCH_r01/r02 both lost their head this way).
+    *
+    * The line therefore carries the COMPLETE per-query record in its
+    * densest form (VERDICT r10 ask #4 — the round artifact must parse
+    * to n == registry size with omitted 0): `"qv"` is every timing at
+    * 2 decimals IN INPUT (registry) ORDER — ~5.3 chars/query, so a
+    * ~275-query registry fits the 2000-char tail with room to spare —
+    * and `"omitted":0` records that nothing was dropped. Names resolve
+    * positionally against `SparkEntry.registry` (the committed code)
+    * or, with full precision, against the `"full"` file the
+    * `"full_sha"` field binds to. The human-readable `"queries"` named
+    * map keeps the slowest prefix that still fits after qv.
+    *
+    * If a future registry outgrows the window even at 2 decimals, qv
+    * drops and the line falls back to the legacy named-prefix-only form
+    * with an honest positive `omitted` (BenchLineSpec covers both
+    * modes). Spec-guarded: valid JSON, under budget, at any size. */
   def renderLine(results: Seq[(String, Double)], total: Double,
       outPath: String, sfDir: String, refocused: Int = 0,
       fullSha: String = ""): String = {
-    val budget = 1750
+    val budget = 1880
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // on comma-decimal locales would print "1,234" and corrupt the JSON
     def f3(v: Double) =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def f2(v: Double) =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val shaField =
       if (fullSha.isEmpty) "" else s""","full_sha":"$fullSha""""
-    val header = s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
+    val base = s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
       s""","n":${results.size},"refocused":$refocused""" +
-      s""","full":"$outPath"$shaField,"sf":"$sfDir","queries":{"""
+      s""","full":"$outPath"$shaField,"sf":"$sfDir""""
+    val qv = results.map(r => f2(r._2)).mkString("[", ",", "]")
+    val qvField = s""","order":"registry","qv":$qv"""
+    // 40 = room for the empty queries map + omitted tail
+    val useQv = base.length + qvField.length + 40 <= budget
+    val header = base + (if (useQv) qvField else "") + ""","queries":{"""
     val bySlowest = results.sortBy { case (_, v) => -v }
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
     val sb = new StringBuilder(header)
@@ -183,7 +204,8 @@ object Bench {
         sb.append(e); taken += 1
       } else fits = false
     }
-    sb.append(s"""},"omitted":${results.size - taken}}""")
+    val omitted = if (useQv) 0 else results.size - taken
+    sb.append(s"""},"omitted":$omitted}""")
     sb.toString
   }
 }

@@ -18,12 +18,42 @@ class BenchLineSpec extends AnyFunSuite {
     for (n <- Seq(0, 1, 50, 137, 500)) {
       val l = line(n)
       assert(!l.contains("\n"))
-      assert(l.length <= 1800, s"n=$n length=${l.length}")
+      assert(l.length <= 1900, s"n=$n length=${l.length}")
       val node = mapper.readTree(l) // throws on malformed JSON
       assert(node.get("metric").asText() == "total")
       assert(node.get("n").asInt() == n)
-      assert(node.get("queries").size() + node.get("omitted").asInt() == n)
+      // qv mode: the complete value vector is in the line, nothing
+      // omitted; legacy mode: the named prefix + omitted must tile n
+      if (node.get("qv") != null) {
+        assert(node.get("qv").size() == n)
+        assert(node.get("omitted").asInt() == 0)
+      } else
+        assert(node.get("queries").size() + node.get("omitted").asInt() == n)
     }
+  }
+
+  test("registry-scale line carries the COMPLETE qv vector with omitted 0") {
+    // ~280 queries at realistic magnitudes — the r11 registry shape;
+    // the round artifact must parse to n == registry size, omitted 0
+    // (VERDICT r10 ask #4)
+    val results = (1 to 280).map(i =>
+      (s"q${"%03d".format(i)}_some_long_query_name", (i % 40) / 7.5))
+    val l = Bench.renderLine(results, results.map(_._2).sum,
+      "bench_out.json", "/root/testdata/sf0.1", fullSha = Bench.sha16("x"))
+    assert(l.length <= 1900, s"length=${l.length}")
+    val node = mapper.readTree(l)
+    assert(node.get("omitted").asInt() == 0)
+    assert(node.get("qv").size() == 280)
+    assert(node.get("order").asText() == "registry")
+    // qv is positionally aligned with the input (registry) order at
+    // 2-decimal precision
+    assert(math.abs(node.get("qv").get(41).asDouble() - (42 % 40) / 7.5) < 0.005)
+    // the named slowest-prefix map still renders for human readers
+    assert(node.get("queries").size() > 0)
+    // failed (-1) timings survive the compact encoding
+    val withFail = Bench.renderLine(results.updated(0, (results(0)._1, -1.0)),
+      0.0, "o.json", "sf0.1")
+    assert(mapper.readTree(withFail).get("qv").get(0).asInt() == -1)
   }
 
   test("slowest queries survive truncation; omitted ones are the fastest") {
@@ -85,7 +115,7 @@ class BenchLineSpec extends AnyFunSuite {
       (s"q${"%03d".format(i)}_some_long_query_name", i / 100.0))
     val bigLine = Bench.renderLine(big, big.map(_._2).sum, "bench_out.json",
       "/root/testdata/sf0.1", fullSha = Bench.sha16("x"))
-    assert(bigLine.length <= 1800)
+    assert(bigLine.length <= 1900)
     mapper.readTree(bigLine)
   }
 
@@ -135,8 +165,15 @@ class BenchLineSpec extends AnyFunSuite {
     try {
       java.util.Locale.setDefault(java.util.Locale.GERMANY)
       val l = line(3)
-      mapper.readTree(l)
-      assert(!l.matches("""(?s).*\d,\d.*"""), l)
+      // a comma DECIMAL separator ("0,01") would split a number into
+      // two JSON tokens ("01" with a leading zero is malformed) —
+      // readTree throws on either, and the parsed values confirm the
+      // dot-decimal rendering survived the locale (the qv array's
+      // legitimate element separators make a raw digit-comma-digit
+      // regex a false positive here)
+      val node = mapper.readTree(l)
+      assert(math.abs(node.get("value").asDouble() - 0.06) < 1e-9, l)
+      assert(math.abs(node.get("qv").get(2).asDouble() - 0.03) < 1e-9, l)
     } finally java.util.Locale.setDefault(prev)
   }
 }
