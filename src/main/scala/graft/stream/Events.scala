@@ -897,10 +897,17 @@ object Events {
     * st05's enumeration join (alert only when a correlated event
     * exists; each error emits AT MOST ONCE however many clicks match,
     * which is the semantic difference from inner). Both sides carry
-    * watermarks and the predicate bounds event-time distance, so click
-    * state evicts exactly as in st05 — and semi state is strictly
-    * smaller: a matched error retires immediately instead of waiting
-    * for more matches. */
+    * watermarks and the predicate bounds event-time distance, so state
+    * evicts exactly as in st05.
+    *
+    * State note (REVISED by the r11 StateSizeAudit, which measured the
+    * engine rather than assuming): state ROW counts equal st05's — the
+    * symmetric hash join stores both sides until watermark eviction in
+    * every mode, flagging (not dropping) a semi-matched error. What
+    * the semi form saves at scale is state BYTES (the click side
+    * carries no enumeration payload columns) and OUTPUT cardinality
+    * (at most one row per error, no click multiplication) — see
+    * STATE_SIZE.json. */
   def errorWithClickSemi(
       clicks: DataFrame, errors: DataFrame,
       watermark: String = "30 minutes"): DataFrame = {
