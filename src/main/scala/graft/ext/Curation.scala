@@ -3143,6 +3143,85 @@ object Curation {
                FROM cohort ORDER BY planted"""))
   }
 
+  /** x50 — NEYMAN ALLOCATION of an evaluation/labeling budget across
+    * strata (Neyman 1934; the survey-sampling optimum: sample counts ∝
+    * N_h·σ_h, minimizing estimator variance for a fixed budget — the
+    * principled version of the proportional split every eval-set
+    * builder starts with). Strata are market segments; σ_h is the
+    * population sd of account balance in EXACT integer cents:
+    *
+    *   - sufficient statistics per stratum: (n, Σc, Σc²) as BIGINT —
+    *     one partial-aggregable scan, order-free;
+    *   - sd_cents = floor(sqrt(n·Σc² − (Σc)²) / n) — sqrt/div/floor
+    *     are the same IEEE ops on both engines, then INTEGERIZED so
+    *     every downstream sum/ratio is exact 64-bit arithmetic (the
+    *     cross-row-double-sum trap never opens);
+    *   - weights w = n·sd_cents, floor allocation (B·w) DIV W, and the
+    *     remaining seats assigned largest-remainder ((B·w) mod W,
+    *     segment-name tiebreak) — textbook exact apportionment.
+    *
+    * Bounds: cents ≤ 10⁶ → Σc² ≤ n·10¹², fine to sf2.0 probe scale;
+    * B·w ≤ 10³·n·sd ≲ 10¹⁵ « 2⁶³. Scale shape: corpus work is the one
+    * groupBy(segment) scan; allocation runs on the segment-domain
+    * frame (bounded global windows whitelisted like x17's). */
+  val neymanAllocation: QueryDef = {
+    val B = 1000L
+    QueryDef(
+      "x50_neyman_allocation",
+      (s, d) => {
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.customer(s, d)
+          .select(col("c_mktsegment").as("segment"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("c"))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n_h"), sum("c").as("sc"),
+            sum(expr("c * c")).as("scc"))
+          .withColumn("sd_cents", expr(
+            """CAST(floor(sqrt(CAST(n_h * scc - sc * sc AS DOUBLE))
+                 / CAST(n_h AS DOUBLE)) AS BIGINT)"""))
+          .withColumn("w", expr("n_h * sd_cents"))
+          .withColumn("wt", sum("w").over(wAll))
+          .withColumn("alloc0", expr(s"($B * w) DIV wt"))
+          .withColumn("rem", expr(s"($B * w) % wt"))
+          .withColumn("seats", lit(B) - sum("alloc0").over(wAll))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("rem").desc, col("segment"))))
+          .withColumn("n_alloc",
+            expr("alloc0 + CASE WHEN rk <= seats THEN 1 ELSE 0 END"))
+          .select("segment", "n_h", "sd_cents", "n_alloc")
+          .orderBy("segment")
+      },
+      Some(s"""WITH c AS (
+                 SELECT c_mktsegment AS segment,
+                        CAST(round(c_acctbal * 100) AS BIGINT) AS c
+                 FROM customer),
+               stats AS (
+                 SELECT segment, CAST(count(*) AS BIGINT) AS n_h,
+                        CAST(sum(c) AS BIGINT) AS sc,
+                        CAST(sum(c * c) AS BIGINT) AS scc
+                 FROM c GROUP BY 1),
+               sd AS (
+                 SELECT *,
+                   CAST(floor(sqrt(CAST(n_h * scc - sc * sc AS DOUBLE))
+                        / CAST(n_h AS DOUBLE)) AS BIGINT) AS sd_cents
+                 FROM stats),
+               w AS (
+                 SELECT *, n_h * sd_cents AS w,
+                   sum(n_h * sd_cents) OVER () AS wt
+                 FROM sd),
+               a AS (
+                 SELECT *, ($B * w) // wt AS alloc0, ($B * w) % wt AS rem,
+                   $B - sum(($B * w) // wt) OVER () AS seats,
+                   row_number() OVER (ORDER BY ($B * w) % wt DESC, segment)
+                     AS rk
+                 FROM w)
+               SELECT segment, n_h, sd_cents,
+                 CAST(alloc0 + CASE WHEN rk <= seats THEN 1 ELSE 0 END
+                      AS BIGINT) AS n_alloc
+               FROM a ORDER BY segment"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -3156,5 +3235,6 @@ object Curation {
       temperatureMix, datasetCard, canonicalSelection, weightedSample,
       epochShuffle, dpRelease, psiDrift, blocklistGate, curriculumOrder,
       sourceOverlap, shardSkew, dupClusterStats, unimaxAllocation,
-      doremiStep, pairAuditSample, lDiversity, decontaminationDrill)
+      doremiStep, pairAuditSample, lDiversity, decontaminationDrill,
+      neymanAllocation)
 }

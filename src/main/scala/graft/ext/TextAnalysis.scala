@@ -2137,6 +2137,62 @@ object TextAnalysis {
                FROM j GROUP BY 1 ORDER BY 1"""))
   }
 
+  /** t33 — vocabulary-growth (Heaps-law) curve: type count V vs token
+    * count N over NESTED corpus prefixes (Heaps 1978, V ≈ K·N^β — the
+    * curve every tokenizer-budget and dedup-saturation analysis starts
+    * from; a corpus whose curve flattens early is duplication-heavy).
+    *
+    * The nesting trick makes it ONE pass instead of four: docs hash
+    * into 4 buckets (doc_id % 4); prefix k = buckets 0..k. A type is
+    * in vocab_k iff its MINIMUM bucket ≤ k, so `group tokens → min
+    * bucket → count by min bucket → prefix-sum` yields every nested
+    * distinct count without re-scanning — the decomposable form of
+    * cumulative COUNT(DISTINCT). Token totals prefix-sum the per-
+    * bucket counts. Output: 4 exact integer points (prefix, n_tokens,
+    * n_vocab); the K/β fit is a reader-side two-point division —
+    * cross-engine log() is deliberately NOT emitted (ln is not
+    * IEEE-exactness-guaranteed between engines; the integer points
+    * are).
+    *
+    * Scale shape: corpus work is one explode → two hash aggs (token-
+    * keyed, then bucket-keyed); prefix sums run on the 4-row bucket
+    * frame (bounded global window, whitelisted like x11's). */
+  val vocabGrowth: QueryDef = QueryDef(
+    "t33_vocab_growth",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select((col("doc_id") % 4).as("b"),
+          explode(split(col("text"), " ")).as("tok"))
+      val perBucket = toks.groupBy("b").agg(count(lit(1)).as("n_toks"))
+      val firstSeen = toks.groupBy("tok").agg(min("b").as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n_new"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perBucket.join(firstSeen, Seq("b"), "left")
+        .na.fill(0L, Seq("n_new"))
+        .withColumn("n_tokens", sum("n_toks").over(w))
+        .withColumn("n_vocab", sum("n_new").over(w))
+        .select(col("b").as("prefix"), col("n_tokens"), col("n_vocab"))
+        .orderBy("prefix")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id % 4 AS b, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            pb AS (
+              SELECT b, CAST(count(*) AS BIGINT) AS n_toks
+              FROM toks GROUP BY 1),
+            fs AS (SELECT tok, min(b) AS b FROM toks GROUP BY tok),
+            nv AS (SELECT b, CAST(count(*) AS BIGINT) AS n_new
+                   FROM fs GROUP BY 1)
+            SELECT pb.b AS prefix,
+              CAST(sum(pb.n_toks) OVER (ORDER BY pb.b) AS BIGINT)
+                AS n_tokens,
+              CAST(sum(coalesce(nv.n_new, 0)) OVER (ORDER BY pb.b)
+                AS BIGINT) AS n_vocab
+            FROM pb LEFT JOIN nv USING (b)
+            ORDER BY prefix"""))
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
@@ -2144,5 +2200,5 @@ object TextAnalysis {
       readability, lexicalDiversity, rakeKeywords, langIdConfusion,
       gopherRules, zipfFit, tokenBurstiness, bigramPerplexity,
       confusableSpoof, textrank, ruleAblation, ngramNovelty, bpeFertility,
-      jsDivergence, vocabOov)
+      jsDivergence, vocabOov, vocabGrowth)
 }

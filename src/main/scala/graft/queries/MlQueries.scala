@@ -1450,9 +1450,82 @@ object MlQueries {
                FROM t ORDER BY event_type"""))
   }
 
+  /** ml17 — ridge regularization path, CLOSED FORM from the same exact
+    * BIGINT sufficient statistics as ml01b (one aggregate over orders;
+    * the regulated twin of its OLS row). For the centered 1-feature
+    * model min Σ(y − a − bx)² + λb²:
+    *
+    *   b(λ) = Sxy_c / (Sxx_c + λ) = (n·sxy − sx·sy) / (n·sxx − sx² + n²λ)
+    *   a(λ) = (sy − b·sx) / n,   shrinkage = Sxx_c / (Sxx_c + λ)
+    *
+    * (both numerator and denominator stay EXACT integers after scaling
+    * by n — the derivation multiplies through by n², so λ enters as
+    * n²λ). The λ grid rides a 4-row literal frame crossJoined onto the
+    * 1-row statistics (e05's idiom); every per-λ value is the same
+    * IEEE division on both engines → hash-exact, no rounding. λ = 0
+    * reproduces ml01b's slope exactly — asserted in the spec.
+    *
+    * Scale shape: the corpus-sized work is ONE partial-aggregable
+    * scan; the path evaluation is 4 rows of arithmetic. This is the
+    * 100 TB pattern for hyperparameter paths over linear models:
+    * sufficient statistics once, the entire path closed-form. */
+  val ridgePath: QueryDef = {
+    val lambdas = Seq(0L, 10L, 100L, 1000L)
+    QueryDef(
+      "ml17_ridge_path",
+      (s, d) => {
+        val stats = Tables.orders(s, d)
+          .select(
+            month(col("o_orderdate")).cast("long").as("x"),
+            expr("CAST(floor(o_totalprice / 100e0) AS BIGINT)").as("y"))
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        val grid = lambdas.map(l => s"CAST($l AS BIGINT)").mkString(",")
+        stats.crossJoin(
+          stats.sparkSession.sql(
+            s"SELECT explode(array($grid)) AS lambda"))
+          .withColumn("slope", expr(
+            """CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx + n * n * lambda AS DOUBLE)"""))
+          .withColumn("intercept", expr(
+            "(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"))
+          .withColumn("shrinkage", expr(
+            """CAST(n * sxx - sx * sx AS DOUBLE)
+               / CAST(n * sxx - sx * sx + n * n * lambda AS DOUBLE)"""))
+          .select("lambda", "n", "slope", "intercept", "shrinkage")
+          .orderBy("lambda")
+      },
+      Some(s"""WITH q AS (
+                 SELECT CAST(month(o_orderdate) AS BIGINT) AS x,
+                        CAST(floor(o_totalprice / 100e0) AS BIGINT) AS y
+                 FROM orders),
+               s AS (
+                 SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(x) AS BIGINT) AS sx,
+                        CAST(sum(y) AS BIGINT) AS sy,
+                        CAST(sum(x * y) AS BIGINT) AS sxy,
+                        CAST(sum(x * x) AS BIGINT) AS sxx
+                 FROM q),
+               g AS (SELECT unnest([${lambdas.mkString(", ")}]) AS lambda),
+               p AS (
+                 SELECT CAST(g.lambda AS BIGINT) AS lambda, s.*,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx + n * n * g.lambda AS DOUBLE)
+                     AS slope,
+                   CAST(n * sxx - sx * sx AS DOUBLE)
+                     / CAST(n * sxx - sx * sx + n * n * g.lambda AS DOUBLE)
+                     AS shrinkage
+                 FROM s, g)
+               SELECT lambda, n, slope,
+                 (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS intercept,
+                 shrinkage
+               FROM p ORDER BY lambda"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
       lofoImportance, abWelch, cupedReadout, naiveBayes, poissonBootstrap,
-      woeIv, ksTest, tostEquivalence)
+      woeIv, ksTest, tostEquivalence, ridgePath)
 }

@@ -107,7 +107,8 @@ object Events {
   def clickErrorJoin(
       clicks: DataFrame, errors: DataFrame,
       watermark: String = "30 minutes",
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      interval: String = "INTERVAL 1 HOUR"): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("user_id").as("c_uid"), col("ts").as("click_ts"),
         col("value").as("click_value"))
@@ -117,7 +118,7 @@ object Events {
     e.join(c,
       col("e_uid") === col("c_uid") &&
         col("click_ts") <= col("error_ts") &&
-        col("click_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR"),
+        col("click_ts") >= col("error_ts") - expr(interval),
       joinType)
       // coalesce carries the key for OUTER unmatched rows of either
       // side (for inner/left the e side is always present — unchanged)
@@ -950,6 +951,65 @@ object Events {
                 AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR)
             ORDER BY error_id"""))
 
+  /** Streaming CEP alarm: errors preceded by ≥ `minClicks` same-user
+    * clicks within 24 hours — the thresholded-correlation sequence
+    * pattern (burst-then-failure), one step up from st17's EXISTS.
+    * CHAINED STATEFUL operators in one query (SPARK-42376): the
+    * watermarked interval join enumerates (error, click) matches, then
+    * a windowed count over the join output aggregates them — the
+    * tumbling window over error_ts gives the aggregation its
+    * event-time eviction horizon, and is dropped from the output (each
+    * error lives in exactly one window, so it adds no grouping
+    * information — it exists purely to make append-mode emission
+    * watermark-driven). Both states evict on the same watermark.
+    *
+    * Scale shape: one user-keyed interval equi-join + one
+    * (error)-keyed hash agg; every key contains user/error ids, so
+    * corpus growth adds reducers. */
+  def cepAlarmStream(clicks: DataFrame, errors: DataFrame,
+      watermark: String = "30 minutes", minClicks: Int = 2): DataFrame =
+    clickErrorJoin(clicks, errors, watermark,
+      interval = "INTERVAL 24 HOURS")
+      .groupBy(window(col("error_ts"), "1 hour"), col("user_id"),
+        col("error_id"))
+      // error_ts is functionally determined by error_id; aggregating it
+      // (instead of grouping by it) keeps exactly ONE event-time column
+      // in the aggregate keys — the engine rejects two (window + raw ts)
+      .agg(count(lit(1)).as("n_clicks"), max("error_ts").as("error_ts"))
+      .filter(col("n_clicks") >= minClicks)
+      .select("user_id", "error_id", "error_ts", "n_clicks")
+
+  /** st21 — the batch form of [[cepAlarmStream]] (StreamingSpec proves
+    * stream==batch): same join + count, no eviction window needed.
+    * The DuckDB mirror is the correlated interval join with HAVING. */
+  val cepAlarmQ: QueryDef = QueryDef(
+    "st21_cep_alarm",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      clickErrorJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "error"),
+        interval = "INTERVAL 24 HOURS")
+        .groupBy("user_id", "error_id")
+        .agg(count(lit(1)).as("n_clicks"), max("error_ts").as("error_ts"))
+        .filter(col("n_clicks") >= 2)
+        .select(col("user_id"), col("error_id"),
+          date_format(col("error_ts"), "yyyy-MM-dd HH:mm:ss").as("error_ts"),
+          col("n_clicks"))
+        .orderBy("error_id")
+    },
+    Some("""SELECT e.user_id, e.event_id AS error_id,
+            strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+            CAST(count(*) AS BIGINT) AS n_clicks
+            FROM events e
+            JOIN events c ON c.event_type = 'click'
+              AND c.user_id = e.user_id
+              AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 24 HOUR
+            WHERE e.event_type = 'error'
+            GROUP BY 1, 2, 3
+            HAVING count(*) >= 2
+            ORDER BY error_id"""))
+
   /** Two-level windowed rollup stage: 5-minute tumbling per-type counts
     * re-windowed into hourly summaries (total events, peak 5-minute
     * burst, live-bucket count). The second `groupBy` windows over
@@ -1110,5 +1170,5 @@ object Events {
       streamLeftJoinQ, dedupBatchQ, enrichQ, windowSketchQ, funnelQ,
       retentionQ, topTypesQ, streamFullJoinQ, runningMaxBatchQ,
       typeCountsBatchQ, windowAnomalyQ, streamSemiJoinQ, windowRollupQ,
-      dedupWithinWatermarkQ, sessionDynamicQ)
+      dedupWithinWatermarkQ, sessionDynamicQ, cepAlarmQ)
 }

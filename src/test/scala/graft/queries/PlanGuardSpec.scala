@@ -81,7 +81,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "ml07_learning_curve" -> "4x10 bounded budget-bucket theta join on the sufficient-statistics frame + 1-row eval-moments broadcast (e05's idiom)",
     "x43_shard_skew" -> "1-row fleet-totals broadcast onto the 32-row shard frame (e05's idiom)",
     "ml08_transfer_matrix" -> "lang-domain sufficient-statistics frame crossed with itself (|langs|^2 rows; ml07's idiom)",
-    "s16_rocchio_feedback" -> "bounded query-panel broadcast x2 (s01's idiom, round 1 + refined round 2; corpus never shuffles)")
+    "s16_rocchio_feedback" -> "bounded query-panel broadcast x2 (s01's idiom, round 1 + refined round 2; corpus never shuffles)",
+    "ml17_ridge_path" -> "1-row sufficient-statistics broadcast onto the 4-row lambda frame (e05's idiom)")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
@@ -104,7 +105,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "s17_ivf_balance" -> "health scalars over the per-CELL census frame (k = index parameter, bounded like s03's centroid panel), Similarity.scala",
     "x46_doremi_step" -> "normalizer Z / domain count over the per-SOURCE aggregate frame (source-domain bounded, x17's idiom), Curation.scala",
     "ml14_woe_iv" -> "class totals / IV sum over the 10-row fixed-bin frame (bin-domain bounded, x17's idiom), MlQueries.scala",
-    "ml15_ks_test" -> "ECDF cumulative + totals over the bounded DISTINCT-cent frame (value-domain bounded, x15/ml06's idiom), MlQueries.scala")
+    "ml15_ks_test" -> "ECDF cumulative + totals over the bounded DISTINCT-cent frame (value-domain bounded, x15/ml06's idiom), MlQueries.scala",
+    "t33_vocab_growth" -> "prefix sums over the 4-row bucket frame (x11's idiom), TextAnalysis.scala",
+    "x50_neyman_allocation" -> "allocation windows over the segment-domain (5-row) frame (x17's idiom), Curation.scala")
 
   /** name -> physical plan for every registered query. sparkPlan (the
     * pre-AQE physical plan) carries the concrete join/window nodes; a

@@ -224,6 +224,60 @@ class StreamingSpec extends AnyFunSuite {
       s"batch semi form disagrees with brute force: extra=${got -- expect}, missing=${expect -- got}")
   }
 
+  test("st21 CEP alarm: chained join+agg emits thresholded errors once, stream==batch") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String, Double)]
+    val errors = MemoryStream[(Long, Timestamp, String, Double)]
+    def df(m: MemoryStream[(Long, Timestamp, String, Double)]) =
+      m.toDF().toDF("event_id", "ts", "event_type", "value")
+        .withColumn("user_id", col("event_id") % 10)
+    // CHAINED stateful ops in one query (interval join -> windowed
+    // count): the engine must accept the plan and emit in append mode
+    // once the watermark passes the error's hour window
+    val q = Events.cepAlarmStream(df(clicks), df(errors),
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("cep_out")
+      .outputMode("append").start()
+    // user 1: TWO clicks then an error (alarm); user 2: ONE click then
+    // an error (below threshold)
+    clicks.addData((1L, tsH(10, 0), "click", 1.0),
+      (1L, tsH(10, 30), "click", 2.0), (2L, tsH(10, 10), "click", 3.0))
+    errors.addData((11L, tsH(10, 40), "error", 0.0),
+      (12L, tsH(10, 45), "error", 0.0))
+    q.processAllAvailable()
+    // flush: the chained aggregate's watermark is held back by the
+    // join's 24 h interval, so advance BOTH sides several days past
+    // the 10:xx window before expecting append-mode emission
+    val flush = Timestamp.valueOf("2024-01-05 00:00:00")
+    clicks.addData((3L, flush, "click", 9.0))
+    errors.addData((13L, flush, "error", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cep_out").collect()
+      .map(r => r.getAs[Long]("error_id") -> r.getAs[Long]("n_clicks"))
+    assert(rows.count(_._1 == 11L) == 1,
+      s"alarmed error must emit exactly once: ${rows.mkString(",")}")
+    assert(rows.toMap.get(11L).contains(2L), rows.mkString(","))
+    assert(!rows.exists(_._1 == 12L),
+      s"below-threshold error leaked: ${rows.mkString(",")}")
+    // batch form agrees with a driver-side brute force over the fixture
+    val sf = graft.TestSpark.sf0001
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getString(3)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._2)
+    val expect = ev.filter(_._4 == "error").flatMap { e =>
+      val n = clicksByUser.getOrElse(e._2, Array.empty).count(c =>
+        c._3 <= e._3 && c._3 >= e._3 - 24L * 3600000L)
+      if (n >= 2) Some(e._1 -> n.toLong) else None
+    }.toMap
+    val got = Events.cepAlarmQ.build(spark, sf).collect()
+      .map(r => r.getAs[Long]("error_id") -> r.getAs[Long]("n_clicks")).toMap
+    assert(got == expect,
+      s"batch CEP disagrees with brute force: extra=${got.toSet -- expect.toSet}, missing=${expect.toSet -- got.toSet}")
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
