@@ -2193,6 +2193,56 @@ object TextAnalysis {
             FROM pb LEFT JOIN nv USING (b)
             ORDER BY prefix"""))
 
+  /** t34 — truncation-loss / context-budget profile: for candidate
+    * sequence lengths L ∈ {32, 64, 96} tokens, how much of the corpus a
+    * truncate-at-L tokenization keeps — docs over the limit, tokens
+    * lost, and slot utilization (kept tokens per L-token context slot,
+    * in exact ppm). The planning table behind every max_seq_len choice:
+    * too small loses text, too large pads slots (x11's packing is the
+    * downstream fix; this quantifies the tradeoff).
+    *
+    * All-integer: per-doc token counts explode against the 3-row limit
+    * literal, ONE hash agg keyed by limit (3 keys, partial-aggregable);
+    * utilization is (10⁶·kept) DIV (docs·L). Scale shape: the corpus
+    * work is the tokenize+count scan; the explode multiplies an 8-byte
+    * count row ×3, never the text. */
+  val truncationLoss: QueryDef = {
+    val limits = Seq(32L, 64L, 96L)
+    QueryDef(
+      "t34_truncation_loss",
+      (s, d) => Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .select(col("n_tok"),
+          explode(lit(limits.toArray)).as("lim"))
+        .groupBy("lim")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("CASE WHEN n_tok > lim THEN 1 ELSE 0 END"))
+            .as("docs_over"),
+          sum(expr("greatest(n_tok - lim, 0)")).as("tokens_lost"),
+          sum(expr("least(n_tok, lim)")).as("tokens_kept"))
+        .withColumn("utilization_ppm",
+          expr("(1000000 * tokens_kept) DIV (n_docs * lim)"))
+        .select("lim", "n_docs", "docs_over", "tokens_lost",
+          "tokens_kept", "utilization_ppm")
+        .orderBy("lim"),
+      Some(s"""WITH n AS (
+                 SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS n_tok
+                 FROM documents),
+               x AS (
+                 SELECT n_tok, CAST(lim AS BIGINT) AS lim
+                 FROM n, unnest([${limits.mkString(", ")}]) AS tl(lim))
+               SELECT lim, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN n_tok > lim THEN 1 ELSE 0 END)
+                   AS BIGINT) AS docs_over,
+                 CAST(sum(greatest(n_tok - lim, 0)) AS BIGINT)
+                   AS tokens_lost,
+                 CAST(sum(least(n_tok, lim)) AS BIGINT) AS tokens_kept,
+                 (1000000 * CAST(sum(least(n_tok, lim)) AS BIGINT))
+                   // (CAST(count(*) AS BIGINT) * lim) AS utilization_ppm
+               FROM x GROUP BY 1 ORDER BY lim"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
@@ -2200,5 +2250,5 @@ object TextAnalysis {
       readability, lexicalDiversity, rakeKeywords, langIdConfusion,
       gopherRules, zipfFit, tokenBurstiness, bigramPerplexity,
       confusableSpoof, textrank, ruleAblation, ngramNovelty, bpeFertility,
-      jsDivergence, vocabOov, vocabGrowth)
+      jsDivergence, vocabOov, vocabGrowth, truncationLoss)
 }

@@ -1523,9 +1523,83 @@ object MlQueries {
                FROM p ORDER BY lambda"""))
   }
 
+  /** ml18 — 2-feature PCA, CLOSED FORM: eigendecomposition of the 2×2
+    * scatter matrix [[A,B],[B,C]] built from the same one-pass exact
+    * BIGINT sufficient statistics as ml01b/ml17 (A = n·Σx²−(Σx)²,
+    * B = n·Σxy−ΣxΣy, C = n·Σy²−(Σy)², each cast to DOUBLE before
+    * combination so no scale overflows):
+    *
+    *   λ₁,₂ = (A+C)/2 ± sqrt(((A−C)/2)² + B²)
+    *
+    * Emitted: λ₁'s explained-variance share, the PC1 axis slope
+    * (λ₁−A)/B (the eigenvector identity — asserted in the spec), and
+    * Pearson r = B/√(AC). Every output is the identical IEEE chain on
+    * both engines → hash-exact unrounded. Deliberately NOT emitted:
+    * the principal angle via atan2 (not cross-engine
+    * exactness-guaranteed; the slope is).
+    *
+    * Scale shape: one partial-aggregable scan; the eigen algebra is a
+    * single row. The d-dimensional version of this pattern ships the
+    * d² scatter entries from the same one-pass aggregate to a driver-
+    * side eigensolver — sufficient statistics once, never iterate over
+    * data. */
+  val pca2d: QueryDef = QueryDef(
+    "ml18_pca_2d",
+    (s, d) => Tables.orders(s, d)
+      .select(
+        month(col("o_orderdate")).cast("long").as("x"),
+        expr("CAST(floor(o_totalprice / 100e0) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+        sum(expr("y * y")).as("syy"))
+      .withColumn("a", expr(
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"))
+      .withColumn("b", expr(
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"))
+      .withColumn("c", expr(
+        "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"))
+      .withColumn("disc", expr(
+        "sqrt(((a - c) / 2) * ((a - c) / 2) + b * b)"))
+      .withColumn("lam1", expr("(a + c) / 2 + disc"))
+      .select(
+        col("n"),
+        expr("lam1 / (a + c)").as("lam1_share"),
+        expr("(lam1 - a) / b").as("pc1_slope"),
+        expr("b / sqrt(a * c)").as("corr_xy")),
+    Some("""WITH q AS (
+              SELECT CAST(month(o_orderdate) AS BIGINT) AS x,
+                     CAST(floor(o_totalprice / 100e0) AS BIGINT) AS y
+              FROM orders),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM q),
+            m AS (
+              SELECT n,
+                CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS a,
+                CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS b,
+                CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS c
+              FROM s),
+            e AS (
+              SELECT *,
+                (a + c) / 2 + sqrt(((a - c) / 2) * ((a - c) / 2) + b * b)
+                  AS lam1
+              FROM m)
+            SELECT n, lam1 / (a + c) AS lam1_share,
+              (lam1 - a) / b AS pc1_slope,
+              b / sqrt(a * c) AS corr_xy
+            FROM e"""))
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
       lofoImportance, abWelch, cupedReadout, naiveBayes, poissonBootstrap,
-      woeIv, ksTest, tostEquivalence, ridgePath)
+      woeIv, ksTest, tostEquivalence, ridgePath, pca2d)
 }

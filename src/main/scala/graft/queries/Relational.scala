@@ -1619,10 +1619,93 @@ object Relational {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
             FROM g ORDER BY event_id"""))
 
+  /** Q55 — NEAREST-direction as-of join (pandas merge_asof
+    * direction='nearest', q29's sibling): each error attaches the
+    * same-user click with the smallest absolute time gap, backward OR
+    * forward, ties to backward. Same window decomposition as q29 —
+    * last-backward + first-forward conditional windows in ONE pass
+    * over the user-partitioned ordered stream (no self-join, no range
+    * join) — then a per-row argmin. Emits the chosen direction and gap;
+    * 'none' when the user never clicked.
+    *
+    * Scale shape: q29's — two frames over one (user-keyed) sort, all
+    * shuffle keys contain user_id. */
+  val q55 = QueryDef(
+    "q55_asof_nearest",
+    (s, d) => {
+      val base = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .withColumn("back_ts",
+          last(when(col("event_type") === "click", col("ts")),
+            ignoreNulls = true).over(wb))
+        .withColumn("fwd_ts",
+          first(when(col("event_type") === "click", col("ts")),
+            ignoreNulls = true).over(wf))
+        .filter(col("event_type") === "error")
+        .withColumn("gb",
+          unix_timestamp(col("ts")) - unix_timestamp(col("back_ts")))
+        .withColumn("gf",
+          unix_timestamp(col("fwd_ts")) - unix_timestamp(col("ts")))
+        .select(
+          col("user_id"), col("event_id"),
+          expr("""CASE
+                    WHEN back_ts IS NULL AND fwd_ts IS NULL THEN 'none'
+                    WHEN fwd_ts IS NULL THEN 'backward'
+                    WHEN back_ts IS NULL THEN 'forward'
+                    WHEN gb <= gf THEN 'backward'
+                    ELSE 'forward' END""").as("direction"),
+          expr("""CASE
+                    WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+                    WHEN fwd_ts IS NULL THEN gb
+                    WHEN back_ts IS NULL THEN gf
+                    WHEN gb <= gf THEN gb
+                    ELSE gf END""").as("nearest_gap_s"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH w AS (
+              SELECT user_id, event_id, event_type,
+                last_value(CASE WHEN event_type = 'click' THEN ts END
+                           IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS back_ts,
+                first_value(CASE WHEN event_type = 'click' THEN ts END
+                            IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS fwd_ts,
+                ts
+              FROM events),
+            g AS (
+              SELECT *,
+                CAST(floor(epoch(ts)) AS BIGINT)
+                  - CAST(floor(epoch(back_ts)) AS BIGINT) AS gb,
+                CAST(floor(epoch(fwd_ts)) AS BIGINT)
+                  - CAST(floor(epoch(ts)) AS BIGINT) AS gf
+              FROM w WHERE event_type = 'error')
+            SELECT user_id, event_id,
+              CASE
+                WHEN back_ts IS NULL AND fwd_ts IS NULL THEN 'none'
+                WHEN fwd_ts IS NULL THEN 'backward'
+                WHEN back_ts IS NULL THEN 'forward'
+                WHEN gb <= gf THEN 'backward'
+                ELSE 'forward' END AS direction,
+              CASE
+                WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+                WHEN fwd_ts IS NULL THEN gb
+                WHEN back_ts IS NULL THEN gf
+                WHEN gb <= gf THEN gb
+                ELSE gf END AS nearest_gap_s
+            FROM g
+            ORDER BY user_id, event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q12b,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
-    q54)
+    q54, q55)
 }

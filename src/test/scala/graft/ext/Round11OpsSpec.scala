@@ -60,6 +60,96 @@ class Round11OpsSpec extends AnyFunSuite {
     got.foreach { case (_, n, v) => assert(v <= n) }
   }
 
+  test("ml18: eigen outputs reproduce a driver-side 2x2 PCA from raw rows") {
+    val r = MlQueries.pca2d.build(spark, sf).collect().head
+    val rows = graft.core.Tables.orders(spark, sf)
+      .selectExpr("CAST(month(o_orderdate) AS LONG) AS x",
+        "CAST(floor(o_totalprice / 100e0) AS LONG) AS y")
+      .collect().map(q => (q.getLong(0), q.getLong(1)))
+    val n = rows.length.toLong
+    val sx = rows.map(_._1).sum; val sy = rows.map(_._2).sum
+    val sxx = rows.map(t => t._1 * t._1).sum
+    val sxy = rows.map(t => t._1 * t._2).sum
+    val syy = rows.map(t => t._2 * t._2).sum
+    val a = n.toDouble * sxx - sx.toDouble * sx
+    val b = n.toDouble * sxy - sx.toDouble * sy
+    val c = n.toDouble * syy - sy.toDouble * sy
+    val disc = math.sqrt(((a - c) / 2) * ((a - c) / 2) + b * b)
+    val lam1 = (a + c) / 2 + disc
+    assert(r.getAs[Long]("n") == n)
+    assert(math.abs(r.getAs[Double]("lam1_share") - lam1 / (a + c)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("corr_xy") - b / math.sqrt(a * c)) < 1e-12)
+    // the emitted slope solves the eigenvector equation (A−λ1) + B·m = 0
+    val m = r.getAs[Double]("pc1_slope")
+    assert(math.abs((a - lam1) + b * m) / lam1 < 1e-9,
+      s"pc1_slope $m fails the eigen identity")
+    // λ1 is the LARGER eigenvalue: its share is at least half
+    assert(r.getAs[Double]("lam1_share") >= 0.5 &&
+      r.getAs[Double]("lam1_share") <= 1.0)
+  }
+
+  test("q55: nearest as-of direction/gap match a per-user brute force") {
+    val got = graft.queries.Relational.q55.build(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("direction"),
+          Option(r.getAs[java.lang.Long]("nearest_gap_s")).map(_.toLong)))
+      .toMap
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map { r =>
+        val t = r.getTimestamp(2)
+        (r.getLong(0), r.getLong(1), t.getTime, t.getNanos, r.getString(3))
+      }
+    // the window orders by full-precision ts then event_id — mirror it
+    def before(c: (Long, Long, Long, Int, String),
+        e: (Long, Long, Long, Int, String)): Boolean = {
+      val ct = (c._3, c._4, c._1); val et = (e._3, e._4, e._1)
+      Ordering[(Long, Int, Long)].lt(ct, et)
+    }
+    val clicksByUser = ev.filter(_._5 == "click").groupBy(_._2)
+    val errors = ev.filter(_._5 == "error")
+    assert(got.size == errors.length)
+    errors.foreach { e =>
+      val clicks = clicksByUser.getOrElse(e._2, Array.empty)
+      // the query truncates EACH ts to epoch seconds before
+      // differencing (unix_timestamp semantics), so the brute force
+      // must floor-then-subtract, not subtract-then-floor
+      val back = clicks.filter(c => before(c, e))
+        .map(c => e._3 / 1000 - c._3 / 1000).reduceOption(_ min _)
+      val fwd = clicks.filter(c => !before(c, e))
+        .map(c => c._3 / 1000 - e._3 / 1000).reduceOption(_ min _)
+      val expect = (back, fwd) match {
+        case (None, None) => ("none", None)
+        case (Some(gb), None) => ("backward", Some(gb))
+        case (None, Some(gf)) => ("forward", Some(gf))
+        case (Some(gb), Some(gf)) =>
+          if (gb <= gf) ("backward", Some(gb)) else ("forward", Some(gf))
+      }
+      assert(got(e._1) == expect, s"error ${e._1}: ${got(e._1)} != $expect")
+    }
+  }
+
+  test("t34: truncation accounting matches brute force; utilization monotone down") {
+    val got = TextAnalysis.truncationLoss.build(spark, sf).collect()
+      .map(r => r.getAs[Long]("lim") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("docs_over"), r.getAs[Long]("tokens_lost"),
+        r.getAs[Long]("tokens_kept"), r.getAs[Long]("utilization_ppm")))
+      .toMap
+    val lens = graft.core.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0).split(" ", -1).length.toLong)
+    for (lim <- Seq(32L, 64L, 96L)) {
+      val (nd, over, lost, kept, util) = got(lim)
+      assert(nd == lens.length)
+      assert(over == lens.count(_ > lim))
+      assert(lost == lens.map(n => math.max(n - lim, 0L)).sum)
+      assert(kept == lens.map(n => math.min(n, lim)).sum)
+      assert(util == 1000000L * kept / (nd * lim))
+    }
+    // larger contexts lose less but utilize slots worse
+    assert(got(32L)._3 > got(64L)._3 && got(64L)._3 >= got(96L)._3)
+    assert(got(32L)._5 > got(64L)._5 && got(64L)._5 > got(96L)._5)
+  }
+
   test("x50: allocation sums to the budget and matches driver-side largest remainder") {
     val got = Curation.neymanAllocation.build(spark, sf).collect()
       .map(r => (r.getAs[String]("segment"), r.getAs[Long]("n_h"),
