@@ -1937,10 +1937,118 @@ object Dedup {
                ORDER BY d.theta_pct"""))
   }
 
+  /** d22 — CONTAINMENT-SKETCH calibration (the d17 discipline applied
+    * to d16's asymmetric containment): for every exact-containment
+    * candidate pair, compare the K-minimum-values ESTIMATE of
+    * C(A⊆B) = |A∩B|/|A| — count how many of A's k smallest md5 shingle
+    * hashes land in B, over min(k, |A|) (Broder 1997 §3: the k
+    * smallest hashes are a uniform sample of A, so the hit fraction is
+    * an unbiased containment estimator) — against the exact value.
+    * This is how a pipeline validates the sketch BEFORE replacing
+    * d16's full-intersection join with sketch joins at 100 TB, where
+    * only the k-row sketch (not the shingle set) can ride the shuffle.
+    *
+    * Determinism: md5-int60 hashes both engines; hit counts and sizes
+    * are integers; both ratios are emitted in exact ppm (single
+    * integer DIV). Scale shape: the exact stage is d16's shared-
+    * shingle equi-join; the sketch stage joins the CANDIDATE-bounded
+    * pair list against the k-row-per-doc sketch — pair-bounded, and
+    * the sketch itself is the only per-doc state a production run
+    * would retain. */
+  val containmentSketchEval: QueryDef = {
+    val K = 16
+    val thetaPpm = 500000L // exact C(A⊆B) >= 0.5 defines the pair list
+    QueryDef(
+      "d22_containment_sketch_eval",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), explode(expr(shingleExpr("text"))).as("sg"))
+          .select(col("doc_id"),
+            expr(sparkMd5Int60("sg")).as("h"))
+          .distinct()
+          .localCheckpoint() // feeds sizes, both join sides, and the sketch
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val sketch = sh
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy("h")))
+          .filter(col("rk") <= K)
+          .select(col("doc_id"), col("h"))
+        val inter = sh.select(col("doc_id").as("a_id"), col("h"))
+          .join(sh.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+          .filter(col("a_id") =!= col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+        val pairs = inter
+          .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")),
+            "a_id")
+          .withColumn("exact_ppm",
+            expr("(1000000 * n_inter) DIV n_a"))
+          .filter(col("exact_ppm") >= thetaPpm)
+        val hits = pairs.select("a_id", "b_id")
+          .join(sketch.select(col("doc_id").as("a_id"), col("h")), "a_id")
+          .join(sh.select(col("doc_id").as("b2"), col("h").as("bh")),
+            col("b_id") === col("b2") && col("h") === col("bh"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_hits"))
+        pairs
+          .join(hits, Seq("a_id", "b_id"), "left")
+          .na.fill(0L, Seq("n_hits"))
+          .withColumn("est_ppm",
+            expr(s"(1000000 * n_hits) DIV least($K, n_a)"))
+          .withColumn("err_ppm", expr("abs(exact_ppm - est_ppm)"))
+          .select("a_id", "b_id", "n_a", "n_inter", "exact_ppm",
+            "n_hits", "est_ppm", "err_ppm")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               shr AS (
+                 SELECT DISTINCT doc_id,
+                   array_to_string(t[i + 1:i + 3], ' ') AS sg
+                 FROM toks, unnest(range(0, greatest(len(t) - 2, 1))) AS u(i)),
+               sh AS (
+                 SELECT DISTINCT doc_id, ${duckMd5Int60("sg")} AS h
+                 FROM shr),
+               sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+               sk AS (
+                 SELECT doc_id, h FROM (
+                   SELECT doc_id, h,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY h)
+                       AS rk
+                   FROM sh)
+                 WHERE rk <= $K),
+               inter AS (
+                 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(count(*) AS BIGINT) AS n_inter
+                 FROM sh a JOIN sh b ON a.h = b.h
+                   AND a.doc_id != b.doc_id
+                 GROUP BY 1, 2),
+               pairs AS (
+                 SELECT a_id, b_id, CAST(sa.n_sh AS BIGINT) AS n_a, n_inter,
+                   (1000000 * n_inter) // sa.n_sh AS exact_ppm
+                 FROM inter JOIN sizes sa ON sa.doc_id = a_id
+                 WHERE (1000000 * n_inter) // sa.n_sh >= $thetaPpm),
+               hits AS (
+                 SELECT p.a_id, p.b_id, CAST(count(*) AS BIGINT) AS n_hits
+                 FROM pairs p
+                 JOIN sk ON sk.doc_id = p.a_id
+                 JOIN sh bb ON bb.doc_id = p.b_id AND bb.h = sk.h
+                 GROUP BY 1, 2)
+               SELECT p.a_id, p.b_id, p.n_a, p.n_inter, p.exact_ppm,
+                 CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                 (1000000 * coalesce(h.n_hits, 0)) // least($K, p.n_a)
+                   AS est_ppm,
+                 abs(p.exact_ppm - (1000000 * coalesce(h.n_hits, 0))
+                   // least($K, p.n_a)) AS err_ppm
+               FROM pairs p LEFT JOIN hits h
+                 ON h.a_id = p.a_id AND h.b_id = p.b_id
+               ORDER BY p.a_id, p.b_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(exact, exactByFingerprint, minhash, minhashNative, simhashPairs,
       ngramJaccard, embeddingCosine, components, simhashBanded, minhashMd5,
       simhashMd5Banded, substringSpans, spanRemoval, semanticDedup,
       incrementalSemantic, containmentPairs, minhashCalibration,
-      normalizedExact, cdcChunking, dedupEval, simhashMultiProbe)
+      normalizedExact, cdcChunking, dedupEval, simhashMultiProbe,
+      containmentSketchEval)
 }

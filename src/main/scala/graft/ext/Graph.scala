@@ -1303,9 +1303,177 @@ object Graph {
               (1000000 * CAST(sum(w) AS BIGINT)) // count(*) AS mean_w_e6
             FROM sym GROUP BY 1 ORDER BY 1"""))
 
+  /** g17 — SEEDED BETWEENNESS (Brandes, "A Faster Algorithm for
+    * Betweenness Centrality", 2001 — the standard two-phase scheme:
+    * forward BFS counting shortest paths σ, then backward accumulation
+    * of dependencies δ(v) = Σ_w σ(v)/σ(w) · (1 + δ(w)) over the
+    * successors w one level deeper). Exact betweenness sums over ALL
+    * sources; at 100 TB nobody does that — the production form is the
+    * pivot/seed-sampled estimator (Brandes & Pich 2007), computed here
+    * for a bounded 2-supplier seed panel over the part-supplier graph,
+    * truncated at 3 BFS levels.
+    *
+    * Determinism discipline: σ is an EXACT integer path count (level-
+    * wise sums); δ is INTEGER-SCALED — each contribution is
+    * (σ_v · (1000 + δ'_w)) DIV σ_w with δ' ≈ 1000·δ — so every
+    * cross-row sum is order-free BIGINT arithmetic (the float
+    * dependency ratios of textbook Brandes would be order-dependent
+    * under shuffle). Truncation floors each contribution; the score is
+    * a deterministic lower bound within 1/1000 per term, which
+    * preserves the ranking the operator exists to deliver. Overflow
+    * bounds: σ ≤ ~10⁶ at 3 levels on the probe graphs, δ' ≤ 10³·|V|,
+    * product < 10¹⁶ « 2⁶³.
+    *
+    * Scale shape: per level ONE equi-join of the frontier against the
+    * localCheckpointed edge list + a (seed, node)-keyed sum, then the
+    * same backward — 2·Levels bounded rounds, frontier state 24 bytes
+    * per (seed, node), the d07 checkpoint discipline per round. The
+    * oracle mirrors both phases as unrolled CTEs. */
+  val seededBetweenness: QueryDef = {
+    val Levels = 3
+    val Seeds = 2
+    val Scale = 1000L
+    QueryDef(
+      "g17_seeded_betweenness",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("p"),
+            (col("l_suppkey") + SuppOffset).as("sup"))
+          .distinct()
+        val e = li.select(col("p").as("u"), col("sup").as("v"))
+          .union(li.select(col("sup").as("u"), col("p").as("v")))
+          .localCheckpoint()
+        // forward: per (seed, id) the BFS level and exact path count σ
+        val f0 = e.select(col("u").as("id")).distinct()
+          .filter(col("id").between(SuppOffset + 1, SuppOffset + Seeds))
+          .select(col("id").as("seed"), col("id"), lit(1L).as("sigma"))
+          .localCheckpoint()
+        var levels = Vector(f0)
+        var visited = f0.select("seed", "id").localCheckpoint()
+        for (_ <- 1 to Levels) {
+          val prev = levels.last
+            .select(col("seed"), col("id").as("pid"), col("sigma"))
+          val next = e.join(prev, e("u") === prev("pid"))
+            .select(col("seed"), col("v").as("id"), col("sigma"))
+            .groupBy("seed", "id").agg(sum("sigma").as("sigma"))
+            .join(visited, Seq("seed", "id"), "left_anti")
+            .localCheckpoint()
+          levels = levels :+ next
+          visited = visited.union(next.select("seed", "id")).localCheckpoint()
+        }
+        // backward: integer-scaled dependency per (seed, id), deepest
+        // level seeds δ' = 0
+        var delta = levels(Levels)
+          .select(col("seed"), col("id"), lit(0L).as("delta"))
+          .localCheckpoint()
+        var scores = Vector.empty[org.apache.spark.sql.DataFrame]
+        for (r <- (Levels - 1) to 0 by -1) {
+          val dj = levels(r + 1)
+            .select(col("seed").as("wseed"), col("id").as("wid"),
+              col("sigma").as("wsigma"))
+            .join(delta
+              .select(col("seed").as("dseed"), col("id").as("did"),
+                col("delta").as("wdelta")),
+              col("wseed") === col("dseed") && col("wid") === col("did"))
+            .select("wseed", "wid", "wsigma", "wdelta")
+          val cur = levels(r)
+          val contrib = cur.join(e, cur("id") === e("u"))
+            .select(col("seed"), col("id"), col("sigma"), col("v"))
+            .join(dj, col("seed") === col("wseed") && col("v") === col("wid"))
+            .select(col("seed"), col("id"),
+              expr(s"(sigma * ($Scale + wdelta)) DIV wsigma").as("c"))
+            .groupBy("seed", "id").agg(sum("c").as("delta"))
+          delta = cur.select("seed", "id")
+            .join(contrib, Seq("seed", "id"), "left")
+            .na.fill(0L, Seq("delta"))
+            .localCheckpoint()
+          if (r >= 1) scores = scores :+ delta
+        }
+        scores.reduce(_ union _)
+          .groupBy("id").agg(sum("delta").as("bc"))
+          .filter(col("bc") > 0)
+          .select(
+            expr(s"CASE WHEN id >= $SuppOffset THEN 'supplier' ELSE 'part' END")
+              .as("kind"),
+            expr(s"CASE WHEN id >= $SuppOffset THEN id - $SuppOffset ELSE id END")
+              .as("node_id"),
+            col("bc"))
+          .orderBy(col("bc").desc, col("kind"), col("node_id"))
+          .limit(20)
+      },
+      Some {
+        val lo = SuppOffset + 1
+        val hi = SuppOffset + Seeds
+        def notIn(levelsDone: Seq[String], seedRef: String) =
+          levelsDone.map(l =>
+            s"NOT EXISTS (SELECT 1 FROM $l x WHERE x.seed = $seedRef" +
+              " AND x.id = e.v)").mkString(" AND ")
+        s"""WITH li AS (SELECT DISTINCT l_partkey AS p,
+                          l_suppkey + $SuppOffset AS sup FROM lineitem),
+              e AS MATERIALIZED (SELECT p AS u, sup AS v FROM li
+                    UNION ALL SELECT sup, p FROM li),
+              f0 AS MATERIALIZED (
+                SELECT DISTINCT u AS seed, u AS id, CAST(1 AS BIGINT) AS sigma
+                FROM e WHERE u BETWEEN $lo AND $hi),
+              f1 AS MATERIALIZED (
+                SELECT f0.seed, e.v AS id,
+                       CAST(sum(f0.sigma) AS BIGINT) AS sigma
+                FROM e JOIN f0 ON e.u = f0.id
+                WHERE ${notIn(Seq("f0"), "f0.seed")}
+                GROUP BY 1, 2),
+              f2 AS MATERIALIZED (
+                SELECT f1.seed, e.v AS id,
+                       CAST(sum(f1.sigma) AS BIGINT) AS sigma
+                FROM e JOIN f1 ON e.u = f1.id
+                WHERE ${notIn(Seq("f0", "f1"), "f1.seed")}
+                GROUP BY 1, 2),
+              f3 AS MATERIALIZED (
+                SELECT f2.seed, e.v AS id,
+                       CAST(sum(f2.sigma) AS BIGINT) AS sigma
+                FROM e JOIN f2 ON e.u = f2.id
+                WHERE ${notIn(Seq("f0", "f1", "f2"), "f2.seed")}
+                GROUP BY 1, 2),
+              d3 AS (SELECT seed, id, CAST(0 AS BIGINT) AS delta FROM f3),
+              d2 AS MATERIALIZED (
+                SELECT f2.seed, f2.id,
+                  CAST(coalesce(sum(
+                    (f2.sigma * ($Scale + d3.delta)) // f3.sigma), 0)
+                    AS BIGINT) AS delta
+                FROM f2
+                LEFT JOIN e ON e.u = f2.id
+                LEFT JOIN f3 ON f3.seed = f2.seed AND f3.id = e.v
+                LEFT JOIN d3 ON d3.seed = f2.seed AND d3.id = e.v
+                GROUP BY 1, 2),
+              d1 AS MATERIALIZED (
+                SELECT f1.seed, f1.id,
+                  CAST(coalesce(sum(
+                    (f1.sigma * ($Scale + d2.delta)) // f2.sigma), 0)
+                    AS BIGINT) AS delta
+                FROM f1
+                LEFT JOIN e ON e.u = f1.id
+                LEFT JOIN f2 ON f2.seed = f1.seed AND f2.id = e.v
+                LEFT JOIN d2 ON d2.seed = f1.seed AND d2.id = e.v
+                GROUP BY 1, 2),
+              sc AS (
+                SELECT id, CAST(sum(delta) AS BIGINT) AS bc FROM (
+                  SELECT seed, id, delta FROM d1
+                  UNION ALL SELECT seed, id, delta FROM d2)
+                GROUP BY id)
+            SELECT CASE WHEN id >= $SuppOffset THEN 'supplier' ELSE 'part' END
+                     AS kind,
+                   CAST(CASE WHEN id >= $SuppOffset THEN id - $SuppOffset
+                        ELSE id END AS BIGINT) AS node_id,
+                   bc
+            FROM sc WHERE bc > 0
+            ORDER BY bc DESC, kind, node_id
+            LIMIT 20"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(pagerank, triangles, kcore, labelPropagation, bfsHops,
       personalizedPagerank, linkPrediction, hits, degreeHistogram,
       harmonicCentrality, modularity, clusteringCoefficient,
-      assortativity, wcc, diameterSweep, bipartiteProjection)
+      assortativity, wcc, diameterSweep, bipartiteProjection,
+      seededBetweenness)
 }

@@ -150,6 +150,78 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got(32L)._5 > got(64L)._5 && got(64L)._5 > got(96L)._5)
   }
 
+  test("g17: seeded betweenness matches a driver-side Brandes recompute") {
+    val SuppOffset = 1000000000L
+    val Levels = 3; val Seeds = 2; val Scale = 1000L
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .selectExpr("l_partkey AS p", s"l_suppkey + ${SuppOffset}L AS sup")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (li.map(t => t._1 -> t._2) ++ li.map(t => t._2 -> t._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val bc = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (seed <- (SuppOffset + 1) to (SuppOffset + Seeds)
+        if adj.contains(seed)) {
+      // forward: levelwise σ
+      var level = Map(seed -> 1L)
+      var dist = Map(seed -> 0)
+      var levels = Vector(level)
+      for (r <- 1 to Levels) {
+        // every not-yet-visited neighbor of level r-1 is level r; σ
+        // accumulates over ALL its level-(r-1) predecessors
+        val next = collection.mutable.Map.empty[Long, Long]
+        for ((u, sig) <- levels(r - 1); v <- adj(u) if !dist.contains(v))
+          next(v) = next.getOrElse(v, 0L) + sig
+        dist = dist ++ next.keys.map(_ -> r)
+        levels = levels :+ next.toMap
+      }
+      // backward: integer-scaled δ'
+      var delta = levels(Levels).map { case (v, _) => v -> 0L }
+      for (r <- (Levels - 1) to 1 by -1) {
+        val deeper = levels(r + 1)
+        val d = levels(r).map { case (v, sig) =>
+          val c = adj(v).filter(deeper.contains).map { w =>
+            sig * (Scale + delta(w)) / deeper(w)
+          }.sum
+          v -> c
+        }
+        delta = d
+        d.foreach { case (v, x) => bc(v) += x }
+      }
+    }
+    val expect = bc.toSeq.filter(_._2 > 0)
+      .map { case (id, s) =>
+        val kind = if (id >= SuppOffset) "supplier" else "part"
+        val nid = if (id >= SuppOffset) id - SuppOffset else id
+        (s, kind, nid)
+      }
+      .sortBy { case (s, k, n) => (-s, k, n) }.take(20)
+      .map { case (s, k, n) => (k, n, s) }
+    val got = Graph.seededBetweenness.build(spark, sf).collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("node_id"),
+        r.getAs[Long]("bc"))).toSeq
+    assert(got == expect,
+      s"brandes mismatch:\n got=$got\n exp=$expect")
+  }
+
+  test("d22: sketch estimator laws — exact on full containment and small sets, ppm-bounded") {
+    val rows = Dedup.containmentSketchEval.build(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n_a"), r.getAs[Long]("exact_ppm"),
+        r.getAs[Long]("est_ppm"), r.getAs[Long]("err_ppm")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (na, exact, est, err) =>
+      assert(exact >= 500000L && exact <= 1000000L)
+      assert(est >= 0L && est <= 1000000L)
+      assert(err == math.abs(exact - est))
+      // A fully contained in B => every sketch hash of A is in B: the
+      // estimator cannot miss on exact containment
+      if (exact == 1000000L) assert(est == 1000000L, s"n_a=$na est=$est")
+      // |A| <= k => the sketch IS A: estimator degenerates to exact
+      if (na <= 16L) assert(err == 0L, s"n_a=$na err=$err")
+    }
+    // the sketch path (|A| > k) must actually be exercised
+    assert(rows.exists(_._1 > 16L))
+  }
+
   test("x50: allocation sums to the budget and matches driver-side largest remainder") {
     val got = Curation.neymanAllocation.build(spark, sf).collect()
       .map(r => (r.getAs[String]("segment"), r.getAs[Long]("n_h"),
