@@ -3222,6 +3222,118 @@ object Curation {
                FROM a ORDER BY segment"""))
   }
 
+  /** x51 — DSIR data selection (Xie, Shao, Liang et al., "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023: score every raw document by the log importance ratio
+    * Σ_tokens log p_target(tok)/p_raw(tok) between a target-domain
+    * unigram model and the raw-corpus model, then keep the
+    * target-resembling slice — the selection step between x14's
+    * mixture weighting and x29's trained classifier gate; here the
+    * target is the `en` slice and selection is the closed-form
+    * score > 0 rule, i.e. "likelier under the target model").
+    *
+    * Determinism: both models are +0.5-Laplace-smoothed over the SAME
+    * union vocabulary (t31's discipline); each token's log ratio is
+    * ONE fixed-shape IEEE ln over exact BIGINT counts, integerized to
+    * 10⁻⁶ nats on the VOCABULARY frame before any cross-row sum; doc
+    * scores and the per-language readout are exact long sums. The
+    * mean-weight readout truncates toward zero via an explicit
+    * sign-split CASE (Spark DIV truncates, DuckDB // floors — the
+    * CASE makes both truncate).
+    *
+    * Scale shape: ONE (doc, token) census scan (map-side combinable);
+    * the vocabulary frame gets its two totals by 1-row broadcast; doc
+    * scoring is a token-keyed equi-join of census against the weight
+    * table (both token-partitioned — co-located at 100 TB); readout is
+    * a language-domain agg. No global sort: the score > 0 threshold
+    * replaces DSIR's top-k resampling exactly so no doc-frame ranking
+    * is ever needed. */
+  val dsirSelection: QueryDef = {
+    val wExpr =
+      "CAST(round(ln(((CAST(ct AS DOUBLE) + 0.5) / (CAST(nt AS DOUBLE) + " +
+        "0.5 * CAST(v AS DOUBLE))) / ((CAST(cs AS DOUBLE) + 0.5) / " +
+        "(CAST(ns AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))) * 1000000) AS BIGINT)"
+    QueryDef(
+      "x51_dsir_selection",
+      (s, d) => {
+        val census = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("n"))
+        val vocab = census.groupBy("tok").agg(
+          sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("ct"),
+          sum(col("n")).as("cs"))
+        val totals = vocab.agg(sum(col("ct")).as("nt"),
+          sum(col("cs")).as("ns"), count(lit(1)).as("v"))
+        val weights = vocab.crossJoin(broadcast(totals))
+          .withColumn("w_e6", expr(wExpr))
+          .select("tok", "w_e6")
+        census.join(weights, Seq("tok"))
+          .groupBy("doc_id", "lang")
+          .agg(sum(expr("n * w_e6")).as("score_e6"),
+            sum(col("n")).as("n_tok"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("score_e6") > 0L, 1L).otherwise(0L))
+              .as("n_selected"),
+            sum(col("score_e6")).as("sum_score_e6"),
+            sum(col("n_tok")).as("n_tokens"))
+          .withColumn("sel_ppm", expr("(1000000 * n_selected) DIV n_docs"))
+          .withColumn("mean_tok_w_e6", expr(
+            "CASE WHEN sum_score_e6 >= 0 THEN sum_score_e6 DIV n_tokens " +
+              "ELSE -((-sum_score_e6) DIV n_tokens) END"))
+          .select("lang", "n_docs", "n_selected", "sum_score_e6",
+            "n_tokens", "sel_ppm", "mean_tok_w_e6")
+          .orderBy("lang")
+      },
+      Some("""WITH census AS (
+                SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS n
+                FROM (
+                  SELECT doc_id, lang,
+                    unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+                WHERE tok != '' GROUP BY 1, 2, 3),
+              vocab AS (
+                SELECT tok,
+                  CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END)
+                    AS BIGINT) AS ct,
+                  CAST(sum(n) AS BIGINT) AS cs
+                FROM census GROUP BY 1),
+              tot AS (
+                SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                  CAST(sum(cs) AS BIGINT) AS ns,
+                  CAST(count(*) AS BIGINT) AS v
+                FROM vocab),
+              wts AS (
+                SELECT tok,
+                  CAST(round(ln(((CAST(ct AS DOUBLE) + 0.5)
+                      / (CAST(nt AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+                    / ((CAST(cs AS DOUBLE) + 0.5)
+                      / (CAST(ns AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))))
+                    * 1000000) AS BIGINT) AS w_e6
+                FROM vocab CROSS JOIN tot),
+              docs AS (
+                SELECT c.doc_id, c.lang,
+                  CAST(sum(c.n * w.w_e6) AS BIGINT) AS score_e6,
+                  CAST(sum(c.n) AS BIGINT) AS n_tok
+                FROM census c JOIN wts w ON c.tok = w.tok
+                GROUP BY 1, 2)
+              SELECT lang, count(*) AS n_docs,
+                CAST(sum(CASE WHEN score_e6 > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_selected,
+                CAST(sum(score_e6) AS BIGINT) AS sum_score_e6,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                (1000000 * CAST(sum(CASE WHEN score_e6 > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT)) // count(*) AS sel_ppm,
+                CASE WHEN sum(score_e6) >= 0
+                  THEN CAST(sum(score_e6) AS BIGINT)
+                    // CAST(sum(n_tok) AS BIGINT)
+                  ELSE -((-CAST(sum(score_e6) AS BIGINT))
+                    // CAST(sum(n_tok) AS BIGINT)) END AS mean_tok_w_e6
+              FROM docs GROUP BY 1 ORDER BY 1"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -3236,5 +3348,5 @@ object Curation {
       epochShuffle, dpRelease, psiDrift, blocklistGate, curriculumOrder,
       sourceOverlap, shardSkew, dupClusterStats, unimaxAllocation,
       doremiStep, pairAuditSample, lDiversity, decontaminationDrill,
-      neymanAllocation)
+      neymanAllocation, dsirSelection)
 }

@@ -858,8 +858,99 @@ object Multimodal {
                GROUP BY doc_id ORDER BY doc_id"""))
   }
 
+  /** m13 — keyframe selection: segment each video-style blob into
+    * shots with m08's cut detector, then pick each shot's
+    * REPRESENTATIVE frame as the energy argmax (the standard
+    * "key frame = most salient frame per shot" reduction every video
+    * indexing/thumbnailing pipeline runs after boundary detection —
+    * Boreczky & Rowe JEI 1996 for the cuts, argmax-saliency selection
+    * as in Zhang, Kankanhalli & Smoliar, "Automatic partitioning of
+    * full-motion video", MMSJ 1993). Per shot: start frame, length,
+    * keyframe index and its energy.
+    *
+    * Determinism: shot ids are exact cumulative cut counts over the
+    * total (doc, idx) order; the argmax breaks energy ties toward the
+    * EARLIEST frame (row_number over energy desc, idx asc — Zhang's
+    * convention); all energies are exact integer sums.
+    *
+    * Scale shape: identical to m08 — the frame explode is narrow
+    * (in-scan sequence + substring), and the lag, cumulative-cut,
+    * per-shot-argmax windows and the final agg ALL partition by
+    * doc_id: ONE shuffle on the video key end to end. A real decoder
+    * slots in at m02's mapPartitions stage with no downstream change. */
+  val keyframeSelect: QueryDef = {
+    val frame = 64
+    val tau = 100L
+    QueryDef(
+      "m13_keyframe_select",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val frames = mediaFrame(s, d)
+          .select(col("doc_id"), col("blob").cast("string").as("pcm"))
+          .select(col("doc_id"),
+            expr(s"CAST(length(pcm) DIV $frame AS INT)").as("n_frames"),
+            col("pcm"))
+          .filter(col("n_frames") > 0)
+          .select(col("doc_id"),
+            posexplode(expr("sequence(0, n_frames - 1)")).as(Seq("ord", "idx")),
+            col("pcm"))
+          .select(col("doc_id"), col("idx"),
+            expr(s"aggregate(split(substring(pcm, idx * $frame + 1, $frame), ''), " +
+              "CAST(0 AS BIGINT), (acc, ch) -> acc + ascii(ch))").as("energy"))
+        val byDoc = Window.partitionBy("doc_id").orderBy("idx")
+        val shots = frames
+          .withColumn("dl",
+            abs(col("energy") - lag(col("energy"), 1).over(byDoc)))
+          .withColumn("cut", when(col("dl") > tau, 1L).otherwise(0L))
+          .withColumn("shot_id", sum(col("cut")).over(
+            byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val w = Window.partitionBy("doc_id", "shot_id")
+          .orderBy(col("energy").desc, col("idx"))
+        shots.withColumn("rn", row_number().over(w))
+          .groupBy("doc_id", "shot_id")
+          .agg(min(col("idx")).as("shot_start"),
+            count(lit(1)).as("n_frames_in_shot"),
+            max(when(col("rn") === 1, col("idx"))).as("key_idx"),
+            max(when(col("rn") === 1, col("energy"))).as("key_energy"))
+          .orderBy("doc_id", "shot_id")
+      },
+      Some(s"""WITH fr AS (
+                 SELECT doc_id, CAST(i AS INTEGER) AS idx,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, $frame + 1),
+                         j -> CAST(ascii((text[i * $frame + 1 : i * $frame + $frame])[j])
+                                   AS BIGINT))),
+                     (acc, ch) -> acc + ch) AS energy
+                 FROM documents,
+                   unnest(range(0, length(text) // $frame)) AS u(i)),
+               c AS (
+                 SELECT doc_id, idx, energy,
+                   CASE WHEN abs(energy - lag(energy) OVER (
+                       PARTITION BY doc_id ORDER BY idx)) > $tau
+                     THEN 1 ELSE 0 END AS cut
+                 FROM fr),
+               sh AS (
+                 SELECT doc_id, idx, energy,
+                   CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY idx
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS shot_id
+                 FROM c),
+               r AS (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id, shot_id
+                   ORDER BY energy DESC, idx) AS rn
+                 FROM sh)
+               SELECT doc_id, shot_id,
+                 CAST(min(idx) AS INTEGER) AS shot_start,
+                 CAST(count(*) AS BIGINT) AS n_frames_in_shot,
+                 CAST(max(CASE WHEN rn = 1 THEN idx END) AS INTEGER)
+                   AS key_idx,
+                 CAST(max(CASE WHEN rn = 1 THEN energy END) AS BIGINT)
+                   AS key_energy
+               FROM r GROUP BY 1, 2 ORDER BY doc_id, shot_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(metaDigest, decode, resizeSample, embedTopk, phashNearDup,
       audioFrameEnergy, crossmodalRetrieval, shotBoundaries, audioVad,
-      tileEntropy, qualityGate, frameDedup)
+      tileEntropy, qualityGate, frameDedup, keyframeSelect)
 }

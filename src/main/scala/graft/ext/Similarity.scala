@@ -1626,9 +1626,86 @@ object Similarity {
       })
   }
 
+  /** s20 — cosine RANGE search (radius query: ALL neighbors with
+    * similarity ≥ θ, not a fixed k — the retrieval mode behind
+    * dedup-by-similarity-threshold and ε-neighborhood density, e.g.
+    * FAISS `range_search`; DBSCAN's ε-query is exactly this). Per
+    * query: match count, exact Σ of integerized similarities, and the
+    * best match (argmax with id tie-break). Queries with NO match in
+    * range still report (the s13/d20 domain-frame lesson: zero rows
+    * must not vanish) with best_id = −1.
+    *
+    * Determinism: the threshold is applied to the 10⁻⁶-integerized
+    * cosine — an exact integer comparison, so a pair at the radius
+    * boundary can never flip on float noise; the per-pair doubles
+    * themselves are bit-identical across engines (the d05/s01 verified
+    * fold-order discipline); sums are exact longs.
+    *
+    * Scale shape: s01's broadcast-query-panel scan — the corpus never
+    * shuffles, the radius filter runs inside the scan stage, and the
+    * per-query agg/argmax windows are bounded by the match sets. The
+    * 100 TB path swaps the full scan for s03b's IVF cell pruning with
+    * the same downstream frame. */
+  val rangeSearch: QueryDef = {
+    val thetaE6 = 300000L // cos >= 0.30
+    val nQ = 8
+    QueryDef(
+      "s20_range_search",
+      (s, d) => {
+        graft.expr.ArrayDot.register(s)
+        val q = Dedup.normalized(s, d, "q_id", "q_u").filter(col("q_id") < nQ)
+        val c = Dedup.normalized(s, d, "n_id", "n_u")
+        val pairs = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+          .withColumn("cos_e6",
+            expr("CAST(round(array_dot(q_u, n_u) * 1000000) AS BIGINT)"))
+          .filter(col("cos_e6") >= thetaE6)
+        val agg = pairs.groupBy("q_id")
+          .agg(count(lit(1)).as("n_within"),
+            sum(col("cos_e6")).as("sum_cos_e6"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_e6").desc, col("n_id"))
+        val best = pairs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("q_id"), col("n_id").as("best_id"),
+            col("cos_e6").as("best_cos_e6"))
+        q.select("q_id")
+          .join(agg, Seq("q_id"), "left")
+          .join(best, Seq("q_id"), "left")
+          .na.fill(0L, Seq("n_within", "sum_cos_e6", "best_cos_e6"))
+          .na.fill(-1L, Seq("best_id"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH ${Dedup.normalizedSql},
+               p AS (
+                 SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                   CAST(round(${Dedup.pairDotSql} * 1000000) AS BIGINT)
+                     AS cos_e6
+                 FROM u a JOIN u b
+                   ON a.vec_id < $nQ AND b.vec_id != a.vec_id),
+               m AS (SELECT * FROM p WHERE cos_e6 >= $thetaE6),
+               agg AS (
+                 SELECT q_id, CAST(count(*) AS BIGINT) AS n_within,
+                   CAST(sum(cos_e6) AS BIGINT) AS sum_cos_e6
+                 FROM m GROUP BY 1),
+               best AS (
+                 SELECT q_id, n_id AS best_id, cos_e6 AS best_cos_e6
+                 FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos_e6 DESC, n_id) AS rn FROM m)
+                 WHERE rn = 1)
+               SELECT q.vec_id AS q_id,
+                 coalesce(agg.n_within, 0) AS n_within,
+                 coalesce(agg.sum_cos_e6, 0) AS sum_cos_e6,
+                 coalesce(best.best_id, -1) AS best_id,
+                 coalesce(best.best_cos_e6, 0) AS best_cos_e6
+               FROM (SELECT vec_id FROM u WHERE vec_id < $nQ) q
+               LEFT JOIN agg ON agg.q_id = q.vec_id
+               LEFT JOIN best ON best.q_id = q.vec_id
+               ORDER BY q_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
       annPqAdc, kmeansLloyd, annRecall, filteredTopK, mmrRerank,
       twoStageRescore, knnClassify, nprobeSweep, hardNegatives, ndcgEval,
-      rocchioFeedback, ivfBalance, pqDistortion, reindexChurn)
+      rocchioFeedback, ivfBalance, pqDistortion, reindexChurn, rangeSearch)
 }

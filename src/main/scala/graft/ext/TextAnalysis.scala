@@ -2243,6 +2243,88 @@ object TextAnalysis {
                FROM x GROUP BY 1 ORDER BY lim"""))
   }
 
+  /** t35 — PMI collocation mining (Church & Hanks, Computational
+    * Linguistics 16(1), 1990: pointwise mutual information
+    * log p(x,y)/(p(x)p(y)) as the association measure behind every
+    * collocation/phrase-table extraction — the corpus-level complement
+    * of t11, which scores DOCS under the bigram model; this op mines
+    * the model itself for its strongest pairs). Bigram and unigram
+    * instance counts are exact; candidates need c_xy ≥ 5 (the standard
+    * low-frequency guard — PMI is notoriously unstable below it); the
+    * top 20 pairs by PMI are reported.
+    *
+    * Determinism: counts are exact BIGINTs; PMI is ONE fixed-shape
+    * IEEE expression ln(c_xy·Nu²/(Nb·c_x·c_y)) integerized to 10⁻⁶
+    * nats per CANDIDATE row (bounded, per-row — no cross-row float
+    * arithmetic); ranking ties break on (w1, w2).
+    *
+    * Scale shape: bigrams are an in-row transform+explode (LINEAR —
+    * the oracle's positional self-join is the SQL mirror only); the
+    * model is two vocabulary-keyed hash aggs; unigram counts attach by
+    * token equi-join; the two corpus totals ride a 1-row broadcast;
+    * top-20 is a map-side TakeOrdered. No all-pairs anything. */
+  val pmiCollocations: QueryDef = {
+    val minCount = 5L
+    val pmiExpr =
+      "CAST(round(ln((CAST(c_xy AS DOUBLE) * CAST(nu AS DOUBLE) * " +
+        "CAST(nu AS DOUBLE)) / (CAST(nb AS DOUBLE) * CAST(c_x AS DOUBLE) * " +
+        "CAST(c_y AS DOUBLE))) * 1000000) AS BIGINT)"
+    QueryDef(
+      "t35_pmi_collocations",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(split(col("text"), " ").as("t"))
+        val uni = toks.select(explode(col("t")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val bg = toks.filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
+            .as("b"))
+          .select(col("b.w1"), col("b.w2"))
+          .filter(col("w1") =!= "" && col("w2") =!= "")
+        val totals = uni.agg(sum(col("c")).as("nu"))
+          .crossJoin(bg.agg(count(lit(1)).as("nb")))
+        bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= minCount)
+          .join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+          .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+          .crossJoin(broadcast(totals))
+          .withColumn("pmi_e6", expr(pmiExpr))
+          .select("w1", "w2", "c_xy", "c_x", "c_y", "pmi_e6")
+          .orderBy(col("pmi_e6").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               pos AS (
+                 SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS p
+                 FROM toks),
+               uni AS (
+                 SELECT w, CAST(count(*) AS BIGINT) AS c
+                 FROM pos WHERE w != '' GROUP BY 1),
+               big AS (
+                 SELECT a.w AS w1, b.w AS w2
+                 FROM pos a JOIN pos b
+                   ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                 WHERE a.w != '' AND b.w != ''),
+               bc AS (
+                 SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+                 FROM big GROUP BY 1, 2 HAVING count(*) >= $minCount),
+               tot AS (
+                 SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS nu,
+                        (SELECT CAST(count(*) AS BIGINT) FROM big) AS nb)
+               SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
+                 CAST(round(ln((CAST(c_xy AS DOUBLE) * CAST(nu AS DOUBLE) *
+                   CAST(nu AS DOUBLE)) / (CAST(nb AS DOUBLE) *
+                   CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) * 1000000)
+                   AS BIGINT) AS pmi_e6
+               FROM bc
+               JOIN uni u1 ON bc.w1 = u1.w
+               JOIN uni u2 ON bc.w2 = u2.w
+               CROSS JOIN tot
+               ORDER BY pmi_e6 DESC, w1, w2 LIMIT 20"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
@@ -2250,5 +2332,5 @@ object TextAnalysis {
       readability, lexicalDiversity, rakeKeywords, langIdConfusion,
       gopherRules, zipfFit, tokenBurstiness, bigramPerplexity,
       confusableSpoof, textrank, ruleAblation, ngramNovelty, bpeFertility,
-      jsDivergence, vocabOov, vocabGrowth, truncationLoss)
+      jsDivergence, vocabOov, vocabGrowth, truncationLoss, pmiCollocations)
 }

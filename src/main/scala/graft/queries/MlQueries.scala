@@ -1597,9 +1597,195 @@ object MlQueries {
               b / sqrt(a * c) AS corr_xy
             FROM e"""))
 
+  /** ml19 — exact two-sample Mann–Whitney U test (Mann & Whitney, Ann.
+    * Math. Statist. 18(1), 1947; the rank-sum complement of ml15's KS:
+    * KS detects ANY distribution difference, U specifically tests
+    * stochastic dominance P(X>Y) ≠ ½ — and unlike ml10's Welch t it
+    * needs no normality). Error-event values vs the rest.
+    *
+    * Determinism: values are 2-decimal by contract, so ranks live on
+    * the bounded distinct-cent frame (ml15's idiom); DOUBLED rank sums
+    * keep midrank ties integral — per cent value v with a_n error /
+    * b_n other observations and C observations below it, the error
+    * rows contribute a_n·(2C + (a_n+b_n) + 1) to 2R₁ exactly. The tie
+    * correction Σ(t³−t) is an exact long sum (t³ < 2⁶³ to ~2·10⁶ ties
+    * per cent; the t24 DECIMAL(38,0) widening path beyond). z is ONE
+    * fixed-shape IEEE expression over those exact integers, emitted at
+    * 9 dp; the normal-approximation verdict compares the same doubles
+    * in both engines.
+    *
+    * Scale shape: ONE partial-aggregable scan → the ≤49 002-row cent
+    * frame; cumulative/total windows are frame-local (whitelisted,
+    * value-domain bounded). */
+  val mannWhitney: QueryDef = QueryDef(
+    "ml19_mann_whitney",
+    (s, d) => {
+      val byC = Tables.events(s, d)
+        .selectExpr("CAST(round(value * 100) AS BIGINT) AS c",
+          "IF(event_type = 'error', 1L, 0L) AS isa")
+        .groupBy("c")
+        .agg(sum(col("isa")).as("a_n"), sum(expr("1L - isa")).as("b_n"))
+      val byVal = Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(lit(1))
+      byC
+        .withColumn("ca", sum(col("a_n")).over(byVal))
+        .withColumn("cb", sum(col("b_n")).over(byVal))
+        .withColumn("na", sum(col("a_n")).over(whole))
+        .withColumn("nb", sum(col("b_n")).over(whole))
+        .withColumn("r1_term",
+          expr("a_n * (2 * (ca + cb - a_n - b_n) + (a_n + b_n) + 1)"))
+        .withColumn("tie_term",
+          expr("(a_n + b_n) * (a_n + b_n) * (a_n + b_n) - (a_n + b_n)"))
+        .groupBy("na", "nb")
+        .agg(sum(col("r1_term")).as("r1_x2"),
+          sum(col("tie_term")).as("tie_sum"),
+          count(lit(1)).as("n_distinct_values"))
+        .withColumn("u1_x2", expr("r1_x2 - na * (na + 1)"))
+        .withColumn("z", expr(
+          "round((CAST(u1_x2 AS DOUBLE) / 2.0 - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0) / " +
+            "sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0) * " +
+            "((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0) - " +
+            "CAST(tie_sum AS DOUBLE) / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) * " +
+            "(CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)))), 9)"))
+        .withColumn("reject_h0", expr("abs(z) > 1.96"))
+        .select("na", "nb", "n_distinct_values", "r1_x2", "u1_x2",
+          "tie_sum", "z", "reject_h0")
+    },
+    Some("""WITH byc AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a_n,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS b_n
+              FROM events GROUP BY 1),
+            cum AS (
+              SELECT a_n, b_n,
+                CAST(sum(a_n) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS ca,
+                CAST(sum(b_n) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cb,
+                CAST(sum(a_n) OVER () AS BIGINT) AS na,
+                CAST(sum(b_n) OVER () AS BIGINT) AS nb
+              FROM byc),
+            agg AS (
+              SELECT na, nb,
+                CAST(sum(a_n * (2 * (ca + cb - a_n - b_n) + (a_n + b_n) + 1))
+                  AS BIGINT) AS r1_x2,
+                CAST(sum((a_n + b_n) * (a_n + b_n) * (a_n + b_n)
+                  - (a_n + b_n)) AS BIGINT) AS tie_sum,
+                count(*) AS n_distinct_values
+              FROM cum GROUP BY na, nb),
+            u AS (
+              SELECT *, r1_x2 - na * (na + 1) AS u1_x2 FROM agg),
+            z AS (
+              SELECT *,
+                round((CAST(u1_x2 AS DOUBLE) / 2.0 - CAST(na AS DOUBLE)
+                    * CAST(nb AS DOUBLE) / 2.0)
+                  / sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+                    * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+                      - CAST(tie_sum AS DOUBLE) / ((CAST(na AS DOUBLE)
+                        + CAST(nb AS DOUBLE)) * (CAST(na AS DOUBLE)
+                        + CAST(nb AS DOUBLE) - 1.0)))), 9) AS z
+              FROM u)
+            SELECT na, nb, n_distinct_values, r1_x2, u1_x2, tie_sum, z,
+              abs(z) > 1.96 AS reject_h0
+            FROM z"""))
+
+  /** ml20 — χ² test of independence on the event_type × value-band
+    * contingency table (Pearson 1900; the categorical complement of
+    * ml15/ml19: is the value DISTRIBUTION independent of the event
+    * type?). Bands are ml14's fixed-width 50-unit bins; the cell
+    * domain is the OBSERVED types × OBSERVED bands cross (so every
+    * marginal is positive and no expected count is zero), with
+    * unobserved interior cells kept at O = 0 — dropping them would
+    * bias χ² low, the s13/d20 domain-frame lesson again.
+    *
+    * Determinism: cell counts and marginals are exact BIGINTs; each
+    * cell's (O−E)²/E is ONE fixed-shape IEEE expression integerized to
+    * 10⁻⁶ on the bounded cell frame, χ² is an exact long sum; the
+    * α = 0.05 critical value is the Wilson–Hilferty cube approximation
+    * (Wilson & Hilferty, PNAS 17, 1931: χ²_df ≈ df·(1 − 2/9df +
+    * z·√(2/9df))³) — a closed form both engines evaluate identically,
+    * instead of a quantile table lookup.
+    *
+    * Scale shape: ONE partial-aggregable scan → the ≤(types·bands)
+    * cell frame; the domain cross is a bounded broadcast; marginal and
+    * total windows are frame-local. */
+  val chiSquare: QueryDef = {
+    val eE = "(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))"
+    val termE =
+      s"CAST(round((CAST(o AS DOUBLE) - $eE) * (CAST(o AS DOUBLE) - $eE) / $eE * 1000000) AS BIGINT)"
+    val critE =
+      "CAST(dof AS DOUBLE) * power(1.0 - 2.0 / (9.0 * CAST(dof AS DOUBLE)) + " +
+        "1.645 * sqrt(2.0 / (9.0 * CAST(dof AS DOUBLE))), 3.0)"
+    QueryDef(
+      "ml20_chi_square",
+      (s, d) => {
+        val cells = Tables.events(s, d)
+          .selectExpr("event_type",
+            "least(CAST(round(value * 100) AS BIGINT) DIV 5000, 9) AS band")
+          .groupBy("event_type", "band").agg(count(lit(1)).as("o"))
+        val domain = cells.select("event_type").distinct()
+          .crossJoin(broadcast(cells.select("band").distinct()))
+        val byRow = Window.partitionBy("event_type")
+        val byCol = Window.partitionBy("band")
+        val whole = Window.partitionBy(lit(1))
+        domain.join(cells, Seq("event_type", "band"), "left")
+          .na.fill(0L, Seq("o"))
+          .withColumn("rt", sum(col("o")).over(byRow))
+          .withColumn("ct", sum(col("o")).over(byCol))
+          .withColumn("n", sum(col("o")).over(whole))
+          .withColumn("term_e6", expr(termE))
+          .withColumn("chi2_e6", sum(col("term_e6")).over(whole))
+          .withColumn("dof", expr(
+            "(count(1) OVER (PARTITION BY band) - 1) * " +
+              "(count(1) OVER (PARTITION BY event_type) - 1)"))
+          .withColumn("crit", expr(s"round($critE, 6)"))
+          .withColumn("reject_h0",
+            expr(s"CAST(chi2_e6 AS DOUBLE) / 1000000.0 > $critE"))
+          .select("event_type", "band", "o", "rt", "ct", "term_e6",
+            "chi2_e6", "dof", "crit", "reject_h0")
+          .orderBy("event_type", "band")
+      },
+      Some(s"""WITH cells AS (
+                 SELECT event_type,
+                   least(CAST(round(value * 100) AS BIGINT) // 5000, 9)
+                     AS band,
+                   CAST(count(*) AS BIGINT) AS o
+                 FROM events GROUP BY 1, 2),
+               dom AS (
+                 SELECT t.event_type, b.band
+                 FROM (SELECT DISTINCT event_type FROM cells) t
+                 CROSS JOIN (SELECT DISTINCT band FROM cells) b),
+               full_cells AS (
+                 SELECT dom.event_type, dom.band, coalesce(c.o, 0) AS o
+                 FROM dom LEFT JOIN cells c
+                   ON c.event_type = dom.event_type AND c.band = dom.band),
+               m AS (
+                 SELECT event_type, band, o,
+                   CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT)
+                     AS rt,
+                   CAST(sum(o) OVER (PARTITION BY band) AS BIGINT) AS ct,
+                   CAST(sum(o) OVER () AS BIGINT) AS n,
+                   (count(*) OVER (PARTITION BY band) - 1) *
+                     (count(*) OVER (PARTITION BY event_type) - 1) AS dof
+                 FROM full_cells),
+               t AS (SELECT *, $termE AS term_e6 FROM m),
+               z AS (
+                 SELECT *,
+                   CAST(sum(term_e6) OVER () AS BIGINT) AS chi2_e6
+                 FROM t)
+               SELECT event_type, band, o, rt, ct, term_e6, chi2_e6, dof,
+                 round($critE, 6) AS crit,
+                 CAST(chi2_e6 AS DOUBLE) / 1000000.0 > $critE AS reject_h0
+               FROM z ORDER BY event_type, band"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
       lofoImportance, abWelch, cupedReadout, naiveBayes, poissonBootstrap,
-      woeIv, ksTest, tostEquivalence, ridgePath, pca2d)
+      woeIv, ksTest, tostEquivalence, ridgePath, pca2d, mannWhitney,
+      chiSquare)
 }

@@ -1702,10 +1702,58 @@ object Relational {
             FROM g
             ORDER BY user_id, event_id"""))
 
+  /** Q56 — MapType construction + higher-order map functions:
+    * `map_from_entries` over a sorted entry list, `map_filter`,
+    * `transform_values`, `cardinality`, and `explode(map)` back to
+    * rows. The per-order flag→quantity map is the Spark-side shape
+    * (maps are Spark's native nested-kv column; the oracle mirrors the
+    * SEMANTICS relationally — filter + arithmetic on the grouped
+    * frame — since DuckDB's MAP is not the comparison surface).
+    *
+    * Determinism: entries are sort_array'd before map construction (so
+    * the map's internal order never depends on collect_list's arrival
+    * order), quantities are integral by data contract (CAST truncation
+    * == DuckDB rounding on integral doubles), and the explode output
+    * gets a total (l_orderkey, flag) ORDER BY.
+    *
+    * Scale shape: two hash aggs keyed by order (the second rides the
+    * first's partitioning — AQE coalesces, no extra shuffle since
+    * (orderkey, flag) hash-partitions refine orderkey only in key
+    * count, Spark re-shuffles once); per-order maps are ≤3 entries
+    * (flag domain), so the nested column is bounded — the map ops are
+    * in-row, codegen'd, and never touch a shuffle. */
+  val q56 = QueryDef(
+    "q56_map_functions",
+    (s, d) => {
+      val per = li(s, d)
+        .groupBy("l_orderkey", "l_returnflag")
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("q"))
+      per.groupBy("l_orderkey")
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("l_returnflag"), col("q"))))).as("m"))
+        .withColumn("n_flags", expr("cardinality(m)"))
+        .withColumn("m2", expr(
+          "transform_values(map_filter(m, (k, v) -> v >= 50), (k, v) -> v * 2)"))
+        .select(col("l_orderkey"), col("n_flags"),
+          explode(col("m2")).as(Seq("flag", "dbl_qty")))
+        .orderBy("l_orderkey", "flag")
+    },
+    Some("""WITH per AS (
+              SELECT l_orderkey, l_returnflag AS flag,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+              FROM lineitem GROUP BY 1, 2),
+            nf AS (
+              SELECT l_orderkey, CAST(count(*) AS INTEGER) AS n_flags
+              FROM per GROUP BY 1)
+            SELECT p.l_orderkey, nf.n_flags, p.flag, 2 * p.q AS dbl_qty
+            FROM per p JOIN nf USING (l_orderkey)
+            WHERE p.q >= 50
+            ORDER BY l_orderkey, flag"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q12b,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
-    q54, q55)
+    q54, q55, q56)
 }

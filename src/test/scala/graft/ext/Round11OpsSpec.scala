@@ -255,4 +255,240 @@ class Round11OpsSpec extends AnyFunSuite {
       if (sd > 0) assert(alloc > 0, s"$seg starved despite positive weight")
     }
   }
+
+  /** HALF_UP long rounding — the rounding Spark's round() and DuckDB's
+    * round() share for doubles (math.round floors x+0.5, which differs
+    * at negative .5 exactly where PMI/DSIR weights live). */
+  private def roundHalfUp(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+
+  test("t35: top-20 PMI collocations match a driver brute force") {
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val toks = texts.map(_.split(" ", -1))
+    val uni = toks.flatten.filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bigrams = toks.filter(_.length >= 2)
+      .flatMap(t => t.init.zip(t.tail))
+      .filter(p => p._1.nonEmpty && p._2.nonEmpty)
+    val nu = uni.values.sum; val nb = bigrams.length.toLong
+    val expect = bigrams.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.filter(_._2 >= 5L)
+      .map { case ((w1, w2), cxy) =>
+        val pmi = roundHalfUp(math.log(
+          (cxy.toDouble * nu.toDouble * nu.toDouble) /
+            (nb.toDouble * uni(w1).toDouble * uni(w2).toDouble)) * 1e6)
+        (w1, w2, cxy, uni(w1), uni(w2), pmi)
+      }
+      .sortBy { case (w1, w2, _, _, _, p) => (-p, w1, w2) }.take(20)
+    val got = TextAnalysis.pmiCollocations.build(spark, sf).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c_xy"), r.getAs[Long]("c_x"), r.getAs[Long]("c_y"),
+        r.getAs[Long]("pmi_e6"))).toSeq
+    assert(got == expect)
+    // PMI needs the low-frequency guard it claims: every row has c_xy >= 5
+    got.foreach { case (_, _, cxy, cx, cy, _) =>
+      assert(cxy >= 5L && cx >= cxy && cy >= cxy)
+    }
+  }
+
+  test("ml19: doubled rank sums, U, ties, and z match a driver brute force") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0) == "error", roundHalfUp(r.getDouble(1) * 100)))
+    val byCent = ev.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (c, rows) =>
+        (c, rows.count(_._1).toLong, rows.count(!_._1).toLong)
+      }
+    val na = byCent.map(_._2).sum; val nbb = byCent.map(_._3).sum
+    var cum = 0L; var r1x2 = 0L; var ties = 0L
+    byCent.foreach { case (_, an, bn) =>
+      val t = an + bn
+      r1x2 += an * (2 * cum + t + 1)
+      ties += t * t * t - t
+      cum += t
+    }
+    val u1x2 = r1x2 - na * (na + 1)
+    val n = (na + nbb).toDouble
+    val z = (u1x2 / 2.0 - na.toDouble * nbb.toDouble / 2.0) /
+      math.sqrt((na.toDouble * nbb.toDouble / 12.0) *
+        ((n + 1.0) - ties.toDouble / (n * (n - 1.0))))
+    val r = MlQueries.mannWhitney.build(spark, sf).collect().head
+    assert(r.getAs[Long]("na") == na && r.getAs[Long]("nb") == nbb)
+    assert(r.getAs[Long]("r1_x2") == r1x2)
+    assert(r.getAs[Long]("u1_x2") == u1x2)
+    assert(r.getAs[Long]("tie_sum") == ties)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-8)
+    assert(r.getAs[Boolean]("reject_h0") == (math.abs(z) > 1.96))
+    // U range law: 0 <= U1 <= n1*n2
+    assert(u1x2 >= 0L && u1x2 <= 2 * na * nbb)
+  }
+
+  test("x51: DSIR per-language selection matches a driver brute force") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).filter(_.nonEmpty)))
+    val census = docs.flatMap { case (id, lang, ts) =>
+      ts.groupBy(identity).map { case (t, xs) =>
+        ((id, lang, t), xs.length.toLong) }
+    }.toMap
+    val vocab = census.groupBy(_._1._3).map { case (t, m) =>
+      t -> (m.collect { case (k, n) if k._2 == "en" => n }.sum,
+        m.values.sum)
+    }
+    val nt = vocab.values.map(_._1).sum; val ns = vocab.values.map(_._2).sum
+    val v = vocab.size.toLong
+    val w = vocab.map { case (t, (ct, cs)) =>
+      t -> roundHalfUp(math.log(((ct.toDouble + 0.5) / (nt.toDouble + 0.5 * v)) /
+        ((cs.toDouble + 0.5) / (ns.toDouble + 0.5 * v))) * 1e6)
+    }
+    val perDoc = census.groupBy(k => (k._1._1, k._1._2)).map {
+      case ((id, lang), m) =>
+        (id, lang,
+          m.map { case (k, n) => n * w(k._3) }.sum,
+          m.values.sum)
+    }.toSeq
+    val expect = perDoc.groupBy(_._2).view.mapValues { rows =>
+      val nd = rows.size.toLong
+      val sel = rows.count(_._3 > 0L).toLong
+      val ss = rows.map(_._3).sum
+      val ntk = rows.map(_._4).sum
+      val mean = if (ss >= 0) ss / ntk else -((-ss) / ntk)
+      (nd, sel, ss, ntk, 1000000L * sel / nd, mean)
+    }.toMap
+    val got = Curation.dsirSelection.build(spark, sf).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val e = expect(lang)
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_selected"),
+        r.getAs[Long]("sum_score_e6"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("sel_ppm"), r.getAs[Long]("mean_tok_w_e6")) == e,
+        s"lang $lang mismatch")
+    }
+    // the target slice must prefer itself: en's selection share is the max
+    val shares = got.map(r =>
+      r.getAs[String]("lang") -> r.getAs[Long]("sel_ppm")).toMap
+    assert(shares("en") == shares.values.max,
+      s"target lang not maximally selected: $shares")
+  }
+
+  test("ml20: chi-square cells match a driver brute force; partition law holds") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0),
+        math.min(roundHalfUp(r.getDouble(1) * 100) / 5000, 9L)))
+    val counts = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val types = ev.map(_._1).distinct.sorted
+    val bands = ev.map(_._2).distinct.sorted
+    val rt = types.map(t => t -> ev.count(_._1 == t).toLong).toMap
+    val ct = bands.map(b => b -> ev.count(_._2 == b).toLong).toMap
+    val n = ev.length.toLong
+    val terms = for (t <- types; b <- bands) yield {
+      val o = counts.getOrElse((t, b), 0L)
+      val e = rt(t).toDouble * ct(b).toDouble / n.toDouble
+      ((t, b), o, roundHalfUp((o.toDouble - e) * (o.toDouble - e) / e * 1e6))
+    }
+    val chi2 = terms.map(_._3).sum
+    val dof = (types.length - 1).toLong * (bands.length - 1).toLong
+    val got = MlQueries.chiSquare.build(spark, sf).collect()
+    assert(got.length == types.length * bands.length)
+    got.foreach { r =>
+      val key = (r.getAs[String]("event_type"), r.getAs[Long]("band"))
+      val exp = terms.find(_._1 == key).get
+      assert(r.getAs[Long]("o") == exp._2, s"$key O")
+      assert(r.getAs[Long]("term_e6") == exp._3, s"$key term")
+      assert(r.getAs[Long]("chi2_e6") == chi2)
+      assert(r.getAs[Long]("dof") == dof)
+    }
+    // the cells partition the events: sum of O over the frame is n
+    assert(got.map(_.getAs[Long]("o")).sum == n)
+    // Wilson-Hilferty at these dof is in the sane chi-square range
+    val crit = got.head.getAs[Double]("crit")
+    assert(crit > dof.toDouble * 0.5 && crit < dof.toDouble * 3.0)
+  }
+
+  test("s20: range search matches a driver brute force; zero-match queries survive") {
+    val embs = graft.core.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e").collect()
+      .map { r =>
+        val e = r.getSeq[Double](1).toArray
+        var s = 0.0; e.foreach(x => s += x * x)
+        val nrm = math.sqrt(s)
+        (r.getLong(0), e.map(_ / nrm))
+      }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val expect = embs.filter(_._1 < 8).map { case (q, qu) =>
+      val m = embs.filter(_._1 != q)
+        .map { case (n, nu) => (n, roundHalfUp(dot(qu, nu) * 1e6)) }
+        .filter(_._2 >= 300000L)
+      val best = m.sortBy { case (n, c) => (-c, n) }.headOption
+      (q, m.length.toLong, m.map(_._2).sum,
+        best.map(_._1).getOrElse(-1L), best.map(_._2).getOrElse(0L))
+    }.sortBy(_._1)
+    val got = Similarity.rangeSearch.build(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_within"),
+        r.getAs[Long]("sum_cos_e6"), r.getAs[Long]("best_id"),
+        r.getAs[Long]("best_cos_e6"))).toSeq
+    assert(got == expect.toSeq)
+    // the domain frame keeps all 8 queries even when nothing is in range
+    assert(got.map(_._1) == (0L until 8L))
+  }
+
+  test("m13: keyframes match a driver brute force; shots partition the frames") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.flatMap { case (id, text) =>
+      val nf = text.length / 64
+      val energies = (0 until nf).map { i =>
+        text.substring(i * 64, i * 64 + 64).map(_.toInt.toLong).sum
+      }
+      val cuts = energies.indices.map { i =>
+        if (i > 0 && math.abs(energies(i) - energies(i - 1)) > 100L) 1L
+        else 0L
+      }
+      val shotIds = cuts.scanLeft(0L)(_ + _).tail
+      energies.indices.groupBy(shotIds).toSeq.map { case (sid, idxs) =>
+        val key = idxs.maxBy(i => (energies(i), -i))
+        (id, sid, idxs.min, idxs.length.toLong, key, energies(key))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Multimodal.keyframeSelect.build(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shot_id"),
+        r.getAs[Int]("shot_start"), r.getAs[Long]("n_frames_in_shot"),
+        r.getAs[Int]("key_idx"), r.getAs[Long]("key_energy"))).toSeq
+    assert(got == expect.toSeq)
+    // partition law: per doc, shot sizes sum to the full-frame count
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val nf = docs.find(_._1 == id).get._2.length / 64
+      assert(rows.map(_._4).sum == nf.toLong, s"doc $id shot partition")
+      // keyframe idx lies inside its shot
+      rows.foreach { r => assert(r._5 >= r._3) }
+    }
+  }
+
+  test("q56: map pipeline equals the relational recompute; cardinality law holds") {
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_returnflag", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2).toLong))
+    val per = li.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val nFlags = per.keys.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+    val expect = per.toSeq.collect {
+      case ((ok, fl), q) if q >= 50L => (ok, nFlags(ok), fl, 2 * q)
+    }.sortBy(t => (t._1, t._3))
+    val got = graft.queries.Relational.q56.build(spark, sf).collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Int]("n_flags"),
+        r.getAs[String]("flag"), r.getAs[Long]("dbl_qty"))).toSeq
+    assert(got == expect)
+    // cardinality is the PRE-filter map size: emitted rows per order <= n_flags
+    got.groupBy(_._1).foreach { case (ok, rows) =>
+      assert(rows.length <= rows.head._2, s"order $ok emits more than n_flags")
+    }
+  }
 }

@@ -82,7 +82,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "x43_shard_skew" -> "1-row fleet-totals broadcast onto the 32-row shard frame (e05's idiom)",
     "ml08_transfer_matrix" -> "lang-domain sufficient-statistics frame crossed with itself (|langs|^2 rows; ml07's idiom)",
     "s16_rocchio_feedback" -> "bounded query-panel broadcast x2 (s01's idiom, round 1 + refined round 2; corpus never shuffles)",
-    "ml17_ridge_path" -> "1-row sufficient-statistics broadcast onto the 4-row lambda frame (e05's idiom)")
+    "ml17_ridge_path" -> "1-row sufficient-statistics broadcast onto the 4-row lambda frame (e05's idiom)",
+    "t35_pmi_collocations" -> "1-row corpus-totals (Nu, Nb) broadcast onto the candidate-pair frame (e05's idiom; pairs come from an in-row bigram transform, never a join)",
+    "x51_dsir_selection" -> "1-row model-totals (NT, NS, V) broadcast onto the vocabulary frame (t31's idiom; doc scoring is a token equi-join)",
+    "s20_range_search" -> "bounded query-panel broadcast (s01's idiom; the radius filter runs inside the scan stage)",
+    "ml20_chi_square" -> "bounded band-domain (<=10-row) broadcast crossed onto the type domain (ml08's idiom)")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
@@ -107,7 +111,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "ml14_woe_iv" -> "class totals / IV sum over the 10-row fixed-bin frame (bin-domain bounded, x17's idiom), MlQueries.scala",
     "ml15_ks_test" -> "ECDF cumulative + totals over the bounded DISTINCT-cent frame (value-domain bounded, x15/ml06's idiom), MlQueries.scala",
     "t33_vocab_growth" -> "prefix sums over the 4-row bucket frame (x11's idiom), TextAnalysis.scala",
-    "x50_neyman_allocation" -> "allocation windows over the segment-domain (5-row) frame (x17's idiom), Curation.scala")
+    "x50_neyman_allocation" -> "allocation windows over the segment-domain (5-row) frame (x17's idiom), Curation.scala",
+    "ml19_mann_whitney" -> "doubled-rank cumulative + totals over the bounded DISTINCT-cent frame (value-domain bounded, ml15's idiom), MlQueries.scala",
+    "ml20_chi_square" -> "N / chi-square totals over the bounded type x band cell frame (ml14's idiom), MlQueries.scala")
 
   /** name -> physical plan for every registered query. sparkPlan (the
     * pre-AQE physical plan) carries the concrete join/window nodes; a
