@@ -3334,6 +3334,195 @@ object Curation {
               FROM docs GROUP BY 1 ORDER BY 1"""))
   }
 
+  /** x52 — length-bucketed batching plan (the padding-waste table
+    * behind bucketed batching / "bucketing by sequence length" in
+    * every trainer data loader, e.g. the bucketing batch samplers in
+    * fairseq/T5: assign each doc to the SMALLEST bucket length that
+    * holds it — cap bucket truncates — and account, per bucket, the
+    * padding a bucketed batcher pays vs the single-max-length policy.
+    * t34 prices truncation for ONE global limit; this op prices the
+    * padding side across a bucket ladder, and x11's packer is the
+    * downstream fix the saved-tokens column justifies).
+    *
+    * Determinism: all-integer accounting; the bucket ladder is
+    * rendered from ONE Scala list into both engines; the bucket
+    * domain frame keeps empty buckets (s13's lesson) with a guarded
+    * utilization.
+    *
+    * Scale shape: one tokenize-count scan → a 4-key hash agg; the
+    * ladder CASE is a per-row expression, the domain join is 4 rows.
+    * No shuffle beyond the 4-key agg. */
+  val lengthBucketing: QueryDef = {
+    val buckets = Seq(32L, 64L, 96L, 128L)
+    val cap = buckets.last
+    def ladder(cast: Long => String): String =
+      buckets.init.map(b => s"WHEN n_tok <= $b THEN ${cast(b)}")
+        .mkString("CASE ", " ", s" ELSE ${cast(cap)} END")
+    QueryDef(
+      "x52_length_bucketing",
+      (s, d) => {
+        val rows = Tables.documents(s, d)
+          .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("bucket",
+            expr(ladder(b => s"CAST($b AS BIGINT)")))
+          .withColumn("kept", expr("least(n_tok, bucket)"))
+          .withColumn("pad", expr("bucket - least(n_tok, bucket)"))
+          .withColumn("fixed_pad", expr(s"$cap - least(n_tok, $cap)"))
+        val agg = rows.groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("kept")).as("tokens_kept"),
+            sum(col("pad")).as("padding_toks"),
+            sum(col("fixed_pad")).as("fixed_pad_toks"))
+        s.range(1)
+          .select(explode(lit(buckets.toArray)).as("bucket"))
+          .join(agg, Seq("bucket"), "left")
+          .na.fill(0L,
+            Seq("n_docs", "tokens_kept", "padding_toks", "fixed_pad_toks"))
+          .withColumn("util_ppm", expr(
+            "CASE WHEN n_docs = 0 THEN 0L " +
+              "ELSE (1000000 * tokens_kept) DIV (n_docs * bucket) END"))
+          .withColumn("saved_vs_fixed",
+            expr("fixed_pad_toks - padding_toks"))
+          .select("bucket", "n_docs", "tokens_kept", "padding_toks",
+            "util_ppm", "saved_vs_fixed")
+          .orderBy("bucket")
+      },
+      Some(s"""WITH n AS (
+                 SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS n_tok
+                 FROM documents),
+               b AS (
+                 SELECT n_tok,
+                   CAST(${ladder(_.toString)} AS BIGINT) AS bucket,
+                   least(n_tok, CAST(${ladder(_.toString)} AS BIGINT))
+                     AS kept,
+                   $cap - least(n_tok, $cap) AS fixed_pad
+                 FROM n),
+               agg AS (
+                 SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(kept) AS BIGINT) AS tokens_kept,
+                   CAST(sum(bucket - kept) AS BIGINT) AS padding_toks,
+                   CAST(sum(fixed_pad) AS BIGINT) AS fixed_pad_toks
+                 FROM b GROUP BY 1),
+               dom AS (
+                 SELECT CAST(bkt AS BIGINT) AS bucket
+                 FROM unnest([${buckets.mkString(", ")}]) AS t(bkt))
+               SELECT dom.bucket,
+                 coalesce(agg.n_docs, 0) AS n_docs,
+                 coalesce(agg.tokens_kept, 0) AS tokens_kept,
+                 coalesce(agg.padding_toks, 0) AS padding_toks,
+                 CASE WHEN coalesce(agg.n_docs, 0) = 0 THEN 0
+                   ELSE (1000000 * agg.tokens_kept)
+                     // (agg.n_docs * dom.bucket) END AS util_ppm,
+                 coalesce(agg.fixed_pad_toks, 0)
+                   - coalesce(agg.padding_toks, 0) AS saved_vs_fixed
+               FROM dom LEFT JOIN agg USING (bucket)
+               ORDER BY bucket"""))
+  }
+
+  /** x53 — cluster-aware shard assignment audit (the data-layout
+    * decision AFTER dedup: if near-duplicate clusters are split across
+    * shards, any shard-local dedup/packing/inspection job sees only
+    * fragments — C4/RefinedWeb-scale pipelines shard by CLUSTER
+    * representative so each cluster lands whole. This op runs both
+    * policies — naive doc_id-modulo vs cluster-keyed modulo on the
+    * d07/d04 component label — and accounts split clusters and shard
+    * skew for each, consuming the SAME materialized pair/CC stage as
+    * x12/x19/x44: zero re-shingling).
+    *
+    * Determinism: labels are the shared CC min-id components
+    * (singletons = own id via the left-join coalesce); both policies
+    * are pure modulo arithmetic; all counts exact.
+    *
+    * Scale shape: one left join docs↔labels (doc-keyed equi), a
+    * (policy, component) hash agg, a (policy, shard) hash agg — the
+    * 2× policy explode rides an 8-byte pair, never the text. */
+  val clusterSharding: QueryDef = {
+    val nShards = 8L
+    QueryDef(
+      "x53_cluster_sharding",
+      (s, d) => {
+        val labels = Dedup.ngramSharedLabels(s, d)
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+          .join(labels, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("comp"))
+        val policies = docs
+          .select(col("doc_id"), col("comp"), explode(expr(
+            s"array(struct('naive' AS policy, doc_id % $nShards AS shard), " +
+              s"struct('cluster' AS policy, comp % $nShards AS shard))"))
+            .as("p"))
+          .select(col("comp"), col("p.policy"), col("p.shard"))
+        val clusterStats = policies.groupBy("policy", "comp")
+          .agg(countDistinct(col("shard")).as("n_sh"),
+            count(lit(1)).as("sz"))
+          .groupBy("policy")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(when(col("n_sh") > 1, 1L).otherwise(0L))
+              .as("clusters_split"),
+            sum(when(col("n_sh") > 1, col("sz")).otherwise(0L))
+              .as("docs_in_split"))
+        val shardStats = policies.groupBy("policy", "shard")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("policy")
+          .agg(sum(col("n")).as("n_docs"), max(col("n")).as("max_shard"),
+            min(col("n")).as("min_shard"))
+          .withColumn("skew_ppm", expr(
+            s"(1000000 * (max_shard * $nShards - n_docs)) DIV n_docs"))
+        clusterStats.join(shardStats, Seq("policy"))
+          .select("policy", "n_docs", "n_clusters", "clusters_split",
+            "docs_in_split", "max_shard", "min_shard", "skew_ppm")
+          .orderBy("policy")
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.ngramPairSql(Dedup.ngramTheta)},
+               edges AS (
+                 SELECT a_id AS src, b_id AS dst FROM pairs
+                 UNION
+                 SELECT b_id AS src, a_id AS dst FROM pairs),
+               reach(id, r) AS (
+                 SELECT src, src FROM edges
+                 UNION
+                 SELECT e.src, reach.r FROM edges e
+                 JOIN reach ON reach.id = e.dst),
+               labels AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+               docs AS (
+                 SELECT d.doc_id, coalesce(l.component, d.doc_id) AS comp
+                 FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+               pol AS (
+                 SELECT comp, 'naive' AS policy,
+                   doc_id % $nShards AS shard FROM docs
+                 UNION ALL
+                 SELECT comp, 'cluster' AS policy,
+                   comp % $nShards AS shard FROM docs),
+               cs AS (
+                 SELECT policy, CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sum(CASE WHEN n_sh > 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS clusters_split,
+                   CAST(sum(CASE WHEN n_sh > 1 THEN sz ELSE 0 END)
+                     AS BIGINT) AS docs_in_split
+                 FROM (
+                   SELECT policy, comp,
+                     count(DISTINCT shard) AS n_sh,
+                     CAST(count(*) AS BIGINT) AS sz
+                   FROM pol GROUP BY 1, 2)
+                 GROUP BY 1),
+               ss AS (
+                 SELECT policy, CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(max(n) AS BIGINT) AS max_shard,
+                   CAST(min(n) AS BIGINT) AS min_shard
+                 FROM (
+                   SELECT policy, shard, CAST(count(*) AS BIGINT) AS n
+                   FROM pol GROUP BY 1, 2)
+                 GROUP BY 1)
+               SELECT cs.policy, ss.n_docs, cs.n_clusters,
+                 cs.clusters_split, cs.docs_in_split, ss.max_shard,
+                 ss.min_shard,
+                 (1000000 * (ss.max_shard * $nShards - ss.n_docs))
+                   // ss.n_docs AS skew_ppm
+               FROM cs JOIN ss USING (policy)
+               ORDER BY policy"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -3348,5 +3537,5 @@ object Curation {
       epochShuffle, dpRelease, psiDrift, blocklistGate, curriculumOrder,
       sourceOverlap, shardSkew, dupClusterStats, unimaxAllocation,
       doremiStep, pairAuditSample, lDiversity, decontaminationDrill,
-      neymanAllocation, dsirSelection)
+      neymanAllocation, dsirSelection, lengthBucketing, clusterSharding)
 }

@@ -1703,9 +1703,124 @@ object Similarity {
                ORDER BY q_id"""))
   }
 
+  /** s21 — deterministic farthest-first centroid seeding (Gonzalez,
+    * "Clustering to minimize the maximum intercluster distance", TCS
+    * 1985 — the 2-approximation for k-center, and the argmax-instead-
+    * of-sample variant of k-means++ D² seeding, Arthur & Vassilvitskii
+    * SODA 2007): seed 0 is vec 0, each next seed is the corpus vector
+    * FARTHEST from the chosen set (squared unit-vector distance
+    * 2−2·cos, ties to the smallest id). Reports, per seed: its
+    * selection distance (the k-center coverage radius at that step)
+    * and the census + total distance of the vectors it serves —
+    * the init-quality readout before s07's Lloyd iterations.
+    *
+    * Determinism: every pair distance is the verified bit-identical
+    * fold (d05/s01 discipline); argmax ties break on vec_id; the
+    * selection loop is k−1 bounded driver collects (d13's pinned-
+    * centroid pattern: chosen vectors re-enter as exact round-trip
+    * literals — `Double.toString` parses back bit-identical); output
+    * distances are 10⁻⁹-integerized per row before exact sums. The
+    * DuckDB mirror unrolls the same k−1 steps as chained CTEs with
+    * incremental `least` — the same IEEE min over the same doubles.
+    *
+    * Scale shape: k−1 full scans + one assignment scan, each a narrow
+    * map under a bounded (≤k-vector) literal/broadcast — no shuffle
+    * touches the corpus; exactly how a distributed k-center init runs
+    * at 100 TB (k bounded passes, argmax as a tree-reduce TakeOrdered). */
+  val farthestFirst: QueryDef = {
+    val k = 4
+    QueryDef(
+      "s21_farthest_first",
+      (s, d) => {
+        graft.expr.ArrayDot.register(s)
+        import s.implicits._
+        val uv = Dedup.normalized(s, d, "vec_id", "u")
+        def lit64(v: Array[Double]): String =
+          s"array(${v.map(x => s"CAST(${x}D AS DOUBLE)").mkString(", ")})"
+        val first = uv.filter(col("vec_id") === 0L)
+          .select("u").head.getSeq[Double](0).toArray
+        var chosen = Vector((0L, first, 0.0))
+        while (chosen.size < k) {
+          val minDist = chosen.map { case (_, v, _) =>
+            s"(2.0D - 2.0D * array_dot(u, ${lit64(v)}))" }
+            .reduce((a, bb) => s"least($a, $bb)")
+          val excl = chosen.map(_._1).mkString(", ")
+          val row = uv.filter(s"vec_id NOT IN ($excl)")
+            .withColumn("md", expr(minDist))
+            .orderBy(col("md").desc, col("vec_id"))
+            .limit(1).select("vec_id", "u", "md").head
+          chosen = chosen :+ ((row.getLong(0),
+            row.getSeq[Double](1).toArray, row.getDouble(2)))
+        }
+        val cents = chosen.zipWithIndex.map { case ((id, v, md), rk) =>
+          (rk.toLong, id, v,
+            BigDecimal(md * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
+        }.toDF("rk", "cid", "cu", "sel_dist_e9")
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("rk"))
+        uv.crossJoin(broadcast(cents))
+          .withColumn("dist", expr("2.0D - 2.0D * array_dot(u, cu)"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("rk", "cid", "sel_dist_e9")
+          .agg(count(lit(1)).as("n_assigned"),
+            sum(expr("CAST(round(dist * 1000000000) AS BIGINT)"))
+              .as("sum_dist_e9"))
+          .select("rk", "cid", "sel_dist_e9", "n_assigned", "sum_dist_e9")
+          .orderBy("rk")
+      },
+      Some(s"""WITH ${Dedup.normalizedSql},
+               c0 AS (SELECT vec_id, u FROM u WHERE vec_id = 0),
+               d1 AS (
+                 SELECT a.vec_id, a.u,
+                   (2.0 - 2.0 * list_dot_product(a.u, c.u)) AS md
+                 FROM u a, c0 c WHERE a.vec_id != 0),
+               c1 AS (SELECT vec_id, u, md FROM d1
+                      ORDER BY md DESC, vec_id LIMIT 1),
+               d2 AS (
+                 SELECT a.vec_id, a.u,
+                   least(a.md, 2.0 - 2.0 * list_dot_product(a.u, c.u)) AS md
+                 FROM d1 a, c1 c WHERE a.vec_id != c.vec_id),
+               c2 AS (SELECT vec_id, u, md FROM d2
+                      ORDER BY md DESC, vec_id LIMIT 1),
+               d3 AS (
+                 SELECT a.vec_id, a.u,
+                   least(a.md, 2.0 - 2.0 * list_dot_product(a.u, c.u)) AS md
+                 FROM d2 a, c2 c WHERE a.vec_id != c.vec_id),
+               c3 AS (SELECT vec_id, u, md FROM d3
+                      ORDER BY md DESC, vec_id LIMIT 1),
+               cents AS (
+                 SELECT CAST(0 AS BIGINT) AS rk, vec_id AS cid, u AS cu,
+                   CAST(0 AS BIGINT) AS sel_dist_e9 FROM c0
+                 UNION ALL
+                 SELECT 1, vec_id, u,
+                   CAST(round(md * 1000000000) AS BIGINT) FROM c1
+                 UNION ALL
+                 SELECT 2, vec_id, u,
+                   CAST(round(md * 1000000000) AS BIGINT) FROM c2
+                 UNION ALL
+                 SELECT 3, vec_id, u,
+                   CAST(round(md * 1000000000) AS BIGINT) FROM c3),
+               asg AS (
+                 SELECT rk, cid, sel_dist_e9, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dist, rk) AS rn
+                 FROM (
+                   SELECT a.vec_id, c.rk, c.cid, c.sel_dist_e9,
+                     (2.0 - 2.0 * list_dot_product(a.u, c.cu)) AS dist
+                   FROM u a CROSS JOIN cents c))
+               SELECT rk, cid, sel_dist_e9,
+                 CAST(count(*) AS BIGINT) AS n_assigned,
+                 CAST(sum(CAST(round(dist * 1000000000) AS BIGINT))
+                   AS BIGINT) AS sum_dist_e9
+               FROM asg WHERE rn = 1
+               GROUP BY 1, 2, 3 ORDER BY rk"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
       annPqAdc, kmeansLloyd, annRecall, filteredTopK, mmrRerank,
       twoStageRescore, knnClassify, nprobeSweep, hardNegatives, ndcgEval,
-      rocchioFeedback, ivfBalance, pqDistortion, reindexChurn, rangeSearch)
+      rocchioFeedback, ivfBalance, pqDistortion, reindexChurn, rangeSearch,
+      farthestFirst)
 }

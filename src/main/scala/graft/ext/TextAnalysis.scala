@@ -2325,6 +2325,106 @@ object TextAnalysis {
                ORDER BY pmi_e6 DESC, w1, w2 LIMIT 20"""))
   }
 
+  /** t36 — interpolated Kneser–Ney bigram cross-entropy per language
+    * (Kneser & Ney, ICASSP 1995; Chen & Goodman, CSL 1999 eq. 4.24 —
+    * the smoothing every production n-gram LM (KenLM) uses, and the
+    * refinement of t25's add-k: the backoff weight is the CONTINUATION
+    * probability N₁₊(•w₂)/|bigram types|, not raw unigram frequency,
+    * so "Francisco" stops looking probable after unseen words). The
+    * global model is trained on the full corpus; each language slice's
+    * cross-entropy under it is the domain-shift readout (t31's JSD at
+    * the sequence level).
+    *
+    * P(w₂|w₁) = max(c₁₂−d, 0)/c₁• + (d·N₁₊(w₁•)/c₁•)·N₁₊(•w₂)/T,
+    * d = 0.75 (the Chen–Goodman standard). All five inputs are exact
+    * BIGINTs on the observed-bigram-type frame (c₁• and both N₁₊
+    * come from two KEY-partitioned windows over it, T from a 1-row
+    * broadcast); log P is integerized to 10⁻⁶ nats per TYPE before
+    * the exact Σ c·lp instance sum; the per-language mean truncates
+    * toward zero via x51's sign-split CASE; perplexity is one
+    * fixed-shape exp at 6 dp.
+    *
+    * Scale shape: one (lang, bigram) census scan; the model frame is
+    * bigram-VOCABULARY-sized with w1-/w2-keyed windows (two bounded
+    * shuffles of the type frame, never the corpus); scoring joins the
+    * census back on the bigram key. */
+  val knPerplexity: QueryDef = {
+    val lpExpr =
+      "CAST(round(ln((greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1dot AS DOUBLE)) + " +
+        "(0.75 * CAST(n1p_w1 AS DOUBLE) / CAST(c1dot AS DOUBLE)) * " +
+        "(CAST(n1p_w2 AS DOUBLE) / CAST(t_types AS DOUBLE))) * 1000000) AS BIGINT)"
+    QueryDef(
+      "t36_kneser_ney",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val census = Tables.documents(s, d)
+          .select(col("lang"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("lang"), explode(expr(
+            "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
+            .as("b"))
+          .select(col("lang"), col("b.w1"), col("b.w2"))
+          .filter(col("w1") =!= "" && col("w2") =!= "")
+          .groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c"))
+        val model = census.groupBy("w1", "w2").agg(sum(col("c")).as("c12"))
+          .withColumn("c1dot", sum(col("c12")).over(Window.partitionBy("w1")))
+          .withColumn("n1p_w1", count(lit(1)).over(Window.partitionBy("w1")))
+          .withColumn("n1p_w2", count(lit(1)).over(Window.partitionBy("w2")))
+        val lp = model
+          .crossJoin(broadcast(model.agg(count(lit(1)).as("t_types"))))
+          .withColumn("lp_e6", expr(lpExpr))
+          .select("w1", "w2", "lp_e6")
+        census.join(lp, Seq("w1", "w2"))
+          .groupBy("lang")
+          .agg(sum(col("c")).as("n_bigrams"),
+            sum(expr("c * lp_e6")).as("sum_lp_e6"))
+          .withColumn("mean_lp_e6", expr(
+            "CASE WHEN sum_lp_e6 >= 0 THEN sum_lp_e6 DIV n_bigrams " +
+              "ELSE -((-sum_lp_e6) DIV n_bigrams) END"))
+          .withColumn("ppl", expr(
+            "round(exp(-CAST(sum_lp_e6 AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1000000.0), 6)"))
+          .select("lang", "n_bigrams", "sum_lp_e6", "mean_lp_e6", "ppl")
+          .orderBy("lang")
+      },
+      Some(s"""WITH toks AS (
+                 SELECT lang, string_split(text, ' ') AS t FROM documents),
+               census AS (
+                 SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c
+                 FROM (
+                   SELECT t.lang,
+                     t.t[i] AS w1, t.t[i + 1] AS w2
+                   FROM (SELECT lang, t FROM toks WHERE len(t) >= 2) t,
+                     unnest(range(1, len(t.t))) AS u(i))
+                 WHERE w1 != '' AND w2 != ''
+                 GROUP BY 1, 2, 3),
+               model AS (
+                 SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c12
+                 FROM census GROUP BY 1, 2),
+               mw AS (
+                 SELECT *,
+                   CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1dot,
+                   CAST(count(*) OVER (PARTITION BY w1) AS BIGINT)
+                     AS n1p_w1,
+                   CAST(count(*) OVER (PARTITION BY w2) AS BIGINT)
+                     AS n1p_w2
+                 FROM model),
+               lp AS (
+                 SELECT w1, w2, $lpExpr AS lp_e6
+                 FROM mw CROSS JOIN
+                   (SELECT CAST(count(*) AS BIGINT) AS t_types FROM model)),
+               sc AS (
+                 SELECT c.lang, CAST(sum(c.c) AS BIGINT) AS n_bigrams,
+                   CAST(sum(c.c * l.lp_e6) AS BIGINT) AS sum_lp_e6
+                 FROM census c JOIN lp l ON c.w1 = l.w1 AND c.w2 = l.w2
+                 GROUP BY 1)
+               SELECT lang, n_bigrams, sum_lp_e6,
+                 CASE WHEN sum_lp_e6 >= 0 THEN sum_lp_e6 // n_bigrams
+                   ELSE -((-sum_lp_e6) // n_bigrams) END AS mean_lp_e6,
+                 round(exp(-CAST(sum_lp_e6 AS DOUBLE)
+                   / CAST(n_bigrams AS DOUBLE) / 1000000.0), 6) AS ppl
+               FROM sc ORDER BY lang"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
@@ -2332,5 +2432,6 @@ object TextAnalysis {
       readability, lexicalDiversity, rakeKeywords, langIdConfusion,
       gopherRules, zipfFit, tokenBurstiness, bigramPerplexity,
       confusableSpoof, textrank, ruleAblation, ngramNovelty, bpeFertility,
-      jsDivergence, vocabOov, vocabGrowth, truncationLoss, pmiCollocations)
+      jsDivergence, vocabOov, vocabGrowth, truncationLoss, pmiCollocations,
+      knPerplexity)
 }

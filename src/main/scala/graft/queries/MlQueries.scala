@@ -1782,10 +1782,226 @@ object MlQueries {
                FROM z ORDER BY event_type, band"""))
   }
 
+  /** ml21 — one Newton–Raphson step of logistic regression from w = 0,
+    * closed form (the IRLS step — McCullagh & Nelder, Generalized
+    * Linear Models, 1989 §4.4 — evaluated at the zero vector, where
+    * p = ½ and the Hessian is ¼·XᵀX, so the step is 4·(XᵀX)⁻¹Xᵀ(y−½):
+    * an EXACTLY computable function of five BIGINT moments, the
+    * logistic member of the ml01b/ml17/ml18 ship-the-moments family —
+    * at 100 TB each further IRLS iteration is one more moments pass,
+    * this op is the first of them). Feature: value cents; label:
+    * error events. Readout: the step coefficients and the training
+    * accuracy of the resulting linear classifier, with the
+    * majority-class baseline.
+    *
+    * Determinism: moments are exact BIGINTs; the numerators
+    * A = Σxx·g₀ − Σx·g₁, B = n·g₁ − Σx·g₀ (g = doubled gradient,
+    * integral) and det = n·Σxx − Σx² are exact 128-bit integers
+    * (DECIMAL(38,0) on Spark, HUGEINT in DuckDB — products reach
+    * ~10²¹ at sf1.0, past the long range); the per-row prediction
+    * b₀+b₁x > 0 is the EXACT integer comparison A + B·x > 0 (det > 0),
+    * so accuracy can never flip on float noise; b₀/b₁ are one
+    * fixed-shape IEEE division each, at 9 dp.
+    *
+    * Scale shape: one partial-aggregable moments scan, then one
+    * scoring scan under a 1-row coefficient broadcast — no iterative
+    * driver loop, no per-row state. */
+  val logitNewton: QueryDef = QueryDef(
+    "ml21_logit_newton",
+    (s, d) => {
+      val m = Tables.events(s, d).selectExpr(
+        "CAST(round(value * 100) AS BIGINT) AS x",
+        "IF(event_type = 'error', 1L, 0L) AS y")
+      val coef = m.agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(expr("x * x")).as("sxx"), sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"))
+        .selectExpr("n", "sy",
+          "CAST(sxx AS DECIMAL(38,0)) * CAST(2 * sy - n AS DECIMAL(38,0)) - " +
+            "CAST(sx AS DECIMAL(38,0)) * CAST(2 * sxy - sx AS DECIMAL(38,0)) AS a_num",
+          "CAST(n AS DECIMAL(38,0)) * CAST(2 * sxy - sx AS DECIMAL(38,0)) - " +
+            "CAST(sx AS DECIMAL(38,0)) * CAST(2 * sy - n AS DECIMAL(38,0)) AS b_num",
+          "CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0)) - " +
+            "CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS det")
+      m.crossJoin(broadcast(coef))
+        .selectExpr("n", "sy", "a_num", "b_num", "det",
+          "IF((a_num + b_num * CAST(x AS DECIMAL(38,0))) > 0, 1L, 0L) AS pred",
+          "y")
+        .groupBy("n", "sy")
+        .agg(
+          expr("round(2.0 * CAST(max(a_num) AS DOUBLE) / CAST(max(det) AS DOUBLE), 9)")
+            .as("b0"),
+          expr("round(2.0 * CAST(max(b_num) AS DOUBLE) / CAST(max(det) AS DOUBLE), 9)")
+            .as("b1"),
+          sum(expr("IF(pred = y, 1L, 0L)")).as("n_correct"))
+        .withColumn("acc_ppm", expr("(1000000 * n_correct) DIV n"))
+        .withColumn("base_correct", expr("greatest(sy, n - sy)"))
+        .withColumn("base_ppm", expr("(1000000 * base_correct) DIV n"))
+        .select(col("n"), col("sy").as("n_pos"), col("b0"), col("b1"),
+          col("n_correct"), col("acc_ppm"), col("base_correct"),
+          col("base_ppm"))
+    },
+    Some("""WITH m AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+              FROM events),
+            mom AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM m),
+            c AS (
+              SELECT n, sy,
+                CAST(sxx AS HUGEINT) * CAST(2 * sy - n AS HUGEINT) -
+                  CAST(sx AS HUGEINT) * CAST(2 * sxy - sx AS HUGEINT)
+                  AS a_num,
+                CAST(n AS HUGEINT) * CAST(2 * sxy - sx AS HUGEINT) -
+                  CAST(sx AS HUGEINT) * CAST(2 * sy - n AS HUGEINT)
+                  AS b_num,
+                CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT) -
+                  CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS det
+              FROM mom),
+            p AS (
+              SELECT c.n, c.sy, c.a_num, c.b_num, c.det, m.y,
+                CASE WHEN (c.a_num + c.b_num * CAST(m.x AS HUGEINT)) > 0
+                  THEN 1 ELSE 0 END AS pred
+              FROM m CROSS JOIN c)
+            SELECT n, sy AS n_pos,
+              round(2.0 * CAST(max(a_num) AS DOUBLE)
+                / CAST(max(det) AS DOUBLE), 9) AS b0,
+              round(2.0 * CAST(max(b_num) AS DOUBLE)
+                / CAST(max(det) AS DOUBLE), 9) AS b1,
+              CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_correct,
+              (1000000 * CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END)
+                AS BIGINT)) // n AS acc_ppm,
+              greatest(sy, n - sy) AS base_correct,
+              (1000000 * greatest(sy, n - sy)) // n AS base_ppm
+            FROM p GROUP BY n, sy"""))
+
+  /** ml22 — exact re-randomization test for the A/B mean difference
+    * (Fisher, The Design of Experiments, 1935 §II; the "approximate
+    * randomization" form of Noreen 1989: when the original assignment
+    * was a coin flip — ml10's md5 arms ARE one — the null distribution
+    * is rebuilt by re-flipping the coins, and the p-value needs no
+    * normality, no variance formula, no t table). B = 32 md5
+    * re-randomizations of the SAME events, all evaluated in ONE pass
+    * via the ml13 replicate-explode idiom; p = (1 + #extreme)/(B + 1)
+    * with the standard add-one smoothing (Phipson & Smyth 2010).
+    *
+    * Determinism: per-replicate arm moments are exact BIGINTs; the
+    * "is this replicate at least as extreme" comparison is the EXACT
+    * cross-multiplied integer inequality |s₁ⁿ₀−s₀ⁿ₁|·(n₁ᵒn₀ᵒ) ≥
+    * |s₁ᵒn₀ᵒ−s₀ᵒn₁ᵒ|·(n₁n₀) in 128-bit arithmetic (DECIMAL(38,0) /
+    * HUGEINT — products reach ~10²⁸ at sf1.0), so no replicate can
+    * flip on float noise; the p-value is an exact integer ppm.
+    *
+    * Scale shape: one explode scan → a 32-row replicate frame + a
+    * 1-row observed frame broadcast onto it; nothing downstream
+    * touches the corpus. */
+  val permutationTest: QueryDef = {
+    val b = 32
+    val extremeExpr =
+      "abs(CAST(sw1 AS DECIMAL(38,0)) * CAST(nw0 AS DECIMAL(38,0)) - " +
+        "CAST(sw0 AS DECIMAL(38,0)) * CAST(nw1 AS DECIMAL(38,0))) * " +
+        "(CAST(n1o AS DECIMAL(38,0)) * CAST(n0o AS DECIMAL(38,0))) >= " +
+        "abs(CAST(s1o AS DECIMAL(38,0)) * CAST(n0o AS DECIMAL(38,0)) - " +
+        "CAST(s0o AS DECIMAL(38,0)) * CAST(n1o AS DECIMAL(38,0))) * " +
+        "(CAST(nw1 AS DECIMAL(38,0)) * CAST(nw0 AS DECIMAL(38,0)))"
+    QueryDef(
+      "ml22_permutation_test",
+      (s, d) => {
+        val armObs = graft.ext.Dedup.sparkMd5Int60("CAST(event_id AS STRING)") + " % 2"
+        val armRep = graft.ext.Dedup.sparkMd5Int60(
+          "concat(CAST(event_id AS STRING), ':', CAST(rep AS STRING))") + " % 2"
+        val obs = Tables.events(s, d)
+          .selectExpr(s"($armObs) AS arm",
+            "CAST(round(value * 100) AS BIGINT) AS c")
+          .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1o"),
+            sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("s1o"),
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0o"),
+            sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("s0o"))
+        val reps = Tables.events(s, d)
+          .select(col("event_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+            explode(expr(s"sequence(0, ${b - 1})")).as("rep"))
+          .selectExpr("rep", "c", s"($armRep) AS arm")
+          .groupBy("rep")
+          .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nw1"),
+            sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("sw1"),
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nw0"),
+            sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("sw0"))
+        reps.crossJoin(broadcast(obs))
+          .withColumn("extreme", expr(s"IF($extremeExpr, 1L, 0L)"))
+          .groupBy("n1o", "s1o", "n0o", "s0o")
+          .agg(sum(col("extreme")).as("n_extreme"),
+            count(lit(1)).as("n_reps"))
+          .selectExpr("n1o + n0o AS n_events", "n1o", "n0o",
+            "round(CAST(s1o AS DOUBLE) / (100.0 * CAST(n1o AS DOUBLE)) - " +
+              "CAST(s0o AS DOUBLE) / (100.0 * CAST(n0o AS DOUBLE)), 6) AS obs_diff",
+            "n_reps", "n_extreme",
+            s"(1000000 * (1 + n_extreme)) DIV (${b + 1}) AS p_ppm",
+            s"(1000000 * (1 + n_extreme)) DIV (${b + 1}) <= 50000 AS reject_h0")
+      },
+      Some {
+        val uObs = graft.ext.Dedup.duckMd5IntSlice(
+          "CAST(event_id AS VARCHAR)", 2, 15)
+        val uRep = graft.ext.Dedup.duckMd5IntSlice(
+          "concat(CAST(event_id AS VARCHAR), ':', CAST(rep AS VARCHAR))", 2, 15)
+        val extremeSql = extremeExpr.replace("DECIMAL(38,0)", "HUGEINT")
+        s"""WITH obs AS (
+              SELECT
+                CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n1o,
+                CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT)
+                  AS s1o,
+                CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n0o,
+                CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT)
+                  AS s0o
+              FROM (
+                SELECT ($uObs) % 2 AS arm,
+                  CAST(round(value * 100) AS BIGINT) AS c
+                FROM events)),
+            reps AS (
+              SELECT rep,
+                CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS nw1,
+                CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT)
+                  AS sw1,
+                CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS nw0,
+                CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT)
+                  AS sw0
+              FROM (
+                SELECT rep, ($uRep) % 2 AS arm,
+                  CAST(round(value * 100) AS BIGINT) AS c
+                FROM events, unnest(range(0, $b)) AS r(rep))
+              GROUP BY 1),
+            x AS (
+              SELECT o.*, CASE WHEN $extremeSql THEN 1 ELSE 0 END
+                AS extreme
+              FROM reps CROSS JOIN obs o)
+            SELECT n1o + n0o AS n_events, n1o, n0o,
+              round(CAST(s1o AS DOUBLE) / (100.0 * CAST(n1o AS DOUBLE))
+                - CAST(s0o AS DOUBLE) / (100.0 * CAST(n0o AS DOUBLE)), 6)
+                AS obs_diff,
+              count(*) AS n_reps,
+              CAST(sum(extreme) AS BIGINT) AS n_extreme,
+              (1000000 * (1 + CAST(sum(extreme) AS BIGINT)))
+                // ${b + 1} AS p_ppm,
+              (1000000 * (1 + CAST(sum(extreme) AS BIGINT)))
+                // ${b + 1} <= 50000 AS reject_h0
+            FROM x GROUP BY 1, 2, 3, 4"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
       lofoImportance, abWelch, cupedReadout, naiveBayes, poissonBootstrap,
       woeIv, ksTest, tostEquivalence, ridgePath, pca2d, mannWhitney,
-      chiSquare)
+      chiSquare, logitNewton, permutationTest)
 }

@@ -1165,10 +1165,48 @@ object Events {
             FROM g GROUP BY user_id, event_type, sid
             ORDER BY user_id, event_type, s_start"""))
 
+  /** Stream-static ANTI-join gate: drop every event whose user is on
+    * the static blocklist (negative-balance customers), keep the rest —
+    * the in-flight form of x40's batch blocklist gate, and the
+    * admission-control shape every streaming ingest pipeline runs
+    * BEFORE state-heavy operators (each blocked row dropped here never
+    * enters a join buffer or window state downstream). Stream-static
+    * LEFT ANTI is stateless on the stream side: the static side is a
+    * broadcast, no watermark needed, append mode.
+    *
+    * Same library code drives the st22 batch twin (oracled via NOT
+    * EXISTS) and the StreamingSpec MemoryStream run that asserts
+    * stream == batch and that a blocked user's event never emits. */
+  def blockGate(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("blocked_id"))),
+      col("user_id") === col("blocked_id"), "left_anti")
+
+  /** st22 — [[blockGate]]'s batch twin: per-type survivor census after
+    * the anti-join. Integer-cents summation keeps the double exact. */
+  val blockGateQ: QueryDef = QueryDef(
+    "st22_stream_blocklist_gate",
+    (s, d) =>
+      blockGate(Tables.events(s, d), Tables.customer(s, d))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(expr("CAST(round(value * 100) AS BIGINT)")) / 100.0)
+            .as("sum_value"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                / 100.0 AS sum_value
+            FROM events e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey = e.user_id AND c.c_acctbal < 0)
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
       streamLeftJoinQ, dedupBatchQ, enrichQ, windowSketchQ, funnelQ,
       retentionQ, topTypesQ, streamFullJoinQ, runningMaxBatchQ,
       typeCountsBatchQ, windowAnomalyQ, streamSemiJoinQ, windowRollupQ,
-      dedupWithinWatermarkQ, sessionDynamicQ, cepAlarmQ)
+      dedupWithinWatermarkQ, sessionDynamicQ, cepAlarmQ, blockGateQ)
 }

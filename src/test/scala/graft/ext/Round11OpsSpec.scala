@@ -472,6 +472,234 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ml21: Newton step and exact-integer accuracy match a BigInt brute force") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (roundHalfUp(r.getDouble(1) * 100),
+        if (r.getString(0) == "error") 1L else 0L))
+    val n = ev.length.toLong
+    val sx = ev.map(_._1).sum; val sxx = ev.map(t => t._1 * t._1).sum
+    val sy = ev.map(_._2).sum; val sxy = ev.map(t => t._1 * t._2).sum
+    val g0 = BigInt(2 * sy - n); val g1 = BigInt(2 * sxy - sx)
+    val a = BigInt(sxx) * g0 - BigInt(sx) * g1
+    val b = BigInt(n) * g1 - BigInt(sx) * g0
+    val det = BigInt(n) * BigInt(sxx) - BigInt(sx) * BigInt(sx)
+    assert(det > 0)
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nCorrect = ev.count { case (x, y) =>
+      (a + b * BigInt(x) > 0) == (y == 1L) }.toLong
+    val r = MlQueries.logitNewton.build(spark, sf).collect().head
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("n_pos") == sy)
+    assert(r.getAs[Double]("b0") == r9(2.0 * a.toDouble / det.toDouble))
+    assert(r.getAs[Double]("b1") == r9(2.0 * b.toDouble / det.toDouble))
+    assert(r.getAs[Long]("n_correct") == nCorrect)
+    assert(r.getAs[Long]("acc_ppm") == 1000000L * nCorrect / n)
+    assert(r.getAs[Long]("base_correct") == math.max(sy, n - sy))
+    // prediction threshold really is the sign of b0 + b1*x: spot-check
+    val b0 = 2.0 * a.toDouble / det.toDouble
+    val b1 = 2.0 * b.toDouble / det.toDouble
+    ev.take(50).foreach { case (x, _) =>
+      val score = b0 + b1 * x
+      if (math.abs(score) > 1e-6)
+        assert((a + b * BigInt(x) > 0) == (score > 0),
+          s"integer threshold disagrees with float score at x=$x")
+    }
+  }
+
+  test("t36: Kneser-Ney per-language cross-entropy matches a driver brute force") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val census: Map[(String, String, String), Long] = docs.flatMap {
+      case (lang, t) =>
+        if (t.length < 2) Seq.empty[(String, String, String)]
+        else t.init.zip(t.tail).toSeq
+          .filter(p => p._1.nonEmpty && p._2.nonEmpty)
+          .map(p => (lang, p._1, p._2))
+    }.groupBy(x => x).view.mapValues(_.length.toLong).toMap
+    val model = census.groupBy(k => (k._1._2, k._1._3)).view
+      .mapValues(_.values.sum).toMap
+    val c1dot = model.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1pW1 = model.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1pW2 = model.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val tTypes = model.size.toLong
+    val lp = model.map { case ((w1, w2), c12) =>
+      val p = math.max(c12.toDouble - 0.75, 0.0) / c1dot(w1).toDouble +
+        (0.75 * n1pW1(w1).toDouble / c1dot(w1).toDouble) *
+          (n1pW2(w2).toDouble / tTypes.toDouble)
+      (w1, w2) -> roundHalfUp(math.log(p) * 1e6)
+    }
+    val want = census.groupBy(_._1._1).view.mapValues { m =>
+      val nB = m.values.sum
+      val sumLp = m.map { case ((_, w1, w2), c) => c * lp((w1, w2)) }.sum
+      (nB, sumLp)
+    }.toMap
+    val got = TextAnalysis.knPerplexity.build(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val (nB, sumLp) = want(lang)
+      assert(r.getAs[Long]("n_bigrams") == nB, s"$lang n_bigrams")
+      assert(r.getAs[Long]("sum_lp_e6") == sumLp, s"$lang sum_lp")
+      val mean = if (sumLp >= 0) sumLp / nB else -((-sumLp) / nB)
+      assert(r.getAs[Long]("mean_lp_e6") == mean, s"$lang mean")
+      // a probability model: every log prob is negative, ppl > 1
+      assert(sumLp < 0L && r.getAs[Double]("ppl") > 1.0)
+    }
+  }
+
+  test("x52: bucket accounting matches brute force; saved-tokens identity holds") {
+    val lens = graft.core.Tables.documents(spark, sf)
+      .select("text").collect()
+      .map(_.getString(0).split(" ", -1).length.toLong)
+    val buckets = Seq(32L, 64L, 96L, 128L)
+    def bucketOf(n: Long): Long =
+      buckets.find(n <= _).getOrElse(128L)
+    val got = Curation.lengthBucketing.build(spark, sf).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("tokens_kept"),
+          r.getAs[Long]("padding_toks"), r.getAs[Long]("util_ppm"),
+          r.getAs[Long]("saved_vs_fixed")))).toMap
+    assert(got.keySet == buckets.toSet)
+    buckets.foreach { bkt =>
+      val mine = lens.filter(bucketOf(_) == bkt)
+      val kept = mine.map(math.min(_, bkt)).sum
+      val pad = mine.map(n => bkt - math.min(n, bkt)).sum
+      val fixedPad = mine.map(n => 128L - math.min(n, 128L)).sum
+      val (nd, tk, pt, util, saved) = got(bkt)
+      assert(nd == mine.length.toLong, s"bucket $bkt docs")
+      assert(tk == kept && pt == pad, s"bucket $bkt tokens")
+      assert(util == (if (nd == 0) 0L else 1000000L * kept / (nd * bkt)))
+      assert(saved == fixedPad - pad, s"bucket $bkt saved")
+      // below the cap nothing truncates, so saved is exactly (cap-L)*docs
+      if (bkt < 128L) assert(saved == (128L - bkt) * nd)
+    }
+    // bucket frame partitions the corpus
+    assert(got.values.map(_._1).sum == lens.length.toLong)
+  }
+
+  private def md5Int60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(1, 16), 16)
+  }
+
+  test("ml22: re-randomization p-value matches a driver md5 brute force") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), roundHalfUp(r.getDouble(1) * 100)))
+    def arms(key: Long => String): (Long, Long, Long, Long) = {
+      var n1 = 0L; var s1 = 0L; var n0 = 0L; var s0 = 0L
+      ev.foreach { case (id, c) =>
+        if (md5Int60(key(id)) % 2 == 1) { n1 += 1; s1 += c }
+        else { n0 += 1; s0 += c }
+      }
+      (n1, s1, n0, s0)
+    }
+    val (n1o, s1o, n0o, s0o) = arms(id => id.toString)
+    val obsNum = (BigInt(s1o) * n0o - BigInt(s0o) * n1o).abs
+    val nExtreme = (0 until 32).count { rep =>
+      val (n1, s1, n0, s0) = arms(id => s"$id:$rep")
+      (BigInt(s1) * n0 - BigInt(s0) * n1).abs * (BigInt(n1o) * n0o) >=
+        obsNum * (BigInt(n1) * n0)
+    }.toLong
+    val r = MlQueries.permutationTest.build(spark, sf).collect().head
+    assert(r.getAs[Long]("n_events") == ev.length.toLong)
+    assert(r.getAs[Long]("n1o") == n1o && r.getAs[Long]("n0o") == n0o)
+    assert(r.getAs[Long]("n_reps") == 32L)
+    assert(r.getAs[Long]("n_extreme") == nExtreme)
+    val p = 1000000L * (1 + nExtreme) / 33L
+    assert(r.getAs[Long]("p_ppm") == p)
+    assert(r.getAs[Boolean]("reject_h0") == (p <= 50000L))
+    // p is a probability with add-one smoothing: strictly positive
+    assert(p > 0L && p <= 1000000L)
+  }
+
+  test("s21: farthest-first seeds and census match a driver replay") {
+    val embs = graft.core.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e").collect()
+      .map { r =>
+        val e = r.getSeq[Double](1).toArray
+        var s2 = 0.0; e.foreach(x => s2 += x * x)
+        val nrm = math.sqrt(s2)
+        (r.getLong(0), e.map(_ / nrm))
+      }.sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s2 = 0.0; var i = 0
+      while (i < a.length) { s2 += a(i) * b(i); i += 1 }; s2
+    }
+    var chosen = Vector((0L, embs.find(_._1 == 0L).get._2, 0.0))
+    while (chosen.size < 4) {
+      val cand = embs.filter(v => !chosen.exists(_._1 == v._1))
+        .map { case (id, u) =>
+          (id, u, chosen.map(c => 2.0 - 2.0 * dot(u, c._2)).min)
+        }
+      val best = cand.maxBy { case (id, _, md) => (md, -id) }
+      // maxBy keeps the FIRST max; enforce the (md desc, id asc) rule
+      val sel = cand.filter(_._3 == best._3).minBy(_._1)
+      chosen = chosen :+ ((sel._1, sel._2, sel._3))
+    }
+    val assign = embs.map { case (id, u) =>
+      val ds = chosen.zipWithIndex.map { case ((_, cu, _), rk) =>
+        (2.0 - 2.0 * dot(u, cu), rk)
+      }
+      val bestRk = ds.minBy { case (d2, rk) => (d2, rk) }._2
+      (bestRk.toLong, roundHalfUp(ds(bestRk)._1 * 1e9))
+    }
+    val expect = chosen.zipWithIndex.map { case ((id, _, md), rk) =>
+      val mine = assign.filter(_._1 == rk.toLong)
+      (rk.toLong, id, roundHalfUp(md * 1e9), mine.length.toLong,
+        mine.map(_._2).sum)
+    }
+    val got = Similarity.farthestFirst.build(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("cid"),
+        r.getAs[Long]("sel_dist_e9"), r.getAs[Long]("n_assigned"),
+        r.getAs[Long]("sum_dist_e9"))).toSeq
+    assert(got == expect)
+    // farthest-first law: selection radii are NON-INCREASING past seed 1
+    val radii = got.drop(1).map(_._3)
+    radii.sliding(2).foreach { case Seq(a, b2) => assert(b2 <= a) }
+    // the seeds partition the corpus
+    assert(got.map(_._4).sum == embs.length.toLong)
+  }
+
+  test("x53: cluster policy never splits a cluster; accounting matches driver replay") {
+    val labels = Dedup.ngramSharedLabels(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = graft.core.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val comp = ids.map(id => id -> labels.getOrElse(id, id)).toMap
+    def statsFor(shardOf: Long => Long) = {
+      val byComp = ids.groupBy(comp)
+      val split = byComp.filter { case (_, ms) =>
+        ms.map(shardOf).distinct.length > 1 }
+      val shards = ids.groupBy(shardOf).view.mapValues(_.length.toLong)
+      (byComp.size.toLong, split.size.toLong,
+        split.values.map(_.length.toLong).sum,
+        shards.values.max, shards.values.min)
+    }
+    val want = Map(
+      "naive" -> statsFor(id => id % 8),
+      "cluster" -> statsFor(id => comp(id) % 8))
+    val got = Curation.clusterSharding.build(spark, sf).collect()
+      .map(r => r.getAs[String]("policy") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("clusters_split"),
+          r.getAs[Long]("docs_in_split"), r.getAs[Long]("max_shard"),
+          r.getAs[Long]("min_shard"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("skew_ppm")))).toMap
+    assert(got.keySet == Set("naive", "cluster"))
+    got.foreach { case (policy, (nc, cs, dis, mx, mn, nd, skew)) =>
+      val (wnc, wcs, wdis, wmx, wmn) = want(policy)
+      assert((nc, cs, dis, mx, mn) == ((wnc, wcs, wdis, wmx, wmn)),
+        s"$policy stats")
+      assert(nd == ids.length.toLong)
+      assert(skew == 1000000L * (mx * 8 - nd) / nd)
+    }
+    // the whole point: cluster-keyed sharding can NEVER split a cluster
+    assert(got("cluster")._2 == 0L && got("cluster")._3 == 0L)
+  }
+
   test("q56: map pipeline equals the relational recompute; cardinality law holds") {
     val li = graft.core.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_returnflag", "l_quantity").collect()

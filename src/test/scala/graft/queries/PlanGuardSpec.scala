@@ -86,7 +86,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "t35_pmi_collocations" -> "1-row corpus-totals (Nu, Nb) broadcast onto the candidate-pair frame (e05's idiom; pairs come from an in-row bigram transform, never a join)",
     "x51_dsir_selection" -> "1-row model-totals (NT, NS, V) broadcast onto the vocabulary frame (t31's idiom; doc scoring is a token equi-join)",
     "s20_range_search" -> "bounded query-panel broadcast (s01's idiom; the radius filter runs inside the scan stage)",
-    "ml20_chi_square" -> "bounded band-domain (<=10-row) broadcast crossed onto the type domain (ml08's idiom)")
+    "ml20_chi_square" -> "bounded band-domain (<=10-row) broadcast crossed onto the type domain (ml08's idiom)",
+    "t36_kneser_ney" -> "1-row bigram-type-count broadcast onto the model frame (t35's idiom; scoring join is equi on the bigram key)",
+    "ml21_logit_newton" -> "1-row coefficient broadcast onto the scoring scan (x29b's idiom)",
+    "ml22_permutation_test" -> "1-row observed-moments broadcast onto the 32-row replicate frame (ml13's idiom)",
+    "s21_farthest_first" -> "bounded (k=4) centroid-frame broadcast onto the assignment scan (d13's pinned idiom; selection scans use rendered literals, no join at all)")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use

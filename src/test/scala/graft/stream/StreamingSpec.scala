@@ -1065,4 +1065,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotCounts == wantCounts,
       s"batch sessions disagree with islands replay")
   }
+
+  test("st22: stream-static anti gate drops blocked users; stream == batch") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val events = in.toDF()
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val customers = Seq((1L, -5.0), (2L, 10.0), (3L, -0.01))
+      .toDF("c_custkey", "c_acctbal")
+    val q = Events.blockGate(events, customers)
+      .select("event_id", "user_id", "event_type")
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+
+    // users 1 and 3 are blocked (negative balance); 2 and 99 pass
+    // (99 is not a customer at all — the anti join must keep it)
+    in.addData(
+      (1L, 1L, tsH(10, 0), "click", 1.0),
+      (2L, 2L, tsH(10, 1), "click", 2.0),
+      (3L, 99L, tsH(10, 2), "error", 3.0))
+    q.processAllAvailable()
+    in.addData((4L, 3L, tsH(10, 3), "view", 4.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("gate_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((2L, 2L, "click"), (3L, 99L, "error")),
+      s"blocked users leaked or survivors dropped: $got")
+
+    // the registered batch twin agrees with a driver recompute
+    val sf = graft.TestSpark.sf0001
+    val blocked = graft.core.Tables.customer(spark, sf)
+      .select("c_custkey", "c_acctbal").collect()
+      .filter(_.getDouble(1) < 0).map(_.getLong(0)).toSet
+    val want = graft.core.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS cents").collect()
+      .filter(r => !blocked(r.getLong(0)))
+      .groupBy(_.getString(1)).view.mapValues { rs =>
+        (rs.length.toLong, rs.map(_.getLong(2)).sum / 100.0)
+      }.toMap
+    val rows = Events.blockGateQ.build(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows == want, "batch twin disagrees with driver recompute")
+  }
 }
