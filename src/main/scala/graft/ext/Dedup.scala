@@ -2044,11 +2044,91 @@ object Dedup {
                ORDER BY p.a_id, p.b_id"""))
   }
 
+  /** d23 — cluster-coherence audit for transitive-closure dedup (the
+    * CHAINING problem: connected components promote pairwise
+    * similarity to cluster membership, so A~B~C clusters A with C even
+    * when jaccard(A,C) < θ — SimClusters/C4-style pipelines audit the
+    * weakest link per cluster before deleting on the label. Per
+    * cluster-size: how many clusters hang on a borderline bridge —
+    * a minimum edge inside θ+0.05 of the threshold — plus exact
+    * min/mean edge strength). Consumes the SAME materialized pair/CC
+    * stage as x12/x19/x44/x53: zero re-shingling.
+    *
+    * Determinism: edge jaccards are the shared stage's verified
+    * cross-engine doubles, 10⁻⁶-integerized per edge before exact
+    * min/sum; the mean divides exact longs (DIV, nonneg).
+    *
+    * Scale shape: one edge→label equi-join on a_id (pairs within a
+    * component share a_id's label by construction), two bounded hash
+    * aggs (component-keyed, then size-keyed). */
+  val clusterCoherence: QueryDef = {
+    val weakPpm = 250000L // theta (0.20) + 0.05 margin, in ppm
+    QueryDef(
+      "d23_cluster_coherence",
+      (s, d) => {
+        val pairs = ngramSharedPairs(s, d)
+        val labels = ngramSharedLabels(s, d)
+        val perComp = pairs
+          .join(labels, col("a_id") === col("id"))
+          .select(col("component"),
+            expr("CAST(round(jaccard * 1000000) AS BIGINT)").as("j_ppm"))
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_edges"), min(col("j_ppm")).as("min_j"),
+            sum(col("j_ppm")).as("sum_j"))
+        val sizes = labels.groupBy("component")
+          .agg(count(lit(1)).as("cluster_size"))
+        perComp.join(sizes, Seq("component"))
+          .groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(when(col("min_j") < weakPpm, 1L).otherwise(0L))
+              .as("n_weak_bridge"),
+            min(col("min_j")).as("weakest_edge_ppm"),
+            sum(col("sum_j")).as("sj"), sum(col("n_edges")).as("ne"))
+          .withColumn("mean_edge_ppm", expr("sj DIV ne"))
+          .select("cluster_size", "n_clusters", "n_weak_bridge",
+            "weakest_edge_ppm", "mean_edge_ppm")
+          .orderBy("cluster_size")
+      },
+      Some(s"""WITH RECURSIVE ${ngramPairSql(ngramTheta)},
+               edges AS (
+                 SELECT a_id AS src, b_id AS dst FROM pairs
+                 UNION
+                 SELECT b_id AS src, a_id AS dst FROM pairs),
+               reach(id, r) AS (
+                 SELECT src, src FROM edges
+                 UNION
+                 SELECT e.src, reach.r FROM edges e
+                 JOIN reach ON reach.id = e.dst),
+               labels AS (
+                 SELECT id, min(r) AS component FROM reach GROUP BY id),
+               ej AS (
+                 SELECT l.component,
+                   CAST(round(p.jaccard * 1000000) AS BIGINT) AS j_ppm
+                 FROM pairs p JOIN labels l ON l.id = p.a_id),
+               pc AS (
+                 SELECT component, CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(min(j_ppm) AS BIGINT) AS min_j,
+                   CAST(sum(j_ppm) AS BIGINT) AS sum_j
+                 FROM ej GROUP BY 1),
+               sz AS (
+                 SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+                 FROM labels GROUP BY 1)
+               SELECT sz.cluster_size,
+                 CAST(count(*) AS BIGINT) AS n_clusters,
+                 CAST(sum(CASE WHEN pc.min_j < $weakPpm THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_weak_bridge,
+                 CAST(min(pc.min_j) AS BIGINT) AS weakest_edge_ppm,
+                 CAST(sum(pc.sum_j) AS BIGINT)
+                   // CAST(sum(pc.n_edges) AS BIGINT) AS mean_edge_ppm
+               FROM pc JOIN sz USING (component)
+               GROUP BY 1 ORDER BY cluster_size"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(exact, exactByFingerprint, minhash, minhashNative, simhashPairs,
       ngramJaccard, embeddingCosine, components, simhashBanded, minhashMd5,
       simhashMd5Banded, substringSpans, spanRemoval, semanticDedup,
       incrementalSemantic, containmentPairs, minhashCalibration,
       normalizedExact, cdcChunking, dedupEval, simhashMultiProbe,
-      containmentSketchEval)
+      containmentSketchEval, clusterCoherence)
 }

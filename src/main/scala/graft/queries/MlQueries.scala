@@ -1998,10 +1998,67 @@ object MlQueries {
       })
   }
 
+  /** ml23 — per-segment OLS, one pass ("many small models": ml01b's
+    * exact closed-form regression GROUPED by market segment — the
+    * distributed pattern for fitting thousands of per-key models where
+    * a driver loop over segments would serialize; at 100 TB the
+    * segment key is a grouping column, not a filter, so ONE scan fits
+    * them all — the GROUP BY generalization every per-tenant /
+    * per-cohort trend fit uses).
+    *
+    * Determinism: identical moment discipline to ml01b — exact BIGINT
+    * (n, Σx, Σy, Σxy, Σxx) per segment, slope/intercept as the same
+    * unrounded fixed-shape IEEE divisions (bit-identical across
+    * engines, the ml01b-verified contract).
+    *
+    * Scale shape: one orders↔customer key-partitioned equi-join (the
+    * segment attribute lives on the dimension), one partial-aggregable
+    * 5-moment agg to the segment-domain frame; the fits are frame
+    * algebra. */
+  val groupedOls: QueryDef = QueryDef(
+    "ml23_grouped_ols",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          month(col("o_orderdate")).cast("long").as("x"),
+          expr("CAST(floor(o_totalprice / 100e0) AS BIGINT)").as("y"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+          sum(expr("x * x")).as("sxx"))
+        .withColumn("slope", expr(
+          "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"))
+        .withColumn("intercept", expr(
+          "(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"))
+        .select("seg", "n", "slope", "intercept")
+        .orderBy("seg"),
+    Some("""WITH m AS (
+              SELECT c.c_mktsegment AS seg,
+                CAST(month(o.o_orderdate) AS BIGINT) AS x,
+                CAST(floor(o.o_totalprice / 100) AS BIGINT) AS y
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+            agg AS (
+              SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM m GROUP BY 1),
+            f AS (
+              SELECT *, CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+              FROM agg)
+            SELECT seg, n, slope,
+              (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                / CAST(n AS DOUBLE) AS intercept
+            FROM f ORDER BY seg"""))
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
       lofoImportance, abWelch, cupedReadout, naiveBayes, poissonBootstrap,
       woeIv, ksTest, tostEquivalence, ridgePath, pca2d, mannWhitney,
-      chiSquare, logitNewton, permutationTest)
+      chiSquare, logitNewton, permutationTest, groupedOls)
 }

@@ -1750,10 +1750,67 @@ object Relational {
             WHERE p.q >= 50
             ORDER BY l_orderkey, flag"""))
 
+  /** Q57 — SCD2 point-in-time (AS OF) lookup: x31 builds the
+    * slowly-changing-dimension history (per customer, versioned
+    * priority with [valid_from, valid_to) ranges); this op answers the
+    * question that history exists for — "what did the dimension look
+    * like AT date D?" — for a panel of probe dates, producing the
+    * per-date priority census. The temporal-table `FOR SYSTEM_TIME AS
+    * OF` semantics expressed as a range predicate.
+    *
+    * Determinism: version ranges come from the same total
+    * (o_orderdate, o_orderkey) order as x31 — same-date re-versions
+    * collapse to zero-length ranges that can never match, so AT MOST
+    * ONE version matches per (customer, probe date) and the census is
+    * exact.
+    *
+    * Scale shape: the probe panel is a bounded (3-row) broadcast; the
+    * range predicate evaluates inside the SCD2 scan (no self-join, no
+    * range-join explosion — q10b's binning is the path if the probe
+    * panel ever grows corpus-shaped); one (date, priority) hash agg. */
+  val q57 = {
+    val dates = Seq("1994-01-01", "1996-01-01", "1998-01-01")
+    QueryDef(
+      "q57_scd2_asof_lookup",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val scd = ord(s, d)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            col("o_orderpriority"))
+          .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+        val probes = s.range(1).select(explode(expr(
+          s"array(${dates.map(x => s"TIMESTAMP'$x'").mkString(", ")})"))
+          .as("asof_ts"))
+        scd.join(broadcast(probes),
+          col("o_orderdate") <= col("asof_ts") &&
+            (col("valid_to").isNull || col("asof_ts") < col("valid_to")))
+          .groupBy(date_format(col("asof_ts"), "yyyy-MM-dd").as("asof_date"),
+            col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("asof_date", "o_orderpriority")
+      },
+      Some(s"""WITH scd AS (
+                 SELECT o_custkey, o_orderdate, o_orderpriority,
+                   lead(o_orderdate) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS valid_to
+                 FROM orders),
+               probes AS (
+                 SELECT CAST(dt AS TIMESTAMP) AS asof_ts
+                 FROM unnest([${dates.map(x => s"'$x'").mkString(", ")}])
+                   AS t(dt))
+               SELECT strftime(asof_ts, '%Y-%m-%d') AS asof_date,
+                 o_orderpriority, count(*) AS n_customers
+               FROM scd JOIN probes
+                 ON o_orderdate <= asof_ts
+                AND (valid_to IS NULL OR asof_ts < valid_to)
+               GROUP BY 1, 2 ORDER BY 1, 2"""))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q12b,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
-    q54, q55, q56)
+    q54, q55, q56, q57)
 }

@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -698,6 +699,98 @@ class Round11OpsSpec extends AnyFunSuite {
     }
     // the whole point: cluster-keyed sharding can NEVER split a cluster
     assert(got("cluster")._2 == 0L && got("cluster")._3 == 0L)
+  }
+
+  test("q57: as-of lookup matches a per-customer replay; at most one version matches") {
+    val ord = graft.core.Tables.orders(spark, sf)
+      .selectExpr("o_custkey",
+        "date_format(o_orderdate, 'yyyy-MM-dd') AS od",
+        "o_orderkey", "o_orderpriority")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    // order dates are day-granular, so string comparison IS date order
+    val probes = Seq("1994-01-01", "1996-01-01", "1998-01-01")
+    val want = scala.collection.mutable.Map
+      .empty[(String, String), Long].withDefaultValue(0L)
+    ord.groupBy(_._1).foreach { case (_, rows) =>
+      val versions = rows.sortBy(r => (r._2, r._3))
+      probes.foreach { ds =>
+        // latest version whose valid_from <= probe and next-from > probe
+        val idx = versions.lastIndexWhere(_._2 <= ds)
+        if (idx >= 0) {
+          val nextOk = idx == versions.length - 1 ||
+            versions(idx + 1)._2 > ds
+          // zero-length ranges never match; the LAST of equal dates wins
+          if (nextOk) want((ds, versions(idx)._4)) += 1L
+        }
+      }
+    }
+    val got = graft.queries.Relational.q57.build(spark, sf).collect()
+      .map(r => (r.getAs[String]("asof_date"),
+        r.getAs[String]("o_orderpriority")) -> r.getAs[Long]("n_customers"))
+      .toMap
+    assert(got == want.toMap.filter(_._2 > 0L))
+    // per probe date the census covers each ordering customer at most once
+    val perDate = got.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum)
+    val nCust = ord.map(_._1).distinct.length.toLong
+    perDate.foreach { case (ds, total) =>
+      assert(total <= nCust, s"$ds census exceeds customer count")
+    }
+  }
+
+  test("ml23: per-segment OLS equals ml01b's closed form per group") {
+    val rows = graft.core.Tables.orders(spark, sf)
+      .join(graft.core.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .selectExpr("c_mktsegment AS seg",
+        "CAST(month(o_orderdate) AS LONG) AS x",
+        "CAST(floor(o_totalprice / 100e0) AS BIGINT) AS y")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).view.mapValues { rs =>
+      val n = rs.length.toLong
+      val sx = rs.map(_._2).sum; val sy = rs.map(_._3).sum
+      val sxy = rs.map(t => t._2 * t._3).sum
+      val sxx = rs.map(t => t._2 * t._2).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      (n, slope, (sy.toDouble - slope * sx.toDouble) / n.toDouble)
+    }.toMap
+    val got = MlQueries.groupedOls.build(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, slope, icept) = want(r.getAs[String]("seg"))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("slope") == slope)
+      assert(r.getAs[Double]("intercept") == icept)
+    }
+  }
+
+  test("d23: coherence accounting matches the shared stage; no edge below theta") {
+    val pairs = Dedup.ngramSharedPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        roundHalfUp(r.getDouble(2) * 1e6)))
+    val labels = Dedup.ngramSharedLabels(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byComp = pairs.groupBy(p => labels(p._1))
+    val sizes = labels.values.groupBy(identity[Long]).view
+      .mapValues(_.size.toLong).toMap
+    val want = byComp.toSeq.map { case (comp, es) =>
+      (sizes(comp), es.length.toLong, es.map(_._3).min, es.map(_._3).sum)
+    }.groupBy(_._1).view.mapValues { cs =>
+      (cs.length.toLong, cs.count(_._3 < 250000L).toLong,
+        cs.map(_._3).min, cs.map(_._4).sum / cs.map(_._2).sum)
+    }.toMap
+    val got = Dedup.clusterCoherence.build(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val k = r.getAs[Long]("cluster_size")
+      val (nc, weak, wmin, mean) = want(k)
+      assert(r.getAs[Long]("n_clusters") == nc, s"size $k clusters")
+      assert(r.getAs[Long]("n_weak_bridge") == weak, s"size $k weak")
+      assert(r.getAs[Long]("weakest_edge_ppm") == wmin, s"size $k min")
+      assert(r.getAs[Long]("mean_edge_ppm") == mean, s"size $k mean")
+      // every admitted edge is >= theta by the pair stage's filter
+      assert(wmin >= 200000L)
+    }
   }
 
   test("q56: map pipeline equals the relational recompute; cardinality law holds") {

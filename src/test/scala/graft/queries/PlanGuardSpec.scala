@@ -90,7 +90,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "t36_kneser_ney" -> "1-row bigram-type-count broadcast onto the model frame (t35's idiom; scoring join is equi on the bigram key)",
     "ml21_logit_newton" -> "1-row coefficient broadcast onto the scoring scan (x29b's idiom)",
     "ml22_permutation_test" -> "1-row observed-moments broadcast onto the 32-row replicate frame (ml13's idiom)",
-    "s21_farthest_first" -> "bounded (k=4) centroid-frame broadcast onto the assignment scan (d13's pinned idiom; selection scans use rendered literals, no join at all)")
+    "s21_farthest_first" -> "bounded (k=4) centroid-frame broadcast onto the assignment scan (d13's pinned idiom; selection scans use rendered literals, no join at all)",
+    "q57_scd2_asof_lookup" -> "bounded (3-row) probe-date broadcast; the range predicate evaluates inside the SCD2 scan (x36's epoch fan-out idiom)")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
