@@ -73,6 +73,71 @@ object TextAnalysis {
                ORDER BY doc_id"""))
   }
 
+  /** t37 — McNemar's paired-classifier test on the language-ID task
+    * (McNemar, Psychometrika 12, 1947; Dietterich, Neural Computation
+    * 1998 established it as THE test for comparing two classifiers on
+    * the SAME examples — independent-sample tests like ml10's Welch
+    * are wrong here because the per-doc outcomes are paired):
+    * classifier A = t01's lexicon argmax, classifier B = the
+    * majority-class baseline (predict `en` always), truth = the lang
+    * column. Only the DISCORDANT pairs matter: b = A right & B wrong,
+    * c = A wrong & B right, χ² = (b−c)²/(b+c).
+    *
+    * Determinism: FULLY integer — the verdict is the cross-multiplied
+    * exact inequality (b−c)²·10⁴ > 38416·(b+c) (χ²₀.₀₅,₁ = 3.8416),
+    * and the reported χ² is an exact 10⁻⁶ integer ratio; no doubles
+    * anywhere.
+    *
+    * Scale shape: ONE per-row scoring scan (the same in-row lexicon
+    * filters as t01) → a 1-row agg. */
+  val mcnemarLangId: QueryDef = {
+    val sparkHits = lexicons.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString(", ")
+      s"size(filter(split(text, ' '), t -> array_contains(array($arr), t))) AS h_$l"
+    }
+    val duckHits = lexicons.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains([$arr], t))) AS INTEGER) AS h_$l"
+    }
+    QueryDef(
+      "t37_mcnemar_langid",
+      (s, d) =>
+        Tables.documents(s, d)
+          .selectExpr(Seq("lang") ++ sparkHits: _*)
+          .selectExpr("lang", s"$predCase AS pred_a", "'en' AS pred_b")
+          .selectExpr(
+            "IF(pred_a = lang AND pred_b != lang, 1L, 0L) AS is_b",
+            "IF(pred_a != lang AND pred_b = lang, 1L, 0L) AS is_c",
+            "IF(pred_a = lang, 1L, 0L) AS a_ok",
+            "IF(pred_b = lang, 1L, 0L) AS b_ok")
+          .agg(count(lit(1)).as("n_docs"), sum(col("a_ok")).as("n_a_correct"),
+            sum(col("b_ok")).as("n_b_correct"), sum(col("is_b")).as("b"),
+            sum(col("is_c")).as("c"))
+          .withColumn("chi2_e6",
+            expr("(1000000 * (b - c) * (b - c)) DIV (b + c)"))
+          .withColumn("reject_h0",
+            expr("(b - c) * (b - c) * 10000 > 38416 * (b + c)")),
+      Some(s"""WITH scored AS (
+                 SELECT lang, $predCase AS pred_a, 'en' AS pred_b
+                 FROM (SELECT lang, ${duckHits.mkString(", ")}
+                       FROM documents)),
+               agg AS (
+                 SELECT count(*) AS n_docs,
+                   CAST(sum(CASE WHEN pred_a = lang THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_a_correct,
+                   CAST(sum(CASE WHEN pred_b = lang THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_b_correct,
+                   CAST(sum(CASE WHEN pred_a = lang AND pred_b != lang
+                     THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                   CAST(sum(CASE WHEN pred_a != lang AND pred_b = lang
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c
+                 FROM scored)
+               SELECT n_docs, n_a_correct, n_b_correct, b, c,
+                 (1000000 * (b - c) * (b - c)) // (b + c) AS chi2_e6,
+                 (b - c) * (b - c) * 10000 > 38416 * (b + c) AS reject_h0
+               FROM agg"""))
+  }
+
   private val stopWords = Seq("the", "a", "and", "of", "in", "to", "is")
   private val punctClass = "[.,!?;:]"
 
@@ -2433,5 +2498,5 @@ object TextAnalysis {
       gopherRules, zipfFit, tokenBurstiness, bigramPerplexity,
       confusableSpoof, textrank, ruleAblation, ngramNovelty, bpeFertility,
       jsDivergence, vocabOov, vocabGrowth, truncationLoss, pmiCollocations,
-      knPerplexity)
+      knPerplexity, mcnemarLangId)
 }

@@ -1807,10 +1807,68 @@ object Relational {
                GROUP BY 1, 2 ORDER BY 1, 2"""))
   }
 
+  /** Q58 — sliding-window rate-limit audit (the admission rule API
+    * gateways enforce — Cloudflare/Kong-style sliding window: admit an
+    * event iff the SAME user produced fewer than K events in the
+    * preceding W seconds, current instant excluded): replayed exactly
+    * over the event log with a RANGE-frame window, then a per-type
+    * admission census. The offline form of what st22 does in-flight
+    * (st22 gates on identity, q58 on velocity).
+    *
+    * Determinism: the frame is RANGE BETWEEN 600 PRECEDING AND 1
+    * PRECEDING over epoch SECONDS — peer rows at the same second are
+    * excluded by the frame bound itself, so the count is independent
+    * of intra-second row order (a ROWS frame would not be); all
+    * counts exact.
+    *
+    * Scale shape: one user-keyed window shuffle (bucketing absorbs it
+    * at 100 TB), one type-domain agg. */
+  val q58 = {
+    val windowSec = 600L
+    val maxK = 3L
+    QueryDef(
+      "q58_rate_limit_window",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("epoch_s")
+          .rangeBetween(-windowSec, -1)
+        Tables.events(s, d)
+          .select(col("event_type"),
+            col("user_id"),
+            expr("unix_timestamp(ts)").as("epoch_s"))
+          .withColumn("prior", count(lit(1)).over(w))
+          .withColumn("admitted",
+            when(col("prior") < maxK, 1L).otherwise(0L))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("admitted")).as("n_admitted"),
+            max(col("prior")).as("peak_prior"))
+          .withColumn("admit_ppm",
+            expr("(1000000 * n_admitted) DIV n_events"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH e AS (
+                 SELECT event_type, user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+                 FROM events),
+               p AS (
+                 SELECT event_type,
+                   CAST(count(*) OVER (PARTITION BY user_id
+                     ORDER BY epoch_s RANGE BETWEEN $windowSec PRECEDING
+                     AND 1 PRECEDING) AS BIGINT) AS prior
+                 FROM e)
+               SELECT event_type, count(*) AS n_events,
+                 CAST(sum(CASE WHEN prior < $maxK THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_admitted,
+                 CAST(max(prior) AS BIGINT) AS peak_prior,
+                 (1000000 * CAST(sum(CASE WHEN prior < $maxK THEN 1
+                   ELSE 0 END) AS BIGINT)) // count(*) AS admit_ppm
+               FROM p GROUP BY 1 ORDER BY 1"""))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q12b,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
-    q54, q55, q56, q57)
+    q54, q55, q56, q57, q58)
 }

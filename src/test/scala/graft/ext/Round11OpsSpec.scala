@@ -793,6 +793,53 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t37: McNemar cells agree with t01's per-doc predictions; verdict is exact-integer") {
+    val t01 = TextAnalysis.langId.build(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang")))
+    val b = t01.count { case (lang, pa) => pa == lang && lang != "en" }.toLong
+    val c = t01.count { case (lang, pa) => pa != lang && lang == "en" }.toLong
+    val r = TextAnalysis.mcnemarLangId.build(spark, sf).collect().head
+    assert(r.getAs[Long]("n_docs") == t01.length.toLong)
+    assert(r.getAs[Long]("n_a_correct") ==
+      t01.count(t => t._2 == t._1).toLong)
+    assert(r.getAs[Long]("n_b_correct") ==
+      t01.count(_._1 == "en").toLong)
+    assert(r.getAs[Long]("b") == b && r.getAs[Long]("c") == c)
+    assert(r.getAs[Long]("chi2_e6") == 1000000L * (b - c) * (b - c) / (b + c))
+    assert(r.getAs[Boolean]("reject_h0") ==
+      ((b - c) * (b - c) * 10000L > 38416L * (b + c)))
+    // discordant cells are disjoint subsets of the corpus
+    assert(b + c <= t01.length.toLong)
+  }
+
+  test("q58: rate-limit admissions match a per-user sliding-window replay") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id",
+        "unix_timestamp(ts) AS epoch_s").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    val want = ev.groupBy(_._1).view.mapValues { rs =>
+      val admitted = rs.count { case (_, uid, t) =>
+        byUser(uid).count(t2 => t2 >= t - 600 && t2 <= t - 1) < 3
+      }.toLong
+      val peak = rs.map { case (_, uid, t) =>
+        byUser(uid).count(t2 => t2 >= t - 600 && t2 <= t - 1).toLong
+      }.max
+      (rs.length.toLong, admitted, peak)
+    }.toMap
+    val got = graft.queries.Relational.q58.build(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, adm, peak) = want(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("n_admitted") == adm)
+      assert(r.getAs[Long]("peak_prior") == peak)
+      assert(r.getAs[Long]("admit_ppm") == 1000000L * adm / n)
+      // the admission rule can never admit more than everything
+      assert(adm <= n)
+    }
+  }
+
   test("q56: map pipeline equals the relational recompute; cardinality law holds") {
     val li = graft.core.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_returnflag", "l_quantity").collect()
