@@ -3176,10 +3176,16 @@ object Curation {
             expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("c"))
           .groupBy("segment")
           .agg(count(lit(1)).as("n_h"), sum("c").as("sc"),
-            sum(expr("c * c")).as("scc"))
+            // c*c fits a long (c <= 10^6 cents) but the SUM and the
+            // variance products do not past ~10^4 rows/segment: the
+            // sf0.5 probe overflowed n_h*scc at 6.7e19, so the whole
+            // numerator chain is 128-bit (t24's widening path)
+            sum(expr("CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))"))
+              .as("scc"))
           .withColumn("sd_cents", expr(
-            """CAST(floor(sqrt(CAST(n_h * scc - sc * sc AS DOUBLE))
-                 / CAST(n_h AS DOUBLE)) AS BIGINT)"""))
+            """CAST(floor(sqrt(CAST(CAST(n_h AS DECIMAL(38,0)) * scc
+                 - CAST(sc AS DECIMAL(38,0)) * CAST(sc AS DECIMAL(38,0))
+                 AS DOUBLE)) / CAST(n_h AS DOUBLE)) AS BIGINT)"""))
           .withColumn("w", expr("n_h * sd_cents"))
           .withColumn("wt", sum("w").over(wAll))
           .withColumn("alloc0", expr(s"($B * w) DIV wt"))
@@ -3199,11 +3205,14 @@ object Curation {
                stats AS (
                  SELECT segment, CAST(count(*) AS BIGINT) AS n_h,
                         CAST(sum(c) AS BIGINT) AS sc,
-                        CAST(sum(c * c) AS BIGINT) AS scc
+                        CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                          AS HUGEINT) AS scc
                  FROM c GROUP BY 1),
                sd AS (
                  SELECT *,
-                   CAST(floor(sqrt(CAST(n_h * scc - sc * sc AS DOUBLE))
+                   CAST(floor(sqrt(CAST(CAST(n_h AS HUGEINT) * scc
+                        - CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT)
+                        AS DOUBLE))
                         / CAST(n_h AS DOUBLE)) AS BIGINT) AS sd_cents
                  FROM stats),
                w AS (

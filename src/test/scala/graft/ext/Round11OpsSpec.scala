@@ -237,8 +237,11 @@ class Round11OpsSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val w = cents.map { case (seg, cs) =>
       val n = cs.length.toLong
-      val sc = cs.sum; val scc = cs.map(c => c * c).sum
-      val sd = math.floor(math.sqrt((n * scc - sc * sc).toDouble) / n).toLong
+      val sc = BigInt(cs.sum)
+      val scc = cs.map(c => BigInt(c) * BigInt(c)).sum
+      // 128-bit numerator, the widened form the sf0.5 probe forced
+      val sd = math.floor(
+        math.sqrt((BigInt(n) * scc - sc * sc).toDouble) / n).toLong
       seg -> n * sd
     }
     val wt = w.values.sum
