@@ -2124,11 +2124,61 @@ object Dedup {
                GROUP BY 1 ORDER BY cluster_size"""))
   }
 
+  /** d24 — cross-source duplication matrix (the mirror-site/syndication
+    * diagnostic every web-corpus report includes — RefinedWeb §D and
+    * Dolma both break dup counts into within- vs cross-source:
+    * within-source duplication means crawler revisits, CROSS-source
+    * duplication means mirrors/syndication and decides whether dedup
+    * must run globally or can shard by source). Per unordered source
+    * pair: near-dup pair count and exact mean jaccard, plus the within
+    * flag. Consumes the SAME materialized d04 pair stage — zero
+    * re-shingling.
+    *
+    * Determinism: pair jaccards are the shared stage's verified
+    * doubles, 10⁻⁶-integerized per pair before the exact mean; the
+    * unordered pair key is (least, greatest) of the two sources.
+    *
+    * Scale shape: two doc-keyed equi-joins to attach sources, one
+    * source-pair hash agg (≤ |sources|² rows). */
+  val crossSourceDup: QueryDef = QueryDef(
+    "d24_cross_source_dup",
+    (s, d) => {
+      val pairs = ngramSharedPairs(s, d)
+      val src = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a_id"),
+          col("source").as("src_a")), Seq("a_id"))
+        .join(src.select(col("doc_id").as("b_id"),
+          col("source").as("src_b")), Seq("b_id"))
+        .select(least(col("src_a"), col("src_b")).as("src_lo"),
+          greatest(col("src_a"), col("src_b")).as("src_hi"),
+          expr("CAST(round(jaccard * 1000000) AS BIGINT)").as("j_ppm"))
+        .groupBy("src_lo", "src_hi")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("j_ppm")).as("sj"))
+        .withColumn("mean_j_ppm", expr("sj DIV n_pairs"))
+        .withColumn("within", col("src_lo") === col("src_hi"))
+        .select("src_lo", "src_hi", "n_pairs", "mean_j_ppm", "within")
+        .orderBy("src_lo", "src_hi")
+    },
+    Some(s"""WITH ${ngramPairSql(ngramTheta)},
+             j AS (
+               SELECT least(da.source, db.source) AS src_lo,
+                 greatest(da.source, db.source) AS src_hi,
+                 CAST(round(p.jaccard * 1000000) AS BIGINT) AS j_ppm
+               FROM pairs p
+               JOIN documents da ON da.doc_id = p.a_id
+               JOIN documents db ON db.doc_id = p.b_id)
+             SELECT src_lo, src_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(j_ppm) AS BIGINT) // count(*) AS mean_j_ppm,
+               src_lo = src_hi AS within
+             FROM j GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] =
     Seq(exact, exactByFingerprint, minhash, minhashNative, simhashPairs,
       ngramJaccard, embeddingCosine, components, simhashBanded, minhashMd5,
       simhashMd5Banded, substringSpans, spanRemoval, semanticDedup,
       incrementalSemantic, containmentPairs, minhashCalibration,
       normalizedExact, cdcChunking, dedupEval, simhashMultiProbe,
-      containmentSketchEval, clusterCoherence)
+      containmentSketchEval, clusterCoherence, crossSourceDup)
 }

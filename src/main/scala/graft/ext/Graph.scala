@@ -1470,10 +1470,93 @@ object Graph {
       })
   }
 
+  /** g18 — exact two-hop reach for a bounded seed panel (the
+    * "audience estimation" / friends-of-friends primitive — Pregel's
+    * canonical 2-superstep query; approximate engines answer it with
+    * HLL neighborhoods a la Boldi–Vigna HyperANF, this is the exact
+    * form the sketch is validated against): per seed supplier, the
+    * distinct parts it supplies (1-hop) and the distinct OTHER
+    * suppliers sharing any of those parts (2-hop co-suppliers), with
+    * the co-supplier share of the supplier universe in exact ppm.
+    * Differs from g05 (level census from ONE source via iterative
+    * relaxation) — this is a per-seed exact DISTINCT reach through
+    * two equi-joins, no iteration.
+    *
+    * Determinism: all distinct counts exact; the domain frame keeps
+    * seeds with no lineitem (s13's lesson).
+    *
+    * Scale shape: edge list distinct once (part-keyed); seed filter
+    * pushes into the scan; two part-keyed equi-joins + two hash
+    * distinct-aggs; the seed panel is bounded (8), so intermediate
+    * fan-out is (seed parts)·(suppliers/part) — the 2-hop frontier,
+    * not the graph. */
+  val twoHopReach: QueryDef = {
+    val nSeeds = 8L
+    QueryDef(
+      "g18_two_hop_reach",
+      (s, d) => {
+        val edges = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+          .distinct()
+        val seeds = Tables.supplier(s, d)
+          .filter(col("s_suppkey") <= nSeeds)
+          .select(col("s_suppkey").as("seed"))
+        val nSup = Tables.supplier(s, d)
+          .agg(count(lit(1)).as("n_sup_total"))
+        val hop1 = edges.filter(col("sup") <= nSeeds)
+          .select(col("sup").as("seed"), col("p"))
+        val hop2 = hop1.join(edges, Seq("p"))
+          .filter(col("sup") =!= col("seed"))
+        val perSeed = hop1.groupBy("seed")
+          .agg(countDistinct(col("p")).as("n_parts"))
+          .join(hop2.groupBy("seed")
+            .agg(countDistinct(col("sup")).as("n_cosuppliers")), Seq("seed"))
+        seeds.join(perSeed, Seq("seed"), "left")
+          .na.fill(0L, Seq("n_parts", "n_cosuppliers"))
+          .crossJoin(broadcast(nSup))
+          .withColumn("reach_ppm",
+            expr("(1000000 * n_cosuppliers) DIV (n_sup_total - 1)"))
+          .select("seed", "n_parts", "n_cosuppliers", "n_sup_total",
+            "reach_ppm")
+          .orderBy("seed")
+      },
+      Some(s"""WITH edges AS (
+                 SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
+                 FROM lineitem),
+               seeds AS (
+                 SELECT s_suppkey AS seed FROM supplier
+                 WHERE s_suppkey <= $nSeeds),
+               tot AS (
+                 SELECT CAST(count(*) AS BIGINT) AS n_sup_total
+                 FROM supplier),
+               hop1 AS (
+                 SELECT sup AS seed, p FROM edges WHERE sup <= $nSeeds),
+               hop2 AS (
+                 SELECT h.seed, e.sup FROM hop1 h
+                 JOIN edges e ON e.p = h.p AND e.sup != h.seed),
+               per AS (
+                 SELECT a.seed,
+                   CAST(a.n_parts AS BIGINT) AS n_parts,
+                   CAST(b.n_cosup AS BIGINT) AS n_cosuppliers
+                 FROM (SELECT seed, count(DISTINCT p) AS n_parts
+                       FROM hop1 GROUP BY 1) a
+                 JOIN (SELECT seed, count(DISTINCT sup) AS n_cosup
+                       FROM hop2 GROUP BY 1) b USING (seed))
+               SELECT seeds.seed,
+                 coalesce(per.n_parts, 0) AS n_parts,
+                 coalesce(per.n_cosuppliers, 0) AS n_cosuppliers,
+                 tot.n_sup_total,
+                 (1000000 * coalesce(per.n_cosuppliers, 0))
+                   // (tot.n_sup_total - 1) AS reach_ppm
+               FROM seeds LEFT JOIN per USING (seed)
+               CROSS JOIN tot
+               ORDER BY seed"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(pagerank, triangles, kcore, labelPropagation, bfsHops,
       personalizedPagerank, linkPrediction, hits, degreeHistogram,
       harmonicCentrality, modularity, clusteringCoefficient,
       assortativity, wcc, diameterSweep, bipartiteProjection,
-      seededBetweenness)
+      seededBetweenness, twoHopReach)
 }

@@ -138,6 +138,86 @@ object TextAnalysis {
                FROM agg"""))
   }
 
+  /** t38 — Cohen's kappa for the language-ID classifier (Cohen,
+    * Educational and Psychological Measurement 20(1), 1960:
+    * chance-corrected agreement κ = (p₀−pₑ)/(1−pₑ) — raw accuracy p₀
+    * flatters any classifier on a skewed label mix (en is 44% of the
+    * fixture), κ subtracts what marginal-matching chance alone would
+    * score; t37's McNemar asks "is A better than B", κ asks "is A
+    * better than chance"; Landis & Koch 1977 bands read the value).
+    *
+    * Determinism: FULLY integer — p₀ and pₑ come from exact confusion
+    * counts; pₑ's numerator Σ_l row_l·col_l lives on the label-DOMAIN
+    * frame (full-outer of the two marginals, zero-filled), and κ is
+    * the sign-split exact ratio (10⁶·(n·diag − Σrc)) / (n² − Σrc)
+    * (n²·10⁶ < 2⁶³ to ~3·10⁶ docs; the DECIMAL widening path beyond).
+    * No doubles anywhere.
+    *
+    * Scale shape: ONE scoring scan → the ≤|langs|² confusion census;
+    * marginals and the two scalars are bounded-frame algebra. */
+  val cohensKappa: QueryDef = {
+    val sparkHits = lexicons.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString(", ")
+      s"size(filter(split(text, ' '), t -> array_contains(array($arr), t))) AS h_$l"
+    }
+    val duckHits = lexicons.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains([$arr], t))) AS INTEGER) AS h_$l"
+    }
+    def kappaExpr(div: String): String =
+      "CASE WHEN 1000000 * (n_docs * n_agree - src) >= 0 " +
+        s"THEN (1000000 * (n_docs * n_agree - src)) $div (n_docs * n_docs - src) " +
+        s"ELSE -((-(1000000 * (n_docs * n_agree - src))) $div (n_docs * n_docs - src)) END"
+    QueryDef(
+      "t38_cohens_kappa",
+      (s, d) => {
+        val census = Tables.documents(s, d)
+          .selectExpr(Seq("lang") ++ sparkHits: _*)
+          .selectExpr("lang", s"$predCase AS pred")
+          .groupBy("lang", "pred").agg(count(lit(1)).as("c"))
+        val rows = census.groupBy("lang").agg(sum(col("c")).as("row_t"))
+        val cols = census.groupBy("pred").agg(sum(col("c")).as("col_t"))
+        val src = rows.join(cols, col("lang") === col("pred"), "full")
+          .select(coalesce(col("row_t"), lit(0L)).as("row_t"),
+            coalesce(col("col_t"), lit(0L)).as("col_t"))
+          .agg(sum(expr("row_t * col_t")).as("src"))
+        census
+          .agg(sum(col("c")).as("n_docs"),
+            sum(when(col("lang") === col("pred"), col("c")).otherwise(0L))
+              .as("n_agree"))
+          .crossJoin(broadcast(src))
+          .selectExpr("n_docs", "n_agree",
+            "(1000000 * n_agree) DIV n_docs AS po_ppm",
+            "(1000000 * src) DIV (n_docs * n_docs) AS pe_ppm",
+            s"${kappaExpr("DIV")} AS kappa_e6")
+      },
+      Some(s"""WITH scored AS (
+                 SELECT lang, $predCase AS pred
+                 FROM (SELECT lang, ${duckHits.mkString(", ")}
+                       FROM documents)),
+               census AS (
+                 SELECT lang, pred, CAST(count(*) AS BIGINT) AS c
+                 FROM scored GROUP BY 1, 2),
+               r AS (SELECT lang, CAST(sum(c) AS BIGINT) AS row_t
+                     FROM census GROUP BY 1),
+               co AS (SELECT pred, CAST(sum(c) AS BIGINT) AS col_t
+                      FROM census GROUP BY 1),
+               srcf AS (
+                 SELECT CAST(sum(coalesce(row_t, 0) * coalesce(col_t, 0))
+                   AS BIGINT) AS src
+                 FROM r FULL OUTER JOIN co ON r.lang = co.pred),
+               tot AS (
+                 SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN lang = pred THEN c ELSE 0 END)
+                     AS BIGINT) AS n_agree
+                 FROM census)
+               SELECT n_docs, n_agree,
+                 (1000000 * n_agree) // n_docs AS po_ppm,
+                 (1000000 * src) // (n_docs * n_docs) AS pe_ppm,
+                 ${kappaExpr("//")} AS kappa_e6
+               FROM tot CROSS JOIN srcf"""))
+  }
+
   private val stopWords = Seq("the", "a", "and", "of", "in", "to", "is")
   private val punctClass = "[.,!?;:]"
 
@@ -2498,5 +2578,5 @@ object TextAnalysis {
       gopherRules, zipfFit, tokenBurstiness, bigramPerplexity,
       confusableSpoof, textrank, ruleAblation, ngramNovelty, bpeFertility,
       jsDivergence, vocabOov, vocabGrowth, truncationLoss, pmiCollocations,
-      knPerplexity, mcnemarLangId)
+      knPerplexity, mcnemarLangId, cohensKappa)
 }

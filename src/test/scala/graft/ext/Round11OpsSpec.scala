@@ -843,6 +843,78 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("g18: two-hop reach matches a driver adjacency replay") {
+    val edges = graft.core.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nSup = graft.core.Tables.supplier(spark, sf).count()
+    val bySup = edges.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val byPart = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = graft.core.Tables.supplier(spark, sf)
+      .select("s_suppkey").collect().map(_.getLong(0)).filter(_ <= 8L).sorted
+    val got = Graph.twoHopReach.build(spark, sf).collect()
+      .map(r => (r.getAs[Long]("seed"), r.getAs[Long]("n_parts"),
+        r.getAs[Long]("n_cosuppliers"), r.getAs[Long]("reach_ppm")))
+    assert(got.map(_._1).toSeq == seeds.toSeq)
+    got.foreach { case (seed, np, nc, ppm) =>
+      val parts = bySup.getOrElse(seed, Set.empty)
+      val cosup = parts.flatMap(byPart) - seed
+      assert(np == parts.size.toLong, s"seed $seed parts")
+      assert(nc == cosup.size.toLong, s"seed $seed cosuppliers")
+      assert(ppm == 1000000L * cosup.size / (nSup - 1))
+    }
+  }
+
+  test("d24: cross-source matrix matches the shared stage; keys are unordered") {
+    val src = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.ngramSharedPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        roundHalfUp(r.getDouble(2) * 1e6)))
+    val want = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (src(a), src(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.view.mapValues(es =>
+      (es.length.toLong, es.map(_._3).sum / es.length)).toMap
+    val got = Dedup.crossSourceDup.build(spark, sf).collect()
+      .map(r => (r.getAs[String]("src_lo"), r.getAs[String]("src_hi")) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("mean_j_ppm"),
+          r.getAs[Boolean]("within")))).toMap
+    assert(got.size == want.size)
+    got.foreach { case ((lo, hi), (n, mean, within)) =>
+      assert(lo <= hi, "pair key must be unordered-normalized")
+      assert(within == (lo == hi))
+      assert((n, mean) == want((lo, hi)), s"($lo,$hi)")
+    }
+    // pair accounting: matrix covers every admitted pair exactly once
+    assert(got.values.map(_._1).sum == pairs.length.toLong)
+  }
+
+  test("t38: kappa agrees with a confusion replay of t01; bounded in [-1, 1]") {
+    val t01 = TextAnalysis.langId.build(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang")))
+    val n = t01.length.toLong
+    val agree = t01.count(t => t._1 == t._2).toLong
+    val rowT = t01.groupBy(_._1).view.mapValues(_.length.toLong)
+    val colT = t01.groupBy(_._2).view.mapValues(_.length.toLong)
+    val labels = (rowT.keySet ++ colT.keySet).toSeq
+    val srcSum = labels.map(l =>
+      rowT.getOrElse(l, 0L) * colT.getOrElse(l, 0L)).sum
+    val kNum = 1000000L * (n * agree - srcSum)
+    val kDen = n * n - srcSum
+    val kappa = if (kNum >= 0) kNum / kDen else -((-kNum) / kDen)
+    val r = TextAnalysis.cohensKappa.build(spark, sf).collect().head
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("n_agree") == agree)
+    assert(r.getAs[Long]("po_ppm") == 1000000L * agree / n)
+    assert(r.getAs[Long]("pe_ppm") == 1000000L * srcSum / (n * n))
+    assert(r.getAs[Long]("kappa_e6") == kappa)
+    assert(kappa >= -1000000L && kappa <= 1000000L)
+    // chance correction is real: kappa sits below raw accuracy
+    assert(kappa <= r.getAs[Long]("po_ppm"))
+  }
+
   test("q56: map pipeline equals the relational recompute; cardinality law holds") {
     val li = graft.core.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_returnflag", "l_quantity").collect()

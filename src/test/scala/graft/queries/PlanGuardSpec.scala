@@ -91,7 +91,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "ml21_logit_newton" -> "1-row coefficient broadcast onto the scoring scan (x29b's idiom)",
     "ml22_permutation_test" -> "1-row observed-moments broadcast onto the 32-row replicate frame (ml13's idiom)",
     "s21_farthest_first" -> "bounded (k=4) centroid-frame broadcast onto the assignment scan (d13's pinned idiom; selection scans use rendered literals, no join at all)",
-    "q57_scd2_asof_lookup" -> "bounded (3-row) probe-date broadcast; the range predicate evaluates inside the SCD2 scan (x36's epoch fan-out idiom)")
+    "q57_scd2_asof_lookup" -> "bounded (3-row) probe-date broadcast; the range predicate evaluates inside the SCD2 scan (x36's epoch fan-out idiom)",
+    "g18_two_hop_reach" -> "1-row supplier-universe scalar broadcast onto the 9-row seed frame (e05's idiom)",
+    "t38_cohens_kappa" -> "1-row chance-agreement scalar broadcast onto the 1-row confusion totals (e05's idiom)")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
