@@ -808,8 +808,75 @@ object Extensions {
                     CAST(n * n AS DOUBLE), 6) AS variance
             FROM g ORDER BY l_returnflag"""))
 
+  /** e13 — KMV size/accuracy sweep (the sketch-SIZING table: KMV's
+    * relative error is ~1/√(k−2) (Bar-Yossef et al., RANDOM 2002;
+    * Beyer et al., SIGMOD 2007 unbiased form), and every capacity
+    * plan trades that k against state — this op measures the actual
+    * error at k ∈ {4, 8, 16, 32} against the exact count in ONE pass,
+    * the nested-prefix trick of t33 applied to sketch sizes: the
+    * k-minimum set is a PREFIX of the 32-minimum set, so one bottom-32
+    * gives every smaller sketch for free).
+    *
+    * Determinism: md5-portable hashes; the k-th minimum is the rank-k
+    * row of the bottom-32 frame; estimates are one fixed-shape IEEE
+    * expression rounded to integers; error in exact ppm.
+    *
+    * Scale shape: one distinct-hash agg, then a map-side TakeOrdered
+    * 32 — the 100 TB cost is the distinct agg (key-keyed);
+    * everything after runs on a 32-row frame (bounded rank window). */
+  val kmvSizeSweep: QueryDef = {
+    val ks = Seq(4, 8, 16, 32)
+    val estExpr =
+      "CAST(round(CAST(k - 1 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) " +
+        "/ CAST(hk AS DOUBLE)) AS BIGINT)"
+    QueryDef(
+      "e13_kmv_size_sweep",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val keys = Tables.lineitem(s, d)
+          .selectExpr("CAST(l_orderkey AS STRING) AS tok")
+        val bottom = keys
+          .select(expr(graft.ext.Dedup.sparkMd5Int60("tok")).as("h"))
+          .distinct().orderBy("h").limit(ks.max)
+        val ranked = bottom
+          .withColumn("k", row_number().over(Window.orderBy("h")))
+          .filter(col("k").isin(ks: _*))
+          .select(col("k").cast("long").as("k"), col("h").as("hk"))
+        val exact = keys.agg(countDistinct(col("tok")).as("exact"))
+        ranked.crossJoin(broadcast(exact))
+          .withColumn("kmv_est", expr(estExpr))
+          .withColumn("err_ppm",
+            expr("(1000000 * abs(kmv_est - exact)) DIV exact"))
+          .select("k", "hk", "exact", "kmv_est", "err_ppm")
+          .orderBy("k")
+      },
+      Some(s"""WITH tf AS (
+                 SELECT CAST(l_orderkey AS VARCHAR) AS tok FROM lineitem),
+               hs AS (
+                 SELECT DISTINCT ${graft.ext.Dedup.duckMd5Int60("tok")} AS h
+                 FROM tf),
+               bot AS (
+                 SELECT h, CAST(row_number() OVER (ORDER BY h) AS BIGINT)
+                   AS k
+                 FROM (SELECT h FROM hs ORDER BY h LIMIT ${ks.max})),
+               ex AS (
+                 SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact
+                 FROM tf)
+               SELECT k, h AS hk, exact,
+                 CAST(round(CAST(k - 1 AS DOUBLE)
+                   * CAST(1152921504606846976 AS DOUBLE)
+                   / CAST(h AS DOUBLE)) AS BIGINT) AS kmv_est,
+                 (1000000 * abs(CAST(round(CAST(k - 1 AS DOUBLE)
+                   * CAST(1152921504606846976 AS DOUBLE)
+                   / CAST(h AS DOUBLE)) AS BIGINT) - exact)) // exact
+                   AS err_ppm
+               FROM bot CROSS JOIN ex
+               WHERE k IN (${ks.mkString(", ")})
+               ORDER BY k"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(daypart, sketch, approxProfile, topkOperator, kmvSketch, heavyHitters,
       quantileSketch, countMinProbe, countMinMd5, hllMd5, bloomMd5, amsF2,
-      kmvSetAlgebra, momentsSketch)
+      kmvSetAlgebra, momentsSketch, kmvSizeSweep)
 }

@@ -915,6 +915,32 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(kappa <= r.getAs[Long]("po_ppm"))
   }
 
+  test("e13: KMV sweep matches a driver bottom-k replay; prefixes nest") {
+    val keys = graft.core.Tables.lineitem(spark, sf)
+      .selectExpr("CAST(l_orderkey AS STRING) AS k").collect()
+      .map(_.getString(0)).distinct
+    val hs = keys.map(md5Int60).distinct.sorted
+    val exact = keys.length.toLong
+    val got = graft.queries.Extensions.kmvSizeSweep.build(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("hk"),
+        r.getAs[Long]("exact"), r.getAs[Long]("kmv_est"),
+        r.getAs[Long]("err_ppm")))
+    assert(got.map(_._1).toSeq == Seq(4L, 8L, 16L, 32L))
+    got.foreach { case (k, hk, ex, est, err) =>
+      assert(hk == hs((k - 1).toInt), s"k=$k: h_k is the k-th minimum")
+      assert(ex == exact)
+      val want = roundHalfUp((k - 1).toDouble *
+        1152921504606846976.0 / hk.toDouble)
+      assert(est == want, s"k=$k estimate")
+      assert(err == 1000000L * math.abs(est - exact) / exact)
+    }
+    // nesting: each h_k is <= the next (prefixes of ONE bottom-32 set)
+    got.map(_._2).toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(a < b)
+    }
+  }
+
   test("q56: map pipeline equals the relational recompute; cardinality law holds") {
     val li = graft.core.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_returnflag", "l_quantity").collect()

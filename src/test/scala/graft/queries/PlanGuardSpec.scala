@@ -93,7 +93,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "s21_farthest_first" -> "bounded (k=4) centroid-frame broadcast onto the assignment scan (d13's pinned idiom; selection scans use rendered literals, no join at all)",
     "q57_scd2_asof_lookup" -> "bounded (3-row) probe-date broadcast; the range predicate evaluates inside the SCD2 scan (x36's epoch fan-out idiom)",
     "g18_two_hop_reach" -> "1-row supplier-universe scalar broadcast onto the 9-row seed frame (e05's idiom)",
-    "t38_cohens_kappa" -> "1-row chance-agreement scalar broadcast onto the 1-row confusion totals (e05's idiom)")
+    "t38_cohens_kappa" -> "1-row chance-agreement scalar broadcast onto the 1-row confusion totals (e05's idiom)",
+    "e13_kmv_size_sweep" -> "1-row exact-count scalar broadcast onto the 4-row sweep frame (e05's idiom)")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
@@ -120,7 +121,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "t33_vocab_growth" -> "prefix sums over the 4-row bucket frame (x11's idiom), TextAnalysis.scala",
     "x50_neyman_allocation" -> "allocation windows over the segment-domain (5-row) frame (x17's idiom), Curation.scala",
     "ml19_mann_whitney" -> "doubled-rank cumulative + totals over the bounded DISTINCT-cent frame (value-domain bounded, ml15's idiom), MlQueries.scala",
-    "ml20_chi_square" -> "N / chi-square totals over the bounded type x band cell frame (ml14's idiom), MlQueries.scala")
+    "ml20_chi_square" -> "N / chi-square totals over the bounded type x band cell frame (ml14's idiom), MlQueries.scala",
+    "e13_kmv_size_sweep" -> "rank over the 32-row bottom-k frame (the TakeOrdered output; x11's idiom), Extensions.scala")
 
   /** name -> physical plan for every registered query. sparkPlan (the
     * pre-AQE physical plan) carries the concrete join/window nodes; a
