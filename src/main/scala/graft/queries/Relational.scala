@@ -48,30 +48,51 @@ object Relational {
     * then a 6-group shuffle: the classic scale-friendly agg shape. */
   val q02 = QueryDef(
     "q02_agg",
+    // EXACT integer sums, floats only at the end: the round-11 sf1.0
+    // probe caught round(sum(DOUBLE), d) within 1e-9 of a rounding
+    // boundary — double sums are accumulation-order-dependent, so a
+    // boundary hit flips the last digit between engines. Quantities
+    // are integral, prices 2-dp, price·(1−disc) exactly 4-dp, so every
+    // aggregate is an order-free BIGINT sum (the st07 cents discipline;
+    // the per-row product caps at ~10⁹, so the sum holds to ~10⁹ rows
+    // per group — DECIMAL(38,0) widening beyond).
     (s, d) =>
       li(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          // 4 dp, not 2: price(2dp)·(1−disc(2dp)) is exactly 4-decimal, so
-          // its sum sits ON the half-cent boundary often enough that Spark's
-          // HALF_UP and DuckDB's scaled-nearbyint round(_,2) disagree.
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-            .as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          sum(expr("CAST(l_quantity AS BIGINT)")).as("sq"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("sp"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+            "CAST(round((1 - l_discount) * 100) AS BIGINT)")).as("sdp"),
           count(lit(1)).as("count_order"))
+        .selectExpr("l_returnflag", "l_linestatus",
+          "CAST(sq AS DOUBLE) AS sum_qty",
+          "CAST(sp AS DOUBLE) / 100.0 AS sum_base_price",
+          "CAST(sdp AS DOUBLE) / 10000.0 AS sum_disc_price",
+          "round(CAST(sq AS DOUBLE) / CAST(count_order AS DOUBLE), 4) AS avg_qty",
+          "round(CAST(sp AS DOUBLE) / (100.0 * CAST(count_order AS DOUBLE)), 4) AS avg_price",
+          "count_order")
         .orderBy("l_returnflag", "l_linestatus"),
-    Some("""SELECT l_returnflag, l_linestatus,
-            round(sum(l_quantity), 2) AS sum_qty,
-            round(sum(l_extendedprice), 2) AS sum_base_price,
-            round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-            round(avg(l_quantity), 4) AS avg_qty,
-            round(avg(l_extendedprice), 4) AS avg_price,
-            count(*) AS count_order
-            FROM lineitem GROUP BY l_returnflag, l_linestatus
-            ORDER BY l_returnflag, l_linestatus"""))
+    Some("""WITH g AS (
+              SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sp,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                  CAST(round((1 - l_discount) * 100) AS BIGINT))
+                  AS BIGINT) AS sdp,
+                count(*) AS count_order
+              FROM lineitem GROUP BY 1, 2)
+            SELECT l_returnflag, l_linestatus,
+              CAST(sq AS DOUBLE) AS sum_qty,
+              CAST(sp AS DOUBLE) / 100.0 AS sum_base_price,
+              CAST(sdp AS DOUBLE) / 10000.0 AS sum_disc_price,
+              round(CAST(sq AS DOUBLE) / CAST(count_order AS DOUBLE), 4)
+                AS avg_qty,
+              round(CAST(sp AS DOUBLE)
+                / (100.0 * CAST(count_order AS DOUBLE)), 4) AS avg_price,
+              count_order
+            FROM g ORDER BY l_returnflag, l_linestatus"""))
 
   /** Q03 — inner equi-join orders ⋈ customer. Both sides large at scale →
     * shuffle hash / sort-merge on the key; AQE re-plans from runtime stats. */
