@@ -3532,6 +3532,81 @@ object Curation {
                ORDER BY policy"""))
   }
 
+  /** x54 — rejection resampling to a TARGET language mix (the sampling
+    * counterpart of x45/x46's weighting: instead of assigning epoch
+    * weights, DROP documents of over-represented languages with
+    * probability 1 − min(1, target/actual) so the surviving corpus
+    * approaches the uniform target in ONE pass — von Neumann 1951
+    * rejection, the way data loaders rebalance when they cannot
+    * repeat-sample). Acceptance is md5-deterministic per doc:
+    * accept ⟺ u < 2⁶⁰·(N/L)/n_lang ⟺ u·L·n_lang < 2⁶⁰·N, evaluated
+    * as an EXACT 128-bit integer inequality (u·L·n reaches ~10²⁴ —
+    * DECIMAL(38,0)/HUGEINT, the x50/ml21 recipe), so no doc's fate
+    * can flip on float noise, partitioning, or engine.
+    *
+    * Scale shape: one lang census (bounded), broadcast back onto the
+    * scan; the accept test is a per-row expression; readout is a
+    * lang-domain agg with a 1-row total broadcast. */
+  val rejectionResample: QueryDef = {
+    val acceptExpr =
+      "CAST(u AS DECIMAL(38,0)) * CAST(n_langs AS DECIMAL(38,0)) * " +
+        "CAST(n_lang AS DECIMAL(38,0)) < " +
+        "CAST(1152921504606846976 AS DECIMAL(38,0)) * CAST(n_total AS DECIMAL(38,0))"
+    QueryDef(
+      "x54_rejection_resample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            expr(graft.ext.Dedup.sparkMd5Int60("CAST(doc_id AS STRING)"))
+              .as("u"))
+        val census = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        val totals = census.agg(sum(col("n_lang")).as("n_total"),
+          count(lit(1)).as("n_langs"))
+        val accepted = docs
+          .join(broadcast(census), Seq("lang"))
+          .crossJoin(broadcast(totals))
+          .withColumn("acc", expr(s"IF($acceptExpr, 1L, 0L)"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("acc")).as("n_accepted"))
+        val accTot = accepted.agg(sum(col("n_accepted")).as("acc_total"))
+        accepted.crossJoin(broadcast(accTot))
+          .crossJoin(broadcast(totals.select("n_total")))
+          .withColumn("before_ppm", expr("(1000000 * n_docs) DIV n_total"))
+          .withColumn("after_ppm",
+            expr("(1000000 * n_accepted) DIV acc_total"))
+          .select("lang", "n_docs", "n_accepted", "before_ppm", "after_ppm")
+          .orderBy("lang")
+      },
+      Some {
+        val uSql = graft.ext.Dedup.duckMd5Int60("CAST(doc_id AS VARCHAR)")
+        val acceptSql = acceptExpr.replace("DECIMAL(38,0)", "HUGEINT")
+        s"""WITH docs AS (
+              SELECT doc_id, lang, ($uSql) AS u FROM documents),
+            census AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+              FROM docs GROUP BY 1),
+            tot AS (
+              SELECT CAST(sum(n_lang) AS BIGINT) AS n_total,
+                CAST(count(*) AS BIGINT) AS n_langs
+              FROM census),
+            acc AS (
+              SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN $acceptSql THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_accepted
+              FROM docs d
+              JOIN census USING (lang) CROSS JOIN tot
+              GROUP BY 1),
+            at AS (
+              SELECT CAST(sum(n_accepted) AS BIGINT) AS acc_total
+              FROM acc)
+            SELECT lang, n_docs, n_accepted,
+              (1000000 * n_docs) // tot.n_total AS before_ppm,
+              (1000000 * n_accepted) // at.acc_total AS after_ppm
+            FROM acc CROSS JOIN at CROSS JOIN tot
+            ORDER BY lang"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -3546,5 +3621,6 @@ object Curation {
       epochShuffle, dpRelease, psiDrift, blocklistGate, curriculumOrder,
       sourceOverlap, shardSkew, dupClusterStats, unimaxAllocation,
       doremiStep, pairAuditSample, lDiversity, decontaminationDrill,
-      neymanAllocation, dsirSelection, lengthBucketing, clusterSharding)
+      neymanAllocation, dsirSelection, lengthBucketing, clusterSharding,
+      rejectionResample)
 }

@@ -218,6 +218,61 @@ object TextAnalysis {
                FROM tot CROSS JOIN srcf"""))
   }
 
+  /** t39 — degenerate-repetition (loop) detector: the smallest period
+    * p ∈ {1..4} such that the document's LAST 12 tokens are p-periodic
+    * (tail[p+1..12] == tail[1..12−p] — the slice-shift identity), else
+    * 0. Neural text degenerates into short loops under greedy/low-temp
+    * decoding (Holtzman et al., "The curious case of neural text
+    * degeneration", ICLR 2020 §3 documents the repetition failure;
+    * production filters drop looping tails before training on model
+    * output). Census per (lang, period).
+    *
+    * Determinism: pure in-row array algebra — two slices compared per
+    * candidate period, smallest-p-wins CASE; docs shorter than the
+    * window report period 0 (can't loop in-window by construction).
+    *
+    * Scale shape: narrow per-row projection + one (lang, period) hash
+    * agg; nothing shuffles but the ≤5×5 census. */
+  val loopDetection: QueryDef = {
+    val w = 12
+    def armSpark(p: Int) =
+      s"WHEN slice(tail, ${p + 1}, ${w - p}) = slice(tail, 1, ${w - p}) THEN $p"
+    def armDuck(p: Int) =
+      s"WHEN tail[${p + 1}:$w] = tail[1:${w - p}] THEN $p"
+    val caseSpark = (1 to 4).map(armSpark)
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val caseDuck = (1 to 4).map(armDuck)
+      .mkString("CASE ", " ", " ELSE 0 END")
+    QueryDef(
+      "t39_loop_detection",
+      (s, d) =>
+        Tables.documents(s, d)
+          .selectExpr("lang", "split(text, ' ') AS t")
+          .selectExpr("lang",
+            s"IF(size(t) >= $w, slice(t, size(t) - ${w - 1}, $w), " +
+              "CAST(array() AS ARRAY<STRING>)) AS tail")
+          .selectExpr("lang",
+            s"IF(size(tail) = $w, $caseSpark, 0) AS period")
+          .groupBy("lang", "period")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "period"),
+      Some(s"""WITH tl AS (
+                 SELECT lang,
+                   CASE WHEN len(t) >= $w
+                     THEN t[len(t) - ${w - 1}:len(t)]
+                     ELSE [] END AS tail
+                 FROM (SELECT lang, string_split(text, ' ') AS t
+                       FROM documents)),
+               p AS (
+                 SELECT lang,
+                   CASE WHEN len(tail) = $w THEN $caseDuck
+                     ELSE 0 END AS period
+                 FROM tl)
+               SELECT lang, CAST(period AS INTEGER) AS period,
+                 count(*) AS n_docs
+               FROM p GROUP BY 1, 2 ORDER BY 1, 2"""))
+  }
+
   private val stopWords = Seq("the", "a", "and", "of", "in", "to", "is")
   private val punctClass = "[.,!?;:]"
 
@@ -2578,5 +2633,5 @@ object TextAnalysis {
       gopherRules, zipfFit, tokenBurstiness, bigramPerplexity,
       confusableSpoof, textrank, ruleAblation, ngramNovelty, bpeFertility,
       jsDivergence, vocabOov, vocabGrowth, truncationLoss, pmiCollocations,
-      knPerplexity, mcnemarLangId, cohensKappa)
+      knPerplexity, mcnemarLangId, cohensKappa, loopDetection)
 }

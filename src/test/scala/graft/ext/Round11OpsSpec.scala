@@ -941,6 +941,70 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t39: planted loops detected at their smallest period; fixture census partitions") {
+    // the fixture has no natural loops, so plant every period through
+    // the SAME build path (x49's canary discipline)
+    val dir = java.nio.file.Files.createTempDirectory("t39").toString
+    Seq(
+      (1L, ("x " * 20).trim, "en", "s0"),
+      (2L, ("a b " * 10).trim, "en", "s0"),
+      (3L, ("a b c " * 8).trim, "en", "s0"),
+      (4L, ("a b c d " * 6).trim, "en", "s0"),
+      (5L, (1 to 14).map(i => s"w$i").mkString(" "), "en", "s0"),
+      (6L, "too short", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = TextAnalysis.loopDetection.build(spark, dir).collect()
+      .map(r => r.getAs[Int]("period") -> r.getAs[Long]("n_docs")).toMap
+    assert(planted == Map(1 -> 1L, 2 -> 1L, 3 -> 1L, 4 -> 1L, 0 -> 2L),
+      s"planted census wrong: $planted")
+    // fixture: the census partitions the corpus per language
+    val got = TextAnalysis.loopDetection.build(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs")))
+    val docsPerLang = graft.core.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._2).sum == docsPerLang(lang), s"$lang partition")
+    }
+  }
+
+  test("x54: acceptance replays with driver md5 BigInt; mix moves toward uniform") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val census = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = docs.length.toLong; val l = census.size.toLong
+    val twoSixty = BigInt(1152921504606846976L)
+    val want = docs.groupBy(_._2).view.mapValues { ds =>
+      val nl = ds.length.toLong
+      val acc = ds.count { case (id, _) =>
+        BigInt(md5Int60(id.toString)) * l * nl < twoSixty * n
+      }.toLong
+      (nl, acc)
+    }.toMap
+    val got = Curation.rejectionResample.build(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_accepted"),
+          r.getAs[Long]("before_ppm"), r.getAs[Long]("after_ppm")))).toMap
+    assert(got.size == want.size)
+    val accTotal = want.values.map(_._2).sum
+    got.foreach { case (lang, (nd, na, before, after)) =>
+      assert((nd, na) == want(lang), s"$lang acceptance")
+      assert(before == 1000000L * nd / n)
+      assert(after == 1000000L * na / accTotal)
+      // under-represented languages are never rejected
+      if (census(lang) * l <= n) assert(na == nd, s"$lang minority dropped")
+    }
+    // the rebalance law: worst-case deviation from uniform shrinks
+    val uni = 1000000L / l
+    val devBefore = got.values.map(v => math.abs(v._3 - uni)).max
+    val devAfter = got.values.map(v => math.abs(v._4 - uni)).max
+    assert(devAfter < devBefore, s"mix must move toward uniform: $got")
+  }
+
   test("q56: map pipeline equals the relational recompute; cardinality law holds") {
     val li = graft.core.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_returnflag", "l_quantity").collect()

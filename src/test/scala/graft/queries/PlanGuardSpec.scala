@@ -94,7 +94,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q57_scd2_asof_lookup" -> "bounded (3-row) probe-date broadcast; the range predicate evaluates inside the SCD2 scan (x36's epoch fan-out idiom)",
     "g18_two_hop_reach" -> "1-row supplier-universe scalar broadcast onto the 9-row seed frame (e05's idiom)",
     "t38_cohens_kappa" -> "1-row chance-agreement scalar broadcast onto the 1-row confusion totals (e05's idiom)",
-    "e13_kmv_size_sweep" -> "1-row exact-count scalar broadcast onto the 4-row sweep frame (e05's idiom)")
+    "e13_kmv_size_sweep" -> "1-row exact-count scalar broadcast onto the 4-row sweep frame (e05's idiom)",
+    "x54_rejection_resample" -> "1-row corpus-totals + 1-row accepted-total scalar broadcasts onto the scan / the 5-row lang frame (e05's idiom; the lang census itself is a broadcast equi-join)")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
