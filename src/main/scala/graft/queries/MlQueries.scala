@@ -1800,8 +1800,18 @@ object MlQueries {
     * (DECIMAL(38,0) on Spark, HUGEINT in DuckDB — products reach
     * ~10²¹ at sf1.0, past the long range); the per-row prediction
     * b₀+b₁x > 0 is the EXACT integer comparison A + B·x > 0 (det > 0),
-    * so accuracy can never flip on float noise; b₀/b₁ are one
-    * fixed-shape IEEE division each, at 9 dp.
+    * so accuracy can never flip on float noise; the coefficients are
+    * emitted as exact 10⁻⁹ fixed-point integers b_e9 = (2·num·10⁹)
+    * DIV det (sign split so Spark's truncating DIV and DuckDB's
+    * flooring // agree on negatives — the x51 recipe), with the
+    * human-readable float derived from that SAME integer on both
+    * engines (one fixed-shape IEEE division of a < 2⁵³ integer —
+    * bit-identical). r11 post-mortem: round(2·CAST(num AS DOUBLE)/
+    * CAST(det AS DOUBLE), 9) failed the sf0.01 hash because Spark's
+    * decimal→double and DuckDB's hugeint→double can differ by 1 ulp
+    * on >2⁵³ values and the quotient sat on a round-at-9dp boundary
+    * (the q02 class). No 128-bit value may ever cross to DOUBLE
+    * before comparison or emission.
     *
     * Scale shape: one partial-aggregable moments scan, then one
     * scoring scan under a 1-row coefficient broadcast — no iterative
@@ -1829,15 +1839,22 @@ object MlQueries {
           "y")
         .groupBy("n", "sy")
         .agg(
-          expr("round(2.0 * CAST(max(a_num) AS DOUBLE) / CAST(max(det) AS DOUBLE), 9)")
-            .as("b0"),
-          expr("round(2.0 * CAST(max(b_num) AS DOUBLE) / CAST(max(det) AS DOUBLE), 9)")
-            .as("b1"),
+          expr("CAST(CASE WHEN max(a_num) >= 0 " +
+            "THEN (2 * max(a_num) * 1000000000) DIV max(det) " +
+            "ELSE -((2 * (-max(a_num)) * 1000000000) DIV max(det)) END " +
+            "AS BIGINT)").as("b0_e9"),
+          expr("CAST(CASE WHEN max(b_num) >= 0 " +
+            "THEN (2 * max(b_num) * 1000000000) DIV max(det) " +
+            "ELSE -((2 * (-max(b_num)) * 1000000000) DIV max(det)) END " +
+            "AS BIGINT)").as("b1_e9"),
           sum(expr("IF(pred = y, 1L, 0L)")).as("n_correct"))
+        .withColumn("b0", expr("CAST(b0_e9 AS DOUBLE) / 1000000000.0"))
+        .withColumn("b1", expr("CAST(b1_e9 AS DOUBLE) / 1000000000.0"))
         .withColumn("acc_ppm", expr("(1000000 * n_correct) DIV n"))
         .withColumn("base_correct", expr("greatest(sy, n - sy)"))
         .withColumn("base_ppm", expr("(1000000 * base_correct) DIV n"))
-        .select(col("n"), col("sy").as("n_pos"), col("b0"), col("b1"),
+        .select(col("n"), col("sy").as("n_pos"), col("b0_e9"),
+          col("b1_e9"), col("b0"), col("b1"),
           col("n_correct"), col("acc_ppm"), col("base_correct"),
           col("base_ppm"))
     },
@@ -1869,10 +1886,22 @@ object MlQueries {
                   THEN 1 ELSE 0 END AS pred
               FROM m CROSS JOIN c)
             SELECT n, sy AS n_pos,
-              round(2.0 * CAST(max(a_num) AS DOUBLE)
-                / CAST(max(det) AS DOUBLE), 9) AS b0,
-              round(2.0 * CAST(max(b_num) AS DOUBLE)
-                / CAST(max(det) AS DOUBLE), 9) AS b1,
+              CAST(CASE WHEN max(a_num) >= 0
+                THEN (2 * max(a_num) * 1000000000) // max(det)
+                ELSE -((2 * (-max(a_num)) * 1000000000) // max(det)) END
+                AS BIGINT) AS b0_e9,
+              CAST(CASE WHEN max(b_num) >= 0
+                THEN (2 * max(b_num) * 1000000000) // max(det)
+                ELSE -((2 * (-max(b_num)) * 1000000000) // max(det)) END
+                AS BIGINT) AS b1_e9,
+              CAST(CASE WHEN max(a_num) >= 0
+                THEN (2 * max(a_num) * 1000000000) // max(det)
+                ELSE -((2 * (-max(a_num)) * 1000000000) // max(det)) END
+                AS DOUBLE) / 1000000000.0 AS b0,
+              CAST(CASE WHEN max(b_num) >= 0
+                THEN (2 * max(b_num) * 1000000000) // max(det)
+                ELSE -((2 * (-max(b_num)) * 1000000000) // max(det)) END
+                AS DOUBLE) / 1000000000.0 AS b1,
               CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_correct,
               (1000000 * CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END)
