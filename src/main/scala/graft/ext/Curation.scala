@@ -67,11 +67,12 @@ object Curation {
         .agg(
           count(lit(1)).as("n_rows"),
           countDistinct(col("l_orderkey")).as("n_orders"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"))
+          // quantities are integral: exact BIGINT sum (r12 sweep)
+          sum(expr("CAST(l_quantity AS BIGINT)")).as("sum_qty"))
         .orderBy("l_returnflag", "l_linestatus"),
     Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
             count(DISTINCT l_orderkey) AS n_orders,
-            round(sum(l_quantity), 2) AS sum_qty
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
             FROM lineitem
             WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) < '0d'
             GROUP BY 1, 2 ORDER BY 1, 2"""))
@@ -179,9 +180,13 @@ object Curation {
     (s, d) =>
       graft.ops.Skew.saltedSum(
         Tables.lineitem(s, d), "l_returnflag", "l_quantity")
-        .withColumn("sum_l_quantity", round(col("sum_l_quantity"), 2))
+        // integral-valued doubles sum exactly in any order; snap the
+        // generic double output to the exact BIGINT (r12 sweep).
+        .withColumn("sum_l_quantity",
+          expr("CAST(round(sum_l_quantity) AS BIGINT)"))
         .orderBy("l_returnflag"),
-    Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_l_quantity
+    Some("""SELECT l_returnflag,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_l_quantity
             FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
   /** x06 — incremental dedup: an arriving batch (the fixture-pinned
@@ -718,10 +723,11 @@ object Curation {
           dim, "l_partkey", saltFactor = 8)
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"))
+          sum(expr("CAST(l_quantity AS BIGINT)")).as("sum_qty"))
         .orderBy("p_brand")
     },
-    Some("""SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    Some("""SELECT p_brand, count(*) AS n,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY 1 ORDER BY 1"""))
 

@@ -766,11 +766,14 @@ object Graph {
           .agg(count(lit(1)).as("n_reached"),
             sum(expr("10000 DIV dist")).as("harmonic_x10000"),
             max("dist").as("max_dist"),
-            round(sum("dist").cast("double") /
-              count(lit(1)).cast("double"), 6).as("mean_dist"))
+            // r12 sweep: int/int quotient at e6 fixed point (a rounded
+            // dyadic quotient can sit exactly on the tie boundary).
+            expr("(1000000 * sum(dist)) DIV count(*)").as("mean_dist_e6"))
+          .withColumn("mean_dist",
+            expr("CAST(mean_dist_e6 AS DOUBLE) / 1000000.0"))
           .select((col("seed") - SuppOffset).as("landmark"),
             col("n_reached"), col("harmonic_x10000"), col("max_dist"),
-            col("mean_dist"))
+            col("mean_dist_e6"), col("mean_dist"))
           .orderBy("landmark")
           .localCheckpoint()
         e.unpersist()
@@ -798,8 +801,10 @@ object Graph {
             SELECT seed - $SuppOffset AS landmark, count(*) AS n_reached,
               CAST(sum(10000 // dist) AS BIGINT) AS harmonic_x10000,
               max(dist) AS max_dist,
-              round(CAST(sum(dist) AS DOUBLE) /
-                    CAST(count(*) AS DOUBLE), 6) AS mean_dist
+              CAST((1000000 * sum(dist)) // count(*) AS BIGINT)
+                AS mean_dist_e6,
+              CAST(CAST((1000000 * sum(dist)) // count(*) AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS mean_dist
             FROM s$Rounds WHERE dist > 0
             GROUP BY 1 ORDER BY landmark"""
       })

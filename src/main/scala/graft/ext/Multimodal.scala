@@ -308,7 +308,11 @@ object Multimodal {
               "CAST(0 AS BIGINT), (acc, ch) -> acc + ascii(ch))").as("energy"))
         val per = frames.groupBy("doc_id")
           .agg(max("n_frames").as("n_frames"),
-            round(avg(col("energy")), 4).as("mean_energy"))
+            // r12 sweep: exact e4 fixed-point mean (int/int quotients
+            // can sit exactly on a dyadic rounding boundary).
+            expr("(10000 * sum(energy)) DIV count(*)").as("mean_energy_e4"))
+          .withColumn("mean_energy",
+            expr("CAST(mean_energy_e4 AS DOUBLE) / 10000.0"))
         val peak = frames
           .withColumn("rn", row_number().over(
             Window.partitionBy("doc_id")
@@ -334,7 +338,10 @@ object Multimodal {
                      AS u(i)),
                per AS (
                  SELECT doc_id, max(n_frames) AS n_frames,
-                   round(avg(energy), 4) AS mean_energy
+                   CAST((10000 * sum(energy)) // count(*) AS BIGINT)
+                     AS mean_energy_e4,
+                   CAST(CAST((10000 * sum(energy)) // count(*) AS BIGINT)
+                     AS DOUBLE) / 10000.0 AS mean_energy
                  FROM fr GROUP BY 1),
                pk AS (
                  SELECT doc_id, CAST(idx AS INTEGER) AS peak_frame,
@@ -342,8 +349,8 @@ object Multimodal {
                  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                          ORDER BY energy DESC, idx) AS rn FROM fr)
                  WHERE rn = 1)
-               SELECT per.doc_id, per.n_frames, per.mean_energy,
-                 pk.peak_frame, pk.peak_energy
+               SELECT per.doc_id, per.n_frames, per.mean_energy_e4,
+                 per.mean_energy, pk.peak_frame, pk.peak_energy
                FROM per JOIN pk USING (doc_id)
                ORDER BY doc_id"""))
   }
@@ -398,8 +405,9 @@ object Multimodal {
           count(lit(1)).as("n_queries"),
           sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("n_at_1"),
           sum(when(col("rnk") <= 5, 1L).otherwise(0L)).as("n_at_5"),
-          round(sum(col("rnk")).cast("double") /
-            count(lit(1)).cast("double"), 4).as("mean_self_rank"))
+          expr("(10000 * sum(rnk)) DIV count(*)").as("mean_self_rank_e4"))
+          .withColumn("mean_self_rank",
+            expr("CAST(mean_self_rank_e4 AS DOUBLE) / 10000.0"))
       },
       Some(s"""WITH h AS (
                  SELECT doc_id,
@@ -436,8 +444,10 @@ object Multimodal {
                    AS n_at_1,
                  CAST(sum(CASE WHEN rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_at_5,
-                 round(CAST(sum(rnk) AS DOUBLE) /
-                       CAST(count(*) AS DOUBLE), 4) AS mean_self_rank
+                 CAST((10000 * sum(rnk)) // count(*) AS BIGINT)
+                   AS mean_self_rank_e4,
+                 CAST(CAST((10000 * sum(rnk)) // count(*) AS BIGINT)
+                   AS DOUBLE) / 10000.0 AS mean_self_rank
                FROM ranked WHERE q_id = img_id"""))
   }
 

@@ -24,11 +24,16 @@ object Extensions {
           (hour(col("ts")) * 100 + minute(col("ts"))).cast("int"))
         .withColumn("day_part", expr("day_part(hhmm)"))
         .groupBy("day_part")
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        // r12 sweep: cents before the sum (order-free), double derived.
+        .agg(count(lit(1)).as("n"),
+          (sum(expr("CAST(round(value * 100) AS BIGINT)")) / 100.0)
+            .as("sum_value"))
         .orderBy("day_part")
     },
     Some(s"""SELECT ${DayPart.caseSql("hhmm")} AS day_part,
-             count(*) AS n, round(sum(value), 4) AS sum_value
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS sum_value
              FROM (SELECT CAST(hour(ts) * 100 + minute(ts) AS INTEGER) AS hhmm,
                           value FROM events)
              GROUP BY day_part ORDER BY day_part"""))

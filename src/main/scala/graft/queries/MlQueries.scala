@@ -914,12 +914,16 @@ object MlQueries {
           .withColumn("r2", expr("(covn * covn) / (varxn * varyn)"))
           .withColumn("var_post", expr(
             "varyn / (CAST(n_users AS DOUBLE) * (CAST(n_users AS DOUBLE) - 1.0) * 10000.0)"))
+          // r12 sweep: the chain is bit-identical on both engines
+          // (int64 casts are hardware-exact) but a final round() can
+          // sit exactly on a dyadic boundary where the engines' tie
+          // rules differ — emit the full-precision doubles instead.
           .selectExpr("event_type", "n_users",
-            "round(CAST(sy AS DOUBLE) / (100.0 * CAST(n_users AS DOUBLE)), 6) AS mean_post",
-            "round(theta, 6) AS theta",
-            "round(var_post, 6) AS var_post",
-            "round(var_post * (1.0 - r2), 6) AS var_adjusted",
-            "round(100.0 * r2, 4) AS var_reduction_pct")
+            "CAST(sy AS DOUBLE) / (100.0 * CAST(n_users AS DOUBLE)) AS mean_post",
+            "theta",
+            "var_post",
+            "var_post * (1.0 - r2) AS var_adjusted",
+            "100.0 * r2 AS var_reduction_pct")
           .orderBy("event_type")
       },
       Some(s"""WITH per AS (
@@ -955,12 +959,12 @@ object MlQueries {
                      * (CAST(n_users AS DOUBLE) - 1.0) * 10000.0) AS var_post
                  FROM w)
                SELECT event_type, n_users,
-                 round(CAST(sy AS DOUBLE) / (100.0 * CAST(n_users AS DOUBLE)), 6)
+                 CAST(sy AS DOUBLE) / (100.0 * CAST(n_users AS DOUBLE))
                    AS mean_post,
-                 round(theta, 6) AS theta,
-                 round(var_post, 6) AS var_post,
-                 round(var_post * (1.0 - r2), 6) AS var_adjusted,
-                 round(100.0 * r2, 4) AS var_reduction_pct
+                 theta,
+                 var_post,
+                 var_post * (1.0 - r2) AS var_adjusted,
+                 100.0 * r2 AS var_reduction_pct
                FROM w2 ORDER BY event_type"""))
   }
 

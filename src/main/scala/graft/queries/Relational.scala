@@ -69,8 +69,11 @@ object Relational {
           "CAST(sq AS DOUBLE) AS sum_qty",
           "CAST(sp AS DOUBLE) / 100.0 AS sum_base_price",
           "CAST(sdp AS DOUBLE) / 10000.0 AS sum_disc_price",
-          "round(CAST(sq AS DOUBLE) / CAST(count_order AS DOUBLE), 4) AS avg_qty",
-          "round(CAST(sp AS DOUBLE) / (100.0 * CAST(count_order AS DOUBLE)), 4) AS avg_price",
+          // Averages as exact 1e-4 fixed point (r12 sweep): a rounded
+          // int/int quotient can sit EXACTLY on a dyadic boundary
+          // (15/128 = 0.1171875) where the engines' tie rules differ.
+          "CAST((10000 * sq) DIV count_order AS DOUBLE) / 10000.0 AS avg_qty",
+          "CAST((100 * sp) DIV count_order AS DOUBLE) / 10000.0 AS avg_price",
           "count_order")
         .orderBy("l_returnflag", "l_linestatus"),
     Some("""WITH g AS (
@@ -87,10 +90,10 @@ object Relational {
               CAST(sq AS DOUBLE) AS sum_qty,
               CAST(sp AS DOUBLE) / 100.0 AS sum_base_price,
               CAST(sdp AS DOUBLE) / 10000.0 AS sum_disc_price,
-              round(CAST(sq AS DOUBLE) / CAST(count_order AS DOUBLE), 4)
+              CAST((10000 * sq) // count_order AS DOUBLE) / 10000.0
                 AS avg_qty,
-              round(CAST(sp AS DOUBLE)
-                / (100.0 * CAST(count_order AS DOUBLE)), 4) AS avg_price,
+              CAST((100 * sp) // count_order AS DOUBLE) / 10000.0
+                AS avg_price,
               count_order
             FROM g ORDER BY l_returnflag, l_linestatus"""))
 
@@ -103,11 +106,21 @@ object Relational {
       o.join(c, o("o_custkey") === c("c_custkey"), "inner")
         .groupBy("c_mktsegment")
         .agg(
-          round(sum(col("o_totalprice")), 2).as("revenue"),
+          // r12 sweep: sum(DOUBLE) is accumulation-order-dependent —
+          // integer cents before the aggregate (the q02 discipline).
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("revenue_cents"),
           count(lit(1)).as("n_orders"))
+        .withColumn("revenue",
+          expr("CAST(revenue_cents AS DOUBLE) / 100.0"))
+        .select("c_mktsegment", "revenue_cents", "revenue", "n_orders")
         .orderBy("c_mktsegment")
     },
-    Some("""SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+    Some("""SELECT c_mktsegment,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS revenue_cents,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+              / 100.0 AS revenue,
             count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
@@ -122,11 +135,14 @@ object Relational {
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"), "inner")
         .groupBy("p_brand")
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          // Quantities are integral-valued: sum as BIGINT, exact and
+          // order-free (r12 sweep — no float aggregate survives).
+          sum(expr("CAST(l_quantity AS BIGINT)")).as("sum_qty"),
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")
     },
-    Some("""SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+    Some("""SELECT p_brand,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
             count(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY p_brand"""))
@@ -142,15 +158,33 @@ object Relational {
         .groupBy("r_name")
         .agg(
           count(lit(1)).as("n_customers"),
-          round(avg(col("c_acctbal")), 4).as("avg_bal"))
+          // r12 sweep: avg(DOUBLE) = order-dependent float sum, then a
+          // roundable quotient. Exact cents sum → sign-split 1e-4
+          // fixed-point divide (balances go negative) → derived double.
+          sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("sc"))
+        .withColumn("avg_bal_e4",
+          expr("CASE WHEN sc >= 0 THEN (100 * sc) DIV n_customers " +
+            "ELSE -((100 * (-sc)) DIV n_customers) END"))
+        .withColumn("avg_bal", expr("CAST(avg_bal_e4 AS DOUBLE) / 10000.0"))
+        .select("r_name", "n_customers", "avg_bal_e4", "avg_bal")
         .orderBy("r_name")
     },
-    Some("""SELECT r_name, count(*) AS n_customers,
-            round(avg(c_acctbal), 4) AS avg_bal
-            FROM customer
-            JOIN nation ON c_nationkey = n_nationkey
-            JOIN region ON n_regionkey = r_regionkey
-            GROUP BY r_name ORDER BY r_name"""))
+    Some("""WITH g AS (
+              SELECT r_name, count(*) AS n_customers,
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                  AS sc
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name)
+            SELECT r_name, n_customers,
+              CAST(CASE WHEN sc >= 0 THEN (100 * sc) // n_customers
+                ELSE -((100 * (-sc)) // n_customers) END AS BIGINT)
+                AS avg_bal_e4,
+              CAST(CAST(CASE WHEN sc >= 0 THEN (100 * sc) // n_customers
+                ELSE -((100 * (-sc)) // n_customers) END AS BIGINT)
+                AS DOUBLE) / 10000.0 AS avg_bal
+            FROM g ORDER BY r_name"""))
 
   /** Q06 — left outer join keeping zero-order customers; count(o_orderkey)
     * counts only matched rows, mirroring SQL COUNT(col). */
@@ -269,7 +303,11 @@ object Relational {
       s.sql("""SELECT coalesce(n_name, 'ALL') AS nation,
                       coalesce(c_mktsegment, 'ALL') AS segment,
                       CAST(grouping_id(n_name, c_mktsegment) AS BIGINT) AS gid,
-                      count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+                      count(*) AS n,
+                      CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS sum_bal_cents,
+                      CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS sum_bal
                FROM g_customer JOIN g_nation ON c_nationkey = n_nationkey
                GROUP BY CUBE (n_name, c_mktsegment)
                ORDER BY gid, nation, segment""")
@@ -277,7 +315,11 @@ object Relational {
     Some("""SELECT coalesce(n_name, 'ALL') AS nation,
             coalesce(c_mktsegment, 'ALL') AS segment,
             CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid,
-            count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+            count(*) AS n,
+            CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+              AS sum_bal_cents,
+            CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+              / 100.0 AS sum_bal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY CUBE (n_name, c_mktsegment)
             ORDER BY gid, nation, segment"""))
@@ -351,8 +393,10 @@ object Relational {
             WHERE rn <= 3 ORDER BY o_custkey, rn"""))
 
   /** Q14 — window analytics: lag/lead + running sum per user over event
-    * time. Same accumulation order both engines (ts, event_id) so the
-    * running double sum matches exactly. */
+    * time. The running sum accumulates integer CENTS (r12 sweep): a
+    * windowed double sum is NOT guaranteed sequential — DuckDB may
+    * evaluate cumulative frames through a segment tree, a different
+    * association order than Spark's streaming accumulation. */
   val q14 = QueryDef(
     "q14_window_analytic",
     (s, d) => {
@@ -363,16 +407,24 @@ object Relational {
           round(col("value"), 2).as("v"),
           round(lag(col("value"), 1).over(w), 2).as("prev_v"),
           round(lead(col("value"), 1).over(w), 2).as("next_v"),
-          round(sum(col("value")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
-            .as("run_sum"))
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("run_sum_cents"))
+        .withColumn("run_sum",
+          expr("CAST(run_sum_cents AS DOUBLE) / 100.0"))
         .orderBy("user_id", "event_id")
     },
     Some("""SELECT user_id, event_id, round(value, 2) AS v,
             round(lag(value, 1) OVER w, 2) AS prev_v,
             round(lead(value, 1) OVER w, 2) AS next_v,
-            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum
+            CAST(sum(CAST(round(value * 100) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS run_sum_cents,
+            CAST(sum(CAST(round(value * 100) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) / 100.0 AS run_sum
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY user_id, event_id"""))
@@ -506,25 +558,53 @@ object Relational {
             FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
 
   /** Q20 — HAVING against a scalar subquery (global avg), decorrelated in
-    * the DataFrame API as a broadcast cross-join of the 1-row aggregate. */
+    * the DataFrame API as a broadcast cross-join of the 1-row aggregate.
+    * r12 sweep: BOTH the emitted average and the HAVING comparison are
+    * exact — avg(group) > avg(global) is cross-multiplied into the
+    * integer inequality sum_g·n_total > sum_total·n_g (128-bit: the
+    * products pass 2⁶³ around 10⁹ customers), so a near-tie can never
+    * flip on float noise. */
   val q20 = QueryDef(
     "q20_having_scalar_subquery",
     (s, d) => {
-      val c = cst(s, d)
-      val global = c.agg(avg(col("c_acctbal")).as("gavg"))
+      val c = cst(s, d).select(
+        col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val global = c.agg(count(lit(1)).as("n_total"),
+        sum(col("cents")).as("sum_total"))
       c.groupBy("c_mktsegment")
-        .agg(
-          count(lit(1)).as("n"),
-          round(avg(col("c_acctbal")), 4).as("avg_bal"),
-          avg(col("c_acctbal")).as("_raw_avg"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
         .crossJoin(broadcast(global))
-        .filter(col("_raw_avg") > col("gavg"))
-        .select("c_mktsegment", "n", "avg_bal")
+        .filter(expr(
+          "CAST(sc AS DECIMAL(38,0)) * CAST(n_total AS DECIMAL(38,0)) > " +
+            "CAST(sum_total AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))"))
+        .withColumn("avg_bal_e4",
+          expr("CASE WHEN sc >= 0 THEN (100 * sc) DIV n " +
+            "ELSE -((100 * (-sc)) DIV n) END"))
+        .withColumn("avg_bal", expr("CAST(avg_bal_e4 AS DOUBLE) / 10000.0"))
+        .select("c_mktsegment", "n", "avg_bal_e4", "avg_bal")
         .orderBy("c_mktsegment")
     },
-    Some("""SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
-            FROM customer GROUP BY c_mktsegment
-            HAVING avg(c_acctbal) > (SELECT avg(c_acctbal) FROM customer)
+    Some("""WITH c AS (
+              SELECT c_mktsegment,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer),
+            t AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_total,
+                CAST(sum(cents) AS BIGINT) AS sum_total FROM c),
+            g AS (
+              SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS sc
+              FROM c GROUP BY c_mktsegment)
+            SELECT c_mktsegment, n,
+              CAST(CASE WHEN sc >= 0 THEN (100 * sc) // n
+                ELSE -((100 * (-sc)) // n) END AS BIGINT) AS avg_bal_e4,
+              CAST(CAST(CASE WHEN sc >= 0 THEN (100 * sc) // n
+                ELSE -((100 * (-sc)) // n) END AS BIGINT) AS DOUBLE)
+                / 10000.0 AS avg_bal
+            FROM g, t
+            WHERE CAST(sc AS HUGEINT) * CAST(n_total AS HUGEINT)
+                > CAST(sum_total AS HUGEINT) * CAST(n AS HUGEINT)
             ORDER BY c_mktsegment"""))
 
   /** Q21 — IN-subquery: orders from top-decile-balance customers. The
@@ -586,11 +666,17 @@ object Relational {
         .groupBy("o_orderpriority")
         .agg(
           count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("revenue"))
+          // r12 sweep: cents before the sum (order-free), double derived
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("revenue_cents"))
+        .withColumn("revenue", expr("CAST(revenue_cents AS DOUBLE) / 100.0"))
         .orderBy("o_orderpriority")
     },
     Some("""SELECT o_orderpriority, count(*) AS n,
-            round(sum(o_totalprice), 2) AS revenue
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS revenue_cents,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+              / 100.0 AS revenue
             FROM orders WHERE o_custkey IN (
               SELECT c_custkey FROM (
                 SELECT c_custkey, ntile(10) OVER
@@ -684,21 +770,61 @@ object Relational {
     })
 
   /** Q25 — Pearson correlations in one aggregate pass (A3/A4 parity: the
-    * reference ran O(n²) separate full-scan corr jobs). */
-  val q25 = QueryDef(
-    "q25_corr",
-    (s, d) =>
-      li(s, d).agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
-          .as("corr_qty_price"),
-        round(corr(col("l_extendedprice"), col("l_discount")), 4)
-          .as("corr_price_disc"),
-        round(corr(col("l_quantity"), col("l_discount")), 4)
-          .as("corr_qty_disc")),
-    Some("""SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-            round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
-            round(corr(l_quantity, l_discount), 4) AS corr_qty_disc
-            FROM lineitem"""))
+    * reference ran O(n²) separate full-scan corr jobs). r12 sweep:
+    * built-in corr() is a float-moment aggregate — order-dependent
+    * partials, so the two engines disagree in the last ulps. Instead
+    * the moments are EXACT integers (quantity integral, price in
+    * cents, discount in e-2 units — corr is scale-invariant), the
+    * n·Σxy − ΣxΣy numerators/denominators are exact 128-bit values,
+    * and the only float step is the final fixed-shape
+    * num/sqrt(d₁·d₂) over [[graft.core.Fixed.dec2d]]-converted doubles
+    * (every cast ≤ 2⁵³ → bit-identical both engines). Still ONE
+    * partial-aggregable scan — the 100 TB shape is unchanged. */
+  val q25: QueryDef = {
+    import graft.core.Fixed._
+    def full(mSrc: String, div: String, w128: String): String = {
+      def c2(num: String, da: String, db: String) =
+        s"(${sdec2d(num, div)} / sqrt(${dec2d(da, div)} * ${dec2d(db, div)}))"
+      (s"""WITH m AS (
+             SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+               CAST(round(l_discount * 100) AS BIGINT) AS dd
+             FROM $mSrc),
+           mom AS (
+             SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS s_q,
+               CAST(sum(p) AS BIGINT) AS s_p,
+               CAST(sum(dd) AS BIGINT) AS s_d,
+               CAST(sum(CAST(q * q AS W128)) AS W128) AS s_qq,
+               CAST(sum(CAST(p * p AS W128)) AS W128) AS s_pp,
+               CAST(sum(CAST(dd * dd AS W128)) AS W128) AS s_dd,
+               CAST(sum(CAST(q * p AS W128)) AS W128) AS s_qp,
+               CAST(sum(CAST(p * dd AS W128)) AS W128) AS s_pd,
+               CAST(sum(CAST(q * dd AS W128)) AS W128) AS s_qd
+             FROM m),
+           nums AS (
+             SELECT
+               CAST(n AS W128) * s_qp - CAST(s_q AS W128) * CAST(s_p AS W128) AS num_qp,
+               CAST(n AS W128) * s_pd - CAST(s_p AS W128) * CAST(s_d AS W128) AS num_pd,
+               CAST(n AS W128) * s_qd - CAST(s_q AS W128) * CAST(s_d AS W128) AS num_qd,
+               CAST(n AS W128) * s_qq - CAST(s_q AS W128) * CAST(s_q AS W128) AS den_q,
+               CAST(n AS W128) * s_pp - CAST(s_p AS W128) * CAST(s_p AS W128) AS den_p,
+               CAST(n AS W128) * s_dd - CAST(s_d AS W128) * CAST(s_d AS W128) AS den_d
+             FROM mom)
+           SELECT
+             ${c2("num_qp", "den_q", "den_p")} AS corr_qty_price,
+             ${c2("num_pd", "den_p", "den_d")} AS corr_price_disc,
+             ${c2("num_qd", "den_q", "den_d")} AS corr_qty_disc
+           FROM nums""").replace("W128", w128)
+    }
+    QueryDef(
+      "q25_corr",
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("g25_lineitem")
+        s.sql(full("g25_lineitem", SDIV, "DECIMAL(38,0)"))
+      },
+      Some(full("lineitem", DDIV, "HUGEINT")))
+  }
 
   /** Q26 — pivot (cross-tab): order counts per segment × status. Spark's
     * pivot leaves missing cells null → na.fill(0) to match the FILTER'd
@@ -743,24 +869,71 @@ object Relational {
     * interpolation over a full sort). */
   val q28 = QueryDef(
     "q28_percentile_stats",
+    // r12 sweep: interpolated percentiles run over integer CENTS (the
+    // two engines interpolate with differently-associated formulas —
+    // a+f·(b−a) vs (1−f)·a+f·b — which agree only when the inputs are
+    // exact ints and the result is snapped: ·10 then round lands on
+    // the exact milli-dollar integer because the true value is exactly
+    // 1-dp in cents). Variance is the exact 128-bit moment form
+    // M = n·Σc² − (Σc)²; var(dollars²)·10⁴ = M DIV (n(n−1)) exactly.
     (s, d) =>
-      cst(s, d).groupBy("c_mktsegment")
+      cst(s, d)
+        .select(col("c_mktsegment"),
+          col("c_acctbal"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        .groupBy("c_mktsegment")
         .agg(
-          round(expr("percentile(c_acctbal, 0.5)"), 4).as("median_bal"),
-          round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_bal"),
-          round(stddev_samp(col("c_acctbal")), 4).as("sd_bal"),
-          round(var_samp(col("c_acctbal")), 4).as("var_bal"),
+          expr("CAST(round(percentile(cents, 0.5) * 10) AS BIGINT)")
+            .as("median_bal_m"),
+          expr("CAST(round(percentile(cents, 0.9) * 10) AS BIGINT)")
+            .as("p90_bal_m"),
+          count(lit(1)).as("n"),
+          sum(col("cents")).as("sc"),
+          sum(expr("CAST(cents * cents AS DECIMAL(38,0))")).as("scc"),
           round(min(col("c_acctbal")), 2).as("min_bal"),
           round(max(col("c_acctbal")), 2).as("max_bal"))
+        .withColumn("var_bal_e4", expr(
+          "CAST((CAST(n AS DECIMAL(38,0)) * scc - " +
+            "CAST(sc AS DECIMAL(38,0)) * CAST(sc AS DECIMAL(38,0))) DIV " +
+            "(CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0))) " +
+            "AS BIGINT)"))
+        .selectExpr("c_mktsegment",
+          "CAST(median_bal_m AS DOUBLE) / 1000.0 AS median_bal",
+          "CAST(p90_bal_m AS DOUBLE) / 1000.0 AS p90_bal",
+          "sqrt(CAST(var_bal_e4 AS DOUBLE) / 10000.0) AS sd_bal",
+          "CAST(var_bal_e4 AS DOUBLE) / 10000.0 AS var_bal",
+          "var_bal_e4", "min_bal", "max_bal")
         .orderBy("c_mktsegment"),
-    Some("""SELECT c_mktsegment,
-            round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
-            round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
-            round(stddev_samp(c_acctbal), 4) AS sd_bal,
-            round(var_samp(c_acctbal), 4) AS var_bal,
-            round(min(c_acctbal), 2) AS min_bal,
-            round(max(c_acctbal), 2) AS max_bal
-            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+    Some("""WITH c AS (
+              SELECT c_mktsegment, c_acctbal,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer),
+            g AS (
+              SELECT c_mktsegment,
+                CAST(round(quantile_cont(cents, 0.5) * 10) AS BIGINT)
+                  AS median_bal_m,
+                CAST(round(quantile_cont(cents, 0.9) * 10) AS BIGINT)
+                  AS p90_bal_m,
+                count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS sc,
+                CAST(sum(CAST(cents * cents AS HUGEINT)) AS HUGEINT) AS scc,
+                round(min(c_acctbal), 2) AS min_bal,
+                round(max(c_acctbal), 2) AS max_bal
+              FROM c GROUP BY c_mktsegment),
+            v AS (
+              SELECT *,
+                CAST((CAST(n AS HUGEINT) * scc -
+                  CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT)) //
+                  (CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT))
+                  AS BIGINT) AS var_bal_e4
+              FROM g)
+            SELECT c_mktsegment,
+              CAST(median_bal_m AS DOUBLE) / 1000.0 AS median_bal,
+              CAST(p90_bal_m AS DOUBLE) / 1000.0 AS p90_bal,
+              sqrt(CAST(var_bal_e4 AS DOUBLE) / 10000.0) AS sd_bal,
+              CAST(var_bal_e4 AS DOUBLE) / 10000.0 AS var_bal,
+              var_bal_e4, min_bal, max_bal
+            FROM v ORDER BY c_mktsegment"""))
 
   /** Q29 — as-of (point-in-time) join, composed from built-ins (option
     * (a) of the custom-operator ladder — no custom SparkPlan needed):
@@ -863,16 +1036,23 @@ object Relational {
         .withColumn("epoch_s", unix_timestamp(col("ts")))
         .select(
           col("user_id"), col("event_id"),
-          round(sum(col("value")).over(
+          // r12 sweep: cents before the frame sum (sliding-window
+          // double sums associate differently per engine).
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).over(
             Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
-              .rangeBetween(-3600L, 0L)), 4).as("rolling_1h"))
+              .rangeBetween(-3600L, 0L)).as("rolling_1h_cents"))
+        .withColumn("rolling_1h",
+          expr("CAST(rolling_1h_cents AS DOUBLE) / 100.0"))
         .orderBy("user_id", "event_id"),
     Some("""SELECT user_id, event_id,
-            round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_s
-                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
-              AS rolling_1h
+            CAST(sum(CAST(round(value * 100) AS BIGINT))
+                 OVER w AS BIGINT) AS rolling_1h_cents,
+            CAST(sum(CAST(round(value * 100) AS BIGINT))
+                 OVER w AS DOUBLE) / 100.0 AS rolling_1h
             FROM (SELECT user_id, event_id, value,
                     CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, event_id"""))
 
   /** Q33 — multiset (ALL) set operators: unlike q16's distinct forms,
@@ -1071,8 +1251,9 @@ object Relational {
       li(s, d).createOrReplaceTempView("g_lineitem")
       s.sql("""WITH wide AS (
                  SELECT l_returnflag,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_price,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS DOUBLE) / 100.0 AS sum_price,
                    CAST(count(*) AS DOUBLE) AS n_rows
                  FROM g_lineitem GROUP BY 1)
                SELECT l_returnflag, metric, v
@@ -1081,8 +1262,9 @@ object Relational {
     },
     Some("""WITH wide AS (
               SELECT l_returnflag,
-                round(sum(l_quantity), 2) AS sum_qty,
-                round(sum(l_extendedprice), 2) AS sum_price,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS sum_price,
                 CAST(count(*) AS DOUBLE) AS n_rows
               FROM lineitem GROUP BY 1)
             SELECT l_returnflag, metric, v
@@ -1392,13 +1574,20 @@ object Relational {
                CASE WHEN p < 100000 THEN 'low'
                     WHEN p < 250000 THEN 'mid' ELSE 'high' END""")
       s.sql("""SELECT price_band(o_totalprice) AS band, count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS total
                FROM orders_q49 GROUP BY band ORDER BY band""")
     },
     Some("""SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
                    WHEN o_totalprice < 250000 THEN 'mid' ELSE 'high' END
               AS band,
-            count(*) AS n, round(sum(o_totalprice), 2) AS total
+            count(*) AS n,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS total_cents,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+              / 100.0 AS total
             FROM orders GROUP BY 1 ORDER BY band"""))
 
   /** Q10b — the BINNED rewrite of q10's range join, the 100 TB scale
@@ -1474,7 +1663,10 @@ object Relational {
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
           (max(col("us")) - min(col("us"))).as("duration_us"),
-          round(sum(col("value")), 4).as("total_value"))
+          sum(expr("CAST(round(value * 100) AS BIGINT)"))
+            .as("total_value_cents"))
+        .withColumn("total_value",
+          expr("CAST(total_value_cents AS DOUBLE) / 100.0"))
         .orderBy("user_id", "session_no")
     },
     Some("""WITH e AS (
@@ -1496,7 +1688,10 @@ object Relational {
               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
               max(us) - min(us) AS duration_us,
-              round(sum(value), 4) AS total_value
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS total_value_cents,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                / 100.0 AS total_value
             FROM g GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** Q51 — SQL pipe syntax (Spark 4.0 `|>` operators, the linear
@@ -1541,14 +1736,20 @@ object Relational {
       cst(s, d).createOrReplaceTempView("g52_customer")
       s.sql(
         """SELECT c_mktsegment, count(*) AS n_orders,
-             round(sum(o_totalprice), 2) AS total
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total
            FROM g52_orders JOIN g52_customer ON o_custkey = c_custkey
            WHERE o_totalprice > :threshold AND c_mktsegment != :seg
            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
         Map("threshold" -> 200000, "seg" -> "MACHINERY"))
     },
     Some("""SELECT c_mktsegment, count(*) AS n_orders,
-              round(sum(o_totalprice), 2) AS total
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS total_cents,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                / 100.0 AS total
             FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE o_totalprice > 200000 AND c_mktsegment != 'MACHINERY'
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
@@ -1569,20 +1770,27 @@ object Relational {
       val key = "spark.sql.scripting.enabled"
       val prev = s.conf.getOption(key)
       s.conf.set(key, "true")
+      // r12 sweep: the median runs over integer CENTS with the q28
+      // x10 snap (true value exactly 1-dp in cents -> both engines
+      // land on the same integer), and the threshold comparison is
+      // pure integer arithmetic -- no float can flip the branch.
       try s.sql("""BEGIN
-                 DECLARE med DOUBLE;
+                 DECLARE med BIGINT;
                  DECLARE band STRING;
-                 SET med = (SELECT percentile(o_totalprice, 0.5)
+                 SET med = (SELECT CAST(round(percentile(
+                              CAST(round(o_totalprice * 100) AS BIGINT),
+                              0.5) * 10) AS BIGINT)
                             FROM g53_orders);
-                 IF med > 150000 THEN
+                 IF med > 150000000 THEN
                    SET band = 'high';
                  ELSE
                    SET band = 'low';
                  END IF;
                  SELECT band AS corpus_band,
-                   round(med, 4) AS median_price,
+                   CAST(med AS DOUBLE) / 1000.0 AS median_price,
                    count(*) AS n_above
-                 FROM g53_orders WHERE o_totalprice > med;
+                 FROM g53_orders
+                 WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 10 > med;
                END""")
       finally prev match {
         case Some(v) => s.conf.set(key, v)
@@ -1590,11 +1798,15 @@ object Relational {
       }
     },
     Some("""WITH m AS (
-              SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders)
-            SELECT CASE WHEN med > 150000 THEN 'high' ELSE 'low' END
+              SELECT CAST(round(quantile_cont(
+                  CAST(round(o_totalprice * 100) AS BIGINT), 0.5) * 10)
+                AS BIGINT) AS med
+              FROM orders)
+            SELECT CASE WHEN med > 150000000 THEN 'high' ELSE 'low' END
               AS corpus_band,
-              round(med, 4) AS median_price,
-              (SELECT count(*) FROM orders WHERE o_totalprice > m.med)
+              CAST(med AS DOUBLE) / 1000.0 AS median_price,
+              (SELECT count(*) FROM orders
+               WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 10 > m.med)
                 AS n_above
             FROM m"""))
 

@@ -25,7 +25,12 @@ object Events {
   def tumbling(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      // r12 sweep: integer cents inside the windowed aggregate (double
+      // sums are accumulation-order-dependent; in streaming the order
+      // additionally depends on micro-batch arrival).
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"))
+      .withColumn("sum_value", expr("CAST(sum_cents AS DOUBLE) / 100.0"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n"), col("sum_value"))
@@ -33,7 +38,12 @@ object Events {
   def sliding(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      // r12 sweep: integer cents inside the windowed aggregate (double
+      // sums are accumulation-order-dependent; in streaming the order
+      // additionally depends on micro-batch arrival).
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"))
+      .withColumn("sum_value", expr("CAST(sum_cents AS DOUBLE) / 100.0"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n"), col("sum_value"))
@@ -41,7 +51,12 @@ object Events {
   def session(events: DataFrame, gap: String = "10 minutes"): DataFrame =
     events
       .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      // r12 sweep: integer cents inside the windowed aggregate (double
+      // sums are accumulation-order-dependent; in streaming the order
+      // additionally depends on micro-batch arrival).
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"))
+      .withColumn("sum_value", expr("CAST(sum_cents AS DOUBLE) / 100.0"))
       .select(
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("s_start"),
@@ -289,6 +304,166 @@ object Events {
         OutputMode.Update())
   }
 
+  /** Inactivity-timeout session close via REGISTERED TIMERS — the v2
+    * API extension point st12/st13 don't touch (r11 verdict ask #6):
+    * a session closes when the event-time watermark passes
+    * last-event + gap, which no per-input-row callback can observe —
+    * the processor registers a timer at that instant and emits the
+    * closed session from `handleExpiredTimer` when the watermark
+    * crosses it. An event arriving ≥ gap after the current session's
+    * end (possible before the watermark catches up) closes the old
+    * session inline and starts a new one, so data-driven and
+    * timer-driven closure agree on the [[sessionTimerBatch]] twin's
+    * gaps-and-islands semantics (new session when ts − prev_ts ≥ gap,
+    * st03's `session_window` merge rule).
+    *
+    * Timer hygiene: exactly ONE live timer per key — extending a
+    * session deletes the stale timer (old end + gap) before
+    * registering the new one; a fired timer is consumed by the engine.
+    * State is one (start, end, n) triple per OPEN session — bounded by
+    * live keys, evicted on close.
+    *
+    * Scale shape: one shuffle on user_id; state and timers both
+    * O(open sessions), the 100 TB sessionization form. */
+  class SessionTimerProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+    // (start_us, end_us, n) of the key's open session
+    @transient private var sess: ValueState[(Long, Long, Long)] = _
+    private def usOf(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    private def gapMsCeil(endUs: Long): Long =
+      // timers are millisecond-grain; round UP so the timer never
+      // fires before the microsecond-exact gap has elapsed
+      (endUs + gapUs + 999L) / 1000L
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)](
+        "sess", org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val closed = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      // per-key micro-batch slice: bounded; sort for in-batch disorder
+      val ts = rows.map(r => usOf(r._2)).toArray.sorted
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      ts.foreach { t =>
+        cur match {
+          case Some((s0, e0, n0)) if t - e0 < gapUs =>
+            cur = Some((s0, math.max(e0, t), n0 + 1))
+          case Some((s0, e0, n0)) => // inline close: gap already elapsed
+            closed += ((key, s0, e0, n0))
+            getHandle.deleteTimer(gapMsCeil(e0))
+            cur = Some((t, t, 1L))
+          case None =>
+            cur = Some((t, t, 1L))
+        }
+      }
+      cur.foreach { case (s0, e0, n0) =>
+        if (sess.exists()) {
+          val (_, oldEnd, _) = sess.get()
+          if (gapMsCeil(oldEnd) != gapMsCeil(e0))
+            getHandle.deleteTimer(gapMsCeil(oldEnd))
+        }
+        sess.update((s0, e0, n0))
+        getHandle.registerTimer(gapMsCeil(e0))
+      }
+      closed.iterator
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] =
+      if (sess.exists()) {
+        val (s0, e0, n0) = sess.get()
+        // a stale timer (session extended since registration) must not
+        // close the live session — only the timer at end+gap counts
+        if (expiredTimerInfo.getExpiryTimeInMs() >= gapMsCeil(e0)) {
+          sess.clear()
+          Iterator.single((key, s0, e0, n0))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** st23 stream driver: timer-closed sessions in append mode (a row
+    * is emitted exactly once, when its session closes — by timeout or
+    * by a same-key successor arriving past the gap). */
+  def sessionTimerStream(events: Dataset[(Long, java.sql.Timestamp)],
+      gap: String = "30 minutes",
+      watermark: String = "0 seconds"): Dataset[(Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    val gapUs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(gap)).microseconds match {
+      case us if us > 0 => us
+      case _ => 30L * 60 * 1000000
+    }
+    events.toDF("user_id", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** Per-key running count whose ValueState carries a TTL — the OTHER
+    * v2-API extension point next to [[SessionTimerProcessor]]'s timers
+    * (r11 verdict ask #6): `TTLConfig(Duration)` puts an expiry clock
+    * (processing time, by API contract) on ONE named state slot, so an
+    * idle key's state is reclaimed without any timer bookkeeping — the
+    * cache-eviction shape for per-key enrichment state at 100 TB
+    * (state ∝ RECENTLY ACTIVE keys, not keys ever seen). The emitted
+    * `had_state` flag makes expiry observable: a key touched after its
+    * TTL reads as absent and restarts at 1. */
+  class TtlRunningCountProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), (Long, Long, Boolean)] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long](
+        "cnt", org.apache.spark.sql.Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Boolean)] = {
+      val had = cnt.exists()
+      val n = (if (had) cnt.get() else 0L) + rows.size
+      cnt.update(n)
+      Iterator.single((key, n, had))
+    }
+  }
+
+  /** TTL driver: processing-time state expiry needs TimeMode
+    * ProcessingTime. */
+  def ttlRunningCountStream(events: Dataset[(Long, Double)],
+      ttlMs: Long): Dataset[(Long, Long, Boolean)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new TtlRunningCountProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update())
+  }
+
+  /** The batch twin of [[sessionTimerStream]]: gaps-and-islands with
+    * the processor's exact rule (new session when ts − prev ≥ gap) at
+    * microsecond precision — what the stream converges to once the
+    * watermark passes every end + gap. */
+  def sessionTimerBatch(events: DataFrame, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) >= gapUs, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
   // ---- oracle-checked batch queries ----
 
   /** st01 — tumbling 1h windows. Spark window starts are epoch-aligned,
@@ -297,7 +472,9 @@ object Events {
     "st01_window_tumbling",
     (s, d) => tumbling(Tables.events(s, d)).orderBy("w_start", "event_type"),
     Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
-            event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            event_type, count(*) AS n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                / 100.0 AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""))
 
   /** st02 — sliding 1h/30m windows: each event belongs to 2 windows; the
@@ -312,7 +489,9 @@ object Events {
                                      - 1800)]) AS w_start
               FROM events)
             SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
-              count(*) AS n, round(sum(value), 4) AS sum_value
+              count(*) AS n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                / 100.0 AS sum_value
             FROM w GROUP BY 1, 2 ORDER BY w_start, event_type"""))
 
   /** st03 — session windows (10-minute gap) per user; the oracle uses the
@@ -335,7 +514,9 @@ object Events {
                                  ROWS UNBOUNDED PRECEDING) AS sid
               FROM x)
             SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start, user_id,
-              count(*) AS n, round(sum(value), 4) AS sum_value
+              count(*) AS n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                / 100.0 AS sum_value
             FROM g GROUP BY user_id, sid ORDER BY user_id, s_start"""))
 
   /** st04 — per-window distinct-user cardinality: exact here (oracle
@@ -1203,10 +1384,42 @@ object Events {
               WHERE c.c_custkey = e.user_id AND c.c_acctbal < 0)
             GROUP BY 1 ORDER BY 1"""))
 
+  /** st23 — [[sessionTimerStream]]'s batch twin (StreamingSpec proves
+    * stream==batch under RocksDB with a watermark flush): per-user
+    * timer-closed sessions as exact microsecond integers — no floats
+    * anywhere. The oracle is the same gaps-and-islands rewrite at
+    * microsecond precision (`epoch_us`, the q50 discipline: never
+    * `epoch()` — events carry sub-second time and Spark truncates). */
+  val sessionTimerQ: QueryDef = QueryDef(
+    "st23_session_timer_close",
+    (s, d) =>
+      sessionTimerBatch(Tables.events(s, d), 30L * 60 * 1000000)
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us"),
+    Some("""WITH e AS (
+              SELECT user_id, epoch_us(ts) AS us FROM events),
+            x AS (
+              SELECT user_id, us,
+                CASE WHEN lag(us, 1) OVER w IS NULL
+                       OR us - lag(us, 1) OVER w >= 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+            g AS (
+              SELECT user_id, us,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+              FROM x)
+            SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+              count(*) AS n_events
+            FROM g GROUP BY user_id, sid
+            ORDER BY user_id, start_us"""))
+
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
       streamLeftJoinQ, dedupBatchQ, enrichQ, windowSketchQ, funnelQ,
       retentionQ, topTypesQ, streamFullJoinQ, runningMaxBatchQ,
       typeCountsBatchQ, windowAnomalyQ, streamSemiJoinQ, windowRollupQ,
-      dedupWithinWatermarkQ, sessionDynamicQ, cepAlarmQ, blockGateQ)
+      dedupWithinWatermarkQ, sessionDynamicQ, cepAlarmQ, blockGateQ,
+      sessionTimerQ)
 }

@@ -139,23 +139,32 @@ object StateSizeAudit {
         df.filter(col("event_type") === "error"))
         .writeStream.format("memory").queryName(s"state_audit_$vi")
         .outputMode("append").start()
-      var prevRemoved = 0L
-      var prevOut = 0L
+      // cumulative counters from the NEW progress entries per delivery
+      // (by batchId, last report per id — a batch can report twice),
+      // not a re-sum of the bounded recentProgress ring buffer: a run
+      // past numRecentProgressUpdates batches would silently undercount
+      // (the r11 ADVICE.md fragility). Contiguity is asserted.
+      var lastBatchId = -1L
       val batches = (0 until nBatches).map { k =>
         val batch = byBatch.getOrElse(k, Seq.empty)
         in.addData(batch: _*)
         q.processAllAvailable()
+        val fresh = q.recentProgress.toSeq.filter(_.batchId > lastBatchId)
+          .groupBy(_.batchId).toSeq.sortBy(_._1).map(_._2.last)
+        if (fresh.nonEmpty) {
+          val ids = fresh.map(_.batchId)
+          require(ids.head == lastBatchId + 1 || lastBatchId == -1L,
+            s"progress ring buffer wrapped: gap before batch ${ids.head}")
+          require(ids.zip(ids.tail).forall { case (a, b) => b == a + 1 },
+            s"progress entries not contiguous: $ids")
+          lastBatchId = ids.last
+        }
         val ops = q.lastProgress.stateOperators.toSeq
         val state = ops.map(_.numRowsTotal).sum
         val bytes = ops.map(_.memoryUsedBytes).sum
-        val removedTotal = q.recentProgress.toSeq
+        val removed = fresh
           .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
-        val removed = removedTotal - prevRemoved
-        prevRemoved = removedTotal
-        val outTotal = q.recentProgress.toSeq.map(_.sink.numOutputRows)
-          .filter(_ >= 0).sum
-        val out = outTotal - prevOut
-        prevOut = outTotal
+        val out = fresh.map(_.sink.numOutputRows).filter(_ >= 0).sum
         val wm = Option(q.lastProgress)
           .flatMap(p => Option(p.eventTime.get("watermark"))).getOrElse("")
         BatchState(k, batch.size.toLong, state, bytes, removed, out, wm)

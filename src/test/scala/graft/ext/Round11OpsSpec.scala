@@ -489,14 +489,21 @@ class Round11OpsSpec extends AnyFunSuite {
     val b = BigInt(n) * g1 - BigInt(sx) * g0
     val det = BigInt(n) * BigInt(sxx) - BigInt(sx) * BigInt(sx)
     assert(det > 0)
-    def r9(x: Double): Double =
-      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // r12: coefficients are exact 1e-9 fixed-point integers
+    // (2*num*1e9) DIV det, sign-split truncation — the ml21 hash fix
+    def e9(num: BigInt): Long = {
+      val scaled = num * 2 * BigInt(1000000000)
+      val q = if (scaled >= 0) scaled / det else -((-scaled) / det)
+      q.toLong
+    }
     val nCorrect = ev.count { case (x, y) =>
       (a + b * BigInt(x) > 0) == (y == 1L) }.toLong
     val r = MlQueries.logitNewton.build(spark, sf).collect().head
     assert(r.getAs[Long]("n") == n && r.getAs[Long]("n_pos") == sy)
-    assert(r.getAs[Double]("b0") == r9(2.0 * a.toDouble / det.toDouble))
-    assert(r.getAs[Double]("b1") == r9(2.0 * b.toDouble / det.toDouble))
+    assert(r.getAs[Long]("b0_e9") == e9(a))
+    assert(r.getAs[Long]("b1_e9") == e9(b))
+    assert(r.getAs[Double]("b0") == e9(a).toDouble / 1e9)
+    assert(r.getAs[Double]("b1") == e9(b).toDouble / 1e9)
     assert(r.getAs[Long]("n_correct") == nCorrect)
     assert(r.getAs[Long]("acc_ppm") == 1000000L * nCorrect / n)
     assert(r.getAs[Long]("base_correct") == math.max(sy, n - sy))

@@ -134,8 +134,10 @@ class DiversityCardOpsSpec extends AnyFunSuite {
         .maxBy { case (e, i) => (e, -i.toLong) }
       assert(r.getAs[Int]("peak_frame") == peakI, s"doc $id")
       assert(r.getAs[Long]("peak_energy") == peakE, s"doc $id")
-      assert(math.abs(r.getAs[Double]("mean_energy") -
-        round(energies.sum.toDouble / energies.length, 4)) < 1e-9)
+      // r12: exact e4 fixed-point mean (truncating DIV)
+      val meanE4 = 10000L * energies.sum / energies.length
+      assert(r.getAs[Long]("mean_energy_e4") == meanE4, s"doc $id")
+      assert(r.getAs[Double]("mean_energy") == meanE4.toDouble / 10000.0)
     }
   }
 
@@ -291,8 +293,11 @@ class DiversityCardOpsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 20)
     assert(r.getLong(1) == ranks.count(_ == 1))
     assert(r.getLong(2) == ranks.count(_ <= 5))
-    assert(math.abs(r.getDouble(3) -
-      round(ranks.sum.toDouble / 20, 4)) < 1e-9)
+    // r12: exact e4 fixed-point mean (truncating DIV), name-addressed
+    // (the e4 column precedes the derived double)
+    val meanE4 = 10000L * ranks.sum / 20
+    assert(r.getAs[Long]("mean_self_rank_e4") == meanE4)
+    assert(r.getAs[Double]("mean_self_rank") == meanE4.toDouble / 10000.0)
   }
 
   test("x35: weighted-sample priorities reproduce from Scala md5 math") {
@@ -327,14 +332,17 @@ class DiversityCardOpsSpec extends AnyFunSuite {
         frontier = next
       }
       val reached = dist.filter(_._2 > 0)
+      // r12: exact e6 fixed-point mean distance (truncating DIV)
+      val meanE6 = 1000000L * reached.values.sum / reached.size
       lm -> (reached.size.toLong,
         reached.values.map(10000L / _).sum,
         reached.values.max,
-        round(reached.values.sum.toDouble / reached.size, 6))
+        meanE6,
+        meanE6.toDouble / 1000000.0)
     }.toMap
     val got = graft.ext.Graph.harmonicCentrality.build(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4))).toMap
+        r.getAs[Long]("mean_dist_e6"), r.getAs[Double]("mean_dist"))).toMap
     assert(got == want)
   }
 

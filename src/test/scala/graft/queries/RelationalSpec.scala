@@ -46,13 +46,16 @@ class RelationalSpec extends AnyFunSuite {
     // the registered plan's semi-join key set, recovered via the same
     // histogram-selection the query uses — compare whole outputs instead
     val viaQuery = Relational.q21.build(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      .map(r => (r.getString(0), r.getAs[Long]("n"),
+        r.getAs[Long]("revenue_cents"), r.getAs[Double]("revenue"))).toSeq
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val expected = o.filter(col("o_custkey").isin(ntileSet.toSeq: _*))
       .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rc"))
       .orderBy("o_orderpriority").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(2).toDouble / 100.0)).toSeq
     assert(viaQuery == expected)
   }
 

@@ -1110,4 +1110,177 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(rows == want, "batch twin disagrees with driver recompute")
   }
+
+  test("st23 timers: inactivity session close — timer-driven, data-driven, " +
+      "and stream==batch on the fixture under RocksDB") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gap = "10 minutes"
+      val in = MemoryStream[(Long, Timestamp)]
+      val q = Events.sessionTimerStream(in.toDS(), gap)
+        .toDF("user_id", "start_us", "end_us", "n_events")
+        .writeStream.format("memory").queryName("st23_out")
+        .outputMode("append").start()
+
+      def us(t: Timestamp): Long = t.getTime * 1000L
+
+      // batch 1: user 1 opens a session (2 events), user 2 opens one
+      in.addData((1L, tsH(10, 0)), (1L, tsH(10, 5)), (2L, tsH(10, 7)))
+      q.processAllAvailable()
+      assert(spark.table("st23_out").count() == 0,
+        "no session may close before the watermark passes end + gap")
+
+      // batch 2: TIMER-driven close — an unrelated user far in the
+      // future advances the watermark past both ends + gap
+      in.addData((99L, tsH(12, 0)))
+      q.processAllAvailable()
+      val afterTimer = spark.table("st23_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(afterTimer == Set(
+        (1L, us(tsH(10, 0)), us(tsH(10, 5)), 2L),
+        (2L, us(tsH(10, 7)), us(tsH(10, 7)), 1L)),
+        s"timer-driven closes wrong: $afterTimer")
+
+      // batch 3: DATA-driven close — user 99's next event arrives past
+      // the gap BEFORE any watermark advance, closing the first session
+      // inline; then a flush far ahead closes the successor by timer
+      in.addData((99L, tsH(12, 30)))
+      q.processAllAvailable()
+      val afterData = spark.table("st23_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(afterData.contains((99L, us(tsH(12, 0)), us(tsH(12, 0)), 1L)),
+        s"data-driven inline close missing: $afterData")
+      in.addData((99L, tsH(23, 0)))
+      q.processAllAvailable()
+      in.addData((99L, Timestamp.valueOf("2024-01-02 23:00:00"))) // flush
+      q.processAllAvailable()
+      q.stop()
+
+      // every closed session equals the batch twin over the SAME rows,
+      // minus the one session still open at the unflushed frontier
+      val fed = Seq(
+        (1L, tsH(10, 0)), (1L, tsH(10, 5)), (2L, tsH(10, 7)),
+        (99L, tsH(12, 0)), (99L, tsH(12, 30)), (99L, tsH(23, 0)),
+        (99L, Timestamp.valueOf("2024-01-02 23:00:00")))
+      val gapUs = 10L * 60 * 1000000
+      val twin = Events.sessionTimerBatch(
+        fed.toDF("user_id", "ts"), gapUs)
+        .select("user_id", "start_us", "end_us", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val streamed = spark.table("st23_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val frontier = us(Timestamp.valueOf("2024-01-02 23:00:00"))
+      assert(twin -- streamed ==
+        Set((99L, frontier, frontier, 1L)),
+        s"stream != batch-twin - open-frontier: ${twin -- streamed}")
+      assert(streamed.subsetOf(twin),
+        s"stream emitted a session the twin does not have: " +
+          s"${streamed -- twin}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("st23 fixture parity: streaming ts-ordered fixture slices converge " +
+      "to the oracle-checked batch twin (plus flush sentinel)") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sf = TestSpark.sf0001
+      val rows = graft.core.Tables.events(spark, sf)
+        .select("user_id", "ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1)))
+        .sortBy(t => (t._2.getTime, t._2.getNanos, t._1))
+      val in = MemoryStream[(Long, Timestamp)]
+      val q = Events.sessionTimerStream(in.toDS(), "30 minutes")
+        .toDF("user_id", "start_us", "end_us", "n_events")
+        .writeStream.format("memory").queryName("st23_fix_out")
+        .outputMode("append").start()
+      val n = rows.length
+      val sentinelUid = -1L
+      (0 until 4).foreach { k =>
+        in.addData(rows.slice(k * n / 4, (k + 1) * n / 4).toSeq: _*)
+        q.processAllAvailable()
+      }
+      // flush: sentinel user a year ahead advances the watermark past
+      // every session end + gap
+      in.addData((sentinelUid,
+        Timestamp.valueOf("2025-06-01 00:00:00")))
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("st23_fix_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 != sentinelUid).toSet
+      val twin = Events.sessionTimerQ.build(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == twin,
+        s"missing=${(twin -- streamed).take(3)} " +
+          s"extra=${(streamed -- twin).take(3)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState TTL: value state expires on the TTL clock " +
+      "while fresh state survives") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Double)]
+      val q = Events.ttlRunningCountStream(in.toDS(), ttlMs = 10000)
+        .toDF("user_id", "n_events", "had_state")
+        .writeStream.format("memory").queryName("ttl_out")
+        .outputMode("update").start()
+      // under TimeMode.ProcessingTime the engine keeps scheduling
+      // batches for the TTL clock, so processAllAvailable never
+      // settles — poll the sink for the expected row count instead
+      def waitRows(n: Int): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (spark.table("ttl_out").count() < n) {
+          assert(System.nanoTime() < deadline,
+            s"sink stuck below $n rows: ${q.status}")
+          Thread.sleep(50)
+        }
+      }
+      in.addData((7L, 1.0))
+      waitRows(1)
+      // immediate re-touch: state is fresh, counter continues
+      in.addData((7L, 1.0))
+      waitRows(2)
+      // let the TTL clock (processing time) pass with 1.5x margin
+      // (the 10 s TTL itself gives the re-touch above a ~20x margin
+      // over engine batch latency)
+      Thread.sleep(15000)
+      in.addData((7L, 1.0))
+      waitRows(3)
+      q.stop()
+      val hist = spark.table("ttl_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      assert(hist(0) == ((7L, 1L, false)), s"hist=$hist")
+      assert(hist(1) == ((7L, 2L, true)),
+        s"fresh state must survive an immediate re-touch: $hist")
+      assert(hist(2) == ((7L, 1L, false)),
+        s"expired state must read as absent after TTL: $hist")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
