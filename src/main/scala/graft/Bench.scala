@@ -184,8 +184,8 @@ object Bench {
       s""","full":"$outPath"$shaField,"sf":"$sfDir""""
     val qv = results.map(r => f2(r._2)).mkString("[", ",", "]")
     val qvField = s""","order":"registry","qv":$qv"""
-    // 40 = room for the empty queries map + omitted tail
-    val useQv = base.length + qvField.length + 40 <= budget
+    // 60 = room for the empty queries map + omitted/named_omitted tail
+    val useQv = base.length + qvField.length + 60 <= budget
     val header = base + (if (useQv) qvField else "") + ""","queries":{"""
     val bySlowest = results.sortBy { case (_, v) => -v }
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
@@ -199,13 +199,19 @@ object Bench {
     while (fits && it.hasNext) {
       val e = it.next()
       val sep = if (taken == 0) 0 else 1
-      if (sb.length + sep + e.length + 20 <= budget) {
+      if (sb.length + sep + e.length + 40 <= budget) {
         if (taken > 0) sb.append(',')
         sb.append(e); taken += 1
       } else fits = false
     }
+    // two independent truncation contracts (r11 ADVICE): `omitted`
+    // counts timings missing from the LINE as a whole (0 in qv mode —
+    // qv is complete); `named_omitted` counts entries the human-readable
+    // slowest-prefix `queries` map dropped, so a consumer of the named
+    // map alone can still check size(queries) + named_omitted == n.
     val omitted = if (useQv) 0 else results.size - taken
-    sb.append(s"""},"omitted":$omitted}""")
+    val namedOmitted = results.size - taken
+    sb.append(s"""},"omitted":$omitted,"named_omitted":$namedOmitted}""")
     sb.toString
   }
 }

@@ -2,18 +2,22 @@ package graft.core
 
 import java.util.concurrent.ConcurrentHashMap
 
+import org.apache.spark.SparkContext
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Session-scoped memo cache for shared materialized stages
   * (Dedup.ngramSharedStage, Similarity.pinnedAssigned).
   *
-  * Lifecycle contract: entries are keyed by (owning SparkSession, data
-  * dir). The first insert for a session registers a SparkListener that
-  * EVICTS every entry of that session on applicationEnd — a stopped
-  * session's entries no longer pin its plan graph, and a long-lived JVM
-  * cycling many sessions (test suites, notebook restarts) cannot
-  * accumulate dead DataFrames.
+  * Lifecycle contract (r12, ADVICE): entries are keyed by (owning
+  * SparkSession, data dir); the eviction HOOK is keyed by the owning
+  * SparkContext — applicationEnd is a CONTEXT event, so sessions minted
+  * via `newSession()`/`cloneSession()` over one shared context are all
+  * evicted when that context ends (the r11 version hooked per-session
+  * and only covered the session that happened to register first).
+  * Exactly ONE listener is ever registered per context: `evict(session)`
+  * clears entries without disturbing the context hook, so an
+  * evict-then-reuse cycle cannot stack duplicate listeners.
   *
   * Staleness contract (documented assumption, not detected): a data dir
   * whose parquet files are REWRITTEN mid-session keeps serving the
@@ -24,25 +28,36 @@ import org.apache.spark.sql.SparkSession
   */
 final class SessionScoped[V] {
   private val cache = new ConcurrentHashMap[(SparkSession, String), V]()
-  private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
+  private val hooked = ConcurrentHashMap.newKeySet[SparkContext]()
 
   def getOrCompute(s: SparkSession, d: String)(stage: (SparkSession, String) => V): V = {
-    if (hooked.add(s))
-      s.sparkContext.addSparkListener(new SparkListener {
+    val sc = s.sparkContext
+    if (hooked.add(sc))
+      sc.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
-          evict(s)
+          evictContext(sc)
       })
     cache.computeIfAbsent((s, d), { case (ss, dir) => stage(ss, dir) })
   }
 
-  /** Drop every entry owned by `s` (the applicationEnd path; visible so
-    * the eviction spec can drive it without stopping the shared test
-    * session). */
-  private[graft] def evict(s: SparkSession): Unit = {
-    cache.keySet.removeIf(_._1 eq s)
-    hooked.remove(s)
+  /** The applicationEnd path: drop EVERY session's entries that share
+    * the ending context, and forget the hook (a future context gets a
+    * fresh listener). */
+  private[graft] def evictContext(sc: SparkContext): Unit = {
+    cache.keySet.removeIf(_._1.sparkContext eq sc)
+    hooked.remove(sc)
   }
+
+  /** Session-level eviction (visible so the spec can drive it without
+    * stopping the shared test session): drops the session's entries but
+    * keeps the context hook registered — re-use after evict must NOT
+    * stack a duplicate listener. */
+  private[graft] def evict(s: SparkSession): Unit =
+    cache.keySet.removeIf(_._1 eq s)
 
   /** Visible for the eviction spec. */
   private[graft] def size: Int = cache.size
+
+  /** Visible for the eviction spec. */
+  private[graft] def hookCount: Int = hooked.size
 }

@@ -3188,14 +3188,23 @@ object Curation {
             // numerator chain is 128-bit (t24's widening path)
             sum(expr("CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))"))
               .as("scc"))
+          // the variance numerator exceeds 2^53: a direct 128-bit ->
+          // DOUBLE cast is the r11 ml21 1-ulp class — go through the
+          // deterministic hi/lo split (r12 sweep)
           .withColumn("sd_cents", expr(
-            """CAST(floor(sqrt(CAST(CAST(n_h AS DECIMAL(38,0)) * scc
-                 - CAST(sc AS DECIMAL(38,0)) * CAST(sc AS DECIMAL(38,0))
-                 AS DOUBLE)) / CAST(n_h AS DOUBLE)) AS BIGINT)"""))
+            s"""CAST(floor(sqrt(${graft.core.Fixed.dec2d(
+              "CAST(n_h AS DECIMAL(38,0)) * scc - " +
+                "CAST(sc AS DECIMAL(38,0)) * CAST(sc AS DECIMAL(38,0))",
+              "DIV")}) / CAST(n_h AS DOUBLE)) AS BIGINT)"""))
           .withColumn("w", expr("n_h * sd_cents"))
           .withColumn("wt", sum("w").over(wAll))
-          .withColumn("alloc0", expr(s"($B * w) DIV wt"))
-          .withColumn("rem", expr(s"($B * w) % wt"))
+          // degenerate-strata guard (r12, ADVICE): if every stratum's
+          // sd floors to 0 the Neyman weights vanish — fall back to
+          // proportional allocation by n_h instead of dividing by 0
+          .withColumn("weff", expr("IF(wt = 0, n_h, w)"))
+          .withColumn("wteff", sum(expr("IF(wt = 0, n_h, w)")).over(wAll))
+          .withColumn("alloc0", expr(s"($B * weff) DIV wteff"))
+          .withColumn("rem", expr(s"($B * weff) % wteff"))
           .withColumn("seats", lit(B) - sum("alloc0").over(wAll))
           .withColumn("rk", row_number().over(
             Window.orderBy(col("rem").desc, col("segment"))))
@@ -3216,21 +3225,28 @@ object Curation {
                  FROM c GROUP BY 1),
                sd AS (
                  SELECT *,
-                   CAST(floor(sqrt(CAST(CAST(n_h AS HUGEINT) * scc
-                        - CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT)
-                        AS DOUBLE))
+                   CAST(floor(sqrt(${graft.core.Fixed.dec2d(
+                     "CAST(n_h AS HUGEINT) * scc - " +
+                       "CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT)",
+                     "//")})
                         / CAST(n_h AS DOUBLE)) AS BIGINT) AS sd_cents
                  FROM stats),
                w AS (
                  SELECT *, n_h * sd_cents AS w,
                    sum(n_h * sd_cents) OVER () AS wt
                  FROM sd),
+               we AS (
+                 SELECT *,
+                   CASE WHEN wt = 0 THEN n_h ELSE w END AS weff,
+                   sum(CASE WHEN wt = 0 THEN n_h ELSE w END) OVER () AS wteff
+                 FROM w),
                a AS (
-                 SELECT *, ($B * w) // wt AS alloc0, ($B * w) % wt AS rem,
-                   $B - sum(($B * w) // wt) OVER () AS seats,
-                   row_number() OVER (ORDER BY ($B * w) % wt DESC, segment)
-                     AS rk
-                 FROM w)
+                 SELECT *, ($B * weff) // wteff AS alloc0,
+                   ($B * weff) % wteff AS rem,
+                   $B - sum(($B * weff) // wteff) OVER () AS seats,
+                   row_number() OVER (ORDER BY ($B * weff) % wteff DESC,
+                     segment) AS rk
+                 FROM we)
                SELECT segment, n_h, sd_cents,
                  CAST(alloc0 + CASE WHEN rk <= seats THEN 1 ELSE 0 END
                       AS BIGINT) AS n_alloc
