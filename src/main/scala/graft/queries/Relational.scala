@@ -791,16 +791,20 @@ object Relational {
                CAST(round(l_discount * 100) AS BIGINT) AS dd
              FROM $mSrc),
            mom AS (
+             -- only p*p (<= 1.1e14/row: cents^2) overflows a BIGINT sum
+             -- below ~10^10 rows; every other product is <= 5e8/row, so
+             -- those sums stay in fast codegen'd longs and only s_pp
+             -- pays the 128-bit aggregate
              SELECT CAST(count(*) AS BIGINT) AS n,
                CAST(sum(q) AS BIGINT) AS s_q,
                CAST(sum(p) AS BIGINT) AS s_p,
                CAST(sum(dd) AS BIGINT) AS s_d,
-               CAST(sum(CAST(q * q AS W128)) AS W128) AS s_qq,
+               CAST(sum(q * q) AS BIGINT) AS s_qq,
                CAST(sum(CAST(p * p AS W128)) AS W128) AS s_pp,
-               CAST(sum(CAST(dd * dd AS W128)) AS W128) AS s_dd,
-               CAST(sum(CAST(q * p AS W128)) AS W128) AS s_qp,
-               CAST(sum(CAST(p * dd AS W128)) AS W128) AS s_pd,
-               CAST(sum(CAST(q * dd AS W128)) AS W128) AS s_qd
+               CAST(sum(dd * dd) AS BIGINT) AS s_dd,
+               CAST(sum(q * p) AS BIGINT) AS s_qp,
+               CAST(sum(p * dd) AS BIGINT) AS s_pd,
+               CAST(sum(q * dd) AS BIGINT) AS s_qd
              FROM m),
            nums AS (
              SELECT
