@@ -3629,6 +3629,59 @@ object Curation {
       })
   }
 
+  /** x55 — stratified quota sample (the "k per stratum" reservoir): a
+    * deterministic md5 priority orders every customer WITHIN its
+    * market segment and the top k=20 survive — Vitter's reservoir
+    * semantics made partition-invariant by replacing the RNG with a
+    * keyed hash (the x35 priority idiom, per-stratum). Quota sampling
+    * is how eval/audit sets are drawn from skewed corpora: uniform
+    * sampling would under-represent small strata; the quota guarantees
+    * every stratum its k.
+    *
+    * Determinism: the priority is md5(custkey) — identical text, both
+    * engines; ties impossible (key is unique). Output is the sample
+    * plus each stratum's census (n_stratum, k_taken = least(k, n)).
+    *
+    * Scale shape: ONE shuffle on the stratum key; the per-stratum
+    * top-k is a bounded heap under the window (rank ≤ k prunes
+    * early via WindowGroupLimit at 100 TB — the same TopK push-down
+    * q13 relies on), never a global sort. */
+  val stratifiedReservoir: QueryDef = {
+    val k = 20
+    QueryDef(
+      "x55_stratified_reservoir",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.customer(s, d)
+          .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+            expr("md5(CAST(c_custkey AS STRING))").as("prio"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("segment"))
+              .orderBy(col("prio"), col("c_custkey"))))
+          .withColumn("n_stratum",
+            count(lit(1)).over(Window.partitionBy(col("segment"))))
+          .filter(col("rk") <= k)
+          .withColumn("k_taken", least(lit(k.toLong), col("n_stratum")))
+          .select("segment", "rk", "c_custkey", "n_stratum", "k_taken")
+          .orderBy("segment", "rk")
+      },
+      Some(s"""WITH p AS (
+                 SELECT c_mktsegment AS segment, c_custkey,
+                   md5(CAST(c_custkey AS VARCHAR)) AS prio
+                 FROM customer),
+               r AS (
+                 SELECT segment, c_custkey,
+                   row_number() OVER (PARTITION BY segment
+                     ORDER BY prio, c_custkey) AS rk,
+                   count(*) OVER (PARTITION BY segment) AS n_stratum
+                 FROM p)
+               SELECT segment, CAST(rk AS BIGINT) AS rk, c_custkey,
+                 n_stratum,
+                 least(CAST($k AS BIGINT), n_stratum) AS k_taken
+               FROM r WHERE rk <= $k
+               ORDER BY segment, rk"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -3644,5 +3697,5 @@ object Curation {
       sourceOverlap, shardSkew, dupClusterStats, unimaxAllocation,
       doremiStep, pairAuditSample, lDiversity, decontaminationDrill,
       neymanAllocation, dsirSelection, lengthBucketing, clusterSharding,
-      rejectionResample)
+      rejectionResample, stratifiedReservoir)
 }

@@ -1558,10 +1558,84 @@ object Graph {
                ORDER BY seed"""))
   }
 
+  /** g19 — k-truss support census with one peel round (Cohen,
+    * "Trussness of a graph", NSA tech report 2008; the truss is the
+    * triangle analog of g03's k-core): per-edge SUPPORT = the number
+    * of triangles the edge closes; the 3-truss peel drops support-0
+    * edges and recounts — cascades (an edge's support can fall when a
+    * neighboring edge is peeled) make the full truss iterative, so
+    * like g03 the round count is FIXED (2: census → peel → re-census)
+    * and engine-mirrorable round for round.
+    *
+    * Triangle enumeration is the canonical u<v<w three-way equi-join
+    * over the g02 co-occurrence edges (each triangle found exactly
+    * once; edges are u<v by construction). g02's degree-ordered
+    * orientation is the skew optimization for power-law graphs — this
+    * census keeps the plain form and inherits g02's scale note: at
+    * 100 TB you orient by degree first.
+    *
+    * Determinism: pure integer counts over exact joins. Scale shape:
+    * edge self-joins on node keys — the same shuffle family as
+    * g02/g12; the census aggregates are 1-row. */
+  val ktrussSupport: QueryDef = {
+    def sql(src: String): String =
+      s"""WITH parts AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM $src),
+          lagged AS (
+            SELECT lag(pk) OVER (PARTITION BY ok ORDER BY pk) AS u, pk AS v
+            FROM parts),
+          edges AS (
+            SELECT DISTINCT u, v FROM lagged WHERE u IS NOT NULL),
+          tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.v
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+          sup1 AS (
+            SELECT eu, ev, count(*) AS support FROM (
+              SELECT a AS eu, b AS ev FROM tri
+              UNION ALL SELECT a, c FROM tri
+              UNION ALL SELECT b, c FROM tri)
+            GROUP BY 1, 2),
+          e2r AS (
+            SELECT u, v FROM edges JOIN sup1 ON eu = u AND ev = v
+            WHERE support >= 1),
+          tri2 AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e2r e1
+            JOIN e2r e2 ON e2.u = e1.v
+            JOIN e2r e3 ON e3.u = e1.u AND e3.v = e2.v),
+          sup2 AS (
+            SELECT eu, ev, count(*) AS support FROM (
+              SELECT a AS eu, b AS ev FROM tri2
+              UNION ALL SELECT a, c FROM tri2
+              UNION ALL SELECT b, c FROM tri2)
+            GROUP BY 1, 2)
+          SELECT CAST(1 AS BIGINT) AS round,
+            (SELECT count(*) FROM edges) AS n_edges,
+            (SELECT count(*) FROM tri) AS n_triangles,
+            (SELECT count(*) FROM sup1) AS n_supported_edges,
+            (SELECT coalesce(max(support), 0) FROM sup1) AS max_support
+          UNION ALL
+          SELECT CAST(2 AS BIGINT),
+            (SELECT count(*) FROM e2r),
+            (SELECT count(*) FROM tri2),
+            (SELECT count(*) FROM sup2),
+            (SELECT coalesce(max(support), 0) FROM sup2)
+          ORDER BY round"""
+    QueryDef(
+      "g19_ktruss_support",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("g19_lineitem")
+        s.sql(sql("g19_lineitem"))
+      },
+      Some(sql("lineitem")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(pagerank, triangles, kcore, labelPropagation, bfsHops,
       personalizedPagerank, linkPrediction, hits, degreeHistogram,
       harmonicCentrality, modularity, clusteringCoefficient,
       assortativity, wcc, diameterSweep, bipartiteProjection,
-      seededBetweenness, twoHopReach)
+      seededBetweenness, twoHopReach, ktrussSupport)
 }

@@ -959,8 +959,106 @@ object Multimodal {
                FROM r GROUP BY 1, 2 ORDER BY doc_id, shot_id"""))
   }
 
+  /** m14 — silence-run statistics over the m06 frame energies (the
+    * speech-curation readout next to m09's VAD: a long silent run
+    * means dead air to trim, many short runs mean choppy audio to
+    * flag): a frame is "silent" when its energy is below 0.9× the
+    * doc's mean frame energy, runs are consecutive silent frames
+    * (gaps-and-islands over the frame index, q50's idiom), and the
+    * per-doc readout is run count, longest run, and silent ppm.
+    *
+    * Determinism: the threshold test is the pure integer
+    * cross-multiply 10·energy·n_frames < 9·sum_energy — no mean is
+    * ever materialized as a float (the r12 Fixed discipline). Scale
+    * shape: one frame explode (chars-linear), windows and aggregates
+    * keyed by doc_id — zero cross-doc shuffles beyond the doc key. */
+  val silenceRuns: QueryDef = {
+    val frame = 64
+    QueryDef(
+      "m14_audio_silence_runs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val frames = mediaFrame(s, d)
+          .select(col("doc_id"), col("blob").cast("string").as("pcm"))
+          .select(col("doc_id"),
+            expr(s"CAST(ceil(length(pcm) / $frame.0) AS INT)").as("n_frames"),
+            col("pcm"))
+          .filter(col("n_frames") > 0)
+          .select(col("doc_id"), col("n_frames"),
+            posexplode(expr("sequence(0, n_frames - 1)")).as(Seq("ord", "idx")),
+            col("pcm"))
+          .select(col("doc_id"), col("n_frames"), col("idx"),
+            expr(s"aggregate(split(substring(pcm, idx * $frame + 1, $frame), ''), " +
+              "CAST(0 AS BIGINT), (acc, ch) -> acc + ascii(ch))").as("energy"))
+        val flagged = frames
+          .withColumn("sum_energy",
+            sum(col("energy")).over(Window.partitionBy("doc_id")))
+          .withColumn("silent", expr(
+            "CAST(10 * energy * n_frames < 9 * sum_energy AS INT)"))
+        val runs = flagged.filter(col("silent") === 1)
+          .withColumn("grp", expr("idx - " +
+            "(row_number() OVER (PARTITION BY doc_id ORDER BY idx))"))
+          .groupBy("doc_id", "grp")
+          .agg(count(lit(1)).as("run_len"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_runs"),
+            max(col("run_len")).as("longest_run"),
+            sum(col("run_len")).as("n_silent"))
+        flagged.groupBy("doc_id")
+          .agg(max(col("n_frames")).as("n_frames"))
+          .join(runs, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_runs", "longest_run", "n_silent"))
+          .withColumn("silent_ppm",
+            expr("(1000000 * n_silent) DIV n_frames"))
+          .select("doc_id", "n_frames", "n_silent", "n_runs",
+            "longest_run", "silent_ppm")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH fr AS (
+                 SELECT doc_id,
+                   CAST(ceil(length(text) / $frame.0) AS INTEGER) AS n_frames,
+                   i AS idx,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                         range(1, length(text[i * $frame + 1 : i * $frame + $frame]) + 1),
+                         j -> CAST(ascii((text[i * $frame + 1 : i * $frame + $frame])[j])
+                                   AS BIGINT))),
+                     (acc, ch) -> acc + ch) AS energy
+                 FROM documents,
+                   unnest(range(0, CAST(ceil(length(text) / $frame.0) AS BIGINT)))
+                     AS u(i)),
+               fl AS (
+                 SELECT *, sum(energy) OVER (PARTITION BY doc_id)
+                   AS sum_energy
+                 FROM fr),
+               sil AS (
+                 SELECT doc_id, n_frames, idx,
+                   idx - row_number() OVER (PARTITION BY doc_id
+                     ORDER BY idx) AS grp
+                 FROM fl WHERE 10 * energy * n_frames < 9 * sum_energy),
+               rn AS (
+                 SELECT doc_id, grp, count(*) AS run_len
+                 FROM sil GROUP BY 1, 2),
+               agg AS (
+                 SELECT doc_id, count(*) AS n_runs,
+                   max(run_len) AS longest_run,
+                   CAST(sum(run_len) AS BIGINT) AS n_silent
+                 FROM rn GROUP BY 1),
+               base AS (
+                 SELECT doc_id, max(n_frames) AS n_frames FROM fl GROUP BY 1)
+               SELECT b.doc_id, b.n_frames,
+                 coalesce(a.n_silent, 0) AS n_silent,
+                 coalesce(a.n_runs, 0) AS n_runs,
+                 coalesce(a.longest_run, 0) AS longest_run,
+                 (1000000 * coalesce(a.n_silent, 0)) // b.n_frames
+                   AS silent_ppm
+               FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+               ORDER BY b.doc_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(metaDigest, decode, resizeSample, embedTopk, phashNearDup,
       audioFrameEnergy, crossmodalRetrieval, shotBoundaries, audioVad,
-      tileEntropy, qualityGate, frameDedup, keyframeSelect)
+      tileEntropy, qualityGate, frameDedup, keyframeSelect, silenceRuns)
 }

@@ -2088,10 +2088,90 @@ object MlQueries {
                 / CAST(n AS DOUBLE) AS intercept
             FROM f ORDER BY seg"""))
 
+  /** ml24 — ml21's exact Newton–Raphson logistic step PER GROUP (the
+    * grouped extension ml21's Scaladoc promises: "each further IRLS
+    * step is one more moments pass" — and so is each further SEGMENT):
+    * one partial-aggregable scan to per-event-type moments, the same
+    * closed-form 4·(XᵀX)⁻¹Xᵀ(y−½) step from w = 0 per group, label =
+    * weekend events, feature = value cents. The per-segment training
+    * accuracy against the segment majority baseline is the standard
+    * sliced-model-quality readout (does a per-segment model beat the
+    * pooled prior anywhere?).
+    *
+    * Determinism: identical 128-bit recipe as ml21 post-fix —
+    * coefficients as exact (2·num·10⁹) DIV det fixed-point integers
+    * (sign-split), per-row verdict as the EXACT integer inequality
+    * A + B·x > 0, accuracy as integer ppm. No 128-bit value crosses to
+    * DOUBLE except through the derived ≤2⁵³ e9 integers.
+    *
+    * Scale shape: one moments scan keyed on the natural group — the
+    * only shuffle — then a groups-sized coefficient frame broadcast
+    * back onto the scoring scan. Group count is the event-type domain
+    * (bounded), so the broadcast never grows with the corpus. */
+  val groupedLogitNewton: QueryDef = {
+    def sql(w128: String, div: String): String =
+      (s"""WITH m AS (
+             SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS x,
+               CASE WHEN CAST(date_part('dow', ts) AS BIGINT) IN (0, 6)
+                 THEN 1 ELSE 0 END AS y
+             FROM events),
+           mom AS (
+             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(CAST(x AS W128) * CAST(x AS W128)) AS W128) AS sxx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+             FROM m GROUP BY event_type),
+           c AS (
+             SELECT event_type, n, sy,
+               sxx * CAST(2 * sy - n AS W128)
+                 - CAST(sx AS W128) * CAST(2 * sxy - sx AS W128) AS a_num,
+               CAST(n AS W128) * CAST(2 * sxy - sx AS W128)
+                 - CAST(sx AS W128) * CAST(2 * sy - n AS W128) AS b_num,
+               CAST(n AS W128) * sxx
+                 - CAST(sx AS W128) * CAST(sx AS W128) AS det
+             FROM mom),
+           p AS (
+             SELECT c.event_type, c.n, c.sy, c.a_num, c.b_num, c.det, m.y,
+               CASE WHEN (c.a_num + c.b_num * CAST(m.x AS W128)) > 0
+                 THEN 1 ELSE 0 END AS pred
+             FROM m JOIN c ON m.event_type = c.event_type)
+           SELECT event_type, n, sy AS n_pos,
+             CAST(CASE WHEN max(a_num) >= 0
+               THEN (2 * max(a_num) * 1000000000) $div max(det)
+               ELSE -((2 * (-max(a_num)) * 1000000000) $div max(det)) END
+               AS BIGINT) AS b0_e9,
+             CAST(CASE WHEN max(b_num) >= 0
+               THEN (2 * max(b_num) * 1000000000) $div max(det)
+               ELSE -((2 * (-max(b_num)) * 1000000000) $div max(det)) END
+               AS BIGINT) AS b1_e9,
+             CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+             (1000000 * CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END)
+               AS BIGINT)) $div n AS acc_ppm,
+             (1000000 * greatest(sy, n - sy)) $div n AS base_ppm
+           FROM p GROUP BY event_type, n, sy
+           ORDER BY event_type""").replace("W128", w128)
+    QueryDef(
+      "ml24_grouped_logit_newton",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("g_ml24_events")
+        s.sql(sql("DECIMAL(38,0)", "DIV")
+          .replace("FROM events", "FROM g_ml24_events")
+          // Spark: dayofweek() is 1=Sunday..7=Saturday; DuckDB dow is
+          // 0=Sunday..6=Saturday — weekend test rendered per engine
+          .replace("CAST(date_part('dow', ts) AS BIGINT) IN (0, 6)",
+            "dayofweek(ts) IN (1, 7)"))
+      },
+      Some(sql("HUGEINT", "//")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
       lofoImportance, abWelch, cupedReadout, naiveBayes, poissonBootstrap,
       woeIv, ksTest, tostEquivalence, ridgePath, pca2d, mannWhitney,
-      chiSquare, logitNewton, permutationTest, groupedOls)
+      chiSquare, logitNewton, permutationTest, groupedOls,
+      groupedLogitNewton)
 }

@@ -1,0 +1,155 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.queries.MlQueries
+
+/** Independent-recomputation checks for the round-12 additions (ml24,
+  * x55, g19, m14): each query's sf0.001 output is rebuilt in plain
+  * Scala from the collected base tables — a different execution path
+  * than the registered plan (DuckDB hash parity is the Verify gate's
+  * job). */
+class Round12OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+
+  test("ml24: per-group Newton step and exact accuracies match BigInt " +
+    "brute force") {
+    val utc = java.util.TimeZone.getTimeZone("UTC")
+    val cal = java.util.Calendar.getInstance(utc)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS x",
+        "ts").collect()
+      .map { r =>
+        val tsv = r.get(2) match {
+          // driver testdata surfaces TIMESTAMP(NANOS) per Spark version
+          case t: java.sql.Timestamp => t
+          case l: java.lang.Long => new java.sql.Timestamp(l / 1000000L)
+          case t: java.time.LocalDateTime =>
+            java.sql.Timestamp.valueOf(t)
+        }
+        cal.setTime(tsv)
+        val dow = cal.get(java.util.Calendar.DAY_OF_WEEK) // 1=Sun..7=Sat
+        val y = if (dow == 1 || dow == 7) 1L else 0L
+        (r.getString(0), r.getLong(1), y)
+      }
+    val got = MlQueries.groupedLogitNewton.build(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val groups = ev.groupBy(_._1)
+    assert(got.keySet == groups.keySet)
+    groups.foreach { case (g, rows) =>
+      val n = rows.length.toLong
+      val sx = rows.map(_._2).sum
+      val sxx = rows.map(t => BigInt(t._2) * BigInt(t._2)).sum
+      val sy = rows.map(_._3).sum
+      val sxy = rows.map(t => t._2 * t._3).sum
+      val g0 = BigInt(2 * sy - n); val g1 = BigInt(2 * sxy - sx)
+      val a = sxx * g0 - BigInt(sx) * g1
+      val b = BigInt(n) * g1 - BigInt(sx) * g0
+      val det = BigInt(n) * sxx - BigInt(sx) * BigInt(sx)
+      assert(det > 0, s"group $g degenerate")
+      def e9(num: BigInt): Long = {
+        val scaled = num * 2 * BigInt(1000000000)
+        (if (scaled >= 0) scaled / det else -((-scaled) / det)).toLong
+      }
+      val nCorrect = rows.count { case (_, x, y) =>
+        (a + b * BigInt(x) > 0) == (y == 1L) }.toLong
+      val r = got(g)
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("n_pos") == sy,
+        s"group $g moments")
+      assert(r.getAs[Long]("b0_e9") == e9(a), s"group $g b0")
+      assert(r.getAs[Long]("b1_e9") == e9(b), s"group $g b1")
+      assert(r.getAs[Long]("n_correct") == nCorrect, s"group $g acc")
+      assert(r.getAs[Long]("acc_ppm") == 1000000L * nCorrect / n)
+      assert(r.getAs[Long]("base_ppm") ==
+        1000000L * math.max(sy, n - sy) / n)
+    }
+  }
+
+  test("x55: per-stratum md5 quota sample matches a Scala sort") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_mktsegment", "c_custkey").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = cust.groupBy(_._1).toSeq.flatMap { case (seg, rows) =>
+      val n = rows.length.toLong
+      rows.map(t => (t._2, md5hex(t._2.toString)))
+        .sortBy { case (id, h) => (h, id) }
+        .take(20).zipWithIndex
+        .map { case ((id, _), i) =>
+          (seg, (i + 1).toLong, id, n, math.min(20L, n)) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Curation.stratifiedReservoir.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Number]("rk").longValue,
+        r.getLong(2), r.getAs[Long]("n_stratum"), r.getAs[Long]("k_taken")))
+      .toSeq
+    assert(got == want)
+  }
+
+  test("g19: triangle supports and the peel round match a Scala census") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      ps.zip(ps.drop(1))
+    }.toSet
+    def census(es: Set[(Long, Long)]): (Long, Long, Map[(Long, Long), Long]) = {
+      val byU = es.groupBy(_._1)
+      val tris = for {
+        (u, v) <- es.toSeq
+        (v2, w) <- byU.getOrElse(v, Set.empty).toSeq
+        if v2 == v && es.contains((u, w))
+      } yield (u, v, w)
+      val sup = tris.flatMap { case (a, b, c) =>
+        Seq((a, b), (a, c), (b, c)) }
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      (es.size.toLong, tris.length.toLong, sup)
+    }
+    val (e1, t1, s1) = census(edges)
+    val survivors = edges.filter(s1.contains)
+    val (e2, t2, s2) = census(survivors)
+    val got = Graph.ktrussSupport.build(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((e1, t1, s1.size.toLong,
+      if (s1.isEmpty) 0L else s1.values.max)))
+    assert(got(2L) == ((e2, t2, s2.size.toLong,
+      if (s2.isEmpty) 0L else s2.values.max)))
+    // the fixture actually exercises the peel (some edge had support 0)
+    assert(e2 < e1, "peel was a no-op on the fixture — strengthen it")
+    assert(t1 > 0, "no triangles in the fixture")
+  }
+
+  test("m14: silence runs reproduce from Scala frame energies") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Multimodal.silenceRuns.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    docs.filter(_._2.nonEmpty).foreach { case (id, text) =>
+      val energies = text.grouped(64).map(_.map(_.toLong).sum).toArray
+      val nf = energies.length.toLong
+      val sumE = energies.sum
+      val silent = energies.map(e => 10 * e * nf < 9 * sumE)
+      // run lengths of consecutive true flags
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var cur = 0L
+      silent.foreach { s =>
+        if (s) cur += 1
+        else if (cur > 0) { runs += cur; cur = 0 } }
+      if (cur > 0) runs += cur
+      val r = got(id)
+      assert(r.getAs[Int]("n_frames").toLong == nf, s"doc $id")
+      assert(r.getAs[Long]("n_silent") == silent.count(identity).toLong,
+        s"doc $id silent")
+      assert(r.getAs[Long]("n_runs") == runs.length.toLong, s"doc $id runs")
+      assert(r.getAs[Long]("longest_run") ==
+        (if (runs.isEmpty) 0L else runs.max), s"doc $id longest")
+      assert(r.getAs[Long]("silent_ppm") ==
+        1000000L * silent.count(identity) / nf, s"doc $id ppm")
+    }
+  }
+}
