@@ -1567,50 +1567,74 @@ object Graph {
     * like g03 the round count is FIXED (2: census → peel → re-census)
     * and engine-mirrorable round for round.
     *
-    * Triangle enumeration is the canonical u<v<w three-way equi-join
-    * over the g02 co-occurrence edges (each triangle found exactly
-    * once; edges are u<v by construction). g02's degree-ordered
-    * orientation is the skew optimization for power-law graphs — this
-    * census keeps the plain form and inherits g02's scale note: at
-    * 100 TB you orient by degree first.
+    * Triangle enumeration uses g02's DEGREE-ORDERED orientation
+    * (Chiba & Nishizeki 1985 / the "compact-forward" of Latapy 2008):
+    * each undirected edge points from its lower-(deg, id) endpoint to
+    * the higher, wedges enumerate pairs of out-edges per center, and
+    * a triangle is a wedge whose far pair is itself an oriented edge —
+    * per-center out-degree is bounded by arboricity, so wedge counts
+    * stay near-linear where the naive u<v<w self-join is quadratic in
+    * the max degree (its unoriented form spilled DuckDB at sf0.5).
+    * The orientation predicate is plain boolean SQL (deg < deg OR
+    * (= AND id <)), portable to both engines verbatim.
     *
     * Determinism: pure integer counts over exact joins. Scale shape:
     * edge self-joins on node keys — the same shuffle family as
     * g02/g12; the census aggregates are 1-row. */
   val ktrussSupport: QueryDef = {
-    def sql(src: String): String =
+    // oriented triangle block, reusable per peel round: IN = the
+    // canonical (u < v) undirected edge CTE to count over
+    // mat: "AS MATERIALIZED" for the DuckDB mirror — its optimizer
+    // INLINES multiply-referenced CTEs, and this chain references tri
+    // from three union branches and sup1 from the peel + census, so
+    // inlining recomputes the whole pipeline exponentially (observed:
+    // 4 s unmaterialized at sf0.01 for one round, minutes for two).
+    // Spark has no MATERIALIZED and needs none (plan DAG, not text).
+    def triBlock(in: String, deg: String, ori: String, tri: String,
+        sup: String, mat: String): String =
+      s"""$deg $mat (
+            SELECT n, count(*) AS deg FROM (
+              SELECT u AS n FROM $in UNION ALL SELECT v FROM $in)
+            GROUP BY 1),
+          $ori $mat (
+            SELECT CASE WHEN du.deg < dv.deg
+                     OR (du.deg = dv.deg AND u < v) THEN u ELSE v END AS a,
+                   CASE WHEN du.deg < dv.deg
+                     OR (du.deg = dv.deg AND u < v) THEN v ELSE u END AS b,
+                   CASE WHEN du.deg < dv.deg
+                     OR (du.deg = dv.deg AND u < v) THEN dv.deg
+                     ELSE du.deg END AS db
+            FROM $in
+            JOIN $deg du ON du.n = $in.u
+            JOIN $deg dv ON dv.n = $in.v),
+          $tri $mat (
+            SELECT w1.a, w1.b AS p, w2.b AS q
+            FROM $ori w1
+            JOIN $ori w2 ON w2.a = w1.a
+              AND (w1.db < w2.db OR (w1.db = w2.db AND w1.b < w2.b))
+            -- the wedge orders (db, id) exactly as the orientation
+            -- does, so the closing edge can only point w1.b -> w2.b:
+            -- a pure equi-join, never a nested loop
+            JOIN $ori o ON o.a = w1.b AND o.b = w2.b),
+          $sup $mat (
+            SELECT eu, ev, count(*) AS support FROM (
+              SELECT least(a, p) AS eu, greatest(a, p) AS ev FROM $tri
+              UNION ALL SELECT least(a, q), greatest(a, q) FROM $tri
+              UNION ALL SELECT least(p, q), greatest(p, q) FROM $tri)
+            GROUP BY 1, 2)"""
+    def sql(src: String, mat: String): String =
       s"""WITH parts AS (
             SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM $src),
           lagged AS (
             SELECT lag(pk) OVER (PARTITION BY ok ORDER BY pk) AS u, pk AS v
             FROM parts),
-          edges AS (
+          edges $mat (
             SELECT DISTINCT u, v FROM lagged WHERE u IS NOT NULL),
-          tri AS (
-            SELECT e1.u AS a, e1.v AS b, e2.v AS c
-            FROM edges e1
-            JOIN edges e2 ON e2.u = e1.v
-            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
-          sup1 AS (
-            SELECT eu, ev, count(*) AS support FROM (
-              SELECT a AS eu, b AS ev FROM tri
-              UNION ALL SELECT a, c FROM tri
-              UNION ALL SELECT b, c FROM tri)
-            GROUP BY 1, 2),
-          e2r AS (
+          ${triBlock("edges", "deg", "ori", "tri", "sup1", mat)},
+          e2r $mat (
             SELECT u, v FROM edges JOIN sup1 ON eu = u AND ev = v
             WHERE support >= 1),
-          tri2 AS (
-            SELECT e1.u AS a, e1.v AS b, e2.v AS c
-            FROM e2r e1
-            JOIN e2r e2 ON e2.u = e1.v
-            JOIN e2r e3 ON e3.u = e1.u AND e3.v = e2.v),
-          sup2 AS (
-            SELECT eu, ev, count(*) AS support FROM (
-              SELECT a AS eu, b AS ev FROM tri2
-              UNION ALL SELECT a, c FROM tri2
-              UNION ALL SELECT b, c FROM tri2)
-            GROUP BY 1, 2)
+          ${triBlock("e2r", "deg2", "ori2", "tri2", "sup2", mat)}
           SELECT CAST(1 AS BIGINT) AS round,
             (SELECT count(*) FROM edges) AS n_edges,
             (SELECT count(*) FROM tri) AS n_triangles,
@@ -1625,11 +1649,147 @@ object Graph {
           ORDER BY round"""
     QueryDef(
       "g19_ktruss_support",
+      // Spark side is a DataFrame pipeline with localCheckpoint stage
+      // reuse: Spark inlines WITH exactly like DuckDB does, so the SQL
+      // form recomputed tri/sup exponentially too (28 s at sf0.1 vs
+      // ~2 s checkpointed). Each stage is computed ONCE per round and
+      // the lineage stays constant — the d07 iterative-job rule.
       (s, d) => {
-        Tables.lineitem(s, d).createOrReplaceTempView("g19_lineitem")
-        s.sql(sql("g19_lineitem"))
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.expressions.Window
+        val parts = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges0 = parts
+          .withColumn("u", lag("pk", 1).over(
+            Window.partitionBy("ok").orderBy("pk")))
+          .filter(col("u").isNotNull)
+          .select(col("u"), col("pk").as("v")).distinct()
+          .localCheckpoint()
+        def census(edges: DataFrame): (DataFrame, DataFrame) = {
+          val deg = edges.select(col("u").as("n"))
+            .union(edges.select(col("v").as("n")))
+            .groupBy("n").agg(count(lit(1)).as("dg"))
+          val lower = col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v"))
+          val ori = edges
+            .join(deg.select(col("n").as("un"), col("dg").as("du")),
+              col("u") === col("un"))
+            .join(deg.select(col("n").as("vn"), col("dg").as("dv")),
+              col("v") === col("vn"))
+            .select(
+              when(lower, col("u")).otherwise(col("v")).as("a"),
+              when(lower, col("v")).otherwise(col("u")).as("b"),
+              when(lower, col("dv")).otherwise(col("du")).as("db"))
+            .localCheckpoint()
+          val w2 = ori.select(col("a").as("wa2"), col("b").as("q"),
+            col("db").as("dq"))
+          val tri = ori.select(col("a").as("wa"), col("b").as("p"),
+              col("db").as("dp"))
+            .join(w2, col("wa") === col("wa2") &&
+              (col("dp") < col("dq") ||
+                (col("dp") === col("dq") && col("p") < col("q"))))
+            .join(ori.select(col("a").as("oa"), col("b").as("ob")),
+              col("p") === col("oa") && col("q") === col("ob"))
+            .select(col("wa").as("a"), col("p"), col("q"))
+            .localCheckpoint()
+          val sup = tri
+            .select(least(col("a"), col("p")).as("eu"),
+              greatest(col("a"), col("p")).as("ev"))
+            .union(tri.select(least(col("a"), col("q")),
+              greatest(col("a"), col("q"))))
+            .union(tri.select(least(col("p"), col("q")),
+              greatest(col("p"), col("q"))))
+            .groupBy("eu", "ev").agg(count(lit(1)).as("support"))
+            .localCheckpoint()
+          (tri, sup)
+        }
+        def censusRow(round: Int, edges: DataFrame, tri: DataFrame,
+            sup: DataFrame): DataFrame =
+          edges.agg(count(lit(1)).as("n_edges"))
+            .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+            .crossJoin(sup.agg(
+              count(lit(1)).as("n_supported_edges"),
+              coalesce(max(col("support")), lit(0L)).as("max_support")))
+            .select(lit(round.toLong).as("round"), col("n_edges"),
+              col("n_triangles"), col("n_supported_edges"),
+              col("max_support"))
+        val (tri1, sup1) = census(edges0)
+        val e2r = edges0
+          .join(sup1, col("u") === col("eu") && col("v") === col("ev"))
+          .filter(col("support") >= 1)
+          .select("u", "v").localCheckpoint()
+        val (tri2, sup2) = census(e2r)
+        censusRow(1, edges0, tri1, sup1)
+          .union(censusRow(2, e2r, tri2, sup2))
+          .orderBy("round")
       },
-      Some(sql("lineitem")))
+      Some(sql("lineitem", "AS MATERIALIZED")))
+  }
+
+  /** g20 — rich-club coefficient ladder (Zhou & Mondragón, IEEE Comm
+    * Letters 2004; the normalized form is Colizza et al., Nature
+    * Physics 2006 — this is the raw φ(k), the census the normalized
+    * variant divides): for each degree threshold k in a fixed ladder,
+    * restrict to the "club" of nodes with degree > k and read
+    * φ(k) = 2·E_k / (N_k·(N_k−1)) — do high-degree nodes link to each
+    * other more than chance? The hub-interconnection diagnostic for
+    * supplier/part co-occurrence topology.
+    *
+    * Determinism: integer counts; φ emitted as ppm via DIV with a
+    * zero-guard on singleton clubs. Scale shape: one degree frame,
+    * one ladder explode over it (domain-sized), and per-k edge
+    * membership via two semi-join-shaped joins on the node key — the
+    * edge list is touched once per ladder rung, never self-joined. */
+  val richClub: QueryDef = {
+    val ladder = Seq(1, 2, 3, 4, 6, 8)
+    // mat: "AS MATERIALIZED" on the DuckDB side — edges/deg/club are
+    // each referenced more than once and DuckDB INLINES multi-ref CTEs
+    // (the g19 lesson: nested re-inlining goes exponential — the
+    // unmaterialized form of this query ran 24 min at sf0.5, the
+    // materialized one seconds)
+    def sql(src: String, arr: String, mat: String): String =
+      s"""WITH parts AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM $src),
+          lagged AS (
+            SELECT lag(pk) OVER (PARTITION BY ok ORDER BY pk) AS u, pk AS v
+            FROM parts),
+          edges $mat (
+            SELECT DISTINCT u, v FROM lagged WHERE u IS NOT NULL),
+          deg $mat (
+            SELECT n, count(*) AS deg FROM (
+              SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+            GROUP BY 1),
+          club $mat (
+            SELECT k, n FROM deg $arr WHERE deg > k),
+          nk AS (
+            SELECT k, count(*) AS n_nodes FROM club GROUP BY 1),
+          ek AS (
+            SELECT cu.k, count(*) AS n_edges
+            FROM edges e
+            JOIN club cu ON cu.n = e.u
+            JOIN club cv ON cv.n = e.v AND cv.k = cu.k
+            GROUP BY 1),
+          j AS (
+            SELECT nk.k, nk.n_nodes,
+              CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges
+            FROM nk LEFT JOIN ek ON ek.k = nk.k)
+          SELECT CAST(k AS INT) AS k, n_nodes, n_edges,
+            CASE WHEN n_nodes < 2 THEN CAST(0 AS BIGINT)
+              ELSE CAST((2000000 * n_edges) $$DIV$$
+                (n_nodes * (n_nodes - 1)) AS BIGINT) END AS phi_ppm
+          FROM j ORDER BY k"""
+    QueryDef(
+      "g20_rich_club",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("g20_lineitem")
+        s.sql(sql("g20_lineitem",
+          s"LATERAL VIEW explode(array(${ladder.mkString(", ")})) t AS k",
+          "AS").replace("$DIV$", "DIV"))
+      },
+      Some(sql("lineitem",
+        s", unnest([${ladder.mkString(", ")}]) AS t(k)",
+        "AS MATERIALIZED").replace("$DIV$", "//")))
   }
 
   val all: Seq[QueryDef] =
@@ -1637,5 +1797,5 @@ object Graph {
       personalizedPagerank, linkPrediction, hits, degreeHistogram,
       harmonicCentrality, modularity, clusteringCoefficient,
       assortativity, wcc, diameterSweep, bipartiteProjection,
-      seededBetweenness, twoHopReach, ktrussSupport)
+      seededBetweenness, twoHopReach, ktrussSupport, richClub)
 }

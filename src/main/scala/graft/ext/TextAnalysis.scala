@@ -2625,6 +2625,79 @@ object TextAnalysis {
                FROM sc ORDER BY lang"""))
   }
 
+  /** t40 — character-coverage curve per language (the SentencePiece
+    * `character_coverage` rule, Kudo & Richardson, EMNLP 2018: pick
+    * the smallest character set whose cumulative frequency reaches the
+    * coverage target — everything else maps to <unk>): per language,
+    * the character census is ranked by frequency and, for each target
+    * in the standard ladder {99%, 99.9%, 99.95%}, the readout is how
+    * many distinct characters the target needs and how many the
+    * alphabet has — the tokenizer-prep decision every multilingual
+    * vocab build makes before t15/t16 run.
+    *
+    * Determinism: pure integer counts; the coverage test is the
+    * cross-multiplied integer inequality 10⁴·cum_before < target_e4 ·
+    * total (never a float share); ranking ties break on the character
+    * itself. Scale shape: ONE (lang, char) census — map-side
+    * combinable, alphabet-bounded — then windows over the tiny census
+    * frame; the targets explode over the census, not the corpus. */
+  val charCoverage: QueryDef = {
+    val targetsE4 = Seq(9900, 9990, 9995)
+    QueryDef(
+      "t40_char_coverage",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val census = Tables.documents(s, d)
+          .select(col("lang"), explode(split(col("text"), "")).as("ch"))
+          .filter(length(col("ch")) > 0)
+          .groupBy("lang", "ch").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("ch"))
+        val ranked = census
+          .withColumn("cum_before",
+            coalesce(sum(col("n")).over(
+              w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("total",
+            sum(col("n")).over(Window.partitionBy(col("lang"))))
+          .withColumn("alphabet",
+            count(lit(1)).over(Window.partitionBy(col("lang"))))
+        ranked
+          .select(col("lang"), col("cum_before"), col("total"),
+            col("alphabet"),
+            explode(expr(s"array(${targetsE4.mkString(", ")})"))
+              .as("target_e4"))
+          .filter(expr("10000 * cum_before < target_e4 * total"))
+          .groupBy("lang", "target_e4")
+          .agg(count(lit(1)).as("n_chars_needed"),
+            max(col("alphabet")).as("alphabet_size"),
+            max(col("total")).as("total_chars"))
+          .orderBy("lang", "target_e4")
+      },
+      Some(s"""WITH census AS (
+                 SELECT lang, ch, count(*) AS n
+                 FROM (SELECT lang, unnest(string_split(text, '')) AS ch
+                       FROM documents)
+                 WHERE length(ch) > 0
+                 GROUP BY 1, 2),
+               ranked AS (
+                 SELECT lang, n,
+                   coalesce(sum(n) OVER (PARTITION BY lang
+                     ORDER BY n DESC, ch
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cum_before,
+                   sum(n) OVER (PARTITION BY lang) AS total,
+                   count(*) OVER (PARTITION BY lang) AS alphabet
+                 FROM census)
+               SELECT lang, CAST(target_e4 AS INT) AS target_e4,
+                 count(*) AS n_chars_needed,
+                 CAST(max(alphabet) AS BIGINT) AS alphabet_size,
+                 CAST(max(total) AS BIGINT) AS total_chars
+               FROM ranked,
+                 unnest([${targetsE4.mkString(", ")}]) AS t(target_e4)
+               WHERE 10000 * cum_before < target_e4 * total
+               GROUP BY 1, 2 ORDER BY 1, 2"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
@@ -2633,5 +2706,5 @@ object TextAnalysis {
       gopherRules, zipfFit, tokenBurstiness, bigramPerplexity,
       confusableSpoof, textrank, ruleAblation, ngramNovelty, bpeFertility,
       jsDivergence, vocabOov, vocabGrowth, truncationLoss, pmiCollocations,
-      knPerplexity, mcnemarLangId, cohensKappa, loopDetection)
+      knPerplexity, mcnemarLangId, cohensKappa, loopDetection, charCoverage)
 }

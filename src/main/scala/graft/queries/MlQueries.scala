@@ -2167,11 +2167,63 @@ object MlQueries {
       Some(sql("HUGEINT", "//")))
   }
 
+  /** ml25 — cumulative gains / lift table (the campaign-targeting
+    * readout: "contacting the top-X% of scores captures Y% of the
+    * positives"; the tabular form of ml06-style ranking quality —
+    * standard credit-scoring/response-model QA, cf. Siddiqi, Credit
+    * Risk Scorecards 2006 ch.6): score = event value (cents), label =
+    * error event; scores are banded into fixed $50-wide bins capped
+    * at 10 (the x30 banding idiom — bands are DOMAIN-bucketed, no
+    * global ntile window, the q21 scale lesson), read from the top
+    * band down: per-band and cumulative counts, capture ppm of all
+    * positives, and the cumulative lift vs the base rate.
+    *
+    * Determinism: bands, counts, and both ratios are pure integer
+    * arithmetic (capture = 1e6·cum_pos DIV total_pos; lift_e6 =
+    * (1e6·cum_pos·n_total) DIV (cum_n·total_pos)). Scale shape: ONE
+    * corpus scan to the 10-row band frame; the cumulative windows run
+    * over that bounded frame only. */
+  val liftGains: QueryDef = {
+    def sql(div: String): String =
+      s"""WITH m AS (
+            SELECT least(CAST(round(value * 100) AS BIGINT) $div 5000,
+                CAST(9 AS BIGINT)) AS band,
+              CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+            FROM events),
+          b AS (
+            SELECT band, count(*) AS n,
+              CAST(sum(y) AS BIGINT) AS n_pos
+            FROM m GROUP BY 1),
+          c AS (
+            SELECT band, n, n_pos,
+              CAST(sum(n) OVER (ORDER BY band DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_n,
+              CAST(sum(n_pos) OVER (ORDER BY band DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_pos,
+              CAST(sum(n) OVER () AS BIGINT) AS n_total,
+              CAST(sum(n_pos) OVER () AS BIGINT) AS total_pos
+            FROM b)
+          SELECT band, n, n_pos, cum_n, cum_pos,
+            (1000000 * cum_pos) $div total_pos AS capture_ppm,
+            (1000000 * cum_pos * n_total) $div (cum_n * total_pos)
+              AS lift_e6
+          FROM c ORDER BY band DESC"""
+    QueryDef(
+      "ml25_lift_gains",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("g_ml25_events")
+        s.sql(sql("DIV").replace("FROM events", "FROM g_ml25_events"))
+      },
+      Some(sql("//")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
       lofoImportance, abWelch, cupedReadout, naiveBayes, poissonBootstrap,
       woeIv, ksTest, tostEquivalence, ridgePath, pca2d, mannWhitney,
       chiSquare, logitNewton, permutationTest, groupedOls,
-      groupedLogitNewton)
+      groupedLogitNewton, liftGains)
 }

@@ -152,4 +152,76 @@ class Round12OpsSpec extends AnyFunSuite {
         1000000L * silent.count(identity) / nf, s"doc $id ppm")
     }
   }
+
+  test("t40: per-language coverage curve matches a Scala census") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val got = TextAnalysis.charCoverage.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Number]("target_e4").intValue))
+      .zip(TextAnalysis.charCoverage.build(spark, sf).collect()
+        .map(r => (r.getAs[Long]("n_chars_needed"),
+          r.getAs[Long]("alphabet_size"), r.getAs[Long]("total_chars"))))
+      .toMap
+    val langs = docs.map(_._1).distinct
+    langs.foreach { lang =>
+      val chars = docs.filter(_._1 == lang).flatMap(_._2.toSeq)
+      val census = chars.groupBy(identity)
+        .map { case (c, v) => (c.toString, v.length.toLong) }.toSeq
+        .sortBy { case (c, n) => (-n, c) }
+      val total = census.map(_._2).sum
+      var cum = 0L
+      val cums = census.map { case (_, n) => val b = cum; cum += n; b }
+      Seq(9900, 9990, 9995).foreach { t =>
+        val need = cums.count(cb => 10000L * cb < t.toLong * total).toLong
+        val (gn, ga, gt) = got((lang, t))
+        assert(gn == need && ga == census.size.toLong && gt == total,
+          s"$lang@$t: got ($gn,$ga,$gt) want ($need,${census.size},$total)")
+      }
+    }
+  }
+
+  test("g20: rich-club ladder matches a Scala census") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      ps.zip(ps.drop(1))
+    }.toSet
+    val deg = (edges.toSeq.map(_._1) ++ edges.toSeq.map(_._2))
+      .groupBy(identity).map { case (n, v) => n -> v.length.toLong }
+    val got = Graph.richClub.build(spark, sf).collect()
+      .map(r => r.getAs[Number]("k").intValue ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    Seq(1, 2, 3, 4, 6, 8).foreach { k =>
+      val club = deg.filter(_._2 > k).keySet
+      val nk = club.size.toLong
+      val ek = edges.count(e => club(e._1) && club(e._2)).toLong
+      val phi = if (nk < 2) 0L else 2000000L * ek / (nk * (nk - 1))
+      if (nk == 0) assert(!got.contains(k)) // empty club: no census row
+      else assert(got(k) == ((nk, ek, phi)), s"k=$k ${got.get(k)}")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("ml25: gains table matches a Scala fold") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("least(CAST(round(value * 100) AS BIGINT) DIV 5000, 9L)",
+        "IF(event_type = 'error', 1L, 0L)").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bands = ev.groupBy(_._1).map { case (b, v) =>
+      (b, v.length.toLong, v.map(_._2).sum) }.toSeq.sortBy(-_._1)
+    val nTotal = bands.map(_._2).sum; val posTotal = bands.map(_._3).sum
+    var cn = 0L; var cp = 0L
+    val want = bands.map { case (b, n, p) =>
+      cn += n; cp += p
+      (b, n, p, cn, cp, 1000000L * cp / posTotal,
+        1000000L * cp * nTotal / (cn * posTotal))
+    }
+    val got = MlQueries.liftGains.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want)
+  }
 }

@@ -123,7 +123,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "x50_neyman_allocation" -> "allocation windows over the segment-domain (5-row) frame (x17's idiom), Curation.scala",
     "ml19_mann_whitney" -> "doubled-rank cumulative + totals over the bounded DISTINCT-cent frame (value-domain bounded, ml15's idiom), MlQueries.scala",
     "ml20_chi_square" -> "N / chi-square totals over the bounded type x band cell frame (ml14's idiom), MlQueries.scala",
-    "e13_kmv_size_sweep" -> "rank over the 32-row bottom-k frame (the TakeOrdered output; x11's idiom), Extensions.scala")
+    "e13_kmv_size_sweep" -> "rank over the 32-row bottom-k frame (the TakeOrdered output; x11's idiom), Extensions.scala",
+    "ml25_lift_gains" -> "cumulative gains windows over the 10-row value-band frame (bin-domain bounded, ml14's idiom), MlQueries.scala")
 
   /** name -> physical plan for every registered query. sparkPlan (the
     * pre-AQE physical plan) carries the concrete join/window nodes; a

@@ -30,6 +30,12 @@ def main(sf_dir: str, out_dir: str, timeout: float = 0.0,
          json_out: str = "", only: str = "") -> int:
     import os
     con = duckdb.connect()
+    # per-process spill dir: concurrent check_oracle runs sharing one
+    # cwd otherwise race on ./.tmp/duckdb_temp_storage-*.tmp and abort
+    # with an IOException mid-query (observed r12)
+    _tmp = f"/tmp/duckdb_tmp_{os.getpid()}"
+    os.makedirs(_tmp, exist_ok=True)
+    con.execute(f"PRAGMA temp_directory='{_tmp}'")
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
         # driver testdata are single parquet files; Spark-written probe
