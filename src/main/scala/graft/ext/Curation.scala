@@ -3682,6 +3682,76 @@ object Curation {
                ORDER BY segment, rk"""))
   }
 
+  /** x56 — greedy quality-first budget fill (the Pareto-frontier
+    * mixing policy next to x17's proportional, x32's temperature,
+    * x45's UniMax and x46's DoReMi: rank sources by a quality score
+    * and take WHOLE sources in rank order until the token budget is
+    * exhausted, with a partial take on the boundary source — how
+    * curation teams spend a fixed training budget when sources have a
+    * clear quality ordering): source = (lang, source) cell, quality =
+    * exact mean chars/doc at e4 fixed point (the proxy the documents
+    * table supports; swap in any per-source score), budget = 100k chars (below even the sf0.001 corpus, so the fill STOPS at every fixture scale).
+    *
+    * Determinism: census sums are exact BIGINTs, the quality rank
+    * breaks ties on the cell key, the fill test is an integer
+    * cum_before < budget comparison, and the boundary take is an
+    * integer subtraction — no floats anywhere. Scale shape: one
+    * (lang, source) census scan (map-side combinable), then windows
+    * over the cell-domain frame (x17's bounded-frame idiom). */
+  val budgetPareto: QueryDef = {
+    val budget = 100000L
+    QueryDef(
+      "x56_budget_pareto_fill",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cells = Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("CAST(n_chars AS BIGINT)")).as("n_chars"))
+          .withColumn("quality_e4", expr("(10000 * n_chars) DIV n_docs"))
+        val byQ = Window.orderBy(col("quality_e4").desc, col("lang"),
+          col("source"))
+        cells
+          .withColumn("rk", row_number().over(byQ))
+          .withColumn("cum_before",
+            coalesce(sum(col("n_chars")).over(
+              byQ.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .filter(col("cum_before") < budget)
+          .withColumn("chars_taken",
+            least(col("n_chars"), lit(budget) - col("cum_before")))
+          .withColumn("take_ppm",
+            expr("(1000000 * chars_taken) DIV n_chars"))
+          .select("rk", "lang", "source", "n_docs", "n_chars",
+            "quality_e4", "cum_before", "chars_taken", "take_ppm")
+          .orderBy("rk")
+      },
+      Some(s"""WITH cells AS (
+                 SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars
+                 FROM documents GROUP BY 1, 2),
+               q AS (
+                 SELECT *,
+                   (10000 * n_chars) // n_docs AS quality_e4
+                 FROM cells),
+               r AS (
+                 SELECT *,
+                   CAST(row_number() OVER w AS BIGINT) AS rk,
+                   coalesce(sum(n_chars) OVER (w
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cum_before
+                 FROM q
+                 WINDOW w AS (ORDER BY quality_e4 DESC, lang, source))
+               SELECT rk, lang, source, n_docs, n_chars,
+                 CAST(quality_e4 AS BIGINT) AS quality_e4,
+                 CAST(cum_before AS BIGINT) AS cum_before,
+                 CAST(least(n_chars, $budget - cum_before) AS BIGINT)
+                   AS chars_taken,
+                 (1000000 * least(n_chars, $budget - cum_before))
+                   // n_chars AS take_ppm
+               FROM r WHERE cum_before < $budget
+               ORDER BY rk"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -3697,5 +3767,5 @@ object Curation {
       sourceOverlap, shardSkew, dupClusterStats, unimaxAllocation,
       doremiStep, pairAuditSample, lDiversity, decontaminationDrill,
       neymanAllocation, dsirSelection, lengthBucketing, clusterSharding,
-      rejectionResample, stratifiedReservoir)
+      rejectionResample, stratifiedReservoir, budgetPareto)
 }

@@ -2102,10 +2102,63 @@ object Relational {
                FROM p GROUP BY 1 ORDER BY 1"""))
   }
 
+  /** Q59 — inter-event gap distribution per user (the arrival-process
+    * profile telemetry teams read before choosing session gaps,
+    * rate limits, and watermark delays — the empirical input to q50's
+    * 30-minute threshold and st03's session windows): consecutive-event
+    * gaps in exact microseconds via lag over (ts, event_id), then
+    * per-user count, min/max, exact integer mean, and the exact median
+    * through the q28 ×2 snap (an int-midpoint median is exactly .5 —
+    * both engines land on the same doubled integer).
+    *
+    * Determinism: gaps are exact BIGINT microsecond differences
+    * (epoch_us / unix_micros — never second-truncated, the q50
+    * discipline); every readout is integer arithmetic. Scale shape:
+    * one shuffle on user_id for the lag window, then a per-user hash
+    * agg — corpus-linear, no global state. */
+  val q59 = QueryDef(
+    "q59_interevent_gaps",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          sum(col("gap_us")).as("sum_gap_us"),
+          expr("CAST(round(percentile(gap_us, 0.5) * 2) AS BIGINT)")
+            .as("median_gap_us_x2"))
+        .withColumn("mean_gap_us", expr("sum_gap_us DIV n_gaps"))
+        .select("user_id", "n_gaps", "min_gap_us", "max_gap_us",
+          "mean_gap_us", "median_gap_us_x2")
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+            g AS (
+              SELECT user_id,
+                us - lag(us, 1) OVER (PARTITION BY user_id
+                  ORDER BY us, event_id) AS gap_us
+              FROM e)
+            SELECT user_id, count(*) AS n_gaps,
+              min(gap_us) AS min_gap_us,
+              max(gap_us) AS max_gap_us,
+              (CAST(sum(gap_us) AS BIGINT)) // count(*) AS mean_gap_us,
+              CAST(round(quantile_cont(gap_us, 0.5) * 2) AS BIGINT)
+                AS median_gap_us_x2
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q12b,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
-    q54, q55, q56, q57, q58)
+    q54, q55, q56, q57, q58, q59)
 }

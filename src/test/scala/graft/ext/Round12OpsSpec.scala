@@ -224,4 +224,56 @@ class Round12OpsSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
     assert(got == want)
   }
+
+  test("x56: greedy quality-first fill matches a Scala fold") {
+    val budget = 100000L
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("lang", "source", "CAST(n_chars AS BIGINT)").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val cells = docs.groupBy(_._1).map { case ((l, src), v) =>
+      val n = v.length.toLong; val c = v.map(_._2).sum
+      (l, src, n, c, 10000L * c / n)
+    }.toSeq.sortBy { case (l, src, _, _, q) => (-q, l, src) }
+    var cum = 0L
+    val want = cells.zipWithIndex.flatMap { case ((l, src, n, c, q), i) =>
+      val before = cum; cum += c
+      if (before < budget) {
+        val taken = math.min(c, budget - before)
+        Some((i + 1L, l, src, n, c, q, before, taken,
+          1000000L * taken / c))
+      } else None
+    }
+    val got = Curation.budgetPareto.build(spark, sf).collect()
+      .map(r => (r.getAs[Number]("rk").longValue, r.getString(1),
+        r.getString(2), r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("quality_e4"), r.getAs[Long]("cum_before"),
+        r.getAs[Long]("chars_taken"), r.getAs[Long]("take_ppm"))).toSeq
+    assert(got == want)
+    // the fill genuinely stops: not every source fits the budget
+    assert(want.size > 1 && want.size < cells.size)
+  }
+
+  test("q59: per-user gap stats match a Scala recompute") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = graft.queries.Relational.q59.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    ev.groupBy(_._1).foreach { case (uid, rows) =>
+      val us = rows.sortBy(t => (t._3, t._2)).map(_._3)
+      if (us.length < 2) assert(!got.contains(uid))
+      else {
+        val gaps = us.zip(us.drop(1)).map { case (a, b) => b - a }
+        val sorted = gaps.sorted
+        val n = sorted.length
+        // interpolated median x2 over ints is exactly the midpoint sum
+        val medX2 =
+          if (n % 2 == 1) 2L * sorted(n / 2)
+          else sorted(n / 2 - 1) + sorted(n / 2)
+        assert(got(uid) == ((n.toLong, sorted.head, sorted.last,
+          gaps.sum / n, medX2)), s"user $uid")
+      }
+    }
+  }
 }

@@ -92,6 +92,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "ml22_permutation_test" -> "1-row observed-moments broadcast onto the 32-row replicate frame (ml13's idiom)",
     "s21_farthest_first" -> "bounded (k=4) centroid-frame broadcast onto the assignment scan (d13's pinned idiom; selection scans use rendered literals, no join at all)",
     "q57_scd2_asof_lookup" -> "bounded (3-row) probe-date broadcast; the range predicate evaluates inside the SCD2 scan (x36's epoch fan-out idiom)",
+    "g19_ktruss_support" -> "three 1-row census scalars crossJoined per peel round (e05's idiom; the triangle joins themselves are oriented equi-joins)",
     "g18_two_hop_reach" -> "1-row supplier-universe scalar broadcast onto the 9-row seed frame (e05's idiom)",
     "t38_cohens_kappa" -> "1-row chance-agreement scalar broadcast onto the 1-row confusion totals (e05's idiom)",
     "e13_kmv_size_sweep" -> "1-row exact-count scalar broadcast onto the 4-row sweep frame (e05's idiom)",
@@ -124,7 +125,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "ml19_mann_whitney" -> "doubled-rank cumulative + totals over the bounded DISTINCT-cent frame (value-domain bounded, ml15's idiom), MlQueries.scala",
     "ml20_chi_square" -> "N / chi-square totals over the bounded type x band cell frame (ml14's idiom), MlQueries.scala",
     "e13_kmv_size_sweep" -> "rank over the 32-row bottom-k frame (the TakeOrdered output; x11's idiom), Extensions.scala",
-    "ml25_lift_gains" -> "cumulative gains windows over the 10-row value-band frame (bin-domain bounded, ml14's idiom), MlQueries.scala")
+    "ml25_lift_gains" -> "cumulative gains windows over the 10-row value-band frame (bin-domain bounded, ml14's idiom), MlQueries.scala",
+    "x56_budget_pareto_fill" -> "quality rank + prefix sum over the (lang, source) cell-domain frame (x17's idiom), Curation.scala")
 
   /** name -> physical plan for every registered query. sparkPlan (the
     * pre-AQE physical plan) carries the concrete join/window nodes; a

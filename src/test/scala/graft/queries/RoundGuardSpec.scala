@@ -60,7 +60,12 @@ class RoundGuardSpec extends AnyFunSuite {
           "round(x*10) recovers the same integer — Fixed.scala recipe")),
     "q53_sql_scripting" -> Seq(
       ("round(quantile_cont(",
-        "same sanctioned cents ×10 snap as q28")))
+        "same sanctioned cents ×10 snap as q28")),
+    "q59_interevent_gaps" -> Seq(
+      ("round(quantile_cont(",
+        "sanctioned ×2 snap: median of INTEGER microsecond gaps — the " +
+          "interpolated midpoint is exactly .0 or .5, both engines land " +
+          "on the same doubled integer")))
 
   private def findings(name: String, sql: String): Seq[String] = {
     val hits =
@@ -88,7 +93,7 @@ class RoundGuardSpec extends AnyFunSuite {
     // the sanctioned cents ×10 percentile snap (see oracle whitelist):
     // strip its exact textual shape before scanning
     val snapRe =
-      """(?s)round\(\s*(?:percentile|quantile_cont)\(\s*(?:CAST\(round\(\w+ \* 100\) AS BIGINT\)|cents),\s*0\.\d+\)\s*\*\s*10\)""".r
+      """(?s)round\(\s*(?:percentile|quantile_cont)\(\s*(?:CAST\(round\(\w+ \* 100\) AS BIGINT\)|\w+),\s*0\.\d+\)\s*\*\s*(?:2|10)\)""".r
     val bad = java.nio.file.Files.walk(root).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
       .flatMap { p =>
