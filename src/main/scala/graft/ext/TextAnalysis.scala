@@ -1651,9 +1651,11 @@ object TextAnalysis {
     * DECIMAL(38,0) in Spark, HUGEINT in DuckDB — because S² for a
     * high-frequency token crosses 2⁶³ around S ≈ 3·10⁹, well inside
     * 100 TB scale, and Spark LongType would wrap silently while DuckDB
-    * would not (the st16/x36 widening discipline). Both engines
-    * produce the same exact integers, so the double conversion and
-    * round(6) agree bit-for-bit.
+    * would not (the st16/x36 widening discipline). r12 sweep: the
+    * 128-bit values cross to DOUBLE through [[graft.core.Fixed.dec2d]]
+    * (direct casts of > 2⁵³ values can differ by 1 ulp between
+    * engines — the ml21 class) and the quotient is emitted at full
+    * precision (a final round() could sit exactly on a dyadic tie).
     *
     * Scale shape: one (token)-keyed aggregate of per-doc counts
     * (map-side combined), a 1-row corpus-count scalar broadcast, a
@@ -1675,10 +1677,11 @@ object TextAnalysis {
             sum(expr("c * c")).as("q"))
           .crossJoin(broadcast(n))
           .selectExpr("tok", "df", "s", "q", "n_docs",
-            "round(CAST(CAST(n_docs AS DECIMAL(38,0)) * q - " +
-              "CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) / " +
-              "CAST(CAST(n_docs AS DECIMAL(38,0)) * s AS DOUBLE), 6) " +
-              "AS vmr")
+            s"""${graft.core.Fixed.dec2d(
+                "CAST(n_docs AS DECIMAL(38,0)) * q - " +
+                  "CAST(s AS DECIMAL(38,0)) * s", "DIV")} / ${
+              graft.core.Fixed.dec2d(
+                "CAST(n_docs AS DECIMAL(38,0)) * s", "DIV")} AS vmr""")
           .orderBy(col("s").desc, col("tok"))
           .limit(topT)
       },
@@ -1695,10 +1698,10 @@ object TextAnalysis {
                    CAST(sum(c * c) AS BIGINT) AS q
                  FROM counts GROUP BY 1)
                SELECT tok, df, s, q, n_docs,
-                 round(CAST(CAST(n_docs AS HUGEINT) * q -
-                            CAST(s AS HUGEINT) * s AS DOUBLE) /
-                       CAST(CAST(n_docs AS HUGEINT) * s AS DOUBLE), 6)
-                   AS vmr
+                 ${graft.core.Fixed.dec2d(
+                   "CAST(n_docs AS HUGEINT) * q - CAST(s AS HUGEINT) * s",
+                   "//")} / ${graft.core.Fixed.dec2d(
+                   "CAST(n_docs AS HUGEINT) * s", "//")} AS vmr
                FROM moments, n
                ORDER BY s DESC, tok LIMIT $topT"""))
   }

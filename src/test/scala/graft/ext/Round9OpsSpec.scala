@@ -116,8 +116,9 @@ class Round9OpsSpec extends AnyFunSuite {
         r.getLong(4))
       assert(n == nDocs, r.toString)
       assert(df <= n && s1 >= df && q >= s1, r.toString)
-      val expect = BigDecimal((n * q - s1 * s1).toDouble / (n * s1).toDouble)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // r12: full-precision VMR from dec2d-split 128-bit integers
+      // (fixture values < 2^53, so plain double division is the same)
+      val expect = (n * q - s1 * s1).toDouble / (n * s1).toDouble
       assert(r.getDouble(5) == expect, r.toString)
     }
   }
