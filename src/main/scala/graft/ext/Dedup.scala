@@ -2174,11 +2174,76 @@ object Dedup {
                src_lo = src_hi AS within
              FROM j GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** d25 — edit-distance verification of near-dup candidates (the
+    * second-pass confirmation layer production dedup runs between
+    * candidate generation and deletion — cf. Silcock et al. 2022's
+    * human-verified pairs and RefinedWeb's audit sample: token-set
+    * Jaccard is blind to word ORDER, so a character-level metric over
+    * the candidate pairs catches reordered-but-distinct texts before
+    * they are merged): for every pair on the shared d04 stage, the
+    * exact Levenshtein distance over fixed 256-char prefixes — both
+    * engines ship the same textbook DP builtin — plus the normalized
+    * edit similarity and a confirmed flag at ≥ 60%.
+    *
+    * Determinism: lev is an exact integer on identical prefixes;
+    * similarity is integer ppm over the longer prefix length (empty
+    * pairs get 10⁶ by the CASE guard); jaccard rides along
+    * 10⁻⁶-integerized. Scale shape: candidate-bounded — two doc-keyed
+    * equi-joins attach prefixes, then a per-pair O(256²) codegen'd
+    * expression; the prefix cap makes verification cost pairs-linear
+    * (65 k char-ops each) regardless of document length, and NOTHING
+    * here re-shingles or rescans the corpus. */
+  val editDistanceVerify: QueryDef = QueryDef(
+    "d25_edit_verify",
+    (s, d) => {
+      val pref = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 256).as("p"))
+      ngramSharedPairs(s, d)
+        .join(pref.select(col("doc_id").as("a_id"), col("p").as("pa")),
+          Seq("a_id"))
+        .join(pref.select(col("doc_id").as("b_id"), col("p").as("pb")),
+          Seq("b_id"))
+        .withColumn("j_ppm",
+          expr("CAST(round(jaccard * 1000000) AS BIGINT)"))
+        .withColumn("lev",
+          levenshtein(col("pa"), col("pb")).cast("long"))
+        .withColumn("max_len",
+          greatest(length(col("pa")), length(col("pb"))).cast("long"))
+        .withColumn("edit_sim_ppm",
+          expr("""CASE WHEN max_len = 0 THEN CAST(1000000 AS BIGINT)
+                  ELSE (1000000 * (max_len - lev)) DIV max_len END"""))
+        .withColumn("confirmed", col("edit_sim_ppm") >= 600000L)
+        .select("a_id", "b_id", "j_ppm", "lev", "edit_sim_ppm", "confirmed")
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""WITH ${ngramPairSql(ngramTheta)},
+             pref AS (
+               SELECT doc_id, substring(text, 1, 256) AS p
+               FROM documents),
+             v AS (
+               SELECT p.a_id, p.b_id,
+                 CAST(round(p.jaccard * 1000000) AS BIGINT) AS j_ppm,
+                 CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
+                 CAST(greatest(length(a.p), length(b.p)) AS BIGINT)
+                   AS max_len
+               FROM pairs p
+               JOIN pref a ON a.doc_id = p.a_id
+               JOIN pref b ON b.doc_id = p.b_id)
+             SELECT a_id, b_id, j_ppm, lev,
+               CASE WHEN max_len = 0 THEN CAST(1000000 AS BIGINT)
+                 ELSE (1000000 * (max_len - lev)) // max_len END
+                 AS edit_sim_ppm,
+               (CASE WHEN max_len = 0 THEN CAST(1000000 AS BIGINT)
+                 ELSE (1000000 * (max_len - lev)) // max_len END)
+                 >= 600000 AS confirmed
+             FROM v ORDER BY a_id, b_id"""))
+
   val all: Seq[QueryDef] =
     Seq(exact, exactByFingerprint, minhash, minhashNative, simhashPairs,
       ngramJaccard, embeddingCosine, components, simhashBanded, minhashMd5,
       simhashMd5Banded, substringSpans, spanRemoval, semanticDedup,
       incrementalSemantic, containmentPairs, minhashCalibration,
       normalizedExact, cdcChunking, dedupEval, simhashMultiProbe,
-      containmentSketchEval, clusterCoherence, crossSourceDup)
+      containmentSketchEval, clusterCoherence, crossSourceDup,
+      editDistanceVerify)
 }

@@ -1817,10 +1817,80 @@ object Similarity {
                GROUP BY 1, 2, 3 ORDER BY rk"""))
   }
 
+  /** s22 — per-dimension embedding-health audit (the encoder-QA scan
+    * run before any index is built: dimensional collapse — a dimension
+    * whose variance is ~0 carries no information and signals a
+    * degenerate encoder or a dead unit (cf. Jing et al. ICLR 2022 on
+    * representation collapse; Ethayarajh EMNLP 2019's anisotropy
+    * measurements) — plus range anomalies that break int8 quantization
+    * (s05's scale assumes a sane min/max)): per dimension, n, exact
+    * integer mean/min/max, the exact variance, and a collapsed flag.
+    *
+    * Determinism: elements are 10⁻⁶-integerized per row (fixed-shape
+    * float→double→round, identical on both engines); the variance
+    * numerator n·Σx²−(Σx)² is exact 128-bit (Σx² exceeds BIGINT at
+    * corpus scale — the x50 overflow lesson), emitted as var_e12 via
+    * integral divide; mean is sign-split DIV. Scale shape: ONE
+    * explode-scan into a map-side partial agg on the dim key — 64
+    * groups regardless of corpus size; no join, no window, no second
+    * pass. The 100 TB form of "did my encoder collapse" costs exactly
+    * one pass. */
+  val embeddingHealth: QueryDef = {
+    import graft.core.Fixed
+    QueryDef(
+      "s22_embedding_health",
+      (s, d) => {
+        Tables.embeddings(s, d)
+          .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("dim").cast("long").as("dim"),
+            expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)")
+              .as("x"))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+            min(col("x")).as("min_e6"), max(col("x")).as("max_e6"))
+          .withColumn("mean_e6",
+            expr(Fixed.sdiv("sx", "n", "DIV")).cast("long"))
+          .withColumn("var_e12",
+            expr("""CAST((CAST(n AS DECIMAL(38,0)) * sxx
+                      - CAST(sx AS DECIMAL(38,0)) * sx)
+                    DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"""))
+          .withColumn("collapsed", col("var_e12") < 1000000000L)
+          .select("dim", "n", "mean_e6", "var_e12", "min_e6", "max_e6",
+            "collapsed")
+          .orderBy("dim")
+      },
+      Some(s"""WITH x AS (
+                 SELECT CAST(t.i - 1 AS BIGINT) AS dim,
+                   CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000)
+                     AS BIGINT) AS x
+                 FROM embeddings,
+                   unnest(range(1, len(embedding) + 1)) AS t(i)),
+               a AS (
+                 SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                   CAST(min(x) AS BIGINT) AS min_e6,
+                   CAST(max(x) AS BIGINT) AS max_e6
+                 FROM x GROUP BY 1),
+               b AS (
+                 SELECT dim, n,
+                   CAST(${Fixed.sdiv("sx", "n", "//")} AS BIGINT)
+                     AS mean_e6,
+                   CAST((CAST(n AS HUGEINT) * sxx
+                       - CAST(sx AS HUGEINT) * sx)
+                     // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_e12,
+                   min_e6, max_e6
+                 FROM a)
+               SELECT dim, n, mean_e6, var_e12, min_e6, max_e6,
+                 var_e12 < 1000000000 AS collapsed
+               FROM b ORDER BY dim"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
       annPqAdc, kmeansLloyd, annRecall, filteredTopK, mmrRerank,
       twoStageRescore, knnClassify, nprobeSweep, hardNegatives, ndcgEval,
       rocchioFeedback, ivfBalance, pqDistortion, reindexChurn, rangeSearch,
-      farthestFirst)
+      farthestFirst, embeddingHealth)
 }

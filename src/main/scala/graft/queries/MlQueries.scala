@@ -2219,11 +2219,83 @@ object MlQueries {
       Some(sql("//")))
   }
 
+  /** ml26 — exact Kendall τ-b rank correlation (Kendall 1938; the τ-b
+    * tie correction per Kendall 1945) between l_quantity and the
+    * discount, via the BOUNDED joint-domain census: both variables have
+    * small value domains (50 quantities × 11 discount cents = ≤550
+    * cells), so concordant/discordant pair counts are exact sums of
+    * n_a·n_b over cell pairs — never a row-level O(n²) comparison.
+    * The rank-based complement of q25/ml18's Pearson moments: immune
+    * to monotone transforms and outliers, the standard screen for
+    * nonlinear-but-monotone dependence.
+    *
+    * Determinism: C, D, tie terms, n₀ are exact BIGINTs (n₀ < 2⁵³ up
+    * to ~120 M rows, documented bound); τ-b is ONE fixed-shape IEEE
+    * chain over ≤2⁵³-exact casts (the ml18 discipline — no rounding
+    * anywhere); the |τ|>0.1 verdict is an exact 128-bit
+    * cross-multiplied inequality. Scale shape: one corpus scan to the
+    * ≤550-row cell census (map-side partial agg), localCheckpoint'd so
+    * the four census consumers never rescan the corpus (the g19
+    * multi-ref lesson; mirrored AS MATERIALIZED in DuckDB); everything
+    * downstream is bounded by the value domain, not the corpus. */
+  val kendallTau: QueryDef = {
+    def tail(div: String, w128: String): String =
+      s"""mom AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+          tx AS (
+            SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS tie2
+            FROM (SELECT CAST(sum(n) AS BIGINT) AS t
+                  FROM cells GROUP BY x) q),
+          ty AS (
+            SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS tie2
+            FROM (SELECT CAST(sum(n) AS BIGINT) AS t
+                  FROM cells GROUP BY y) q),
+          cd AS (
+            SELECT
+              CAST(COALESCE(sum(CASE WHEN a.y < b.y
+                THEN a.n * b.n END), 0) AS BIGINT) AS conc,
+              CAST(COALESCE(sum(CASE WHEN a.y > b.y
+                THEN a.n * b.n END), 0) AS BIGINT) AS disc
+            FROM cells a JOIN cells b ON a.x < b.x)
+          SELECT nn AS n,
+            (nn * (nn - 1)) $div 2 AS n0,
+            conc AS concordant, disc AS discordant,
+            tx.tie2 $div 2 AS ties_x,
+            ty.tie2 $div 2 AS ties_y,
+            CAST(conc - disc AS DOUBLE) /
+              sqrt(CAST((nn * (nn - 1)) $div 2 - tx.tie2 $div 2 AS DOUBLE)
+                * CAST((nn * (nn - 1)) $div 2 - ty.tie2 $div 2 AS DOUBLE))
+              AS tau_b,
+            CASE WHEN 100 * CAST(conc - disc AS $w128)
+                * CAST(conc - disc AS $w128)
+              > CAST((nn * (nn - 1)) $div 2 - tx.tie2 $div 2 AS $w128)
+                * CAST((nn * (nn - 1)) $div 2 - ty.tie2 $div 2 AS $w128)
+              THEN 'dependent' ELSE 'weak' END AS verdict
+          FROM mom, tx, ty, cd"""
+    val cellsSql =
+      """SELECT CAST(l_quantity AS BIGINT) AS x,
+           CAST(round(l_discount * 100) AS BIGINT) AS y,
+           CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1, 2"""
+    QueryDef(
+      "ml26_kendall_tau",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("g_ml26_lineitem")
+        s.sql(cellsSql.replace("FROM lineitem", "FROM g_ml26_lineitem"))
+          .localCheckpoint()
+          .createOrReplaceTempView("g_ml26_cells")
+        s.sql(("WITH " + tail("DIV", "DECIMAL(38,0)"))
+          .replace("FROM cells", "FROM g_ml26_cells")
+          .replace("JOIN cells", "JOIN g_ml26_cells"))
+      },
+      Some(s"""WITH cells AS MATERIALIZED ($cellsSql),
+               ${tail("//", "HUGEINT")}"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
       lofoImportance, abWelch, cupedReadout, naiveBayes, poissonBootstrap,
       woeIv, ksTest, tostEquivalence, ridgePath, pca2d, mannWhitney,
       chiSquare, logitNewton, permutationTest, groupedOls,
-      groupedLogitNewton, liftGains)
+      groupedLogitNewton, liftGains, kendallTau)
 }

@@ -2155,10 +2155,132 @@ object Relational {
             FROM g WHERE gap_us IS NOT NULL
             GROUP BY user_id ORDER BY user_id"""))
 
+  /** Q60 — ordered-step funnel conversion (the product-analytics
+    * staple — Amplitude/Mixpanel "funnel" semantics: a user converts a
+    * step only with an event AT OR AFTER their entry into the previous
+    * step; unordered "did both" counts overstate conversion): per user,
+    * first 'view', then first 'click' ≥ that view, then first
+    * 'purchase' ≥ that click; one census row with per-step user counts,
+    * step-over-step and end-to-end ppm, and the exact integer mean
+    * full-funnel latency.
+    *
+    * Determinism: timestamps as exact BIGINT microseconds (the q59
+    * discipline); min() over integers is bit-stable; every ratio is an
+    * integer DIV. Scale shape: ONE scan of events — the three step
+    * resolutions are CHAINED unordered min-windows over the same
+    * user_id partitioning (step k's condition reads step k−1's window
+    * output), so Catalyst plans a single user-keyed exchange feeding
+    * three Window operators plus the per-user collapse; the final
+    * census is a 1-row global agg. Single-ref CTE chain — linear plan
+    * expansion, no multi-ref re-execution (the g19 class). */
+  val q60 = {
+    def sql(epochUs: String, div: String): String =
+      s"""WITH e AS (
+            SELECT user_id, event_type, $epochUs(ts) AS us FROM events),
+          s1 AS (
+            SELECT user_id, event_type, us,
+              min(CASE WHEN event_type = 'view' THEN us END)
+                OVER (PARTITION BY user_id) AS v_us
+            FROM e),
+          s2 AS (
+            SELECT user_id, event_type, us, v_us,
+              min(CASE WHEN event_type = 'click' AND us >= v_us
+                THEN us END) OVER (PARTITION BY user_id) AS c_us
+            FROM s1),
+          s3 AS (
+            SELECT user_id, v_us, c_us,
+              min(CASE WHEN event_type = 'purchase' AND us >= c_us
+                THEN us END) OVER (PARTITION BY user_id) AS p_us
+            FROM s2),
+          u AS (
+            SELECT user_id, max(v_us) AS v_us, max(c_us) AS c_us,
+              max(p_us) AS p_us
+            FROM s3 GROUP BY 1)
+          SELECT count(*) AS n_users,
+            count(v_us) AS n_view,
+            count(c_us) AS n_view_click,
+            count(p_us) AS n_full,
+            CASE WHEN count(v_us) = 0 THEN CAST(0 AS BIGINT)
+              ELSE (1000000 * count(c_us)) $div count(v_us) END
+              AS click_ppm,
+            CASE WHEN count(c_us) = 0 THEN CAST(0 AS BIGINT)
+              ELSE (1000000 * count(p_us)) $div count(c_us) END
+              AS purchase_ppm,
+            CASE WHEN count(v_us) = 0 THEN CAST(0 AS BIGINT)
+              ELSE (1000000 * count(p_us)) $div count(v_us) END
+              AS funnel_ppm,
+            CASE WHEN count(p_us) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(COALESCE(sum(p_us - v_us), 0) AS BIGINT)
+                $div count(p_us) END AS mean_funnel_us
+          FROM u"""
+    QueryDef(
+      "q60_funnel_steps",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("g_q60_events")
+        s.sql(sql("unix_micros", "DIV")
+          .replace("FROM events", "FROM g_q60_events"))
+      },
+      Some(sql("epoch_us", "//")))
+  }
+
+  /** Q61 — retention cohort matrix (the growth-analytics table every
+    * events warehouse serves: cohort users by their FIRST-ever active
+    * week, then count how many are active k weeks later): weeks are
+    * epoch-µs DIV 7-days — pure integer bucketing, immune to the
+    * engines' calendar week-start conventions (Spark date_trunc('week')
+    * is ISO-Monday, DuckDB likewise, but localized session differences
+    * and DST have bitten real pipelines; epoch math cannot drift).
+    *
+    * Determinism: all integers; retention ppm vs the cohort's week-0
+    * size (by construction every cohort has week-0 activity). Scale
+    * shape: one user-keyed agg for first weeks, one distinct over
+    * (user, week), one user-keyed join, one (cohort, offset) agg —
+    * user-co-partitioned until the final bounded-cardinality census
+    * (weeks² rows). */
+  val q61 = QueryDef(
+    "q61_retention_cohorts",
+    (s, d) => {
+      val weekUs = 7L * 86400L * 1000000L
+      val uw = Tables.events(s, d)
+        .select(col("user_id"),
+          (unix_micros(col("ts")) / weekUs).cast("long").as("week"))
+        .distinct()
+      val first = uw.groupBy("user_id").agg(min(col("week")).as("cohort"))
+      val cells = uw.join(first, "user_id")
+        .groupBy(col("cohort"),
+          (col("week") - col("cohort")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val sizes = first.groupBy("cohort")
+        .agg(count(lit(1)).as("cohort_size"))
+      cells.join(sizes, "cohort")
+        .withColumn("retention_ppm",
+          expr("(1000000 * n_active) DIV cohort_size"))
+        .select("cohort", "week_offset", "cohort_size", "n_active",
+          "retention_ppm")
+        .orderBy("cohort", "week_offset")
+    },
+    Some("""WITH uw AS MATERIALIZED (
+              SELECT DISTINCT user_id,
+                epoch_us(ts) // 604800000000 AS week
+              FROM events),
+            fw AS MATERIALIZED (
+              SELECT user_id, min(week) AS cohort FROM uw GROUP BY 1),
+            cells AS (
+              SELECT cohort, week - cohort AS week_offset,
+                count(DISTINCT uw.user_id) AS n_active
+              FROM uw JOIN fw ON uw.user_id = fw.user_id
+              GROUP BY 1, 2),
+            sizes AS (
+              SELECT cohort, count(*) AS cohort_size FROM fw GROUP BY 1)
+            SELECT cells.cohort, week_offset, cohort_size, n_active,
+              (1000000 * n_active) // cohort_size AS retention_ppm
+            FROM cells JOIN sizes ON cells.cohort = sizes.cohort
+            ORDER BY cells.cohort, week_offset"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q12b,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
-    q54, q55, q56, q57, q58, q59)
+    q54, q55, q56, q57, q58, q59, q60, q61)
 }

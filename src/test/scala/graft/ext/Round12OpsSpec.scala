@@ -253,6 +253,159 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(want.size > 1 && want.size < cells.size)
   }
 
+  test("q60: funnel census matches a per-user Scala replay") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perUser = ev.groupBy(_._1).map { case (_, rows) =>
+      val v = rows.collect { case (_, "view", us) => us }
+        .reduceOption(_ min _)
+      val c = v.flatMap(vu => rows.collect {
+        case (_, "click", us) if us >= vu => us }.reduceOption(_ min _))
+      val p = c.flatMap(cu => rows.collect {
+        case (_, "purchase", us) if us >= cu => us }.reduceOption(_ min _))
+      (v, c, p)
+    }.toSeq
+    val nU = perUser.size.toLong
+    val nV = perUser.count(_._1.isDefined).toLong
+    val nC = perUser.count(_._2.isDefined).toLong
+    val nP = perUser.count(_._3.isDefined).toLong
+    val lat = perUser.collect { case (Some(v), _, Some(p)) => p - v }
+    val r = graft.queries.Relational.q60.build(spark, sf).head()
+    assert(r.getLong(0) == nU && r.getLong(1) == nV &&
+      r.getLong(2) == nC && r.getLong(3) == nP)
+    assert(r.getAs[Long]("click_ppm") ==
+      (if (nV == 0) 0L else 1000000L * nC / nV))
+    assert(r.getAs[Long]("purchase_ppm") ==
+      (if (nC == 0) 0L else 1000000L * nP / nC))
+    assert(r.getAs[Long]("funnel_ppm") ==
+      (if (nV == 0) 0L else 1000000L * nP / nV))
+    assert(r.getAs[Long]("mean_funnel_us") ==
+      (if (nP == 0) 0L else lat.sum / nP))
+    // sf0.001's 15 users each carry ~67 events, so every step saturates
+    // (the replay equality above is the real check; ordered-step
+    // drop-off vs unordered "did both" is covered by the latency law:
+    // a completed funnel takes strictly positive time)
+    assert(nP > 0 && r.getAs[Long]("mean_funnel_us") > 0)
+  }
+
+  test("q61: retention cells match a Scala cohort replay") {
+    val weekUs = 7L * 86400L * 1000000L
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / weekUs))
+    val uw = ev.distinct
+    val first = uw.groupBy(_._1).map { case (u, v) =>
+      u -> v.map(_._2).min }
+    val want = uw.groupBy { case (u, w) => (first(u), w - first(u)) }
+      .map { case ((c, o), v) => (c, o, v.map(_._1).distinct.size.toLong) }
+      .toSeq
+    val sizes = first.values.groupBy(identity)
+      .map { case (c, v) => c -> v.size.toLong }
+    val got = graft.queries.Relational.q61.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val wantRows = want.map { case (c, o, n) =>
+      (c, o, sizes(c), n, 1000000L * n / sizes(c)) }
+      .sortBy(t => (t._1, t._2))
+    assert(got == wantRows)
+  }
+
+  test("ml26: Kendall terms match an O(n²) brute force") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("CAST(l_quantity AS BIGINT)",
+        "CAST(round(l_discount * 100) AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L
+    var i = 0
+    while (i < rows.length) {
+      var j = i + 1
+      while (j < rows.length) {
+        val (xa, ya) = rows(i); val (xb, yb) = rows(j)
+        if (xa == xb && ya == yb) { tx += 1; ty += 1 }
+        else if (xa == xb) tx += 1
+        else if (ya == yb) ty += 1
+        else if ((xa < xb) == (ya < yb)) conc += 1
+        else disc += 1
+        j += 1
+      }
+      i += 1
+    }
+    val n = rows.length.toLong
+    val n0 = n * (n - 1) / 2
+    val r = MlQueries.kendallTau.build(spark, sf).head()
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("n0") == n0)
+    assert(r.getAs[Long]("concordant") == conc)
+    assert(r.getAs[Long]("discordant") == disc)
+    assert(r.getAs[Long]("ties_x") == tx)
+    assert(r.getAs[Long]("ties_y") == ty)
+    val tau = (conc - disc).toDouble /
+      math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+    assert(r.getAs[Double]("tau_b") == tau) // bit-identical IEEE chain
+    assert(r.getAs[String]("verdict") ==
+      (if (100.0 * (conc - disc).toDouble * (conc - disc).toDouble >
+        (n0 - tx).toDouble * (n0 - ty).toDouble) "dependent" else "weak"))
+    assert(conc + disc + tx + ty >= n0 - 1) // cells partition the pairs
+  }
+
+  test("d25: Levenshtein verification matches a Scala DP over prefixes") {
+    def lev(a: String, b: String): Long = {
+      val dp = Array.tabulate(b.length + 1)(_.toLong)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i.toLong
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).take(256)).toMap
+    val got = Dedup.editDistanceVerify.build(spark, sf).collect()
+    assert(got.nonEmpty, "no candidate pairs at sf0.001")
+    got.foreach { r =>
+      val (a, b) = (texts(r.getLong(0)), texts(r.getLong(1)))
+      val l = lev(a, b)
+      val m = math.max(a.length, b.length).toLong
+      val sim = if (m == 0) 1000000L else 1000000L * (m - l) / m
+      assert(r.getAs[Long]("lev") == l,
+        s"pair ${r.getLong(0)}/${r.getLong(1)}")
+      assert(r.getAs[Long]("edit_sim_ppm") == sim)
+      assert(r.getAs[Boolean]("confirmed") == (sim >= 600000L))
+    }
+  }
+
+  test("s22: per-dimension moments match a Scala recompute") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dims = vecs.head.length
+    val got = Similarity.embeddingHealth.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size == dims)
+    (0 until dims).foreach { dim =>
+      val xs = vecs.map(v => math.round(v(dim).toDouble * 1000000))
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+      val num = BigInt(n) * sxx - BigInt(sx) * BigInt(sx)
+      val r = got(dim.toLong)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("mean_e6") ==
+        (if (sx >= 0) sx / n else -((-sx) / n)), s"dim $dim mean")
+      assert(r.getAs[Long]("var_e12") ==
+        (num / (BigInt(n) * BigInt(n))).toLong, s"dim $dim var")
+      assert(r.getAs[Long]("min_e6") == xs.min)
+      assert(r.getAs[Long]("max_e6") == xs.max)
+      assert(r.getAs[Boolean]("collapsed") ==
+        (r.getAs[Long]("var_e12") < 1000000000L))
+    }
+  }
+
   test("q59: per-user gap stats match a Scala recompute") {
     val ev = graft.core.Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS us").collect()
