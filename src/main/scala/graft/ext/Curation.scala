@@ -3752,6 +3752,75 @@ object Curation {
                ORDER BY rk"""))
   }
 
+  /** x57 — data-constrained epoch/repeat plan (Muennighoff et al.
+    * NeurIPS 2023, "Scaling Data-Constrained Language Models": when the
+    * token budget exceeds unique data, repeats still help but with
+    * decaying value — their fitted decay is smooth; this planning table
+    * uses the deterministic integer stand-in of HALVING value per full
+    * epoch, capped at 16 epochs): the budget (2× total corpus chars
+    * here) is allocated EQUALLY across sources (the UniMax-flavored
+    * fairness degenerate), so small sources need many repeats and the
+    * plan prices what those repeats are worth — per source: unique
+    * chars, allocation, full epochs, effective chars under halving
+    * returns (Σ u DIV 2ᵏ + partial-epoch tail), efficiency ppm, and
+    * the capped flag (allocation unfillable within 16 epochs).
+    *
+    * Determinism: pure integer arithmetic — shifts for 2ᵏ, truncating
+    * DIV on non-negative terms. Scale shape: one source-keyed agg over
+    * documents (map-side partial), then everything on the ≤|sources|
+    * frame × a fixed 16-term generator; the Spark side checkpoints
+    * the source census so the tot/plan consumers never rescan the
+    * corpus (g19 multi-ref lesson; DuckDB AS MATERIALIZED). */
+  val epochRepeatPlan: QueryDef = {
+    def tail(div: String, pow2: String, kgen: String): String =
+      s"""tot AS (
+            SELECT CAST(sum(u) AS BIGINT) AS total,
+              CAST(count(*) AS BIGINT) AS ns
+            FROM src),
+          plan AS (
+            SELECT source, n_docs, u, (2 * total) $div ns AS alloc
+            FROM src, tot),
+          p2 AS (
+            SELECT source, n_docs, u, alloc,
+              least(alloc $div u, CAST(16 AS BIGINT)) AS ef,
+              alloc - least(alloc $div u, CAST(16 AS BIGINT)) * u AS rem
+            FROM plan),
+          terms AS (
+            SELECT source, n_docs, u, alloc, ef,
+              CASE WHEN k < ef THEN u $div $pow2
+                   WHEN k = ef THEN rem $div $pow2
+                   ELSE CAST(0 AS BIGINT) END AS t
+            FROM p2, $kgen)
+          SELECT source, n_docs, u AS unique_chars, alloc,
+            ef AS epochs_full,
+            CAST(sum(t) AS BIGINT) AS effective_chars,
+            (1000000 * CAST(sum(t) AS BIGINT)) $div alloc
+              AS efficiency_ppm,
+            alloc > 16 * u AS capped
+          FROM terms GROUP BY source, n_docs, u, alloc, ef
+          ORDER BY source"""
+    val srcSql =
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS u
+         FROM documents GROUP BY 1"""
+    QueryDef(
+      "x57_epoch_repeat_plan",
+      (s, d) => {
+        graft.core.Tables.documents(s, d)
+          .createOrReplaceTempView("g_x57_documents")
+        s.sql(srcSql.replace("FROM documents", "FROM g_x57_documents"))
+          .localCheckpoint()
+          .createOrReplaceTempView("g_x57_src")
+        s.sql(("WITH " + tail("DIV",
+            "shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))",
+            "(SELECT explode(sequence(0, 15)) AS k)"))
+          .replace("FROM src", "FROM g_x57_src"))
+      },
+      Some(s"""WITH src AS MATERIALIZED ($srcSql),
+               ${tail("//", "(CAST(1 AS BIGINT) << k)",
+                 "(SELECT unnest(range(0, 16)) AS k)")}"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -3767,5 +3836,6 @@ object Curation {
       sourceOverlap, shardSkew, dupClusterStats, unimaxAllocation,
       doremiStep, pairAuditSample, lDiversity, decontaminationDrill,
       neymanAllocation, dsirSelection, lengthBucketing, clusterSharding,
-      rejectionResample, stratifiedReservoir, budgetPareto)
+      rejectionResample, stratifiedReservoir, budgetPareto, epochRepeatPlan)
+
 }

@@ -1057,8 +1057,89 @@ object Multimodal {
                ORDER BY b.doc_id"""))
   }
 
+  /** m15 — crest-factor / dynamic-range audit over the frame energies
+    * (the loudness-QA readout audio curation runs before training:
+    * crest factor = peak/RMS — a ratio near 1 means flat/clipped or
+    * constant-tone material, a high ratio means isolated spikes in
+    * near-silence; EBU R128-style pipelines gate on exactly this
+    * before feature extraction): per doc, peak frame energy, energy
+    * sums, and crest² as the EXACT integer ppm ratio
+    * 10⁶·n·peak² DIV Σe² — squaring both sides of peak/RMS clears the
+    * sqrt, so no float ever appears (the st16 discipline).
+    *
+    * Verdict bands: crest² ≤ 1.2 → 'flat' (clipped/constant), > 4 →
+    * 'spiky', else 'normal'. Scale shape: the m06/m14 frame explode
+    * (corpus-linear, in-row energy fold) into ONE doc-keyed agg —
+    * no window, no join. */
+  val crestFactor: QueryDef = {
+    val frame = 64
+    QueryDef(
+      "m15_audio_crest_factor",
+      (s, d) => {
+        val frames = mediaFrame(s, d)
+          .select(col("doc_id"), col("blob").cast("string").as("pcm"))
+          .select(col("doc_id"),
+            expr(s"CAST(ceil(length(pcm) / $frame.0) AS INT)").as("n_frames"),
+            col("pcm"))
+          .filter(col("n_frames") > 0)
+          .select(col("doc_id"), col("n_frames"),
+            posexplode(expr("sequence(0, n_frames - 1)")).as(Seq("ord", "idx")),
+            col("pcm"))
+          .select(col("doc_id"), col("n_frames"),
+            expr(s"aggregate(split(substring(pcm, idx * $frame + 1, $frame), ''), " +
+              "CAST(0 AS BIGINT), (acc, ch) -> acc + ascii(ch))").as("energy"))
+        frames.groupBy("doc_id")
+          .agg(max(col("n_frames")).cast("long").as("n_frames"),
+            max(col("energy")).as("peak_e"),
+            sum(col("energy")).as("sum_e"),
+            sum(expr("energy * energy")).as("sum_e2"))
+          .withColumn("crest2_ppm",
+            expr("""CASE WHEN sum_e2 = 0 THEN CAST(0 AS BIGINT)
+                    ELSE (1000000 * n_frames * peak_e * peak_e) DIV sum_e2
+                    END"""))
+          .withColumn("verdict",
+            expr("""CASE WHEN crest2_ppm <= 1200000 THEN 'flat'
+                    WHEN crest2_ppm > 4000000 THEN 'spiky'
+                    ELSE 'normal' END"""))
+          .select("doc_id", "n_frames", "peak_e", "sum_e", "crest2_ppm",
+            "verdict")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH fr AS (
+                 SELECT doc_id,
+                   CAST(ceil(length(text) / $frame.0) AS INTEGER) AS n_frames,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                         range(1, length(text[i * $frame + 1 : i * $frame + $frame]) + 1),
+                         j -> CAST(ascii((text[i * $frame + 1 : i * $frame + $frame])[j])
+                                   AS BIGINT))),
+                     (acc, ch) -> acc + ch) AS energy
+                 FROM documents,
+                   unnest(range(0, CAST(ceil(length(text) / $frame.0) AS BIGINT)))
+                     AS u(i)),
+               a AS (
+                 SELECT doc_id, CAST(max(n_frames) AS BIGINT) AS n_frames,
+                   CAST(max(energy) AS BIGINT) AS peak_e,
+                   CAST(sum(energy) AS BIGINT) AS sum_e,
+                   CAST(sum(energy * energy) AS BIGINT) AS sum_e2
+                 FROM fr GROUP BY 1),
+               b AS (
+                 SELECT doc_id, n_frames, peak_e, sum_e,
+                   CASE WHEN sum_e2 = 0 THEN CAST(0 AS BIGINT)
+                     ELSE (1000000 * n_frames * peak_e * peak_e) // sum_e2
+                     END AS crest2_ppm
+                 FROM a)
+               SELECT doc_id, n_frames, peak_e, sum_e, crest2_ppm,
+                 CASE WHEN crest2_ppm <= 1200000 THEN 'flat'
+                   WHEN crest2_ppm > 4000000 THEN 'spiky'
+                   ELSE 'normal' END AS verdict
+               FROM b ORDER BY doc_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(metaDigest, decode, resizeSample, embedTopk, phashNearDup,
       audioFrameEnergy, crossmodalRetrieval, shotBoundaries, audioVad,
-      tileEntropy, qualityGate, frameDedup, keyframeSelect, silenceRuns)
+      tileEntropy, qualityGate, frameDedup, keyframeSelect, silenceRuns,
+      crestFactor)
 }

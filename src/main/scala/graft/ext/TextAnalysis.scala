@@ -2701,6 +2701,66 @@ object TextAnalysis {
                GROUP BY 1, 2 ORDER BY 1, 2"""))
   }
 
+  /** t41 — per-document character-entropy gibberish screen (the
+    * CCNet/C4-family quality gate neither length nor stopword ratios
+    * catch: near-zero char entropy means degenerate repetition
+    * ("aaaa…", boilerplate runs), implausibly HIGH entropy means
+    * base64/binary/hash spew — cf. the entropy filters in CCNet's
+    * LM-free stage and Gopher's heuristic battery): per doc,
+    * H = ln n − (Σ c·ln c)/n over the char census, 10⁻⁶-nat
+    * integerized per the t23 ln recipe (ln is only ever applied to an
+    * INTEGER count — both engines see the identical double argument),
+    * then a (lang, 0.25-nat band) census so the output stays bounded
+    * while every doc's entropy is exercised.
+    *
+    * Determinism: c·lnc_e6 products and sums are exact BIGINTs; the
+    * per-doc divide is positive-truncating on both engines. Scale
+    * shape: char-explode → (doc, ch) agg → doc agg → bounded census —
+    * corpus-linear, doc-keyed, no window over the corpus. */
+  val charEntropy: QueryDef = QueryDef(
+    "t41_char_entropy",
+    (s, d) => {
+      val census = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy("doc_id", "lang", "ch").agg(count(lit(1)).as("c"))
+      census.groupBy("doc_id", "lang")
+        .agg(sum(col("c")).as("n"),
+          sum(expr("c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) " +
+            "AS BIGINT)")).as("s"))
+        .withColumn("h_e6",
+          expr("CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) " +
+            "- s DIV n"))
+        .groupBy(col("lang"), expr("h_e6 DIV 250000").as("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("h_e6")).as("min_h_e6"),
+          max(col("h_e6")).as("max_h_e6"))
+        .orderBy("lang", "band")
+    },
+    Some("""WITH census AS (
+              SELECT doc_id, lang, ch, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT doc_id, lang,
+                      unnest(string_split(text, '')) AS ch
+                    FROM documents)
+              WHERE length(ch) > 0
+              GROUP BY 1, 2, 3),
+            perdoc AS (
+              SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n,
+                CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS s
+              FROM census GROUP BY 1, 2),
+            h AS (
+              SELECT lang,
+                (CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+                  - s // n) AS h_e6
+              FROM perdoc)
+            SELECT lang, h_e6 // 250000 AS band,
+              count(*) AS n_docs,
+              min(h_e6) AS min_h_e6,
+              max(h_e6) AS max_h_e6
+            FROM h GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] =
     Seq(langId, quality, tokenCount, fingerprint, tfidf, tokenFreq, tfidfExact,
       piiRedact, hapaxRatio, gramCommonness, bigramFluency, encodingQuality,
@@ -2709,5 +2769,6 @@ object TextAnalysis {
       gopherRules, zipfFit, tokenBurstiness, bigramPerplexity,
       confusableSpoof, textrank, ruleAblation, ngramNovelty, bpeFertility,
       jsDivergence, vocabOov, vocabGrowth, truncationLoss, pmiCollocations,
-      knPerplexity, mcnemarLangId, cohensKappa, loopDetection, charCoverage)
+      knPerplexity, mcnemarLangId, cohensKappa, loopDetection, charCoverage,
+      charEntropy)
 }

@@ -2291,11 +2291,91 @@ object MlQueries {
                ${tail("//", "HUGEINT")}"""))
   }
 
+  /** ml27 — exact Spearman ρ (Spearman 1904 with the standard midrank
+    * tie treatment): Pearson over DOUBLED midranks — the ml19 trick
+    * (2·cum_before + t + 1 keeps every midrank integral) applied to
+    * BOTH variables on ml26's bounded 550-cell joint census, so the
+    * rank moments are exact 128-bit sums of cell-count products and
+    * the whole statistic needs no row-level ranking window. The
+    * monotone-dependence complement of ml26: τ counts pair inversions,
+    * ρ correlates rank positions; both are reported over the same
+    * cells at zero extra corpus cost.
+    *
+    * Determinism: all five moments exact in DECIMAL(38,0)/HUGEINT
+    * (r2 ≤ 2n ⇒ Σ n·r2x·r2y ≤ 4n³ — past BIGINT at corpus scale);
+    * ρ is ONE fixed-shape IEEE chain with every >2⁵³ cast routed
+    * through the dec2d hi/lo split (the ml21 lesson); the rank-sum
+    * law Σ n_cell·r2 = n(n+1) rides along as an integer self-check
+    * column. Scale shape: identical to ml26 — one corpus scan to the
+    * checkpointed census; marginal windows and the final moments all
+    * run on ≤550 rows. */
+  val spearmanRho: QueryDef = {
+    import graft.core.Fixed
+    def tail(div: String, w128: String): String = {
+      val num = "(CAST(nt AS W128) * sxy - sx * sy)"
+      val va = "(CAST(nt AS W128) * sxx - sx * sx)"
+      val vb = "(CAST(nt AS W128) * syy - sy * sy)"
+      s"""xr AS (
+            SELECT x, cum_b AS cxb, t AS tx,
+              2 * cum_b + t + 1 AS r2x
+            FROM (
+              SELECT x, CAST(sum(n) AS BIGINT) AS t,
+                CAST(coalesce(sum(sum(n)) OVER (ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_b
+              FROM cells GROUP BY x) q),
+          yr AS (
+            SELECT y, 2 * cum_b + t + 1 AS r2y
+            FROM (
+              SELECT y, CAST(sum(n) AS BIGINT) AS t,
+                CAST(coalesce(sum(sum(n)) OVER (ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_b
+              FROM cells GROUP BY y) q),
+          mom AS (
+            SELECT CAST(sum(n) AS BIGINT) AS nt,
+              CAST(sum(CAST(n AS W128) * r2x) AS W128) AS sx,
+              CAST(sum(CAST(n AS W128) * r2y) AS W128) AS sy,
+              CAST(sum(CAST(n AS W128) * r2x * r2x) AS W128) AS sxx,
+              CAST(sum(CAST(n AS W128) * r2y * r2y) AS W128) AS syy,
+              CAST(sum(CAST(n AS W128) * r2x * r2y) AS W128) AS sxy
+            FROM cells JOIN xr USING (x) JOIN yr USING (y))
+          SELECT nt AS n,
+            CAST(sx AS BIGINT) AS rank2_sum_x,
+            CAST(sy AS BIGINT) AS rank2_sum_y,
+            ${Fixed.sdec2d(num, div)} /
+              (sqrt(${Fixed.dec2d(va, div)})
+                * sqrt(${Fixed.dec2d(vb, div)})) AS rho,
+            CASE WHEN abs(${Fixed.sdec2d(num, div)} /
+                (sqrt(${Fixed.dec2d(va, div)})
+                  * sqrt(${Fixed.dec2d(vb, div)}))) > 0.1
+              THEN 'dependent' ELSE 'weak' END AS verdict
+          FROM mom""".replace("W128", w128)
+    }
+    val cellsSql =
+      """SELECT CAST(l_quantity AS BIGINT) AS x,
+           CAST(round(l_discount * 100) AS BIGINT) AS y,
+           CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1, 2"""
+    QueryDef(
+      "ml27_spearman_rho",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("g_ml27_lineitem")
+        s.sql(cellsSql.replace("FROM lineitem", "FROM g_ml27_lineitem"))
+          .localCheckpoint()
+          .createOrReplaceTempView("g_ml27_cells")
+        s.sql(("WITH " + tail("DIV", "DECIMAL(38,0)"))
+          .replace("FROM cells", "FROM g_ml27_cells"))
+      },
+      Some(s"""WITH cells AS MATERIALIZED ($cellsSql),
+               ${tail("//", "HUGEINT")}"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
       lofoImportance, abWelch, cupedReadout, naiveBayes, poissonBootstrap,
       woeIv, ksTest, tostEquivalence, ridgePath, pca2d, mannWhitney,
       chiSquare, logitNewton, permutationTest, groupedOls,
-      groupedLogitNewton, liftGains, kendallTau)
+      groupedLogitNewton, liftGains, kendallTau, spearmanRho)
 }

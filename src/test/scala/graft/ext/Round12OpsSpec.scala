@@ -406,6 +406,118 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t41: entropy band census matches a Scala replay") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def lnE6(x: Long): Long = math.round(math.log(x.toDouble) * 1000000)
+    val hs = docs.filter(_._2.nonEmpty).map { case (lang, text) =>
+      val counts = text.groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val s = counts.map(c => c * lnE6(c)).sum
+      (lang, lnE6(n) - s / n)
+    }
+    val want = hs.groupBy { case (lang, h) => (lang, h / 250000) }
+      .map { case ((lang, b), v) =>
+        (lang, b, v.length.toLong, v.map(_._2).min, v.map(_._2).max) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = TextAnalysis.charEntropy.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    // entropy genuinely varies across docs (more than one band somewhere)
+    assert(want.map(t => (t._1, t._2)).size > want.map(_._1).distinct.size)
+  }
+
+  test("ml27: Spearman rho matches a rank-based Scala recompute") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("CAST(l_quantity AS BIGINT)",
+        "CAST(round(l_discount * 100) AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = rows.length.toLong
+    def rank2(vs: Array[Long]): Map[Long, Long] = {
+      val byV = vs.groupBy(identity).map { case (v, a) =>
+        v -> a.length.toLong }
+      val sorted = byV.keys.toSeq.sorted
+      var cum = 0L
+      sorted.map { v =>
+        val t = byV(v); val r = 2 * cum + t + 1; cum += t; v -> r }.toMap
+    }
+    val rx = rank2(rows.map(_._1)); val ry = rank2(rows.map(_._2))
+    val sx = rows.map(t => BigInt(rx(t._1))).sum
+    val sy = rows.map(t => BigInt(ry(t._2))).sum
+    val sxx = rows.map(t => BigInt(rx(t._1)) * BigInt(rx(t._1))).sum
+    val syy = rows.map(t => BigInt(ry(t._2)) * BigInt(ry(t._2))).sum
+    val sxy = rows.map(t => BigInt(rx(t._1)) * BigInt(ry(t._2))).sum
+    def dec2d(v: BigInt): Double = {
+      val m = BigInt(9007199254740992L)
+      (v / m).toDouble * 9007199254740992.0 + (v % m).toDouble
+    }
+    def sdec2d(v: BigInt): Double = if (v >= 0) dec2d(v) else -dec2d(-v)
+    val num = BigInt(n) * sxy - sx * sy
+    val va = BigInt(n) * sxx - sx * sx
+    val vb = BigInt(n) * syy - sy * sy
+    val rho = sdec2d(num) / (math.sqrt(dec2d(va)) * math.sqrt(dec2d(vb)))
+    val r = MlQueries.spearmanRho.build(spark, sf).head()
+    assert(r.getAs[Long]("n") == n)
+    // the doubled-midrank sum law: sum of doubled ranks = n(n+1)
+    assert(r.getAs[Long]("rank2_sum_x") == n * (n + 1))
+    assert(r.getAs[Long]("rank2_sum_y") == n * (n + 1))
+    assert(r.getAs[Double]("rho") == rho) // bit-identical IEEE chain
+    assert(r.getAs[String]("verdict") ==
+      (if (math.abs(rho) > 0.1) "dependent" else "weak"))
+  }
+
+  test("x57: epoch/repeat plan matches a Scala fold") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "CAST(n_chars AS BIGINT)").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val src = docs.groupBy(_._1).map { case (s0, v) =>
+      (s0, v.length.toLong, v.map(_._2).sum) }.toSeq
+    val total = src.map(_._3).sum
+    val alloc = 2 * total / src.size
+    val want = src.map { case (s0, nd, u) =>
+      val ef = math.min(alloc / u, 16L)
+      val rem = alloc - ef * u
+      val eff = (0L until 16L).map { k =>
+        if (k < ef) u >> k else if (k == ef) rem >> k else 0L }.sum
+      (s0, nd, u, alloc, ef, eff, 1000000L * eff / alloc,
+        alloc > 16 * u)
+    }.sortBy(_._1)
+    val got = Curation.epochRepeatPlan.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7))).toSeq
+    assert(got == want)
+    // repeats actually happen under the 2x-equal-split budget
+    assert(want.exists(_._5 >= 2), "no source needed a repeat")
+  }
+
+  test("m15: crest factors match Scala frame energies") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Multimodal.crestFactor.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == docs.filter(_._2.nonEmpty).keySet)
+    docs.filter(_._2.nonEmpty).foreach { case (id, text) =>
+      val e = text.grouped(64).map(_.map(_.toLong).sum).toArray
+      val nf = e.length.toLong
+      val peak = e.max; val sumE = e.sum
+      val sumE2 = e.map(x => x * x).sum
+      val crest = if (sumE2 == 0) 0L
+        else 1000000L * nf * peak * peak / sumE2
+      val r = got(id)
+      assert(r.getAs[Long]("n_frames") == nf, s"doc $id")
+      assert(r.getAs[Long]("peak_e") == peak && r.getAs[Long]("sum_e") == sumE)
+      assert(r.getAs[Long]("crest2_ppm") == crest, s"doc $id crest")
+      assert(r.getAs[String]("verdict") ==
+        (if (crest <= 1200000) "flat"
+         else if (crest > 4000000) "spiky" else "normal"))
+    }
+    // crest² >= 1e6 by Cauchy-Schwarz (peak² >= mean of squares)
+    assert(got.values.forall(_.getAs[Long]("crest2_ppm") >= 1000000L))
+  }
+
   test("q59: per-user gap stats match a Scala recompute") {
     val ev = graft.core.Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS us").collect()
