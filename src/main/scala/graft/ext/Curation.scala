@@ -3752,6 +3752,56 @@ object Curation {
                ORDER BY rk"""))
   }
 
+  /** x58 — small-file compaction plan (the Delta OPTIMIZE / Iceberg
+    * rewrite_data_files planning step — at 100 TB the small-file
+    * problem IS a first-order cost: every under-sized shard pays a
+    * task-scheduling and open/seek overhead, so lakehouse maintenance
+    * bins small files into target-sized merge groups): over the x04
+    * md5-nibble shard census, shards are ordered ascending by size
+    * (smallest files merge first — the standard compaction heuristic)
+    * and packed by running-quota into groups of target = ceil(total/4)
+    * chars; per group: member shards, docs, chars, and the fill ratio.
+    *
+    * Determinism: group id = cum_before DIV target over a total
+    * (size, shard) order — the x41 running-quota idiom; all integers.
+    * Scale shape: one doc-keyed census scan (map-side), then
+    * everything on the 16-row shard frame. */
+  val compactionPlan: QueryDef = {
+    def tail(div: String): String =
+      s"""t AS (SELECT CAST(sum(shard_chars) AS BIGINT) AS total FROM sh),
+          ord AS (
+            SELECT shard, n_docs, shard_chars,
+              CAST(coalesce(sum(shard_chars) OVER (
+                ORDER BY shard_chars, shard
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum_b,
+              (total + 3) $div 4 AS target
+            FROM sh, t)
+          SELECT cum_b $div target AS merge_group,
+            CAST(count(*) AS BIGINT) AS n_shards,
+            CAST(sum(n_docs) AS BIGINT) AS n_docs,
+            CAST(sum(shard_chars) AS BIGINT) AS group_chars,
+            (1000000 * CAST(sum(shard_chars) AS BIGINT)) $div max(target)
+              AS fill_ppm
+          FROM ord GROUP BY 1 ORDER BY 1"""
+    def shSql(str: String): String =
+      s"""SELECT substring(md5(CAST(doc_id AS $str)), 1, 1) AS shard,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS shard_chars
+          FROM documents GROUP BY 1"""
+    QueryDef(
+      "x58_compaction_plan",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("g_x58_documents")
+        s.sql(shSql("STRING").replace("FROM documents", "FROM g_x58_documents"))
+          .localCheckpoint()
+          .createOrReplaceTempView("g_x58_sh")
+        s.sql(("WITH " + tail("DIV")).replace("FROM sh", "FROM g_x58_sh"))
+      },
+      Some(s"""WITH sh AS MATERIALIZED (${shSql("VARCHAR")}),
+               ${tail("//")}"""))
+  }
+
   /** x57 — data-constrained epoch/repeat plan (Muennighoff et al.
     * NeurIPS 2023, "Scaling Data-Constrained Language Models": when the
     * token budget exceeds unique data, repeats still help but with
@@ -3836,6 +3886,7 @@ object Curation {
       sourceOverlap, shardSkew, dupClusterStats, unimaxAllocation,
       doremiStep, pairAuditSample, lDiversity, decontaminationDrill,
       neymanAllocation, dsirSelection, lengthBucketing, clusterSharding,
-      rejectionResample, stratifiedReservoir, budgetPareto, epochRepeatPlan)
+      rejectionResample, stratifiedReservoir, budgetPareto, epochRepeatPlan,
+      compactionPlan)
 
 }

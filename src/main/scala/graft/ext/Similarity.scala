@@ -1887,10 +1887,74 @@ object Similarity {
                FROM b ORDER BY dim"""))
   }
 
+  /** s23 — embedding-space anisotropy panel (Ethayarajh EMNLP 2019:
+    * contextual embeddings are ANISOTROPIC — random pairs average a
+    * large positive cosine, which silently inflates every similarity
+    * score and breaks absolute thresholds like s20's radius; the mean
+    * random-pair cosine is the standard correction baseline): all
+    * pairwise cosines over a FIXED 100-vector panel (the s01
+    * bounded-panel idiom — 4 950 exact pairs at any corpus size),
+    * 10⁻⁶-integerized per pair, with exact integer mean/min/max and
+    * the negative / >0.5 pair counts.
+    *
+    * Determinism: each cosine is the shared unitized fold
+    * ([[Dedup.unitized]] / list_dot_product — bit-identical engines),
+    * integerized BEFORE aggregation so the mean is an exact integer
+    * (never a float sum). Scale shape: panel² is CONSTANT (100×99/2);
+    * the only corpus-touching work is reading 100 vectors — this is
+    * the calibration probe you run per release, not a corpus scan. */
+  val anisotropyPanel: QueryDef = {
+    import graft.core.Fixed
+    QueryDef(
+      "s23_anisotropy_panel",
+      (s, d) => {
+        graft.expr.ArrayDot.register(s)
+        val panel = Dedup.normalized(s, d, "vec_id", "u")
+          .filter(col("vec_id") < 100)
+        val a = panel.select(col("vec_id").as("a_id"), col("u").as("a_u"))
+        val b = panel.select(col("vec_id").as("b_id"), col("u").as("b_u"))
+        broadcast(a).join(b, col("a_id") < col("b_id"))
+          .withColumn("cos_ppm",
+            expr("CAST(round(array_dot(a_u, b_u) * 1000000) AS BIGINT)"))
+          .agg(
+            expr("CAST(count(DISTINCT a_id) + 1 AS BIGINT)").as("n_panel"),
+            expr("CAST(count(*) AS BIGINT)").as("n_pairs"),
+            expr("CAST(sum(cos_ppm) AS BIGINT)").as("sc"),
+            min(col("cos_ppm")).as("min_cos_ppm"),
+            max(col("cos_ppm")).as("max_cos_ppm"),
+            expr("CAST(sum(CASE WHEN cos_ppm < 0 THEN 1 ELSE 0 END) " +
+              "AS BIGINT)").as("n_neg"),
+            expr("CAST(sum(CASE WHEN cos_ppm > 500000 THEN 1 ELSE 0 END) " +
+              "AS BIGINT)").as("n_above_half"))
+          .withColumn("mean_cos_ppm",
+            expr(Fixed.sdiv("sc", "n_pairs", "DIV")).cast("long"))
+          .select("n_panel", "n_pairs", "mean_cos_ppm", "min_cos_ppm",
+            "max_cos_ppm", "n_neg", "n_above_half")
+      },
+      Some(s"""WITH ${Dedup.normalizedSql},
+               p AS (
+                 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   CAST(round(${Dedup.pairDotSql} * 1000000) AS BIGINT)
+                     AS cos_ppm
+                 FROM u a JOIN u b ON a.vec_id < 100 AND b.vec_id < 100
+                   AND a.vec_id < b.vec_id)
+               SELECT CAST(count(DISTINCT a_id) + 1 AS BIGINT) AS n_panel,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(${Fixed.sdiv("CAST(sum(cos_ppm) AS BIGINT)",
+                   "count(*)", "//")} AS BIGINT) AS mean_cos_ppm,
+                 CAST(min(cos_ppm) AS BIGINT) AS min_cos_ppm,
+                 CAST(max(cos_ppm) AS BIGINT) AS max_cos_ppm,
+                 CAST(sum(CASE WHEN cos_ppm < 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_neg,
+                 CAST(sum(CASE WHEN cos_ppm > 500000 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_above_half
+               FROM p"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
       annPqAdc, kmeansLloyd, annRecall, filteredTopK, mmrRerank,
       twoStageRescore, knnClassify, nprobeSweep, hardNegatives, ndcgEval,
       rocchioFeedback, ivfBalance, pqDistortion, reindexChurn, rangeSearch,
-      farthestFirst, embeddingHealth)
+      farthestFirst, embeddingHealth, anisotropyPanel)
 }

@@ -2371,11 +2371,85 @@ object MlQueries {
                ${tail("//", "HUGEINT")}"""))
   }
 
+  /** ml28 — simple-exponential-smoothing volume forecast (Brown 1956 /
+    * Holt 1957 SES, the capacity-planning baseline every telemetry
+    * stack runs before anything fancier): 1-step-ahead forecast of the
+    * per-type DAILY event count with α = ½, which makes the smoothing
+    * weights DYADIC — f = Σₖ y_{n−k}·2^{−(k+1)} — so every term is an
+    * exact truncating integer divide and the whole forecast is
+    * engine-exact without a single float (the recurrence form would
+    * need floats or recursion; the geometric expansion needs neither).
+    * Backtest rides along: each day ≥ 2 is forecast from its own
+    * prefix, and the mean absolute error is an exact integer mean.
+    * The engine's first time-series-forecast operator.
+    *
+    * Determinism: counts, dyadic terms, |errors|, and integer means —
+    * no floats. Scale shape: one corpus scan to the (type, day) census
+    * (map-side partial agg, ≤ types·days rows); the prefix join runs
+    * on that bounded frame only (30²·5 pairs), the q61/x57 pattern. */
+  val sesForecast: QueryDef = {
+    def tail(div: String, pow2: String): String =
+      s"""idx AS (
+            SELECT event_type, day, y,
+              CAST(row_number() OVER (PARTITION BY event_type
+                ORDER BY day) AS BIGINT) AS rn
+            FROM cens),
+          nn AS (
+            SELECT event_type, CAST(max(rn) AS BIGINT) AS n_days,
+              CAST(max(CASE WHEN rnmax = rn THEN y END) AS BIGINT)
+                AS last_y
+            FROM (SELECT event_type, rn, y,
+                    max(rn) OVER (PARTITION BY event_type) AS rnmax
+                  FROM idx) q
+            GROUP BY 1),
+          bt AS (
+            SELECT t.event_type, t.rn, t.y,
+              CAST(sum(p.y $div $pow2) AS BIGINT) AS f
+            FROM idx t JOIN idx p
+              ON p.event_type = t.event_type AND p.rn < t.rn
+            GROUP BY 1, 2, 3),
+          err AS (
+            SELECT event_type,
+              CAST(sum(abs(y - f)) AS BIGINT) AS sum_abs_err,
+              CAST(count(*) AS BIGINT) AS n_bt
+            FROM bt GROUP BY 1),
+          fc AS (
+            SELECT n.event_type,
+              CAST(sum(p.y $div ${pow2.replace("t.rn", "n.n_days + 1")})
+                AS BIGINT) AS forecast_next
+            FROM nn n JOIN idx p ON p.event_type = n.event_type
+            GROUP BY 1)
+          SELECT nn.event_type, n_days, last_y, forecast_next,
+            sum_abs_err, sum_abs_err $div n_bt AS mae
+          FROM nn JOIN err ON nn.event_type = err.event_type
+          JOIN fc ON nn.event_type = fc.event_type
+          ORDER BY nn.event_type"""
+    def censSql(epochUs: String, div: String): String =
+      s"""SELECT event_type, $epochUs(ts) $div 86400000000 AS day,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2"""
+    def pow2Spark = "shiftleft(CAST(1 AS BIGINT), CAST(t.rn - p.rn AS INT))"
+    def pow2Duck = "(CAST(1 AS BIGINT) << CAST(t.rn - p.rn AS INTEGER))"
+    QueryDef(
+      "ml28_ses_forecast",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("g_ml28_events")
+        s.sql(censSql("unix_micros", "DIV")
+            .replace("FROM events", "FROM g_ml28_events"))
+          .localCheckpoint()
+          .createOrReplaceTempView("g_ml28_cens")
+        s.sql(("WITH " + tail("DIV", pow2Spark))
+          .replace("FROM cens", "FROM g_ml28_cens"))
+      },
+      Some(s"""WITH cens AS MATERIALIZED (${censSql("epoch_us", "//")}),
+               ${tail("//", pow2Duck)}"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
       lofoImportance, abWelch, cupedReadout, naiveBayes, poissonBootstrap,
       woeIv, ksTest, tostEquivalence, ridgePath, pca2d, mannWhitney,
       chiSquare, logitNewton, permutationTest, groupedOls,
-      groupedLogitNewton, liftGains, kendallTau, spearmanRho)
+      groupedLogitNewton, liftGains, kendallTau, spearmanRho, sesForecast)
 }

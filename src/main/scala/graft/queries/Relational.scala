@@ -2277,10 +2277,58 @@ object Relational {
             FROM cells JOIN sizes ON cells.cohort = sizes.cohort
             ORDER BY cells.cohort, week_offset"""))
 
+  /** Q62 — user-growth accounting (the DAU / new-vs-returning /
+    * cumulative-reach table every events warehouse serves daily; the
+    * t33 min-bucket trick applied to TIME: cumulative distinct users
+    * by day = count of users whose FIRST-EVER day ≤ that day, so the
+    * running distinct needs no distinct-over-window): per day, active
+    * users, new users (first-day cohort), returning = active − new,
+    * and the cumulative user count from one window over the bounded
+    * day frame.
+    *
+    * Determinism: days are epoch-µs DIV 86400·10⁶ (the q61
+    * discipline); all counts exact integers. Scale shape: one
+    * user-keyed first-day agg + one (user, day) distinct — both
+    * corpus-linear map-side-combinable — then censuses and a window
+    * on the ≤|days| frame. */
+  val q62 = {
+    def sql(epochUs: String, div: String): String =
+      s"""WITH f AS (
+            SELECT user_id,
+              min($epochUs(ts) $div 86400000000) AS first_day
+            FROM events GROUP BY 1),
+          ud AS (
+            SELECT DISTINCT user_id,
+              $epochUs(ts) $div 86400000000 AS day
+            FROM events),
+          act AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS dau
+            FROM ud GROUP BY 1),
+          nu AS (
+            SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+            FROM f GROUP BY 1)
+          SELECT act.day, dau,
+            CAST(coalesce(new_users, 0) AS BIGINT) AS new_users,
+            dau - CAST(coalesce(new_users, 0) AS BIGINT) AS returning,
+            CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY act.day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_users
+          FROM act LEFT JOIN nu ON act.day = nu.day
+          ORDER BY act.day"""
+    QueryDef(
+      "q62_growth_accounting",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("g_q62_events")
+        s.sql(sql("unix_micros", "DIV")
+          .replace("FROM events", "FROM g_q62_events"))
+      },
+      Some(sql("epoch_us", "//")))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q12b,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
-    q54, q55, q56, q57, q58, q59, q60, q61)
+    q54, q55, q56, q57, q58, q59, q60, q61, q62)
 }

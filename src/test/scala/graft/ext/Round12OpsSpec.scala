@@ -518,6 +518,107 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(got.values.forall(_.getAs[Long]("crest2_ppm") >= 1000000L))
   }
 
+  test("q62: growth accounting matches a Scala day replay") {
+    val dayUs = 86400000000L
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / dayUs))
+    val firstDay = ev.groupBy(_._1).map { case (u, v) =>
+      u -> v.map(_._2).min }
+    val userDays = ev.distinct
+    val days = userDays.map(_._2).distinct.sorted
+    var cum = 0L
+    val want = days.map { day =>
+      val dau = userDays.count(_._2 == day).toLong
+      val nu = firstDay.count(_._2 == day).toLong
+      cum += nu
+      (day, dau, nu, dau - nu, cum)
+    }
+    val got = graft.queries.Relational.q62.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want.toSeq)
+    assert(got.last._5 == firstDay.size.toLong) // cum reaches all users
+  }
+
+  test("s23: anisotropy panel matches a driver cosine replay") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .filter(_._1 < 100).sortBy(_._1)
+    def unit(v: Array[Double]): Array[Double] = {
+      var acc = 0.0; v.foreach(x => acc += x * x)
+      val n = math.sqrt(acc); v.map(_ / n)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0; while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val us = vecs.map { case (id, v) => (id, unit(v)) }
+    val cos = for {
+      i <- us.indices; j <- (i + 1) until us.length
+    } yield math.round(dot(us(i)._2, us(j)._2) * 1000000)
+    val r = Similarity.anisotropyPanel.build(spark, sf).head()
+    assert(r.getAs[Long]("n_panel") == us.length.toLong)
+    assert(r.getAs[Long]("n_pairs") == cos.length.toLong)
+    val sc = cos.sum
+    assert(r.getAs[Long]("mean_cos_ppm") ==
+      (if (sc >= 0) sc / cos.length else -((-sc) / cos.length)))
+    assert(r.getAs[Long]("min_cos_ppm") == cos.min)
+    assert(r.getAs[Long]("max_cos_ppm") == cos.max)
+    assert(r.getAs[Long]("n_neg") == cos.count(_ < 0).toLong)
+    assert(r.getAs[Long]("n_above_half") == cos.count(_ > 500000).toLong)
+  }
+
+  test("x58: compaction plan matches a Scala quota fold") {
+    def md5hex(s0: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS BIGINT)").collect()
+      .map(r => (md5hex(r.getLong(0).toString).substring(0, 1), r.getLong(1)))
+    val sh = docs.groupBy(_._1).map { case (k, v) =>
+      (k, v.length.toLong, v.map(_._2).sum) }.toSeq
+    val total = sh.map(_._3).sum
+    val target = (total + 3) / 4
+    val ordered = sh.sortBy { case (k, _, c) => (c, k) }
+    var cum = 0L
+    val rows = ordered.map { case (k, nd, c) =>
+      val g = cum / target; cum += c; (g, k, nd, c) }
+    val want = rows.groupBy(_._1).toSeq.map { case (g, v) =>
+      (g, v.length.toLong, v.map(_._3).sum, v.map(_._4).sum,
+        1000000L * v.map(_._4).sum / target) }.sortBy(_._1)
+    val got = Curation.compactionPlan.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    // every shard lands in exactly one group and the plan shrinks files
+    assert(want.map(_._2).sum == sh.size.toLong && want.size < sh.size)
+  }
+
+  test("ml28: SES forecast and backtest match a Scala dyadic fold") {
+    val dayUs = 86400000000L
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getString(0), r.getLong(1) / dayUs))
+    val got = MlQueries.sesForecast.build(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    ev.groupBy(_._1).foreach { case (t, v) =>
+      val ys = v.groupBy(_._2).toSeq.sortBy(_._1).map(_._2.length.toLong)
+      def ses(prefix: Seq[Long]): Long =
+        prefix.reverse.zipWithIndex.map { case (y, k) =>
+          y >> (k + 1) }.sum
+      val errs = (1 until ys.length).map(i =>
+        math.abs(ys(i) - ses(ys.take(i))))
+      val r = got(t)
+      assert(r.getAs[Long]("n_days") == ys.length.toLong)
+      assert(r.getAs[Long]("last_y") == ys.last)
+      assert(r.getAs[Long]("forecast_next") == ses(ys), s"type $t fc")
+      assert(r.getAs[Long]("sum_abs_err") == errs.sum, s"type $t err")
+      assert(r.getAs[Long]("mae") == errs.sum / errs.length)
+    }
+  }
+
   test("q59: per-user gap stats match a Scala recompute") {
     val ev = graft.core.Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS us").collect()
