@@ -2238,6 +2238,112 @@ object Dedup {
                  >= 600000 AS confirmed
              FROM v ORDER BY a_id, b_id"""))
 
+  /** d26 — winnowing fingerprint selection (Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003 — the MOSS algorithm: from every window of w
+    * consecutive k-gram hashes keep the minimum, which GUARANTEES any
+    * shared substring of length ≥ w+k−1 contributes a shared
+    * fingerprint while storing only ~2/(w+1) of the grams — the
+    * document-fingerprinting middle ground between d12's store-all
+    * stride-1 windows and sampling schemes with no detection
+    * guarantee): k = 5 char-grams, w = 4, portable 40-bit md5 hashes
+    * packed with the position (h·2²¹ + i) so the per-window argmin is
+    * ONE integer min with the leftmost-minimum tie rule; per doc the
+    * selected-fingerprint census, the density vs the ~2/(w+1) theory
+    * value, and the cross-document shared-print count (the MOSS match
+    * signal).
+    *
+    * Determinism: md5 is the shared hash (d10's discipline); packing
+    * and window mins are pure integer ops; 40-bit collisions are
+    * engine-identical by construction (same md5 text both sides).
+    * Scale shape: char-explode (corpus-linear, the d12 cost class),
+    * ONE doc-keyed ordered window for all mins, then hash-keyed
+    * equi-joins on the selected ~40% subset — never all-pairs; the
+    * selected frame is localCheckpoint'd for its two consumers. */
+  val winnowing: QueryDef = {
+    val packShift = 2097152L // 2^21 ≥ max doc position
+    def duckHash40(arg: String) = duckMd5IntSlice(arg, 2, 10)
+    QueryDef(
+      "d26_winnowing",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            length(col("text")).as("len"))
+          .filter(col("len") >= 8)
+        val grams = docs
+          .select(col("doc_id"), col("len"),
+            posexplode(expr("sequence(1, len - 4)")).as(Seq("ord", "i")),
+            col("text"))
+          .select(col("doc_id"), col("len"), col("i"),
+            expr(s"CAST(conv(substring(md5(substring(text, i, 5)), 2, 10), " +
+              s"16, 10) AS BIGINT) * $packShift + i").as("key"))
+        val sel = grams
+          .withColumn("skey", min(col("key")).over(
+            Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)))
+          .filter(col("i") <= col("len") - 7)
+          .select(col("doc_id"), col("len"), col("skey"))
+          .distinct()
+          .localCheckpoint()
+        val prints = sel
+          .select(col("doc_id"), expr(s"skey DIV $packShift").as("h"))
+          .distinct()
+        val owners = prints.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        val shared = prints.join(owners, "h").filter(col("nd") >= 2)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        sel.groupBy("doc_id", "len")
+          .agg(count(lit(1)).as("n_selected"))
+          .join(shared, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_shared"))
+          .withColumn("n_grams", (col("len") - 4).cast("long"))
+          .withColumn("n_windows", (col("len") - 7).cast("long"))
+          .withColumn("density_ppm",
+            expr("(1000000 * n_selected) DIV n_windows"))
+          .select("doc_id", "n_grams", "n_windows", "n_selected",
+            "density_ppm", "n_shared")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH docs AS (
+                 SELECT doc_id, text, length(text) AS len
+                 FROM documents WHERE length(text) >= 8),
+               grams AS (
+                 -- position var is gi: duckMd5IntSlice's hex-fold lambda
+                 -- binds i, which would capture an outer i (observed:
+                 -- constant hashes, density 100%)
+                 SELECT doc_id, len, gi,
+                   ${duckHash40("substring(text, CAST(gi AS INTEGER), 5)")}
+                     * $packShift + gi AS key
+                 FROM docs, unnest(range(1, len - 3)) AS u(gi)),
+               wins AS (
+                 SELECT doc_id, len, gi,
+                   min(key) OVER (PARTITION BY doc_id ORDER BY gi
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS skey
+                 FROM grams),
+               sel AS MATERIALIZED (
+                 SELECT DISTINCT doc_id, len, skey
+                 FROM wins WHERE gi <= len - 7),
+               prints AS MATERIALIZED (
+                 SELECT DISTINCT doc_id, skey // $packShift AS h FROM sel),
+               owners AS (
+                 SELECT h, count(DISTINCT doc_id) AS nd
+                 FROM prints GROUP BY 1),
+               shared AS (
+                 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+                 FROM prints JOIN owners USING (h)
+                 WHERE nd >= 2 GROUP BY 1),
+               base AS (
+                 SELECT doc_id, len, CAST(count(*) AS BIGINT) AS n_selected
+                 FROM sel GROUP BY 1, 2)
+               SELECT b.doc_id,
+                 CAST(b.len - 4 AS BIGINT) AS n_grams,
+                 CAST(b.len - 7 AS BIGINT) AS n_windows,
+                 n_selected,
+                 (1000000 * n_selected) // (b.len - 7) AS density_ppm,
+                 CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared
+               FROM base b LEFT JOIN shared s ON b.doc_id = s.doc_id
+               ORDER BY b.doc_id"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(exact, exactByFingerprint, minhash, minhashNative, simhashPairs,
       ngramJaccard, embeddingCosine, components, simhashBanded, minhashMd5,
@@ -2245,5 +2351,5 @@ object Dedup {
       incrementalSemantic, containmentPairs, minhashCalibration,
       normalizedExact, cdcChunking, dedupEval, simhashMultiProbe,
       containmentSketchEval, clusterCoherence, crossSourceDup,
-      editDistanceVerify)
+      editDistanceVerify, winnowing)
 }

@@ -1792,10 +1792,127 @@ object Graph {
         "AS MATERIALIZED").replace("$DIV$", "//")))
   }
 
+  /** g21 — coreness ladder (the "onion" view of the degeneracy
+    * decomposition — Seidman 1983 cores at k = 2, 3, 4 in one table:
+    * where g03 reports ONE core's membership, the ladder is how graph
+    * reports actually present robustness — core size and edge mass as
+    * k rises, cf. Alvarez-Hamelin et al. NIPS 2006's k-core
+    * decomposition plots): per k, the surviving node/edge census and
+    * max degree after the bounded synchronous peel ([[kcoreDegrees]],
+    * 3 rounds — fixture-convergent, spec-asserted).
+    *
+    * Determinism: pure integer censuses of converged peels; edges
+    * counted as Σdeg DIV 2. Scale shape: 3 independent peels, each
+    * g03's law (per-round degree agg + two semi-joins, checkpointed);
+    * censuses are single aggregates — the ladder costs 3× g03, not a
+    * new shape. DuckDB mirrors each peel with the g03 MATERIALIZED
+    * unrolled chain (the exponential-CTE lesson), one chain per k. */
+  val corenessLadder: QueryDef = {
+    // the part co-occurrence graph is DENSE (min degree 18 at sf0.01,
+    // median 44) with a sharp core collapse just above k=28 (k=30
+    // cascades 18 rounds to empty at sf0.01): the rungs bracket that
+    // transition — 24 barely peels, 28 bites, 32 empties — and 10
+    // rounds cover every fixture's cascade (max observed 8; spec
+    // asserts convergence at sf0.001)
+    val ks = Seq(24, 28, 32)
+    val Rounds = 10
+    QueryDef(
+      "g21_coreness_ladder",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val parts = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = parts
+          .withColumn("u", lag("pk", 1).over(
+            Window.partitionBy("ok").orderBy("pk")))
+          .filter(col("u").isNotNull)
+          .select(col("u"), col("pk").as("v"))
+          .distinct()
+          .localCheckpoint()
+        // early-exit peel: the round map is MONOTONE (edges only
+        // shrink), so an unchanged edge count IS the fixpoint and all
+        // remaining rounds are no-ops — stopping there yields exactly
+        // the mirror's fixed-Rounds state while skipping dead rounds
+        // (the fixed form ran 30 sequential checkpoint rounds; actual
+        // cascade depth varies per k and per scale). The count action
+        // per round reads a just-checkpointed frame — negligible.
+        def peelDegrees(k: Int): org.apache.spark.sql.DataFrame = {
+          var es = edges
+          var prevCount = es.count()
+          var r = 0
+          var converged = false
+          def und(e: org.apache.spark.sql.DataFrame) =
+            e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+          while (r < Rounds && !converged) {
+            val keep = und(es).groupBy("n").agg(count(lit(1)).as("deg"))
+              .filter(col("deg") >= k).select("n")
+            es = es
+              .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+              .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+              .select("u", "v").localCheckpoint()
+            val c = es.count()
+            converged = c == prevCount
+            prevCount = c
+            r += 1
+          }
+          und(es).groupBy("n").agg(count(lit(1)).as("deg"))
+        }
+        ks.map { k =>
+          peelDegrees(k)
+            .agg(count(lit(1)).as("n_nodes"),
+              expr("CAST(coalesce(sum(deg), 0) DIV 2 AS BIGINT)")
+                .as("n_edges"),
+              coalesce(max(col("deg")), lit(0L)).cast("long")
+                .as("max_deg"))
+            .select(lit(k.toLong).as("k"), col("n_nodes"), col("n_edges"),
+              col("max_deg"))
+        }.reduce(_ unionByName _).orderBy("k")
+      },
+      Some {
+        def chain(k: Int): String = (1 to Rounds).map { r =>
+          val prev = if (r == 1) "e_0" else s"ek${k}_${r - 1}"
+          s"""degk${k}_$r AS MATERIALIZED (
+                SELECT n, count(*) AS deg FROM (
+                  SELECT u AS n FROM $prev UNION ALL SELECT v FROM $prev)
+                GROUP BY 1),
+              keepk${k}_$r AS MATERIALIZED (
+                SELECT n FROM degk${k}_$r WHERE deg >= $k),
+              ek${k}_$r AS MATERIALIZED (
+                SELECT u, v FROM $prev
+                JOIN keepk${k}_$r ku ON ku.n = u
+                JOIN keepk${k}_$r kv ON kv.n = v)"""
+        }.mkString(",\n")
+        val censuses = ks.map { k =>
+          s"""SELECT CAST($k AS BIGINT) AS k,
+                CAST(count(*) AS BIGINT) AS n_nodes,
+                CAST(coalesce(sum(deg), 0) AS BIGINT) // 2 AS n_edges,
+                CAST(coalesce(max(deg), 0) AS BIGINT) AS max_deg
+              FROM (
+                SELECT n, count(*) AS deg FROM (
+                  SELECT u AS n FROM ek${k}_$Rounds
+                  UNION ALL SELECT v FROM ek${k}_$Rounds)
+                GROUP BY 1)"""
+        }.mkString("\nUNION ALL\n")
+        s"""WITH parts AS (
+              SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+              FROM lineitem),
+            lagged AS (
+              SELECT lag(pk) OVER (PARTITION BY ok ORDER BY pk) AS u,
+                pk AS v
+              FROM parts),
+            e_0 AS MATERIALIZED (
+              SELECT DISTINCT u, v FROM lagged WHERE u IS NOT NULL),
+            ${ks.map(chain).mkString(",\n")}
+            SELECT * FROM ($censuses) ORDER BY k"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(pagerank, triangles, kcore, labelPropagation, bfsHops,
       personalizedPagerank, linkPrediction, hits, degreeHistogram,
       harmonicCentrality, modularity, clusteringCoefficient,
       assortativity, wcc, diameterSweep, bipartiteProjection,
-      seededBetweenness, twoHopReach, ktrussSupport, richClub)
+      seededBetweenness, twoHopReach, ktrussSupport, richClub,
+      corenessLadder)
 }

@@ -2445,11 +2445,73 @@ object MlQueries {
                ${tail("//", pow2Duck)}"""))
   }
 
+  /** ml29 — robust MAD anomaly screen over the daily volume series
+    * (Hampel 1974 / Leys et al. 2013 "use the median, not the mean":
+    * the |y − median| > 3·MAD rule is the monitoring-alert standard
+    * because one outlier day corrupts a z-score's own mean AND sd —
+    * the exact failure it is meant to flag): per event type, the exact
+    * ×2-snapped median of daily counts, doubled deviations
+    * dev = |2y − med₂| (= 2|y − med|), the ×2-snapped median of those
+    * (mad₂ = 4·MAD), and the anomaly census under the EXACT integer
+    * rule 2·dev > 3·mad₂ ⟺ |y − med| > 3·MAD.
+    *
+    * Determinism: counts are integers, both medians ride the
+    * sanctioned ×2 interpolated-midpoint snap (q59's recipe —
+    * midpoints of integers are exactly .0/.5), the rule is a pure
+    * integer cross-multiply. mad₂ = 0 (over half the days identical)
+    * flags every deviating day — the documented degenerate of the
+    * textbook rule. Scale shape: one corpus scan to the (type, day)
+    * census; both medians and the census run on that bounded frame
+    * (ml28's pattern — this is its alerting-side sibling). */
+  val madAnomaly: QueryDef = {
+    def tail(div: String, perc: String): String =
+      s"""med AS (
+            SELECT event_type,
+              CAST(round($perc(y, 0.5) * 2) AS BIGINT) AS med2
+            FROM cens GROUP BY 1),
+          dev AS (
+            SELECT c.event_type, c.day, c.y, m.med2,
+              abs(2 * c.y - m.med2) AS d2
+            FROM cens c JOIN med m ON c.event_type = m.event_type),
+          mad AS (
+            SELECT event_type,
+              CAST(round($perc(d2, 0.5) * 2) AS BIGINT) AS mad2
+            FROM dev GROUP BY 1)
+          SELECT d.event_type,
+            CAST(count(*) AS BIGINT) AS n_days,
+            max(d.med2) AS med_x2,
+            max(a.mad2) AS mad_x2x2,
+            CAST(sum(CASE WHEN 2 * d.d2 > 3 * a.mad2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_anomalies,
+            max(d.d2) AS max_dev_x2
+          FROM dev d JOIN mad a ON d.event_type = a.event_type
+          GROUP BY d.event_type ORDER BY d.event_type"""
+    def censSql(epochUs: String, div: String): String =
+      s"""SELECT event_type, $epochUs(ts) $div 86400000000 AS day,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2"""
+    QueryDef(
+      "ml29_mad_anomaly",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("g_ml29_events")
+        s.sql(censSql("unix_micros", "DIV")
+            .replace("FROM events", "FROM g_ml29_events"))
+          .localCheckpoint()
+          .createOrReplaceTempView("g_ml29_cens")
+        s.sql(("WITH " + tail("DIV", "percentile"))
+          .replace("FROM cens", "FROM g_ml29_cens"))
+      },
+      Some(s"""WITH cens AS MATERIALIZED (
+                 ${censSql("epoch_us", "//")}),
+               ${tail("//", "quantile_cont")}"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
       lofoImportance, abWelch, cupedReadout, naiveBayes, poissonBootstrap,
       woeIv, ksTest, tostEquivalence, ridgePath, pca2d, mannWhitney,
       chiSquare, logitNewton, permutationTest, groupedOls,
-      groupedLogitNewton, liftGains, kendallTau, spearmanRho, sesForecast)
+      groupedLogitNewton, liftGains, kendallTau, spearmanRho, sesForecast,
+      madAnomaly)
 }

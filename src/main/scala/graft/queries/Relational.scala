@@ -2325,10 +2325,56 @@ object Relational {
       Some(sql("epoch_us", "//")))
   }
 
+  /** Q63 — time-weighted average value per user (TWAP — the
+    * financial/IoT aggregation where a reading counts for HOW LONG it
+    * persisted, not how often it was sampled: the kdb/QuestDB/
+    * InfluxDB staple that a plain avg silently gets wrong under
+    * irregular sampling): each event's value holds until the user's
+    * next event; TWAP = Σ cᵢ·durᵢ / Σ durᵢ over exact integer cents ×
+    * microsecond durations, emitted as truncated integer cents, with
+    * the naive per-event mean alongside (the two diverge exactly when
+    * sampling is irregular — the point of the operator).
+    *
+    * Determinism: durations from lead() over the total (us, event_id)
+    * order; the weighted numerator is 128-bit (cents·µs·rows passes
+    * 2⁶³ at corpus scale — the x50 overflow lesson); both quotients
+    * truncating integer divides. Scale shape: one user-keyed window +
+    * one user-keyed agg — the q59 single-shuffle lineage. Users with a
+    * single event have no holding interval and drop out (domain note:
+    * the oracle mirrors the same NULL-duration filter). */
+  val q63 = {
+    def sql(epochUs: String, div: String, w128: String): String =
+      s"""WITH e AS (
+            SELECT user_id, event_id, $epochUs(ts) AS us,
+              CAST(round(value * 100) AS BIGINT) AS c
+            FROM events),
+          w AS (
+            SELECT user_id, c, us,
+              lead(us, 1) OVER (PARTITION BY user_id
+                ORDER BY us, event_id) - us AS dur
+            FROM e)
+          SELECT user_id,
+            CAST(count(*) AS BIGINT) AS n_intervals,
+            CAST(sum(dur) AS BIGINT) AS span_us,
+            CAST(CAST(sum(CAST(c AS $w128) * dur) AS $w128)
+              $div CAST(sum(dur) AS $w128) AS BIGINT) AS twap_cents,
+            CAST(sum(c) AS BIGINT) $div count(*) AS mean_cents
+          FROM w WHERE dur IS NOT NULL
+          GROUP BY user_id ORDER BY user_id"""
+    QueryDef(
+      "q63_twap",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("g_q63_events")
+        s.sql(sql("unix_micros", "DIV", "DECIMAL(38,0)")
+          .replace("FROM events", "FROM g_q63_events"))
+      },
+      Some(sql("epoch_us", "//", "HUGEINT")))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q12b,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
-    q54, q55, q56, q57, q58, q59, q60, q61, q62)
+    q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
 }

@@ -619,6 +619,130 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q63: TWAP matches a per-user BigInt replay") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us",
+        "CAST(round(value * 100) AS BIGINT) AS c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = graft.queries.Relational.q63.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      val s0 = rows.sortBy(t => (t._3, t._2))
+      if (s0.length < 2) assert(!got.contains(u))
+      else {
+        val ivs = s0.zip(s0.drop(1)).map { case (a, b) =>
+          (a._4, b._3 - a._3) } // (cents, duration)
+        val span = ivs.map(_._2).sum
+        val num = ivs.map { case (c, dur) => BigInt(c) * BigInt(dur) }.sum
+        val twap = (num / BigInt(span)).toLong
+        val mean = ivs.map(_._1).sum / ivs.length
+        assert(got(u) == ((ivs.length.toLong, span, twap, mean)), s"user $u")
+      }
+    }
+    // TWAP and naive mean genuinely diverge somewhere (the op's point)
+    assert(got.values.exists(t => t._3 != t._4))
+  }
+
+  test("ml29: MAD anomaly census matches a Scala replay") {
+    val dayUs = 86400000000L
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getString(0), r.getLong(1) / dayUs))
+    def medX2(xs: Seq[Long]): Long = {
+      val s0 = xs.sorted; val n = s0.length
+      if (n % 2 == 1) 2 * s0(n / 2) else s0(n / 2 - 1) + s0(n / 2)
+    }
+    val got = MlQueries.madAnomaly.build(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    ev.groupBy(_._1).foreach { case (t, v) =>
+      val ys = v.groupBy(_._2).values.map(_.length.toLong).toSeq
+      val m2 = medX2(ys)
+      val devs = ys.map(y => math.abs(2 * y - m2))
+      val mad2 = medX2(devs)
+      val anom = devs.count(d => 2 * d > 3 * mad2).toLong
+      val r = got(t)
+      assert(r.getAs[Long]("n_days") == ys.length.toLong)
+      assert(r.getAs[Long]("med_x2") == m2, s"type $t med")
+      assert(r.getAs[Long]("mad_x2x2") == mad2, s"type $t mad")
+      assert(r.getAs[Long]("n_anomalies") == anom, s"type $t anom")
+      assert(r.getAs[Long]("max_dev_x2") == devs.max)
+    }
+  }
+
+  test("d26: winnowing selection matches a Scala replay") {
+    def md5hex(s0: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h40(g: String): Long =
+      md5hex(g).substring(1, 11).foldLeft(0L)((a, c) =>
+        a * 16 + Character.digit(c, 16))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.length >= 8)
+    val perDoc = docs.map { case (id, text) =>
+      val keys = (1 to text.length - 4).map(i =>
+        h40(text.substring(i - 1, i + 4)) * 2097152L + i)
+      val sel = (0 until keys.length - 3).map(j =>
+        keys.slice(j, j + 4).min).distinct
+      (id, keys.length.toLong, (keys.length - 3).toLong, sel)
+    }
+    val prints = perDoc.flatMap { case (id, _, _, sel) =>
+      sel.map(k => (id, k / 2097152L)).distinct }
+    val owners = prints.groupBy(_._2)
+      .map { case (h, v) => h -> v.map(_._1).distinct.size }
+    val got = Dedup.winnowing.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == perDoc.map(_._1).toSet)
+    perDoc.foreach { case (id, ng, nw, sel) =>
+      val nShared = prints.filter(_._1 == id).map(_._2).distinct
+        .count(h => owners(h) >= 2).toLong
+      val r = got(id)
+      assert(r.getAs[Long]("n_grams") == ng, s"doc $id grams")
+      assert(r.getAs[Long]("n_selected") == sel.size.toLong, s"doc $id sel")
+      assert(r.getAs[Long]("density_ppm") == 1000000L * sel.size / nw)
+      assert(r.getAs[Long]("n_shared") == nShared, s"doc $id shared")
+      // winnowing guarantee: at least one print per full window span
+      assert(sel.size.toLong >= nw / 4, s"doc $id density law")
+    }
+  }
+
+  test("g21: coreness ladder matches a Scala peel census") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges0 = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      ps.zip(ps.drop(1))
+    }.toSet
+    def peelRounds(k: Int, rounds: Int): Set[(Long, Long)] = {
+      var es = edges0
+      (1 to rounds).foreach { _ =>
+        val deg = (es.toSeq.map(_._1) ++ es.toSeq.map(_._2))
+          .groupBy(identity).map { case (n, v) => n -> v.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        es = es.filter(e => keep(e._1) && keep(e._2))
+      }
+      es
+    }
+    val got = Graph.corenessLadder.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    Seq(24, 28, 32).foreach { k =>
+      val es = peelRounds(k, 10)
+      // the fixture converges within the fixed rounds (g03 discipline)
+      assert(es == peelRounds(k, 11), s"k=$k not converged in 10 rounds")
+      val deg = (es.toSeq.map(_._1) ++ es.toSeq.map(_._2))
+        .groupBy(identity).map { case (n, v) => n -> v.size.toLong }
+      val want = (deg.size.toLong, es.size.toLong,
+        if (deg.isEmpty) 0L else deg.values.max)
+      assert(got.getOrElse(k.toLong, (0L, 0L, 0L)) == want, s"k=$k")
+    }
+    // monotone ladder: cores only shrink as k rises
+    val sizes = Seq(24L, 28L, 32L).map(k => got.getOrElse(k, (0L, 0L, 0L))._1)
+    assert(sizes == sizes.sorted.reverse)
+  }
+
   test("q59: per-user gap stats match a Scala recompute") {
     val ev = graft.core.Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS us").collect()

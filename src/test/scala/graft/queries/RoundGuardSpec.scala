@@ -65,7 +65,12 @@ class RoundGuardSpec extends AnyFunSuite {
       ("round(quantile_cont(",
         "sanctioned ×2 snap: median of INTEGER microsecond gaps — the " +
           "interpolated midpoint is exactly .0 or .5, both engines land " +
-          "on the same doubled integer")))
+          "on the same doubled integer")),
+    "ml29_mad_anomaly" -> Seq(
+      ("round(quantile_cont(",
+        "sanctioned ×2 snap twice over: medians of INTEGER daily counts " +
+          "and of integer doubled deviations — interpolated midpoints " +
+          "are exactly .0/.5 on both engines (q59's recipe)")))
 
   private def findings(name: String, sql: String): Seq[String] = {
     val hits =
