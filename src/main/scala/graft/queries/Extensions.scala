@@ -880,8 +880,124 @@ object Extensions {
                ORDER BY k"""))
   }
 
+  /** e14 — Bloom filter sizing sweep (the m-bits pricing table next to
+    * e13's KMV-size sweep: Bloom 1970's analysis says FPR ≈
+    * (1−e^{−kn/m})^k, but the operational question — "what FPR does MY
+    * key set at THIS size actually give" — is measurable exactly): the
+    * e09 md5 filter built ONCE at m = 65536 prices every power-of-two
+    * size below it, because bit sets NEST under the modulus
+    * (4096 | 65536 ⇒ h mod 4096 = (h mod 65536) mod 4096 — the e13
+    * prefix-nesting trick in modular form); observed FPR comes from a
+    * 200-token synthetic probe panel with presence checked EXACTLY
+    * against the vocabulary (never assumed absent).
+    *
+    * Determinism: md5 bit family (e09), set cardinalities, integer
+    * ppm. Scale shape: one vocab explode to the ≤m-row bit set
+    * (map-side distinct, localCheckpoint'd for its three consumers /
+    * MATERIALIZED in the mirror); everything per-size runs on ≤65536
+    * rows. The sweep is how a 100 TB decontamination filter is sized
+    * before it ships (x18's production path). */
+  val bloomFprSweep: QueryDef = {
+    val Ms = Seq(16384, 65536, 262144)
+    val K = 3
+    val P = 200
+    def sparkBit(tok: String, i: String) =
+      s"${graft.ext.Dedup.sparkMd5Int60(s"concat($i, ':', $tok)")} % 262144"
+    def duckBit(tok: String, i: String) =
+      s"${graft.ext.Dedup.duckMd5Int60(s"concat($i, ':', $tok)")} % 262144"
+    QueryDef(
+      "e14_bloom_fpr_sweep",
+      (s, d) => {
+        import s.implicits._
+        val keys = Tables.documents(s, d)
+          .select(explode(expr(graft.ext.Dedup.shingleExpr("text")))
+            .as("tok"))
+          .distinct()
+          .localCheckpoint()
+        val nKeys = keys.agg(count(lit(1)).as("n_keys"))
+        val bitsTop = keys.select(explode(expr(
+          s"transform(sequence(0, ${K - 1}), i -> " +
+            s"CAST(${sparkBit("tok", "i")} AS BIGINT))")).as("bit"))
+          .distinct().localCheckpoint()
+        val present = s.range(P)
+          .select(concat(lit("qqxzfp"), col("id")).as("tok"))
+          .join(keys, Seq("tok"), "left_semi")
+          .agg(count(lit(1)).as("n_present"))
+        val pb = s.range(P)
+          .select(concat(lit("qqxzfp"), col("id")).as("tok"))
+          .crossJoin(s.range(K).select(col("id").cast("int").as("i")))
+          .withColumn("bitTop", expr(sparkBit("tok", "CAST(i AS STRING)"))
+            .cast("long"))
+        Ms.map { m =>
+          val bm = bitsTop.select((col("bit") % m).as("bit")).distinct()
+          val might = pb.withColumn("bit", col("bitTop") % m)
+            .join(broadcast(bm.withColumn("s0", lit(1))), Seq("bit"), "left")
+            .groupBy("tok")
+            .agg((count(col("s0")) === K).cast("long").as("might"))
+            // probes absent by construction - verified via n_present
+            .agg(sum(col("might")).as("n_fp"))
+          bm.agg(count(lit(1)).as("bits_set"))
+            .crossJoin(might).crossJoin(nKeys).crossJoin(present)
+            .select(lit(m.toLong).as("m_bits"), col("n_keys"),
+              col("bits_set"),
+              expr(s"(1000000 * bits_set) DIV $m").as("load_ppm"),
+              (lit(P.toLong) - col("n_present")).as("n_absent"),
+              col("n_fp"),
+              expr(s"(1000000 * n_fp) DIV ($P - n_present)").as("fpr_ppm"))
+        }.reduce(_ unionByName _).orderBy("m_bits")
+      },
+      Some {
+        val perM = Ms.map { m =>
+          s"""SELECT CAST($m AS BIGINT) AS m_bits,
+                (SELECT n_keys FROM nk) AS n_keys,
+                (SELECT CAST(count(DISTINCT bit % $m) AS BIGINT)
+                 FROM bitstop) AS bits_set,
+                (1000000 * (SELECT CAST(count(DISTINCT bit % $m) AS BIGINT)
+                 FROM bitstop)) // $m AS load_ppm,
+                (SELECT CAST($P - n_present AS BIGINT) FROM pres)
+                  AS n_absent,
+                (SELECT CAST(coalesce(sum(might), 0) AS BIGINT) FROM (
+                   SELECT CASE WHEN count(b.bit) = $K THEN 1 ELSE 0 END
+                     AS might
+                   FROM pb LEFT JOIN
+                     (SELECT DISTINCT bit % $m AS bit FROM bitstop) b
+                     ON b.bit = pb.bitTop % $m
+                   GROUP BY pb.tok)) AS n_fp,
+                (1000000 * (SELECT CAST(coalesce(sum(might), 0) AS BIGINT)
+                 FROM (
+                   SELECT CASE WHEN count(b.bit) = $K THEN 1 ELSE 0 END
+                     AS might
+                   FROM pb LEFT JOIN
+                     (SELECT DISTINCT bit % $m AS bit FROM bitstop) b
+                     ON b.bit = pb.bitTop % $m
+                   GROUP BY pb.tok)))
+                  // (SELECT $P - n_present FROM pres) AS fpr_ppm"""
+        }.mkString("\nUNION ALL\n")
+        s"""WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            keys AS MATERIALIZED (
+              SELECT DISTINCT array_to_string(t[gi + 1:gi + 3], ' ') AS tok
+              FROM toks, unnest(range(0, greatest(len(t) - 2, 1))) AS u(gi)),
+            nk AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM keys),
+            bitstop AS MATERIALIZED (
+              SELECT DISTINCT ${duckBit("tok", "u.ki")} AS bit
+              FROM keys, unnest(range(0, $K)) AS u(ki)),
+            pt AS (
+              SELECT 'qqxzfp' || CAST(j AS VARCHAR) AS tok
+              FROM unnest(range(0, $P)) AS t(j)),
+            pres AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_present
+              FROM pt JOIN keys USING (tok)),
+            pb AS MATERIALIZED (
+              SELECT pt.tok, u.ki,
+                ${duckBit("pt.tok", "CAST(u.ki AS VARCHAR)")} AS bitTop
+              FROM pt, unnest(range(0, $K)) AS u(ki))
+            SELECT * FROM ($perM) ORDER BY m_bits"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(daypart, sketch, approxProfile, topkOperator, kmvSketch, heavyHitters,
       quantileSketch, countMinProbe, countMinMd5, hllMd5, bloomMd5, amsF2,
-      kmvSetAlgebra, momentsSketch, kmvSizeSweep)
+      kmvSetAlgebra, momentsSketch, kmvSizeSweep, bloomFprSweep)
 }

@@ -1415,11 +1415,111 @@ object Events {
             FROM g GROUP BY user_id, sid
             ORDER BY user_id, start_us"""))
 
+  /** st24 — per-user funnel STATE MACHINE via transformWithState (the
+    * real-time funnel tracker product analytics ships next to st09's
+    * batch census: a monotone three-slot automaton per user — first
+    * view, first click ≥ that view, first purchase ≥ that click —
+    * updated as events stream in, emitting the user's stage on every
+    * transition). The pattern the other v2 processors don't cover:
+    * MONOTONE-DAG state (slots only ever fill, never mutate), so the
+    * final state is a pure function of the event set under in-order
+    * delivery — which is the operating contract (watermark-ordered
+    * replay; the spec feeds event-time order, the production deploy
+    * reads a time-ordered log — same assumption st09's batch form
+    * makes implicitly by seeing all data).
+    *
+    * State: one (v, c, p) triple per user, Long.MinValue sentinel for
+    * unset — bounded by users, never by events. Emission: update mode,
+    * one row per touched user per micro-batch. */
+  class FunnelStateProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long), (Long, Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    private val Unset = Long.MinValue
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)](
+        "funnel", org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
+      var (v, c, p) = if (st.exists()) st.get() else (Unset, Unset, Unset)
+      // per-key micro-batch slice sorted for in-batch disorder
+      rows.toArray.sortBy(_._3).foreach { case (_, t, us) =>
+        t match {
+          case "view" if v == Unset => v = us
+          case "click" if v != Unset && c == Unset && us >= v => c = us
+          case "purchase" if c != Unset && p == Unset && us >= c => p = us
+          case _ => ()
+        }
+      }
+      st.update((v, c, p))
+      val stage =
+        if (p != Unset) 3L else if (c != Unset) 2L else if (v != Unset) 1L
+        else 0L
+      Iterator.single((key, stage, v, c, p))
+    }
+  }
+
+  /** st24 stream driver: funnel stages in update mode. */
+  def funnelStateStream(events: Dataset[(Long, String, Long)])
+      : Dataset[(Long, Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new FunnelStateProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** st24 batch twin — the per-user funnel-stage frame (q60's chained
+    * min-window resolution, per-user detail instead of the census):
+    * oracle-exact; StreamingSpec proves the state machine's final
+    * snapshot equals this frame under in-order MemoryStream delivery. */
+  val funnelStateQ: QueryDef = {
+    def sql(epochUs: String): String =
+      s"""WITH e AS (
+            SELECT user_id, event_type, $epochUs(ts) AS us FROM events),
+          s1 AS (
+            SELECT user_id, event_type, us,
+              min(CASE WHEN event_type = 'view' THEN us END)
+                OVER (PARTITION BY user_id) AS v_us
+            FROM e),
+          s2 AS (
+            SELECT user_id, event_type, us, v_us,
+              min(CASE WHEN event_type = 'click' AND us >= v_us
+                THEN us END) OVER (PARTITION BY user_id) AS c_us
+            FROM s1),
+          s3 AS (
+            SELECT user_id, v_us, c_us,
+              min(CASE WHEN event_type = 'purchase' AND us >= c_us
+                THEN us END) OVER (PARTITION BY user_id) AS p_us
+            FROM s2),
+          u AS (
+            SELECT user_id, max(v_us) AS v_us, max(c_us) AS c_us,
+              max(p_us) AS p_us
+            FROM s3 GROUP BY 1)
+          SELECT user_id,
+            CAST(CASE WHEN p_us IS NOT NULL THEN 3
+              WHEN c_us IS NOT NULL THEN 2
+              WHEN v_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+            v_us, c_us, p_us
+          FROM u ORDER BY user_id"""
+    QueryDef(
+      "st24_funnel_state",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("g_st24_events")
+        s.sql(sql("unix_micros")
+          .replace("FROM events", "FROM g_st24_events"))
+      },
+      Some(sql("epoch_us")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
       streamLeftJoinQ, dedupBatchQ, enrichQ, windowSketchQ, funnelQ,
       retentionQ, topTypesQ, streamFullJoinQ, runningMaxBatchQ,
       typeCountsBatchQ, windowAnomalyQ, streamSemiJoinQ, windowRollupQ,
       dedupWithinWatermarkQ, sessionDynamicQ, cepAlarmQ, blockGateQ,
-      sessionTimerQ)
+      sessionTimerQ, funnelStateQ)
 }

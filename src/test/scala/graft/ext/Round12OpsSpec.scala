@@ -743,6 +743,64 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(sizes == sizes.sorted.reverse)
   }
 
+  test("st24: batch-twin funnel stages match a per-user Scala replay") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = graft.stream.Events.funnelStateQ.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      val v = rows.collect { case (_, "view", us) => us }
+        .reduceOption(_ min _)
+      val c = v.flatMap(vu => rows.collect {
+        case (_, "click", us) if us >= vu => us }.reduceOption(_ min _))
+      val p = c.flatMap(cu => rows.collect {
+        case (_, "purchase", us) if us >= cu => us }.reduceOption(_ min _))
+      val stage = if (p.isDefined) 3L else if (c.isDefined) 2L
+        else if (v.isDefined) 1L else 0L
+      assert(got(u) == ((stage, v, c, p)), s"user $u")
+    }
+  }
+
+  test("e14: Bloom FPR sweep matches a Scala filter replay") {
+    def md5hex(s0: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(x: String): Long =
+      md5hex(x).substring(1, 16).foldLeft(0L)((a, c) =>
+        a * 16 + Character.digit(c, 16))
+    val keys = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+      .flatMap { t =>
+        val w = t.split(" ", -1)
+        (0 to math.max(w.length - 3, 0)).map(i =>
+          w.slice(i, i + 3).mkString(" "))
+      }.distinct
+    val bitsTop = keys.flatMap(k => (0 until 3).map(i =>
+      h60(s"$i:$k") % 262144)).distinct
+    val got = graft.queries.Extensions.bloomFprSweep.build(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(16384, 65536, 262144).foreach { m =>
+      val bm = bitsTop.map(_ % m).distinct.toSet
+      val probes = (0 until 200).map(j => s"qqxzfp$j")
+      val absent = probes.filterNot(keys.toSet)
+      val fp = absent.count(p =>
+        (0 until 3).forall(i => bm(h60(s"$i:$p") % 262144 % m))).toLong
+      val r = got(m.toLong)
+      assert(r.getAs[Long]("n_keys") == keys.length.toLong, s"m=$m keys")
+      assert(r.getAs[Long]("bits_set") == bm.size.toLong, s"m=$m bits")
+      assert(r.getAs[Long]("n_absent") == absent.length.toLong)
+      assert(r.getAs[Long]("n_fp") == fp, s"m=$m fp")
+      assert(r.getAs[Long]("fpr_ppm") == 1000000L * fp / absent.length)
+    }
+    // the ladder genuinely trades bits for FPR: monotone non-increasing
+    val fprs = Seq(16384L, 65536L, 262144L)
+      .map(m => got(m).getAs[Long]("fpr_ppm"))
+    assert(fprs == fprs.sorted.reverse)
+  }
+
   test("q59: per-user gap stats match a Scala recompute") {
     val ev = graft.core.Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS us").collect()

@@ -846,6 +846,65 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState funnel state machine: final snapshot equals " +
+    "the batch twin under in-order delivery") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // in-order event log: user 1 completes the funnel across TWO
+      // micro-batches (state persists), user 2 clicks before viewing
+      // (click must NOT count), user 3 views only
+      val in = MemoryStream[(Long, String, Long)]
+      val q = Events.funnelStateStream(in.toDS())
+        .toDF("user_id", "stage", "v_us", "c_us", "p_us")
+        .writeStream.format("memory").queryName("funnel_out")
+        .outputMode("update").start()
+      in.addData((1L, "view", 10L), (2L, "click", 5L), (1L, "click", 20L))
+      q.processAllAvailable()
+      in.addData((1L, "purchase", 30L), (2L, "view", 50L), (3L, "view", 7L),
+        (2L, "click", 60L))
+      q.processAllAvailable()
+      q.stop()
+      val hist = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      // final snapshot per user = the row from the last batch touching it
+      val Unset = Long.MinValue
+      val last = hist.zipWithIndex.groupBy(_._1._1)
+        .map { case (u, v) => u -> v.maxBy(_._2)._1 }
+      assert(last(1L) == ((1L, 3L, 10L, 20L, 30L)), s"user1: ${last(1L)}")
+      // user 2's early click was pre-view: only view+late click count
+      assert(last(2L) == ((2L, 2L, 50L, 60L, Unset)), s"user2: ${last(2L)}")
+      assert(last(3L) == ((3L, 1L, 7L, Unset, Unset)), s"user3: ${last(3L)}")
+      // cross-check against the batch twin's rule on the same event set
+      val evs = Seq((1L, "view", 10L), (2L, "click", 5L), (1L, "click", 20L),
+        (1L, "purchase", 30L), (2L, "view", 50L), (3L, "view", 7L),
+        (2L, "click", 60L))
+      evs.groupBy(_._1).foreach { case (u, rows) =>
+        val v = rows.collect { case (_, "view", us) => us }
+          .reduceOption(_ min _)
+        val c = v.flatMap(vu => rows.collect {
+          case (_, "click", us) if us >= vu => us }.reduceOption(_ min _))
+        val p = c.flatMap(cu => rows.collect {
+          case (_, "purchase", us) if us >= cu => us }
+          .reduceOption(_ min _))
+        val want = (u,
+          if (p.isDefined) 3L else if (c.isDefined) 2L
+          else if (v.isDefined) 1L else 0L,
+          v.getOrElse(Unset), c.getOrElse(Unset), p.getOrElse(Unset))
+        assert(last(u) == want, s"stream != batch for user $u")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState MapState: per-user event-type histogram across batches") {
     implicit val sc = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
