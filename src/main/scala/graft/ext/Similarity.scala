@@ -1951,10 +1951,83 @@ object Similarity {
                FROM p"""))
   }
 
+  /** s24 — scalar-quantization width sweep (the bits-per-dimension
+    * pricing table next to s06's PQ and e13/e14's size sweeps — the
+    * int8-vs-int4 decision every vector store now exposes, cf. FAISS
+    * SQ4/SQ8 and Milvus/Qdrant scalar quantization): symmetric
+    * round(x·L) quantization of the unit-normalized corpus at
+    * L = 1/7/127 (2/4/8 signed bits), with the exact reconstruction-
+    * error census per width from ONE element scan — every width's
+    * error computed in-row, never three passes.
+    *
+    * Determinism: err_e6 = round(x·10⁶) − round((q/L)·10⁶) — two
+    * fixed-shape integerizations of the same stored double; squared
+    * sums in 128-bit (the x50 overflow lesson — err² terms reach
+    * 2.5·10¹¹ at b=2, corpus-scale sums pass 2⁶³); MSE via integral
+    * divide. Scale shape: explode-scan → one global agg carrying all
+    * three widths' moments; the 3-row sweep is a constant-size
+    * reshape. */
+  val quantizationSweep: QueryDef = {
+    val widths = Seq((2, 1), (4, 7), (8, 127))
+    def errExpr(l: Int) =
+      s"abs(CAST(round(x * 1000000) AS BIGINT) - " +
+        s"CAST(round(CAST(round(x * $l) AS DOUBLE) / $l * 1000000) " +
+        s"AS BIGINT))"
+    QueryDef(
+      "s24_quantization_sweep",
+      (s, d) => {
+        val el = Dedup.normalized(s, d, "vec_id", "u")
+          .select(explode(col("u")).as("x"))
+        val aggs = widths.flatMap { case (b, l) =>
+          Seq(
+            sum(expr(s"CAST(${errExpr(l)} AS DECIMAL(38,0)) * ${errExpr(l)}"))
+              .as(s"sse_$b"),
+            max(expr(errExpr(l))).as(s"me_$b"))
+        } :+ count(lit(1)).as("n_elems")
+        // 1-row moments frame, checkpointed: the 3-row reshape below
+        // references it once per width (the g19 multi-ref lesson —
+        // un-checkpointed, each branch would rescan the corpus)
+        val one = el.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+        widths.map { case (b, l) =>
+          one.select(lit(b.toLong).as("bits"), lit(l.toLong).as("levels"),
+            col("n_elems"),
+            expr(s"CAST(sse_$b DIV n_elems AS BIGINT)").as("mse_e12"),
+            col(s"me_$b").as("max_abs_err_e6"))
+        }.reduce(_ unionByName _).orderBy("bits")
+      },
+      Some {
+        def derr(l: Int) =
+          s"abs(CAST(round(x * 1000000) AS BIGINT) - " +
+            s"CAST(round(CAST(round(x * $l) AS DOUBLE) / $l * 1000000) " +
+            s"AS BIGINT))"
+        val mcols = widths.map { case (b, l) =>
+          s"""CAST(sum(CAST(${derr(l)} AS HUGEINT) * ${derr(l)})
+                AS HUGEINT) AS sse_$b,
+              CAST(max(${derr(l)}) AS BIGINT) AS me_$b"""
+        }.mkString(",\n")
+        val rows = widths.map { case (b, l) =>
+          s"""SELECT CAST($b AS BIGINT) AS bits,
+                CAST($l AS BIGINT) AS levels, n_elems,
+                CAST(sse_$b // n_elems AS BIGINT) AS mse_e12,
+                me_$b AS max_abs_err_e6
+              FROM a"""
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ${Dedup.normalizedSql},
+            el AS (
+              SELECT u.u[ei] AS x
+              FROM u, unnest(range(1, len(u.u) + 1)) AS t(ei)),
+            a AS MATERIALIZED (
+              SELECT CAST(count(*) AS BIGINT) AS n_elems,
+                $mcols
+              FROM el)
+            SELECT * FROM ($rows) ORDER BY bits"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
       annPqAdc, kmeansLloyd, annRecall, filteredTopK, mmrRerank,
       twoStageRescore, knnClassify, nprobeSweep, hardNegatives, ndcgEval,
       rocchioFeedback, ivfBalance, pqDistortion, reindexChurn, rangeSearch,
-      farthestFirst, embeddingHealth, anisotropyPanel)
+      farthestFirst, embeddingHealth, anisotropyPanel, quantizationSweep)
 }

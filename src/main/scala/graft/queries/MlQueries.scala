@@ -2506,6 +2506,79 @@ object MlQueries {
                ${tail("//", "quantile_cont")}"""))
   }
 
+  /** ml30 — CUSUM change detection over the daily volume series (Page,
+    * Biometrika 1954 — the sequential drift detector monitoring stacks
+    * run beside ml29's pointwise rule: a SUSTAINED small shift that no
+    * single day flags accumulates until the alarm threshold): the
+    * textbook recurrence s_i = max(0, s_{i−1} + d_i) is sequential,
+    * but it has the classic CLOSED FORM s_i = P_i − min(0, min_{j≤i}
+    * P_j) over the prefix sums P of the drift terms d = 2y − med₂ −
+    * slack₂ — so the whole walk is TWO running windows (sum + min),
+    * no recursion, no per-step job (the first recursive-CTE draft
+    * cost a flat ~9 s in per-step scheduling; the window form prices
+    * the same walk at window cost). Doubled integer units throughout:
+    * target = the exact ×2 median, slack₂ = med₂ DIV 10, alarm at
+    * s > med₂.
+    *
+    * Determinism: all integers; the ×2 median is the sanctioned q59
+    * snap. Scale shape: one corpus scan to the bounded (type, day)
+    * census; both windows run per-type over ≤ |days| rows —
+    * ml28/ml29's pattern (the three ops form the forecast/screen/
+    * drift monitoring triple). */
+  val cusumDrift: QueryDef = {
+    def tail(div: String, perc: String): String =
+      s"""med AS (
+            SELECT event_type,
+              CAST(round($perc(y, 0.5) * 2) AS BIGINT) AS med2
+            FROM cens GROUP BY 1),
+          idx AS (
+            SELECT c.event_type, c.day, m.med2,
+              2 * c.y - m.med2 - m.med2 $div 10 AS d
+            FROM cens c JOIN med m ON c.event_type = m.event_type),
+          pfx AS (
+            SELECT event_type, day, med2,
+              CAST(sum(d) OVER w AS BIGINT) AS p,
+              CAST(row_number() OVER (PARTITION BY event_type
+                ORDER BY day) AS BIGINT) AS rn
+            FROM idx
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          walk AS (
+            SELECT event_type, rn, med2,
+              p - least(CAST(0 AS BIGINT),
+                CAST(min(p) OVER (PARTITION BY event_type ORDER BY rn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT)) AS s
+            FROM pfx)
+          SELECT event_type,
+            CAST(count(*) AS BIGINT) AS n_days,
+            max(med2) AS med_x2,
+            max(s) AS max_cusum_x2,
+            CAST(sum(CASE WHEN s > med2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_alarm_days,
+            CAST(coalesce(min(CASE WHEN s > med2 THEN rn END), 0)
+              AS BIGINT) AS first_alarm_rn
+          FROM walk GROUP BY event_type ORDER BY event_type"""
+    def censSql(epochUs: String, div: String): String =
+      s"""SELECT event_type, $epochUs(ts) $div 86400000000 AS day,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2"""
+    QueryDef(
+      "ml30_cusum_drift",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("g_ml30_events")
+        s.sql(censSql("unix_micros", "DIV")
+            .replace("FROM events", "FROM g_ml30_events"))
+          .localCheckpoint()
+          .createOrReplaceTempView("g_ml30_cens")
+        s.sql(("WITH " + tail("DIV", "percentile"))
+          .replace("FROM cens", "FROM g_ml30_cens"))
+      },
+      Some(s"""WITH cens AS MATERIALIZED (
+                 ${censSql("epoch_us", "//")}),
+               ${tail("//", "quantile_cont")}"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
@@ -2513,5 +2586,5 @@ object MlQueries {
       woeIv, ksTest, tostEquivalence, ridgePath, pca2d, mannWhitney,
       chiSquare, logitNewton, permutationTest, groupedOls,
       groupedLogitNewton, liftGains, kendallTau, spearmanRho, sesForecast,
-      madAnomaly)
+      madAnomaly, cusumDrift)
 }

@@ -2371,10 +2371,52 @@ object Relational {
       Some(sql("epoch_us", "//", "HUGEINT")))
   }
 
+  /** Q64 — user-journey Markov transition census (the behavioral
+    * "what happens next" matrix product/journey analytics reads — and
+    * the empirical transition kernel behind Markov-chain attribution,
+    * cf. Anderl et al. 2016): consecutive event-type pairs per user
+    * over the total (us, event_id) order, with exact per-row counts
+    * and the conditional next-step probability as integer ppm of the
+    * current state's outgoing total.
+    *
+    * Determinism: one lead() window over the q59 total order; the
+    * matrix is the bounded 5×5 type domain; ppm by integer DIV.
+    * Scale shape: one user-keyed window shuffle, then a census on
+    * the type² frame — q59's lineage exactly. */
+  val q64 = {
+    def sql(epochUs: String, div: String): String =
+      s"""WITH e AS (
+            SELECT user_id, event_id, event_type,
+              $epochUs(ts) AS us
+            FROM events),
+          t AS (
+            SELECT event_type AS cur,
+              lead(event_type, 1) OVER (PARTITION BY user_id
+                ORDER BY us, event_id) AS nxt
+            FROM e),
+          c AS (
+            SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+            FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2),
+          tot AS (
+            SELECT cur, CAST(sum(n) AS BIGINT) AS n_out FROM c GROUP BY 1)
+          SELECT c.cur, c.nxt, c.n, n_out,
+            (1000000 * c.n) $div n_out AS p_ppm
+          FROM c JOIN tot ON c.cur = tot.cur
+          ORDER BY c.cur, c.nxt"""
+    QueryDef(
+      "q64_markov_transitions",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("g_q64_events")
+        s.sql(sql("unix_micros", "DIV")
+          .replace("FROM events", "FROM g_q64_events"))
+      },
+      Some(sql("epoch_us", "//")))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q12b,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
-    q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
+    q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
 }

@@ -801,6 +801,88 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(fprs == fprs.sorted.reverse)
   }
 
+  test("q64: Markov transition census matches a Scala replay") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { rows =>
+      val s0 = rows.sortBy(t => (t._4, t._2)).map(_._3)
+      s0.zip(s0.drop(1))
+    }.toSeq
+    val c = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tot = trans.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val want = c.toSeq.map { case ((a, b), n) =>
+      (a, b, n, tot(a), 1000000L * n / tot(a)) }
+      .sortBy(t => (t._1, t._2))
+    val got = graft.queries.Relational.q64.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    // per-state outgoing ppm nearly partitions 1e6 (integer truncation)
+    tot.keys.foreach { a =>
+      val ppm = want.filter(_._1 == a).map(_._5).sum
+      assert(ppm > 1000000L - 10 && ppm <= 1000000L, s"state $a ppm $ppm")
+    }
+  }
+
+  test("ml30: CUSUM walk matches a Scala sequential fold") {
+    val dayUs = 86400000000L
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getString(0), r.getLong(1) / dayUs))
+    def medX2(xs: Seq[Long]): Long = {
+      val s0 = xs.sorted; val n = s0.length
+      if (n % 2 == 1) 2 * s0(n / 2) else s0(n / 2 - 1) + s0(n / 2)
+    }
+    val got = MlQueries.cusumDrift.build(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    ev.groupBy(_._1).foreach { case (t, v) =>
+      val ys = v.groupBy(_._2).toSeq.sortBy(_._1).map(_._2.length.toLong)
+      val m2 = medX2(ys)
+      var s0 = 0L
+      val walk = ys.map { y =>
+        s0 = math.max(0L, s0 + 2 * y - m2 - m2 / 10); s0 }
+      val alarms = walk.zipWithIndex.filter(_._1 > m2)
+      val r = got(t)
+      assert(r.getAs[Long]("n_days") == ys.length.toLong)
+      assert(r.getAs[Long]("med_x2") == m2)
+      assert(r.getAs[Long]("max_cusum_x2") == walk.max, s"type $t max")
+      assert(r.getAs[Long]("n_alarm_days") == alarms.length.toLong)
+      assert(r.getAs[Long]("first_alarm_rn") ==
+        (if (alarms.isEmpty) 0L else alarms.head._2 + 1L), s"type $t first")
+    }
+  }
+
+  test("s24: quantization sweep matches a Scala element replay") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def unit(v: Array[Double]): Array[Double] = {
+      var acc = 0.0; v.foreach(x => acc += x * x)
+      val n = math.sqrt(acc); v.map(_ / n)
+    }
+    val els = vecs.flatMap(unit)
+    val got = Similarity.quantizationSweep.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq((2, 1), (4, 7), (8, 127)).foreach { case (b, l) =>
+      val errs = els.map { x =>
+        math.abs(math.round(x * 1000000) -
+          math.round(math.round(x * l).toDouble / l * 1000000))
+      }
+      val sse = errs.map(e => BigInt(e) * BigInt(e)).sum
+      val r = got(b.toLong)
+      assert(r.getAs[Long]("n_elems") == els.length.toLong)
+      assert(r.getAs[Long]("levels") == l.toLong)
+      assert(r.getAs[Long]("mse_e12") ==
+        (sse / BigInt(els.length)).toLong, s"b=$b mse")
+      assert(r.getAs[Long]("max_abs_err_e6") == errs.max, s"b=$b max")
+    }
+    // more bits, less distortion — strictly on this corpus
+    val mses = Seq(2L, 4L, 8L).map(b => got(b).getAs[Long]("mse_e12"))
+    assert(mses == mses.sorted.reverse && mses.distinct == mses)
+  }
+
   test("q59: per-user gap stats match a Scala recompute") {
     val ev = graft.core.Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS us").collect()

@@ -96,7 +96,12 @@ class PlanGuardSpec extends AnyFunSuite {
     "g18_two_hop_reach" -> "1-row supplier-universe scalar broadcast onto the 9-row seed frame (e05's idiom)",
     "t38_cohens_kappa" -> "1-row chance-agreement scalar broadcast onto the 1-row confusion totals (e05's idiom)",
     "e13_kmv_size_sweep" -> "1-row exact-count scalar broadcast onto the 4-row sweep frame (e05's idiom)",
-    "x54_rejection_resample" -> "1-row corpus-totals + 1-row accepted-total scalar broadcasts onto the scan / the 5-row lang frame (e05's idiom; the lang census itself is a broadcast equi-join)")
+    "x54_rejection_resample" -> "1-row corpus-totals + 1-row accepted-total scalar broadcasts onto the scan / the 5-row lang frame (e05's idiom; the lang census itself is a broadcast equi-join)",
+    "ml26_kendall_tau" -> "cell-pair theta join (a.x < b.x) over the checkpointed <=550-row joint-domain census — bounded by the 50x11 value domain, never the corpus",
+    "s23_anisotropy_panel" -> "fixed 100-vector panel self-join (4950 pairs, corpus-independent by construction — the s01 bounded-panel idiom)",
+    "x57_epoch_repeat_plan" -> "1-row budget-totals crossJoin + the fixed 16-term epoch generator onto the <=|sources| frame (e05's idiom)",
+    "x58_compaction_plan" -> "1-row chars-total crossJoin onto the 16-row shard census (e05's idiom)",
+    "e14_bloom_fpr_sweep" -> "1-row census scalars (bits_set/n_fp/n_keys/n_present) crossJoined per sweep size, plus the 200x3 probe-bit generator (e05's idiom; the membership join itself is equi on the bit key)")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
@@ -126,7 +131,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "ml20_chi_square" -> "N / chi-square totals over the bounded type x band cell frame (ml14's idiom), MlQueries.scala",
     "e13_kmv_size_sweep" -> "rank over the 32-row bottom-k frame (the TakeOrdered output; x11's idiom), Extensions.scala",
     "ml25_lift_gains" -> "cumulative gains windows over the 10-row value-band frame (bin-domain bounded, ml14's idiom), MlQueries.scala",
-    "x56_budget_pareto_fill" -> "quality rank + prefix sum over the (lang, source) cell-domain frame (x17's idiom), Curation.scala")
+    "x56_budget_pareto_fill" -> "quality rank + prefix sum over the (lang, source) cell-domain frame (x17's idiom), Curation.scala",
+    "q62_growth_accounting" -> "cumulative-reach window over the <=|days| day frame (day-domain bounded, x17's idiom), Relational.scala",
+    "ml27_spearman_rho" -> "midrank cum_before windows over the <=50/<=11 marginal frames of the checkpointed cell census (value-domain bounded, ml15's idiom), MlQueries.scala",
+    "x58_compaction_plan" -> "running-quota prefix sum over the 16-row shard census (x11's idiom), Curation.scala")
 
   /** name -> physical plan for every registered query. sparkPlan (the
     * pre-AQE physical plan) carries the concrete join/window nodes; a

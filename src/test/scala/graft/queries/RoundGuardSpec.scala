@@ -70,7 +70,11 @@ class RoundGuardSpec extends AnyFunSuite {
       ("round(quantile_cont(",
         "sanctioned ×2 snap twice over: medians of INTEGER daily counts " +
           "and of integer doubled deviations — interpolated midpoints " +
-          "are exactly .0/.5 on both engines (q59's recipe)")))
+          "are exactly .0/.5 on both engines (q59's recipe)")),
+    "ml30_cusum_drift" -> Seq(
+      ("round(quantile_cont(",
+        "sanctioned ×2 snap: CUSUM target is the median of INTEGER " +
+          "daily counts (ml29's recipe)")))
 
   private def findings(name: String, sql: String): Seq[String] = {
     val hits =
