@@ -3802,6 +3802,89 @@ object Curation {
                ${tail("//")}"""))
   }
 
+  /** x59 — consistent-hash ring churn audit (Karger et al. STOC 1997,
+    * the assignment scheme every distributed store uses precisely for
+    * the property audited here: adding a node moves only ~1/(n+1) of
+    * the keys, where modulo-sharding reshuffles nearly everything —
+    * x04/x43's modulo shards are the contrast): a 4-node × 64-vnode
+    * md5 ring assigns every doc to its clockwise-successor vnode; the
+    * SAME ring plus a 5th node re-assigns; per node the before/after
+    * census and the moved-doc churn, with the expected-churn law
+    * (≈ 1/5 of keys move, ALL into the new node — a doc moves iff the
+    * new node's vnode is the first point in its arc) checked by the
+    * spec.
+    *
+    * Determinism: ring points and doc points are md5 integers (d10's
+    * portable family); successor = the NODE AT the minimal ring point
+    * ≥ the doc point (argmin via the pos·8+node packing — a plain
+    * min(node) would pick the smallest node id among candidates, the
+    * bug the first draft shipped), wrapping to the global minimum. Scale shape: the ring is a bounded 256/320-row
+    * broadcast; assignment is one min-conditional fold per doc —
+    * map-side, no shuffle except the final node census. */
+  val consistentHashRing: QueryDef = {
+    val vnodes = 64
+    def ringSql(nodes: Int, str: String): String =
+      s"""SELECT CAST(n AS BIGINT) AS node,
+            ${graft.ext.Dedup.duckMd5Int60(
+              s"('ring:' || CAST(n AS $str) || ':' || CAST(v AS $str))")}
+              AS pos
+          FROM unnest(range(0, $nodes)) AS a(n),
+            unnest(range(0, $vnodes)) AS b(v)"""
+    def sparkRing(nodes: Int): String =
+      s"""SELECT CAST(n AS BIGINT) AS node,
+            ${graft.ext.Dedup.sparkMd5Int60(
+              s"concat('ring:', CAST(n AS STRING), ':', CAST(v AS STRING))")}
+              AS pos
+          FROM (SELECT explode(sequence(0, ${nodes - 1})) AS n)
+          LATERAL VIEW explode(sequence(0, ${vnodes - 1})) t AS v"""
+    def tail(div: String): String =
+      s"""dp AS (
+            SELECT doc_id, MD5DOC AS p FROM documents),
+          a4 AS (
+            SELECT doc_id,
+              CAST(coalesce(
+                min(CASE WHEN r.pos >= dp.p
+                  THEN r.pos * 8 + r.node END),
+                min(r.pos * 8 + r.node)) % 8 AS BIGINT) AS node
+            FROM dp CROSS JOIN ring4 r GROUP BY doc_id),
+          a5 AS (
+            SELECT doc_id,
+              CAST(coalesce(
+                min(CASE WHEN r.pos >= dp.p
+                  THEN r.pos * 8 + r.node END),
+                min(r.pos * 8 + r.node)) % 8 AS BIGINT) AS node
+            FROM dp CROSS JOIN ring5 r GROUP BY doc_id)
+          SELECT a5.node,
+            CAST(count(*) AS BIGINT) AS n_docs_after,
+            CAST(sum(CASE WHEN a4.node != a5.node THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_moved_in,
+            (1000000 * CAST(sum(CASE WHEN a4.node != a5.node
+              THEN 1 ELSE 0 END) AS BIGINT)) $div count(*) AS moved_ppm
+          FROM a4 JOIN a5 USING (doc_id)
+          GROUP BY a5.node ORDER BY a5.node"""
+    QueryDef(
+      "x59_consistent_hash_ring",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("g_x59_documents")
+        s.sql(sparkRing(4)).localCheckpoint()
+          .createOrReplaceTempView("g_x59_ring4")
+        s.sql(sparkRing(5)).localCheckpoint()
+          .createOrReplaceTempView("g_x59_ring5")
+        val minArg = graft.ext.Dedup
+          .sparkMd5Int60("CAST(doc_id AS STRING)")
+        s.sql(("WITH " + tail("DIV"))
+          .replace("MD5DOC", minArg)
+          .replace("FROM documents", "FROM g_x59_documents")
+          .replace("JOIN ring4", "JOIN g_x59_ring4")
+          .replace("JOIN ring5", "JOIN g_x59_ring5"))
+      },
+      Some(s"""WITH ring4 AS MATERIALIZED (${ringSql(4, "VARCHAR")}),
+               ring5 AS MATERIALIZED (${ringSql(5, "VARCHAR")}),
+               ${tail("//").replace("MD5DOC",
+                 graft.ext.Dedup.duckMd5Int60("CAST(doc_id AS VARCHAR)"))}""")
+    )
+  }
+
   /** x57 — data-constrained epoch/repeat plan (Muennighoff et al.
     * NeurIPS 2023, "Scaling Data-Constrained Language Models": when the
     * token budget exceeds unique data, repeats still help but with
@@ -3887,6 +3970,6 @@ object Curation {
       doremiStep, pairAuditSample, lDiversity, decontaminationDrill,
       neymanAllocation, dsirSelection, lengthBucketing, clusterSharding,
       rejectionResample, stratifiedReservoir, budgetPareto, epochRepeatPlan,
-      compactionPlan)
+      compactionPlan, consistentHashRing)
 
 }

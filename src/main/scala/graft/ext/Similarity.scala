@@ -2024,10 +2024,97 @@ object Similarity {
       })
   }
 
+  /** s25 — Matryoshka truncated-dimension retrieval sweep (Kusupati et
+    * al. NeurIPS 2022 MRL — serving stacks rank with the first k
+    * dimensions and rescore with the rest; the operational question is
+    * how much ranking quality each prefix width keeps): for the s01
+    * query panel, top-5 retrieval under prefix dots at k = 8/16/32/64
+    * vs the full-dimension exact ranking — overlap@5 and rank-1
+    * agreement per width, ALL widths' dots computed in-row from ONE
+    * pair scan (the s24/e13 pricing-table idiom applied to dimension
+    * count).
+    *
+    * Determinism: every dot is the shared sequential fold over a
+    * prefix slice (bit-identical engines); ranks tiebreak on n_id;
+    * overlaps are exact integers. Scale shape: one panel×corpus scan
+    * (s01's bounded-panel law), four q_id-partitioned windows on the
+    * SAME shuffle, a 4-row reshape at the end. */
+  val matryoshkaSweep: QueryDef = {
+    val ks = Seq(8, 16, 32, 64)
+    QueryDef(
+      "s25_matryoshka_sweep",
+      (s, d) => {
+        graft.expr.ArrayDot.register(s)
+        val q = Dedup.normalized(s, d, "q_id", "q_u")
+          .filter(col("q_id") < 10)
+        val c = Dedup.normalized(s, d, "n_id", "n_u")
+        var pairs = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+        ks.foreach { k =>
+          pairs = pairs.withColumn(s"d$k",
+            expr(s"aggregate(zip_with(slice(q_u, 1, $k), " +
+              s"slice(n_u, 1, $k), (x, y) -> x * y), 0D, " +
+              "(acc, v) -> acc + v)"))
+        }
+        ks.foreach { k =>
+          val w = Window.partitionBy(col("q_id"))
+            .orderBy(col(s"d$k").desc, col("n_id"))
+          pairs = pairs.withColumn(s"rn$k", row_number().over(w))
+        }
+        val marked = pairs.select(
+          (Seq(col("q_id")) ++
+            ks.map(k => (col(s"rn$k") <= 5).as(s"in$k")) ++
+            ks.map(k => (col(s"rn$k") === 1).as(s"r1_$k"))): _*)
+        val aggCols = ks.flatMap { k =>
+          Seq(
+            sum(when(col(s"in$k") && col("in64"), 1L).otherwise(0L))
+              .as(s"ov_$k"),
+            sum(when(col(s"r1_$k") && col("r1_64"), 1L).otherwise(0L))
+              .as(s"r1m_$k"))
+        } :+ countDistinct(col("q_id")).as("n_queries")
+        // checkpointed 1-row frame: the 4-row reshape references it
+        // once per width (the s24/g19 multi-ref lesson)
+        val one = marked.agg(aggCols.head, aggCols.tail: _*)
+          .localCheckpoint()
+        ks.map { k =>
+          one.select(lit(k.toLong).as("k_dims"), col("n_queries"),
+            col(s"ov_$k").as("overlap_at5"),
+            col(s"r1m_$k").as("rank1_match"))
+        }.reduce(_ unionByName _).orderBy("k_dims")
+      },
+      Some {
+        val dots = ks.map(k =>
+          s"list_dot_product(a.u[1:$k], b.u[1:$k]) AS d$k").mkString(", ")
+        val rns = ks.map(k =>
+          s"""CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY d$k DESC, n_id) AS BIGINT) AS rn$k""").mkString(", ")
+        val aggs = ks.map(k =>
+          s"""CAST(sum(CASE WHEN rn$k <= 5 AND rn64 <= 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS ov_$k,
+              CAST(sum(CASE WHEN rn$k = 1 AND rn64 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS r1m_$k""").mkString(",\n")
+        val rows = ks.map(k =>
+          s"""SELECT CAST($k AS BIGINT) AS k_dims, n_queries,
+                ov_$k AS overlap_at5, r1m_$k AS rank1_match FROM agg""")
+          .mkString("\nUNION ALL\n")
+        s"""WITH ${Dedup.normalizedSql},
+            p AS (
+              SELECT a.vec_id AS q_id, b.vec_id AS n_id, $dots
+              FROM u a JOIN u b
+                ON a.vec_id < 10 AND b.vec_id != a.vec_id),
+            r AS (SELECT q_id, n_id, $rns FROM p),
+            agg AS MATERIALIZED (
+              SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+                $aggs
+              FROM r)
+            SELECT * FROM ($rows) ORDER BY k_dims"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
       annPqAdc, kmeansLloyd, annRecall, filteredTopK, mmrRerank,
       twoStageRescore, knnClassify, nprobeSweep, hardNegatives, ndcgEval,
-      rocchioFeedback, ivfBalance, pqDistortion, reindexChurn, rangeSearch,
-      farthestFirst, embeddingHealth, anisotropyPanel, quantizationSweep)
+      rocchioFeedback, ivfBalance, rangeSearch,
+      farthestFirst, embeddingHealth, anisotropyPanel, quantizationSweep,
+      matryoshkaSweep, pqDistortion, reindexChurn)
 }

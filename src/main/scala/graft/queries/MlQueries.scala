@@ -2579,6 +2579,55 @@ object MlQueries {
                ${tail("//", "quantile_cont")}"""))
   }
 
+  /** ml31 — Benford first-digit audit (Benford 1938; Nigrini's
+    * forensic-accounting standard — fabricated or unit-capped numeric
+    * columns betray themselves in the leading-digit distribution,
+    * which for multi-magnitude natural data follows log₁₀(1+1/d)):
+    * leading digit of the exact order-total cents vs the Benford
+    * expectation, per digit observed/expected ppm and the absolute
+    * deviation (the per-digit terms of Nigrini's MAD statistic).
+    *
+    * Determinism: digits from the decimal string of an exact BIGINT;
+    * the expectation column is the SAME nine rounded literals rendered
+    * into both engines (they sum to exactly 10⁶); ratios integer DIV.
+    * Scale shape: one scan to the 9-cell digit census — map-side,
+    * bounded, the ml20 domain-frame idiom (digit frame LEFT JOIN
+    * census keeps never-observed digits). */
+  val benfordAudit: QueryDef = {
+    val exp = Seq(1 -> 301030, 2 -> 176091, 3 -> 124939, 4 -> 96910,
+      5 -> 79181, 6 -> 66947, 7 -> 57992, 8 -> 51153, 9 -> 45757)
+    def sql(str: String, div: String): String =
+      s"""WITH m AS (
+            SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+              AS BIGINT) AS $str), 1, 1) AS BIGINT) AS d
+            FROM orders),
+          c AS (
+            SELECT d, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+          e AS (
+            SELECT * FROM (VALUES
+              ${exp.map { case (d, p) =>
+                s"(CAST($d AS BIGINT), CAST($p AS BIGINT))" }
+                .mkString(", ")})
+              AS v(d, exp_ppm))
+          SELECT e.d AS digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+            (1000000 * CAST(coalesce(c.n, 0) AS BIGINT)) $div nt
+              AS obs_ppm,
+            e.exp_ppm,
+            abs((1000000 * CAST(coalesce(c.n, 0) AS BIGINT)) $div nt
+              - e.exp_ppm) AS dev_ppm
+          FROM e LEFT JOIN c ON c.d = e.d CROSS JOIN t
+          ORDER BY e.d"""
+    QueryDef(
+      "ml31_benford_audit",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("g_ml31_orders")
+        s.sql(sql("STRING", "DIV")
+          .replace("FROM orders", "FROM g_ml31_orders"))
+      },
+      Some(sql("VARCHAR", "//")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
@@ -2586,5 +2635,5 @@ object MlQueries {
       woeIv, ksTest, tostEquivalence, ridgePath, pca2d, mannWhitney,
       chiSquare, logitNewton, permutationTest, groupedOls,
       groupedLogitNewton, liftGains, kendallTau, spearmanRho, sesForecast,
-      madAnomaly, cusumDrift)
+      madAnomaly, cusumDrift, benfordAudit)
 }

@@ -883,6 +883,95 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(mses == mses.sorted.reverse && mses.distinct == mses)
   }
 
+  test("x59: consistent-hash assignment matches a Scala ring replay " +
+    "and obeys the churn law") {
+    def md5hex(s0: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(x: String): Long =
+      md5hex(x).substring(1, 16).foldLeft(0L)((a, c) =>
+        a * 16 + Character.digit(c, 16))
+    def ring(nodes: Int): Seq[(Long, Long)] =
+      for (n <- 0L until nodes.toLong; v <- 0L until 64L)
+        yield (h60(s"ring:$n:$v"), n)
+    def assign(r: Seq[(Long, Long)], p: Long): Long = {
+      val cand = r.filter(_._1 >= p)
+      val key = (if (cand.nonEmpty) cand else r)
+        .map { case (pos, n) => pos * 8 + n }.min
+      key % 8
+    }
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val r4 = ring(4); val r5 = ring(5)
+    val moves = ids.map { id =>
+      val p = h60(id.toString)
+      (assign(r4, p), assign(r5, p))
+    }
+    val want = moves.groupBy(_._2).toSeq.map { case (n, v) =>
+      (n, v.length.toLong, v.count(t => t._1 != t._2).toLong)
+    }.sortBy(_._1)
+    val got = Curation.consistentHashRing.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // Karger churn law: every moved doc lands ON the new node — old
+    // nodes never exchange keys among themselves
+    moves.filter(t => t._1 != t._2).foreach { case (_, after) =>
+      assert(after == 4L) }
+  }
+
+  test("ml31: Benford digit census matches a Scala replay") {
+    val cents = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT)").collect()
+      .map(_.getLong(0))
+    val digs = cents.map(_.toString.head.asDigit.toLong)
+    val nt = digs.length.toLong
+    val exp = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+    val got = MlQueries.benfordAudit.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got.keySet == (1L to 9L).toSet) // domain frame keeps all 9
+    (1 to 9).foreach { d =>
+      val n = digs.count(_ == d.toLong).toLong
+      val obs = 1000000L * n / nt
+      assert(got(d.toLong) ==
+        ((n, obs, exp(d), math.abs(obs - exp(d)))), s"digit $d")
+    }
+    assert(exp.values.sum == 1000000L) // the literals partition 1e6
+  }
+
+  test("s25: Matryoshka sweep matches a Scala prefix-dot replay") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def unit(v: Array[Double]): Array[Double] = {
+      var acc = 0.0; v.foreach(x => acc += x * x)
+      val n = math.sqrt(acc); v.map(_ / n)
+    }
+    val us = vecs.map { case (id, v) => id -> unit(v) }.toMap
+    def dot(a: Array[Double], b: Array[Double], k: Int): Double = {
+      var acc = 0.0
+      var i = 0; while (i < k) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val queries = us.keys.filter(_ < 10).toSeq.sorted
+    def top5(q: Long, k: Int): Seq[Long] =
+      us.keys.filter(_ != q).toSeq
+        .map(n => (n, dot(us(q), us(n), k)))
+        .sortBy { case (n, d0) => (-d0, n) }.take(5).map(_._1)
+    val got = Similarity.matryoshkaSweep.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    Seq(8, 16, 32, 64).foreach { k =>
+      val ov = queries.map(q =>
+        top5(q, k).toSet.intersect(top5(q, 64).toSet).size.toLong).sum
+      val r1 = queries.count(q => top5(q, k).head == top5(q, 64).head).toLong
+      assert(got(k.toLong) == ((queries.length.toLong, ov, r1)), s"k=$k")
+    }
+    // full width agrees with itself perfectly; quality monotone data-wise
+    assert(got(64L)._2 == 5L * queries.length && got(64L)._3 ==
+      queries.length.toLong)
+  }
+
   test("q59: per-user gap stats match a Scala recompute") {
     val ev = graft.core.Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS us").collect()

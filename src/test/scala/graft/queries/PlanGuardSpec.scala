@@ -101,7 +101,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "s23_anisotropy_panel" -> "fixed 100-vector panel self-join (4950 pairs, corpus-independent by construction — the s01 bounded-panel idiom)",
     "x57_epoch_repeat_plan" -> "1-row budget-totals crossJoin + the fixed 16-term epoch generator onto the <=|sources| frame (e05's idiom)",
     "x58_compaction_plan" -> "1-row chars-total crossJoin onto the 16-row shard census (e05's idiom)",
-    "e14_bloom_fpr_sweep" -> "1-row census scalars (bits_set/n_fp/n_keys/n_present) crossJoined per sweep size, plus the 200x3 probe-bit generator (e05's idiom; the membership join itself is equi on the bit key)")
+    "e14_bloom_fpr_sweep" -> "1-row census scalars (bits_set/n_fp/n_keys/n_present) crossJoined per sweep size, plus the 200x3 probe-bit generator (e05's idiom; the membership join itself is equi on the bit key)",
+    "ml31_benford_audit" -> "9-row digit domain frame LEFT-joined to the census + 1-row total crossJoin (ml20's domain-frame idiom)",
+    "x59_consistent_hash_ring" -> "bounded 256/320-point ring broadcast crossJoined onto the doc scan — the ring IS the whole index (Karger's scheme); per-doc work is one min fold over the broadcast")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
