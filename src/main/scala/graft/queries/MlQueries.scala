@@ -2628,6 +2628,73 @@ object MlQueries {
       Some(sql("VARCHAR", "//")))
   }
 
+  /** ml32 — Wald–Wolfowitz runs test on the daily volume series (Wald
+    * & Wolfowitz 1940; the randomness check behind residual-autocorr
+    * screens: too FEW runs of above/below-median days means trend or
+    * weekly seasonality, too MANY means oscillation — a property
+    * neither ml29's pointwise rule nor ml30's one-sided drift sees):
+    * per type, the above/below-median sign sequence (median-ties
+    * excluded, the standard convention), the exact run count via the
+    * lag-compare idiom, and the |R−μ| > 2σ verdict as ONE exact
+    * integer cross-multiplied inequality — A²(n−1) > 8·n₁n₂(2n₁n₂−n)
+    * with A = n(R−1) − 2n₁n₂ (all terms bounded by the day census,
+    * never floats).
+    *
+    * Determinism: the ×2 median snap (q59), integer runs, integer
+    * verdict. Scale shape: one corpus scan to the bounded census;
+    * signs/runs/moments on ≤|days| rows per type (the ml28-ml30
+    * monitoring family's fourth member). */
+  val runsTest: QueryDef = {
+    def tail(div: String, perc: String): String =
+      s"""med AS (
+            SELECT event_type,
+              CAST(round($perc(y, 0.5) * 2) AS BIGINT) AS med2
+            FROM cens GROUP BY 1),
+          sg AS (
+            SELECT c.event_type, c.day,
+              CASE WHEN 2 * c.y > m.med2 THEN 1 ELSE 0 END AS s
+            FROM cens c JOIN med m ON c.event_type = m.event_type
+            WHERE 2 * c.y != m.med2),
+          fl AS (
+            SELECT event_type, s,
+              CASE WHEN lag(s, 1) OVER (PARTITION BY event_type
+                ORDER BY day) IS DISTINCT FROM s THEN 1 ELSE 0 END
+                AS flip
+            FROM sg),
+          agg AS (
+            SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(s) AS BIGINT) AS n1,
+              CAST(count(*) - sum(s) AS BIGINT) AS n2,
+              CAST(sum(flip) AS BIGINT) AS r
+            FROM fl GROUP BY 1)
+          SELECT event_type, n, n1, n2, r AS n_runs,
+            n * (r - 1) - 2 * n1 * n2 AS a_num_xn,
+            CASE WHEN (n * (r - 1) - 2 * n1 * n2)
+                * (n * (r - 1) - 2 * n1 * n2) * (n - 1)
+              > 8 * n1 * n2 * (2 * n1 * n2 - n)
+              THEN 'nonrandom' ELSE 'random' END AS verdict
+          FROM agg ORDER BY event_type"""
+    def censSql(epochUs: String, div: String): String =
+      s"""SELECT event_type, $epochUs(ts) $div 86400000000 AS day,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2"""
+    QueryDef(
+      "ml32_runs_test",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("g_ml32_events")
+        s.sql(censSql("unix_micros", "DIV")
+            .replace("FROM events", "FROM g_ml32_events"))
+          .localCheckpoint()
+          .createOrReplaceTempView("g_ml32_cens")
+        s.sql(("WITH " + tail("DIV", "percentile"))
+          .replace("FROM cens", "FROM g_ml32_cens"))
+      },
+      Some(s"""WITH cens AS MATERIALIZED (
+                 ${censSql("epoch_us", "//")}),
+               ${tail("//", "quantile_cont")}"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
@@ -2635,5 +2702,5 @@ object MlQueries {
       woeIv, ksTest, tostEquivalence, ridgePath, pca2d, mannWhitney,
       chiSquare, logitNewton, permutationTest, groupedOls,
       groupedLogitNewton, liftGains, kendallTau, spearmanRho, sesForecast,
-      madAnomaly, cusumDrift, benfordAudit)
+      madAnomaly, cusumDrift, benfordAudit, runsTest)
 }

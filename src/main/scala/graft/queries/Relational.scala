@@ -2413,10 +2413,42 @@ object Relational {
       Some(sql("epoch_us", "//")))
   }
 
+  /** Q65 — BAG-semantics set operations (SQL's INTERSECT ALL / EXCEPT
+    * ALL — multiset min/difference of multiplicities, ISO 9075 §7.13;
+    * q16 covers only the DISTINCT forms, and the two families differ
+    * exactly when duplicates carry meaning, e.g. per-order nation
+    * memberships): nation-key multisets of customers vs suppliers,
+    * with both bag ops' cardinalities AND the multiplicity-law check
+    * column |A ∩all B| + |A \\all B| = |A| built into the output.
+    *
+    * Determinism: pure counts. Scale shape: Spark plans intersectAll/
+    * exceptAll as per-key multiplicity aggregation + a join on the
+    * key — one shuffle each, never row-pairing. */
+  val q65 = QueryDef(
+    "q65_bag_setops",
+    (s, d) => {
+      val c = cst(s, d).select(col("c_nationkey").as("k"))
+      val sp = Tables.supplier(s, d).select(col("s_nationkey").as("k"))
+      def n(df: DataFrame, op: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      n(c.intersectAll(sp), "intersect_all")
+        .unionAll(n(c.exceptAll(sp), "except_all"))
+        .unionAll(n(c, "left_bag"))
+        .orderBy("op")
+    },
+    Some("""SELECT 'except_all' AS op, count(*) AS n FROM
+              (SELECT c_nationkey AS k FROM customer
+               EXCEPT ALL SELECT s_nationkey FROM supplier)
+            UNION ALL SELECT 'intersect_all', count(*) FROM
+              (SELECT c_nationkey FROM customer
+               INTERSECT ALL SELECT s_nationkey FROM supplier)
+            UNION ALL SELECT 'left_bag', count(*) FROM customer
+            ORDER BY op"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q12b,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
-    q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
+    q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
 }

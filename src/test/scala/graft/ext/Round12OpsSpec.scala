@@ -972,6 +972,63 @@ class Round12OpsSpec extends AnyFunSuite {
       queries.length.toLong)
   }
 
+  test("q65: bag set-op cardinalities match a multiset Scala replay") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_nationkey").collect()
+      .map(_.getAs[Number](0).longValue)
+    val sp = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_nationkey").collect()
+      .map(_.getAs[Number](0).longValue)
+    def bag(xs: Seq[Long]) = xs.groupBy(identity).map {
+      case (k, v) => k -> v.size }
+    val (bc, bs) = (bag(c), bag(sp))
+    val inter = bc.map { case (k, n) =>
+      math.min(n, bs.getOrElse(k, 0)) }.sum.toLong
+    val exc = bc.map { case (k, n) =>
+      math.max(n - bs.getOrElse(k, 0), 0) }.sum.toLong
+    val got = graft.queries.Relational.q65.build(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("intersect_all" -> inter, "except_all" -> exc,
+      "left_bag" -> c.length.toLong))
+    // the multiplicity law the op's output column encodes
+    assert(inter + exc == c.length.toLong)
+    // bag >= distinct always; at sf0.001 the supplier side carries one
+    // row per nation so they coincide — the sf0.01 oracle rows (75 vs
+    // 25 nations) exercise the strict gap
+    assert(inter >= bc.keySet.intersect(bs.keySet).size.toLong)
+  }
+
+  test("ml32: runs test matches a Scala sign-sequence replay") {
+    val dayUs = 86400000000L
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getString(0), r.getLong(1) / dayUs))
+    def medX2(xs: Seq[Long]): Long = {
+      val s0 = xs.sorted; val n = s0.length
+      if (n % 2 == 1) 2 * s0(n / 2) else s0(n / 2 - 1) + s0(n / 2)
+    }
+    val got = MlQueries.runsTest.build(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    ev.groupBy(_._1).foreach { case (t, v) =>
+      val ys = v.groupBy(_._2).toSeq.sortBy(_._1).map(_._2.length.toLong)
+      val m2 = medX2(ys)
+      val signs = ys.filter(y => 2 * y != m2).map(y => 2 * y > m2)
+      val n = signs.length.toLong
+      val n1 = signs.count(identity).toLong; val n2 = n - n1
+      val runs = if (signs.isEmpty) 0L
+        else 1L + signs.zip(signs.drop(1)).count(p => p._1 != p._2)
+      val a = n * (runs - 1) - 2 * n1 * n2
+      val nonrandom = a * a * (n - 1) > 8 * n1 * n2 * (2 * n1 * n2 - n)
+      val r = got(t)
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("n1") == n1 &&
+        r.getAs[Long]("n2") == n2, s"type $t counts")
+      assert(r.getAs[Long]("n_runs") == runs, s"type $t runs")
+      assert(r.getAs[Long]("a_num_xn") == a)
+      assert(r.getAs[String]("verdict") ==
+        (if (nonrandom) "nonrandom" else "random"), s"type $t verdict")
+    }
+  }
+
   test("q59: per-user gap stats match a Scala recompute") {
     val ev = graft.core.Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS us").collect()

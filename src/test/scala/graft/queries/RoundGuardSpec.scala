@@ -74,7 +74,12 @@ class RoundGuardSpec extends AnyFunSuite {
     "ml30_cusum_drift" -> Seq(
       ("round(quantile_cont(",
         "sanctioned ×2 snap: CUSUM target is the median of INTEGER " +
-          "daily counts (ml29's recipe)")))
+          "daily counts (ml29's recipe)")),
+    "ml32_runs_test" -> Seq(
+      ("round(quantile_cont(",
+        "sanctioned ×2 snap: the runs-test split point is the median " +
+          "of INTEGER daily counts (ml29's recipe); sign comparison " +
+          "2y vs med2 is exact")))
 
   private def findings(name: String, sql: String): Seq[String] = {
     val hits =
