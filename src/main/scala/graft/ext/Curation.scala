@@ -3506,7 +3506,7 @@ object Curation {
           .orderBy("policy")
       },
       Some(s"""WITH RECURSIVE ${Dedup.ngramPairSql(Dedup.ngramTheta)},
-               edges AS (
+               edges AS MATERIALIZED (
                  SELECT a_id AS src, b_id AS dst FROM pairs
                  UNION
                  SELECT b_id AS src, a_id AS dst FROM pairs),
@@ -3516,10 +3516,10 @@ object Curation {
                  SELECT e.src, reach.r FROM edges e
                  JOIN reach ON reach.id = e.dst),
                labels AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
-               docs AS (
+               docs AS MATERIALIZED (
                  SELECT d.doc_id, coalesce(l.component, d.doc_id) AS comp
                  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
-               pol AS (
+               pol AS MATERIALIZED (
                  SELECT comp, 'naive' AS policy,
                    doc_id % $nShards AS shard FROM docs
                  UNION ALL
@@ -3712,7 +3712,7 @@ object Curation {
         val byQ = Window.orderBy(col("quality_e4").desc, col("lang"),
           col("source"))
         cells
-          .withColumn("rk", row_number().over(byQ))
+          .withColumn("rk", row_number().over(byQ).cast("long"))
           .withColumn("cum_before",
             coalesce(sum(col("n_chars")).over(
               byQ.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -3746,8 +3746,8 @@ object Curation {
                  CAST(cum_before AS BIGINT) AS cum_before,
                  CAST(least(n_chars, $budget - cum_before) AS BIGINT)
                    AS chars_taken,
-                 (1000000 * least(n_chars, $budget - cum_before))
-                   // n_chars AS take_ppm
+                 CAST((1000000 * least(n_chars, $budget - cum_before))
+                   // n_chars AS BIGINT) AS take_ppm
                FROM r WHERE cum_before < $budget
                ORDER BY rk"""))
   }

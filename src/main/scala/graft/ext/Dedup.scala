@@ -351,19 +351,27 @@ object Dedup {
 
   /** Shared DuckDB CTE chain producing near-dup `pairs(a_id, b_id,
     * jaccard)` under word-3-gram Jaccard ≥ theta — the SQL mirror of
-    * [[ngramJaccard]]'s plan, reused by the d07 oracle. */
+    * [[ngramJaccard]]'s plan, reused by the d07 oracle.
+    *
+    * The heavy CTEs carry AS MATERIALIZED (the g19/g20 recipe, r13 ask
+    * #5): `sh` is referenced THREE times (sizes + both join sides) and
+    * `pairs` twice by every recursive consumer — DuckDB inlines
+    * multi-ref CTEs, re-running the shingle explode per reference,
+    * which is what pushed x53's sf1.0 mirror past the probe timeout
+    * (9× faster at sf0.1 materialized, byte-identical results). */
   def ngramPairSql(theta: Double): String =
     s"""toks AS (
           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        sh AS (
+        sh AS MATERIALIZED (
           SELECT DISTINCT doc_id, array_to_string(t[i + 1:i + 3], ' ') AS sh
           FROM toks, unnest(range(0, greatest(len(t) - 2, 1))) AS u(i)),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        inter AS (
+        sizes AS MATERIALIZED (
+          SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS MATERIALIZED (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
-        pairs AS (
+        pairs AS MATERIALIZED (
           SELECT a_id, b_id,
             CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
           FROM inter

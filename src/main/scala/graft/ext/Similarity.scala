@@ -2110,11 +2110,119 @@ object Similarity {
       })
   }
 
+  /** s26 — hybrid retrieval via reciprocal-rank fusion of the sparse
+    * BM25 leg (t42) and the dense int8 leg (s05's exact integer
+    * ranking), the standard hybrid baseline (Cormack, Clarke &
+    * Büttcher SIGIR 2009: RRF(d) = Σ_lists 1/(k₀ + rank), k₀ = 60)
+    * every production retrieval stack ships before anything learned.
+    * Both legs run known-item style over the same bounded panel
+    * (q_id < 10, doc_id ≡ vec_id in TESTDATA), self included, top-20
+    * per leg; rrf_e6 integerizes each reciprocal as 10⁶ DIV (60 + r)
+    * — exact truncating integer arithmetic, so the fused ranking,
+    * scores, AND the rank-flip column all hash-check (the s11
+    * discipline).
+    *
+    * Scale shape: each leg is its proven bounded-panel lineage (t07's
+    * term equi-join; s05's broadcast-panel corpus scan), the fusion is
+    * a full-outer equi-join of two ≤ panel×20 rank frames — constant
+    * size regardless of corpus scale. */
+  val rrfFusion: QueryDef = {
+    val k0 = 60; val listK = 20; val outK = 10
+    val quantExpr = "transform(%s, x -> CAST(round(x * 127) AS BIGINT))"
+    val dotExpr =
+      """aggregate(zip_with(q_q, n_q, (x, y) -> x * y),
+         CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
+    QueryDef(
+      "s26_rrf_fusion",
+      (s, d) => {
+        val q = Dedup.normalized(s, d, "q_id", "q_u")
+          .filter(col("q_id") < 10)
+          .select(col("q_id"), expr(quantExpr.format("q_u")).as("q_q"))
+        val c = Dedup.normalized(s, d, "n_id", "n_u")
+          .select(col("n_id"), expr(quantExpr.format("n_u")).as("n_q"))
+        val wd = Window.partitionBy(col("q_id"))
+          .orderBy(col("q_dot").desc, col("n_id"))
+        val dense = broadcast(q).crossJoin(c)
+          .withColumn("q_dot", expr(dotExpr))
+          .withColumn("d_rnk", row_number().over(wd).cast("long"))
+          .filter(col("d_rnk") <= listK)
+          .select("q_id", "n_id", "d_rnk")
+        val wb = Window.partitionBy(col("q_id"))
+          .orderBy(col("bm25_e6").desc, col("n_id"))
+        val sparse = TextAnalysis.bm25Frame(s, d)
+          .withColumn("b_rnk", row_number().over(wb).cast("long"))
+          .filter(col("b_rnk") <= listK)
+          .select("q_id", "n_id", "b_rnk")
+        val wf = Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf_e6").desc, col("n_id"))
+        dense.join(sparse, Seq("q_id", "n_id"), "full_outer")
+          .withColumn("rrf_e6", expr(
+            s"""coalesce(1000000 DIV ($k0 + d_rnk), CAST(0 AS BIGINT))
+                + coalesce(1000000 DIV ($k0 + b_rnk), CAST(0 AS BIGINT))"""))
+          .withColumn("fused_rnk", row_number().over(wf).cast("long"))
+          .filter(col("fused_rnk") <= outK)
+          .withColumn("dense_rnk", coalesce(col("d_rnk"), lit(0L)))
+          .withColumn("bm25_rnk", coalesce(col("b_rnk"), lit(0L)))
+          .withColumn("flipped",
+            (col("dense_rnk") =!= col("fused_rnk")).cast("long"))
+          .select("q_id", "n_id", "fused_rnk", "rrf_e6",
+            "dense_rnk", "bm25_rnk", "flipped")
+          .orderBy("q_id", "fused_rnk")
+      },
+      Some(s"""WITH ${Dedup.normalizedSql},
+               ${TextAnalysis.bm25CtesSql},
+               qv AS (
+                 SELECT vec_id,
+                   list_transform(u, x -> CAST(round(x * 127) AS BIGINT))
+                     AS qv
+                 FROM u),
+               dp AS (
+                 SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, len(a.qv) + 1),
+                       i -> a.qv[i] * b.qv[i])),
+                     (x, y) -> x + y) AS q_dot
+                 FROM qv a JOIN qv b ON a.vec_id < 10),
+               dense AS (
+                 SELECT q_id, n_id, d_rnk FROM (
+                   SELECT q_id, n_id,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY q_dot DESC, n_id) AS BIGINT) AS d_rnk
+                   FROM dp)
+                 WHERE d_rnk <= $listK),
+               sparse AS (
+                 SELECT q_id, n_id, b_rnk FROM (
+                   SELECT q_id, n_id,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY bm25_e6 DESC, n_id) AS BIGINT) AS b_rnk
+                   FROM bm)
+                 WHERE b_rnk <= $listK),
+               f AS (
+                 SELECT q_id, n_id,
+                   coalesce(1000000 // ($k0 + d_rnk), 0)
+                     + coalesce(1000000 // ($k0 + b_rnk), 0) AS rrf_e6,
+                   coalesce(d_rnk, 0) AS dense_rnk,
+                   coalesce(b_rnk, 0) AS bm25_rnk
+                 FROM dense FULL JOIN sparse USING (q_id, n_id)),
+               g AS (
+                 SELECT q_id, n_id, rrf_e6, dense_rnk, bm25_rnk,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY rrf_e6 DESC, n_id) AS BIGINT) AS fused_rnk
+                 FROM f)
+               SELECT q_id, n_id, fused_rnk,
+                 CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+                 CAST(dense_rnk AS BIGINT) AS dense_rnk,
+                 CAST(bm25_rnk AS BIGINT) AS bm25_rnk,
+                 CAST(dense_rnk <> fused_rnk AS BIGINT) AS flipped
+               FROM g WHERE fused_rnk <= $outK
+               ORDER BY q_id, fused_rnk"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfPinned, annHyperplane, annInt8,
       annPqAdc, kmeansLloyd, annRecall, filteredTopK, mmrRerank,
       twoStageRescore, knnClassify, nprobeSweep, hardNegatives, ndcgEval,
       rocchioFeedback, ivfBalance, rangeSearch,
       farthestFirst, embeddingHealth, anisotropyPanel, quantizationSweep,
-      matryoshkaSweep, pqDistortion, reindexChurn)
+      matryoshkaSweep, pqDistortion, reindexChurn, rrfFusion)
 }

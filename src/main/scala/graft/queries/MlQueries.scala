@@ -2428,8 +2428,14 @@ object MlQueries {
       s"""SELECT event_type, $epochUs(ts) $div 86400000000 AS day,
             CAST(count(*) AS BIGINT) AS y
           FROM events GROUP BY 1, 2"""
-    def pow2Spark = "shiftleft(CAST(1 AS BIGINT), CAST(t.rn - p.rn AS INT))"
-    def pow2Duck = "(CAST(1 AS BIGINT) << CAST(t.rn - p.rn AS INTEGER))"
+    // Exponent clamped at 62: Spark's shiftleft wraps shift counts mod
+    // 64 while DuckDB's << overflows to 0 — for gaps >= ~40 the dyadic
+    // term truncates to 0 anyway, so the clamp preserves exactness while
+    // keeping both engines agreeing on series longer than 64 days.
+    def pow2Spark =
+      "shiftleft(CAST(1 AS BIGINT), least(CAST(t.rn - p.rn AS INT), 62))"
+    def pow2Duck =
+      "(CAST(1 AS BIGINT) << least(CAST(t.rn - p.rn AS INTEGER), 62))"
     QueryDef(
       "ml28_ses_forecast",
       (s, d) => {

@@ -2356,9 +2356,12 @@ object Relational {
           SELECT user_id,
             CAST(count(*) AS BIGINT) AS n_intervals,
             CAST(sum(dur) AS BIGINT) AS span_us,
-            CAST(CAST(sum(CAST(c AS $w128) * dur) AS $w128)
-              $div CAST(sum(dur) AS $w128) AS BIGINT) AS twap_cents,
-            CAST(sum(c) AS BIGINT) $div count(*) AS mean_cents
+            CAST(${graft.core.Fixed.sdiv(
+               s"CAST(sum(CAST(c AS $w128) * dur) AS $w128)",
+               s"CAST(sum(dur) AS $w128)", div)} AS BIGINT) AS twap_cents,
+            CAST(${graft.core.Fixed.sdiv(
+               "CAST(sum(c) AS BIGINT)", "count(*)", div)}
+              AS BIGINT) AS mean_cents
           FROM w WHERE dur IS NOT NULL
           GROUP BY user_id ORDER BY user_id"""
     QueryDef(

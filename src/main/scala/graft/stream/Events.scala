@@ -1445,8 +1445,17 @@ object Events {
         rows: Iterator[(Long, String, Long)],
         timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
       var (v, c, p) = if (st.exists()) st.get() else (Unset, Unset, Unset)
-      // per-key micro-batch slice sorted for in-batch disorder
-      rows.toArray.sortBy(_._3).foreach { case (_, t, us) =>
+      // per-key micro-batch slice sorted for in-batch disorder; ties on
+      // the same microsecond break in funnel order (view < click <
+      // purchase) so a click sharing its view's exact timestamp still
+      // advances the automaton — matching the batch twin's `us >= v_us`
+      // window semantics.
+      def stepRank(t: String): Int = t match {
+        case "view" => 0; case "click" => 1; case "purchase" => 2
+        case _ => 3
+      }
+      rows.toArray.sortBy(r => (r._3, stepRank(r._2))).foreach {
+        case (_, t, us) =>
         t match {
           case "view" if v == Unset => v = us
           case "click" if v != Unset && c == Unset && us >= v => c = us
@@ -1515,11 +1524,103 @@ object Events {
       Some(sql("epoch_us")))
   }
 
+  /** st25 — per-user recent-path buffer via transformWithState
+    * LIST STATE (the last v2 state type the engine didn't exercise:
+    * st12b/st23 cover ValueState + timers/TTL, st13b MapState, st24 the
+    * ValueState automaton — ListState is the bounded-buffer primitive
+    * behind every "recent activity" feed / session n-gram tracker):
+    * per user, keep the last 3 (us, event_id, type) entries — clear +
+    * re-put of the trimmed buffer, the documented bounded-window
+    * ListState idiom — plus a ValueState event counter, and emit the
+    * user's current path (types joined oldest→newest) per touched user
+    * per micro-batch.
+    *
+    * State bound: ≤ 3 tuples + 1 long per user — bounded by USERS,
+    * never by events (the STATE_SIZE.json discipline). In-batch slices
+    * sort by (us, event_id) — the total order the batch twin uses, so
+    * the final snapshot is a pure function of the event set under
+    * in-order delivery (st24's contract). */
+  class PathBufferProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long, Long), (Long, Long, String, Long)] {
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var buf: ListState[(Long, Long, String)] = _
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Long, String)](
+        "recent",
+        org.apache.spark.sql.Encoders.product[(Long, Long, String)],
+        TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("n_events",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, String, Long)] = {
+      val slice = rows.toArray.sortBy(r => (r._3, r._4))
+      var cur = buf.get().toArray
+      slice.foreach { case (_, t, us, eid) =>
+        cur = (cur :+ ((us, eid, t))).takeRight(3)
+      }
+      buf.clear()
+      if (cur.nonEmpty) buf.put(cur)
+      val n = (if (cnt.exists()) cnt.get() else 0L) + slice.length
+      cnt.update(n)
+      val path = cur.map(_._3).mkString(">")
+      val lastUs = if (cur.isEmpty) Long.MinValue else cur.last._1
+      Iterator.single((key, n, path, lastUs))
+    }
+  }
+
+  /** st25 stream driver: recent-path snapshots in update mode. */
+  def pathBufferStream(events: Dataset[(Long, String, Long, Long)])
+      : Dataset[(Long, Long, String, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new PathBufferProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** st25 batch twin — each user's event count and last-3 event-type
+    * path over the total (us, event_id) order: oracle-exact;
+    * StreamingSpec proves the ListState buffer's final snapshot equals
+    * this frame under in-order MemoryStream delivery. */
+  val pathBufferQ: QueryDef = {
+    def sql(epochUs: String, agg: String): String =
+      s"""WITH e AS (
+            SELECT user_id, event_type, $epochUs(ts) AS us, event_id
+            FROM events),
+          r AS (
+            SELECT user_id, event_type, us, event_id,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY us DESC, event_id DESC) AS rn,
+              count(*) OVER (PARTITION BY user_id) AS n_events
+            FROM e)
+          SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+            $agg AS last3_path,
+            CAST(max(us) AS BIGINT) AS last_us
+          FROM r WHERE rn <= 3
+          GROUP BY user_id, n_events ORDER BY user_id"""
+    QueryDef(
+      "st25_path_buffer",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("g_st25_events")
+        s.sql(sql("unix_micros",
+          """array_join(transform(
+               array_sort(collect_list(struct(us, event_id, event_type))),
+               x -> x.event_type), '>')""")
+          .replace("FROM events", "FROM g_st25_events"))
+      },
+      Some(sql("epoch_us",
+        "string_agg(event_type, '>' ORDER BY us, event_id)")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
       streamLeftJoinQ, dedupBatchQ, enrichQ, windowSketchQ, funnelQ,
       retentionQ, topTypesQ, streamFullJoinQ, runningMaxBatchQ,
       typeCountsBatchQ, windowAnomalyQ, streamSemiJoinQ, windowRollupQ,
       dedupWithinWatermarkQ, sessionDynamicQ, cepAlarmQ, blockGateQ,
-      sessionTimerQ, funnelStateQ)
+      sessionTimerQ, funnelStateQ, pathBufferQ)
 }

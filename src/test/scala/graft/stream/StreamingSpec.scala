@@ -905,6 +905,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState ListState: last-3 path buffer final snapshot " +
+    "equals the batch twin across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // user 1 sees 4 events across two batches (buffer must TRIM to the
+      // last 3 — ListState clear+re-put actually exercised); user 2 has
+      // an in-batch tie on us broken by event_id; user 3 one event only
+      val in = MemoryStream[(Long, String, Long, Long)]
+      val q = Events.pathBufferStream(in.toDS())
+        .toDF("user_id", "n_events", "last3_path", "last_us")
+        .writeStream.format("memory").queryName("tws_list_out")
+        .outputMode("update").start()
+      in.addData((1L, "view", 10L, 1L), (1L, "click", 20L, 2L),
+        (2L, "scroll", 5L, 4L), (2L, "view", 5L, 3L))
+      q.processAllAvailable()
+      in.addData((1L, "scroll", 30L, 5L), (1L, "purchase", 40L, 6L),
+        (3L, "view", 7L, 7L))
+      q.processAllAvailable()
+      q.stop()
+      val hist = spark.table("tws_list_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .zipWithIndex
+      val last = hist.groupBy(_._1._1)
+        .map { case (u, v) => u -> v.maxBy(_._2)._1 }
+      // buffer trimmed: view dropped, only the last 3 of user 1 remain
+      assert(last(1L) == ((1L, 4L, "click>scroll>purchase", 40L)),
+        s"user1: ${last(1L)}")
+      // same-us tie breaks by event_id: view (id 3) before scroll (id 4)
+      assert(last(2L) == ((2L, 2L, "view>scroll", 5L)), s"user2: ${last(2L)}")
+      assert(last(3L) == ((3L, 1L, "view", 7L)), s"user3: ${last(3L)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState MapState: per-user event-type histogram across batches") {
     implicit val sc = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
