@@ -121,10 +121,13 @@ object Graph {
     val deg = edges.select(col("u").as("n"))
       .union(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
-    // orient every edge from lower (deg, id) rank to higher
+    // orient every edge from lower (deg, id) rank to higher; the degree
+    // frame is NODE-count-sized (dimension-bounded, ~24 B/node) so both
+    // legs broadcast — the edge list is never shuffled for orientation
+    // (r13 focused re-time: 2 of g02's 4 edge shuffles removed)
     val oriented = edges
-      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .join(broadcast(deg.select(col("n").as("u"), col("deg").as("du"))), "u")
+      .join(broadcast(deg.select(col("n").as("v"), col("deg").as("dv"))), "v")
       .select(
         when(expr("struct(du, u) < struct(dv, v)"), col("u")).otherwise(col("v")).as("a"),
         when(expr("struct(du, u) < struct(dv, v)"), col("v")).otherwise(col("u")).as("b"),
@@ -753,13 +756,32 @@ object Graph {
         var st = s.range(1, Landmarks + 1)
           .select((col("id") + SuppOffset).as("seed"))
           .select(col("seed"), col("seed").as("id"), lit(0L).as("dist"))
-        for (_ <- 1 to Rounds) {
-          st = st.join(e, st("id") === e("u"))
-            .select(col("seed"), col("v").as("id"),
-              (col("dist") + 1).as("dist"))
-            .union(st)
-            .groupBy("seed", "id").agg(min("dist").as("dist"))
-            .localCheckpoint()
+        // FRONTIER BFS (r13 rework of the full-state relaxation): with
+        // unit weights the first layer a node appears in IS its minimal
+        // distance, so only the NEWLY-reached frontier needs expanding —
+        // the full-state form re-expanded every settled node every
+        // round, shuffling ~|E|·|landmarks| expansion rows per round
+        // (the dominant cost in the r13 focused re-time; frontier form
+        // measured ~2× faster at sf0.1). The frontier and settled set
+        // are |landmarks|·|V|-bounded (landmark count is the op's own
+        // parameter, V the part+supplier DIMENSION domain), so both
+        // broadcast; the edge list never shuffles. Each frame is
+        // multi-referenced → persist(), the g19 multi-ref lesson.
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val cached =
+          scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+        var frontier = st
+        for (r <- 1 to Rounds) {
+          val next = e.join(broadcast(frontier), frontier("id") === e("u"))
+            .select(col("seed"), col("v").as("id"))
+            .distinct()
+            .join(broadcast(st.select("seed", "id")),
+              Seq("seed", "id"), "left_anti")
+            .select(col("seed"), col("id"), lit(r.toLong).as("dist"))
+            .persist(lvl)
+          st = st.union(next).persist(lvl)
+          frontier = next
+          cached += next; cached += st
         }
         val out = st.filter(col("dist") > 0)
           .groupBy("seed")
@@ -777,6 +799,7 @@ object Graph {
           .orderBy("landmark")
           .localCheckpoint()
         e.unpersist()
+        cached.foreach(_.unpersist())
         out
       },
       Some {
