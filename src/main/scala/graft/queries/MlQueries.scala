@@ -2701,6 +2701,67 @@ object MlQueries {
                ${tail("//", "quantile_cont")}"""))
   }
 
+  /** ml33 — Theil–Sen robust trend slope over the daily volume series
+    * (Theil 1950 / Sen, JASA 1968 — the median of pairwise slopes: the
+    * robust trend reader that completes the monitoring quad ml28-ml32:
+    * SES forecasts, MAD flags points, CUSUM flags sustained shifts,
+    * the runs test flags oscillation — Theil–Sen states the DIRECTION
+    * with a 29% breakdown point where an OLS slope follows one outlier
+    * day): per event type, all C(n,2) day pairs from the bounded
+    * census, slope_e6 = 10⁶(y₂−y₁)/(x₂−x₁) sign-split exact, the
+    * doubled median via the sanctioned q59 ×2 snap (slopes are
+    * integers — interpolated midpoints exactly .0/.5), and the trend
+    * verdict 2·|med₂| > threshold as pure integer arithmetic.
+    *
+    * Scale shape: one corpus scan to the (type, day) census; the pair
+    * frame is C(|days|, 2)·|types| ≤ ~2 200 rows — ml26's bounded
+    * joint-census discipline, never row-level O(n²). */
+  val theilSen: QueryDef = {
+    def tail(div: String, perc: String): String =
+      s"""p AS (
+            SELECT a.event_type,
+              ${graft.core.Fixed.sdiv(
+                "1000000 * (b.y - a.y)", "b.day - a.day", div)} AS slope_e6
+            FROM cens a JOIN cens b
+              ON a.event_type = b.event_type AND a.day < b.day),
+          m AS (
+            SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(round($perc(slope_e6, 0.5) * 2) AS BIGINT)
+                AS slope2_e6,
+              CAST(min(slope_e6) AS BIGINT) AS min_slope_e6,
+              CAST(max(slope_e6) AS BIGINT) AS max_slope_e6
+            FROM p GROUP BY 1),
+          nn AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+            FROM cens GROUP BY 1)
+          SELECT m.event_type, n_days, n_pairs, slope2_e6,
+            min_slope_e6, max_slope_e6,
+            CAST(CASE WHEN slope2_e6 > 0 THEN 1
+              WHEN slope2_e6 < 0 THEN -1 ELSE 0 END AS BIGINT) AS trend
+          FROM m JOIN nn ON m.event_type = nn.event_type
+          ORDER BY m.event_type"""
+    def censSql(epochUs: String, div: String): String =
+      s"""SELECT event_type, $epochUs(ts) $div 86400000000 AS day,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2"""
+    QueryDef(
+      "ml33_theil_sen",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("g_ml33_events")
+        s.sql(censSql("unix_micros", "DIV")
+            .replace("FROM events", "FROM g_ml33_events"))
+          .localCheckpoint()
+          .createOrReplaceTempView("g_ml33_cens")
+        s.sql(("WITH " + tail("DIV", "percentile"))
+          .replace("FROM cens", "FROM g_ml33_cens")
+          .replace("JOIN cens", "JOIN g_ml33_cens"))
+      },
+      Some(s"""WITH cens AS MATERIALIZED (
+                 ${censSql("epoch_us", "//")}),
+               ${tail("//", "quantile_cont")}"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
@@ -2708,5 +2769,5 @@ object MlQueries {
       woeIv, ksTest, tostEquivalence, ridgePath, pca2d, mannWhitney,
       chiSquare, logitNewton, permutationTest, groupedOls,
       groupedLogitNewton, liftGains, kendallTau, spearmanRho, sesForecast,
-      madAnomaly, cusumDrift, benfordAudit, runsTest)
+      madAnomaly, cusumDrift, benfordAudit, runsTest, theilSen)
 }

@@ -2448,10 +2448,73 @@ object Relational {
             UNION ALL SELECT 'left_bag', count(*) FROM customer
             ORDER BY op"""))
 
+  /** Q66 — CDC MERGE / upsert apply (the Delta MERGE INTO / Iceberg
+    * upsert / Hudi CoW write resolved as a query: given a base
+    * snapshot and a change feed with insert/update/delete ops, the
+    * post-merge state is "latest change per key wins" — the operator
+    * every incremental lakehouse pipeline runs on every commit): base
+    * = customer balances in exact cents; the change feed derives
+    * deterministically from events (key = user_id folded into the
+    * customer domain, 'error' events are deletes, everything else an
+    * upsert to the event's cent value, ordered by the total (us,
+    * event_id) sequence). Output is the bounded per-action census —
+    * kept/updated/deleted(/inserted/noop_delete) with post-merge key
+    * counts and cent sums — the commit-audit frame, not the full table.
+    *
+    * Determinism: cents exact, the change sequence totally ordered,
+    * modulo/row_number/CASE all integer. Scale shape: one change-feed
+    * window shuffle (key-partitioned), one full-outer EQUI join on the
+    * key, one bounded census agg — exactly a MERGE's shuffle plan. */
+  val q66 = {
+    def sql(epochUs: String): String =
+      s"""WITH base AS (
+            SELECT c_custkey AS k,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS val
+            FROM customer),
+          nc AS (
+            SELECT CAST(max(c_custkey) AS BIGINT) AS n_cust FROM customer),
+          ch AS (
+            SELECT user_id % n_cust + 1 AS k,
+              CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+              CAST(round(value * 100) AS BIGINT) AS newval,
+              $epochUs(ts) AS us, event_id
+            FROM events CROSS JOIN nc),
+          last AS (
+            SELECT k, op, newval FROM (
+              SELECT k, op, newval,
+                row_number() OVER (PARTITION BY k
+                  ORDER BY us DESC, event_id DESC) AS rn
+              FROM ch) q WHERE rn = 1),
+          merged AS (
+            SELECT
+              CASE
+                WHEN l.k IS NULL THEN 'kept'
+                WHEN l.op = 'D' AND b.k IS NOT NULL THEN 'deleted'
+                WHEN l.op = 'D' THEN 'noop_delete'
+                WHEN b.k IS NULL THEN 'inserted'
+                ELSE 'updated' END AS action,
+              CASE WHEN l.op = 'U' THEN l.newval ELSE b.val END AS val
+            FROM base b FULL JOIN last l ON b.k = l.k)
+          SELECT action, CAST(count(*) AS BIGINT) AS n_keys,
+            CAST(sum(CASE WHEN action IN ('deleted', 'noop_delete')
+              THEN 0 ELSE val END) AS BIGINT) AS post_sum_cents
+          FROM merged GROUP BY 1 ORDER BY action"""
+    QueryDef(
+      "q66_cdc_merge",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("g_q66_events")
+        cst(s, d).createOrReplaceTempView("g_q66_customer")
+        s.sql(sql("unix_micros")
+          .replace("FROM events", "FROM g_q66_events")
+          .replace("FROM customer", "FROM g_q66_customer"))
+      },
+      Some(sql("epoch_us")))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q12b,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
-    q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
+    q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
 }

@@ -73,6 +73,107 @@ class Round13OpsSpec extends AnyFunSuite {
       s"BM25 divergence: got ${got.take(3).toSeq} vs ${expect.take(3)}")
   }
 
+  test("q66: CDC merge census matches the latest-change-wins replay") {
+    val nCust = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("max(c_custkey)").collect()(0).getLong(0)
+    val base = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "CAST(round(c_acctbal * 100) AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ch = graft.core.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+        "unix_micros(ts) AS us", "event_id")
+      .collect()
+      .map(r => (r.getLong(0) % nCust + 1,
+        if (r.getString(1) == "error") "D" else "U",
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val last = ch.groupBy(_._1).map { case (k, v) =>
+      val w = v.maxBy(t => (t._4, t._5)); k -> (w._2, w._3)
+    }
+    val actions = (base.keySet ++ last.keySet).toSeq.map { k =>
+      (base.contains(k), last.get(k)) match {
+        case (true, None) => ("kept", base(k))
+        case (true, Some(("D", _))) => ("deleted", 0L)
+        case (false, Some(("D", _))) => ("noop_delete", 0L)
+        case (false, Some(("U", v))) => ("inserted", v)
+        case (true, Some(("U", v))) => ("updated", v)
+        case other => fail(s"impossible: $other")
+      }
+    }
+    val want = actions.groupBy(_._1)
+      .map { case (a, v) => a -> (v.size.toLong, v.map(_._2).sum) }
+    val got = graft.queries.Relational.q66.build(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"got $got want $want")
+    // the merge genuinely exercises all three main actions
+    assert(Set("kept", "updated", "deleted").subsetOf(got.keySet))
+  }
+
+  test("d27: prefix-filtered pairs equal d04's full-index pairs, and " +
+    "the prefix genuinely prunes the candidate space") {
+    val d04 = Dedup.ngramJaccard.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._3 >= Dedup.prefixTheta).toSeq
+    val d27 = Dedup.prefixFilterPairs.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(d27.nonEmpty && d27 == d04,
+      s"prefix filter is not lossless: ${d27.size} vs ${d04.size} pairs")
+    // pruning replay: candidates sharing a PREFIX token vs any token
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map { r =>
+        val t = r.getString(1).split(" ")
+        val grams = (0 until math.max(t.length - 2, 1))
+          .map(i => t.slice(i, i + 3).mkString(" ")).toSet
+        r.getLong(0) -> grams
+      }
+    val fr = docs.flatMap(_._2).groupBy(identity)
+      .map { case (g, v) => g -> v.length }
+    def prefix(s: Set[String]): Set[String] = {
+      val n = s.size
+      s.toSeq.sortBy(g => (fr(g), g)).take(n - (4 * n + 4) / 5 + 1).toSet
+    }
+    def candPairs(sets: Map[Long, Set[String]]): Int = {
+      val inv = sets.toSeq.flatMap { case (id, g) => g.map(_ -> id) }
+        .groupBy(_._1).values
+      inv.flatMap(v => for {
+        a <- v.map(_._2); b <- v.map(_._2) if a < b } yield (a, b))
+        .toSet.size
+    }
+    val full = candPairs(docs.toMap)
+    val pruned = candPairs(docs.toMap.map { case (k, v) => k -> prefix(v) })
+    assert(pruned < full,
+      s"prefix produced no pruning: $pruned vs $full candidates")
+  }
+
+  test("ml33: Theil–Sen slope matches the exact pairwise-median replay") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) DIV 86400000000 AS day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = graft.queries.MlQueries.theilSen.build(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val byType = ev.groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, rows) =>
+      val cens = rows.groupBy(_._2).map { case (d, v) => d -> v.length.toLong }
+        .toSeq.sortBy(_._1)
+      def sdiv(num: Long, den: Long): Long =
+        if (num >= 0) num / den else -((-num) / den)
+      val slopes = (for {
+        i <- cens.indices; j <- (i + 1) until cens.length
+      } yield sdiv(1000000L * (cens(j)._2 - cens(i)._2),
+        cens(j)._1 - cens(i)._1)).sorted
+      val n = slopes.length
+      val med2 = if (n % 2 == 1) 2 * slopes(n / 2)
+        else slopes(n / 2 - 1) + slopes(n / 2)
+      val want = (cens.length.toLong, n.toLong, med2,
+        slopes.min, slopes.max,
+        if (med2 > 0) 1L else if (med2 < 0) -1L else 0L)
+      assert(got(t) == want, s"type $t: got ${got(t)} want $want")
+    }
+  }
+
   test("s26: RRF fusion matches the replayed two-leg fusion, and the " +
     "sparse leg genuinely reorders the dense ranking") {
     // dense leg replay: unit-normalize (left-to-right fold, the

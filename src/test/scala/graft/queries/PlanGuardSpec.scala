@@ -105,7 +105,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "ml31_benford_audit" -> "9-row digit domain frame LEFT-joined to the census + 1-row total crossJoin (ml20's domain-frame idiom)",
     "x59_consistent_hash_ring" -> "bounded 256/320-point ring broadcast crossJoined onto the doc scan — the ring IS the whole index (Karger's scheme); per-doc work is one min fold over the broadcast",
     "t42_bm25_topk" -> "1-row corpus-totals (n_docs, big_l) crossJoin onto the per-term scoring frame (e05's idiom; the panel-term join itself is equi on token, t07's lineage)",
-    "s26_rrf_fusion" -> "bounded 10-query panel broadcast for the dense leg (s01/s05's idiom) + t42's inherited 1-row corpus-totals crossJoin; the fusion join is full-outer EQUI on (q_id, n_id)")
+    "s26_rrf_fusion" -> "bounded 10-query panel broadcast for the dense leg (s01/s05's idiom) + t42's inherited 1-row corpus-totals crossJoin; the fusion join is full-outer EQUI on (q_id, n_id)",
+    "q66_cdc_merge" -> "1-row customer-domain scalar (n_cust) crossJoined onto the change-feed scan (e05's idiom); the merge itself is a full-outer EQUI join on the key")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use

@@ -79,7 +79,12 @@ class RoundGuardSpec extends AnyFunSuite {
       ("round(quantile_cont(",
         "sanctioned ×2 snap: the runs-test split point is the median " +
           "of INTEGER daily counts (ml29's recipe); sign comparison " +
-          "2y vs med2 is exact")))
+          "2y vs med2 is exact")),
+    "ml33_theil_sen" -> Seq(
+      ("round(quantile_cont(",
+        "sanctioned ×2 snap: the Theil–Sen slope median runs over " +
+          "INTEGER e6 slopes (sign-split exact quotients) — " +
+          "interpolated midpoints are exactly .0/.5 (q59's recipe)")))
 
   private def findings(name: String, sql: String): Seq[String] = {
     val hits =
