@@ -1931,11 +1931,70 @@ object Graph {
       })
   }
 
+  /** g22 — butterfly census over the part↔supplier bipartite graph
+    * (Wang, Fu, Cheng & Yu, "Vertex priority based butterfly counting
+    * for large-scale bipartite networks", VLDB 2019; the butterfly —
+    * a 2×2 biclique / 4-cycle — is the bipartite analog of g02's
+    * triangle and the primitive behind bipartite clustering
+    * coefficients and co-engagement cohesion): wedges are supplier
+    * pairs sharing a part (one part-keyed equi self-join), each pair's
+    * common-part count c yields C(c,2) butterflies, attributed to both
+    * endpoint suppliers; top-20 suppliers by exact butterfly count.
+    *
+    * Determinism: pure integer counting (c·(c−1) DIV 2). Scale shape:
+    * wedge fan-out is Σ_p C(deg(p),2) — deg(p) is the
+    * suppliers-per-part DATA-MODEL bound (~4 in the TPC-H shape), so
+    * wedges stay ~6×|edges|; at a hub-heavy 100 TB graph the
+    * vertex-priority orientation (the paper's device, g02's trick)
+    * caps the explosion — documented, not needed at this degree
+    * profile. The pair census frame is |supplier|²-bounded, itself
+    * dimension-domain-sized. */
+  val butterflyCount: QueryDef = QueryDef(
+    "g22_butterfly_count",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+        .distinct()
+      val pairs = li.select(col("p"), col("sup").as("s1"))
+        .join(li.select(col("p"), col("sup").as("s2")), Seq("p"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("c"))
+        .withColumn("bf", expr("(c * (c - 1)) DIV 2"))
+        .filter(col("bf") > 0)
+      pairs.select(explode(array(col("s1"), col("s2"))).as("supplier"),
+          col("bf"), col("c"))
+        .groupBy("supplier")
+        .agg(sum(col("bf")).as("butterflies"),
+          count(lit(1)).as("n_partner_pairs"),
+          max(col("c")).as("max_common_parts"))
+        .orderBy(col("butterflies").desc, col("supplier"))
+        .limit(20)
+    },
+    Some("""WITH li AS (
+              SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
+              FROM lineitem),
+            pw AS (
+              SELECT a.sup AS s1, b.sup AS s2, count(*) AS c
+              FROM li a JOIN li b ON a.p = b.p AND a.sup < b.sup
+              GROUP BY 1, 2),
+            bf AS (
+              SELECT s1, s2, c, (c * (c - 1)) // 2 AS bf
+              FROM pw WHERE c > 1),
+            x AS (
+              SELECT s1 AS supplier, bf, c FROM bf
+              UNION ALL SELECT s2, bf, c FROM bf)
+            SELECT supplier, CAST(sum(bf) AS BIGINT) AS butterflies,
+              CAST(count(*) AS BIGINT) AS n_partner_pairs,
+              CAST(max(c) AS BIGINT) AS max_common_parts
+            FROM x GROUP BY 1
+            ORDER BY butterflies DESC, supplier
+            LIMIT 20"""))
+
   val all: Seq[QueryDef] =
     Seq(pagerank, triangles, kcore, labelPropagation, bfsHops,
       personalizedPagerank, linkPrediction, hits, degreeHistogram,
       harmonicCentrality, modularity, clusteringCoefficient,
       assortativity, wcc, diameterSweep, bipartiteProjection,
       seededBetweenness, twoHopReach, ktrussSupport, richClub,
-      corenessLadder)
+      corenessLadder, butterflyCount)
 }

@@ -2511,10 +2511,74 @@ object Relational {
       Some(sql("epoch_us")))
   }
 
+  /** Q67 — first/last-touch conversion attribution (the two
+    * bookend models of marketing attribution, cf. Anderl et al. 2016
+    * §2 — q64's Markov kernel is the data-driven middle; these are the
+    * rule-based baselines every attribution comparison starts from):
+    * per purchase, the user's EARLIEST and LATEST preceding
+    * non-purchase touches over the total (us, event_id) order, then a
+    * bounded (model × touch-type) census with conversion counts and
+    * exact integer mean time-to-convert.
+    *
+    * Determinism: both touches are IGNORE-NULLS window picks over a
+    * totally ordered frame (q39's idiom — the same row supplies type
+    * and timestamp because the frame order is total); gaps are exact
+    * non-negative µs; the mean is a truncating integer divide. Scale
+    * shape: ONE user-keyed window shuffle feeding both models, then a
+    * census on the 2×|types| frame — q59's single-shuffle lineage. */
+  val q67 = {
+    def sql(epochUs: String, lv: String => String,
+        fv: String => String): String =
+      s"""WITH e AS (
+            SELECT user_id, event_type, $epochUs(ts) AS us, event_id,
+              CASE WHEN event_type <> 'purchase' THEN event_type END AS tt,
+              CASE WHEN event_type <> 'purchase' THEN $epochUs(ts) END
+                AS tus
+            FROM events),
+          w AS (
+            SELECT event_type, us,
+              ${lv("tt")} OVER wf AS lt_type,
+              ${lv("tus")} OVER wf AS lt_us,
+              ${fv("tt")} OVER wf AS ft_type,
+              ${fv("tus")} OVER wf AS ft_us
+            FROM e
+            WINDOW wf AS (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+          conv AS (
+            SELECT * FROM w
+            WHERE event_type = 'purchase' AND lt_type IS NOT NULL),
+          m AS (
+            SELECT 'last_touch' AS model, lt_type AS touch_type,
+              us - lt_us AS gap_us
+            FROM conv
+            UNION ALL
+            SELECT 'first_touch', ft_type, us - ft_us FROM conv)
+          SELECT model, touch_type,
+            CAST(count(*) AS BIGINT) AS n_conversions,
+            CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
+            CAST(CAST(sum(gap_us) AS BIGINT) $$DIV$$ count(*) AS BIGINT)
+              AS mean_gap_us
+          FROM m GROUP BY 1, 2 ORDER BY model, touch_type"""
+    QueryDef(
+      "q67_touch_attribution",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("g_q67_events")
+        s.sql(sql("unix_micros",
+            a => s"last_value($a) IGNORE NULLS",
+            a => s"first_value($a) IGNORE NULLS")
+          .replace("$DIV$", "DIV")
+          .replace("FROM events", "FROM g_q67_events"))
+      },
+      Some(sql("epoch_us",
+          a => s"last_value($a IGNORE NULLS)",
+          a => s"first_value($a IGNORE NULLS)")
+        .replace("$DIV$", "//")))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q12b,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
-    q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
+    q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
 }

@@ -146,6 +146,67 @@ class Round13OpsSpec extends AnyFunSuite {
       s"prefix produced no pruning: $pruned vs $full candidates")
   }
 
+  test("g22: butterfly census matches the wedge-pair replay") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byPart = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pairCnt = scala.collection.mutable.Map
+      .empty[(Long, Long), Long].withDefaultValue(0L)
+    byPart.values.foreach { sups =>
+      for (i <- sups.indices; j <- (i + 1) until sups.length)
+        pairCnt((sups(i), sups(j))) += 1
+    }
+    val per = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    pairCnt.foreach { case ((a, b), c) =>
+      if (c > 1) {
+        val bf = c * (c - 1) / 2
+        Seq(a, b).foreach { s =>
+          val (tb, np, mc) = per.getOrElse(s, (0L, 0L, 0L))
+          per(s) = (tb + bf, np + 1, math.max(mc, c))
+        }
+      }
+    }
+    val want = per.toSeq.map { case (s, (b, np, mc)) => (s, b, np, mc) }
+      .sortBy(t => (-t._2, t._1)).take(20)
+    val got = Graph.butterflyCount.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"got ${got.take(3)} want ${want.take(3)}")
+    assert(got.exists(_._2 > 0), "fixture has no butterflies")
+  }
+
+  test("q67: first/last-touch attribution matches the per-user replay") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us",
+        "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val rows = ev.groupBy(_._1).toSeq.flatMap { case (_, v) =>
+      val sorted = v.sortBy(t => (t._3, t._4))
+      sorted.zipWithIndex.flatMap { case ((_, t, us, _), i) =>
+        if (t != "purchase") Nil
+        else {
+          val touches = sorted.take(i).filter(_._2 != "purchase")
+          if (touches.isEmpty) Nil
+          else {
+            val lt = touches.last; val ft = touches.head
+            Seq(("last_touch", lt._2, us - lt._3),
+              ("first_touch", ft._2, us - ft._3))
+          }
+        }
+      }
+    }
+    val want = rows.groupBy(r => (r._1, r._2)).map { case ((m, t), v) =>
+      val tot = v.map(_._3).sum
+      (m, t) -> (v.size.toLong, tot, tot / v.size)
+    }
+    val got = graft.queries.Relational.q67.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("ml33: Theil–Sen slope matches the exact pairwise-median replay") {
     val ev = graft.core.Tables.events(spark, sf)
       .selectExpr("event_type", "unix_micros(ts) DIV 86400000000 AS day")
