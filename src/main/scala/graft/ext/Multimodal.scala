@@ -1137,9 +1137,70 @@ object Multimodal {
                FROM b ORDER BY doc_id"""))
   }
 
+  /** m16 — container-format sniff census (the multimodal INGEST
+    * validation every media pipeline runs before decode: file
+    * extensions lie — upload forms, renamed files, CDN rewrites — but
+    * magic bytes don't, so ingest classifies by header bytes and
+    * audits the (declared extension × sniffed format) confusion
+    * matrix; cf. `file`/libmagic and the HTML5 MIME-sniffing spec's
+    * byte-pattern table). The fixture plants DETERMINISTIC fake magics
+    * (ASCII stand-ins for \\x89PNG/JFIF/RIFF-WAVE/GIF89a — the
+    * m-family stub discipline: the codec bytes are fake, the
+    * Spark-side plumbing and the sniff logic are real and
+    * oracle-checked) and a deliberately misaligned declared-extension
+    * cycle (mod-5 magic vs mod-7 extension) so the mismatch census is
+    * non-trivial.
+    *
+    * Scale shape: one projection scan into a ≤ 5×7 census — zero
+    * shuffles beyond the bounded agg; the sniff itself is a prefix
+    * compare, exactly what it costs at 100 TB. */
+  val formatSniff: QueryDef = {
+    def sniffCase(blobCol: String): String =
+      s"""CASE WHEN $blobCol LIKE 'PNG89%' THEN 'png'
+            WHEN $blobCol LIKE 'JFIF%' THEN 'jpg'
+            WHEN $blobCol LIKE 'RIFFWAVE%' THEN 'wav'
+            WHEN $blobCol LIKE 'GIF89a%' THEN 'gif'
+            ELSE 'unknown' END"""
+    QueryDef(
+      "m16_format_sniff",
+      (s, d) => {
+        val tagged = Tables.documents(s, d).selectExpr(
+          "doc_id",
+          "element_at(array('png','jpg','wav','gif','txt','bin','mp4'), " +
+            "CAST(doc_id % 7 + 1 AS INT)) AS declared_ext",
+          "concat(element_at(array('PNG89','JFIF','RIFFWAVE','GIF89a'," +
+            "'TEXT!'), CAST(doc_id % 5 + 1 AS INT)), text) AS blob")
+        tagged
+          .selectExpr("doc_id", "declared_ext",
+            s"${sniffCase("blob")} AS sniffed_fmt")
+          .groupBy("declared_ext", "sniffed_fmt")
+          .agg(count(lit(1)).as("n"),
+            max(expr(
+              """CAST(CASE WHEN declared_ext = sniffed_fmt
+                 THEN 0 ELSE 1 END AS BIGINT)""")).as("is_mismatch"))
+          .orderBy("declared_ext", "sniffed_fmt")
+      },
+      Some(s"""WITH tagged AS (
+                 SELECT doc_id,
+                   (['png','jpg','wav','gif','txt','bin','mp4'])
+                     [CAST(doc_id % 7 + 1 AS INTEGER)] AS declared_ext,
+                   concat((['PNG89','JFIF','RIFFWAVE','GIF89a','TEXT!'])
+                     [CAST(doc_id % 5 + 1 AS INTEGER)], text) AS blob
+                 FROM documents),
+               sn AS (
+                 SELECT declared_ext, ${sniffCase("blob")} AS sniffed_fmt
+                 FROM tagged)
+               SELECT declared_ext, sniffed_fmt,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(max(CASE WHEN declared_ext = sniffed_fmt
+                   THEN 0 ELSE 1 END) AS BIGINT) AS is_mismatch
+               FROM sn GROUP BY 1, 2
+               ORDER BY declared_ext, sniffed_fmt"""))
+  }
+
   val all: Seq[QueryDef] =
     Seq(metaDigest, decode, resizeSample, embedTopk, phashNearDup,
       audioFrameEnergy, crossmodalRetrieval, shotBoundaries, audioVad,
       tileEntropy, qualityGate, frameDedup, keyframeSelect, silenceRuns,
-      crestFactor)
+      crestFactor, formatSniff)
 }

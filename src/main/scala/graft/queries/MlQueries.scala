@@ -2762,6 +2762,78 @@ object MlQueries {
                ${tail("//", "quantile_cont")}"""))
   }
 
+  /** ml34 — Kaplan–Meier survival estimate for time-to-convert
+    * (Kaplan & Meier, JASA 1958 — the product-limit estimator every
+    * retention/time-to-event readout uses under RIGHT CENSORING: users
+    * who never purchase are not failures, they are observations that
+    * survived past their last-seen time; dropping them biases the
+    * curve down, counting them as conversions biases it up): per user,
+    * duration = first purchase µs − first view µs (event), else
+    * last-seen − first view (censored); the KM table at each distinct
+    * event DAY carries the exact at-risk count n, events d, censored
+    * c, and the log-survival ln S = Σ_{t_j ≤ t} [ln(n_j − d_j) −
+    * ln(n_j)] integerized at 1e-6 nats per term — ln only of INTEGER
+    * counts (the t41/t23 sanctioned recipe; the raw product-limit
+    * Π(1 − d/n) would be a float product no fixed-point scheme keeps
+    * exact), summed exactly as integers.
+    *
+    * Determinism: durations exact µs → day buckets by DIV; n/d/c pure
+    * integer window arithmetic; lnS_e6 an exact integer prefix sum of
+    * per-term integers. Scale shape: one user-keyed agg to (user,
+    * duration, event?) — corpus-linear — then everything on the
+    * bounded distinct-day frame (x15's value-domain idiom). */
+  val kaplanMeier: QueryDef = {
+    def sql(epochUs: String, div: String): String =
+      s"""WITH per AS (
+            SELECT user_id,
+              min(CASE WHEN event_type = 'view' THEN $epochUs(ts) END)
+                AS v_us,
+              min(CASE WHEN event_type = 'purchase' THEN $epochUs(ts) END)
+                AS p_us,
+              max($epochUs(ts)) AS last_us
+            FROM events GROUP BY 1),
+          obs AS (
+            SELECT user_id,
+              CASE WHEN p_us IS NOT NULL AND p_us >= v_us
+                THEN (p_us - v_us) $div 86400000000
+                ELSE (last_us - v_us) $div 86400000000 END AS day,
+              CASE WHEN p_us IS NOT NULL AND p_us >= v_us
+                THEN 1 ELSE 0 END AS event
+            FROM per WHERE v_us IS NOT NULL),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM obs),
+          cell AS (
+            SELECT day,
+              CAST(sum(event) AS BIGINT) AS d,
+              CAST(sum(1 - event) AS BIGINT) AS c
+            FROM obs GROUP BY 1),
+          km AS (
+            SELECT day, d, c,
+              n0 - coalesce(sum(d + c) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS n
+            FROM cell CROSS JOIN tot),
+          terms AS (
+            SELECT day, d, c, CAST(n AS BIGINT) AS n_r,
+              CASE WHEN d > 0 THEN
+                CAST(round(ln(CAST(n - d AS DOUBLE)) * 1000000) AS BIGINT)
+                - CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+              ELSE 0 END AS term_e6
+            FROM km WHERE n > 0 AND d > 0)
+          SELECT day, n_r AS n_at_risk, d AS n_events, c AS n_censored,
+            CAST(sum(term_e6) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS ln_surv_e6
+          FROM terms ORDER BY day"""
+    QueryDef(
+      "ml34_kaplan_meier",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("g_ml34_events")
+        s.sql(sql("unix_micros", "DIV")
+          .replace("FROM events", "FROM g_ml34_events"))
+      },
+      Some(sql("epoch_us", "//")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
@@ -2769,5 +2841,6 @@ object MlQueries {
       woeIv, ksTest, tostEquivalence, ridgePath, pca2d, mannWhitney,
       chiSquare, logitNewton, permutationTest, groupedOls,
       groupedLogitNewton, liftGains, kendallTau, spearmanRho, sesForecast,
-      madAnomaly, cusumDrift, benfordAudit, runsTest, theilSen)
+      madAnomaly, cusumDrift, benfordAudit, runsTest, theilSen,
+      kaplanMeier)
 }

@@ -235,6 +235,70 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m16: format-sniff census matches the planted-magic replay") {
+    val exts = Seq("png", "jpg", "wav", "gif", "txt", "bin", "mp4")
+    val magics = Seq("PNG89", "JFIF", "RIFFWAVE", "GIF89a", "TEXT!")
+    val sniffOf = Map("PNG89" -> "png", "JFIF" -> "jpg",
+      "RIFFWAVE" -> "wav", "GIF89a" -> "gif", "TEXT!" -> "unknown")
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id").collect().map(_.getLong(0))
+    val want = ids.map { id =>
+      (exts((id % 7).toInt), sniffOf(magics((id % 5).toInt)))
+    }.groupBy(identity).map { case ((de, sf2), v) =>
+      (de, sf2) -> (v.length.toLong, if (de == sf2) 0L else 1L)
+    }
+    val got = Multimodal.formatSniff.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"got ${got.take(3)} want ${want.take(3)}")
+    // the audit catches real lies: at least one declared ext is
+    // contradicted by the sniffed magic
+    assert(got.exists { case ((de, sf2), (_, m)) =>
+      m == 1L && sf2 != "unknown" && de != sf2 })
+  }
+
+  test("ml34: Kaplan–Meier table matches the censored-duration replay") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the engine's censoring rule: p_us is the user's FIRST purchase;
+    // a first purchase BEFORE the first view counts as censored (the
+    // conversion cannot be attributed to the observed view)
+    val obs2 = ev.groupBy(_._1).toSeq.flatMap { case (_, v) =>
+      val vUs = v.collect { case (_, "view", us) => us }.minOption
+      vUs.map { v0 =>
+        val pAll = v.collect { case (_, "purchase", us) => us }.minOption
+        val last = v.map(_._3).max
+        pAll match {
+          case Some(p) if p >= v0 => ((p - v0) / 86400000000L, 1)
+          case _ => ((last - v0) / 86400000000L, 0)
+        }
+      }
+    }
+    assert(obs2.nonEmpty)
+    val n0 = obs2.size.toLong
+    val cells = obs2.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (day, v) =>
+        (day, v.count(_._2 == 1).toLong, v.count(_._2 == 0).toLong) }
+    var atRisk = n0; var lnS = 0L
+    val want = cells.flatMap { case (day, d, c) =>
+      val row = if (atRisk > 0 && d > 0) {
+        lnS += roundHalfUp(math.log((atRisk - d).toDouble) * 1e6) -
+          roundHalfUp(math.log(atRisk.toDouble) * 1e6)
+        Some((day, atRisk, d, c, lnS))
+      } else None
+      atRisk -= d + c
+      row
+    }
+    val got = graft.queries.MlQueries.kaplanMeier.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want, s"got ${got.take(3)} want ${want.take(3)}")
+    // censoring is genuinely exercised and survival strictly falls
+    assert(cells.exists(_._3 > 0), "no censored users in fixture")
+    assert(want.size > 1 && want.last._5 < want.head._5)
+  }
+
   test("s26: RRF fusion matches the replayed two-leg fusion, and the " +
     "sparse leg genuinely reorders the dense ranking") {
     // dense leg replay: unit-normalize (left-to-right fold, the
