@@ -1616,11 +1616,142 @@ object Events {
         "string_agg(event_type, '>' ORDER BY us, event_id)")))
   }
 
+  /** st26 shared rule — the token bucket (the RFC-style rate limiter
+    * production gateways run per key: capacity C tokens, refill r/s,
+    * admit iff a full token is available): C = 5, refill 1 token/hour,
+    * e6 fixed point — gain = Δµs DIV 3600 is EXACT in e6 units
+    * (10⁶/3 600·10⁶ per µs). Unlike ml30's CUSUM the recurrence clamps
+    * on BOTH sides (0 via admission feedback, C at the top), so no
+    * prefix closed form exists — the batch twin runs it as an IN-ROW
+    * fold over the per-user (us, event_id)-ordered list (aggregate()
+    * HOF on Spark, list_reduce on DuckDB): deterministic integer math,
+    * zero extra shuffles, state bounded by one user's events per row.
+    * The stream form is the same fold through ValueState. */
+  private val BucketCap = 5000000L // 5 tokens, e6
+  private def bucketStep(tok: Long, last: Long, us: Long)
+      : (Long, Long, Boolean) = {
+    val tok2 = math.min(BucketCap, tok + (us - last) / 3600L)
+    if (tok2 >= 1000000L) (tok2 - 1000000L, us, true) else (tok2, us, false)
+  }
+
+  /** st26 stream driver state: one (tokens_e6, last_us, admitted,
+    * n_events) quadruple per user. */
+  class TokenBucketProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[(Long, Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long)](
+        "bucket",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
+      val slice = rows.toArray.sortBy(r => (r._2, r._3))
+      var (tok, last, adm, n) =
+        if (st.exists()) st.get()
+        else (BucketCap, slice.head._2, 0L, 0L)
+      slice.foreach { case (_, us, _) =>
+        val (t2, l2, admit) = bucketStep(tok, last, us)
+        tok = t2; last = l2; if (admit) adm += 1; n += 1
+      }
+      st.update((tok, last, adm, n))
+      Iterator.single((key, n, adm, n - adm, tok))
+    }
+  }
+
+  /** st26 stream driver: token-bucket admission snapshots, update mode. */
+  def tokenBucketStream(events: Dataset[(Long, Long, Long)])
+      : Dataset[(Long, Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new TokenBucketProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** st26 batch twin — the per-user admission census from the same
+    * fold, run in-row; oracle-exact, StreamingSpec proves the stream
+    * snapshot equals it under in-order delivery. */
+  val tokenBucketQ: QueryDef = QueryDef(
+    "st26_token_bucket",
+    (s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("g_st26_events")
+      s.sql(s"""
+        WITH e AS (
+          SELECT user_id, unix_micros(ts) AS us, event_id
+          FROM g_st26_events),
+        lst AS (
+          SELECT user_id,
+            transform(array_sort(collect_list(struct(us, event_id))),
+              x -> x.us) AS evs
+          FROM e GROUP BY 1),
+        fold AS (
+          SELECT user_id, size(evs) AS n_events,
+            aggregate(evs,
+              named_struct('tok', CAST($BucketCap AS BIGINT),
+                'lastu', evs[0], 'adm', CAST(0 AS BIGINT)),
+              (acc, x) -> named_struct(
+                'tok',
+                least($BucketCap, acc.tok + (x - acc.lastu) DIV 3600)
+                  - CASE WHEN least($BucketCap,
+                      acc.tok + (x - acc.lastu) DIV 3600) >= 1000000
+                    THEN 1000000 ELSE 0 END,
+                'lastu', x,
+                'adm',
+                acc.adm + CASE WHEN least($BucketCap,
+                    acc.tok + (x - acc.lastu) DIV 3600) >= 1000000
+                  THEN 1 ELSE 0 END)) AS st
+          FROM lst)
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+          st.adm AS n_admitted,
+          CAST(n_events - st.adm AS BIGINT) AS n_rejected,
+          st.tok AS final_tokens_e6
+        FROM fold ORDER BY user_id""")
+    },
+    Some(s"""WITH e AS (
+               SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+             lst AS (
+               SELECT user_id,
+                 list(us ORDER BY us, event_id) AS evs
+               FROM e GROUP BY 1),
+             fold AS (
+               SELECT user_id, len(evs) AS n_events,
+                 list_reduce(
+                   list_prepend(
+                     struct_pack(tok := CAST($BucketCap AS BIGINT),
+                       lastu := evs[1], adm := CAST(0 AS BIGINT),
+                       us := evs[1]),
+                     list_transform(evs, u ->
+                       struct_pack(tok := CAST(0 AS BIGINT),
+                         lastu := CAST(0 AS BIGINT),
+                         adm := CAST(0 AS BIGINT), us := u))),
+                   (acc, x) -> struct_pack(
+                     tok :=
+                       least($BucketCap, acc.tok + (x.us - acc.lastu) // 3600)
+                         - CASE WHEN least($BucketCap,
+                             acc.tok + (x.us - acc.lastu) // 3600) >= 1000000
+                           THEN 1000000 ELSE 0 END,
+                     lastu := x.us,
+                     adm :=
+                       acc.adm + CASE WHEN least($BucketCap,
+                           acc.tok + (x.us - acc.lastu) // 3600) >= 1000000
+                         THEN 1 ELSE 0 END,
+                     us := x.us)) AS st
+               FROM lst)
+             SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+               CAST(st.adm AS BIGINT) AS n_admitted,
+               CAST(n_events - st.adm AS BIGINT) AS n_rejected,
+               CAST(st.tok AS BIGINT) AS final_tokens_e6
+             FROM fold ORDER BY user_id"""))
+
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
       streamLeftJoinQ, dedupBatchQ, enrichQ, windowSketchQ, funnelQ,
       retentionQ, topTypesQ, streamFullJoinQ, runningMaxBatchQ,
       typeCountsBatchQ, windowAnomalyQ, streamSemiJoinQ, windowRollupQ,
       dedupWithinWatermarkQ, sessionDynamicQ, cepAlarmQ, blockGateQ,
-      sessionTimerQ, funnelStateQ, pathBufferQ)
+      sessionTimerQ, funnelStateQ, pathBufferQ, tokenBucketQ)
 }

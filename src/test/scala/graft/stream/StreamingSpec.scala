@@ -947,6 +947,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState token bucket: admission snapshots equal the " +
+    "in-row fold twin across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val H = 3600000000L // 1 h in µs = 1 token refill
+      // user 1: 6 rapid events (cap 5 admits, 6th rejected), then one
+      // after 2 h (refill admits); user 2: 2 events 1 h apart
+      val in = MemoryStream[(Long, Long, Long)]
+      val q = Events.tokenBucketStream(in.toDS())
+        .toDF("user_id", "n_events", "n_admitted", "n_rejected",
+          "final_tokens_e6")
+        .writeStream.format("memory").queryName("tws_bucket_out")
+        .outputMode("update").start()
+      in.addData((1 to 6).map(i => (1L, i.toLong * 1000L, i.toLong)): _*)
+      q.processAllAvailable()
+      in.addData((1L, 6000L + 2 * H, 7L), (2L, 10L, 8L), (2L, 10L + H, 9L))
+      q.processAllAvailable()
+      q.stop()
+      val hist = spark.table("tws_bucket_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).zipWithIndex
+      val last = hist.groupBy(_._1._1)
+        .map { case (u, v) => u -> v.maxBy(_._2)._1 }
+      // replay the same fold sequentially per user
+      val evs = Map(
+        1L -> ((1 to 6).map(_.toLong * 1000L) :+ (6000L + 2 * H)),
+        2L -> Seq(10L, 10L + H))
+      evs.foreach { case (u, us) =>
+        var tok = 5000000L; var lastU = us.head; var adm = 0L
+        us.foreach { x =>
+          val t2 = math.min(5000000L, tok + (x - lastU) / 3600L)
+          if (t2 >= 1000000L) { tok = t2 - 1000000L; adm += 1 }
+          else tok = t2
+          lastU = x
+        }
+        val want = (u, us.size.toLong, adm, us.size - adm, tok)
+        assert(last(u) == want, s"user $u: ${last(u)} vs $want")
+      }
+      // the limiter genuinely limits and the refill genuinely refills
+      assert(last(1L)._4 >= 1, "no rejection despite burst past capacity")
+      assert(last(1L)._3 >= 6, "post-refill admission missing")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState MapState: per-user event-type histogram across batches") {
     implicit val sc = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
