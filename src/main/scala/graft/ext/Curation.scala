@@ -3954,6 +3954,80 @@ object Curation {
                  "(SELECT unnest(range(0, 16)) AS k)")}"""))
   }
 
+  /** x60 — temporal train/val/test split audit (the TIME-based
+    * leakage-safe split x19's entity split doesn't cover: any model
+    * evaluated on the future — forecasting, drift monitors, the
+    * time-ordered eval every production model faces — must split BY
+    * TIME, and the audit must prove (a) the boundaries are clean
+    * (max(train) < min(val) < ... ) and (b) how many eval users were
+    * seen in training — the warm/cold-start census that decides
+    * whether eval metrics generalize to new users): 70/15/15 at DAY
+    * boundaries — production temporal splits cut at calendar
+    * granularity, and the day census is the x15 value-domain-bounded
+    * frame (a distinct-µs cut would drag a corpus-sized global window)
+    * — thresholds = smallest day with 20·cum ≥ {14,17}·N by integer
+    * cross-multiply (never a float quantile), split assignment a pure
+    * CASE, census per split with boundary and warm-user checks.
+    *
+    * Determinism: exact cumulative counts, integer cross-multiply,
+    * integer census values. Scale shape: one scan to the bounded day
+    * census, a broadcast 1-row threshold pair onto the assignment
+    * scan, one split census with a train-user semi-style join (user
+    * dimension bounded). */
+  val temporalSplit: QueryDef = {
+    def sql(epochUs: String, div: String): String =
+      s"""WITH e AS (
+            SELECT user_id, $epochUs(ts) $div 86400000000 AS day
+            FROM events),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e),
+          cum AS (
+            SELECT day,
+              CAST(sum(c) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_n
+            FROM (SELECT day, count(*) AS c FROM e GROUP BY 1) q),
+          thr AS (
+            SELECT
+              min(CASE WHEN 20 * cum_n >= 14 * n_total THEN day END) AS t70,
+              min(CASE WHEN 20 * cum_n >= 17 * n_total THEN day END) AS t85
+            FROM cum CROSS JOIN n),
+          lab AS (
+            SELECT user_id, day,
+              CASE WHEN day <= t70 THEN 'train'
+                   WHEN day <= t85 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM e CROSS JOIN thr),
+          tr_users AS (
+            SELECT DISTINCT user_id FROM lab WHERE split = 'train'),
+          census AS (
+            SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(min(day) AS BIGINT) AS min_day,
+              CAST(max(day) AS BIGINT) AS max_day,
+              CAST(count(DISTINCT l.user_id) AS BIGINT) AS n_users,
+              CAST(count(DISTINCT CASE WHEN t.user_id IS NOT NULL
+                THEN l.user_id END) AS BIGINT) AS n_warm_users
+            FROM lab l LEFT JOIN tr_users t ON l.user_id = t.user_id
+            GROUP BY split)
+          SELECT c.split, n_rows, min_day, max_day, n_users, n_warm_users,
+            CAST(CASE c.split
+              WHEN 'train' THEN 1
+              WHEN 'val' THEN CASE WHEN c.min_day >
+                (SELECT max_day FROM census WHERE split = 'train')
+                THEN 1 ELSE 0 END
+              ELSE CASE WHEN c.min_day >
+                (SELECT max_day FROM census WHERE split = 'val')
+                THEN 1 ELSE 0 END END AS BIGINT) AS boundary_ok
+          FROM census c ORDER BY c.split"""
+    QueryDef(
+      "x60_temporal_split_audit",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("g_x60_events")
+        s.sql(sql("unix_micros", "DIV")
+          .replace("FROM events", "FROM g_x60_events"))
+      },
+      Some(sql("epoch_us", "//")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -3970,6 +4044,6 @@ object Curation {
       doremiStep, pairAuditSample, lDiversity, decontaminationDrill,
       neymanAllocation, dsirSelection, lengthBucketing, clusterSharding,
       rejectionResample, stratifiedReservoir, budgetPareto, epochRepeatPlan,
-      compactionPlan, consistentHashRing)
+      compactionPlan, consistentHashRing, temporalSplit)
 
 }

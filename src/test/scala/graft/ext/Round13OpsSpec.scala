@@ -299,6 +299,37 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(want.size > 1 && want.last._5 < want.head._5)
   }
 
+  test("x60: temporal split audit matches the day-threshold replay") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) DIV 86400000000 AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = ev.length.toLong
+    val cum = ev.map(_._2).groupBy(identity).toSeq.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, c), (d, v)) => (d, c + v.length) }
+      .drop(1)
+    val t70 = cum.find { case (_, c) => 20 * c >= 14 * n }.get._1
+    val t85 = cum.find { case (_, c) => 20 * c >= 17 * n }.get._1
+    def splitOf(day: Long) =
+      if (day <= t70) "train" else if (day <= t85) "val" else "test"
+    val lab = ev.map { case (u, d) => (splitOf(d), u, d) }
+    val trainUsers = lab.filter(_._1 == "train").map(_._2).toSet
+    val want = lab.groupBy(_._1).map { case (s, v) =>
+      s -> (v.size.toLong, v.map(_._3).min, v.map(_._3).max,
+        v.map(_._2).distinct.size.toLong,
+        v.map(_._2).distinct.count(trainUsers).toLong)
+    }
+    val got = Curation.temporalSplit.build(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    want.foreach { case (s, (nr, mn, mx, nu, nw)) =>
+      assert(got(s) == ((nr, mn, mx, nu, nw, 1L)), s"$s: ${got(s)}")
+    }
+    assert(got.keySet == Set("train", "val", "test"))
+    // the audit's invariants hold by construction — check they DID
+    assert(got("val")._2 > got("train")._3 &&
+      got("test")._2 > got("val")._3, "boundary overlap")
+  }
+
   test("s26: RRF fusion matches the replayed two-leg fusion, and the " +
     "sparse leg genuinely reorders the dense ranking") {
     // dense leg replay: unit-normalize (left-to-right fold, the

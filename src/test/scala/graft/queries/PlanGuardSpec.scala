@@ -107,7 +107,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "t42_bm25_topk" -> "1-row corpus-totals (n_docs, big_l) crossJoin onto the per-term scoring frame (e05's idiom; the panel-term join itself is equi on token, t07's lineage)",
     "s26_rrf_fusion" -> "bounded 10-query panel broadcast for the dense leg (s01/s05's idiom) + t42's inherited 1-row corpus-totals crossJoin; the fusion join is full-outer EQUI on (q_id, n_id)",
     "q66_cdc_merge" -> "1-row customer-domain scalar (n_cust) crossJoined onto the change-feed scan (e05's idiom); the merge itself is a full-outer EQUI join on the key",
-    "ml34_kaplan_meier" -> "1-row cohort-size scalar (n0) crossJoined onto the bounded distinct-day frame (e05's idiom)")
+    "ml34_kaplan_meier" -> "1-row cohort-size scalar (n0) crossJoined onto the bounded distinct-day frame (e05's idiom)",
+    "x60_temporal_split_audit" -> "1-row corpus-count + 1-row threshold-pair scalars crossJoined onto the day census / assignment scan (e05's idiom); the warm-user join is equi on user_id")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
@@ -133,6 +134,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "ml15_ks_test" -> "ECDF cumulative + totals over the bounded DISTINCT-cent frame (value-domain bounded, x15/ml06's idiom), MlQueries.scala",
     "t33_vocab_growth" -> "prefix sums over the 4-row bucket frame (x11's idiom), TextAnalysis.scala",
     "ml34_kaplan_meier" -> "at-risk prefix sum + log-survival prefix sum over the bounded distinct-DAY frame (value-domain bounded, x15's idiom), MlQueries.scala",
+    "x60_temporal_split_audit" -> "cumulative count over the bounded day census (value-domain bounded, x15's idiom — a distinct-us cut would be corpus-sized, deliberately avoided), Curation.scala",
     "x50_neyman_allocation" -> "allocation windows over the segment-domain (5-row) frame (x17's idiom), Curation.scala",
     "ml19_mann_whitney" -> "doubled-rank cumulative + totals over the bounded DISTINCT-cent frame (value-domain bounded, ml15's idiom), MlQueries.scala",
     "ml20_chi_square" -> "N / chi-square totals over the bounded type x band cell frame (ml14's idiom), MlQueries.scala",
