@@ -4028,6 +4028,100 @@ object Curation {
       Some(sql("epoch_us", "//")))
   }
 
+  /** x61 — contamination-rate vs n-gram-size sweep (the calibration
+    * BEHIND x10's fixed n = 13: GPT-3 appendix C picked 13 grams, PaLM
+    * and Llama audits reuse it, but the right n is corpus-dependent —
+    * too small and boilerplate phrases flag everything, too large and
+    * reworded leakage slips through. This sweep prices the whole
+    * decision from the same split: for n ∈ {4, 8, 13}, the count of
+    * train docs sharing ≥ 1 n-gram with the x07 eval split, the
+    * contamination ppm, and the eval index size the Bloom/broadcast
+    * side would carry).
+    *
+    * Determinism: md5 split, exact distinct counts, integer ppm.
+    * Scale shape: per n one gram explode → the eval side stays
+    * benchmark-sized and BROADCASTS into a semi-join; the train side
+    * is map-scan + semi (x10's shape, three times); monotone law
+    * contam(4) ≥ contam(8) ≥ contam(13) asserted by the spec. */
+  val contaminationSweep: QueryDef = {
+    val ns = Seq(4, 8, 13)
+    QueryDef(
+      "x61_contamination_sweep",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("substring(md5(CAST(doc_id AS STRING)), 1, 1)").as("hx"),
+            col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val counts = docs.agg(
+          sum(expr("CASE WHEN hx IN ('0','1') THEN 1 ELSE 0 END"))
+            .as("n_eval_docs"),
+          sum(expr("CASE WHEN hx IN ('0','1') THEN 0 ELSE 1 END"))
+            .as("n_train_docs"))
+        val perN = ns.map { n =>
+          val grams = docs.select(col("doc_id"), col("hx"),
+            explode(expr(ngramExpr("text", n))).as("g"))
+            .select(col("doc_id"), col("hx"), xxhash64(col("g")).as("g"))
+          val ev = grams.filter(col("hx").isin("0", "1"))
+            .select("g").distinct()
+          val contam = grams.filter(!col("hx").isin("0", "1"))
+            .join(broadcast(ev), Seq("g"), "left_semi")
+            .select("doc_id").distinct()
+            .agg(count(lit(1)).as("n_contam_docs"))
+          val evCnt = ev.agg(count(lit(1)).as("n_eval_grams"))
+          contam.crossJoin(evCnt).crossJoin(broadcast(counts))
+            .select(lit(n.toLong).as("n"), col("n_eval_docs"),
+              col("n_train_docs"), col("n_contam_docs"),
+              expr("(1000000 * n_contam_docs) DIV n_train_docs")
+                .as("contam_ppm"),
+              col("n_eval_grams"))
+        }
+        val out = perN.reduce(_ unionAll _).orderBy("n").localCheckpoint()
+        docs.unpersist()
+        out
+      },
+      Some {
+        val chains = ns.map { n =>
+          s"""g$n AS (
+                SELECT DISTINCT doc_id, hx,
+                  array_to_string(t[i + 1:i + $n], ' ') AS g
+                FROM toks,
+                  unnest(range(0, greatest(len(t) - ${n - 1}, 1))) AS u(i)),
+              ev$n AS MATERIALIZED (
+                SELECT DISTINCT g FROM g$n WHERE hx IN ('0', '1')),
+              c$n AS (
+                SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contam
+                FROM g$n
+                WHERE hx NOT IN ('0', '1')
+                  AND g IN (SELECT g FROM ev$n)),
+              e$n AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_eval_grams
+                FROM ev$n)"""
+        }.mkString(",\n")
+        val rows = ns.map { n =>
+          s"""SELECT CAST($n AS BIGINT) AS n, n_eval_docs, n_train_docs,
+                n_contam AS n_contam_docs,
+                (1000000 * n_contam) // n_train_docs AS contam_ppm,
+                n_eval_grams
+              FROM c$n, e$n, cnt"""
+        }.mkString(" UNION ALL ")
+        s"""WITH toks AS (
+              SELECT doc_id,
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx,
+                string_split(text, ' ') AS t
+              FROM documents),
+            cnt AS (
+              SELECT
+                CAST(sum(CASE WHEN hx IN ('0','1') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_eval_docs,
+                CAST(sum(CASE WHEN hx IN ('0','1') THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_train_docs
+              FROM toks),
+            $chains
+            SELECT * FROM ($rows) ORDER BY n"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -4044,6 +4138,6 @@ object Curation {
       doremiStep, pairAuditSample, lDiversity, decontaminationDrill,
       neymanAllocation, dsirSelection, lengthBucketing, clusterSharding,
       rejectionResample, stratifiedReservoir, budgetPareto, epochRepeatPlan,
-      compactionPlan, consistentHashRing, temporalSplit)
+      compactionPlan, consistentHashRing, temporalSplit, contaminationSweep)
 
 }

@@ -330,6 +330,37 @@ class Round13OpsSpec extends AnyFunSuite {
       got("test")._2 > got("val")._3, "boundary overlap")
   }
 
+  test("x61: contamination sweep matches the per-n replay and is " +
+    "monotone non-increasing in n") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "substring(md5(CAST(doc_id AS STRING)), 1, 1)",
+        "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+    val isEval = (hx: String) => hx == "0" || hx == "1"
+    def gramsOf(t: Array[String], n: Int): Set[String] =
+      (0 to math.max(t.length - n, 0))
+        .map(i => t.slice(i, i + n).mkString(" ")).toSet
+    val nEval = docs.count(d => isEval(d._2)).toLong
+    val nTrain = docs.length - nEval
+    val want = Seq(4, 8, 13).map { n =>
+      val ev = docs.filter(d => isEval(d._2))
+        .flatMap(d => gramsOf(d._3, n)).toSet
+      val contam = docs.filterNot(d => isEval(d._2))
+        .count(d => gramsOf(d._3, n).exists(ev)).toLong
+      (n.toLong, nEval, nTrain, contam,
+        1000000L * contam / nTrain, ev.size.toLong)
+    }
+    val got = Curation.contaminationSweep.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want, s"got $got want $want")
+    assert(got.map(_._4).sliding(2).forall {
+      case Seq(a, b) => a >= b
+      case _ => true
+    }, "contamination not monotone in n")
+  }
+
   test("s26: RRF fusion matches the replayed two-leg fusion, and the " +
     "sparse leg genuinely reorders the dense ranking") {
     // dense leg replay: unit-normalize (left-to-right fold, the
