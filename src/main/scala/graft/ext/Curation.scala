@@ -3253,6 +3253,74 @@ object Curation {
                FROM a ORDER BY segment"""))
   }
 
+  /** The DSIR per-document score frame `(doc_id, lang, score_e6,
+    * n_tok)` over an arbitrary `(doc_id, lang, text, …)` corpus frame —
+    * x51's model-build + scoring stages, extracted so the x62 composed
+    * pipeline scores its survivor corpus with the IDENTICAL formula
+    * (target = the corpus's `en` slice, +0.5 Laplace over the union
+    * vocabulary, per-token log-ratio integerized at 1e-6 nats on the
+    * vocabulary frame, exact long doc sums). */
+  def dsirDocScores(docs: DataFrame): DataFrame = {
+    val wExpr =
+      "CAST(round(ln(((CAST(ct AS DOUBLE) + 0.5) / (CAST(nt AS DOUBLE) + " +
+        "0.5 * CAST(v AS DOUBLE))) / ((CAST(cs AS DOUBLE) + 0.5) / " +
+        "(CAST(ns AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))) * 1000000) AS BIGINT)"
+    val census = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("n"))
+    val vocab = census.groupBy("tok").agg(
+      sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("ct"),
+      sum(col("n")).as("cs"))
+    val totals = vocab.agg(sum(col("ct")).as("nt"),
+      sum(col("cs")).as("ns"), count(lit(1)).as("v"))
+    val weights = vocab.crossJoin(broadcast(totals))
+      .withColumn("w_e6", expr(wExpr))
+      .select("tok", "w_e6")
+    census.join(weights, Seq("tok"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(expr("n * w_e6")).as("score_e6"),
+        sum(col("n")).as("n_tok"))
+  }
+
+  /** DuckDB CTE chain mirroring [[dsirDocScores]] over `input`, ending
+    * in `${p}dsdocs(doc_id, lang, score_e6, n_tok)` — shared by x51 and
+    * x62 so the mirrors cannot drift. */
+  def dsirScoreCte(input: String, p: String = ""): String =
+    s"""${p}census AS (
+         SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS n
+         FROM (
+           SELECT doc_id, lang,
+             unnest(string_split(text, ' ')) AS tok
+           FROM $input)
+         WHERE tok != '' GROUP BY 1, 2, 3),
+       ${p}vocab AS (
+         SELECT tok,
+           CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END)
+             AS BIGINT) AS ct,
+           CAST(sum(n) AS BIGINT) AS cs
+         FROM ${p}census GROUP BY 1),
+       ${p}tot AS (
+         SELECT CAST(sum(ct) AS BIGINT) AS nt,
+           CAST(sum(cs) AS BIGINT) AS ns,
+           CAST(count(*) AS BIGINT) AS v
+         FROM ${p}vocab),
+       ${p}wts AS (
+         SELECT tok,
+           CAST(round(ln(((CAST(ct AS DOUBLE) + 0.5)
+               / (CAST(nt AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+             / ((CAST(cs AS DOUBLE) + 0.5)
+               / (CAST(ns AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))))
+             * 1000000) AS BIGINT) AS w_e6
+         FROM ${p}vocab CROSS JOIN ${p}tot),
+       ${p}dsdocs AS (
+         SELECT c.doc_id, c.lang,
+           CAST(sum(c.n * w.w_e6) AS BIGINT) AS score_e6,
+           CAST(sum(c.n) AS BIGINT) AS n_tok
+         FROM ${p}census c JOIN ${p}wts w ON c.tok = w.tok
+         GROUP BY 1, 2)"""
+
   /** x51 — DSIR data selection (Xie, Shao, Liang et al., "Data
     * Selection for Language Models via Importance Resampling", NeurIPS
     * 2023: score every raw document by the log importance ratio
@@ -3280,30 +3348,10 @@ object Curation {
     * replaces DSIR's top-k resampling exactly so no doc-frame ranking
     * is ever needed. */
   val dsirSelection: QueryDef = {
-    val wExpr =
-      "CAST(round(ln(((CAST(ct AS DOUBLE) + 0.5) / (CAST(nt AS DOUBLE) + " +
-        "0.5 * CAST(v AS DOUBLE))) / ((CAST(cs AS DOUBLE) + 0.5) / " +
-        "(CAST(ns AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))) * 1000000) AS BIGINT)"
     QueryDef(
       "x51_dsir_selection",
       (s, d) => {
-        val census = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"),
-            explode(split(col("text"), " ")).as("tok"))
-          .filter(col("tok") =!= "")
-          .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("n"))
-        val vocab = census.groupBy("tok").agg(
-          sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("ct"),
-          sum(col("n")).as("cs"))
-        val totals = vocab.agg(sum(col("ct")).as("nt"),
-          sum(col("cs")).as("ns"), count(lit(1)).as("v"))
-        val weights = vocab.crossJoin(broadcast(totals))
-          .withColumn("w_e6", expr(wExpr))
-          .select("tok", "w_e6")
-        census.join(weights, Seq("tok"))
-          .groupBy("doc_id", "lang")
-          .agg(sum(expr("n * w_e6")).as("score_e6"),
-            sum(col("n")).as("n_tok"))
+        dsirDocScores(Tables.documents(s, d))
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("score_e6") > 0L, 1L).otherwise(0L))
@@ -3318,38 +3366,7 @@ object Curation {
             "n_tokens", "sel_ppm", "mean_tok_w_e6")
           .orderBy("lang")
       },
-      Some("""WITH census AS (
-                SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS n
-                FROM (
-                  SELECT doc_id, lang,
-                    unnest(string_split(text, ' ')) AS tok
-                  FROM documents)
-                WHERE tok != '' GROUP BY 1, 2, 3),
-              vocab AS (
-                SELECT tok,
-                  CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END)
-                    AS BIGINT) AS ct,
-                  CAST(sum(n) AS BIGINT) AS cs
-                FROM census GROUP BY 1),
-              tot AS (
-                SELECT CAST(sum(ct) AS BIGINT) AS nt,
-                  CAST(sum(cs) AS BIGINT) AS ns,
-                  CAST(count(*) AS BIGINT) AS v
-                FROM vocab),
-              wts AS (
-                SELECT tok,
-                  CAST(round(ln(((CAST(ct AS DOUBLE) + 0.5)
-                      / (CAST(nt AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
-                    / ((CAST(cs AS DOUBLE) + 0.5)
-                      / (CAST(ns AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))))
-                    * 1000000) AS BIGINT) AS w_e6
-                FROM vocab CROSS JOIN tot),
-              docs AS (
-                SELECT c.doc_id, c.lang,
-                  CAST(sum(c.n * w.w_e6) AS BIGINT) AS score_e6,
-                  CAST(sum(c.n) AS BIGINT) AS n_tok
-                FROM census c JOIN wts w ON c.tok = w.tok
-                GROUP BY 1, 2)
+      Some(s"""WITH ${dsirScoreCte("documents")}
               SELECT lang, count(*) AS n_docs,
                 CAST(sum(CASE WHEN score_e6 > 0 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_selected,
@@ -3362,7 +3379,7 @@ object Curation {
                     // CAST(sum(n_tok) AS BIGINT)
                   ELSE -((-CAST(sum(score_e6) AS BIGINT))
                     // CAST(sum(n_tok) AS BIGINT)) END AS mean_tok_w_e6
-              FROM docs GROUP BY 1 ORDER BY 1"""))
+              FROM dsdocs GROUP BY 1 ORDER BY 1"""))
   }
 
   /** x52 — length-bucketed batching plan (the padding-waste table
@@ -3967,7 +3984,12 @@ object Curation {
     * frame (a distinct-µs cut would drag a corpus-sized global window)
     * — thresholds = smallest day with 20·cum ≥ {14,17}·N by integer
     * cross-multiply (never a float quantile), split assignment a pure
-    * CASE, census per split with boundary and warm-user checks.
+    * CASE, census per split with boundary and warm-user checks. The
+    * output always carries ALL THREE split rows (a fixed 3-value
+    * domain frame left-joined to the census — ADVICE r13): on a tiny
+    * day domain the 70/85 thresholds can coincide with the max day,
+    * and an empty val/test split must surface as n_rows = 0 with
+    * degenerate = 1 (and boundary_ok = 0), not silently vanish.
     *
     * Determinism: exact cumulative counts, integer cross-multiply,
     * integer census values. Scale shape: one scan to the bounded day
@@ -4007,17 +4029,29 @@ object Curation {
               CAST(count(DISTINCT CASE WHEN t.user_id IS NOT NULL
                 THEN l.user_id END) AS BIGINT) AS n_warm_users
             FROM lab l LEFT JOIN tr_users t ON l.user_id = t.user_id
-            GROUP BY split)
-          SELECT c.split, n_rows, min_day, max_day, n_users, n_warm_users,
-            CAST(CASE c.split
-              WHEN 'train' THEN 1
-              WHEN 'val' THEN CASE WHEN c.min_day >
-                (SELECT max_day FROM census WHERE split = 'train')
+            GROUP BY split),
+          dom AS (
+            SELECT 'train' AS split UNION ALL
+            SELECT 'val' UNION ALL SELECT 'test'),
+          filled AS (
+            SELECT dm.split,
+              CAST(coalesce(c.n_rows, 0) AS BIGINT) AS n_rows,
+              c.min_day, c.max_day,
+              CAST(coalesce(c.n_users, 0) AS BIGINT) AS n_users,
+              CAST(coalesce(c.n_warm_users, 0) AS BIGINT) AS n_warm_users
+            FROM dom dm LEFT JOIN census c ON dm.split = c.split)
+          SELECT f.split, n_rows, min_day, max_day, n_users, n_warm_users,
+            CAST(CASE f.split
+              WHEN 'train' THEN CASE WHEN n_rows > 0 THEN 1 ELSE 0 END
+              WHEN 'val' THEN CASE WHEN n_rows > 0 AND f.min_day >
+                (SELECT max_day FROM filled WHERE split = 'train')
                 THEN 1 ELSE 0 END
-              ELSE CASE WHEN c.min_day >
-                (SELECT max_day FROM census WHERE split = 'val')
-                THEN 1 ELSE 0 END END AS BIGINT) AS boundary_ok
-          FROM census c ORDER BY c.split"""
+              ELSE CASE WHEN n_rows > 0 AND f.min_day >
+                (SELECT max_day FROM filled WHERE split = 'val')
+                THEN 1 ELSE 0 END END AS BIGINT) AS boundary_ok,
+            CAST(CASE WHEN n_rows = 0 THEN 1 ELSE 0 END AS BIGINT)
+              AS degenerate
+          FROM filled f ORDER BY f.split"""
     QueryDef(
       "x60_temporal_split_audit",
       (s, d) => {
@@ -4122,6 +4156,184 @@ object Curation {
       })
   }
 
+  /** x62 — the composed end-to-end curation manifest (VERDICT r13 ask
+    * #5): ONE audited frame chaining the engine's existing curation
+    * stages over the documents corpus, in the order a real
+    * training-data pipeline runs them (RefinedWeb/Gopher/GPT-3 stage
+    * ordering — dedup before quality before decontamination before
+    * mixture):
+    *
+    *   1. exact_dedup    — d01: keep min(doc_id) per identical text
+    *   2. fuzzy_dedup    — d10: MinHash-md5 LSH pairs ≥ 0.5 on the
+    *                       survivors; the GREATER id of each verified
+    *                       pair is dropped (greedy keep-lowest — the
+    *                       deterministic survivor rule; d07's CC form
+    *                       is the transitive alternative)
+    *   3. quality_gate   — t22: the five STRUCTURAL Gopher rules
+    *                       (r_stopwords excluded — an English-only
+    *                       test; see the gateRules note below)
+    *   4. eval_holdout   — x07: md5-hex split, hx ∈ {0,1} held out
+    *   5. decontam       — x10: drop docs sharing a word 13-gram with
+    *                       the ORIGINAL corpus's eval split (the
+    *                       benchmark is fixed external data — it is
+    *                       not itself deduped/gated first)
+    *   6. domain_cap     — x30: keep the 10 longest docs per source
+    *                       (TopKPerKey physical operator)
+    *   7. dsir_selection — x51: keep docs likelier under the en-target
+    *                       unigram model (score_e6 > 0), model built
+    *                       ON the surviving corpus
+    *
+    * (x60's temporal split is the events-table sibling of stage 4; the
+    * documents table has no time axis, so the pipeline's split stage is
+    * x07's hash split — the one x10 composes with by construction.)
+    *
+    * Output: one row per stage — rows_in/rows_out/n_dropped and
+    * chars_in/chars_out/chars_dropped — the per-stage accounting frame
+    * a 100 TB curation run publishes next to its output manifest. Every
+    * stage reuses the STANDALONE operator's engine (minhashMd5Pairs,
+    * gopherFlaggedDf, ngramExpr+broadcast semi, TopKPerKey,
+    * dsirDocScores) and the DuckDB mirror reuses the same generated CTE
+    * chains (minhashMd5PairsCte, gopherFlagsCte, dsirScoreCte), so the
+    * composition is oracle-hash-exact end to end and cannot drift from
+    * the stages it composes. X62PipelineSpec additionally asserts each
+    * stage's drop set equals the standalone operator applied to that
+    * stage's input.
+    *
+    * Scale shape: the chain inherits each stage's law — hash-agg on
+    * text (1), banded LSH + candidate-bounded verify (2), pure scan
+    * projection (3), per-row md5 (4), broadcast semi-join against
+    * benchmark-sized gram set (5), bounded-heap top-k per key (6), one
+    * token census + token-keyed weight join (7); the accounting rows
+    * are seven 1-row aggregates over progressively smaller
+    * checkpointed survivor frames. */
+  val curationManifest: QueryDef = {
+    val mhK = 8; val mhBandRows = 4; val mhTheta = 0.5; val mhCap = 64
+    val capPerSource = 10; val nGram = 13
+    // the five STRUCTURAL Gopher rules; r_stopwords is an
+    // ENGLISH-stopword test that a multilingual corpus fails by
+    // construction (Gopher applies it per-language — Rae et al. 2021
+    // A1.1 filters "documents in English" only), so gating on it here
+    // would zero the corpus at stage 3 and no-op every later stage.
+    // t28's ablation table is where the full six-rule battery is priced.
+    val gateRules = TextAnalysis.gopherRuleNames.filterNot(_ == "r_stopwords")
+    QueryDef(
+      "x62_curation_manifest",
+      (s, d) => {
+        def ck(df: DataFrame) = df.localCheckpoint()
+        val d0 = Tables.documents(s, d).withColumn("hx",
+          expr("substring(md5(CAST(doc_id AS STRING)), 1, 1)"))
+        val canon = d0.groupBy("text")
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        val s1 = ck(d0.join(canon, Seq("doc_id"), "left_semi"))
+        val nearDups = Dedup
+          .minhashMd5Pairs(s1, mhK, mhBandRows, mhTheta, mhCap)
+          .select(col("b_id").as("doc_id")).distinct()
+        val s2 = ck(s1.join(nearDups, Seq("doc_id"), "left_anti"))
+        val passing = TextAnalysis.gopherFlaggedDf(s2)
+          .filter(gateRules.map(col).reduce(_ && _))
+          .select("doc_id")
+        val s3 = ck(s2.join(passing, Seq("doc_id"), "left_semi"))
+        val s4 = ck(s3.filter(!col("hx").isin("0", "1")))
+        val evalGrams = d0.filter(col("hx").isin("0", "1"))
+          .select(explode(expr(ngramExpr("text", nGram))).as("g"))
+          .select(xxhash64(col("g")).as("g")).distinct()
+        val contam = s4.select(col("doc_id"),
+            explode(expr(ngramExpr("text", nGram))).as("g"))
+          .select(col("doc_id"), xxhash64(col("g")).as("g"))
+          .join(broadcast(evalGrams), Seq("g"), "left_semi")
+          .select("doc_id").distinct()
+        val s5 = ck(s4.join(contam, Seq("doc_id"), "left_anti"))
+        val kept = graft.plans.TopKPerKey.topKPerKey(
+            s5.withColumn("len_d", col("n_chars").cast("double")),
+            Seq("source"), "len_d", "doc_id", capPerSource)
+          .select("doc_id")
+        val s6 = ck(s5.join(kept, Seq("doc_id"), "left_semi"))
+        val sel = dsirDocScores(s6)
+          .filter(col("score_e6") > 0L).select("doc_id")
+        val s7 = ck(s6.join(sel, Seq("doc_id"), "left_semi"))
+        def acct(df: DataFrame, side: String) = df.agg(
+          count(lit(1)).as(s"rows_$side"),
+          coalesce(sum(col("n_chars")), lit(0L)).as(s"chars_$side"))
+        val stages = Seq(
+          (1L, "exact_dedup", d0, s1), (2L, "fuzzy_dedup", s1, s2),
+          (3L, "quality_gate", s2, s3), (4L, "eval_holdout", s3, s4),
+          (5L, "decontam", s4, s5), (6L, "domain_cap", s5, s6),
+          (7L, "dsir_selection", s6, s7))
+        stages.map { case (no, nm, in, out) =>
+          acct(in, "in").crossJoin(acct(out, "out"))
+            .select(lit(no).as("stage_no"), lit(nm).as("stage"),
+              col("rows_in"), col("rows_out"),
+              (col("rows_in") - col("rows_out")).as("n_dropped"),
+              col("chars_in"), col("chars_out"),
+              (col("chars_in") - col("chars_out")).as("chars_dropped"))
+        }.reduce(_ union _).orderBy("stage_no")
+      },
+      Some {
+        val stageNames = Seq(
+          ("d0", "s1", "exact_dedup"), ("s1", "s2", "fuzzy_dedup"),
+          ("s2", "s3", "quality_gate"), ("s3", "s4", "eval_holdout"),
+          ("s4", "s5", "decontam"), ("s5", "s6", "domain_cap"),
+          ("s6", "s7", "dsir_selection"))
+        val acctRows = stageNames.zipWithIndex.map { case ((i, o, nm), k) =>
+          def rows(r: String) = s"(SELECT CAST(count(*) AS BIGINT) FROM $r)"
+          def chars(r: String) =
+            s"(SELECT CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM $r)"
+          s"""SELECT CAST(${k + 1} AS BIGINT) AS stage_no, '$nm' AS stage,
+               ${rows(i)} AS rows_in, ${rows(o)} AS rows_out,
+               ${rows(i)} - ${rows(o)} AS n_dropped,
+               ${chars(i)} AS chars_in, ${chars(o)} AS chars_out,
+               ${chars(i)} - ${chars(o)} AS chars_dropped"""
+        }.mkString("\nUNION ALL\n")
+        s"""WITH d0 AS (
+              SELECT doc_id, text, lang, source, n_chars,
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx
+              FROM documents),
+            s1 AS MATERIALIZED (
+              SELECT * FROM d0
+              WHERE doc_id IN (SELECT min(doc_id) FROM d0 GROUP BY text)),
+            ${Dedup.minhashMd5PairsCte(
+              "s1", mhK, mhBandRows, mhTheta, mhCap, "mh_")},
+            s2 AS MATERIALIZED (
+              SELECT * FROM s1
+              WHERE doc_id NOT IN (SELECT b_id FROM mh_pairs)),
+            ${TextAnalysis.gopherFlagsCte("s2", "gq_")},
+            s3 AS MATERIALIZED (
+              SELECT s2.* FROM s2 JOIN gq_f USING (doc_id)
+              WHERE ${gateRules.mkString(" AND ")}),
+            s4 AS MATERIALIZED (
+              SELECT * FROM s3 WHERE hx NOT IN ('0', '1')),
+            evg AS MATERIALIZED (
+              SELECT DISTINCT array_to_string(t[i + 1:i + $nGram], ' ') AS g
+              FROM (SELECT string_split(text, ' ') AS t FROM d0
+                    WHERE hx IN ('0', '1')),
+                unnest(range(0, greatest(len(t) - ${nGram - 1}, 1)))
+                  AS u(i)),
+            contam AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, array_to_string(t[i + 1:i + $nGram], ' ')
+                  AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM s4),
+                  unnest(range(0, greatest(len(t) - ${nGram - 1}, 1)))
+                    AS u(i))
+              WHERE g IN (SELECT g FROM evg)),
+            s5 AS MATERIALIZED (
+              SELECT * FROM s4
+              WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+            s6 AS MATERIALIZED (
+              SELECT doc_id, text, lang, source, n_chars, hx FROM (
+                SELECT *, row_number() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id) AS rn FROM s5)
+              WHERE rn <= $capPerSource),
+            ${dsirScoreCte("s6", "ds_")},
+            s7 AS MATERIALIZED (
+              SELECT s6.* FROM s6 JOIN ds_dsdocs USING (doc_id)
+              WHERE score_e6 > 0)
+            SELECT * FROM (
+            $acctRows
+            ) ORDER BY stage_no"""
+      })
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
       saltedAgg, incrementalDedup, hashSplit, repetitionRatio,
@@ -4138,6 +4350,7 @@ object Curation {
       doremiStep, pairAuditSample, lDiversity, decontaminationDrill,
       neymanAllocation, dsirSelection, lengthBucketing, clusterSharding,
       rejectionResample, stratifiedReservoir, budgetPareto, epochRepeatPlan,
-      compactionPlan, consistentHashRing, temporalSplit, contaminationSweep)
+      compactionPlan, consistentHashRing, temporalSplit, contaminationSweep,
+      curationManifest)
 
 }

@@ -844,67 +844,79 @@ object Dedup {
     * recovery — then exact Jaccard on candidates. The whole chain, cap
     * included, is mirrored in SQL, so the driver hash-checks the
     * complete LSH pipeline, not just a pair count. */
+  /** DuckDB CTE chain mirroring [[minhashMd5Pairs]] over `input` (any
+    * relation with doc_id + text), ending in `${p}pairs(a_id, b_id,
+    * jaccard)`. ONE generator shared by the standalone d10 mirror and
+    * the x62 composed-pipeline stage, so the two can never drift. */
+  def minhashMd5PairsCte(input: String, K: Int, bandRows: Int,
+      theta: Double, cap: Int, p: String = ""): String =
+    s"""${p}toks AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM $input),
+       ${p}sh AS (
+         SELECT DISTINCT doc_id, array_to_string(t[i + 1:i + 3], ' ') AS sh
+         FROM ${p}toks, unnest(range(0, greatest(len(t) - 2, 1))) AS u(i)),
+       ${p}hx AS (
+         SELECT doc_id, sh,
+           ${duckMd5Int60("sh")} AS ha,
+           ${duckMd5IntSlice("sh", 17, 14)} AS hb
+         FROM ${p}sh),
+       ${p}sigs AS (
+         SELECT doc_id, k, min(ha + k * hb) AS sig
+         FROM ${p}hx, unnest(range(0, $K)) AS tk(k)
+         GROUP BY 1, 2),
+       ${p}bands AS (
+         SELECT doc_id, k // $bandRows AS band,
+           string_agg(CAST(sig AS VARCHAR), ',' ORDER BY k) AS bv
+         FROM ${p}sigs GROUP BY 1, 2),
+       ${p}bsz AS (SELECT band, bv, count(*) AS n
+               FROM ${p}bands GROUP BY 1, 2),
+       ${p}kept AS (SELECT ${p}bands.* FROM ${p}bands
+                JOIN ${p}bsz USING (band, bv) WHERE ${p}bsz.n <= $cap),
+       ${p}fullsig AS (
+         SELECT doc_id,
+           string_agg(CAST(sig AS VARCHAR), ',' ORDER BY k) AS fs
+         FROM ${p}sigs GROUP BY 1),
+       ${p}dupreps AS (
+         SELECT fs, min(doc_id) AS rep FROM ${p}fullsig
+         GROUP BY 1 HAVING count(*) > 1),
+       ${p}dpairs AS (
+         SELECT r.rep AS a_id, f.doc_id AS b_id
+         FROM ${p}dupreps r JOIN ${p}fullsig f
+           ON f.fs = r.fs AND f.doc_id <> r.rep),
+       ${p}cand AS (
+         SELECT DISTINCT a_id, b_id FROM (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM ${p}kept a JOIN ${p}kept b
+             ON a.band = b.band AND a.bv = b.bv
+             AND a.doc_id < b.doc_id
+           UNION ALL
+           SELECT a_id, b_id FROM ${p}dpairs)),
+       ${p}sizes AS (SELECT doc_id, count(*) AS n_sh
+                     FROM ${p}sh GROUP BY 1),
+       ${p}inter AS (
+         SELECT c.a_id, c.b_id, count(*) AS n_inter
+         FROM ${p}cand c
+         JOIN ${p}sh a ON a.doc_id = c.a_id
+         JOIN ${p}sh b ON b.doc_id = c.b_id AND b.sh = a.sh
+         GROUP BY 1, 2),
+       ${p}pairs AS (
+         SELECT a_id, b_id,
+           CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+             AS jaccard
+         FROM ${p}inter
+         JOIN ${p}sizes sa ON sa.doc_id = a_id
+         JOIN ${p}sizes sb ON sb.doc_id = b_id
+         WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+           >= $theta)"""
+
   val minhashMd5: QueryDef = {
     val K = 8; val bandRows = 4; val theta = 0.5; val cap = 64
     QueryDef(
       "d10_dedup_minhash_md5",
       (s, d) => minhashMd5Pairs(Tables.documents(s, d), K, bandRows, theta, cap)
         .orderBy("a_id", "b_id"),
-      Some(s"""WITH toks AS (
-                 SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-               sh AS (
-                 SELECT DISTINCT doc_id, array_to_string(t[i + 1:i + 3], ' ') AS sh
-                 FROM toks, unnest(range(0, greatest(len(t) - 2, 1))) AS u(i)),
-               hx AS (
-                 SELECT doc_id, sh,
-                   ${duckMd5Int60("sh")} AS ha,
-                   ${duckMd5IntSlice("sh", 17, 14)} AS hb
-                 FROM sh),
-               sigs AS (
-                 SELECT doc_id, k, min(ha + k * hb) AS sig
-                 FROM hx, unnest(range(0, $K)) AS tk(k)
-                 GROUP BY 1, 2),
-               bands AS (
-                 SELECT doc_id, k // $bandRows AS band,
-                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY k) AS bv
-                 FROM sigs GROUP BY 1, 2),
-               bsz AS (SELECT band, bv, count(*) AS n
-                       FROM bands GROUP BY 1, 2),
-               kept AS (SELECT bands.* FROM bands
-                        JOIN bsz USING (band, bv) WHERE bsz.n <= $cap),
-               fullsig AS (
-                 SELECT doc_id,
-                   string_agg(CAST(sig AS VARCHAR), ',' ORDER BY k) AS fs
-                 FROM sigs GROUP BY 1),
-               dupreps AS (
-                 SELECT fs, min(doc_id) AS rep FROM fullsig
-                 GROUP BY 1 HAVING count(*) > 1),
-               dpairs AS (
-                 SELECT r.rep AS a_id, f.doc_id AS b_id
-                 FROM dupreps r JOIN fullsig f
-                   ON f.fs = r.fs AND f.doc_id <> r.rep),
-               cand AS (
-                 SELECT DISTINCT a_id, b_id FROM (
-                   SELECT a.doc_id AS a_id, b.doc_id AS b_id
-                   FROM kept a JOIN kept b
-                     ON a.band = b.band AND a.bv = b.bv
-                     AND a.doc_id < b.doc_id
-                   UNION ALL
-                   SELECT a_id, b_id FROM dpairs)),
-               sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-               inter AS (
-                 SELECT c.a_id, c.b_id, count(*) AS n_inter
-                 FROM cand c
-                 JOIN sh a ON a.doc_id = c.a_id
-                 JOIN sh b ON b.doc_id = c.b_id AND b.sh = a.sh
-                 GROUP BY 1, 2)
-               SELECT a_id, b_id,
-                 CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
-               FROM inter
-               JOIN sizes sa ON sa.doc_id = a_id
-               JOIN sizes sb ON sb.doc_id = b_id
-               WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
-                 >= $theta
+      Some(s"""WITH ${minhashMd5PairsCte("documents", K, bandRows, theta, cap)}
+               SELECT a_id, b_id, jaccard FROM pairs
                ORDER BY a_id, b_id"""))
   }
 
@@ -2352,6 +2364,10 @@ object Dedup {
                ORDER BY b.doc_id"""))
   }
 
+  /** d27's threshold — the high-band near-dup regime where prefix
+    * filtering pays (see [[prefixFilterPairs]]). */
+  val prefixTheta = 0.80
+
   /** d27 — prefix-filtered exact similarity self-join (Chaudhuri et
     * al. ICDE 2006 prefix filter; Bayardo et al. WWW 2007 all-pairs;
     * Vernica et al. SIGMOD 2010 for the symmetric self-join form):
@@ -2370,23 +2386,20 @@ object Dedup {
     * Spark side runs on xxhash64 fingerprints, the mirror on raw
     * shingles (d04's documented hash-collision-exact pattern); the
     * two sides' prefix ORDERS differ, but losslessness holds under
-    * any order, so the verified outputs agree. θ = 0.60 — prefix
-    * filtering's natural regime is HIGH thresholds (the near-dup
-    * band: every fixture dup pair sits ≥ 0.9): the prefix keeps
-    * n − ⌈3n/5⌉ + 1 ≈ 40% of n shingles, vs 80%+ at d04's
-    * θ = 0.2 where the filter degenerates to the full index (r13
-    * measured 16 s vs 6 s at sf0.1). The spec asserts d27 equals
-    * d04's pair set filtered to jaccard ≥ 0.6 — both are
-    * exact-verified, so the sets must coincide.
+    * any order, so the verified outputs agree. θ = [[prefixTheta]]
+    * = 0.80 — prefix filtering's natural regime is HIGH thresholds
+    * (the near-dup band: every fixture dup pair sits ≥ 0.9): the
+    * prefix keeps n − ⌈0.8n⌉ + 1 ≈ 20% of n shingles (the code's
+    * `(4·n+4) DIV 5` is ⌈0.8n⌉), whereas at d04's θ = 0.2 the prefix
+    * would keep 80%+ and the filter degenerates to the full inverted
+    * index. The spec asserts d27 equals d04's pair set filtered to
+    * jaccard ≥ 0.8 — both are exact-verified, so the sets must
+    * coincide.
     *
     * Scale shape: one freq agg, one doc-keyed ranking window, a
     * prefix-restricted equi self-join (the candidate generator), and
     * a candidate-BOUNDED exact verify (cand ⋈ a-set ⋈ b-set equi
     * joins) — no all-pairs, no full inverted-index pair blowup. */
-  /** d27's threshold — the high-band near-dup regime where prefix
-    * filtering pays (see [[prefixFilterPairs]]). */
-  val prefixTheta = 0.80
-
   val prefixFilterPairs: QueryDef = QueryDef(
     "d27_prefix_filter_pairs",
     (s, d) => {

@@ -1990,11 +1990,108 @@ object Graph {
             ORDER BY butterflies DESC, supplier
             LIMIT 20"""))
 
+  /** g23 — vertex-priority butterfly counting (Wang, Fu, Cheng & Yu,
+    * VLDB 2019, BFC-VP — the hub-robust device g22's doc defers): the
+    * per-supplier butterfly counts of g22 recomputed with ORIENTED
+    * wedge enumeration. Priority = (degree, id) — a strict total order
+    * with hubs highest — and every wedge (start, mid, end) is
+    * enumerated only from its strictly highest-priority endpoint:
+    * pri(mid) < pri(start) and pri(end) < pri(start). Each butterfly
+    * {a, b, x, y} is then counted EXACTLY ONCE, at its unique
+    * max-priority vertex, as one pair in that start's (start, end)
+    * wedge group — so per-group c wedges yield C(c,2) butterflies
+    * credited C(c,2) to start and end and (c−1) to each mid, which is
+    * the exact per-vertex butterfly count (group total
+    * 2·C(c,2) + c·(c−1) = 4·C(c,2) — four vertices per butterfly).
+    *
+    * WHY it is hub-robust where g22 is not: g22 pivots every wedge on
+    * its part middle, costing Σ_p C(deg(p), 2) — quadratic in the
+    * hubbiest part. Here a hub is (almost) never a traversal middle:
+    * mids must have LOWER priority than the start, so wedges through a
+    * hub are enumerated only from the rare vertices prioritized above
+    * it, and the paper bounds the wedge work by
+    * O(Σ_{(u,v)∈E} min(deg u, deg v)). The degree frame is
+    * node-domain-sized (a dimension domain here and at 100 TB) and
+    * BROADCAST onto both hops.
+    *
+    * The DuckDB mirror is deliberately the UNORIENTED supplier-pair
+    * census (g22's formula) — the oracle compare machine-checks that
+    * orientation is lossless on every run, and the spec additionally
+    * asserts row equality with g22's (supplier, butterflies)
+    * projection. Determinism: integer counting, total-order tie-break.
+    */
+  val butterflyOriented: QueryDef = QueryDef(
+    "g23_butterfly_vpriority",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"),
+          (col("l_suppkey") + SuppOffset).as("sup"))
+        .distinct()
+      val e = li.select(col("p").as("u"), col("sup").as("v"))
+        .union(li.select(col("sup").as("u"), col("p").as("v")))
+      val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      val ed = e
+        .join(broadcast(deg.select(col("u"), col("deg").as("du"))), "u")
+        .join(broadcast(deg.select(col("u").as("v"),
+          col("deg").as("dv"))), "v")
+      // hop 1: start → mid, strictly descending priority
+      val h1 = ed
+        .filter(col("dv") < col("du") ||
+          (col("dv") === col("du") && col("v") < col("u")))
+        .select(col("u").as("start"), col("du").as("ds"),
+          col("v").as("mid"))
+      // hop 2: mid → end, end also strictly below the start
+      val h2 = ed.select(col("u").as("mid"), col("v").as("end"),
+        col("dv").as("de"))
+      val wedges = h1.join(h2, "mid")
+        .filter(col("end") =!= col("start") &&
+          (col("de") < col("ds") ||
+            (col("de") === col("ds") && col("end") < col("start"))))
+        .select("start", "mid", "end")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val grp = wedges.groupBy("start", "end").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .withColumn("bf", expr("(c * (c - 1)) DIV 2"))
+      val endContrib = grp
+        .select(explode(array(col("start"), col("end"))).as("n"),
+          col("bf").as("b"))
+      val midContrib = wedges
+        .join(grp.select("start", "end", "c"), Seq("start", "end"))
+        .select(col("mid").as("n"), (col("c") - 1).as("b"))
+      val out = endContrib.union(midContrib)
+        .groupBy("n").agg(sum("b").as("butterflies"))
+        .filter(col("n") >= SuppOffset)
+        .select((col("n") - SuppOffset).as("supplier"), col("butterflies"))
+        .orderBy(col("butterflies").desc, col("supplier"))
+        .limit(20)
+        .localCheckpoint()
+      wedges.unpersist()
+      out
+    },
+    Some("""WITH li AS (
+              SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
+              FROM lineitem),
+            pw AS (
+              SELECT a.sup AS s1, b.sup AS s2, count(*) AS c
+              FROM li a JOIN li b ON a.p = b.p AND a.sup < b.sup
+              GROUP BY 1, 2),
+            bf AS (
+              SELECT s1, s2, (c * (c - 1)) // 2 AS bf
+              FROM pw WHERE c > 1),
+            x AS (
+              SELECT s1 AS supplier, bf FROM bf
+              UNION ALL SELECT s2, bf FROM bf)
+            SELECT CAST(supplier AS BIGINT) AS supplier,
+              CAST(sum(bf) AS BIGINT) AS butterflies
+            FROM x GROUP BY 1
+            ORDER BY butterflies DESC, supplier
+            LIMIT 20"""))
+
   val all: Seq[QueryDef] =
     Seq(pagerank, triangles, kcore, labelPropagation, bfsHops,
       personalizedPagerank, linkPrediction, hits, degreeHistogram,
       harmonicCentrality, modularity, clusteringCoefficient,
       assortativity, wcc, diameterSweep, bipartiteProjection,
       seededBetweenness, twoHopReach, ktrussSupport, richClub,
-      corenessLadder, butterflyCount)
+      corenessLadder, butterflyCount, butterflyOriented)
 }

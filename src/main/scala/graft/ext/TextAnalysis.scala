@@ -1395,11 +1395,18 @@ object TextAnalysis {
 
   /** The t22 flag frame `(doc_id, 7 sufficient statistics, 6 boolean
     * rule flags)` — one pure per-row projection in the scan stage (no
-    * shuffle), shared by t22 and t28. */
-  def gopherFlagged(s: SparkSession, d: String): DataFrame = {
+    * shuffle), shared by t22 and t28 (and, frame-parameterized, by the
+    * x62 composed-pipeline stage). */
+  def gopherFlagged(s: SparkSession, d: String): DataFrame =
+    gopherFlaggedDf(Tables.documents(s, d))
+
+  /** [[gopherFlagged]] over an arbitrary `(doc_id, text, …)` frame —
+    * the flags are per-row, so the projection composes with any
+    * upstream stage unchanged. */
+  def gopherFlaggedDf(docs: DataFrame): DataFrame = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val stopArr = stops.map(w => s"'$w'").mkString(", ")
-    Tables.documents(s, d)
+    docs
       .selectExpr(
         "doc_id",
         raw"size(split(trim(text), '\\s+')) AS n_words",
@@ -1422,11 +1429,13 @@ object TextAnalysis {
   }
 
   /** DuckDB mirror of [[gopherFlagged]] as WITH-body CTEs ending in
-    * `f(doc_id, stats…, flags…)`. */
-  def gopherFlagsCte: String = {
+    * `${p}f(doc_id, stats…, flags…)`, reading `input` — default the
+    * bare documents table (t22/t28); the x62 composed pipeline passes
+    * its stage CTE and a collision-free prefix. */
+  def gopherFlagsCte(input: String = "documents", p: String = ""): String = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val stopArr = stops.map(w => s"'$w'").mkString(", ")
-    s"""c AS (
+    s"""${p}c AS (
          SELECT doc_id,
            CAST(len(regexp_split_to_array(trim(text), '\\s+'))
              AS INTEGER) AS n_words,
@@ -1449,8 +1458,8 @@ object TextAnalysis {
            CAST(len(list_intersect(
              list_distinct(string_split(lower(text), ' ')),
              [$stopArr])) AS INTEGER) AS n_stops
-         FROM documents),
-       f AS (
+         FROM $input),
+       ${p}f AS (
          SELECT doc_id, n_words, sum_len, n_symbols, n_lines,
            n_bullets, n_alpha, n_stops,
            n_words >= 50 AND n_words <= 100000 AS r_word_count,
@@ -1460,7 +1469,7 @@ object TextAnalysis {
            10 * n_bullets <= n_lines AS r_bullets,
            5 * n_alpha >= 4 * n_words AS r_alpha_words,
            n_stops >= 2 AS r_stopwords
-         FROM c)"""
+         FROM ${p}c)"""
   }
 
   val gopherRules: QueryDef = {
@@ -1475,7 +1484,7 @@ object TextAnalysis {
             ("r_word_count AND r_mean_len AND r_symbol_ratio AND r_bullets" +
               " AND r_alpha_words AND r_stopwords AS pass_all"): _*)
           .orderBy("doc_id"),
-      Some(s"""WITH $gopherFlagsCte
+      Some(s"""WITH ${gopherFlagsCte()}
                SELECT doc_id, n_words, sum_len, n_symbols, n_lines,
                  n_bullets, n_alpha, n_stops,
                  r_word_count, r_mean_len, r_symbol_ratio, r_bullets,
@@ -1533,7 +1542,7 @@ object TextAnalysis {
       val arms = gopherRuleNames.map { r =>
         s"SELECT n_fails, '$r' AS rule, $r AS pass FROM nf"
       }.mkString("\n UNION ALL ")
-      s"""WITH $gopherFlagsCte,
+      s"""WITH ${gopherFlagsCte()},
            nf AS (SELECT *, $fails AS n_fails FROM f),
            stacked AS ($arms),
            agg AS (

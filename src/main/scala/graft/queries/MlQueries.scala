@@ -2715,7 +2715,11 @@ object MlQueries {
     *
     * Scale shape: one corpus scan to the (type, day) census; the pair
     * frame is C(|days|, 2)·|types| ≤ ~2 200 rows — ml26's bounded
-    * joint-census discipline, never row-level O(n²). */
+    * joint-census discipline, never row-level O(n²). Output covers the
+    * FULL event-type domain: a type whose census has a single day has
+    * zero slope pairs and is emitted as n_pairs = 0 / NULL slopes /
+    * trend 0 via the nn-side LEFT JOIN (ADVICE r13), not silently
+    * dropped. */
   val theilSen: QueryDef = {
     def tail(div: String, perc: String): String =
       s"""p AS (
@@ -2735,12 +2739,13 @@ object MlQueries {
           nn AS (
             SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
             FROM cens GROUP BY 1)
-          SELECT m.event_type, n_days, n_pairs, slope2_e6,
-            min_slope_e6, max_slope_e6,
+          SELECT nn.event_type, n_days,
+            CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+            slope2_e6, min_slope_e6, max_slope_e6,
             CAST(CASE WHEN slope2_e6 > 0 THEN 1
               WHEN slope2_e6 < 0 THEN -1 ELSE 0 END AS BIGINT) AS trend
-          FROM m JOIN nn ON m.event_type = nn.event_type
-          ORDER BY m.event_type"""
+          FROM nn LEFT JOIN m ON m.event_type = nn.event_type
+          ORDER BY nn.event_type"""
     def censSql(epochUs: String, div: String): String =
       s"""SELECT event_type, $epochUs(ts) $div 86400000000 AS day,
             CAST(count(*) AS BIGINT) AS y
@@ -2779,9 +2784,14 @@ object MlQueries {
     *
     * Determinism: durations exact µs → day buckets by DIV; n/d/c pure
     * integer window arithmetic; lnS_e6 an exact integer prefix sum of
-    * per-term integers. Scale shape: one user-keyed agg to (user,
-    * duration, event?) — corpus-linear — then everything on the
-    * bounded distinct-day frame (x15's value-domain idiom). */
+    * per-term integers. A terminal day where EVERY remaining at-risk
+    * user converts (n = d, S(t) = 0) would put ln(0) = −∞ in the
+    * term; that row (and any row at or after it) carries
+    * ln_surv_e6 = NULL — the explicit "curve hit zero" sentinel —
+    * instead of a divergent float (ADVICE r13; not reachable on the
+    * fixture, data-dependent at scale). Scale shape: one user-keyed
+    * agg to (user, duration, event?) — corpus-linear — then everything
+    * on the bounded distinct-day frame (x15's value-domain idiom). */
   val kaplanMeier: QueryDef = {
     def sql(epochUs: String, div: String): String =
       s"""WITH per AS (
@@ -2814,15 +2824,19 @@ object MlQueries {
             FROM cell CROSS JOIN tot),
           terms AS (
             SELECT day, d, c, CAST(n AS BIGINT) AS n_r,
-              CASE WHEN d > 0 THEN
+              CASE WHEN d > 0 AND n > d THEN
                 CAST(round(ln(CAST(n - d AS DOUBLE)) * 1000000) AS BIGINT)
                 - CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
-              ELSE 0 END AS term_e6
+              ELSE 0 END AS term_e6,
+              CASE WHEN d >= n THEN 1 ELSE 0 END AS dead
             FROM km WHERE n > 0 AND d > 0)
           SELECT day, n_r AS n_at_risk, d AS n_events, c AS n_censored,
-            CAST(sum(term_e6) OVER (ORDER BY day
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS BIGINT) AS ln_surv_e6
+            CAST(CASE WHEN sum(dead) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+              THEN NULL
+              ELSE sum(term_e6) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              END AS BIGINT) AS ln_surv_e6
           FROM terms ORDER BY day"""
     QueryDef(
       "ml34_kaplan_meier",

@@ -108,7 +108,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "s26_rrf_fusion" -> "bounded 10-query panel broadcast for the dense leg (s01/s05's idiom) + t42's inherited 1-row corpus-totals crossJoin; the fusion join is full-outer EQUI on (q_id, n_id)",
     "q66_cdc_merge" -> "1-row customer-domain scalar (n_cust) crossJoined onto the change-feed scan (e05's idiom); the merge itself is a full-outer EQUI join on the key",
     "ml34_kaplan_meier" -> "1-row cohort-size scalar (n0) crossJoined onto the bounded distinct-day frame (e05's idiom)",
-    "x60_temporal_split_audit" -> "1-row corpus-count + 1-row threshold-pair scalars crossJoined onto the day census / assignment scan (e05's idiom); the warm-user join is equi on user_id")
+    "x60_temporal_split_audit" -> "1-row corpus-count + 1-row threshold-pair scalars crossJoined onto the day census / assignment scan (e05's idiom); the warm-user join is equi on user_id",
+    "x62_curation_manifest" -> "seven 1-row-x-1-row accounting crossJoins (rows/chars per stage, e05's idiom) — every pipeline stage join (semi/anti on doc_id, band equi, gram semi) is an equi-join on the checkpointed survivor frames")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
