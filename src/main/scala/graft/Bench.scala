@@ -40,6 +40,15 @@ object Bench {
     }
 
     def timeOne(q: graft.queries.QueryDef): Double = {
+      // Clean slate before each query (r13 adjudication: the graph
+      // family — last in registry order — ran +26% in-suite while
+      // focused medians sat at baseline; the mechanism is accumulated
+      // JVM state, chiefly localCheckpoint RDD blocks that free only
+      // when the ContextCleaner processes their weak refs after a GC).
+      // An explicit GC outside any timed region lets the cleaner drop
+      // dead blocks so query k's measurement doesn't pay for queries
+      // 1..k-1's garbage. ~10 ms x |registry| of untimed overhead.
+      System.gc()
       val warmup = once(q.build)
       if (warmup < 0 || runs < 1) warmup
       else if (warmup > 5.0) {
