@@ -4195,9 +4195,9 @@ object Curation {
     * dsirDocScores) and the DuckDB mirror reuses the same generated CTE
     * chains (minhashMd5PairsCte, gopherFlagsCte, dsirScoreCte), so the
     * composition is oracle-hash-exact end to end and cannot drift from
-    * the stages it composes. X62PipelineSpec additionally asserts each
-    * stage's drop set equals the standalone operator applied to that
-    * stage's input.
+    * the stages it composes. Round14OpsSpec additionally asserts each
+    * stage's accounting equals the standalone operator applied to that
+    * stage's input (pure-Scala md5/cap/DSIR replays).
     *
     * Scale shape: the chain inherits each stage's law — hash-agg on
     * text (1), banded LSH + candidate-bounded verify (2), pure scan

@@ -2087,11 +2087,82 @@ object Graph {
             ORDER BY butterflies DESC, supplier
             LIMIT 20"""))
 
+  /** g24 — bipartite local clustering coefficient per supplier
+    * (Latapy, Magnien & Del Vecchio, "Basic notions for the analysis
+    * of large two-mode networks", Social Networks 2008 §5: the
+    * pairwise coefficient cc(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)| over
+    * u's 2-hop neighbors, averaged per node — the bipartite analog of
+    * g12's one-mode clustering coefficient, and the normalized readout
+    * on top of g22/g23's raw butterfly counts: a supplier with high
+    * mean overlap shares most of its part portfolio with its
+    * co-suppliers): pair common-part counts c from the same part-keyed
+    * wedge census as g22 (here at c ≥ 1 — Latapy's 2-hop neighborhood,
+    * not just the butterfly-forming c ≥ 2), per-pair coefficient as
+    * exact integer ppm `(10⁶·c) DIV (deg_u + deg_v − c)`, per-supplier
+    * mean/max over the partner set.
+    *
+    * Determinism: pure integer arithmetic end to end. Scale shape:
+    * g22's law — one distinct scan, one part-keyed equi self-join
+    * (suppliers-per-part data-model bounded; g23's vertex-priority
+    * orientation is the hub-robust alternative when that bound
+    * breaks), a supplier-pair agg, a broadcast degree join, one
+    * supplier-keyed agg over the dimension-domain output. */
+  val bipartiteClustering: QueryDef = QueryDef(
+    "g24_bipartite_clustering",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+        .distinct()
+      val deg = li.groupBy("sup").agg(count(lit(1)).as("deg"))
+      val pairs = li.select(col("p"), col("sup").as("s1"))
+        .join(li.select(col("p"), col("sup").as("s2")), Seq("p"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("c"))
+      val cc = pairs
+        .join(broadcast(deg.select(col("sup").as("s1"),
+          col("deg").as("d1"))), "s1")
+        .join(broadcast(deg.select(col("sup").as("s2"),
+          col("deg").as("d2"))), "s2")
+        .withColumn("cc_e6", expr("(1000000 * c) DIV (d1 + d2 - c)"))
+      cc.select(explode(array(col("s1"), col("s2"))).as("supplier"),
+          col("cc_e6"))
+        .groupBy("supplier")
+        .agg(count(lit(1)).as("n_partners"),
+          expr("CAST(sum(cc_e6) DIV count(1) AS BIGINT)")
+            .as("mean_cc_e6"),
+          max(col("cc_e6")).as("max_cc_e6"))
+        .orderBy("supplier")
+    },
+    Some("""WITH li AS (
+              SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
+              FROM lineitem),
+            deg AS (SELECT sup, count(*) AS deg FROM li GROUP BY 1),
+            pw AS (
+              SELECT a.sup AS s1, b.sup AS s2, count(*) AS c
+              FROM li a JOIN li b ON a.p = b.p AND a.sup < b.sup
+              GROUP BY 1, 2),
+            cc AS (
+              SELECT s1, s2, (1000000 * c) // (d1.deg + d2.deg - c)
+                AS cc_e6
+              FROM pw
+              JOIN deg d1 ON d1.sup = pw.s1
+              JOIN deg d2 ON d2.sup = pw.s2),
+            x AS (
+              SELECT s1 AS supplier, cc_e6 FROM cc
+              UNION ALL SELECT s2, cc_e6 FROM cc)
+            SELECT supplier,
+              CAST(count(*) AS BIGINT) AS n_partners,
+              CAST(CAST(sum(cc_e6) AS BIGINT) // count(*) AS BIGINT)
+                AS mean_cc_e6,
+              CAST(max(cc_e6) AS BIGINT) AS max_cc_e6
+            FROM x GROUP BY 1 ORDER BY supplier"""))
+
   val all: Seq[QueryDef] =
     Seq(pagerank, triangles, kcore, labelPropagation, bfsHops,
       personalizedPagerank, linkPrediction, hits, degreeHistogram,
       harmonicCentrality, modularity, clusteringCoefficient,
       assortativity, wcc, diameterSweep, bipartiteProjection,
       seededBetweenness, twoHopReach, ktrussSupport, richClub,
-      corenessLadder, butterflyCount, butterflyOriented)
+      corenessLadder, butterflyCount, butterflyOriented,
+      bipartiteClustering)
 }

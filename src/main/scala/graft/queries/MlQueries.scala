@@ -2848,6 +2848,112 @@ object MlQueries {
       Some(sql("epoch_us", "//")))
   }
 
+  /** ml35 — log-rank test between two user cohorts' time-to-convert
+    * curves (Mantel 1966 / Peto & Peto 1972 — THE standard two-sample
+    * test paired with ml34's Kaplan–Meier estimate: under H₀ "same
+    * survival", cohort A's observed events O_A at each event day should
+    * match the hypergeometric expectation E_A = Σ d_j·n_Aj/n_j, with
+    * variance V = Σ d_j·(n_Aj/n_j)·(n_Bj/n_j)·(n_j−d_j)/(n_j−1); the
+    * statistic (O_A−E_A)²/V is χ²₁ — how an experimenter reads "did
+    * the treatment change time-to-convert" without binning durations):
+    * cohorts split 8/8 on the first md5 hex digit of user_id (x07's
+    * split device, so H₀ is TRUE by construction and the fixture
+    * statistic should sit low), durations/censoring exactly as ml34.
+    *
+    * Determinism: at-risk/event counts are exact integer window
+    * arithmetic on the bounded distinct-day frame; E_A is integerized
+    * per day by pure integer cross-multiply `(10⁶·d·n_A) DIV n`; each
+    * day's variance term is ONE fixed-shape IEEE chain over exact
+    * integer counts rounded to 10⁻⁶ at the day frame (ml26's
+    * discipline) before the exact long sum; χ² is one final fixed
+    * double ratio of the two exact aggregates. Scale shape: one
+    * user-keyed agg, then everything on the bounded day frame. */
+  val logRank: QueryDef = {
+    def sql(epochUs: String, div: String, str: String): String =
+      s"""WITH per AS (
+            SELECT user_id,
+              min(CASE WHEN event_type = 'view' THEN $epochUs(ts) END)
+                AS v_us,
+              min(CASE WHEN event_type = 'purchase' THEN $epochUs(ts) END)
+                AS p_us,
+              max($epochUs(ts)) AS last_us
+            FROM events GROUP BY 1),
+          obs AS (
+            SELECT
+              CASE WHEN substring(md5(CAST(user_id AS $str)), 1, 1)
+                IN ('0','1','2','3','4','5','6','7')
+                THEN 0 ELSE 1 END AS grp,
+              CASE WHEN p_us IS NOT NULL AND p_us >= v_us
+                THEN (p_us - v_us) $div 86400000000
+                ELSE (last_us - v_us) $div 86400000000 END AS day,
+              CASE WHEN p_us IS NOT NULL AND p_us >= v_us
+                THEN 1 ELSE 0 END AS event
+            FROM per WHERE v_us IS NOT NULL),
+          tot AS (
+            SELECT
+              CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n0a,
+              CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n0b
+            FROM obs),
+          cell AS (
+            SELECT day,
+              CAST(sum(CASE WHEN grp = 0 THEN event ELSE 0 END)
+                AS BIGINT) AS da,
+              CAST(sum(CASE WHEN grp = 1 THEN event ELSE 0 END)
+                AS BIGINT) AS db,
+              CAST(sum(CASE WHEN grp = 0 THEN 1 - event ELSE 0 END)
+                AS BIGINT) AS ca,
+              CAST(sum(CASE WHEN grp = 1 THEN 1 - event ELSE 0 END)
+                AS BIGINT) AS cb
+            FROM obs GROUP BY 1),
+          km AS (
+            SELECT day, da, db,
+              n0a - coalesce(sum(da + ca) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS na,
+              n0b - coalesce(sum(db + cb) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS nb
+            FROM cell CROSS JOIN tot),
+          terms AS (
+            SELECT da, db, na, nb, na + nb AS n, da + db AS d
+            FROM km WHERE da + db > 0 AND na + nb > 0),
+          agg AS (
+            SELECT
+              CAST(sum(da) AS BIGINT) AS o_a,
+              CAST(sum(db) AS BIGINT) AS o_b,
+              CAST(sum((1000000 * d * na) $div n) AS BIGINT) AS e_a_e6,
+              CAST(sum(CASE WHEN n > 1 THEN
+                CAST(round((CAST(d AS DOUBLE) * CAST(na AS DOUBLE)
+                  * CAST(nb AS DOUBLE) * CAST(n - d AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(n - 1 AS DOUBLE)) * 1000000) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS v_e6
+            FROM terms)
+          SELECT n0a AS n_users_a, n0b AS n_users_b, o_a, o_b,
+            e_a_e6, v_e6,
+            CAST(CASE WHEN v_e6 > 0 THEN CAST(round(
+              (CAST(1000000 * o_a - e_a_e6 AS DOUBLE)
+                * CAST(1000000 * o_a - e_a_e6 AS DOUBLE))
+              / CAST(v_e6 AS DOUBLE)) AS BIGINT)
+              ELSE 0 END AS BIGINT) AS chi2_e6,
+            CAST(CASE WHEN v_e6 > 0 AND CAST(round(
+              (CAST(1000000 * o_a - e_a_e6 AS DOUBLE)
+                * CAST(1000000 * o_a - e_a_e6 AS DOUBLE))
+              / CAST(v_e6 AS DOUBLE)) AS BIGINT) > 3841459
+              THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+          FROM agg CROSS JOIN tot"""
+    QueryDef(
+      "ml35_logrank",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("g_ml35_events")
+        s.sql(sql("unix_micros", "DIV", "STRING")
+          .replace("FROM events", "FROM g_ml35_events"))
+      },
+      Some(sql("epoch_us", "//", "VARCHAR")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(lrOrders, treeOrders, kmeansClusters, kmeansClustersExact, olsExact,
       stumpExact, cvSlopeStability, learningCurve, transferMatrix,
@@ -2856,5 +2962,5 @@ object MlQueries {
       chiSquare, logitNewton, permutationTest, groupedOls,
       groupedLogitNewton, liftGains, kendallTau, spearmanRho, sesForecast,
       madAnomaly, cusumDrift, benfordAudit, runsTest, theilSen,
-      kaplanMeier)
+      kaplanMeier, logRank)
 }

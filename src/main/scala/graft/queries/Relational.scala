@@ -2575,10 +2575,43 @@ object Relational {
         .replace("$DIV$", "//")))
   }
 
+  /** Q68 — QUALIFY-clause emulation (top-3 orders per customer by
+    * totalprice): Teradata coined QUALIFY and DuckDB/Snowflake/BigQuery
+    * ship it, but Spark SQL does not — a user migrating such a query
+    * needs the standard rewrite, window function → named column →
+    * post-window filter, which is exactly what QUALIFY desugars to in
+    * every engine that has it. The ENGINE side is the rewrite
+    * (row_number window + filter ≤ 3); the DuckDB mirror deliberately
+    * uses NATIVE `QUALIFY`, so the oracle hash-check proves the
+    * rewrite is semantics-identical to the native clause on every run.
+    * Ties broken by o_orderkey — deterministic top-3.
+    *
+    * Scale shape: one shuffle on o_custkey, per-key window never sees
+    * more than one customer's orders; the filter prunes to ≤3 rows per
+    * key before the output sort. */
+  val q68 = QueryDef(
+    "q68_qualify_emulation",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+              CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+            FROM orders
+            QUALIFY rn <= 3
+            ORDER BY o_custkey, rn"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q10b, q11, q12, q12b,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q23b, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53,
-    q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
+    q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
+    q68)
 }

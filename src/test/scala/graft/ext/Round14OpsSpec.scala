@@ -115,6 +115,89 @@ class Round14OpsSpec extends AnyFunSuite {
       s"orientation is not lossless: got ${g23.take(5)} want ${g22.take(5)}")
   }
 
+  test("g24: bipartite clustering coefficients match a pure-Scala replay") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bySup = li.groupBy(_._2).map { case (s, v) => s -> v.map(_._1).toSet }
+    val sups = bySup.keys.toSeq.sorted
+    val want = sups.flatMap { s =>
+      val partners = sups.filter(t => t != s && (bySup(s) & bySup(t)).nonEmpty)
+      if (partners.isEmpty) None else {
+        val ccs = partners.map { t =>
+          val c = (bySup(s) & bySup(t)).size.toLong
+          1000000L * c / (bySup(s).size + bySup(t).size - c)
+        }
+        Some((s, partners.size.toLong, ccs.sum / ccs.size, ccs.max))
+      }
+    }
+    val got = Graph.bipartiteClustering.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"g24 drift: got ${got.take(3)} want ${want.take(3)}")
+  }
+
+  test("ml35: log-rank O/E/V/chi2 match a pure-Scala replay") {
+    val rows = graft.core.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perUser = rows.groupBy(_._1).flatMap { case (u, v) =>
+      val vUs = v.filter(_._2 == "view").map(_._3).minOption
+      val pUs = v.filter(_._2 == "purchase").map(_._3).minOption
+      val last = v.map(_._3).max
+      vUs.map { vu =>
+        val conv = pUs.exists(_ >= vu)
+        val day = (if (conv) pUs.get - vu else last - vu) / 86400000000L
+        val grp = if ("01234567".contains(md5hex(u.toString).charAt(0))) 0 else 1
+        (grp, day, if (conv) 1 else 0)
+      }
+    }.toSeq
+    val n0a = perUser.count(_._1 == 0).toLong
+    val n0b = perUser.count(_._1 == 1).toLong
+    val days = perUser.map(_._2).distinct.sorted
+    var (remA, remB) = (n0a, n0b)
+    var (oa, ob, ea, ve) = (0L, 0L, 0L, 0L)
+    for (day <- days) {
+      val cellA = perUser.filter(r => r._1 == 0 && r._2 == day)
+      val cellB = perUser.filter(r => r._1 == 1 && r._2 == day)
+      val (da, db) = (cellA.count(_._3 == 1).toLong, cellB.count(_._3 == 1).toLong)
+      val (na, nb) = (remA, remB); val n = na + nb; val dd = da + db
+      if (dd > 0 && n > 0) {
+        oa += da; ob += db
+        ea += 1000000L * dd * na / n
+        if (n > 1) ve += roundHalfUp(
+          (dd.toDouble * na.toDouble * nb.toDouble * (n - dd).toDouble) /
+            (n.toDouble * n.toDouble * (n - 1).toDouble) * 1000000)
+      }
+      remA -= cellA.size; remB -= cellB.size
+    }
+    val chi2 = if (ve > 0) roundHalfUp({
+      val d6 = (1000000L * oa - ea).toDouble; d6 * d6 / ve.toDouble
+    }) else 0L
+    val got = graft.queries.MlQueries.logRank.build(spark, sf).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5), got.getLong(6)) ==
+      (n0a, n0b, oa, ob, ea, ve, chi2),
+      s"ml35 drift: got $got want ($n0a,$n0b,$oa,$ob,$ea,$ve,$chi2)")
+    // censoring genuinely exercised: someone converted, someone didn't
+    assert(oa + ob > 0 && oa + ob < n0a + n0b)
+  }
+
+  test("q68: QUALIFY rewrite equals a pure-Scala top-3 per customer") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = orders.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (c, v) =>
+        v.sortBy(o => (-o._3, o._2)).take(3).zipWithIndex
+          .map { case ((_, ok, tp), i) => (c, ok, tp, i + 1) }
+    }
+    val got = graft.queries.Relational.q68.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(got == want, s"q68 drift: got ${got.take(3)} want ${want.take(3)}")
+  }
+
   test("x60: always emits the full 3-split domain") {
     val rows = Curation.temporalSplit.build(spark, sf).collect()
     assert(rows.map(_.getString(0)).sorted.toSeq ==

@@ -108,6 +108,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "s26_rrf_fusion" -> "bounded 10-query panel broadcast for the dense leg (s01/s05's idiom) + t42's inherited 1-row corpus-totals crossJoin; the fusion join is full-outer EQUI on (q_id, n_id)",
     "q66_cdc_merge" -> "1-row customer-domain scalar (n_cust) crossJoined onto the change-feed scan (e05's idiom); the merge itself is a full-outer EQUI join on the key",
     "ml34_kaplan_meier" -> "1-row cohort-size scalar (n0) crossJoined onto the bounded distinct-day frame (e05's idiom)",
+    "ml35_logrank" -> "1-row two-cohort totals (n0a, n0b) crossJoined onto the bounded distinct-day frame (ml34's idiom)",
     "x60_temporal_split_audit" -> "1-row corpus-count + 1-row threshold-pair scalars crossJoined onto the day census / assignment scan (e05's idiom); the warm-user join is equi on user_id",
     "x62_curation_manifest" -> "seven 1-row-x-1-row accounting crossJoins (rows/chars per stage, e05's idiom) — every pipeline stage join (semi/anti on doc_id, band equi, gram semi) is an equi-join on the checkpointed survivor frames")
 
@@ -135,6 +136,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "ml15_ks_test" -> "ECDF cumulative + totals over the bounded DISTINCT-cent frame (value-domain bounded, x15/ml06's idiom), MlQueries.scala",
     "t33_vocab_growth" -> "prefix sums over the 4-row bucket frame (x11's idiom), TextAnalysis.scala",
     "ml34_kaplan_meier" -> "at-risk prefix sum + log-survival prefix sum over the bounded distinct-DAY frame (value-domain bounded, x15's idiom), MlQueries.scala",
+    "ml35_logrank" -> "per-cohort at-risk prefix sums over the bounded distinct-DAY frame (ml34's idiom), MlQueries.scala",
     "x60_temporal_split_audit" -> "cumulative count over the bounded day census (value-domain bounded, x15's idiom — a distinct-us cut would be corpus-sized, deliberately avoided), Curation.scala",
     "x50_neyman_allocation" -> "allocation windows over the segment-domain (5-row) frame (x17's idiom), Curation.scala",
     "ml19_mann_whitney" -> "doubled-rank cumulative + totals over the bounded DISTINCT-cent frame (value-domain bounded, ml15's idiom), MlQueries.scala",
