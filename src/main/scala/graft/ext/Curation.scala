@@ -3989,7 +3989,11 @@ object Curation {
     * domain frame left-joined to the census — ADVICE r13): on a tiny
     * day domain the 70/85 thresholds can coincide with the max day,
     * and an empty val/test split must surface as n_rows = 0 with
-    * degenerate = 1 (and boundary_ok = 0), not silently vanish.
+    * degenerate = 1 (and boundary_ok = 0), not silently vanish. A
+    * NON-empty test after an empty val compares its boundary against
+    * the last non-empty preceding split (train) via coalesce — a
+    * genuinely clean boundary must not read as dirty just because the
+    * middle split collapsed.
     *
     * Determinism: exact cumulative counts, integer cross-multiply,
     * integer census values. Scale shape: one scan to the bounded day
@@ -4046,8 +4050,9 @@ object Curation {
               WHEN 'val' THEN CASE WHEN n_rows > 0 AND f.min_day >
                 (SELECT max_day FROM filled WHERE split = 'train')
                 THEN 1 ELSE 0 END
-              ELSE CASE WHEN n_rows > 0 AND f.min_day >
-                (SELECT max_day FROM filled WHERE split = 'val')
+              ELSE CASE WHEN n_rows > 0 AND f.min_day > coalesce(
+                (SELECT max_day FROM filled WHERE split = 'val'),
+                (SELECT max_day FROM filled WHERE split = 'train'))
                 THEN 1 ELSE 0 END END AS BIGINT) AS boundary_ok,
             CAST(CASE WHEN n_rows = 0 THEN 1 ELSE 0 END AS BIGINT)
               AS degenerate
@@ -4220,6 +4225,12 @@ object Curation {
       "x62_curation_manifest",
       (s, d) => {
         def ck(df: DataFrame) = df.localCheckpoint()
+        // d0 is deliberately NOT checkpointed: its three consumers
+        // (stage-1 accounting, the canon join, the eval-gram explode)
+        // each column-prune a different narrow slice of the parquet
+        // scan, and at 100 TB re-scanning pruned columns beats
+        // materializing the full raw corpus (the survivor frames s1..s7
+        // ARE checkpointed — they shrink and feed 2+ stages each).
         val d0 = Tables.documents(s, d).withColumn("hx",
           expr("substring(md5(CAST(doc_id AS STRING)), 1, 1)"))
         val canon = d0.groupBy("text")

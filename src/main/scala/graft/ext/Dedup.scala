@@ -831,19 +831,6 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
   }
 
-  /** d10 — ORACLE-EXACT MinHash LSH. d02/d06 are rows-only because
-    * their hash family (spark.ml seeds / xxhash64) has no DuckDB
-    * counterpart; this variant keys the Broder scheme on md5, which
-    * both engines compute identically: one md5 per shingle split into
-    * two integer halves (Spark `conv(substring(md5..), 16, 10)` ≡
-    * DuckDB hex-digit fold, verified bit-equal), expanded to 8 hashes
-    * by the Carter-Wegman family h_k = a + k·b. 8 signatures, banded
-    * 2×4; band key is the comma-joined signature slice (pure string
-    * equality on both engines); candidates from the band equi-join only
-    * — never all-pairs, with the d06 mega-bucket cap and dup-cluster
-    * recovery — then exact Jaccard on candidates. The whole chain, cap
-    * included, is mirrored in SQL, so the driver hash-checks the
-    * complete LSH pipeline, not just a pair count. */
   /** DuckDB CTE chain mirroring [[minhashMd5Pairs]] over `input` (any
     * relation with doc_id + text), ending in `${p}pairs(a_id, b_id,
     * jaccard)`. ONE generator shared by the standalone d10 mirror and
@@ -909,6 +896,19 @@ object Dedup {
          WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
            >= $theta)"""
 
+  /** d10 — ORACLE-EXACT MinHash LSH. d02/d06 are rows-only because
+    * their hash family (spark.ml seeds / xxhash64) has no DuckDB
+    * counterpart; this variant keys the Broder scheme on md5, which
+    * both engines compute identically: one md5 per shingle split into
+    * two integer halves (Spark `conv(substring(md5..), 16, 10)` ≡
+    * DuckDB hex-digit fold, verified bit-equal), expanded to 8 hashes
+    * by the Carter-Wegman family h_k = a + k·b. 8 signatures, banded
+    * 2×4; band key is the comma-joined signature slice (pure string
+    * equality on both engines); candidates from the band equi-join only
+    * — never all-pairs, with the d06 mega-bucket cap and dup-cluster
+    * recovery — then exact Jaccard on candidates. The whole chain, cap
+    * included, is mirrored in SQL, so the driver hash-checks the
+    * complete LSH pipeline, not just a pair count. */
   val minhashMd5: QueryDef = {
     val K = 8; val bandRows = 4; val theta = 0.5; val cap = 64
     QueryDef(

@@ -2861,13 +2861,17 @@ object MlQueries {
     * statistic should sit low), durations/censoring exactly as ml34.
     *
     * Determinism: at-risk/event counts are exact integer window
-    * arithmetic on the bounded distinct-day frame; E_A is integerized
-    * per day by pure integer cross-multiply `(10⁶·d·n_A) DIV n`; each
-    * day's variance term is ONE fixed-shape IEEE chain over exact
-    * integer counts rounded to 10⁻⁶ at the day frame (ml26's
-    * discipline) before the exact long sum; χ² is one final fixed
-    * double ratio of the two exact aggregates. Scale shape: one
-    * user-keyed agg, then everything on the bounded day frame. */
+    * arithmetic on the bounded distinct-day frame; each day's E_A and
+    * variance term is ONE fixed-shape IEEE chain over exact integer
+    * counts rounded to 10⁻⁶ at the day frame (ml26's discipline)
+    * before the exact long sums — deliberately NOT the integer
+    * cross-multiply `(10⁶·d·n_A) DIV n`, whose product overflows
+    * BIGINT (silently, under Spark's non-ANSI wrap) once d·n_A
+    * exceeds ~9.2e12, i.e. a few million users; the double chain is
+    * engine-identical at every scale. χ² is one final fixed double
+    * ratio of the two exact aggregates, computed ONCE in a CTE that
+    * both the statistic column and the reject flag read. Scale shape:
+    * one user-keyed agg, then everything on the bounded day frame. */
   val logRank: QueryDef = {
     def sql(epochUs: String, div: String, str: String): String =
       s"""WITH per AS (
@@ -2923,27 +2927,29 @@ object MlQueries {
             SELECT
               CAST(sum(da) AS BIGINT) AS o_a,
               CAST(sum(db) AS BIGINT) AS o_b,
-              CAST(sum((1000000 * d * na) $div n) AS BIGINT) AS e_a_e6,
+              CAST(sum(CAST(round(CAST(d AS DOUBLE) * CAST(na AS DOUBLE)
+                / CAST(n AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS e_a_e6,
               CAST(sum(CASE WHEN n > 1 THEN
                 CAST(round((CAST(d AS DOUBLE) * CAST(na AS DOUBLE)
                   * CAST(nb AS DOUBLE) * CAST(n - d AS DOUBLE))
                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                     * CAST(n - 1 AS DOUBLE)) * 1000000) AS BIGINT)
                 ELSE 0 END) AS BIGINT) AS v_e6
-            FROM terms)
+            FROM terms),
+          stat AS (
+            SELECT n0a, n0b, o_a, o_b, e_a_e6, v_e6,
+              CAST(CASE WHEN v_e6 > 0 THEN CAST(round(
+                (CAST(1000000 * o_a - e_a_e6 AS DOUBLE)
+                  * CAST(1000000 * o_a - e_a_e6 AS DOUBLE))
+                / CAST(v_e6 AS DOUBLE)) AS BIGINT)
+                ELSE 0 END AS BIGINT) AS chi2_e6
+            FROM agg CROSS JOIN tot)
           SELECT n0a AS n_users_a, n0b AS n_users_b, o_a, o_b,
-            e_a_e6, v_e6,
-            CAST(CASE WHEN v_e6 > 0 THEN CAST(round(
-              (CAST(1000000 * o_a - e_a_e6 AS DOUBLE)
-                * CAST(1000000 * o_a - e_a_e6 AS DOUBLE))
-              / CAST(v_e6 AS DOUBLE)) AS BIGINT)
-              ELSE 0 END AS BIGINT) AS chi2_e6,
-            CAST(CASE WHEN v_e6 > 0 AND CAST(round(
-              (CAST(1000000 * o_a - e_a_e6 AS DOUBLE)
-                * CAST(1000000 * o_a - e_a_e6 AS DOUBLE))
-              / CAST(v_e6 AS DOUBLE)) AS BIGINT) > 3841459
-              THEN 1 ELSE 0 END AS BIGINT) AS reject_95
-          FROM agg CROSS JOIN tot"""
+            e_a_e6, v_e6, chi2_e6,
+            CAST(CASE WHEN chi2_e6 > 3841459 THEN 1 ELSE 0 END
+              AS BIGINT) AS reject_95
+          FROM stat"""
     QueryDef(
       "ml35_logrank",
       (s, d) => {

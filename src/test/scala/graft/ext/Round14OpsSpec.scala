@@ -164,7 +164,7 @@ class Round14OpsSpec extends AnyFunSuite {
       val (na, nb) = (remA, remB); val n = na + nb; val dd = da + db
       if (dd > 0 && n > 0) {
         oa += da; ob += db
-        ea += 1000000L * dd * na / n
+        ea += roundHalfUp(dd.toDouble * na.toDouble / n.toDouble * 1000000)
         if (n > 1) ve += roundHalfUp(
           (dd.toDouble * na.toDouble * nb.toDouble * (n - dd).toDouble) /
             (n.toDouble * n.toDouble * (n - 1).toDouble) * 1000000)
