@@ -4170,10 +4170,14 @@ object Curation {
     *
     *   1. exact_dedup    — d01: keep min(doc_id) per identical text
     *   2. fuzzy_dedup    — d10: MinHash-md5 LSH pairs ≥ 0.5 on the
-    *                       survivors; the GREATER id of each verified
-    *                       pair is dropped (greedy keep-lowest — the
-    *                       deterministic survivor rule; d07's CC form
-    *                       is the transitive alternative)
+    *                       survivors; any doc that is the GREATER
+    *                       member of any verified pair is dropped (a
+    *                       transitive-closure-free blanket drop — NOT
+    *                       sequential greedy: with pairs (1,2) and
+    *                       (2,3) but not (1,3), doc 3 drops even
+    *                       though its only near-dup, 2, was itself
+    *                       dropped; x62b's d07-CC form keeps one doc
+    *                       per connected component instead)
     *   3. quality_gate   — t22: the five STRUCTURAL Gopher rules
     *                       (r_stopwords excluded — an English-only
     *                       test; see the gateRules note below)
@@ -4181,7 +4185,14 @@ object Curation {
     *   5. decontam       — x10: drop docs sharing a word 13-gram with
     *                       the ORIGINAL corpus's eval split (the
     *                       benchmark is fixed external data — it is
-    *                       not itself deduped/gated first)
+    *                       not itself deduped/gated first). The Spark
+    *                       side compares xxhash64 gram FINGERPRINTS
+    *                       where the DuckDB mirror compares the raw
+    *                       13-gram strings — hash-collision-exact,
+    *                       d04's documented pattern: a fingerprint
+    *                       collision would contaminate a clean doc on
+    *                       the Spark side only; astronomically
+    *                       unlikely, and an explicit audited choice
     *   6. domain_cap     — x30: keep the 10 longest docs per source
     *                       (TopKPerKey physical operator)
     *   7. dsir_selection — x51: keep docs likelier under the en-target

@@ -2870,8 +2870,14 @@ object MlQueries {
     * exceeds ~9.2e12, i.e. a few million users; the double chain is
     * engine-identical at every scale. χ² is one final fixed double
     * ratio of the two exact aggregates, computed ONCE in a CTE that
-    * both the statistic column and the reject flag read. Scale shape:
-    * one user-keyed agg, then everything on the bounded day frame. */
+    * both the statistic column and the reject flag read. Empty-terms
+    * edge (zero qualifying event days — data-dependent): o_a/o_b/
+    * e_a_e6/v_e6 are sum() over an empty frame and surface as NULL in
+    * the single output row (ml34's ln_surv_e6 sentinel convention —
+    * NULL means "no event days", identically in both engines);
+    * chi2_e6 and reject_95 fall to 0 via their CASE guards. Scale
+    * shape: one user-keyed agg, then everything on the bounded day
+    * frame. */
   val logRank: QueryDef = {
     def sql(epochUs: String, div: String, str: String): String =
       s"""WITH per AS (
