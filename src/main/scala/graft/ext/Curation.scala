@@ -4161,6 +4161,253 @@ object Curation {
       })
   }
 
+  // ---- x62/x62b shared stage engine ----
+  // Calibration shared by both manifest variants and their mirrors.
+  private val MfK = 8; private val MfBandRows = 4
+  private val MfTheta = 0.5; private val MfCap = 64
+  private val MfPerSource = 10; private val MfNGram = 13
+  // the five STRUCTURAL Gopher rules; r_stopwords is an
+  // ENGLISH-stopword test that a multilingual corpus fails by
+  // construction (Gopher applies it per-language — Rae et al. 2021
+  // A1.1 filters "documents in English" only), so gating on it here
+  // would zero the corpus at stage 3 and no-op every later stage.
+  // t28's ablation table is where the full six-rule battery is priced.
+  private def mfGateRules: Seq[String] =
+    TextAnalysis.gopherRuleNames.filterNot(_ == "r_stopwords")
+
+  /** The raw corpus frame and the seven survivor frames behind x62 and
+    * x62b (and Round15OpsSpec's stage assertions). `ccStage2` selects
+    * the stage-2 survivor rule: false = drop any doc that is the
+    * greater member of any verified near-dup pair (x62's blanket
+    * rule); true = keep exactly one doc, the minimum id, per CONNECTED
+    * COMPONENT of the verified-pair graph (x62b — d07's device).
+    *
+    * d0 is deliberately NOT checkpointed: its three consumers (stage-1
+    * accounting, the canon join, the eval-gram explode) each
+    * column-prune a different narrow slice of the parquet scan, and at
+    * 100 TB re-scanning pruned columns beats materializing the full
+    * raw corpus (the survivor frames s1..s7 ARE checkpointed — they
+    * shrink and feed 2+ stages each). */
+  /** The per-row hash-split column every manifest stage reads (x07's
+    * split device): first md5 hex digit of doc_id. */
+  private[graft] def mfWithHx(df: DataFrame): DataFrame =
+    df.withColumn("hx", expr("substring(md5(CAST(doc_id AS STRING)), 1, 1)"))
+
+  /** Stage-3 survivors: docs passing the five structural Gopher rules.
+    * Shared by the batch engine and st27's per-micro-batch application
+    * (graft.stream.Events) so the two cannot drift. */
+  private[graft] def mfQualityGate(df: DataFrame): DataFrame = {
+    val passing = TextAnalysis.gopherFlaggedDf(df)
+      .filter(mfGateRules.map(col).reduce(_ && _))
+      .select("doc_id")
+    df.join(passing, Seq("doc_id"), "left_semi")
+  }
+
+  /** Stage-4 survivors: the x07 hash holdout (hx ∉ {0,1} stays). */
+  private[graft] def mfHoldout(df: DataFrame): DataFrame =
+    df.filter(!col("hx").isin("0", "1"))
+
+  /** The fixed benchmark gram index: distinct xxhash64 13-gram
+    * fingerprints of the ORIGINAL corpus's eval split. */
+  private[graft] def mfEvalGrams(d0: DataFrame): DataFrame =
+    d0.filter(col("hx").isin("0", "1"))
+      .select(explode(expr(ngramExpr("text", MfNGram))).as("g"))
+      .select(xxhash64(col("g")).as("g")).distinct()
+
+  /** Stage-5 survivors: docs sharing no 13-gram fingerprint with the
+    * eval index (hash-collision-exact, d04's pattern). */
+  private[graft] def mfDecontam(df: DataFrame, evalGrams: DataFrame): DataFrame = {
+    val contam = df.select(col("doc_id"),
+        explode(expr(ngramExpr("text", MfNGram))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    df.join(contam, Seq("doc_id"), "left_anti")
+  }
+
+  private[graft] def manifestFrames(s: SparkSession, d: String,
+      ccStage2: Boolean,
+      stages: Seq[Int] = 0 to 6): (DataFrame, Seq[DataFrame]) = {
+    def ck(df: DataFrame) = df.localCheckpoint()
+    val d0 = mfWithHx(Tables.documents(s, d))
+    // each stage as survivor-frame -> survivor-frame, so a restriction
+    // (st27's twin runs 0/2/3/4; a spec can stop at 0-1) composes the
+    // SAME stage engines without paying — or needing non-degenerate
+    // input for — the stages it omits
+    val mkStage: Seq[DataFrame => DataFrame] = Seq(
+      _ => {
+        val canon = d0.groupBy("text")
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        d0.join(canon, Seq("doc_id"), "left_semi")
+      },
+      s1 => {
+        val pairs =
+          Dedup.minhashMd5Pairs(s1, MfK, MfBandRows, MfTheta, MfCap)
+        val dropIds =
+          if (!ccStage2) pairs.select(col("b_id").as("doc_id")).distinct()
+          else Dedup.connectedComponents(pairs.select("a_id", "b_id"))
+            .filter(col("id") =!= col("component"))
+            .select(col("id").as("doc_id"))
+        s1.join(dropIds, Seq("doc_id"), "left_anti")
+      },
+      s2 => mfQualityGate(s2),
+      s3 => mfHoldout(s3),
+      s4 => mfDecontam(s4, mfEvalGrams(d0)),
+      s5 => {
+        val kept = graft.plans.TopKPerKey.topKPerKey(
+            s5.withColumn("len_d", col("n_chars").cast("double")),
+            Seq("source"), "len_d", "doc_id", MfPerSource)
+          .select("doc_id")
+        s5.join(kept, Seq("doc_id"), "left_semi")
+      },
+      s6 => {
+        val sel = dsirDocScores(s6)
+          .filter(col("score_e6") > 0L).select("doc_id")
+        s6.join(sel, Seq("doc_id"), "left_semi")
+      })
+    val frames = stages.map(mkStage)
+      .foldLeft(Vector.empty[DataFrame]) { (acc, mk) =>
+        acc :+ ck(mk(acc.lastOption.getOrElse(d0)))
+      }
+    (d0, frames)
+  }
+
+  private val MfStageNames = Seq(
+    "exact_dedup", "fuzzy_dedup", "quality_gate", "eval_holdout",
+    "decontam", "domain_cap", "dsir_selection")
+
+  /** Per-stage accounting frame over [[manifestFrames]] — the shared
+    * body of x62, x62b and st27's batch twin (which runs the
+    * restriction stages 0/2/3/4). */
+  private[graft] def manifestBuild(ccStage2: Boolean,
+      stages: Seq[Int] = 0 to 6)(s: SparkSession, d: String): DataFrame = {
+    val (d0, frames) = manifestFrames(s, d, ccStage2, stages)
+    mfAcctFrame((d0 +: frames).sliding(2).toSeq.zip(stages)
+      .map { case (io, idx) => (MfStageNames(idx), io(0), io(1)) })
+  }
+
+  /** One accounting row per (stage name, in-frame, out-frame), numbered
+    * positionally — shared by [[manifestBuild]] and st27's
+    * per-micro-batch accounting (graft.stream.Events). */
+  private[graft] def mfAcctFrame(
+      chain: Seq[(String, DataFrame, DataFrame)]): DataFrame = {
+    def acct(df: DataFrame, side: String) = df.agg(
+      count(lit(1)).as(s"rows_$side"),
+      coalesce(sum(col("n_chars")), lit(0L)).as(s"chars_$side"))
+    chain.zipWithIndex.map { case ((nm, in, out), k) =>
+      acct(in, "in").crossJoin(acct(out, "out"))
+        .select(lit(k + 1L).as("stage_no"), lit(nm).as("stage"),
+          col("rows_in"), col("rows_out"),
+          (col("rows_in") - col("rows_out")).as("n_dropped"),
+          col("chars_in"), col("chars_out"),
+          (col("chars_in") - col("chars_out")).as("chars_dropped"))
+    }.reduce(_ union _).orderBy("stage_no")
+  }
+
+  /** DuckDB mirror shared by x62/x62b/st27-twin: per-stage CTE
+    * generators chained over the requested stage subset, so composed
+    * and restricted mirrors are generated from ONE source and cannot
+    * drift. The only variant point inside a stage is stage 1's
+    * survivor rule — blanket drop of verified-pair greater members vs
+    * a recursive-CTE transitive closure dropping every id whose
+    * minimum reachable id differs from itself (d07's oracle device,
+    * independent of Spark's star-contraction labels). */
+  private[graft] def manifestSql(ccStage2: Boolean,
+      stages: Seq[Int] = 0 to 6): String = {
+    val refs = "d0" +: stages.indices.map(i => s"s${i + 1}")
+    def stageCte(idx: Int, in: String, out: String): String = idx match {
+      case 0 =>
+        s"""$out AS MATERIALIZED (
+              SELECT * FROM $in
+              WHERE doc_id IN (SELECT min(doc_id) FROM $in GROUP BY text))"""
+      case 1 =>
+        val drop =
+          if (!ccStage2)
+            s"""$out AS MATERIALIZED (
+              SELECT * FROM $in
+              WHERE doc_id NOT IN (SELECT b_id FROM mh_pairs))"""
+          else
+            s"""cc_e AS MATERIALIZED (
+              SELECT a_id AS src, b_id AS dst FROM mh_pairs
+              UNION
+              SELECT b_id AS src, a_id AS dst FROM mh_pairs),
+            cc_reach(id, r) AS (
+              SELECT src, src FROM cc_e
+              UNION
+              SELECT e.src, cc_reach.r FROM cc_e e
+              JOIN cc_reach ON cc_reach.id = e.dst),
+            cc_drop AS (
+              SELECT id FROM cc_reach GROUP BY id HAVING min(r) <> id),
+            $out AS MATERIALIZED (
+              SELECT * FROM $in
+              WHERE doc_id NOT IN (SELECT id FROM cc_drop))"""
+        s"""${Dedup.minhashMd5PairsCte(
+              in, MfK, MfBandRows, MfTheta, MfCap, "mh_")},
+            $drop"""
+      case 2 =>
+        s"""${TextAnalysis.gopherFlagsCte(in, "gq_")},
+            $out AS MATERIALIZED (
+              SELECT $in.* FROM $in JOIN gq_f USING (doc_id)
+              WHERE ${mfGateRules.mkString(" AND ")})"""
+      case 3 =>
+        s"""$out AS MATERIALIZED (
+              SELECT * FROM $in WHERE hx NOT IN ('0', '1'))"""
+      case 4 =>
+        s"""evg AS MATERIALIZED (
+              SELECT DISTINCT array_to_string(t[i + 1:i + $MfNGram], ' ') AS g
+              FROM (SELECT string_split(text, ' ') AS t FROM d0
+                    WHERE hx IN ('0', '1')),
+                unnest(range(0, greatest(len(t) - ${MfNGram - 1}, 1)))
+                  AS u(i)),
+            contam AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, array_to_string(t[i + 1:i + $MfNGram], ' ')
+                  AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $in),
+                  unnest(range(0, greatest(len(t) - ${MfNGram - 1}, 1)))
+                    AS u(i))
+              WHERE g IN (SELECT g FROM evg)),
+            $out AS MATERIALIZED (
+              SELECT * FROM $in
+              WHERE doc_id NOT IN (SELECT doc_id FROM contam))"""
+      case 5 =>
+        s"""$out AS MATERIALIZED (
+              SELECT doc_id, text, lang, source, n_chars, hx FROM (
+                SELECT *, row_number() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id) AS rn FROM $in)
+              WHERE rn <= $MfPerSource)"""
+      case 6 =>
+        s"""${dsirScoreCte(in, "ds_")},
+            $out AS MATERIALIZED (
+              SELECT $in.* FROM $in JOIN ds_dsdocs USING (doc_id)
+              WHERE score_e6 > 0)"""
+    }
+    val ctes = stages.zipWithIndex
+      .map { case (idx, k) => stageCte(idx, refs(k), refs(k + 1)) }
+    val acctRows = stages.zipWithIndex.map { case (idx, k) =>
+      val (i, o) = (refs(k), refs(k + 1))
+      def rows(r: String) = s"(SELECT CAST(count(*) AS BIGINT) FROM $r)"
+      def chars(r: String) =
+        s"(SELECT CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM $r)"
+      s"""SELECT CAST(${k + 1} AS BIGINT) AS stage_no,
+           '${MfStageNames(idx)}' AS stage,
+           ${rows(i)} AS rows_in, ${rows(o)} AS rows_out,
+           ${rows(i)} - ${rows(o)} AS n_dropped,
+           ${chars(i)} AS chars_in, ${chars(o)} AS chars_out,
+           ${chars(i)} - ${chars(o)} AS chars_dropped"""
+    }.mkString("\nUNION ALL\n")
+    val recursive =
+      if (ccStage2 && stages.contains(1)) "RECURSIVE " else ""
+    s"""WITH ${recursive}d0 AS (
+          SELECT doc_id, text, lang, source, n_chars,
+            substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx
+          FROM documents),
+        ${ctes.mkString(",\n        ")}
+        SELECT * FROM (
+        $acctRows
+        ) ORDER BY stage_no"""
+  }
+
   /** x62 — the composed end-to-end curation manifest (VERDICT r13 ask
     * #5): ONE audited frame chaining the engine's existing curation
     * stages over the documents corpus, in the order a real
@@ -4222,139 +4469,43 @@ object Curation {
     * token census + token-keyed weight join (7); the accounting rows
     * are seven 1-row aggregates over progressively smaller
     * checkpointed survivor frames. */
-  val curationManifest: QueryDef = {
-    val mhK = 8; val mhBandRows = 4; val mhTheta = 0.5; val mhCap = 64
-    val capPerSource = 10; val nGram = 13
-    // the five STRUCTURAL Gopher rules; r_stopwords is an
-    // ENGLISH-stopword test that a multilingual corpus fails by
-    // construction (Gopher applies it per-language — Rae et al. 2021
-    // A1.1 filters "documents in English" only), so gating on it here
-    // would zero the corpus at stage 3 and no-op every later stage.
-    // t28's ablation table is where the full six-rule battery is priced.
-    val gateRules = TextAnalysis.gopherRuleNames.filterNot(_ == "r_stopwords")
-    QueryDef(
-      "x62_curation_manifest",
-      (s, d) => {
-        def ck(df: DataFrame) = df.localCheckpoint()
-        // d0 is deliberately NOT checkpointed: its three consumers
-        // (stage-1 accounting, the canon join, the eval-gram explode)
-        // each column-prune a different narrow slice of the parquet
-        // scan, and at 100 TB re-scanning pruned columns beats
-        // materializing the full raw corpus (the survivor frames s1..s7
-        // ARE checkpointed — they shrink and feed 2+ stages each).
-        val d0 = Tables.documents(s, d).withColumn("hx",
-          expr("substring(md5(CAST(doc_id AS STRING)), 1, 1)"))
-        val canon = d0.groupBy("text")
-          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-        val s1 = ck(d0.join(canon, Seq("doc_id"), "left_semi"))
-        val nearDups = Dedup
-          .minhashMd5Pairs(s1, mhK, mhBandRows, mhTheta, mhCap)
-          .select(col("b_id").as("doc_id")).distinct()
-        val s2 = ck(s1.join(nearDups, Seq("doc_id"), "left_anti"))
-        val passing = TextAnalysis.gopherFlaggedDf(s2)
-          .filter(gateRules.map(col).reduce(_ && _))
-          .select("doc_id")
-        val s3 = ck(s2.join(passing, Seq("doc_id"), "left_semi"))
-        val s4 = ck(s3.filter(!col("hx").isin("0", "1")))
-        val evalGrams = d0.filter(col("hx").isin("0", "1"))
-          .select(explode(expr(ngramExpr("text", nGram))).as("g"))
-          .select(xxhash64(col("g")).as("g")).distinct()
-        val contam = s4.select(col("doc_id"),
-            explode(expr(ngramExpr("text", nGram))).as("g"))
-          .select(col("doc_id"), xxhash64(col("g")).as("g"))
-          .join(broadcast(evalGrams), Seq("g"), "left_semi")
-          .select("doc_id").distinct()
-        val s5 = ck(s4.join(contam, Seq("doc_id"), "left_anti"))
-        val kept = graft.plans.TopKPerKey.topKPerKey(
-            s5.withColumn("len_d", col("n_chars").cast("double")),
-            Seq("source"), "len_d", "doc_id", capPerSource)
-          .select("doc_id")
-        val s6 = ck(s5.join(kept, Seq("doc_id"), "left_semi"))
-        val sel = dsirDocScores(s6)
-          .filter(col("score_e6") > 0L).select("doc_id")
-        val s7 = ck(s6.join(sel, Seq("doc_id"), "left_semi"))
-        def acct(df: DataFrame, side: String) = df.agg(
-          count(lit(1)).as(s"rows_$side"),
-          coalesce(sum(col("n_chars")), lit(0L)).as(s"chars_$side"))
-        val stages = Seq(
-          (1L, "exact_dedup", d0, s1), (2L, "fuzzy_dedup", s1, s2),
-          (3L, "quality_gate", s2, s3), (4L, "eval_holdout", s3, s4),
-          (5L, "decontam", s4, s5), (6L, "domain_cap", s5, s6),
-          (7L, "dsir_selection", s6, s7))
-        stages.map { case (no, nm, in, out) =>
-          acct(in, "in").crossJoin(acct(out, "out"))
-            .select(lit(no).as("stage_no"), lit(nm).as("stage"),
-              col("rows_in"), col("rows_out"),
-              (col("rows_in") - col("rows_out")).as("n_dropped"),
-              col("chars_in"), col("chars_out"),
-              (col("chars_in") - col("chars_out")).as("chars_dropped"))
-        }.reduce(_ union _).orderBy("stage_no")
-      },
-      Some {
-        val stageNames = Seq(
-          ("d0", "s1", "exact_dedup"), ("s1", "s2", "fuzzy_dedup"),
-          ("s2", "s3", "quality_gate"), ("s3", "s4", "eval_holdout"),
-          ("s4", "s5", "decontam"), ("s5", "s6", "domain_cap"),
-          ("s6", "s7", "dsir_selection"))
-        val acctRows = stageNames.zipWithIndex.map { case ((i, o, nm), k) =>
-          def rows(r: String) = s"(SELECT CAST(count(*) AS BIGINT) FROM $r)"
-          def chars(r: String) =
-            s"(SELECT CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM $r)"
-          s"""SELECT CAST(${k + 1} AS BIGINT) AS stage_no, '$nm' AS stage,
-               ${rows(i)} AS rows_in, ${rows(o)} AS rows_out,
-               ${rows(i)} - ${rows(o)} AS n_dropped,
-               ${chars(i)} AS chars_in, ${chars(o)} AS chars_out,
-               ${chars(i)} - ${chars(o)} AS chars_dropped"""
-        }.mkString("\nUNION ALL\n")
-        s"""WITH d0 AS (
-              SELECT doc_id, text, lang, source, n_chars,
-                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx
-              FROM documents),
-            s1 AS MATERIALIZED (
-              SELECT * FROM d0
-              WHERE doc_id IN (SELECT min(doc_id) FROM d0 GROUP BY text)),
-            ${Dedup.minhashMd5PairsCte(
-              "s1", mhK, mhBandRows, mhTheta, mhCap, "mh_")},
-            s2 AS MATERIALIZED (
-              SELECT * FROM s1
-              WHERE doc_id NOT IN (SELECT b_id FROM mh_pairs)),
-            ${TextAnalysis.gopherFlagsCte("s2", "gq_")},
-            s3 AS MATERIALIZED (
-              SELECT s2.* FROM s2 JOIN gq_f USING (doc_id)
-              WHERE ${gateRules.mkString(" AND ")}),
-            s4 AS MATERIALIZED (
-              SELECT * FROM s3 WHERE hx NOT IN ('0', '1')),
-            evg AS MATERIALIZED (
-              SELECT DISTINCT array_to_string(t[i + 1:i + $nGram], ' ') AS g
-              FROM (SELECT string_split(text, ' ') AS t FROM d0
-                    WHERE hx IN ('0', '1')),
-                unnest(range(0, greatest(len(t) - ${nGram - 1}, 1)))
-                  AS u(i)),
-            contam AS (
-              SELECT DISTINCT doc_id FROM (
-                SELECT doc_id, array_to_string(t[i + 1:i + $nGram], ' ')
-                  AS g
-                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM s4),
-                  unnest(range(0, greatest(len(t) - ${nGram - 1}, 1)))
-                    AS u(i))
-              WHERE g IN (SELECT g FROM evg)),
-            s5 AS MATERIALIZED (
-              SELECT * FROM s4
-              WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-            s6 AS MATERIALIZED (
-              SELECT doc_id, text, lang, source, n_chars, hx FROM (
-                SELECT *, row_number() OVER (PARTITION BY source
-                  ORDER BY n_chars DESC, doc_id) AS rn FROM s5)
-              WHERE rn <= $capPerSource),
-            ${dsirScoreCte("s6", "ds_")},
-            s7 AS MATERIALIZED (
-              SELECT s6.* FROM s6 JOIN ds_dsdocs USING (doc_id)
-              WHERE score_e6 > 0)
-            SELECT * FROM (
-            $acctRows
-            ) ORDER BY stage_no"""
-      })
-  }
+  val curationManifest: QueryDef = QueryDef(
+    "x62_curation_manifest",
+    manifestBuild(ccStage2 = false),
+    Some(manifestSql(ccStage2 = false)))
+
+  /** x62b — x62 with the TRANSITIVE-CLOSURE stage-2 survivor rule
+    * (VERDICT r14 ask #3): production pipelines (RefinedWeb, Dolma)
+    * keep exactly ONE document per CONNECTED COMPONENT of the verified
+    * near-dup pair graph — the component minimum — where x62's blanket
+    * rule drops every doc that is the greater member of any verified
+    * pair. The rules genuinely differ: with pairs (3,5) and (4,5) but
+    * not (3,4), the component is {3,4,5} so x62b keeps {3}, while x62
+    * keeps {3,4} (4 is never a greater member). A component minimum is
+    * never the greater member of any pair, so x62b's stage-2 survivor
+    * set is always a SUBSET of x62's — Round15OpsSpec asserts the
+    * subset law and the exact equality of x62b's stage-2 survivors
+    * with d07-style component representatives on the fixture.
+    *
+    * Implementation: stages 1 and 3-7 are x62's — both variants call
+    * the SAME [[manifestFrames]] engine and their mirrors the same
+    * generated CTE chains, so the variants cannot drift anywhere but
+    * stage 2. Stage 2 labels the verified pairs with
+    * [[Dedup.connectedComponents]] (large-star/small-star, bounded
+    * rounds) and drops every non-root member; the DuckDB mirror takes
+    * the transitive closure with a recursive CTE and drops ids whose
+    * minimum reachable id differs from themselves — d07's oracle
+    * device, so min-rooted CC labeling is machine-checked against an
+    * independent closure on every oracle run.
+    *
+    * Scale shape: x62's laws everywhere except stage 2, which adds
+    * d07's: CC rounds are edge-set-bounded contractions over the PAIR
+    * list (near-dup pairs, orders of magnitude smaller than the
+    * corpus), never over documents. */
+  val curationManifestCc: QueryDef = QueryDef(
+    "x62b_curation_manifest_cc",
+    manifestBuild(ccStage2 = true),
+    Some(manifestSql(ccStage2 = true)))
 
   val all: Seq[QueryDef] =
     Seq(sampleEntityHash, sampleStratifiedHash, corpusCuration, shardHash,
@@ -4373,6 +4524,6 @@ object Curation {
       neymanAllocation, dsirSelection, lengthBucketing, clusterSharding,
       rejectionResample, stratifiedReservoir, budgetPareto, epochRepeatPlan,
       compactionPlan, consistentHashRing, temporalSplit, contaminationSweep,
-      curationManifest)
+      curationManifest, curationManifestCc)
 
 }

@@ -145,8 +145,10 @@ object Graph {
       .select(explode(array(col("a"), col("p"), col("q"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("triangles"))
       .localCheckpoint()
-    edges.unpersist()
-    oriented.unpersist()
+    // blocking: synchronous block removal, so a timed re-run (or the
+    // next query) never pays the cleaner's async release (r15 ask #1)
+    edges.unpersist(blocking = true)
+    oriented.unpersist(blocking = true)
     counts
   }
 
@@ -798,8 +800,12 @@ object Graph {
             col("mean_dist_e6"), col("mean_dist"))
           .orderBy("landmark")
           .localCheckpoint()
-        e.unpersist()
-        cached.foreach(_.unpersist())
+        // blocking: g10 is the registry's most state-sensitive query
+        // (r14 driver run spiked it 4.29x in-suite); releasing the ~10
+        // round frames synchronously leaves nothing for the cleaner to
+        // drain inside g10's own next timed run (r15 ask #1)
+        e.unpersist(blocking = true)
+        cached.foreach(_.unpersist(blocking = true))
         out
       },
       Some {
@@ -2065,7 +2071,7 @@ object Graph {
         .orderBy(col("butterflies").desc, col("supplier"))
         .limit(20)
         .localCheckpoint()
-      wedges.unpersist()
+      wedges.unpersist(blocking = true)
       out
     },
     Some("""WITH li AS (

@@ -1747,11 +1747,128 @@ object Events {
                CAST(st.tok AS BIGINT) AS final_tokens_e6
              FROM fold ORDER BY user_id"""))
 
+  // ---- st27: incremental curation manifest (VERDICT r14 ask #2) ----
+
+  /** st27 stage-1 state: ONE boolean marker per text fingerprint —
+    * state is bounded by DISTINCT TEXTS ever ingested, never by event
+    * volume (a duplicate adds zero state; the STATE_SIZE.json
+    * discipline — production bounds the horizon further with a TTL on
+    * the reprocessing window). In-batch slices sort by doc_id, so
+    * under in-order delivery the first-seen doc IS the minimum id —
+    * exactly x62 stage 1's min(doc_id)-per-text rule (st24/st25's
+    * in-order contract). Keyed by xxhash64(text), hash-collision-exact
+    * (d04's documented pattern): a fingerprint collision would merge
+    * two distinct texts on the stream side only. */
+  class ManifestDedupProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Long, String, Long),
+        (Long, String, Long, Boolean)] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long, String, Long)],
+        timerValues: TimerValues): Iterator[(Long, String, Long, Boolean)] = {
+      val slice = rows.toArray.sortBy(_._3)
+      val already = seen.exists()
+      if (!already) seen.update(true)
+      slice.iterator.zipWithIndex.map { case ((_, _, id, text, nc), i) =>
+        (id, text, nc, !already && i == 0)
+      }
+    }
+  }
+
+  /** st27 stream driver — the INCREMENTAL form of x62's curation
+    * manifest (its batch twin [[incrementalManifestQ]] is the x62
+    * restriction to the incrementalizable stages): a continuously
+    * ingesting corpus flows through watermarked event-time ingest →
+    * stateful exact dedup (st06's global rule as transformWithState
+    * ValueState, late docs behind the watermark dropped BY THE ENGINE
+    * — rows with ingest_ts ≤ watermark; LATE_DATA.json documents the
+    * boundary) → per-doc survival decisions consumed by
+    * [[incrementalManifestAccounting]] in foreachBatch. `docs` needs
+    * (ingest_ts timestamp, doc_id, text, n_chars). Output: one
+    * (doc_id, text, n_chars, survived_dedup) decision per admitted
+    * doc. Update mode: every admitted doc's decision emits exactly
+    * once, in its arrival batch. */
+  def incrementalManifestStream(docs: DataFrame,
+      watermark: String = "1 hour"): Dataset[(Long, String, Long, Boolean)] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(xxhash64(col("text")).as("fp"), col("ingest_ts"),
+        col("doc_id"), col("text"), col("n_chars"))
+      .withWatermark("ingest_ts", watermark)
+      .as[(Long, java.sql.Timestamp, Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new ManifestDedupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update())
+  }
+
+  /** Per-micro-batch manifest accounting over the stream's decisions
+    * (run inside foreachBatch, where the frame is a plain batch frame —
+    * the standard pattern for the join-shaped stages a pure streaming
+    * graph can't express): stages 2-4 run the SAME engines as x62's
+    * batch chain (Curation.mfQualityGate / mfHoldout / mfDecontam
+    * against the FIXED benchmark gram index), so per-stage counts
+    * summed across batches equal the batch twin exactly — every stage
+    * decision is per-doc against fixed reference data, hence
+    * batch-local. StreamingSpec proves the equality end to end. */
+  def incrementalManifestAccounting(batch: DataFrame,
+      evalGrams: DataFrame): DataFrame = {
+    val s1 = graft.ext.Curation.mfWithHx(
+      batch.filter(col("survived")).drop("survived"))
+    val s2 = graft.ext.Curation.mfQualityGate(s1)
+    val s3 = graft.ext.Curation.mfHoldout(s2)
+    val s4 = graft.ext.Curation.mfDecontam(s3, evalGrams)
+    graft.ext.Curation.mfAcctFrame(Seq(
+      ("exact_dedup", batch, s1), ("quality_gate", s1, s2),
+      ("eval_holdout", s2, s3), ("decontam", s3, s4)))
+  }
+
+  /** st27 — incremental curation manifest, BATCH TWIN (the oracled
+    * restriction of x62 to its incrementalizable stages): exact dedup →
+    * structural quality gate → eval holdout → 13-gram decontamination,
+    * as ONE per-stage accounting frame over the documents corpus —
+    * generated by the SAME stage engine and mirror-CTE generators as
+    * x62 (Curation.manifestBuild/manifestSql over stage subset
+    * {dedup, gate, holdout, decontam}), so the twin cannot drift from
+    * the composed batch flagship. The OMITTED x62 stages are exactly
+    * the non-incremental ones: MinHash fuzzy dedup needs pair joins
+    * across the full corpus, and domain-cap/DSIR are corpus-global
+    * selections — a production incremental pipeline runs those as
+    * periodic batch compactions over the accumulated survivors, not
+    * per micro-batch.
+    *
+    * The STREAM form ([[incrementalManifestStream]] +
+    * [[incrementalManifestAccounting]]) runs the same four stages
+    * continuously: watermarked ingest (late docs dropped by the
+    * engine at ingest_ts ≤ watermark — LATE_DATA.json's st27 section
+    * audits observed == contract-derived drops), transformWithState
+    * exact-dedup state bounded by distinct texts (STATE_SIZE.json's
+    * st27 entry), stages 2-4 per batch in foreachBatch against the
+    * fixed benchmark gram index. StreamingSpec asserts the summed
+    * per-batch accounting equals this twin under in-order delivery.
+    *
+    * Scale shape: inherits the component stages' laws — hash-agg
+    * dedup, per-row gate/holdout projections, broadcast semi-join
+    * decontam against the benchmark-sized gram index; stream state is
+    * one marker per distinct text. */
+  val incrementalManifestQ: QueryDef = QueryDef(
+    "st27_incremental_manifest",
+    graft.ext.Curation.manifestBuild(ccStage2 = false,
+      stages = Seq(0, 2, 3, 4)),
+    Some(graft.ext.Curation.manifestSql(ccStage2 = false,
+      stages = Seq(0, 2, 3, 4))))
+
   val all: Seq[QueryDef] =
     Seq(tumblingQ, slidingQ, sessionQ, windowDistinctQ, intervalJoinQ,
       streamLeftJoinQ, dedupBatchQ, enrichQ, windowSketchQ, funnelQ,
       retentionQ, topTypesQ, streamFullJoinQ, runningMaxBatchQ,
       typeCountsBatchQ, windowAnomalyQ, streamSemiJoinQ, windowRollupQ,
       dedupWithinWatermarkQ, sessionDynamicQ, cepAlarmQ, blockGateQ,
-      sessionTimerQ, funnelStateQ, pathBufferQ, tokenBucketQ)
+      sessionTimerQ, funnelStateQ, pathBufferQ, tokenBucketQ,
+      incrementalManifestQ)
 }
