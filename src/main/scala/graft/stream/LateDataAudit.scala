@@ -163,6 +163,117 @@ object LateDataAudit {
     Audit(stats)
   }
 
+  /** st27's late-data audit (VERDICT r14 ask #2): the incremental
+    * curation manifest drops documents that arrive behind the ingest
+    * watermark — the reprocessing-horizon contract. Delivery schedule:
+    * doc_id-ordered slices one hour apart carrying their ORIGINAL
+    * ingest_ts; doc_id % 7 == 0 rows are deferred THREE slices (they
+    * land behind the 1 h watermark and must be dropped by the engine's
+    * transformWithState late filter), while doc_id % 5 == 0 rows (not
+    * also % 7) defer ONE slice — late but inside the horizon, admitted.
+    * The public contract being audited, boundary included: with
+    * wm(k) = max ingest_ts delivered through batch k−1 minus the
+    * delay, an input row is dropped iff its ingest_ts <= wm(k)
+    * (probe-verified: the engine drops AT the watermark, not only
+    * strictly behind it). */
+  def runSt27(spark: SparkSession, sfDir: String, nBatches: Int = 8,
+      delayMs: Long = 3600L * 1000): Audit = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = graft.core.Tables.documents(spark, sfDir)
+        .select("doc_id", "text", "n_chars").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1)
+      val n = docs.length
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val sched = docs.zipWithIndex.map { case ((id, t, nc), i) =>
+        val slice = (i.toLong * nBatches / n).toInt
+        val defer =
+          if (id % 7 == 0 && slice + 3 < nBatches) 3
+          else if (id % 7 != 0 && id % 5 == 0 && slice + 1 < nBatches) 1
+          else 0
+        (new Timestamp(base + slice * 3600000L), id, t, nc, slice + defer)
+      }
+      val byBatch = sched.groupBy(_._5)
+      val in = MemoryStream[(Timestamp, Long, String, Long)]
+      val q = Events.incrementalManifestStream(
+          in.toDF().toDF("ingest_ts", "doc_id", "text", "n_chars"),
+          s"${delayMs / 1000} seconds")
+        .toDF("doc_id", "text", "n_chars", "survived")
+        .writeStream.format("memory").queryName("st27_late_audit")
+        .outputMode("update").start()
+      def droppedSoFar(): Long =
+        q.recentProgress.toSeq
+          .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      var maxSeenMs = Long.MinValue
+      var prevDropped = 0L
+      var nonEmptyDeliveries = 0
+      def inputBatches(): Int = q.recentProgress.count(_.numInputRows > 0)
+      val stats = (0 until nBatches).map { k =>
+        val batch = byBatch.getOrElse(k, Array.empty[(Timestamp, Long, String, Long, Int)])
+        val wmMs = if (maxSeenMs == Long.MinValue) 0L
+          else math.max(0L, maxSeenMs - delayMs)
+        // the audited rule, boundary inclusive: dropped iff ts <= wm
+        val expected = batch.count(e => e._1.getTime <= wmMs).toLong
+        in.addData(batch.map(e => (e._1, e._2, e._3, e._4)).toSeq: _*)
+        q.processAllAvailable()
+        if (batch.nonEmpty) nonEmptyDeliveries += 1
+        require(inputBatches() == nonEmptyDeliveries,
+          s"delivery $k split into multiple micro-batches — the " +
+            "frozen-watermark expected-drop derivation no longer holds")
+        val nowDropped = droppedSoFar()
+        val obs = nowDropped - prevDropped
+        prevDropped = nowDropped
+        if (batch.nonEmpty)
+          maxSeenMs = math.max(maxSeenMs, batch.map(_._1.getTime).max)
+        val wmStr = Option(q.lastProgress)
+          .flatMap(p => Option(p.eventTime.get("watermark"))).getOrElse("")
+        BatchStat(k, batch.length.toLong, obs, expected, wmStr)
+      }
+      q.stop()
+      Audit(stats)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  /** The committed LATE_DATA.json: the events tumbling-aggregate
+    * section (the original r9 audit) plus st27's ingest-horizon
+    * section, in one object. */
+  def fullJson(spark: SparkSession, sfDir: String): String = {
+    val events = run(spark, sfDir)
+    val st27 = runSt27(spark, sfDir)
+    val rows = st27.stats.map { b =>
+      s"""  {"batch": ${b.batch}, "delivered": ${b.delivered},""" +
+        s""" "observed_dropped": ${b.observedDropped},""" +
+        s""" "expected_dropped": ${b.expectedDropped},""" +
+        s""" "watermark": "${b.watermark}"}"""
+    }.mkString(",\n")
+    events.json.stripSuffix("\n").stripSuffix("}") + "," +
+      s""" "st27_incremental_manifest": {
+         | "fixture": "documents.parquet sf0.001",
+         | "watermark_delay": "1 hour",
+         | "drop_rule": "ingest_ts <= max_seen_ingest_ts - delay (boundary inclusive)",
+         | "n_batches": ${st27.stats.size},
+         | "total_delivered": ${st27.totalDelivered},
+         | "total_dropped_observed": ${st27.totalObserved},
+         | "total_dropped_expected": ${st27.totalExpected},
+         | "batches": [
+         |$rows
+         | ]
+         |}
+         |}
+         |""".stripMargin
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else "LATE_DATA.json"
@@ -173,9 +284,9 @@ object LateDataAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val audit = run(spark, sfDir)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), audit.json)
-    println(audit.json)
+    val json = fullJson(spark, sfDir)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    println(json)
     spark.stop()
   }
 }

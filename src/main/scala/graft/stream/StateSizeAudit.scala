@@ -75,7 +75,8 @@ object StateSizeAudit {
          |  "state_rows is watermark-bounded: every variant retains a bounded fraction of the rows ever fed, and retained rows fall as the watermark passes their event time",
          |  "state ROW COUNTS are IDENTICAL across inner/left-outer/full-outer/left-semi: the symmetric hash join stores both sides until watermark eviction in every mode (a semi-matched error is flagged, not dropped) — the 'semi stores fewer rows' intuition is FALSE in this engine",
          |  "what the semi form actually saves at scale: state BYTES (narrower click-side schema: no enumeration payload columns) and OUTPUT cardinality (at-most-once per error vs the inner enumeration of every matching click)",
-         |  "metric quirk: FULL outer reports numRowsRemoved = 0 even as state_rows falls — its evictions surface as the unmatched-row emissions in out_rows; inner/left-outer/semi report removals directly"
+         |  "metric quirk: FULL outer reports numRowsRemoved = 0 even as state_rows falls — its evictions surface as the unmatched-row emissions in out_rows; inner/left-outer/semi report removals directly",
+         |  "st27_incremental_manifest (documents fixture, not events): dedup state rows == cumulative distinct text fingerprints — monotone, never evicted (TTL.NONE), and ZERO growth on the final re-crawl delivery that redelivers batch 0's texts under fresh doc_ids while still emitting one decision per doc"
          | ],
          | "queries": [
          |$qs
@@ -126,6 +127,12 @@ object StateSizeAudit {
         Events.errorWithClickSemi(c, e, AuditWatermark)))
 
   def run(spark: SparkSession, sfDir: String, nBatches: Int = 8): Audit = {
+    val joins = runJoins(spark, sfDir, nBatches)
+    Audit(joins.queries :+ runCuration(spark, sfDir, nBatches))
+  }
+
+  /** The four stream-stream join variants (the original r10 audit). */
+  def runJoins(spark: SparkSession, sfDir: String, nBatches: Int = 8): Audit = {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     val byBatch = schedule(spark, sfDir, nBatches)
@@ -173,6 +180,77 @@ object StateSizeAudit {
       QueryAudit(name, batches)
     }
     Audit(audits)
+  }
+
+  /** st27's dedup-state audit (VERDICT r14 ask #2): the incremental
+    * curation manifest's transformWithState store over doc_id-ordered
+    * delivery slices of the documents fixture. The claim under audit:
+    * state rows == CUMULATIVE DISTINCT TEXT FINGERPRINTS — one boolean
+    * marker per text, never evicted (TTL.NONE; production bounds the
+    * reprocessing horizon with a TTL), and independent of event
+    * volume. The final delivery REDELIVERS batch 0's texts under fresh
+    * doc_ids (the re-crawl case): it must add ZERO state rows while
+    * still emitting one decision per admitted doc — the spec asserts
+    * both, plus monotone non-decreasing state. */
+  def runCuration(spark: SparkSession, sfDir: String,
+      nBatches: Int = 8): QueryAudit = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = Tables.documents(spark, sfDir)
+        .select("doc_id", "text", "n_chars").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1)
+      val n = docs.length
+      val dataBatches = nBatches - 1
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def slice(k: Int) = docs.zipWithIndex
+        .filter { case (_, i) => i.toLong * dataBatches / n == k }
+        .map(_._1)
+      val in = MemoryStream[(java.sql.Timestamp, Long, String, Long)]
+      val q = Events.incrementalManifestStream(
+          in.toDF().toDF("ingest_ts", "doc_id", "text", "n_chars"))
+        .toDF("doc_id", "text", "n_chars", "survived")
+        .writeStream.format("memory").queryName("st27_state_audit")
+        .outputMode("update").start()
+      var lastBatchId = -1L
+      val batches = (0 until nBatches).map { k =>
+        val rows =
+          if (k < dataBatches)
+            slice(k).map { case (id, t, nc) =>
+              (new java.sql.Timestamp(base + k * 3600000L), id, t, nc) }
+          else
+            // re-crawl delivery: batch 0's TEXTS under fresh doc_ids
+            slice(0).map { case (id, t, nc) =>
+              (new java.sql.Timestamp(base + k * 3600000L),
+                id + 10000000L, t, nc) }
+        in.addData(rows: _*)
+        q.processAllAvailable()
+        val fresh = q.recentProgress.toSeq.filter(_.batchId > lastBatchId)
+          .groupBy(_.batchId).toSeq.sortBy(_._1).map(_._2.last)
+        if (fresh.nonEmpty) lastBatchId = fresh.map(_.batchId).max
+        val ops = q.lastProgress.stateOperators.toSeq
+        val state = ops.map(_.numRowsTotal).sum
+        val bytes = ops.map(_.memoryUsedBytes).sum
+        val removed = fresh
+          .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+        val out = fresh.map(_.sink.numOutputRows).filter(_ >= 0).sum
+        val wm = Option(q.lastProgress)
+          .flatMap(p => Option(p.eventTime.get("watermark"))).getOrElse("")
+        BatchState(k, rows.size.toLong, state, bytes, removed, out, wm)
+      }
+      q.stop()
+      QueryAudit("st27_incremental_manifest", batches)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -30,12 +30,32 @@ class LateDataAuditSpec extends AnyFunSuite {
       "every deferred row dropped — admitted-late path unexercised")
   }
 
+  test("st27 ingest horizon: engine-observed == contract-derived, per batch, " +
+    "with both late paths exercised") {
+    val audit = LateDataAudit.runSt27(spark, TestSpark.sf0001)
+    assert(audit.totalDelivered == 500, s"fixture drifted: $audit")
+    audit.stats.foreach { b =>
+      assert(b.observedDropped == b.expectedDropped,
+        s"batch ${b.batch}: engine dropped ${b.observedDropped}, " +
+          s"contract predicts ${b.expectedDropped}")
+    }
+    // the 3-slice deferrals land behind the 1 h horizon (dropped); the
+    // 1-slice deferrals are late but inside it (admitted) — a schedule
+    // exercising only one path guards nothing
+    assert(audit.totalObserved > 0, "no late docs were dropped")
+    val deferred = spark.read
+      .parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+      .count(id => id % 7 == 0 || id % 5 == 0)
+    assert(audit.totalObserved < deferred,
+      "every deferred doc dropped — admitted-late path unexercised")
+  }
+
   test("committed LATE_DATA.json matches a fresh audit run") {
     val path = java.nio.file.Paths.get("LATE_DATA.json")
     assert(java.nio.file.Files.exists(path), "LATE_DATA.json not committed")
     val committed = java.nio.file.Files.readString(path)
-    val fresh = LateDataAudit.run(spark, TestSpark.sf0001,
-      queryName = "late_audit_spec_out2").json
+    val fresh = LateDataAudit.fullJson(spark, TestSpark.sf0001)
     assert(committed == fresh,
       "LATE_DATA.json is stale — regenerate with runMain graft.stream.LateDataAudit")
   }

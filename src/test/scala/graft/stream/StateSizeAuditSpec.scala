@@ -14,8 +14,12 @@ class StateSizeAuditSpec extends AnyFunSuite {
   private def byName(n: String) =
     audit.queries.find(_.name == n).getOrElse(fail(s"$n missing from audit"))
 
+  private val joinNames = Set("st05_stream_interval_join",
+    "st11_stream_left_outer_join", "st15_stream_full_outer_join",
+    "st17_stream_semi_join")
+
   test("join state is watermark-bounded and evicts as the watermark advances") {
-    audit.queries.foreach { qa =>
+    audit.queries.filter(q => joinNames(q.name)).foreach { qa =>
       val fedTotal = qa.batches.map(_.fed).sum
       assert(fedTotal == 1000, s"fixture drifted: $fedTotal rows")
       // retention horizon (96 h + 1 h) spans ~1 delivery slice of the
@@ -65,6 +69,33 @@ class StateSizeAuditSpec extends AnyFunSuite {
     val lo = byName("st11_stream_left_outer_join")
     val fo = byName("st15_stream_full_outer_join")
     assert(inner.totalOut < lo.totalOut && lo.totalOut < fo.totalOut)
+  }
+
+  test("st27 dedup state: bounded by distinct texts, zero growth on re-crawl") {
+    val qa = byName("st27_incremental_manifest")
+    // one decision emitted per admitted doc, every doc admitted here
+    assert(qa.batches.map(_.fed).sum == qa.totalOut,
+      s"decisions ${qa.totalOut} != docs fed ${qa.batches.map(_.fed).sum}")
+    // state is monotone non-decreasing (markers are never evicted) ...
+    qa.batches.sliding(2).foreach {
+      case Seq(a, b) => assert(b.stateRows >= a.stateRows,
+        s"state fell ${a.stateRows} -> ${b.stateRows} at batch ${b.batch}")
+      case _ =>
+    }
+    assert(qa.batches.map(_.removed).sum == 0, "markers were evicted")
+    // ... bounded by DISTINCT TEXTS, not rows fed: the final re-crawl
+    // delivery (batch 0's texts under fresh doc_ids) adds ZERO state
+    val last = qa.batches.last
+    val prev = qa.batches(qa.batches.size - 2)
+    assert(last.fed > 0, "re-crawl delivery was empty")
+    assert(last.stateRows == prev.stateRows,
+      s"re-crawl grew state ${prev.stateRows} -> ${last.stateRows}")
+    // and the final count IS the corpus's distinct-text count
+    val distinctTexts = spark.read
+      .parquet(s"${graft.TestSpark.sf0001}/documents.parquet")
+      .select("text").distinct().count()
+    assert(last.stateRows == distinctTexts,
+      s"state ${last.stateRows} != distinct texts $distinctTexts")
   }
 
   test("committed STATE_SIZE.json matches a fresh audit run (rows/outputs)") {

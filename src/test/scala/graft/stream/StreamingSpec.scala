@@ -1437,4 +1437,79 @@ class StreamingSpec extends AnyFunSuite {
       case None => spark.conf.unset(key)
     }
   }
+  test("st27 incremental manifest: summed per-batch accounting equals " +
+    "the batch twin under in-order delivery") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the fixture corpus in doc_id order (the in-order contract: the
+      // stream's first-seen text is then the minimum doc_id, x62 stage
+      // 1's rule), cut into 4 delivery slices one hour apart — inside
+      // the 1 h watermark, so nothing is late in this test (the
+      // late-drop contract is LateDataAudit's job)
+      val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+        .select("doc_id", "text", "n_chars").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1)
+      val nB = 4
+      val base = Timestamp.valueOf("2024-01-01 00:00:00")
+      // the FIXED benchmark gram index (same frame the twin's stage 4
+      // reads), materialized once for all batches
+      val evalGrams = graft.ext.Curation.mfEvalGrams(
+        graft.ext.Curation.mfWithHx(
+          spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")))
+        .localCheckpoint()
+      val in = MemoryStream[(Timestamp, Long, String, Long)]
+      val df = in.toDF().toDF("ingest_ts", "doc_id", "text", "n_chars")
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, Long, Long, Long, Long)]
+      val q = Events.incrementalManifestStream(df)
+        .toDF("doc_id", "text", "n_chars", "survived")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = Events.incrementalManifestAccounting(b, evalGrams)
+            .collect()
+          acc.synchronized {
+            rows.foreach(r => acc += ((r.getLong(0), r.getString(1),
+              r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6))))
+          }
+          ()
+        }
+        .outputMode("update").start()
+      for (k <- 0 until nB) {
+        val slice = docs.zipWithIndex
+          .filter { case (_, i) => i.toLong * nB / docs.length == k }
+          .map(_._1)
+        val ts = new Timestamp(base.getTime + k * 3600000L)
+        in.addData(slice.map { case (id, t, nc) => (ts, id, t, nc) }: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      // each doc is decided in exactly one batch and every stage rule
+      // is per-doc against fixed reference data, so per-stage counts
+      // are additive across batches and must sum to the batch twin
+      val summed = acc.groupBy(r => (r._1, r._2))
+        .map { case (k2, v) => k2 ->
+          ((v.map(_._3).sum, v.map(_._4).sum, v.map(_._5).sum,
+            v.map(_._6).sum)) }
+      val twin = Events.incrementalManifestQ.build(spark, TestSpark.sf0001)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6))))
+        .toMap
+      assert(summed.keySet == twin.keySet,
+        s"stage sets differ: ${summed.keySet} vs ${twin.keySet}")
+      summed.foreach { case (st, v) =>
+        assert(v == twin(st), s"stage $st: stream $v != twin ${twin(st)}")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
