@@ -155,6 +155,11 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"focused":$fq,"sf":"$sfDir"}""" + "\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       fullJson)
+    // sha16 sidecar: the same binding the stdout line carries, durable
+    // next to the map so BenchMapFreshnessSpec can verify a committed
+    // canonical map is byte-identical to what this run produced
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath + ".sha16"), sha16(fullJson) + "\n")
     println(renderLine(results, total, outPath, sfDir, focused.size,
       sha16(fullJson)))
     spark.stop()

@@ -110,7 +110,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "ml34_kaplan_meier" -> "1-row cohort-size scalar (n0) crossJoined onto the bounded distinct-day frame (e05's idiom)",
     "ml35_logrank" -> "1-row two-cohort totals (n0a, n0b) crossJoined onto the bounded distinct-day frame (ml34's idiom)",
     "x60_temporal_split_audit" -> "1-row corpus-count + 1-row threshold-pair scalars crossJoined onto the day census / assignment scan (e05's idiom); the warm-user join is equi on user_id",
-    "x62_curation_manifest" -> "seven 1-row-x-1-row accounting crossJoins (rows/chars per stage, e05's idiom) — every pipeline stage join (semi/anti on doc_id, band equi, gram semi) is an equi-join on the checkpointed survivor frames")
+    "x62_curation_manifest" -> "seven 1-row-x-1-row accounting crossJoins (rows/chars per stage, e05's idiom) — every pipeline stage join (semi/anti on doc_id, band equi, gram semi) is an equi-join on the checkpointed survivor frames",
+    "x62b_curation_manifest_cc" -> "x62's seven 1-row-x-1-row accounting crossJoins (shared manifestBuild engine); the CC stage's joins are equi-joins on the pair frame",
+    "st27_incremental_manifest" -> "x62's restriction (shared manifestBuild engine, stages 1/3/4/5): four 1-row-x-1-row accounting crossJoins")
 
   /** Queries whose no-partition Window runs over a DOMAIN-BOUNDED input
     * (never the corpus): the boundedness argument is written at the use
