@@ -25,10 +25,18 @@ object Bench {
     // optional comma-separated query-name filter for focused runs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Shuffle-partition override for scale probes: the default pins
+    // partitions = cores, which at 20x data leaves ~750 MB per
+    // partition sort — past the per-task execution memory and into
+    // spill amplification (the d26 sf2.0 adjudication, SCALE.md r15
+    // batch 2). A cluster sizes partitions to the data; this knob lets
+    // a probe do the same without changing the canonical harness.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     def newSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", shufflePartitions)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -4427,7 +4427,7 @@ object Curation {
     *                       per connected component instead)
     *   3. quality_gate   — t22: the five STRUCTURAL Gopher rules
     *                       (r_stopwords excluded — an English-only
-    *                       test; see the gateRules note below)
+    *                       test; see the mfGateRules note above)
     *   4. eval_holdout   — x07: md5-hex split, hx ∈ {0,1} held out
     *   5. decontam       — x10: drop docs sharing a word 13-gram with
     *                       the ORIGINAL corpus's eval split (the
