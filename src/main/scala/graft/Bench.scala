@@ -31,8 +31,8 @@ object Bench {
     // spill amplification (the d26 sf2.0 adjudication, SCALE.md r15
     // batch 2). A cluster sizes partitions to the data; this knob lets
     // a probe do the same without changing the canonical harness.
-    val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .filter(_.nonEmpty).getOrElse(cpus)
     def newSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -48,6 +48,8 @@ object Bench {
       s
     }
     var spark = newSession()
+    // A/B diagnostic toggle for the sweep (default on)
+    val sweepOn = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "on") != "off"
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -80,13 +82,15 @@ object Bench {
       // consumer — and re-materializing the shared stage per query is
       // precisely the cost the memo (and the baseline it was recorded
       // under) deliberately excludes.
-      val keep = graft.core.SessionScoped.livePersistedRddIds(spark)
-      spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => keep(id) }
-        .values.foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
-      System.gc()
-      Thread.sleep(200)
+      if (sweepOn) {
+        val keep = graft.core.SessionScoped.livePersistedRddIds(spark)
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => keep(id) }
+          .values.foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
+        System.gc()
+        Thread.sleep(200)
+      }
       val warmup = once(q.build)
       if (warmup < 0 || runs < 1) warmup
       else if (warmup > 5.0) {

@@ -4175,19 +4175,6 @@ object Curation {
   private def mfGateRules: Seq[String] =
     TextAnalysis.gopherRuleNames.filterNot(_ == "r_stopwords")
 
-  /** The raw corpus frame and the seven survivor frames behind x62 and
-    * x62b (and Round15OpsSpec's stage assertions). `ccStage2` selects
-    * the stage-2 survivor rule: false = drop any doc that is the
-    * greater member of any verified near-dup pair (x62's blanket
-    * rule); true = keep exactly one doc, the minimum id, per CONNECTED
-    * COMPONENT of the verified-pair graph (x62b — d07's device).
-    *
-    * d0 is deliberately NOT checkpointed: its three consumers (stage-1
-    * accounting, the canon join, the eval-gram explode) each
-    * column-prune a different narrow slice of the parquet scan, and at
-    * 100 TB re-scanning pruned columns beats materializing the full
-    * raw corpus (the survivor frames s1..s7 ARE checkpointed — they
-    * shrink and feed 2+ stages each). */
   /** The per-row hash-split column every manifest stage reads (x07's
     * split device): first md5 hex digit of doc_id. */
   private[graft] def mfWithHx(df: DataFrame): DataFrame =
@@ -4225,6 +4212,19 @@ object Curation {
     df.join(contam, Seq("doc_id"), "left_anti")
   }
 
+  /** The raw corpus frame and the seven survivor frames behind x62 and
+    * x62b (and Round15OpsSpec's stage assertions). `ccStage2` selects
+    * the stage-2 survivor rule: false = drop any doc that is the
+    * greater member of any verified near-dup pair (x62's blanket
+    * rule); true = keep exactly one doc, the minimum id, per CONNECTED
+    * COMPONENT of the verified-pair graph (x62b — d07's device).
+    *
+    * d0 is deliberately NOT checkpointed: its three consumers (stage-1
+    * accounting, the canon join, the eval-gram explode) each
+    * column-prune a different narrow slice of the parquet scan, and at
+    * 100 TB re-scanning pruned columns beats materializing the full
+    * raw corpus (the survivor frames s1..s7 ARE checkpointed — they
+    * shrink and feed 2+ stages each). */
   private[graft] def manifestFrames(s: SparkSession, d: String,
       ccStage2: Boolean,
       stages: Seq[Int] = 0 to 6): (DataFrame, Seq[DataFrame]) = {

@@ -175,7 +175,12 @@ object LateDataAudit {
     * wm(k) = max ingest_ts delivered through batch k−1 minus the
     * delay, an input row is dropped iff its ingest_ts <= wm(k)
     * (probe-verified: the engine drops AT the watermark, not only
-    * strictly behind it). */
+    * strictly behind it). The % 11 rows defer TWO slices, which lands
+    * them EXACTLY ON the watermark (ts == wm) — the class that
+    * distinguishes the inclusive rule from strict <: under strict <
+    * they would be admitted and observed would fall short of
+    * expected, so the spec's observed == expected assertion pins the
+    * boundary, not just the far-late behavior. */
   def runSt27(spark: SparkSession, sfDir: String, nBatches: Int = 8,
       delayMs: Long = 3600L * 1000): Audit = {
     import spark.implicits._
@@ -196,6 +201,8 @@ object LateDataAudit {
         val defer =
           if (id % 7 == 0 && slice + 3 < nBatches) 3
           else if (id % 7 != 0 && id % 5 == 0 && slice + 1 < nBatches) 1
+          else if (id % 7 != 0 && id % 5 != 0 && id % 11 == 0 &&
+            slice + 2 < nBatches) 2
           else 0
         (new Timestamp(base + slice * 3600000L), id, t, nc, slice + defer)
       }

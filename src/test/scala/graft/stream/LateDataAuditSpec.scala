@@ -43,12 +43,23 @@ class LateDataAuditSpec extends AnyFunSuite {
     // 1-slice deferrals are late but inside it (admitted) — a schedule
     // exercising only one path guards nothing
     assert(audit.totalObserved > 0, "no late docs were dropped")
-    val deferred = spark.read
+    val ids = spark.read
       .parquet(s"${TestSpark.sf0001}/documents.parquet")
-      .select("doc_id").collect().map(_.getLong(0))
-      .count(id => id % 7 == 0 || id % 5 == 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val deferred = ids.count(id => id % 7 == 0 || id % 5 == 0 || id % 11 == 0)
     assert(audit.totalObserved < deferred,
       "every deferred doc dropped — admitted-late path unexercised")
+    // the boundary class must be present: % 11 rows defer TWO slices,
+    // landing ts EXACTLY ON the frozen watermark — they drop only
+    // under the inclusive <= rule, so the observed == expected pass
+    // above distinguishes <= from strict < (not just far-late drops)
+    val n = ids.length
+    val boundary = ids.zipWithIndex.count { case (id, i) =>
+      val slice = (i.toLong * 8 / n).toInt
+      id % 7 != 0 && id % 5 != 0 && id % 11 == 0 && slice + 2 < 8
+    }
+    assert(boundary > 0, "schedule carries no ts == watermark rows — " +
+      "the inclusive-boundary contract is unexercised")
   }
 
   test("committed LATE_DATA.json matches a fresh audit run") {

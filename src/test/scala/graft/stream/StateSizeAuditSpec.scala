@@ -14,9 +14,9 @@ class StateSizeAuditSpec extends AnyFunSuite {
   private def byName(n: String) =
     audit.queries.find(_.name == n).getOrElse(fail(s"$n missing from audit"))
 
-  private val joinNames = Set("st05_stream_interval_join",
-    "st11_stream_left_outer_join", "st15_stream_full_outer_join",
-    "st17_stream_semi_join")
+  // derived, not hardcoded: a future join variant added to the audit
+  // must automatically fall under the eviction assertions
+  private val joinNames = StateSizeAudit.variants.map(_._1).toSet
 
   test("join state is watermark-bounded and evicts as the watermark advances") {
     audit.queries.filter(q => joinNames(q.name)).foreach { qa =>

@@ -1512,4 +1512,47 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+  test("st27 dedup survivor rule: in-batch min doc_id wins, duplicates " +
+    "and re-deliveries marked non-survivors") {
+    // the fixture corpus has zero duplicate texts (500 docs -> 500
+    // distinct), so the stream==twin equality above never exercises
+    // WHICH doc survives — this synthetic corpus pins the rule: the
+    // minimum doc_id among a text's first-batch arrivals survives
+    // (x62 stage 1's min(doc_id) under in-order delivery); same-batch
+    // higher ids and every later re-delivery are marked survived=false
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Timestamp, Long, String, Long)]
+      val df = in.toDF().toDF("ingest_ts", "doc_id", "text", "n_chars")
+      val q = Events.incrementalManifestStream(df)
+        .toDF("doc_id", "text", "n_chars", "survived")
+        .writeStream.format("memory").queryName("st27_rule_out")
+        .outputMode("update").start()
+      val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+      val t2 = Timestamp.valueOf("2024-01-01 00:30:00")
+      // batch 1: docs 5 and 3 share textX IN ONE BATCH; doc 1 unique
+      in.addData((t1, 5L, "textX", 5L), (t1, 3L, "textX", 5L),
+        (t1, 1L, "textY", 5L))
+      q.processAllAvailable()
+      // batch 2: re-deliveries of textX and textY; doc 11 fresh
+      in.addData((t2, 7L, "textX", 5L), (t2, 9L, "textY", 5L),
+        (t2, 11L, "textZ", 5L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("st27_rule_out").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      assert(got == Map(3L -> true, 5L -> false, 1L -> true,
+        7L -> false, 9L -> false, 11L -> true),
+        s"survivor flags diverged from the min-id rule: $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
