@@ -49,6 +49,50 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Scale-adaptive fan-out for CPU-heavy per-row passes (gram
+    * explodes, per-shingle md5/conv hashing, signature building) whose
+    * input has less partition parallelism than the session has cores.
+    *
+    * Why it exists (optimization guide §2.5 "input skew — one huge
+    * unsplittable file" and §1.2 "the distributed algorithm first"):
+    * the bench fixtures are single-row-group parquet files, so every
+    * scan is ONE task and the whole map stage ahead of the first
+    * exchange — exactly where this family's expensive per-row work
+    * lives — ran on one core of 32 (Profile r15: the d22 shingle+md5
+    * pass was a single 2.3 s task; t10's two gram explodes 1.5+1.7 s,
+    * both single-task). The same starvation hits checkpointed
+    * intermediate frames that AQE coalesced to 1-4 partitions by BYTE
+    * size before an expensive pass (x62's survivor frames).
+    *
+    * The repartition is gated on an ESTIMATE of the input's existing
+    * parallelism so it is a no-op at scale: scan-rooted inputs are
+    * estimated as ceil(bytes / maxPartitionBytes) per file (an
+    * overestimate of real row-group-capped parallelism — conservative
+    * in the right direction: a 100 TB directory tree clears the gate
+    * by file count alone and is never re-shuffled), RDD-backed inputs
+    * (localCheckpoint) by their actual partition count, and anything
+    * else — un-executed exchanges whose output sizing AQE owns — is
+    * left alone. Hash-partitioning on `key` (deterministic, no
+    * sort-before-repartition cost; callers pass a high-cardinality
+    * key like doc_id) moves only the projected columns of a
+    * row-count-sized frame, never a payload the pass doesn't read. */
+  def fanOutForCpu(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    val para = spark.sparkContext.defaultParallelism
+    val maxPB = spark.sessionState.conf.filesMaxPartitionBytes
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val est: Long = leaves.map {
+      case l: LogicalRDD => l.rdd.getNumPartitions.toLong
+      case r: LogicalRelation =>
+        math.max(1L, r.relation.sizeInBytes / math.max(1L, maxPB))
+      case _ => Long.MaxValue // unknown source: assume parallel enough
+    }.foldLeft(0L)((a, b) => if (a == Long.MaxValue || b == Long.MaxValue)
+      Long.MaxValue else a + b)
+    if (est < para) df.repartition(para, key) else df
+  }
+
   /** Schema-evolution read: a long-lived 100 TB table accumulates files
     * written under different schema versions (columns added over time).
     * `mergeSchema` unions the footers' schemas — missing columns read as

@@ -333,8 +333,14 @@ object Curation {
     * Convention shared with the DuckDB mirror (`t[i+1:i+n]` over
     * `range(0, greatest(len(t) - (n-1), 1))`). */
   private def ngramExpr(textCol: String, n: Int): String =
-    s"transform(sequence(0, greatest(size(split($textCol, ' ')) - $n, 0)), " +
-      s"i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n)))"
+    // token array LET-BOUND via a one-element outer transform so split
+    // runs once per row, not once per gram position (Catalyst does not
+    // hoist loop-invariant subexpressions out of HOF lambdas; the
+    // unhoisted form re-tokenized the doc O(L²) — see
+    // Dedup.shingleExpr, same r15 fix, 2.4-3x measured on this pass)
+    s"transform(array(split($textCol, ' ')), t -> " +
+      s"transform(sequence(0, greatest(size(t) - $n, 0)), " +
+      s"i -> concat_ws(' ', slice(t, i + 1, $n))))[0]"
 
   /** x10 — benchmark decontamination (the GPT-3-style n-gram overlap
     * filter: Brown et al., "Language Models are Few-Shot Learners", 2020,
@@ -3265,7 +3271,8 @@ object Curation {
       "CAST(round(ln(((CAST(ct AS DOUBLE) + 0.5) / (CAST(nt AS DOUBLE) + " +
         "0.5 * CAST(v AS DOUBLE))) / ((CAST(cs AS DOUBLE) + 0.5) / " +
         "(CAST(ns AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))) * 1000000) AS BIGINT)"
-    val census = docs
+    val census = Tables.fanOutForCpu(
+        docs.select("doc_id", "lang", "text"), col("doc_id"))
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
@@ -4087,7 +4094,8 @@ object Curation {
     QueryDef(
       "x61_contamination_sweep",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.fanOutForCpu(
+            Tables.documents(s, d).select("doc_id", "text"), col("doc_id"))
           .select(col("doc_id"),
             expr("substring(md5(CAST(doc_id AS STRING)), 1, 1)").as("hx"),
             col("text"))
@@ -4184,7 +4192,11 @@ object Curation {
     * Shared by the batch engine and st27's per-micro-batch application
     * (graft.stream.Events) so the two cannot drift. */
   private[graft] def mfQualityGate(df: DataFrame): DataFrame = {
-    val passing = TextAnalysis.gopherFlaggedDf(df)
+    // fan-out: the Gopher stat pass (three regex re-tokenizations per
+    // row) inherits the AQE-coalesced 1-4 partitions of the survivor
+    // checkpoint it reads (r15, guide §2.5)
+    val passing = TextAnalysis.gopherFlaggedDf(Tables.fanOutForCpu(
+        df.select("doc_id", "text"), col("doc_id")))
       .filter(mfGateRules.map(col).reduce(_ && _))
       .select("doc_id")
     df.join(passing, Seq("doc_id"), "left_semi")
@@ -4197,14 +4209,18 @@ object Curation {
   /** The fixed benchmark gram index: distinct xxhash64 13-gram
     * fingerprints of the ORIGINAL corpus's eval split. */
   private[graft] def mfEvalGrams(d0: DataFrame): DataFrame =
-    d0.filter(col("hx").isin("0", "1"))
+    Tables.fanOutForCpu(
+        d0.filter(col("hx").isin("0", "1")).select("doc_id", "text"),
+        col("doc_id"))
       .select(explode(expr(ngramExpr("text", MfNGram))).as("g"))
       .select(xxhash64(col("g")).as("g")).distinct()
 
   /** Stage-5 survivors: docs sharing no 13-gram fingerprint with the
     * eval index (hash-collision-exact, d04's pattern). */
   private[graft] def mfDecontam(df: DataFrame, evalGrams: DataFrame): DataFrame = {
-    val contam = df.select(col("doc_id"),
+    val contam = Tables.fanOutForCpu(
+        df.select("doc_id", "text"), col("doc_id"))
+      .select(col("doc_id"),
         explode(expr(ngramExpr("text", MfNGram))).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("g"))
       .join(broadcast(evalGrams), Seq("g"), "left_semi")
@@ -4236,7 +4252,9 @@ object Curation {
     // input for — the stages it omits
     val mkStage: Seq[DataFrame => DataFrame] = Seq(
       _ => {
-        val canon = d0.groupBy("text")
+        val canon = Tables.fanOutForCpu(
+            d0.select("doc_id", "text"), col("doc_id"))
+          .groupBy("text")
           .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
         d0.join(canon, Seq("doc_id"), "left_semi")
       },

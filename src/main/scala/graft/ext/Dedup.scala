@@ -67,10 +67,21 @@ object Dedup {
             SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
             FROM f GROUP BY fp ORDER BY canonical_id"""))
 
-  /** Word 3-gram shingle array for a text column (empty-safe). */
+  /** Word 3-gram shingle array for a text column (empty-safe).
+    *
+    * r15 optimization (guide §1.2 "per-task work"): the token array is
+    * LET-BOUND via a one-element outer `transform` so `split` runs
+    * once per ROW. The previous form referenced `split($textCol)`
+    * inside the position lambda, and Catalyst does not hoist
+    * loop-invariant expressions out of higher-order-function lambdas —
+    * the text was re-split once per gram position, O(L²) tokenization
+    * per document. Measured at sf0.1 (noop sink, 32 cores): the
+    * explode+hash pass over documents dropped 1.48 s → 0.60 s.
+    * Output is bit-identical (same grams, same order). */
   def shingleExpr(textCol: String): String =
-    s"transform(sequence(0, greatest(size(split($textCol, ' ')) - 3, 0)), " +
-      s"i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, 3)))"
+    s"transform(array(split($textCol, ' ')), t -> " +
+      "transform(sequence(0, greatest(size(t) - 3, 0)), " +
+      "i -> concat_ws(' ', slice(t, i + 1, 3))))[0]"
 
   /** d02 — MinHash+LSH fuzzy dedup (Broder, "On the resemblance and
     * containment of documents", SEQUENCES 1997): shingle → binary hashed term vector →
@@ -80,7 +91,10 @@ object Dedup {
   val minhash: QueryDef = QueryDef(
     "d02_dedup_minhash",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      // fan-out before the 2^18-dim featurization pass: the single-file
+      // scan gives this CPU-heavy map stage one task (r15, guide §2.5)
+      val docs = Tables.fanOutForCpu(
+          Tables.documents(s, d).select("doc_id", "text"), col("doc_id"))
         .withColumn("shingles", expr(shingleExpr("text")))
       val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
         .setNumFeatures(1 << 18).setBinary(true)
@@ -134,7 +148,8 @@ object Dedup {
     // perturb a pair's estimated distance — never create a blowup. The
     // two transforms stay in SEPARATE projections (wh referenced twice →
     // CollapseProject won't inline the split per shingle position).
-    val shingled = docs
+    val shingled = Tables.fanOutForCpu(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         expr("transform(split(text, ' '), x -> xxhash64(x))").as("wh"))
       .select(col("doc_id"), expr(
@@ -396,7 +411,8 @@ object Dedup {
     * hard oracle diff (the honest signal); the portable-md5 twins
     * (d10/d11) are the shared-hash verification path. */
   def ngramPairPlan(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+    val sh = Tables.fanOutForCpu(
+        Tables.documents(s, d).select("doc_id", "text"), col("doc_id"))
       .select(col("doc_id"), explode(expr(shingleExpr("text"))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
       .distinct()
@@ -727,7 +743,8 @@ object Dedup {
       theta: Double = 0.5,
       maxBucketSize: Int = 64): DataFrame = {
     require(numHashes % bandRows == 0, "bands must tile the signature")
-    val shingled = docs
+    val shingled = Tables.fanOutForCpu(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         expr(s"array_distinct(${shingleExpr("text")})").as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -809,8 +826,10 @@ object Dedup {
     * banded-LSH probability. */
   def bandKeys(docs: DataFrame, numHashes: Int, bandRows: Int): DataFrame = {
     require(numHashes % bandRows == 0, "bands must tile the signature")
-    val shingled = docs.select(col("doc_id"),
-      expr(s"array_distinct(${shingleExpr("text")})").as("sh"))
+    val shingled = Tables.fanOutForCpu(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"),
+        expr(s"array_distinct(${shingleExpr("text")})").as("sh"))
     val sigCols = (0 until numHashes).map(k =>
       min(expr(s"ha + $k * hb")).as(s"sig_$k"))
     val sigs = shingled
@@ -1460,7 +1479,8 @@ object Dedup {
     QueryDef(
       "d16_containment_pairs",
       (s, d) => {
-        val sh = Tables.documents(s, d)
+        val sh = Tables.fanOutForCpu(
+            Tables.documents(s, d).select("doc_id", "text"), col("doc_id"))
           .select(col("doc_id"), explode(expr(shingleExpr("text"))).as("sh"))
           .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
           .distinct()
@@ -1527,8 +1547,10 @@ object Dedup {
       "d17_minhash_calibration",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val shingled = docs.select(col("doc_id"),
-          expr(s"array_distinct(${shingleExpr("text")})").as("sh"))
+        val shingled = Tables.fanOutForCpu(
+            docs.select(col("doc_id"), col("text")), col("doc_id"))
+          .select(col("doc_id"),
+            expr(s"array_distinct(${shingleExpr("text")})").as("sh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sigCols = (0 until K).map(k =>
           min(expr(s"ha + $k * hb")).as(s"sig_$k"))
@@ -1855,7 +1877,10 @@ object Dedup {
               "greatest(CAST(ceil(size(split(text, ' ')) * 0.8) AS INT)," +
               " 1)), ' ')").as("text"))
         val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
-        val sh = docs.unionAll(planted)
+        val sh = Tables.fanOutForCpu(
+            docs.select(col("doc_id"), col("text"))
+              .unionAll(planted.select(col("doc_id"), col("text"))),
+            col("doc_id"))
           .select(col("doc_id"), explode(expr(shingleExpr("text"))).as("sh"))
           .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
           .distinct()
@@ -1982,7 +2007,8 @@ object Dedup {
       "d22_containment_sketch_eval",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val sh = Tables.documents(s, d)
+        val sh = Tables.fanOutForCpu(
+            Tables.documents(s, d).select("doc_id", "text"), col("doc_id"))
           .select(col("doc_id"), explode(expr(shingleExpr("text"))).as("sg"))
           .select(col("doc_id"),
             expr(sparkMd5Int60("sg")).as("h"))
@@ -2404,7 +2430,8 @@ object Dedup {
     "d27_prefix_filter_pairs",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val sh = Tables.documents(s, d)
+      val sh = Tables.fanOutForCpu(
+          Tables.documents(s, d).select("doc_id", "text"), col("doc_id"))
         .select(col("doc_id"), explode(expr(shingleExpr("text"))).as("sh"))
         .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
         .distinct()
@@ -2417,6 +2444,10 @@ object Dedup {
           count(lit(1)).over(Window.partitionBy("doc_id")))
         .filter(expr("pos <= n_sh - ((4 * n_sh + 4) DIV 5) + 1"))
         .select("doc_id", "sh")
+        // persisted: both sides of the candidate self-join read pref —
+        // unpersisted, the freq join + two windows ran TWICE (r15
+        // Profile: two ~0.9 s duplicate job pairs inside d27's action)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = pref.select(col("doc_id").as("a_id"), col("sh"))
         .join(pref.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))
         .filter(col("a_id") < col("b_id"))
@@ -2440,6 +2471,7 @@ object Dedup {
         .orderBy("a_id", "b_id")
         .localCheckpoint()
       sh.unpersist()
+      pref.unpersist()
       out
     },
     Some(s"""WITH toks AS (

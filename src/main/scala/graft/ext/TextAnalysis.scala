@@ -581,10 +581,16 @@ object TextAnalysis {
     * a mean over each doc's OWN grams' DFs) and one doc-keyed
     * aggregate; the DF relation is vocabulary-sized. */
   def gramCommonnessOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val sh = docs
+    // fan-out + checkpoint (r15): the gram explode is the corpus-sized
+    // CPU pass and it feeds TWO consumers (the DF aggregate and the
+    // join-back) — Profile showed it running twice, single-task, 1.5 s
+    // + 1.7 s of t10's 3.7 s total
+    val sh = graft.core.Tables.fanOutForCpu(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         explode(expr(s"array_distinct(${Dedup.shingleExpr("text")})"))
           .as("sh"))
+      .localCheckpoint()
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     sh.join(dfreq, "sh")
       .groupBy("doc_id")
