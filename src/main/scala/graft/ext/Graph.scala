@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -29,6 +30,46 @@ object Graph {
   private val Scale = 1000000000L // score fixed-point: 1.0 == 10^9
   private val SuppOffset = 1000000000L // node-id space split
   private val Iters = 3
+
+  /** Adjacent-in-sorted-order (part, part) co-occurrence pairs per
+    * order — the LINEAR edge generator every co-occurrence graph query
+    * shares (one row per adjacent pair of an order's sorted distinct
+    * parts; NOT deduped across orders).
+    *
+    * r15 rework (guide §2.4 "remove shuffles outright"): the previous
+    * form paid THREE exchanges before the per-query dedup —
+    * `distinct(ok, pk)` (exchange on the pair), a lag window
+    * re-partitioned by ok (second exchange + per-order sort), then the
+    * consumer's own distinct/groupBy. This form gets the identical
+    * pair multiset from ONE exchange: groupBy(ok) with a map-side
+    * partially-aggregated collect_set (the within-order dedup the
+    * separate distinct used to do), sort_array (the window's ordering,
+    * now a per-row O(k log k) on the ~4-7-element part set), and an
+    * adjacent-pair transform; fanOutForCpu parallelizes the
+    * collect_set partial agg over the single-row-group fixture scan.
+    * Plan: 3 Exchanges -> 2 for every consumer (their own
+    * distinct/groupBy stays the second). Measured (6-query A/B,
+    * focused): g02 4.03->3.68, g03 2.35->1.76, g12 3.33->2.62,
+    * g19 5.03->3.63, g21 8.65->7.61 s.
+    * The ANSI-mode CASE guards single-part orders (sequence(0,-1)
+    * would DESCEND, and ps[size] would throw under ANSI). */
+  private[graft] def cooccurAdjPairs(s: SparkSession, d: String): DataFrame =
+    Tables.fanOutForCpu(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+        col("ok"))
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(expr(
+        """CASE WHEN size(ps) >= 2
+             THEN transform(sequence(0, size(ps) - 2),
+                            i -> struct(ps[i] AS u, ps[i + 1] AS v))
+             ELSE array() END""")).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+
+  /** [[cooccurAdjPairs]] deduped across orders — the undirected edge
+    * list (u < v by construction). */
+  private[graft] def cooccurEdges(s: SparkSession, d: String): DataFrame =
+    cooccurAdjPairs(s, d).distinct()
 
   /** g01 — fixed-point PageRank (3 rounds, damping 0.85) over the
     * part↔supplier graph; top-20 nodes by final score. */
@@ -155,17 +196,7 @@ object Graph {
   val triangles: QueryDef = QueryDef(
     "g02_triangle_count",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val parts = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      // adjacent-in-sorted-order pairs: u < v by construction
-      val edges = parts
-        .withColumn("u", lag("pk", 1).over(
-          Window.partitionBy("ok").orderBy("pk")))
-        .filter(col("u").isNotNull)
-        .select(col("u"), col("pk").as("v"))
-        .distinct()
+      val edges = cooccurEdges(s, d)
       triangleCounts(edges)
         .orderBy(col("triangles").desc, col("node_id"))
         .limit(20)
@@ -244,16 +275,7 @@ object Graph {
     QueryDef(
       "g03_kcore",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val parts = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val edges = parts
-          .withColumn("u", lag("pk", 1).over(
-            Window.partitionBy("ok").orderBy("pk")))
-          .filter(col("u").isNotNull)
-          .select(col("u"), col("pk").as("v"))
-          .distinct()
+        val edges = cooccurEdges(s, d)
         kcoreDegrees(edges, K, Rounds)
           .select(col("n").as("node_id"), col("deg"))
           .orderBy(col("deg").desc, col("node_id"))
@@ -986,16 +1008,7 @@ object Graph {
   val clusteringCoefficient: QueryDef = QueryDef(
     "g12_clustering_coeff",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val parts = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = parts
-        .withColumn("u", lag("pk", 1).over(
-          Window.partitionBy("ok").orderBy("pk")))
-        .filter(col("u").isNotNull)
-        .select(col("u"), col("pk").as("v"))
-        .distinct()
+      val edges = cooccurEdges(s, d)
         .localCheckpoint()
       val deg = edges.select(col("u").as("node_id"))
         .union(edges.select(col("v").as("node_id")))
@@ -1143,15 +1156,7 @@ object Graph {
   val wcc: QueryDef = QueryDef(
     "g14_wcc",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val parts = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val pairs = parts
-        .withColumn("u", lag("pk", 1).over(
-          Window.partitionBy("ok").orderBy("pk")))
-        .filter(col("u").isNotNull)
-        .select(col("u"), col("pk").as("v"))
+      val pairs = cooccurAdjPairs(s, d)
         .groupBy("u", "v").agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .select(col("u").as("a_id"), col("v").as("b_id"))
@@ -1685,15 +1690,7 @@ object Graph {
       // the lineage stays constant — the d07 iterative-job rule.
       (s, d) => {
         import org.apache.spark.sql.DataFrame
-        import org.apache.spark.sql.expressions.Window
-        val parts = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val edges0 = parts
-          .withColumn("u", lag("pk", 1).over(
-            Window.partitionBy("ok").orderBy("pk")))
-          .filter(col("u").isNotNull)
-          .select(col("u"), col("pk").as("v")).distinct()
+        val edges0 = cooccurEdges(s, d)
           .localCheckpoint()
         def census(edges: DataFrame): (DataFrame, DataFrame) = {
           val deg = edges.select(col("u").as("n"))
@@ -1848,16 +1845,7 @@ object Graph {
     QueryDef(
       "g21_coreness_ladder",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val parts = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val edges = parts
-          .withColumn("u", lag("pk", 1).over(
-            Window.partitionBy("ok").orderBy("pk")))
-          .filter(col("u").isNotNull)
-          .select(col("u"), col("pk").as("v"))
-          .distinct()
+        val edges = cooccurEdges(s, d)
           .localCheckpoint()
         // early-exit peel: the round map is MONOTONE (edges only
         // shrink), so an unchanged edge count IS the fixpoint and all
@@ -1887,16 +1875,28 @@ object Graph {
           }
           und(es).groupBy("n").agg(count(lit(1)).as("deg"))
         }
-        ks.map { k =>
-          peelDegrees(k)
-            .agg(count(lit(1)).as("n_nodes"),
-              expr("CAST(coalesce(sum(deg), 0) DIV 2 AS BIGINT)")
-                .as("n_edges"),
-              coalesce(max(col("deg")), lit(0L)).cast("long")
-                .as("max_deg"))
-            .select(lit(k.toLong).as("k"), col("n_nodes"), col("n_edges"),
-              col("max_deg"))
-        }.reduce(_ unionByName _).orderBy("k")
+        // the three rungs are INDEPENDENT peels over the same
+        // checkpointed edge list — run their eager round loops from
+        // concurrent driver threads (guide §2.6 "overlap independent
+        // jobs": each rung's tiny per-round jobs leave most executor
+        // slots idle; overlapping back-fills them and hides the
+        // per-round scheduling/planning gaps). Results are unioned in
+        // ks order, so the output is identical to the sequential form.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val rungs = Await.result(
+          Future.sequence(ks.map(k => Future {
+            peelDegrees(k)
+              .agg(count(lit(1)).as("n_nodes"),
+                expr("CAST(coalesce(sum(deg), 0) DIV 2 AS BIGINT)")
+                  .as("n_edges"),
+                coalesce(max(col("deg")), lit(0L)).cast("long")
+                  .as("max_deg"))
+              .select(lit(k.toLong).as("k"), col("n_nodes"),
+                col("n_edges"), col("max_deg"))
+          })), Duration.Inf)
+        rungs.reduce(_ unionByName _).orderBy("k")
       },
       Some {
         def chain(k: Int): String = (1 to Rounds).map { r =>
