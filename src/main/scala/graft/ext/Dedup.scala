@@ -1763,7 +1763,8 @@ object Dedup {
         // at sf0.1 vs ~3 s for this one).
         val gearSum = (0 until W)
           .map(k => s"element_at(cps, i - $k)").mkString(" + ")
-        val chunks = Tables.documents(s, d)
+        val chunks = Tables.fanOutForCpu(
+            Tables.documents(s, d).select("doc_id", "text"), col("doc_id"))
           .selectExpr("doc_id", "length(text) AS n", "text")
           .selectExpr("doc_id", "n",
             "transform(split(text, ''), ch -> ascii(ch)) AS cps", "text")
@@ -1785,6 +1786,9 @@ object Dedup {
               "md5(substring(text, element_at(starts, k) + 1, " +
               "element_at(allb, k) - element_at(starts, k))) AS h))) AS c")
           .select(col("doc_id"), col("c.len").as("len"), col("c.h").as("h"))
+          // checkpoint: the census aggregate AND the join-back both
+          // read chunks — unchecked, the gear pass ran twice (r15)
+          .localCheckpoint()
         val census = chunks.groupBy("h")
           .agg(countDistinct("doc_id").as("n_docs"))
         chunks.join(census, "h")
@@ -2312,7 +2316,12 @@ object Dedup {
       "d26_winnowing",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = Tables.documents(s, d)
+        // fan-out on doc_id: parallelizes the char-gram md5 map pass
+        // (the query's dominant cost, single-task on the fixture scan)
+        // AND pre-establishes exactly the hashpartitioning(doc_id) the
+        // selection window needs — no second exchange (r15, guide §2.5)
+        val docs = Tables.fanOutForCpu(
+            Tables.documents(s, d).select("doc_id", "text"), col("doc_id"))
           .select(col("doc_id"), col("text"),
             length(col("text")).as("len"))
           .filter(col("len") >= 8)

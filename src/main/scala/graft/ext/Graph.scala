@@ -1388,7 +1388,11 @@ object Graph {
           .select(col("id").as("seed"), col("id"), lit(1L).as("sigma"))
           .localCheckpoint()
         var levels = Vector(f0)
-        var visited = f0.select("seed", "id").localCheckpoint()
+        // visited is a UNION of already-checkpointed level frames, so
+        // re-checkpointing it copied every level's rows again each
+        // round (r15: Levels extra materialization jobs removed); the
+        // union's lineage is one node per level — bounded by Levels
+        var visited = f0.select("seed", "id")
         for (_ <- 1 to Levels) {
           val prev = levels.last
             .select(col("seed"), col("id").as("pid"), col("sigma"))
@@ -1398,7 +1402,7 @@ object Graph {
             .join(visited, Seq("seed", "id"), "left_anti")
             .localCheckpoint()
           levels = levels :+ next
-          visited = visited.union(next.select("seed", "id")).localCheckpoint()
+          visited = visited.union(next.select("seed", "id"))
         }
         // backward: integer-scaled dependency per (seed, id), deepest
         // level seeds δ' = 0

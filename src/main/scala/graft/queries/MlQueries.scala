@@ -78,6 +78,10 @@ object MlQueries {
       val cv = new CrossValidator().setEstimator(lr)
         .setEstimatorParamMaps(grid).setEvaluator(rmseEval)
         .setNumFolds(3).setSeed(10)
+        // r15: fit the three folds from concurrent driver threads
+        // (guide §2.6) — fold fits are independent and seeded, so the
+        // fitted models and avgMetrics are identical to the serial run
+        .setParallelism(3)
       val pred = cv.fit(tr).transform(te)
       val r2Eval = new RegressionEvaluator().setMetricName("r2")
       val out = Seq((
@@ -113,11 +117,20 @@ object MlQueries {
       tr.cache(); te.cache()
       val rmseEval = new RegressionEvaluator().setMetricName("rmse")
       val r2Eval = new RegressionEvaluator().setMetricName("r2")
-      val models = Seq(
-        "DecisionTreeRegressor" ->
-          new DecisionTreeRegressor().setSeed(10).fit(tr),
-        "RandomForestRegressor" ->
-          new RandomForestRegressor().setSeed(10).setNumTrees(10).fit(tr))
+      // r15: the two model fits are independent (same cached train
+      // split, fixed seeds) — overlap them on driver threads
+      // (guide §2.6); results are seed-deterministic either way
+      val models = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        Await.result(Future.sequence(Seq(
+          Future("DecisionTreeRegressor" ->
+            new DecisionTreeRegressor().setSeed(10).fit(tr)),
+          Future("RandomForestRegressor" ->
+            new RandomForestRegressor().setSeed(10).setNumTrees(10)
+              .fit(tr)))), Duration.Inf)
+      }
       val out = models.map { case (name, m) =>
         val pred = m.transform(te)
         (name, rmseEval.evaluate(pred), r2Eval.evaluate(pred))
@@ -1131,7 +1144,13 @@ object MlQueries {
       (s, d) => {
         val uExpr = graft.ext.Dedup.sparkMd5Int60(
           "concat(CAST(event_id AS STRING), ':', CAST(rep AS STRING))")
-        val reps = Tables.events(s, d)
+        // fan-out: the x32 replicate explode + per-(event, rep) md5
+        // is the whole cost of this query and ran single-task on the
+        // one-row-group fixture scan (r15, guide §2.5)
+        val reps = Tables.fanOutForCpu(
+            Tables.events(s, d)
+              .select(col("event_type"), col("value"), col("event_id")),
+            col("event_id"))
           .select(col("event_type"),
             expr("CAST(round(value * 100) AS BIGINT)").as("c"),
             col("event_id"),
