@@ -3889,7 +3889,10 @@ object Curation {
     QueryDef(
       "x59_consistent_hash_ring",
       (s, d) => {
-        Tables.documents(s, d).createOrReplaceTempView("g_x59_documents")
+        // fan-out: the per-(doc, ring) md5 assignment pass ran as one
+        // task on the fixture scan (r15, guide §2.5)
+        Tables.fanOutForCpu(Tables.documents(s, d), col("doc_id"))
+          .createOrReplaceTempView("g_x59_documents")
         s.sql(sparkRing(4)).localCheckpoint()
           .createOrReplaceTempView("g_x59_ring4")
         s.sql(sparkRing(5)).localCheckpoint()

@@ -511,8 +511,15 @@ object Dedup {
   /** Unit-normalized double embedding column. */
   def normalized(s: SparkSession, d: String, idAs: String, vecAs: String): DataFrame =
     unitized(
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+      // fan-out (r15, guide §2.5): every consumer does per-row vector
+      // arithmetic (dots against centroid/query panels), and the
+      // single-row-group fixture scan pinned all of it to one task.
+      // All 25 consumers are exact fixed-point/total-order ops, so the
+      // result is partition-independent; a no-op on a parallel scan.
+      Tables.fanOutForCpu(
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+        col("vec_id")),
       Seq(col("vec_id").as(idAs)), vecAs)
 
   /** DuckDB `n`/`u` CTE pair: unit-normalize `emb` from CTE `src`,

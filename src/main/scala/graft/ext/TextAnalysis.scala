@@ -2808,14 +2808,23 @@ object TextAnalysis {
     * exactly; no corpus×corpus anywhere. */
   def bm25Frame(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val toks = docs
+    // r15: ONE fanned-out tokenize pass materialized as the TF table;
+    // doc length and corpus length are exact sums over tf (len(doc) =
+    // SUM tf, big_l = SUM len), so the previous three extra
+    // tokenize-the-corpus passes (len, big_l, and tf's own re-run for
+    // df/qTerms) collapse into aggregates over the checkpoint —
+    // the standard build order of a BM25 index (tokenize once,
+    // aggregate the postings) at any scale
+    val tf = Tables.fanOutForCpu(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val len = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val len = tf.groupBy("doc_id").agg(sum(col("tf")).as("len"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val corpus = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(toks.agg(count(lit(1)).as("big_l")))
+      .crossJoin(tf.agg(sum(col("tf")).as("big_l")))
     val qTerms = tf.filter(col("doc_id") < 10)
       .select(col("doc_id").as("q_id"), col("token"))
     broadcast(qTerms)
